@@ -1,0 +1,139 @@
+"""Batch ETL pipeline: scan -> validate -> project -> sinks -> summary.
+
+Spark rebuild of ``run_etl_pipeline`` (``src/etl_processor.py:182-233``) and
+the glob-batch driver (``src/main.py:34-55``). Differences by design:
+
+* the whole glob is ONE distributed read (lineage kept per-file via
+  ``input_file_name()``), not a driver loop;
+* validation is one Catalyst plan (see ``plans.validator``), not a row loop;
+* the valid-rows load is one ``df.write`` (parquet/Delta/JDBC), not per-row
+  INSERTs with manual commit batching;
+* error policy: ``continue`` (reference default) marks a failed file's rows
+  and keeps going — at-least-once per file, like the reference's
+  try/except-per-file loop (``src/main.py:26-31``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import IntegrationConfig, load_config, spark_type_for
+from .plans.validator import ValidationResult, validate
+from .sources.archive import archive_file
+from .sources.readers import FILE_SOURCE_COL, read_source_csv
+from .sources.sinks import jdbc_writer_options, write_errors, write_valid
+
+__all__ = ["PipelineReport", "project_to_target", "run_etl_pipeline", "processing_summary"]
+
+
+@dataclass
+class PipelineReport:
+    total_records: int = 0
+    valid_records: int = 0
+    invalid_records: int = 0
+    rows_inserted: int = 0
+    errors_logged: int = 0
+    archived: list[str] = field(default_factory=list)
+
+    @property
+    def valid_pct(self) -> float:
+        return 100.0 * self.valid_records / self.total_records if self.total_records else 0.0
+
+
+def project_to_target(
+    df: DataFrame,
+    config: IntegrationConfig,
+    *,
+    validation_status: str = "VALID",
+) -> DataFrame:
+    """Source->target projection (SURVEY.md P11): rename to target columns,
+    cast to declared Spark types, append the reference's literal
+    ``ValidationStatus`` / lineage ``FileSource`` / ``ProcessedDate``
+    columns (``src/etl_processor.py:68-92``)."""
+    cols = [F.col(m.source).cast(spark_type_for(m.data_type)).alias(m.target) for m in config.fields]
+    src = F.col(FILE_SOURCE_COL) if FILE_SOURCE_COL in df.columns else F.lit("")
+    return df.select(
+        *cols,
+        src.alias("FileSource"),
+        F.lit(validation_status).alias("ValidationStatus"),
+        F.current_timestamp().alias("ProcessedDate"),
+    )
+
+
+def run_etl_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    config: IntegrationConfig | str,
+    *,
+    output_dir: Optional[str] = None,
+    sink_format: str = "parquet",
+    jdbc: bool = False,
+    lookup_values: Optional[Mapping[str, Any]] = None,
+    dim_tables: Optional[Mapping[str, DataFrame]] = None,
+    extensions: bool = False,
+    archive: Optional[bool] = None,
+    archive_dir: Optional[str] = None,
+) -> PipelineReport:
+    """End-to-end run over one file or a glob. ``output_dir`` receives
+    ``quality_data/`` and ``validation_errors/`` for file-format sinks."""
+    cfg = load_config(config) if isinstance(config, str) else config
+    report = PipelineReport()
+
+    df = read_source_csv(spark, input_path, cfg)
+    result: ValidationResult = validate(
+        df, cfg, lookup_values=lookup_values, dim_tables=dim_tables, extensions=extensions
+    )
+
+    # one pass for the counters (A3) instead of three count() jobs
+    counts = result.annotated.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.size("errors") == 0, 1).otherwise(0)).alias("valid"),
+    ).collect()[0]
+    report.total_records = counts["total"] or 0
+    report.valid_records = counts["valid"] or 0
+    report.invalid_records = report.total_records - report.valid_records
+
+    target = project_to_target(result.valid, cfg)
+    if jdbc:
+        opts = jdbc_writer_options(cfg.target, cfg.etl)
+        report.rows_inserted = write_valid(target, "", fmt="jdbc", jdbc_options=opts)
+        report.errors_logged = write_errors(result.errors, "", fmt="jdbc", jdbc_options=opts)
+    elif output_dir:
+        report.rows_inserted = write_valid(target, f"{output_dir}/quality_data", fmt=sink_format)
+        report.errors_logged = write_errors(
+            result.errors, f"{output_dir}/validation_errors", fmt=sink_format
+        )
+    else:
+        report.rows_inserted = report.valid_records
+        report.errors_logged = result.errors.count()
+
+    do_archive = cfg.etl.archive_processed_files if archive is None else archive
+    if do_archive and archive_dir:
+        import glob as _glob
+
+        for f in sorted(_glob.glob(input_path)) or [input_path]:
+            dest = archive_file(spark, f, archive_dir, enabled=True)
+            if dest:
+                report.archived.append(dest)
+
+    return report
+
+
+def processing_summary(quality_data: DataFrame, days: int = 7, anchor=None) -> DataFrame:
+    """The reference's summary query (``src/etl_processor.py:146-158``):
+    last-N-days counts by processed date and validation status, newest first.
+    ``anchor`` pins "now" for deterministic tests (defaults to
+    ``current_date()``)."""
+    anchor_col = F.lit(anchor).cast("timestamp") if anchor is not None else F.current_timestamp()
+    return (
+        quality_data.filter(F.col("ProcessedDate") >= F.date_sub(anchor_col.cast("date"), days))
+        .groupBy(
+            F.to_date("ProcessedDate").alias("ProcessDate"),
+            F.col("ValidationStatus"),
+        )
+        .agg(F.count(F.lit(1)).alias("RecordCount"))
+        .orderBy(F.desc("ProcessDate"), "ValidationStatus")
+    )

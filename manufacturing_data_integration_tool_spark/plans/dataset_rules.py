@@ -45,7 +45,9 @@ def append_errors(df: DataFrame, maybe_error: Column) -> DataFrame:
     return df.withColumn(ERRORS, F.concat(F.col(ERRORS), F.array_compact(F.array(maybe_error))))
 
 
-def duplicate_check(df: DataFrame, key_fields: list[str]) -> DataFrame:
+def duplicate_check(
+    df: DataFrame, key_fields: list[str], scope_cols: Optional[list[str]] = None
+) -> DataFrame:
     """All members of any duplicate key group get a DUPLICATE error —
     pandas ``duplicated(keep=False)`` semantics (``src/data_validator.py:212``)
     — but only rows that are not already invalid, matching the reference's
@@ -53,8 +55,12 @@ def duplicate_check(df: DataFrame, key_fields: list[str]) -> DataFrame:
 
     NULL keys group together (pandas treats NaN as equal in ``duplicated``;
     ``partitionBy`` groups nulls the same way).
+
+    ``scope_cols`` (typically the file-lineage column) reproduces the
+    reference's per-file batch loop: a glob is ONE distributed read here,
+    but each file is still its own validation universe.
     """
-    w = Window.partitionBy(*[F.col(f) for f in key_fields])
+    w = Window.partitionBy(*[F.col(f) for f in (scope_cols or []) + key_fields])
     is_dup = F.count(F.lit(1)).over(w) > 1
     err = F.when(
         is_dup & (F.size(F.col(ERRORS)) == 0),
@@ -68,12 +74,14 @@ def duplicate_check(df: DataFrame, key_fields: list[str]) -> DataFrame:
     return append_errors(df, err)
 
 
-def unique_within_day(df: DataFrame, field: str, ts_field: str) -> DataFrame:
+def unique_within_day(
+    df: DataFrame, field: str, ts_field: str, scope_cols: Optional[list[str]] = None
+) -> DataFrame:
     """``unique scope="daily"`` (declared-only in the reference,
     ``config/mapping_config.xml:27``): the same value must not repeat within
     one event-time day. Extension rule."""
     day = F.to_date(F.col(ts_field))
-    w = Window.partitionBy(day, F.col(field))
+    w = Window.partitionBy(*[F.col(c) for c in scope_cols or []], day, F.col(field))
     is_dup = (F.count(F.lit(1)).over(w) > 1) & F.col(field).isNotNull()
     err = F.when(
         is_dup,

@@ -71,9 +71,18 @@ def annotate_errors(
     lookup_values: Optional[Mapping[str, Any]] = None,
     dim_tables: Optional[Mapping[str, DataFrame]] = None,
     extensions: bool = False,
+    scope_cols: Optional[list[str]] = None,
 ) -> DataFrame:
-    """Append the ``errors`` array column (row rules + dataset rules)."""
+    """Append the ``errors`` array column (row rules + dataset rules).
+
+    ``scope_cols`` scopes dataset rules (duplicates, unique-daily, zscore
+    stats) to sub-universes — pass the file-lineage column when a glob was
+    read as one DataFrame, reproducing the reference's per-file loop. If
+    omitted, the ``FileSource`` lineage column is picked up automatically.
+    """
     check_columns(df, config)
+    if scope_cols is None:
+        scope_cols = ["FileSource"] if "FileSource" in df.columns else []
     ctx = CompileContext(
         lookup_values=dict(REFERENCE_DEMO_LOOKUPS) | dict(lookup_values or {}),
         extensions=extensions,
@@ -93,10 +102,11 @@ def annotate_errors(
         for m in config.fields:
             for rule in m.rules:
                 if rule.kind == "unique" and rule.params.get("scope") == "daily" and ts_field:
-                    out = dataset_rules.unique_within_day(out, m.source, ts_field)
+                    out = dataset_rules.unique_within_day(out, m.source, ts_field, scope_cols)
                 elif rule.kind == "outlier_detection" and rule.params.get("method", "zscore") == "zscore":
                     out = dataset_rules.zscore_outlier_check(
-                        out, m.source, float(rule.params.get("threshold", 3.0))
+                        out, m.source, float(rule.params.get("threshold", 3.0)),
+                        partition_by=scope_cols or None,
                     )
 
     # --- global rules ---
@@ -104,7 +114,7 @@ def annotate_errors(
         if g.kind == "duplicate_check":
             keys = [s.strip() for s in str(g.params.get("fields", "")).split(",") if s.strip()]
             if keys:
-                out = dataset_rules.duplicate_check(out, keys)
+                out = dataset_rules.duplicate_check(out, keys, scope_cols)
         elif g.kind == "referential_integrity" and extensions:
             fk = g.params.get("foreignKey", "")
             table = g.params.get("foreignTable", "")
@@ -123,6 +133,7 @@ def validate(
     dim_tables: Optional[Mapping[str, DataFrame]] = None,
     extensions: bool = False,
     id_columns: Optional[list[str]] = None,
+    scope_cols: Optional[list[str]] = None,
 ) -> ValidationResult:
     """Full validation pass -> (annotated, valid, invalid, errors report).
 
@@ -130,7 +141,8 @@ def validate(
     default every source column is kept alongside the exploded error.
     """
     annotated = annotate_errors(
-        df, config, lookup_values=lookup_values, dim_tables=dim_tables, extensions=extensions
+        df, config, lookup_values=lookup_values, dim_tables=dim_tables,
+        extensions=extensions, scope_cols=scope_cols,
     )
     has_errors = F.size(F.col(ERRORS)) > 0
     valid = annotated.filter(~has_errors).drop(ERRORS)

@@ -1,0 +1,13 @@
+from .readers import read_source_csv, read_tables, TABLE_NAMES
+from .sinks import write_errors, write_valid, jdbc_writer_options
+from .archive import archive_file
+
+__all__ = [
+    "read_source_csv",
+    "read_tables",
+    "TABLE_NAMES",
+    "write_errors",
+    "write_valid",
+    "jdbc_writer_options",
+    "archive_file",
+]

@@ -1,0 +1,71 @@
+"""Sources.
+
+The reference reads one CSV per pipeline run with pandas inference
+(``src/etl_processor.py:197``) and loops a glob for batches
+(``src/main.py:34-55``). Spark-first: a single ``spark.read.csv`` over the
+whole glob reads every file in one distributed job, with per-file lineage via
+``input_file_name()`` — no driver loop.
+
+Validation-fidelity note: the source CSV is read **all-string** so rule
+semantics (NUMERIC-on-cast-failure, whitespace-only not_null, unparseable
+dates) evaluate against the raw text exactly like the reference's row loop;
+typed casting happens at target projection (``pipeline.project_to_target``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..config import IntegrationConfig
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+FILE_SOURCE_COL = "FileSource"
+
+
+def read_source_csv(
+    spark: SparkSession,
+    path_or_glob: str | Sequence[str],
+    config: Optional[IntegrationConfig] = None,
+    *,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """Read one CSV / a glob of CSVs with an all-string schema.
+
+    When ``config`` is given, the schema is pinned to the declared source
+    columns (string-typed) so malformed extra text can't shift columns;
+    otherwise the header drives the schema.
+    """
+    delimiter = config.source.delimiter if config else ","
+    header = config.source.has_header if config else True
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if config:
+        schema = T.StructType([T.StructField(c, T.StringType(), True) for c in config.source_columns])
+        reader = reader.schema(schema)
+    df = reader.csv(list(path_or_glob) if isinstance(path_or_glob, (list, tuple)) else path_or_glob)
+    if with_lineage:
+        df = df.withColumn(FILE_SOURCE_COL, F.input_file_name())
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables for one scale factor."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}

@@ -1,0 +1,88 @@
+"""Sinks.
+
+Reference behavior being re-expressed (SURVEY.md S4/S5):
+
+* valid rows -> target table with literal ``ValidationStatus='VALID'`` and
+  ``FileSource`` lineage (``src/etl_processor.py:53-108``). The reference
+  does row-wise parameterized INSERTs with a manual 1000-row commit loop;
+  on Spark that's a single ``df.write`` — JDBC ``batchsize``/``numPartitions``
+  options replace the hand-rolled commit chunking, and the parquet/Delta
+  path is a plain distributed append.
+* validation errors -> error table with ``field_value`` truncated to 255
+  chars (``src/etl_processor.py:110-144``).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import EtlSettings, TargetSettings
+
+ERROR_SINK_COLUMNS = ("FileSource", "ErrorType", "ErrorMessage", "FieldName", "FieldValue")
+
+
+def jdbc_writer_options(target: TargetSettings, etl: EtlSettings) -> dict[str, str]:
+    """JDBC writer options equivalent to the reference's pyodbc loop:
+    ``batchsize`` replaces the manual commit-every-N (etl_processor.py:96-98)."""
+    return {
+        "url": target.connection_string,
+        "dbtable": target.target_table,
+        "batchsize": str(etl.batch_size),
+        "isolationLevel": "READ_COMMITTED",
+    }
+
+
+def write_valid(
+    df: DataFrame,
+    path_or_table: str,
+    *,
+    fmt: str = "parquet",
+    mode: str = "append",
+    jdbc_options: Optional[Mapping[str, str]] = None,
+    partition_by: Optional[list[str]] = None,
+) -> int:
+    """Append valid rows to the target sink; returns the row count
+    (the reference reports rows_inserted, etl_processor.py:103)."""
+    n = df.count()
+    writer = df.write.mode(mode)
+    if fmt == "jdbc":
+        writer.format("jdbc").options(**(jdbc_options or {})).save()
+    else:
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.format(fmt).save(path_or_table)
+    return n
+
+
+def shape_errors_for_sink(errors: DataFrame, file_source: Optional[str] = None) -> DataFrame:
+    """Error report -> sink schema, with the reference's 255-char value cap
+    (etl_processor.py:134)."""
+    src = F.col("FileSource") if "FileSource" in errors.columns else F.lit(file_source or "")
+    return errors.select(
+        src.alias("FileSource"),
+        F.col("error_type").alias("ErrorType"),
+        F.col("error_message").alias("ErrorMessage"),
+        F.col("field_name").alias("FieldName"),
+        F.substring(F.col("field_value").cast("string"), 1, 255).alias("FieldValue"),
+    )
+
+
+def write_errors(
+    errors: DataFrame,
+    path_or_table: str,
+    *,
+    file_source: Optional[str] = None,
+    fmt: str = "parquet",
+    mode: str = "append",
+    jdbc_options: Optional[Mapping[str, str]] = None,
+) -> int:
+    shaped = shape_errors_for_sink(errors, file_source)
+    n = shaped.count()
+    writer = shaped.write.mode(mode)
+    if fmt == "jdbc":
+        writer.format("jdbc").options(**(jdbc_options or {})).save()
+    else:
+        writer.format(fmt).save(path_or_table)
+    return n

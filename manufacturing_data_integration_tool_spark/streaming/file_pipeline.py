@@ -1,0 +1,122 @@
+"""Structured Streaming front-end for the ETL pipeline.
+
+The reference's batch-of-files loop + archive-on-success
+(``src/main.py:34-55``, ``src/etl_processor.py:160-179``) is exactly the
+contract of a Structured Streaming **file source** with
+``cleanSource='archive'``: new files appear, each micro-batch runs
+validate -> project -> sinks via ``foreachBatch``, and consumed files are
+moved aside by the engine with exactly-once bookkeeping in the checkpoint —
+no hand-rolled success tracking.
+
+Event-time analytics (watermark + tumbling/session windows) are greenfield
+capability for the ``events`` stream (SURVEY.md §2.9): the reference has no
+real-time surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import IntegrationConfig
+from ..pipeline import project_to_target
+from ..plans.validator import validate
+from ..sources.sinks import shape_errors_for_sink
+
+
+def start_file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    config: IntegrationConfig,
+    output_dir: str,
+    *,
+    checkpoint_dir: str,
+    archive_dir: Optional[str] = None,
+    available_now: bool = True,
+    lookup_values: Optional[Mapping[str, Any]] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> StreamingQuery:
+    """Stream CSVs from ``input_dir`` through validation into parquet sinks.
+
+    ``available_now=True`` drains everything currently present then stops —
+    deterministic for tests and batch-style backfills; ``False`` keeps
+    watching the directory like a daemonized version of the reference CLI.
+    """
+    schema = T.StructType([T.StructField(c, T.StringType(), True) for c in config.source_columns])
+    reader = (
+        spark.readStream.option("header", config.source.has_header)
+        .option("sep", config.source.delimiter)
+        .schema(schema)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option("sourceArchiveDir", archive_dir)
+    stream = reader.csv(input_dir).withColumn("FileSource", F.input_file_name())
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        result = validate(batch_df, config, lookup_values=lookup_values)
+        project_to_target(result.valid, config).write.mode("append").parquet(
+            f"{output_dir}/quality_data"
+        )
+        shape_errors_for_sink(result.errors).write.mode("append").parquet(
+            f"{output_dir}/validation_errors"
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts with late-data tolerance. Works on both batch
+    and streaming DataFrames (watermark is a no-op in batch)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(group_col),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per user (gap-based). Streaming-native stateful op;
+    in batch mode Spark computes the same sessions analytically."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            F.col(user_col),
+            "n_events",
+        )
+    )

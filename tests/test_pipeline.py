@@ -1,0 +1,85 @@
+"""End-to-end batch pipeline: scan -> validate -> project -> parquet sinks
+-> archive -> summary (reference contract run_etl_pipeline,
+src/etl_processor.py:182-233)."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from manufacturing_data_integration_tool_spark import load_config
+from manufacturing_data_integration_tool_spark.pipeline import (
+    processing_summary,
+    project_to_target,
+    run_etl_pipeline,
+)
+
+
+def test_run_etl_pipeline_end_to_end(spark, golden_csv, mapping_config_path, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    shutil.copy(golden_csv, inbox / "production_data_1.csv")
+    out = tmp_path / "out"
+    arch = tmp_path / "archived"
+
+    report = run_etl_pipeline(
+        spark,
+        str(inbox / "*.csv"),
+        mapping_config_path,
+        output_dir=str(out),
+        archive=True,
+        archive_dir=str(arch),
+    )
+    assert (report.total_records, report.valid_records, report.invalid_records) == (9, 6, 3)
+    assert report.rows_inserted == 6 and report.errors_logged == 4
+    assert abs(report.valid_pct - 66.7) < 0.1
+
+    qd = spark.read.parquet(str(out / "quality_data"))
+    assert qd.count() == 6
+    # target projection: renamed columns, declared types, literal status
+    assert {"RecordTimestamp", "ProductionLineID", "TemperatureCelsius", "DefectCount",
+            "FileSource", "ValidationStatus", "ProcessedDate"} <= set(qd.columns)
+    assert dict(qd.dtypes)["RecordTimestamp"] == "timestamp"
+    assert dict(qd.dtypes)["TemperatureCelsius"] == "double"
+    assert dict(qd.dtypes)["DefectCount"] == "bigint"
+    assert qd.select("ValidationStatus").distinct().collect()[0][0] == "VALID"
+    assert qd.filter(F.col("FileSource").contains("production_data_1.csv")).count() == 6
+    # optional field null-through (P12): row with missing humidity is loaded with NULL
+    assert qd.filter(F.col("HumidityPercent").isNull()).count() == 1
+
+    errs = spark.read.parquet(str(out / "validation_errors"))
+    assert errs.count() == 4
+    assert set(errs.columns) == {"FileSource", "ErrorType", "ErrorMessage", "FieldName", "FieldValue"}
+
+    # archive happened: inbox empty, archived file has timestamp prefix
+    assert list(inbox.glob("*.csv")) == []
+    archived = list(arch.glob("*_production_data_1.csv"))
+    assert len(archived) == 1
+
+    # summary query over the sink (A2 shape)
+    summary = processing_summary(qd).collect()
+    assert summary[0]["ValidationStatus"] == "VALID" and summary[0]["RecordCount"] == 6
+
+
+def test_glob_reads_many_files_one_job(spark, golden_csv, mapping_config_path, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i in range(3):
+        shutil.copy(golden_csv, inbox / f"data_{i}.csv")
+    report = run_etl_pipeline(spark, str(inbox / "*.csv"), mapping_config_path)
+    assert report.total_records == 27 and report.valid_records == 18
+
+
+def test_error_value_truncated_to_255(spark, mapping_config_path, tmp_path):
+    from manufacturing_data_integration_tool_spark import IntegrationConfig, FieldMapping, Rule
+    from manufacturing_data_integration_tool_spark.plans.validator import validate
+    from manufacturing_data_integration_tool_spark.sources.sinks import shape_errors_for_sink
+
+    cfg = IntegrationConfig(
+        fields=(FieldMapping("v", "V", "varchar", True, (Rule("regex", {"pattern": "^x$"}),)),)
+    )
+    df = spark.createDataFrame([("y" * 1000,)], "v string")
+    res = validate(df, cfg)
+    shaped = shape_errors_for_sink(res.errors, "f.csv").collect()
+    assert len(shaped[0]["FieldValue"]) == 255
