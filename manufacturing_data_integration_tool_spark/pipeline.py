@@ -53,7 +53,11 @@ def project_to_target(
     cast to declared Spark types, append the reference's literal
     ``ValidationStatus`` / lineage ``FileSource`` / ``ProcessedDate``
     columns (``src/etl_processor.py:68-92``)."""
-    cols = [F.col(m.source).cast(spark_type_for(m.data_type)).alias(m.target) for m in config.fields]
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast of a
+    # validated-but-uncastable survivor (e.g. '5.5' for an int field) would
+    # abort the whole distributed write; the reference's error_handling=
+    # continue contract wants NULL instead.
+    cols = [F.col(m.source).try_cast(spark_type_for(m.data_type)).alias(m.target) for m in config.fields]
     src = F.col(FILE_SOURCE_COL) if FILE_SOURCE_COL in df.columns else F.lit("")
     return df.select(
         *cols,
@@ -87,28 +91,36 @@ def run_etl_pipeline(
         df, cfg, lookup_values=lookup_values, dim_tables=dim_tables, extensions=extensions
     )
 
-    # one pass for the counters (A3) instead of three count() jobs
-    counts = result.annotated.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(F.when(F.size("errors") == 0, 1).otherwise(0)).alias("valid"),
-    ).collect()[0]
-    report.total_records = counts["total"] or 0
-    report.valid_records = counts["valid"] or 0
-    report.invalid_records = report.total_records - report.valid_records
+    # The annotated frame fans out to counters + valid sink + error sink;
+    # persist it so the scan+validation plan executes ONCE, not once per
+    # consumer (3 full scans of the source at 100 TB otherwise).
+    annotated = result.annotated.persist()
+    try:
+        # one pass for the counters (A3) instead of three count() jobs —
+        # this also materializes the cache the sinks reuse
+        counts = annotated.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.size("errors") == 0, 1).otherwise(0)).alias("valid"),
+        ).collect()[0]
+        report.total_records = counts["total"] or 0
+        report.valid_records = counts["valid"] or 0
+        report.invalid_records = report.total_records - report.valid_records
 
-    target = project_to_target(result.valid, cfg)
-    if jdbc:
-        opts = jdbc_writer_options(cfg.target, cfg.etl)
-        report.rows_inserted = write_valid(target, "", fmt="jdbc", jdbc_options=opts)
-        report.errors_logged = write_errors(result.errors, "", fmt="jdbc", jdbc_options=opts)
-    elif output_dir:
-        report.rows_inserted = write_valid(target, f"{output_dir}/quality_data", fmt=sink_format)
-        report.errors_logged = write_errors(
-            result.errors, f"{output_dir}/validation_errors", fmt=sink_format
-        )
-    else:
-        report.rows_inserted = report.valid_records
-        report.errors_logged = result.errors.count()
+        target = project_to_target(result.valid, cfg)
+        if jdbc:
+            opts = jdbc_writer_options(cfg.target, cfg.etl)
+            report.rows_inserted = write_valid(target, "", fmt="jdbc", jdbc_options=opts)
+            report.errors_logged = write_errors(result.errors, "", fmt="jdbc", jdbc_options=opts)
+        elif output_dir:
+            report.rows_inserted = write_valid(target, f"{output_dir}/quality_data", fmt=sink_format)
+            report.errors_logged = write_errors(
+                result.errors, f"{output_dir}/validation_errors", fmt=sink_format
+            )
+        else:
+            report.rows_inserted = report.valid_records
+            report.errors_logged = result.errors.count()
+    finally:
+        annotated.unpersist()
 
     do_archive = cfg.etl.archive_processed_files if archive is None else archive
     if do_archive and archive_dir:

@@ -80,7 +80,10 @@ def unique_within_day(
     """``unique scope="daily"`` (declared-only in the reference,
     ``config/mapping_config.xml:27``): the same value must not repeat within
     one event-time day. Extension rule."""
-    day = F.to_date(F.col(ts_field))
+    # try_to_timestamp: malformed raw strings must yield a NULL day (the row
+    # already gets its DATE_FORMAT error from the row rules), not an ANSI
+    # SparkDateTimeException that kills the job.
+    day = F.to_date(F.try_to_timestamp(F.col(ts_field).cast("string")))
     w = Window.partitionBy(*[F.col(c) for c in scope_cols or []], day, F.col(field))
     is_dup = (F.count(F.lit(1)).over(w) > 1) & F.col(field).isNotNull()
     err = F.when(

@@ -186,11 +186,22 @@ def _date_range(fname: str, c: Column, params: Mapping[str, Any], ctx: CompileCo
 def _lookup(fname: str, c: Column, params: Mapping[str, Any], ctx: CompileContext) -> Optional[Column]:
     table = params.get("table", "")
     column = params.get("column", "")
-    key = f"{table}.{column}"
-    values = ctx.lookup_values.get(key, params.get("values"))
+    # Key resolution order: fully-qualified "table.column", then bare column
+    # name — the reference dispatches its demo set on the column name alone
+    # (src/data_validator.py:197), regardless of the table attribute.
+    values = ctx.lookup_values.get(f"{table}.{column}")
+    if values is None:
+        values = ctx.lookup_values.get(column, params.get("values"))
     if values is None:
         # No literal set registered: defer to dataset_rules.referential_check
         # (broadcast anti-join) — per-row compilation has nothing to check.
+        import warnings
+
+        warnings.warn(
+            f"lookup rule on '{fname}' against {table}.{column} compiled to a "
+            "no-op: no literal set registered and no referential path configured",
+            stacklevel=2,
+        )
         return None
     vals = sorted(str(v) for v in values)
     failing = ~c.cast("string").isin(vals)

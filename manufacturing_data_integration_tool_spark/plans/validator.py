@@ -36,6 +36,9 @@ ERRORS = "errors"
 # lookup so the golden fixture reproduces byte-for-byte.
 REFERENCE_DEMO_LOOKUPS = {
     "Production.Products.ProductCode": ("PROD-A1", "PROD-B2", "PROD-C3", "PROD-D4"),
+    # the reference keys its demo set on the bare column name
+    # (src/data_validator.py:197) — register both forms
+    "ProductCode": ("PROD-A1", "PROD-B2", "PROD-C3", "PROD-D4"),
 }
 
 
@@ -94,7 +97,17 @@ def annotate_errors(
         compile_field_errors(m.source, F.col(m.source), schema[m.source], m.required, m.rules, ctx)
         for m in config.fields
     ]
-    out = df.withColumn(ERRORS, F.concat(*field_arrays) if len(field_arrays) > 1 else field_arrays[0])
+    if not field_arrays:
+        # config with zero FieldMappings: every row is valid (typed empty array)
+        from .rules import ERRORS_ARRAY_TYPE
+
+        errors_col = F.lit(None).cast(ERRORS_ARRAY_TYPE)
+        errors_col = F.coalesce(errors_col, F.array().cast(ERRORS_ARRAY_TYPE))
+    elif len(field_arrays) == 1:
+        errors_col = field_arrays[0]
+    else:
+        errors_col = F.concat(*field_arrays)
+    out = df.withColumn(ERRORS, errors_col)
 
     # --- dataset-scoped per-field rules (declared-only in reference) ---
     if extensions:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ..config import IntegrationConfig
@@ -35,6 +35,23 @@ TABLE_NAMES = (
 )
 
 FILE_SOURCE_COL = "FileSource"
+
+# Parquet files written with INT64 TIMESTAMP(NANOS) (e.g. pandas
+# ``timestamp[ns]``) are rejected by Spark's vectorized reader with
+# PARQUET_TYPE_ILLEGAL. The documented escape hatch is the legacy conf that
+# surfaces the raw nanosecond count as a LongType column; we then downcast
+# to microsecond precision (Spark's native timestamp resolution).
+NANOS_AS_LONG_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def enable_nanos_as_long(spark: SparkSession) -> None:
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+
+
+def nanos_to_timestamp(col: Column | str) -> Column:
+    """LongType nanoseconds-since-epoch -> TimestampType (µs, truncating)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros(F.floor(c / F.lit(1000)).cast("long"))
 
 
 def read_source_csv(
@@ -66,6 +83,23 @@ def read_source_csv(
     return df
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver parquet table.
+
+    ``events.ts`` is stored as INT64 TIMESTAMP(NANOS); we read it via the
+    legacy long escape hatch and expose BOTH the raw nanos (``ts_ns``,
+    LongType — what the DuckDB oracle's ``epoch_ns(ts)`` sees) and a
+    truncated-to-µs ``ts`` TimestampType column for window/date functions.
+    """
+    if name == "events":
+        enable_nanos_as_long(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn("ts", nanos_to_timestamp("ts"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def read_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLE_NAMES) -> dict[str, DataFrame]:
     """Load the driver's parquet tables for one scale factor."""
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+    return {name: read_table(spark, sf_dir, name) for name in names}

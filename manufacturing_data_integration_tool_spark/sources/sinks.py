@@ -34,6 +34,20 @@ def jdbc_writer_options(target: TargetSettings, etl: EtlSettings) -> dict[str, s
     }
 
 
+def _write_counted(df: DataFrame, write) -> int:
+    """Run ONE write job and return the row count via an ``observe`` metric —
+    the count rides along with the write instead of a second full scan
+    (the reference reports rows_inserted, etl_processor.py:103; a separate
+    ``df.count()`` would execute the whole upstream plan twice, which at
+    100 TB is two scans of the table)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    write(observed)
+    return int(obs.get["n"])
+
+
 def write_valid(
     df: DataFrame,
     path_or_table: str,
@@ -43,17 +57,18 @@ def write_valid(
     jdbc_options: Optional[Mapping[str, str]] = None,
     partition_by: Optional[list[str]] = None,
 ) -> int:
-    """Append valid rows to the target sink; returns the row count
-    (the reference reports rows_inserted, etl_processor.py:103)."""
-    n = df.count()
-    writer = df.write.mode(mode)
-    if fmt == "jdbc":
-        writer.format("jdbc").options(**(jdbc_options or {})).save()
-    else:
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.format(fmt).save(path_or_table)
-    return n
+    """Append valid rows to the target sink; returns the row count."""
+
+    def write(observed: DataFrame) -> None:
+        writer = observed.write.mode(mode)
+        if fmt == "jdbc":
+            writer.format("jdbc").options(**(jdbc_options or {})).save()
+        else:
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.format(fmt).save(path_or_table)
+
+    return _write_counted(df, write)
 
 
 def shape_errors_for_sink(errors: DataFrame, file_source: Optional[str] = None) -> DataFrame:
@@ -79,10 +94,12 @@ def write_errors(
     jdbc_options: Optional[Mapping[str, str]] = None,
 ) -> int:
     shaped = shape_errors_for_sink(errors, file_source)
-    n = shaped.count()
-    writer = shaped.write.mode(mode)
-    if fmt == "jdbc":
-        writer.format("jdbc").options(**(jdbc_options or {})).save()
-    else:
-        writer.format(fmt).save(path_or_table)
-    return n
+
+    def write(observed: DataFrame) -> None:
+        writer = observed.write.mode(mode)
+        if fmt == "jdbc":
+            writer.format("jdbc").options(**(jdbc_options or {})).save()
+        else:
+            writer.format(fmt).save(path_or_table)
+
+    return _write_counted(shaped, write)

@@ -24,6 +24,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..config import IntegrationConfig
 from ..pipeline import project_to_target
 from ..plans.validator import validate
+from ..sources.archive import archive_file
 from ..sources.sinks import shape_errors_for_sink
 
 
@@ -53,18 +54,35 @@ def start_file_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if archive_dir:
-        reader = reader.option("cleanSource", "archive").option("sourceArchiveDir", archive_dir)
     stream = reader.csv(input_dir).withColumn("FileSource", F.input_file_name())
 
+    # NOTE we archive explicitly per micro-batch rather than via
+    # ``cleanSource='archive'``: Spark's source cleaner only runs at the
+    # *next* trigger, so an ``availableNow`` drain would leave the final
+    # batch's files in the inbox forever (an inbox that never empties grows
+    # unboundedly). The checkpoint log already remembers processed files, so
+    # moving them after the batch commits is safe.
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         result = validate(batch_df, config, lookup_values=lookup_values)
-        project_to_target(result.valid, config).write.mode("append").parquet(
-            f"{output_dir}/quality_data"
-        )
-        shape_errors_for_sink(result.errors).write.mode("append").parquet(
-            f"{output_dir}/validation_errors"
-        )
+        annotated = result.annotated.persist()
+        try:
+            project_to_target(result.valid, config).write.mode("append").parquet(
+                f"{output_dir}/quality_data"
+            )
+            shape_errors_for_sink(result.errors).write.mode("append").parquet(
+                f"{output_dir}/validation_errors"
+            )
+            if archive_dir:
+                files = [
+                    r[0]
+                    for r in annotated.select("FileSource").distinct().collect()
+                    if r[0]
+                ]
+                for uri in sorted(files):
+                    path = uri[len("file:"):] if uri.startswith("file:") else uri
+                    archive_file(spark, path, archive_dir, enabled=True)
+        finally:
+            annotated.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -79,22 +97,22 @@ def windowed_event_counts(
     watermark: str = "1 hour",
     ts_col: str = "ts",
     group_col: str = "event_type",
+    value_col: Optional[str] = "value",
 ) -> DataFrame:
     """Tumbling-window counts with late-data tolerance. Works on both batch
-    and streaming DataFrames (watermark is a no-op in batch)."""
+    and streaming DataFrames (watermark is a no-op in batch). ``value_col``
+    adds a sum when present; pass None (or a missing name) to skip it."""
     src = events
     if events.isStreaming:
         src = events.withWatermark(ts_col, watermark)
-    return (
-        src.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(group_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col(group_col),
-            "n_events",
-            "total_value",
-        )
-    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col and value_col in events.columns:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    out = src.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(group_col)).agg(*aggs)
+    cols = [F.col("w.start").alias("window_start"), F.col(group_col), F.col("n_events")]
+    if len(aggs) > 1:
+        cols.append(F.col("total_value"))
+    return out.select(*cols)
 
 
 def sessionized_counts(

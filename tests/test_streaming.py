@@ -6,6 +6,7 @@ import time
 from pyspark.sql import functions as F
 
 from manufacturing_data_integration_tool_spark import load_config
+from manufacturing_data_integration_tool_spark.sources.readers import read_table
 from manufacturing_data_integration_tool_spark.streaming import (
     sessionized_counts,
     start_file_stream,
@@ -43,7 +44,7 @@ def test_file_stream_drains_and_archives(spark, golden_csv, mapping_config_path,
 
 
 def test_windowed_event_counts_batch_parity(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = read_table(spark, sf_dir, "events")
     out = windowed_event_counts(events, window_duration="1 hour")
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == events.count()
@@ -55,7 +56,7 @@ def test_windowed_event_counts_batch_parity(spark, sf_dir):
 def test_streaming_windowed_counts_from_rate_files(spark, sf_dir, tmp_path):
     """The same windowed agg runs as a real stream over parquet files."""
     events_dir = tmp_path / "events_stream"
-    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(str(events_dir))
+    read_table(spark, sf_dir, "events").drop("ts_ns").write.parquet(str(events_dir))
     schema = spark.read.parquet(str(events_dir)).schema
     stream = spark.readStream.schema(schema).parquet(str(events_dir))
     agg = windowed_event_counts(stream, window_duration="1 hour", watermark="2 hours")
@@ -75,7 +76,7 @@ def test_streaming_windowed_counts_from_rate_files(spark, sf_dir, tmp_path):
 
 
 def test_sessionized_counts_batch(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = read_table(spark, sf_dir, "events")
     sess = sessionized_counts(events, gap="30 minutes")
     assert sess.agg(F.sum("n_events")).collect()[0][0] == events.count()
     assert {"session_start", "session_end", "user_id", "n_events"} == set(sess.columns)
