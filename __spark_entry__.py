@@ -1,38 +1,766 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 plus the LLM-data
+ops (dedup / similarity / text / multimodal); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible entry.
+
+Cross-engine parity rules used throughout (so value hashes match):
+
+* every computed column is aliased identically on both sides;
+* double aggregates go through EXACT decimal sums, cast to double at the
+  end — decimal addition is associative, so partial-aggregation order
+  (Spark) vs single-threaded order (DuckDB) cannot diverge;
+* similarities/averages are rounded to a fixed scale on both sides;
+* ``events.ts`` is INT64 TIMESTAMP(NANOS): Spark reads it as raw nanos
+  (``ts_ns``; see ``sources/readers.py``), the oracle uses
+  ``epoch_ns(ts)`` — all event-time logic is integer math on nanos or
+  microseconds on BOTH sides;
+* counts / sizes are BIGINT on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from manufacturing_data_integration_tool_spark.config import (
+    EtlSettings,
+    FieldMapping,
+    GlobalRule,
+    IntegrationConfig,
+    Rule,
+)
+from manufacturing_data_integration_tool_spark.ops import dedup as dd
+from manufacturing_data_integration_tool_spark.ops import multimodal as mm
+from manufacturing_data_integration_tool_spark.ops import similarity as sim
+from manufacturing_data_integration_tool_spark.ops import text as tx
+from manufacturing_data_integration_tool_spark.plans.validator import validate
+from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+HOUR_NS = 3_600_000_000_000  # nanoseconds per hour
+
+
+def _dsum(col, scale: str = "decimal(30,6)"):
+    """Exact decimal sum of a double expression, surfaced as double.
+
+    Per-row double->decimal casts are deterministic; decimal addition is
+    exact, so the final double is identical regardless of partial-agg
+    order — this is what makes Spark and DuckDB hash-compatible."""
+    return F.sum(col.cast(scale)).cast("double")
+
+
+# The validation config used by q04/q05: range + regex + not_null over
+# orders (reference rule vocabulary P2/P3/P4 exercised on driver testdata).
+_ORDERS_VALIDATION = IntegrationConfig(
+    fields=(
+        FieldMapping(
+            source="o_orderkey", target="OrderKey", data_type="bigint", required=True
+        ),
+        FieldMapping(
+            source="o_orderstatus",
+            target="OrderStatus",
+            data_type="varchar(1)",
+            required=True,
+            rules=(Rule("regex", {"pattern": "^[FO]$", "description": "status F or O"}),),
+        ),
+        FieldMapping(
+            source="o_totalprice",
+            target="TotalPrice",
+            data_type="decimal(12,2)",
+            required=True,
+            rules=(Rule("range", {"min": 0, "max": 400000}),),
+        ),
+        FieldMapping(
+            source="o_orderpriority",
+            target="OrderPriority",
+            data_type="varchar(20)",
+            required=True,
+            rules=(
+                Rule("regex", {"pattern": "^[1-3]-", "description": "priority 1-3"}),
+            ),
+        ),
+    ),
+    etl=EtlSettings(),
+)
+
+# Matching predicates for the DuckDB oracle (same semantics as the compiled
+# rules: regex anchored at start, range bounds inclusive-pass).
+_ORDERS_INVALID_SQL = (
+    "(o_orderstatus IS NULL OR NOT regexp_matches(o_orderstatus, '^(?:[FO])')"
+    " OR o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 400000"
+    " OR o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^(?:[1-3]-)')"
+    " OR o_orderkey IS NULL)"
+)
+
+
+def _orders_validated(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    return validate(orders, _ORDERS_VALIDATION)
+
+
+# ---------------------------------------------------------------------------
+# queries — reference-surface operators (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan+filter+group-agg over lineitem (SURVEY §2.4 A2/A3
+    analogue at driver scale). Exact decimal sums -> double."""
+    li = read_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-01")))
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+            "count_order",
+        )
+    )
+
+
+def q02_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate (SURVEY P3) pushed to the parquet scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 5)
+        & (F.col("l_quantity") <= 10)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice")
+
+
+def q03_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start-anchored regex predicate (SURVEY P4) over part."""
+    part = read_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_type").rlike("^(?:PROMO|ECONOMY)")).select(
+        "p_partkey", "p_name", "p_type", "p_retailprice"
+    )
+
+
+def q04_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid/invalid split counts (SURVEY P10/A3) — runs the real rule
+    compiler + validator over orders."""
+    res = _orders_validated(spark, sf_dir)
+    return (
+        res.annotated.select(
+            F.when(F.size("errors") == 0, F.lit("VALID")).otherwise(F.lit("INVALID")).alias(
+                "validation_status"
+            )
+        )
+        .groupBy("validation_status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q05_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded error report grouped by field+type (SURVEY S5 shape)."""
+    res = _orders_validated(spark, sf_dir)
+    return res.errors.groupBy("field_name", "error_type").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+
+
+def q06_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_check keep=False semantics (SURVEY A1): every member of a
+    duplicate key group, via a key-partitioned window (hash shuffle, no
+    global sort)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    return (
+        ev.withColumn("n_in_group", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_in_group") > 1)
+        .select("event_id", "user_id", "event_type", "n_in_group")
+    )
+
+
+def q07_unique_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique scope=daily (SURVEY P7): key+day groups with repeats. Day is
+    integer floor-division of the raw nanos — identical on both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.expr(f"ts_ns div {24 * HOUR_NS}").alias("day_bucket")
+    return (
+        ev.select(day, "user_id")
+        .groupBy("day_bucket", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > 1)
+    )
+
+
+def q08_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zscore outlier_detection (SURVEY P8): two-pass exact-decimal stats +
+    broadcast join of the 1-row aggregate — no unpartitioned window."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    stats = li.agg(
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = li.crossJoin(F.broadcast(stats))
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("l_extendedprice") - mean) / F.sqrt(var)
+    return (
+        j.withColumn("zscore", F.round(z, 4))
+        .filter(F.abs(z) > 1.5)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "zscore")
+    )
+
+
+def q09_referential_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """referential_integrity as a broadcast anti-join (SURVEY J2)."""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    allowed = region.filter(F.col("r_name").isin("ASIA", "EUROPE", "AFRICA")).select(
+        F.col("r_regionkey").alias("n_regionkey")
+    )
+    return nation.join(F.broadcast(allowed), "n_regionkey", "left_anti").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def q10_lookup_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lookup as a broadcast semi-join against a dim subset (SURVEY J1/P6)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    bld = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return orders.join(F.broadcast(bld), "o_custkey", "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+def q11_summary_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's processing-summary query shape (SURVEY A2/O1):
+    count by day + status."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+            F.col("o_orderstatus"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q12_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT top-k (SURVEY O1/O2), deterministic tie-break."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q13_preview_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-5 preview + 255-char truncation (SURVEY O2/O3)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(
+            "doc_id",
+            F.substring(F.col("text"), 1, 255).alias("preview"),
+            F.length(F.substring(F.col("text"), 1, 255)).cast("long").alias("preview_len"),
+        )
+    )
+
+
+def q14_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source->target projection with renames + casts (SURVEY P11/P12)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("OrderKey"),
+        F.col("l_linenumber").cast("long").alias("LineNumber"),
+        F.floor(F.col("l_quantity")).cast("long").alias("QuantityInt"),
+        F.col("l_returnflag").alias("ReturnFlag"),
+        F.to_date("l_shipdate").cast("string").alias("ShipDate"),
+    )
+
+
+def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (SURVEY §2.8): JSON extraction + group-agg
+    with exact integer sums."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — LLM-data-pipeline ops
+# ---------------------------------------------------------------------------
+
+
+def q16_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via md5 fingerprint (ops.dedup)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_by_content(docs, "text", "doc_id", algo="md5")
+
+
+def q17_dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact key dedup with deterministic survivor (ops.dedup)."""
+    ev = read_table(spark, sf_dir, "events")
+    kept = dd.exact_dedup(ev, ["user_id", "event_type"], tie_break=["event_id"])
+    return kept.select("event_id", "user_id", "event_type", "value")
+
+
+def q18_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies (ops.text)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.term_counts(docs, "text")
+
+
+def q19_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats with exact-sum averages (ops.text)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.lang_stats(docs)
+
+
+def q20_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics (ops.text)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.doc_quality(docs)
+
+
+def q21_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID heuristic (ops.text)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.language_id(docs)
+
+
+def q22_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, query side broadcast (ops.similarity)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk(emb, queries, k=10)
+
+
+def q23_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal assembly (ops.multimodal), flattened for comparison."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    assembled = mm.assemble_multimodal(docs, emb)
+    return assembled.select(
+        "doc_id",
+        F.col("media.meta.n_bytes").alias("n_bytes"),
+        F.col("media.meta.lang").alias("lang"),
+        F.size("media.embedding").cast("long").alias("dim"),
+        F.col("label"),
+    )
+
+
+def q24_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour event counts on integer nano buckets (SURVEY §2.9
+    batch parity; the streaming variant is streaming/file_pipeline.py)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(f"ts_ns div {HOUR_NS}").alias("hour_bucket"),
+            "event_type",
+            "value",
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "decimal(24,6)").alias("total_value"),
+        )
+    )
+
+
+def q25_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (SURVEY §2.9). Computed on integer
+    microseconds so the 30-minute gap comparison is exact on both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    t_us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    prev = F.lag("t_us").over(w)
+    new_session = F.when(prev.isNull() | (F.col("t_us") - prev >= gap_us), 1).otherwise(0)
+    w2 = Window.partitionBy("user_id").orderBy("t_us").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.select("user_id", t_us.alias("t_us"))
+        .withColumn("session_id", F.sum(new_session).over(w2))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("t_us").alias("session_start_us"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start_us", "n_events")
+    )
+
+
+def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, exact integer threshold (ops.dedup)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+
+
+def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (ops.dedup) — approximate; checked
+    rows-only (no oracle entry)."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = dd.minhash_candidates(docs, "doc_id", "text", max_distance=0.9)
+    return out.select("doc_a", "doc_b", F.round("jaccard_dist", 4).alias("jaccard_dist"))
+
+
+def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints from md5 bits (ops.dedup)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.simhash_fingerprints(docs, "doc_id", "text")
+
+
+def q29_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (ops.similarity) —
+    approximate; checked rows-only (no oracle entry)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.lsh_ann_topk(emb, queries, k=10)
+
+
+def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
+    non-SQL-expressible; checked rows-only (no oracle entry)."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    assembled = mm.assemble_multimodal(docs, emb)
+    return mm.decode_binary_column(assembled)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: orders-lineitem join +
+    validation split + summary-shaped group-agg (SURVEY §7.1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    res = validate(orders, _ORDERS_VALIDATION)
+    status = res.annotated.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.size("errors") == 0, F.lit("VALID")).otherwise(F.lit("INVALID")).alias(
+            "validation_status"
+        ),
+    )
+    revenue = li.groupBy("l_orderkey").agg(
+        _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue")
+    )
+    return (
+        status.join(revenue, status.o_orderkey == revenue.l_orderkey, "inner")
+        .groupBy("o_orderstatus", "validation_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+        )
+        .orderBy("o_orderstatus", "validation_status")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_range_filter": q02_range_filter,
+        "q03_regex_filter": q03_regex_filter,
+        "q04_validation_split": q04_validation_split,
+        "q05_error_report": q05_error_report,
+        "q06_duplicate_check": q06_duplicate_check,
+        "q07_unique_daily": q07_unique_daily,
+        "q08_zscore_outliers": q08_zscore_outliers,
+        "q09_referential_anti_join": q09_referential_anti_join,
+        "q10_lookup_semi_join": q10_lookup_semi_join,
+        "q11_summary_group_agg": q11_summary_group_agg,
+        "q12_top_k": q12_top_k,
+        "q13_preview_truncate": q13_preview_truncate,
+        "q14_projection_cast": q14_projection_cast,
+        "q15_json_extract": q15_json_extract,
+        "q16_dedup_exact_content": q16_dedup_exact_content,
+        "q17_dedup_exact_keys": q17_dedup_exact_keys,
+        "q18_term_counts": q18_term_counts,
+        "q19_lang_stats": q19_lang_stats,
+        "q20_doc_quality": q20_doc_quality,
+        "q21_language_id": q21_language_id,
+        "q22_similarity_topk": q22_similarity_topk,
+        "q23_multimodal_join": q23_multimodal_join,
+        "q24_window_counts": q24_window_counts,
+        "q25_sessionization": q25_sessionization,
+        "q26_ngram_jaccard": q26_ngram_jaccard,
+        "q27_minhash_lsh": q27_minhash_lsh,
+        "q28_simhash": q28_simhash,
+        "q29_lsh_ann": q29_lsh_ann,
+        "q30_multimodal_decode": q30_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+    lang_hits = {
+        lang: "CAST(len(list_filter({tok}, t -> t IN ({m}))) AS BIGINT)".format(
+            tok=tok, m=", ".join(f"'{m}'" for m in tx.DEFAULT_LANG_MARKERS[lang])
+        )
+        for lang in sorted(tx.DEFAULT_LANG_MARKERS)
+    }
+    langs = sorted(tx.DEFAULT_LANG_MARKERS)
+    best = "greatest({})".format(", ".join(f"hits_{lang}" for lang in langs))
+    pred_chain = " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return {
+        "q01_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+                   round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_range_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
+            FROM lineitem
+            WHERE l_quantity >= 5 AND l_quantity <= 10
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+        """,
+        "q03_regex_filter": """
+            SELECT p_partkey, p_name, p_type, p_retailprice
+            FROM part WHERE regexp_matches(p_type, '^(?:PROMO|ECONOMY)')
+        """,
+        "q04_validation_split": f"""
+            SELECT CASE WHEN {_ORDERS_INVALID_SQL} THEN 'INVALID' ELSE 'VALID' END AS validation_status,
+                   COUNT(*) AS n_rows
+            FROM orders GROUP BY 1
+        """,
+        "q05_error_report": """
+            WITH errs AS (
+              SELECT 'o_orderstatus' AS field_name, 'REGEX' AS error_type FROM orders
+                WHERE o_orderstatus IS NOT NULL AND NOT regexp_matches(o_orderstatus, '^(?:[FO])')
+              UNION ALL
+              SELECT 'o_totalprice', 'RANGE' FROM orders
+                WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000)
+              UNION ALL
+              SELECT 'o_orderpriority', 'REGEX' FROM orders
+                WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^(?:[1-3]-)')
+            )
+            SELECT field_name, error_type, COUNT(*) AS n_errors
+            FROM errs GROUP BY 1, 2
+        """,
+        "q06_duplicate_check": """
+            SELECT event_id, user_id, event_type, n_in_group FROM (
+              SELECT event_id, user_id, event_type,
+                     COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_in_group
+              FROM events
+            ) WHERE n_in_group > 1
+        """,
+        "q07_unique_daily": f"""
+            SELECT epoch_ns(ts) // {24 * HOUR_NS} AS day_bucket, user_id,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2 HAVING COUNT(*) > 1
+        """,
+        "q08_zscore_outliers": """
+            WITH stats AS (
+              SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+                     COUNT(*) AS n
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   round((l_extendedprice - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4) AS zscore
+            FROM lineitem, stats
+            WHERE abs((l_extendedprice - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 1.5
+        """,
+        "q09_referential_anti_join": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM region r
+              WHERE r.r_regionkey = n.n_regionkey
+                AND r.r_name IN ('ASIA', 'EUROPE', 'AFRICA')
+            )
+        """,
+        "q10_lookup_semi_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """,
+        "q11_summary_group_agg": """
+            SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+                   o_orderstatus, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "q12_top_k": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q13_preview_truncate": """
+            SELECT doc_id, substring(text, 1, 255) AS preview,
+                   CAST(length(substring(text, 1, 255)) AS BIGINT) AS preview_len
+            FROM documents ORDER BY doc_id LIMIT 5
+        """,
+        "q14_projection_cast": """
+            SELECT l_orderkey AS OrderKey,
+                   CAST(l_linenumber AS BIGINT) AS LineNumber,
+                   CAST(floor(l_quantity) AS BIGINT) AS QuantityInt,
+                   l_returnflag AS ReturnFlag,
+                   CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ShipDate
+            FROM lineitem
+        """,
+        "q15_json_extract": """
+            SELECT event_type,
+                   COUNT(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+                   CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS DOUBLE)
+                         / COUNT(CAST(props ->> '$.k' AS BIGINT)), 6) AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "q16_dedup_exact_content": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "q17_dedup_exact_keys": """
+            SELECT event_id, user_id, event_type, value FROM (
+              SELECT event_id, user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "q18_term_counts": f"""
+            SELECT term, COUNT(*) AS term_count
+            FROM (SELECT unnest({tok}) AS term FROM documents)
+            GROUP BY term
+        """,
+        "q19_lang_stats": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   round(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+                   round(CAST(SUM(len({tok})) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "q20_doc_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   CAST(len({tok}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct({tok})) AS BIGINT) AS n_distinct_tokens,
+                   round(CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok}), 4) AS type_token_ratio,
+                   round(CAST(list_sum(list_transform({tok}, t -> length(t))) AS DOUBLE) / len({tok}), 4) AS mean_token_len
+            FROM documents
+        """,
+        "q21_language_id": f"""
+            SELECT doc_id,
+                   {", ".join(f"{lang_hits[lang]} AS hits_{lang}" for lang in langs)},
+                   CASE WHEN {best} > 0 THEN (CASE {pred_chain} END)
+                        ELSE 'unknown' END AS predicted_lang
+            FROM documents
+        """,
+        "q22_similarity_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            pairs AS (
+              SELECT q.query_id, e.vec_id,
+                     round(
+                       list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                       4) AS cosine_sim
+              FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+              FROM pairs
+            ) WHERE rank <= 10
+        """,
+        "q23_multimodal_join": """
+            SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes, d.lang,
+                   CAST(len(e.embedding) AS BIGINT) AS dim, e.label
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        """,
+        "q24_window_counts": f"""
+            SELECT epoch_ns(ts) // {HOUR_NS} AS hour_bucket, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q25_sessionization": """
+            WITH t AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS t_us FROM events
+            ), marked AS (
+              SELECT user_id, t_us,
+                     CASE WHEN lag(t_us) OVER w IS NULL
+                               OR t_us - lag(t_us) OVER w >= 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+            ), sessions AS (
+              SELECT user_id, t_us,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id, MIN(t_us) AS session_start_us, COUNT(*) AS n_events
+            FROM sessions GROUP BY user_id, session_id
+        """,
+        "q26_ngram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id, {tok} AS tk FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS shingles
+              FROM toks WHERE len(tk) >= 3
+            ), sizes AS (
+              SELECT doc_id, len(shingles) AS n_sh FROM sh
+            ), inv AS (
+              SELECT doc_id, unnest(shingles) AS shingle FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b, i.inter,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE 25 * i.inter >= 3 * (sa.n_sh + sb.n_sh - i.inter)
+        """,
+        "q28_simhash": """
+            WITH tok AS (
+              SELECT doc_id, md5(t.tok) AS h
+              FROM documents,
+                   LATERAL (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok) t
+            ), bits AS (
+              SELECT doc_id, i,
+                     SUM(2 * ((CAST(('0x' || substring(h, 1 + i // 4, 1)) AS INTEGER) >> (3 - i % 4)) & 1) - 1) AS s
+              FROM tok, range(64) r(i)
+              GROUP BY doc_id, i
+            )
+            SELECT doc_id AS doc,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        # q27_minhash_lsh, q29_lsh_ann: approximate (LSH) — rows-only check.
+        # q30_multimodal_decode: mapInPandas plumbing — rows-only check.
+    }

@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": "<dir>"}
+
+Each query is executed to completion (count() over the result — forces the
+full plan without driver-side materialization of every row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_range_filter",
+    "q04_validation_split",
+    "q06_duplicate_check",
+    "q08_zscore_outliers",
+    "q10_lookup_semi_join",
+    "q11_summary_group_agg",
+    "q14_projection_cast",
+    "q16_dedup_exact_content",
+    "q18_term_counts",
+    "q20_doc_quality",
+    "q22_similarity_topk",
+    "q24_window_counts",
+    "q25_sessionization",
+    "q26_ngram_jaccard",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("mdi-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    spark.range(10).count()  # JVM/codegen warm-up so q01 isn't charged session init
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""LLM-data-pipeline operators (greenfield Spark design, SURVEY.md §7.0).
+
+The reference (kshres31/Manufacturing-Data-Integration-Tool) has no
+counterpart for these; they are the north-star extensions a large-scale
+training-data pipeline needs: deduplication, similarity search, text
+analysis, and multimodal column handling — each designed for the 100 TB
+posture (no per-row Python in hot paths, broadcast small sides, bounded
+shuffles, LSH instead of all-pairs joins).
+"""
+
+from .dedup import (
+    content_hash,
+    exact_dedup,
+    exact_dedup_by_content,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    word_shingles,
+)
+from .multimodal import assemble_multimodal, decode_binary_column, media_schema
+from .similarity import cosine_similarity, cosine_topk, lsh_ann_topk
+from .text import (
+    doc_quality,
+    language_id,
+    lang_stats,
+    term_counts,
+    tokenize,
+)
+
+__all__ = [
+    "content_hash",
+    "exact_dedup",
+    "exact_dedup_by_content",
+    "minhash_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "word_shingles",
+    "assemble_multimodal",
+    "decode_binary_column",
+    "media_schema",
+    "cosine_similarity",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "doc_quality",
+    "language_id",
+    "lang_stats",
+    "term_counts",
+    "tokenize",
+]

@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Greenfield LLM-pipeline capability (no reference counterpart; SURVEY.md
+§7.0). Everything is pure Column expressions or pyspark.ml LSH — no
+row-at-a-time Python anywhere.
+
+Scale notes (100 TB posture):
+
+* exact dedup shuffles once on the dedup key (or content hash) — a plain
+  hash partitioning that scales horizontally; representatives are picked
+  with a per-key window, never a global sort.
+* ``ngram_jaccard_pairs`` joins on exploded shingles. Hot shingles (stop
+  phrases) blow up the join at scale, so shingles above a document-frequency
+  cap are dropped first — standard candidate-pruning; AQE's skew-join
+  handles residual imbalance.
+* ``minhash_candidates`` is the scale path: banded MinHash signatures mean
+  candidate generation is a bucket join (shuffle on band hash), never the
+  all-pairs cross join.
+* ``simhash_fingerprints`` reduces each doc to a 64-bit fingerprint with one
+  explode + one groupBy — near-dup detection then joins on fingerprint (or
+  rotated prefixes for Hamming distance ≤ k).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "content_hash",
+    "exact_dedup",
+    "exact_dedup_by_content",
+    "word_shingles",
+    "ngram_jaccard_pairs",
+    "minhash_candidates",
+    "simhash_fingerprints",
+]
+
+
+def content_hash(col: Column | str, algo: str = "md5") -> Column:
+    """Deterministic content fingerprint of a string column.
+
+    ``md5``/``sha2`` travel well across engines (hex strings); ``xxhash64``
+    is the cheap 64-bit JVM-side choice for pure-Spark dedup at scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("string")
+    if algo == "md5":
+        return F.md5(c)
+    if algo == "sha2":
+        return F.sha2(c, 256)
+    if algo == "xxhash64":
+        return F.xxhash64(c)
+    raise ValueError(f"unknown hash algo: {algo}")
+
+
+def exact_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    tie_break: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keep exactly one row per key combination.
+
+    With ``tie_break`` columns the survivor is deterministic (first row by
+    that ordering); without, this is ``dropDuplicates`` (arbitrary survivor,
+    cheapest plan — partial aggregation map-side).
+    """
+    if not tie_break:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*[F.col(c) for c in tie_break])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup_by_content(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    algo: str = "md5",
+) -> DataFrame:
+    """Group rows by content hash; one output row per distinct content with
+    the smallest id as representative and the group size.
+
+    The groupBy shuffles on the hash — uniformly distributed by
+    construction, so no skew even when the id or source columns are skewed.
+    """
+    h = content_hash(F.col(text_col), algo).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of a lowercased text column (array<string>).
+
+    Built from ``split`` + ``transform`` + ``slice`` — stays inside codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array().cast("array<string>")))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs with n-gram Jaccard >= threshold.
+
+    Exact (set-based) Jaccard via an inverted-index join on shingles:
+    explode distinct shingles, self-join on shingle, count intersections,
+    then ``inter / (|A| + |B| - inter) >= t`` — evaluated with integer
+    cross-multiplication so the comparison is exact (no float boundary).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    before the join — the standard hot-key guard at scale.
+    """
+    base = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh"))
+    sizes = base.select("doc", F.size("sh").alias("n_sh"))
+    inv = base.select("doc", F.explode("sh").alias("shingle"))
+    if max_shingle_df:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # integer threshold test: inter/(na+nb-inter) >= p/q  <=>  q*inter >= p*(na+nb-inter)
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    p, q = frac.numerator, frac.denominator
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(q) * F.col("inter")
+            >= F.lit(p) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.col("n_a"),
+            F.col("n_b"),
+        )
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+    max_distance: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH (the scale path).
+
+    shingle -> hashingTF binary vector -> MinHash signatures -> banded
+    bucket join (``approxSimilarityJoin``). Candidate generation cost is
+    proportional to bucket collisions, not |docs|^2. Returns
+    (doc_a, doc_b, jaccard_distance).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    base = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(base)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_distance, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc") < F.col("datasetB.doc"))
+        .select(
+            F.col("datasetA.doc").alias("doc_a"),
+            F.col("datasetB.doc").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document, built from cross-engine-stable md5 bits.
+
+    Each token hashes to md5; bit i of the fingerprint is the sign of
+    ``sum over tokens of (2*bit_i(token) - 1)``. One explode + one groupBy
+    with 64 integer sum aggregates — a single shuffle on doc id; everything
+    stays JVM-side.
+
+    Near-dup use: group or self-join on the fingerprint (Hamming-0), or on
+    band substrings of it for Hamming <= k.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tok"))
+    tok = tok.withColumn("h", F.md5(F.col("tok")))
+    # md5 hex -> per-bit +-1 contributions; nibble i of the hex covers bits 4i..4i+3
+    aggs = []
+    for i in range(bits):
+        nibble = F.conv(F.substring("h", 1 + i // 4, 1), 16, 10).cast("int")
+        bit = F.shiftright(nibble, 3 - (i % 4)).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"b{i}"))
+    sums = tok.groupBy("doc").agg(*aggs)
+    fp = F.concat(*[F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)])
+    return sums.select("doc", fp.alias("simhash"))

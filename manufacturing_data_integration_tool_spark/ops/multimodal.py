@@ -1,0 +1,137 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Greenfield LLM-pipeline capability (SURVEY.md §7.0). The pattern at 100 TB:
+
+* media lives in a ``binary`` column (or a pointer column to object
+  storage) with a typed metadata struct beside it — Spark shuffles/spills
+  binary columns fine as long as per-row payloads stay well under the
+  2 GB array limit;
+* decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so the
+  Python boundary is crossed per-batch, not per-row, and the cluster
+  parallelism is the partition count;
+* this container has no image/audio codecs, so the decode kernel is STUBBED
+  (deterministic fake, clearly marked) — the Spark-side plumbing (schema,
+  partitioning, UDF signature, batch shape) is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["media_schema", "assemble_multimodal", "decode_binary_column"]
+
+
+def media_schema() -> T.StructType:
+    """Canonical multimodal row: payload + typed metadata + embedding."""
+    return T.StructType(
+        [
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("media_type", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("source", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+
+def assemble_multimodal(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    vec_id: str = "vec_id",
+) -> DataFrame:
+    """Join text + metadata + embedding into one multimodal frame.
+
+    The join key is the document id; the embedding side is typically the
+    smaller projection (id + vector), and the join is a plain equi-join
+    Catalyst can broadcast or shuffle as sizes dictate. The payload column
+    here encodes the text as binary — standing in for image/audio bytes.
+    """
+    emb = embeddings.select(F.col(vec_id).alias(doc_id), F.col("embedding"), F.col("label"))
+    joined = documents.join(emb, doc_id, "inner")
+    return joined.select(
+        F.col(doc_id),
+        F.struct(
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.struct(
+                F.lit("text/plain").alias("media_type"),
+                F.length(F.col("text")).cast("long").alias("n_bytes"),
+                F.col("lang"),
+                F.col("source"),
+            ).alias("meta"),
+            F.col("embedding"),
+        ).alias("media"),
+        F.col("label"),
+    )
+
+
+_DECODE_RESULT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature_hash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def decode_binary_column(
+    df: DataFrame,
+    *,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    real_codecs: bool = False,
+) -> DataFrame:
+    """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
+
+    The kernel signature and batch shape are production-real; the decode
+    itself is a STUB: with ``real_codecs=True`` it raises
+    ``NotImplementedError`` (no image/audio libraries in this container),
+    otherwise it emits a deterministic fake (payload byte-sum as the
+    "feature", fixed 64x64 "dimensions") so the distributed plumbing is
+    testable end-to-end.
+    """
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.meta.media_type").alias("media_type"),
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if real_codecs:
+                raise NotImplementedError(
+                    "real media decoding requires image/audio codecs not present "
+                    "in this environment; pass real_codecs=False for the "
+                    "deterministic stub"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    # deterministic fake feature: byte sum
+                    "feature_hash": payloads.map(lambda b: int(sum(b))).astype("int64"),
+                    "width": 64,
+                    "height": 64,
+                }
+            )
+
+    return flat.mapInPandas(kernel, schema=_DECODE_RESULT)
