@@ -37,10 +37,20 @@ class PipelineReport:
     rows_inserted: int = 0
     errors_logged: int = 0
     archived: list[str] = field(default_factory=list)
+    # per-file success counters (reference src/main.py:44-54 reports
+    # success_count/len(files); here a file "succeeds" when it has rows and
+    # no invalid ones)
+    file_counts: list[dict] = field(default_factory=list)
+    # first-5 error preview (reference src/data_validator.py:239-241)
+    error_preview: list[dict] = field(default_factory=list)
 
     @property
     def valid_pct(self) -> float:
         return 100.0 * self.valid_records / self.total_records if self.total_records else 0.0
+
+    @property
+    def files_succeeded(self) -> int:
+        return sum(1 for f in self.file_counts if f["invalid"] == 0)
 
 
 def project_to_target(
@@ -105,6 +115,27 @@ def run_etl_pipeline(
         report.total_records = counts["total"] or 0
         report.valid_records = counts["valid"] or 0
         report.invalid_records = report.total_records - report.valid_records
+
+        # per-file breakdown (A4): one agg over the cached frame — the glob
+        # stays ONE distributed read, lineage recovers the per-file loop
+        if FILE_SOURCE_COL in annotated.columns:
+            report.file_counts = [
+                {
+                    "file": r["file"],
+                    "total": r["total"],
+                    "valid": r["valid"],
+                    "invalid": r["total"] - r["valid"],
+                }
+                for r in annotated.groupBy(F.col(FILE_SOURCE_COL).alias("file"))
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(F.when(F.size("errors") == 0, 1).otherwise(0)).alias("valid"),
+                )
+                .collect()
+            ]
+
+        # first-5 error preview (O2) — tiny limit, rides the cache
+        report.error_preview = [r.asDict() for r in result.errors.limit(5).collect()]
 
         target = project_to_target(result.valid, cfg)
         if jdbc:

@@ -1,0 +1,169 @@
+"""Unit tests for the LLM-data ops (dedup / similarity / text / multimodal).
+
+Synthetic micro-fixtures pin the semantics; the driver-scale parity against
+DuckDB lives in tools/parity_check.py over /root/testdata."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from manufacturing_data_integration_tool_spark.ops import (
+    assemble_multimodal,
+    cosine_topk,
+    decode_binary_column,
+    doc_quality,
+    exact_dedup,
+    exact_dedup_by_content,
+    language_id,
+    lsh_ann_topk,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    term_counts,
+)
+from manufacturing_data_integration_tool_spark.ops.dedup import word_shingles
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog", lang="en", source="a"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog", lang="en", source="b"),
+            Row(doc_id=3, text="the quick brown fox jumps over a lazy dog", lang="en", source="c"),
+            Row(doc_id=4, text="completely different content here entirely unique", lang="en", source="d"),
+            Row(doc_id=5, text="el perro y el gato en la casa", lang="es", source="e"),
+        ]
+    )
+
+
+def test_exact_dedup_by_content(spark, docs):
+    groups = exact_dedup_by_content(docs, "text", "doc_id").collect()
+    assert len(groups) == 4  # docs 1+2 collapse
+    dup = [g for g in groups if g["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", v=3), Row(k="a", v=1), Row(k="b", v=2)]
+    )
+    kept = {(r["k"], r["v"]) for r in exact_dedup(df, ["k"], tie_break=["v"]).collect()}
+    assert kept == {("a", 1), ("b", 2)}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d")])
+    out = df.select(word_shingles("text", 3).alias("sh")).collect()[0]["sh"]
+    assert sorted(out) == ["a b c", "b c d"]
+    # short text -> empty array, not null
+    short = spark.createDataFrame([Row(text="a b")])
+    assert short.select(word_shingles("text", 3).alias("sh")).collect()[0]["sh"] == []
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.99).collect()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(1, 2)}  # identical docs only
+    # docs 1/3 share 4 of 10 distinct trigrams -> jaccard 0.4
+    loose = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.35).collect()
+    got = {(p["doc_a"], p["doc_b"]) for p in loose}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_candidates_finds_near_dups(spark, docs):
+    cands = minhash_candidates(docs, "doc_id", "text", max_distance=0.5).collect()
+    got = {(c["doc_a"], c["doc_b"]) for c in cands}
+    assert (1, 2) in got  # identical docs always collide
+    assert not any((4 in p) or (5 in p) for p in got)
+
+
+def test_simhash_identical_docs_same_fingerprint(spark, docs):
+    fp = {r["doc"]: r["simhash"] for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]
+    assert len(fp[1]) == 64 and set(fp[1]) <= {"0", "1"}
+    # near-dup docs should be close in Hamming distance, far docs far
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+        Row(vec_id=4, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cosine_topk_ordering(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = cosine_topk(vectors, q, k=4).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # closest
+    assert ranked[-1] == 4  # opposite direction last
+    sims = {r["vec_id"]: r["cosine_sim"] for r in out}
+    assert math.isclose(sims[4], -1.0, abs_tol=1e-9)
+    assert math.isclose(sims[2], 0.0, abs_tol=1e-9)
+
+
+def test_lsh_ann_recall_on_tiny_set(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = lsh_ann_topk(vectors, q, k=2, num_hash_tables=5, bucket_length=2.0).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
+
+
+def test_term_counts(spark, docs):
+    tc = {r["term"]: r["term_count"] for r in term_counts(docs, "text").collect()}
+    assert tc["the"] == 5  # 2+2+1 across docs 1,2,3
+    assert tc["el"] == 2
+
+
+def test_doc_quality_metrics(spark, docs):
+    q = {r["doc_id"]: r for r in doc_quality(docs).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["n_distinct_tokens"] == 8  # 'the' twice
+    assert abs(q[1]["type_token_ratio"] - round(8 / 9, 4)) < 1e-9
+
+
+def test_language_id(spark, docs):
+    pred = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs).collect()}
+    assert pred[1] == "en"
+    assert pred[5] == "es"
+
+
+def test_multimodal_assemble_and_decode(spark, docs):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.1] * 4, label=i % 2) for i in range(1, 6)]
+    )
+    assembled = assemble_multimodal(docs, emb)
+    row = assembled.filter(F.col("doc_id") == 1).collect()[0]
+    assert row["media"]["meta"]["media_type"] == "text/plain"
+    assert bytes(row["media"]["payload"]).decode() == docs.filter(F.col("doc_id") == 1).collect()[0]["text"]
+
+    decoded = decode_binary_column(assembled)
+    out = {r["doc_id"]: r for r in decoded.collect()}
+    assert len(out) == 5
+    assert out[1]["n_bytes"] == len(docs.filter(F.col("doc_id") == 1).collect()[0]["text"])
+    assert out[1]["width"] == 64 and out[1]["height"] == 64
+    # deterministic fake feature: byte sum of the payload
+    assert out[1]["feature_hash"] == sum(b"the quick brown fox jumps over the lazy dog")
+
+
+def test_decode_real_codecs_stubbed(spark, docs):
+    emb = spark.createDataFrame([Row(vec_id=1, embedding=[0.1] * 4, label=0)])
+    assembled = assemble_multimodal(docs, emb)
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        decode_binary_column(assembled, real_codecs=True).collect()
