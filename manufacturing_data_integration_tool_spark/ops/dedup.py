@@ -32,6 +32,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_by_content",
     "word_shingles",
+    "shingles_from_tokens",
     "ngram_jaccard_pairs",
     "minhash_candidates",
     "simhash_fingerprints",
@@ -98,17 +99,36 @@ def exact_dedup_by_content(
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams of a lowercased text column (array<string>).
+def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token-array column.
 
-    Built from ``split`` + ``transform`` + ``slice`` — stays inside codegen.
+    The token column must be a bound attribute (i.e. produced by a prior
+    ``select``/``withColumn``), not an inline expression: Spark does not
+    common-subexpression-eliminate inside higher-order-function lambdas, so
+    an inline token expression gets re-evaluated per element_at call —
+    measured 20x slower at 260k grams.
+    """
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array().cast("array<string>")))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of a lowercased raw-text column.
+
+    Convenience form for tests/small frames. Hot paths should tokenize into
+    a real column first and use ``shingles_from_tokens`` (see note there).
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    k = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array().cast("array<string>")))
 
@@ -132,21 +152,35 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     before the join — the standard hot-key guard at scale.
     """
-    base = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh"))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__tk")).select(
+        "doc", shingles_from_tokens("__tk", n).alias("sh")
+    )
     sizes = base.select("doc", F.size("sh").alias("n_sh"))
-    inv = base.select("doc", F.explode("sh").alias("shingle"))
+    # join on the 64-bit shingle hash, not the string: long-key hash joins
+    # beat string-key sort-merge by a wide margin, and xxhash64 collisions
+    # among realistic shingle cardinalities are ~2^-40-level noise.
+    # explode_outer, not explode: plain explode infers a size(sh)>0 filter
+    # that the optimizer pushes below the projection, re-inlining the whole
+    # shingle expression (measured 5x slower); the null-filter afterwards is
+    # on the generated output and cannot be pushed down.
+    inv = (
+        base.select("doc", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .select("doc", F.xxhash64("shingle").alias("sh_h"))
+    )
     if max_shingle_df:
         hot = (
-            inv.groupBy("shingle")
+            inv.groupBy("sh_h")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+            .select("sh_h")
         )
-        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+        inv = inv.join(F.broadcast(hot), "sh_h", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -193,8 +227,11 @@ def minhash_candidates(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    base = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh")).filter(
-        F.size("sh") > 0
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    base = (
+        df.select(F.col(id_col).alias("doc"), toks.alias("__tk"))
+        .select("doc", shingles_from_tokens("__tk", n).alias("sh"))
+        .filter(F.size("sh") > 0)
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(base)
