@@ -424,7 +424,7 @@ def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (ops.dedup) — approximate; checked
     rows-only (no oracle entry)."""
     docs = read_table(spark, sf_dir, "documents")
-    out = dd.minhash_candidates(docs, "doc_id", "text", max_distance=0.9)
+    out = dd.minhash_candidates(docs, "doc_id", "text", max_distance=0.5)
     return out.select("doc_a", "doc_b", F.round("jaccard_dist", 4).alias("jaccard_dist"))
 
 

@@ -1,3 +1,10 @@
 from .file_pipeline import start_file_stream, windowed_event_counts, sessionized_counts
+from .stateful import running_user_stats, streaming_dedup
 
-__all__ = ["start_file_stream", "windowed_event_counts", "sessionized_counts"]
+__all__ = [
+    "start_file_stream",
+    "windowed_event_counts",
+    "sessionized_counts",
+    "running_user_stats",
+    "streaming_dedup",
+]

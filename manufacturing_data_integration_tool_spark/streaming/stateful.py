@@ -1,0 +1,103 @@
+"""Custom stateful streaming operators (SURVEY.md §2.9 greenfield surface).
+
+Two tiers, both designed for unbounded state discipline at scale:
+
+* ``streaming_dedup`` — built-in ``dropDuplicatesWithinWatermark``: state is
+  bounded by the watermark horizon, keys expire automatically. This is the
+  streaming twin of ``ops.dedup.exact_dedup`` and the right default for
+  at-least-once sources that can re-deliver (e.g. file redelivery, Kafka
+  reprocessing).
+* ``running_user_stats`` — ``applyInPandasWithState``: an Arrow-batched
+  per-key state machine for semantics the built-in aggregations can't
+  express (here: running count + sum + last-seen timestamp with idle-state
+  timeout eviction). The Python boundary is crossed per key-batch, not
+  per row, and state is partitioned by the grouping key — horizontal scale
+  comes from the shuffle, exactly like a groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["streaming_dedup", "running_user_stats", "RUNNING_STATS_SCHEMA"]
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key emission within the watermark horizon.
+
+    State size is bounded: a key's dedup record is dropped once the
+    watermark passes it (unbounded plain ``dropDuplicates`` state is the
+    classic streaming OOM at scale)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen_us", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _stats_fn(
+    key: Tuple, pdf_iter: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    if state.hasTimedOut:
+        # idle key: emit final snapshot and evict the state
+        (n, total, last_us) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_seen_us": [last_us]}
+        )
+        return
+
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        last_us = max(last_us, int(pdf["t_us"].max()))
+    state.update((n, total, last_us))
+    state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_seen_us": [last_us]}
+    )
+
+
+def running_user_stats(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
+    """Running per-user count/sum with idle-key eviction
+    (``applyInPandasWithState``). Expects ``user_id``, ``value`` and an
+    event-time column; emits one updated row per user per micro-batch."""
+    src = events.select(
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _stats_fn,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
