@@ -32,27 +32,13 @@ from manufacturing_data_integration_tool_spark.config import (
     IntegrationConfig,
     Rule,
 )
+from manufacturing_data_integration_tool_spark.functions import HOUR_NS, exact_sum as _dsum
 from manufacturing_data_integration_tool_spark.ops import dedup as dd
 from manufacturing_data_integration_tool_spark.ops import multimodal as mm
 from manufacturing_data_integration_tool_spark.ops import similarity as sim
 from manufacturing_data_integration_tool_spark.ops import text as tx
 from manufacturing_data_integration_tool_spark.plans.validator import validate
 from manufacturing_data_integration_tool_spark.sources.readers import read_table
-
-# ---------------------------------------------------------------------------
-# helpers
-# ---------------------------------------------------------------------------
-
-HOUR_NS = 3_600_000_000_000  # nanoseconds per hour
-
-
-def _dsum(col, scale: str = "decimal(30,6)"):
-    """Exact decimal sum of a double expression, surfaced as double.
-
-    Per-row double->decimal casts are deterministic; decimal addition is
-    exact, so the final double is identical regardless of partial-agg
-    order — this is what makes Spark and DuckDB hash-compatible."""
-    return F.sum(col.cast(scale)).cast("double")
 
 
 # The validation config used by q04/q05: range + regex + not_null over

@@ -1,0 +1,26 @@
+"""Reusable scalar/aggregate expression helpers (SURVEY.md §2.8 surface).
+
+These are the cross-cutting expression idioms the engine standardizes on:
+deterministic aggregation (exact decimal sums), event-time integer math for
+nanosecond payloads, and cross-engine-stable hashing.
+"""
+
+from .scalars import (
+    HOUR_NS,
+    MICROS_PER_HOUR,
+    bucket_ns,
+    exact_avg,
+    exact_sum,
+    nanos_to_micros,
+    stable_hash,
+)
+
+__all__ = [
+    "HOUR_NS",
+    "MICROS_PER_HOUR",
+    "bucket_ns",
+    "exact_avg",
+    "exact_sum",
+    "nanos_to_micros",
+    "stable_hash",
+]

@@ -26,7 +26,29 @@ from .sources.archive import archive_file
 from .sources.readers import FILE_SOURCE_COL, read_source_csv
 from .sources.sinks import jdbc_writer_options, write_errors, write_valid
 
-__all__ = ["PipelineReport", "project_to_target", "run_etl_pipeline", "processing_summary"]
+__all__ = [
+    "PipelineReport",
+    "ValidationFailFast",
+    "project_to_target",
+    "run_etl_pipeline",
+    "processing_summary",
+]
+
+
+class ValidationFailFast(RuntimeError):
+    """Raised under ``error_handling=fail_fast`` when any row is invalid.
+
+    The reference parses the ``ErrorHandling`` knob but never acts on it
+    (``config/mapping_config.xml:68``, ``src/xml_parser.py:142``); here
+    ``fail_fast`` aborts before any sink write, ``continue`` (the
+    reference default) routes invalid rows to the error sink and keeps
+    going."""
+
+    def __init__(self, report: "PipelineReport"):
+        self.report = report
+        super().__init__(
+            f"fail_fast: {report.invalid_records} of {report.total_records} rows invalid"
+        )
 
 
 @dataclass
@@ -136,6 +158,10 @@ def run_etl_pipeline(
 
         # first-5 error preview (O2) — tiny limit, rides the cache
         report.error_preview = [r.asDict() for r in result.errors.limit(5).collect()]
+
+        if cfg.etl.error_handling.strip().lower() in ("fail_fast", "failfast", "abort"):
+            if report.invalid_records > 0:
+                raise ValidationFailFast(report)
 
         target = project_to_target(result.valid, cfg)
         if jdbc:

@@ -110,7 +110,10 @@ def register_rule(kind: str) -> Callable[[RuleCompiler], RuleCompiler]:
 
 @register_rule("not_null")
 def _not_null(fname: str, c: Column, params: Mapping[str, Any], ctx: CompileContext) -> Column:
-    failing = c.isNull() | (F.trim(c.cast("string")) == F.lit(""))
+    # rlike('^\s*$'), not trim()=='': F.trim strips only ASCII spaces, while
+    # the reference's str.strip() (src/data_validator.py:141) also rejects
+    # tab/newline-only values
+    failing = c.isNull() | c.cast("string").rlike(r"^\s*$")
     return F.when(failing, error_struct(fname, c, "NOT_NULL", f"{fname} cannot be null"))
 
 
@@ -126,6 +129,10 @@ def _range(fname: str, c: Column, params: Mapping[str, Any], ctx: CompileContext
         num.isNull(),
         error_struct(fname, c, "NUMERIC", F.concat(F.lit(f"{fname}='"), c.cast("string"), F.lit("' is not a valid number"))),
     )
+    # NaN passes the bounds in the reference (float('nan') <|> bound is False
+    # in Python), but Spark orders NaN greater than everything — without this
+    # guard 'nan' would wrongly fall into the max branch.
+    expr = expr.when(F.isnan(num), F.lit(None).cast(ERROR_STRUCT_TYPE))
     if lo is not None:
         expr = expr.when(
             num < F.lit(float(lo)),

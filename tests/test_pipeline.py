@@ -83,3 +83,19 @@ def test_error_value_truncated_to_255(spark, mapping_config_path, tmp_path):
     res = validate(df, cfg)
     shaped = shape_errors_for_sink(res.errors, "f.csv").collect()
     assert len(shaped[0]["FieldValue"]) == 255
+
+
+def test_fail_fast_aborts_before_sinks(spark, golden_csv, mapping_config_path, tmp_path):
+    """error_handling=fail_fast raises (with the counted report attached)
+    before any sink write; continue (default) keeps going."""
+    import dataclasses
+
+    from manufacturing_data_integration_tool_spark.pipeline import ValidationFailFast
+
+    cfg = load_config(mapping_config_path)
+    cfg = dataclasses.replace(cfg, etl=dataclasses.replace(cfg.etl, error_handling="fail_fast"))
+    out = tmp_path / "out"
+    with pytest.raises(ValidationFailFast) as exc:
+        run_etl_pipeline(spark, golden_csv, cfg, output_dir=str(out))
+    assert exc.value.report.invalid_records == 3
+    assert not (out / "quality_data").exists()
