@@ -428,6 +428,33 @@ def q29_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(emb, queries, k=10)
 
 
+def q31_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-style-regex token counting (ops.text) — the LLM
+    token-budget proxy."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens_ws"),
+        tx.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+    )
+
+
+def q32_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (ops.text): one row per
+    (doc, selected k-gram hash)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.winnowing_fingerprints(docs, "text", "doc_id", k=8, window=4)
+
+
+def q33_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (ops.similarity): KMeans cells +
+    n_probe probing — approximate (training is not SQL-expressible);
+    checked rows-only."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=3)
+
+
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
     non-SQL-expressible; checked rows-only (no oracle entry)."""
@@ -502,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_simhash": q28_simhash,
         "q29_lsh_ann": q29_lsh_ann,
         "q30_multimodal_decode": q30_multimodal_decode,
+        "q31_bpe_token_count": q31_bpe_token_count,
+        "q32_winnowing": q32_winnowing,
+        "q33_ivf_ann": q33_ivf_ann,
     }
 
 
@@ -747,6 +777,27 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
             FROM bits GROUP BY doc_id
         """,
-        # q27_minhash_lsh, q29_lsh_ann: approximate (LSH) — rows-only check.
-        # q30_multimodal_decode: mapInPandas plumbing — rows-only check.
+        "q31_bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(len({tok}) AS BIGINT) AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_tokens_bpe
+            FROM documents
+        """,
+        "q32_winnowing": """
+            WITH g AS (
+              SELECT doc_id,
+                     [md5(substring(lower(text), i, 8)) for i in range(1, length(text) - 8 + 2)] AS h
+              FROM documents WHERE length(text) >= 8
+            ), m AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) >= 4
+                          THEN [list_aggregate(h[i:i+3], 'min') for i in range(1, len(h) - 4 + 2)]
+                          ELSE h END AS mins
+              FROM g
+            )
+            SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
+        """,
+        # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
+        # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —
+        # rows-only check.
     }

@@ -18,13 +18,16 @@ from .dedup import (
     word_shingles,
 )
 from .multimodal import assemble_multimodal, decode_binary_column, media_schema
-from .similarity import cosine_similarity, cosine_topk, lsh_ann_topk
+from .similarity import cosine_similarity, cosine_topk, ivf_topk, lsh_ann_topk
 from .text import (
+    bpe_ish_token_count,
     doc_quality,
     language_id,
     lang_stats,
     term_counts,
+    token_count,
     tokenize,
+    winnowing_fingerprints,
 )
 
 __all__ = [
@@ -40,10 +43,14 @@ __all__ = [
     "media_schema",
     "cosine_similarity",
     "cosine_topk",
+    "ivf_topk",
     "lsh_ann_topk",
+    "bpe_ish_token_count",
     "doc_quality",
     "language_id",
     "lang_stats",
     "term_counts",
+    "token_count",
     "tokenize",
+    "winnowing_fingerprints",
 ]

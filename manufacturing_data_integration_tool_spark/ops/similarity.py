@@ -23,7 +23,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["dot", "l2_norm", "cosine_similarity", "cosine_topk", "lsh_ann_topk"]
+__all__ = ["dot", "l2_norm", "cosine_similarity", "cosine_topk", "lsh_ann_topk", "ivf_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -122,6 +122,68 @@ def lsh_ann_topk(
         F.col(f"datasetA.{id_col}").alias(id_col),
         sim.alias("cosine_sim"),
     ).filter(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    round_to: Optional[int] = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the corpus,
+    probe only the ``n_probe`` nearest cells per query.
+
+    The scale shape: centroids are tiny (driver/broadcast), the corpus is
+    scanned once to assign cells (then ideally written bucketed by cell),
+    and each query scores only ~``n_probe/n_clusters`` of the corpus —
+    the candidate join is an equi-join on the cell id, so Catalyst
+    shuffles/broadcasts it like any other key join. Recall is tuned by
+    ``n_probe``; ``n_probe == n_clusters`` degenerates to exact search.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(id_col, vec_col).withColumn(
+        "__v", array_to_vector(F.zip_with(vec_col, vec_col, lambda x, _: x.cast("double")))
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select(id_col, vec_col, "__cell")
+
+    # centroid table is n_clusters rows -> literal frame, broadcast join
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    centroids = spark.createDataFrame(cent_rows, ["__cell", "__centroid"])
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q_cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", cosine_similarity(F.col("__qv"), F.col("__centroid")))
+        .withColumn(
+            "__cell_rank",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("__d"), F.col("__cell"))),
+        )
+        .filter(F.col("__cell_rank") <= n_probe)
+        .select("query_id", "__qv", "__cell")
+    )
+
+    pairs = assigned.join(F.broadcast(q_cells), "__cell").filter(F.col(id_col) != F.col("query_id"))
+    sim = cosine_similarity(F.col("__qv"), F.col(vec_col))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = pairs.select("query_id", id_col, sim.alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

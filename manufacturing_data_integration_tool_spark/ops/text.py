@@ -15,12 +15,20 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "tokenize",
     "token_count",
+    "bpe_ish_token_count",
     "term_counts",
     "doc_quality",
     "lang_stats",
     "language_id",
+    "winnowing_fingerprints",
     "DEFAULT_LANG_MARKERS",
+    "BPE_ISH_PATTERN",
 ]
+
+# GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace. Both Java
+# regex (Spark) and RE2 (DuckDB) support this subset identically.
+BPE_ISH_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 def tokenize(col: Column | str) -> Column:
@@ -31,6 +39,70 @@ def tokenize(col: Column | str) -> Column:
 
 def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """Token count under a BPE-style pre-tokenizer regex — the cheap proxy
+    for LLM token budgeting (whitespace runs count as merge fodder like
+    real byte-level BPE pre-tokenization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern)).cast("long")
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 scheme):
+    hash every k-char gram, keep the minimum hash of each sliding window,
+    emit the distinct selected hashes — one row per (doc, fingerprint).
+
+    Guarantees: any shared substring of length >= k + window - 1 between
+    two documents yields at least one shared fingerprint, so plagiarism/
+    near-dup lookup becomes an equi-join on ``fp``. md5 hex (lexicographic
+    min) keeps the selection reproducible across engines.
+
+    All built from bound-array higher-order functions — per-row compute,
+    no shuffle until the caller joins/groups on fp.
+    """
+    lowered = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(lowered) - F.lit(k - 1), F.lit(0))
+    base = df.select(F.col(id_col), lowered.alias("__txt"), n_grams.alias("__ng"))
+    # k-gram hashes (projection-bound before the next HOF — see dedup notes)
+    grams = base.select(
+        id_col,
+        "__ng",
+        F.when(
+            F.col("__ng") > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.col("__ng"), F.lit(1))),
+                lambda i: F.md5(F.col("__txt").substr(i, F.lit(k))),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__h"),
+    )
+    n_windows = F.greatest(F.size("__h") - F.lit(window - 1), F.lit(0))
+    mins = grams.select(
+        id_col,
+        F.when(
+            n_windows > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                lambda i: F.array_min(F.slice(F.col("__h"), i, window)),
+            ),
+        )
+        .otherwise(F.col("__h"))  # short doc: all grams are fingerprints
+        .alias("__mins"),
+    )
+    return (
+        mins.select(id_col, F.explode_outer(F.array_distinct("__mins")).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
 
 
 def term_counts(df: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:

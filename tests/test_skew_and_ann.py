@@ -1,0 +1,107 @@
+"""Skew helpers (salted join / two-stage agg) and the approximate-search
+paths (IVF): results must equal their unsalted/exact twins."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from manufacturing_data_integration_tool_spark.functions.skew import salted_join, two_stage_agg
+from manufacturing_data_integration_tool_spark.ops.similarity import cosine_topk, ivf_topk
+from manufacturing_data_integration_tool_spark.ops.text import (
+    bpe_ish_token_count,
+    winnowing_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share one hot key
+    rows = [Row(k="hot" if i % 10 else f"cold{i}", v=float(i)) for i in range(1000)]
+    return spark.createDataFrame(rows)
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [Row(k="hot", label="H")] + [Row(k=f"cold{i}", label=f"C{i}") for i in range(0, 1000, 10)]
+    )
+    plain = skewed.join(dim, "k").groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    salted = salted_join(skewed, dim, ["k"], n_salts=8).groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_stage_agg_equals_plain_groupby(spark, skewed):
+    plain = {
+        (r["k"],): (r["n"], r["s"], r["mx"])
+        for r in skewed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    staged = {
+        (r["k"],): (r["n"], r["s"], r["mx"])
+        for r in two_stage_agg(
+            skewed, ["k"], {"n": "count(*)", "s": "sum(v)", "mx": "max(v)"}, n_salts=8
+        ).collect()
+    }
+    assert staged == plain
+
+
+def test_two_stage_agg_rejects_non_decomposable(spark, skewed):
+    with pytest.raises(ValueError, match="decomposable"):
+        two_stage_agg(skewed, ["k"], {"a": "avg(v)"})
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    """n_probe == n_clusters degenerates to exact search — must match the
+    brute-force top-k exactly."""
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()}
+    ivf = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(emb, q, k=5, n_clusters=4, n_probe=4).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_high_recall(spark, sf_dir):
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=10, n_clusters=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([Row(text="it's 42 degrees, isn't it?")])
+    n = df.select(bpe_ish_token_count("text").alias("n")).collect()[0]["n"]
+    # it|'s| 42| degrees|,| isn|'t| it|? -> 9
+    assert n == 9
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k + window - 1 must share a
+    fingerprint; disjoint docs must not."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaa unique shared-substring-block tail one"),
+            Row(doc_id=2, text="zzzz other shared-substring-block tail two"),
+            Row(doc_id=3, text="qqqq totally unrelated material here"),
+        ]
+    )
+    fp = winnowing_fingerprints(docs, "text", "doc_id", k=8, window=4)
+    a = {r["fp"] for r in fp.filter(F.col("doc_id") == 1).collect()}
+    b = {r["fp"] for r in fp.filter(F.col("doc_id") == 2).collect()}
+    c = {r["fp"] for r in fp.filter(F.col("doc_id") == 3).collect()}
+    assert a & b
+    assert not (a & c) and not (b & c)
