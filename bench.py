@@ -34,6 +34,8 @@ HEADLINE = [
     "q24_window_counts",
     "q25_sessionization",
     "q26_ngram_jaccard",
+    "q31_bpe_token_count",
+    "q32_winnowing",
 ]
 
 
