@@ -455,6 +455,13 @@ def q33_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=3)
 
 
+def q34_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (ops.dedup): exact triangular join,
+    the oracle-able baseline for the LSH/IVF candidate paths."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dups(emb, threshold=0.45)
+
+
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
     non-SQL-expressible; checked rows-only (no oracle entry)."""
@@ -532,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_bpe_token_count": q31_bpe_token_count,
         "q32_winnowing": q32_winnowing,
         "q33_ivf_ann": q33_ivf_ann,
+        "q34_embedding_near_dups": q34_embedding_near_dups,
     }
 
 
@@ -796,6 +804,20 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             )
             SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
+        """,
+        "q34_embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                     4) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                     4) >= 0.45
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

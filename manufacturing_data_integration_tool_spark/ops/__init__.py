@@ -10,6 +10,7 @@ shuffles, LSH instead of all-pairs joins).
 
 from .dedup import (
     content_hash,
+    embedding_near_dups,
     exact_dedup,
     exact_dedup_by_content,
     minhash_candidates,
@@ -32,6 +33,7 @@ from .text import (
 
 __all__ = [
     "content_hash",
+    "embedding_near_dups",
     "exact_dedup",
     "exact_dedup_by_content",
     "minhash_candidates",

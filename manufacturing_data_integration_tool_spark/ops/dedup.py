@@ -36,6 +36,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_candidates",
     "simhash_fingerprints",
+    "embedding_near_dups",
 ]
 
 
@@ -245,6 +246,34 @@ def minhash_candidates(
             F.col("datasetB.doc").alias("doc_b"),
             F.col("jaccard_dist"),
         )
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity >= threshold.
+
+    Exact triangular self-join — O(n^2) pair scoring, the oracle-able
+    baseline and the verifier for the sub-quadratic paths. At corpus scale
+    use ``ops.similarity.lsh_ann_topk`` (random-hyperplane buckets) or
+    ``ivf_topk`` (KMeans cells) to generate candidates and this scoring
+    only within candidates.
+    """
+    from .similarity import cosine_similarity
+
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), round_to)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
     )
 
 

@@ -167,3 +167,12 @@ def test_decode_real_codecs_stubbed(spark, docs):
     assembled = assemble_multimodal(docs, emb)
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         decode_binary_column(assembled, real_codecs=True).collect()
+
+
+def test_embedding_near_dups(spark, vectors):
+    from manufacturing_data_integration_tool_spark.ops import embedding_near_dups
+
+    pairs = embedding_near_dups(vectors, threshold=0.9).collect()
+    got = {(p["id_a"], p["id_b"]): p["cosine_sim"] for p in pairs}
+    assert set(got) == {(0, 1)}  # only the 0.9939-similar pair passes 0.9
+    assert got[(0, 1)] > 0.99
