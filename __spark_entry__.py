@@ -36,6 +36,7 @@ from manufacturing_data_integration_tool_spark.functions import HOUR_NS, exact_s
 from manufacturing_data_integration_tool_spark.ops import dedup as dd
 from manufacturing_data_integration_tool_spark.ops import multimodal as mm
 from manufacturing_data_integration_tool_spark.ops import similarity as sim
+from manufacturing_data_integration_tool_spark.ops import temporal as tp
 from manufacturing_data_integration_tool_spark.ops import text as tx
 from manufacturing_data_integration_tool_spark.plans.validator import validate
 from manufacturing_data_integration_tool_spark.sources.readers import read_table
@@ -462,6 +463,30 @@ def q34_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_near_dups(emb, threshold=0.45)
 
 
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops.temporal): each purchase event picks up the user's
+    most recent click value at-or-before its timestamp. Spark lacks this
+    operator; the union+carry-forward-window composition is verified against
+    DuckDB's native ASOF JOIN."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "t_us")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = tp.asof_join(
+        purchases, clicks, ["user_id"], left_ts="t_us", right_ts="t_us",
+        right_value_cols=["click_value"],
+    )
+    return out.select("event_id", "user_id", "t_us", "click_value")
+
+
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
     non-SQL-expressible; checked rows-only (no oracle entry)."""
@@ -540,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_winnowing": q32_winnowing,
         "q33_ivf_ann": q33_ivf_ann,
         "q34_embedding_near_dups": q34_embedding_near_dups,
+        "q35_asof_join": q35_asof_join,
     }
 
 
@@ -818,6 +844,21 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
                      4) >= 0.45
+        """,
+        "q35_asof_join": """
+            WITH base AS (
+              SELECT event_id, user_id, event_type, value,
+                     epoch_ns(ts) // 1000 AS t_us
+              FROM events
+            ), p AS (
+              SELECT event_id, user_id, t_us FROM base WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, t_us, max(value) AS click_value
+              FROM base WHERE event_type = 'click' GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id, p.t_us, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.t_us >= c.t_us
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

@@ -19,6 +19,7 @@ from .dedup import (
     word_shingles,
 )
 from .multimodal import assemble_multimodal, decode_binary_column, media_schema
+from .temporal import asof_join
 from .similarity import cosine_similarity, cosine_topk, ivf_topk, lsh_ann_topk
 from .text import (
     bpe_ish_token_count,
@@ -40,6 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "word_shingles",
+    "asof_join",
     "assemble_multimodal",
     "decode_binary_column",
     "media_schema",

@@ -1,0 +1,75 @@
+"""Temporal joins Spark lacks as built-ins: as-of join (and its bounded
+variant) as pure DataFrame compositions.
+
+The classic need in manufacturing/event data: join each reading to the
+most recent configuration/state row at or before its timestamp.
+
+Implementation is the union + carry-forward-window composition, NOT a
+cogrouped ``applyInPandas`` merge_asof: everything stays JVM-side, and the
+cost profile is one union + one key-partitioned window — a single hash
+shuffle on the join key, no Python, no per-group pandas materialization.
+Each key's timeline sorts within its own task; skewed keys split via AQE
+or salting upstream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of left join: for every left row, attach the right row's
+    values with the largest ``right_ts <= left_ts`` for the same key
+    (ties at equal timestamps see the right row). Left rows with no prior
+    right row get NULLs.
+
+    Mechanics: tag and union both sides on (key, ts), then
+    ``last(value, ignorenulls=True)`` over a key-partitioned window ordered
+    by (ts, side) carries the latest right values forward onto each left
+    row. One shuffle; scales with keys.
+    """
+    on = list(on)
+    right_value_cols = list(
+        right_value_cols
+        if right_value_cols is not None
+        else [c for c in right.columns if c not in on and c != right_ts]
+    )
+    out_names = {c: f"{c}{suffix}" if c in left.columns else c for c in right_value_cols}
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(out_names[c]) for c in right_value_cols],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c not in on],
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(out_names[c]) for c in right_value_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+
+    # right rows sort before left rows at equal __t -> asof is inclusive
+    w = (
+        Window.partitionBy(*[F.col(c) for c in on])
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in right_value_cols:
+        u = u.withColumn(out_names[c], F.last(out_names[c], ignorenulls=True).over(w))
+    return u.filter(F.col("__is_left") == 1).drop("__t", "__is_left")

@@ -176,3 +176,25 @@ def test_embedding_near_dups(spark, vectors):
     got = {(p["id_a"], p["id_b"]): p["cosine_sim"] for p in pairs}
     assert set(got) == {(0, 1)}  # only the 0.9939-similar pair passes 0.9
     assert got[(0, 1)] > 0.99
+
+
+def test_asof_join_semantics(spark):
+    from manufacturing_data_integration_tool_spark.ops import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", t=5, lv="L5"), Row(k="a", t=10, lv="L10"),
+         Row(k="a", t=2, lv="L2"), Row(k="b", t=7, lv="B7")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=3, rv=30.0), Row(k="a", t=10, rv=100.0), Row(k="c", t=1, rv=1.0)]
+    )
+    out = {
+        (r["k"], r["t"]): r["rv"]
+        for r in asof_join(
+            left, right, ["k"], left_ts="t", right_ts="t", right_value_cols=["rv"]
+        ).collect()
+    }
+    assert out[("a", 2)] is None      # no right row at-or-before t=2
+    assert out[("a", 5)] == 30.0      # latest at-or-before is t=3
+    assert out[("a", 10)] == 100.0    # tie at equal ts: right row visible
+    assert out[("b", 7)] is None      # key with no right rows at all
