@@ -32,7 +32,11 @@ from manufacturing_data_integration_tool_spark.config import (
     IntegrationConfig,
     Rule,
 )
-from manufacturing_data_integration_tool_spark.functions import HOUR_NS, exact_sum as _dsum
+from manufacturing_data_integration_tool_spark.functions import (
+    HOUR_NS,
+    MICROS_PER_HOUR,
+    exact_sum as _dsum,
+)
 from manufacturing_data_integration_tool_spark.ops import dedup as dd
 from manufacturing_data_integration_tool_spark.ops import multimodal as mm
 from manufacturing_data_integration_tool_spark.ops import similarity as sim
@@ -487,6 +491,41 @@ def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "t_us", "click_value")
 
 
+def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (ops.temporal): count each user's events inside
+    their first-4-hours window — equi-join on (user, bin) + residual
+    BETWEEN, never a nested-loop join."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", F.expr("ts_ns div 1000").alias("t_us"))
+    intervals = base.groupBy("user_id").agg(
+        F.min("t_us").alias("w_start"),
+        (F.min("t_us") + F.lit(4 * MICROS_PER_HOUR)).alias("w_end"),
+    )
+    joined = tp.range_join(
+        base, intervals, ["user_id"],
+        point_col="t_us", start_col="w_start", end_col="w_end",
+        bin_width=MICROS_PER_HOUR,
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_in_window"))
+
+
+def q37_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (ops.temporal): per-(day,
+    hour), per-day, and grand-total event counts + exact value sums in one
+    shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("ts_ns", "value")
+    return tp.time_rollup(
+        base,
+        buckets=[("day_bucket", 24 * HOUR_NS), ("hour_bucket", HOUR_NS)],
+        time_col="ts_ns",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "decimal(24,6)").alias("total_value"),
+        ],
+    )
+
+
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
     non-SQL-expressible; checked rows-only (no oracle entry)."""
@@ -566,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_ivf_ann": q33_ivf_ann,
         "q34_embedding_near_dups": q34_embedding_near_dups,
         "q35_asof_join": q35_asof_join,
+        "q36_range_join": q36_range_join,
+        "q37_time_rollup": q37_time_rollup,
     }
 
 
@@ -859,6 +900,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, p.user_id, p.t_us, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.t_us >= c.t_us
+        """,
+        "q36_range_join": f"""
+            WITH base AS (
+              SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us FROM events
+            ), iv AS (
+              SELECT user_id, min(t_us) AS w_start,
+                     min(t_us) + {4 * MICROS_PER_HOUR} AS w_end
+              FROM base GROUP BY 1
+            )
+            SELECT b.user_id, COUNT(*) AS n_in_window
+            FROM base b JOIN iv ON b.user_id = iv.user_id
+             AND b.t_us BETWEEN iv.w_start AND iv.w_end
+            GROUP BY 1
+        """,
+        "q37_time_rollup": f"""
+            SELECT epoch_ns(ts) // {24 * HOUR_NS} AS day_bucket,
+                   epoch_ns(ts) // {HOUR_NS} AS hour_bucket,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY ROLLUP (day_bucket, hour_bucket)
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join", "time_rollup"]
 
 
 def asof_join(
@@ -73,3 +73,60 @@ def asof_join(
     for c in right_value_cols:
         u = u.withColumn(out_names[c], F.last(out_names[c], ignorenulls=True).over(w))
     return u.filter(F.col("__is_left") == 1).drop("__t", "__is_left")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join on integer time columns, scalable via binning.
+
+    The naive plan for ``p.t BETWEEN i.start AND i.end`` is a (broadcast)
+    nested-loop join — quadratic per key. Binning makes it an equi-join:
+    each interval replicates into every bin it overlaps
+    (``sequence(start div w, end div w)``), each point lands in exactly one
+    bin, so every qualifying pair meets in exactly one bin — equi-join on
+    (key, bin) + a residual BETWEEN filter, no duplicate matches, one hash
+    shuffle. ``bin_width`` should approximate the typical interval length:
+    too small replicates intervals; too big packs bins.
+    """
+    on = list(on)
+    p = points.withColumn("__bin", F.expr(f"{point_col} div {bin_width}"))
+    i = intervals.withColumn(
+        "__bin", F.explode(F.sequence(F.expr(f"{start_col} div {bin_width}"), F.expr(f"{end_col} div {bin_width}")))
+    )
+    out = p.join(i, [*on, "__bin"], how).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return out.drop("__bin")
+
+
+def time_rollup(
+    events: DataFrame,
+    *,
+    buckets: Sequence[tuple[str, int]],
+    time_col: str,
+    aggs: Sequence,
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup in ONE pass.
+
+    ``buckets`` is a coarse-to-fine list of (name, width) over an integer
+    time column — e.g. ``[("day", DAY), ("hour", HOUR)]`` — compiled to a
+    hierarchical ROLLUP: per-(day,hour), per-(day), and grand-total rows in
+    a single shuffle with map-side partial aggregation (vs one job per
+    resolution in a naive continuous-aggregate loop). Coarser rows carry
+    NULL in the finer bucket columns, like a Timescale continuous
+    aggregate's materialized hierarchy.
+    """
+    bucket_cols = [
+        F.expr(f"{time_col} div {width}").alias(name) for name, width in buckets
+    ]
+    base = events.select(*bucket_cols, *[c for c in events.columns])
+    return base.rollup(*[name for name, _ in buckets]).agg(*aggs)

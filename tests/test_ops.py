@@ -198,3 +198,43 @@ def test_asof_join_semantics(spark):
     assert out[("a", 5)] == 30.0      # latest at-or-before is t=3
     assert out[("a", 10)] == 100.0    # tie at equal ts: right row visible
     assert out[("b", 7)] is None      # key with no right rows at all
+
+
+def test_range_join_equals_naive_between(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import range_join
+
+    points = spark.createDataFrame(
+        [Row(k="a", t=i) for i in range(0, 100, 7)] + [Row(k="b", t=50)]
+    )
+    iv = spark.createDataFrame(
+        [Row(k="a", s=10, e=40), Row(k="a", s=35, e=36), Row(k="b", s=0, e=49)]
+    )
+    binned = {
+        (r["k"], r["t"], r["s"])
+        for r in range_join(points, iv, ["k"], point_col="t", start_col="s",
+                            end_col="e", bin_width=8).collect()
+    }
+    naive = {
+        (r["k"], r["t"], r["s"])
+        for r in points.join(iv, "k").filter("t between s and e").collect()
+    }
+    assert binned == naive and len(naive) > 0
+
+
+def test_time_rollup_levels(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import time_rollup
+
+    ev = spark.createDataFrame(
+        [Row(ts_ns=h * 3_600_000_000_000 + m, value=1.0)
+         for h in (0, 1, 25) for m in (0, 1)]
+    )
+    out = time_rollup(
+        ev,
+        buckets=[("day", 24 * 3_600_000_000_000), ("hour", 3_600_000_000_000)],
+        time_col="ts_ns",
+        aggs=[F.count(F.lit(1)).alias("n")],
+    ).collect()
+    rows = {(r["day"], r["hour"]): r["n"] for r in out}
+    assert rows[(0, 0)] == 2 and rows[(0, 1)] == 2 and rows[(1, 25)] == 2  # finest
+    assert rows[(0, None)] == 4 and rows[(1, None)] == 2                   # per-day
+    assert rows[(None, None)] == 6                                         # grand total
