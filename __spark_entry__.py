@@ -526,6 +526,144 @@ def q37_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7): customers whose orders are all status F
+    (EXCEPT) and customers with both F and O orders (INTERSECT), tagged and
+    unioned. Spark rewrites INTERSECT/EXCEPT to aggregating joins — one
+    shuffle each on the compared column, no global sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    only_f = f_cust.subtract(o_cust).withColumn("tag", F.lit("only_f"))
+    both = f_cust.intersect(o_cust).withColumn("tag", F.lit("f_and_o"))
+    return only_f.unionByName(both)
+
+
+def q39_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping combinations in one
+    shuffle (SURVEY §2.4 note — grouping-set support beyond the reference).
+    Exact decimal sums so partial-agg order cannot diverge from the oracle."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def q40_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status. The pivot values are pinned explicitly —
+    an implicit pivot runs an extra distinct job over the whole table first,
+    which is a full scan wasted at 100 TB."""
+    orders = read_table(spark, sf_dir, "orders")
+    p = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in ["F", "O", "P"]],
+    )
+
+
+def q41_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (F.percentile == DuckDB
+    quantile_cont, both linear interpolation). The scale path is
+    approx_percentile (t-digest, single pass, mergeable sketches); the exact
+    form here is the oracle-able baseline."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def q42_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (functions.skew): orders x customer on custkey
+    with the dim replicated over 8 salts, then revenue per market segment.
+    Result is identical to the plain join — only the shuffle distribution
+    changes — which is exactly what the plain-SQL oracle checks."""
+    from manufacturing_data_integration_tool_spark.functions.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    large = orders.select(F.col("o_custkey").alias("custkey"), "o_totalprice")
+    dim = customer.select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    joined = salted_join(large, dim, ["custkey"], n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def q43_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with filters pushed to every scan, the
+    small filtered customer side broadcast, top-10 revenue orders. Exercises
+    multi-join planning + deterministic top-k (revenue desc, orderkey tie
+    break)."""
+    cutoff = F.to_timestamp(F.lit("1995-03-15"))
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    lines = li.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(lines, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q44_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (functions.skew): partials on
+    (key, salt) then merge — the straggler-proof groupBy for hot keys.
+    Decimal-exact sums make the double result order-independent, so the
+    plain GROUP BY oracle hash-matches."""
+    from manufacturing_data_integration_tool_spark.functions.skew import two_stage_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("event_type", F.col("value").cast("decimal(24,6)").alias("value_dec"))
+    out = two_stage_agg(
+        base,
+        ["event_type"],
+        {"n_events": "count(*)", "total_value": "sum(value_dec)"},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n_events", F.col("total_value").cast("double").alias("total_value")
+    )
+
+
+def q45_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (SURVEY §2.4 note): distinct users per event
+    type alongside a plain count — Spark plans this as a two-phase expand +
+    partial agg, no driver-side distinct."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
     non-SQL-expressible; checked rows-only (no oracle entry)."""
@@ -607,6 +745,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_asof_join": q35_asof_join,
         "q36_range_join": q36_range_join,
         "q37_time_rollup": q37_time_rollup,
+        "q38_set_ops": q38_set_ops,
+        "q39_cube": q39_cube,
+        "q40_pivot": q40_pivot,
+        "q41_percentiles": q41_percentiles,
+        "q42_salted_join": q42_salted_join,
+        "q43_shipping_priority": q43_shipping_priority,
+        "q44_two_stage_agg": q44_two_stage_agg,
+        "q45_distinct_agg": q45_distinct_agg,
     }
 
 
@@ -921,6 +1067,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY ROLLUP (day_bucket, hour_bucket)
+        """,
+        "q38_set_ops": """
+            SELECT custkey, 'only_f' AS tag FROM (
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+              EXCEPT
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            )
+            UNION ALL
+            SELECT custkey, 'f_and_o' AS tag FROM (
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            )
+        """,
+        "q39_cube": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q40_pivot": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q41_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+                   MIN(l_extendedprice) AS min_price,
+                   MAX(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q42_salted_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q43_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, order_date
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q44_two_stage_agg": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "q45_distinct_agg": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

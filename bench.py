@@ -36,6 +36,7 @@ HEADLINE = [
     "q26_ngram_jaccard",
     "q31_bpe_token_count",
     "q32_winnowing",
+    "q43_shipping_priority",
 ]
 
 

@@ -157,7 +157,6 @@ def ngram_jaccard_pairs(
     base = df.select(F.col(id_col).alias("doc"), toks.alias("__tk")).select(
         "doc", shingles_from_tokens("__tk", n).alias("sh")
     )
-    sizes = base.select("doc", F.size("sh").alias("n_sh"))
     # join on the 64-bit shingle hash, not the string: long-key hash joins
     # beat string-key sort-merge by a wide margin, and xxhash64 collisions
     # among realistic shingle cardinalities are ~2^-40-level noise.
@@ -170,6 +169,12 @@ def ngram_jaccard_pairs(
         .filter(F.col("shingle").isNotNull())
         .select("doc", F.xxhash64("shingle").alias("sh_h"))
     )
+    # |shingle set| per doc from the (pre-filter) inverted index, not from a
+    # second pass over `base`: shingles are already distinct, so the row
+    # count per doc IS the set size, and deriving it here scans the wide
+    # text column once less (a narrow shuffle on doc replaces a full
+    # re-tokenize — the right trade when the text column dominates scan IO).
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df:
         hot = (
             inv.groupBy("sh_h")

@@ -64,3 +64,42 @@ def test_zscore_uses_broadcast_not_window(spark):
     plan = plan_of(entry.q08_zscore_outliers(spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+def test_shipping_priority_broadcasts_customer_and_takeordered(spark):
+    """TPC-H Q3 shape: the filtered BUILDING customer side must broadcast
+    (never shuffle orders for a dim-sized side) and the top-10 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(entry.q43_shipping_priority(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pivot_with_pinned_values_scans_once(spark):
+    """Pinning pivot values must avoid the extra distinct-values job: the
+    final plan reads the orders parquet exactly once."""
+    plan = plan_of(entry.q40_pivot(spark, "/root/testdata/sf0.001"))
+    assert plan.count(") Scan parquet") == 1
+
+
+def test_cube_is_expand_plus_agg(spark):
+    """CUBE must plan as Expand + hash aggregate over one scan — not a
+    union of per-grouping scans."""
+    plan = plan_of(entry.q39_cube(spark, "/root/testdata/sf0.001"))
+    assert "Expand" in plan
+    assert plan.count(") Scan parquet") == 1
+
+
+def test_salted_join_result_matches_plain_join(spark):
+    """Salting only changes shuffle distribution, never the result."""
+    from manufacturing_data_integration_tool_spark.functions.skew import salted_join
+
+    orders = entry.read_table(spark, "/root/testdata/sf0.001", "orders")
+    customer = entry.read_table(spark, "/root/testdata/sf0.001", "customer")
+    large = orders.select(F.col("o_custkey").alias("custkey"), "o_totalprice")
+    dim = customer.select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    salted = salted_join(large, dim, ["custkey"], n_salts=4)
+    plain = large.join(dim, "custkey")
+    assert salted.count() == plain.count()
+    assert salted.subtract(plain).count() == 0
+    assert plain.subtract(salted).count() == 0
