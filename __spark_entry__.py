@@ -664,6 +664,66 @@ def q45_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (customer-orders-lineitem-supplier-
+    nation-region) with a same-nation residual predicate, region filter and
+    a one-year date window. nation x region broadcasts; Catalyst orders the
+    remaining joins and AQE fixes runtime misestimates."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        region.filter(F.col("r_name") == "ASIA"),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q47_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window functions (SURVEY §2.5): per-user event sequence
+    number and a 3-row moving value sum. One hash shuffle on user_id, sorts
+    only within partitions; the frame sum is decimal-exact so the oracle
+    hash matches."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        F.col("value").cast("decimal(24,6)").alias("value_dec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return base.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.sum("value_dec").over(w.rowsBetween(-2, 0)).cast("double").alias("moving_sum_3"),
+    )
+
+
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
     non-SQL-expressible; checked rows-only (no oracle entry)."""
@@ -753,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_shipping_priority": q43_shipping_priority,
         "q44_two_stage_agg": q44_two_stage_agg,
         "q45_distinct_agg": q45_distinct_agg,
+        "q46_local_supplier_volume": q46_local_supplier_volume,
+        "q47_window_analytics": q47_window_analytics,
     }
 
 
@@ -1129,6 +1191,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "q46_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q47_window_analytics": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS INT) AS seq,
+                   CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER (
+                     PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —
