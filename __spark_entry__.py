@@ -724,6 +724,32 @@ def q47_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data selection: language ID + quality scoring +
+    exact dedup composed into one corpus filter (the LLM-pipeline flagship).
+    Quality and language are narrow per-row transforms joined on doc_id;
+    dedup representatives arrive as a left-semi join (keeps only the
+    min-doc_id copy of each distinct text). At 100 TB the quality/language
+    projections fuse into the scan and the semi-join shuffles ids, not
+    text."""
+    docs = read_table(spark, sf_dir, "documents")
+    qual = tx.doc_quality(docs).select("doc_id", "n_tokens", "type_token_ratio")
+    lang = tx.language_id(docs).select("doc_id", "predicted_lang")
+    reps = dd.exact_dedup_by_content(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        qual.join(lang, "doc_id")
+        .join(reps, "doc_id", "left_semi")
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("n_tokens") >= 30)
+            & (F.col("type_token_ratio") >= 0.55)
+        )
+        .select("doc_id", "predicted_lang", "n_tokens", "type_token_ratio")
+    )
+
+
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
     non-SQL-expressible; checked rows-only (no oracle entry)."""
@@ -815,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_distinct_agg": q45_distinct_agg,
         "q46_local_supplier_volume": q46_local_supplier_volume,
         "q47_window_analytics": q47_window_analytics,
+        "q48_training_corpus": q48_training_corpus,
     }
 
 
@@ -1213,6 +1240,28 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+        """,
+        "q48_training_corpus": f"""
+            WITH lang AS (
+              SELECT doc_id,
+                     CASE WHEN {best} > 0 THEN (CASE {pred_chain} END)
+                          ELSE 'unknown' END AS predicted_lang
+              FROM (SELECT doc_id,
+                           {", ".join(f"{lang_hits[lang]} AS hits_{lang}" for lang in langs)}
+                    FROM documents)
+            ), qual AS (
+              SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens,
+                     round(CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok}), 4) AS type_token_ratio
+              FROM documents
+            ), reps AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            )
+            SELECT q.doc_id, l.predicted_lang, q.n_tokens, q.type_token_ratio
+            FROM qual q
+            JOIN lang l ON q.doc_id = l.doc_id
+            JOIN reps r ON q.doc_id = r.doc_id
+            WHERE l.predicted_lang = 'en' AND q.n_tokens >= 30
+              AND q.type_token_ratio >= 0.55
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —
