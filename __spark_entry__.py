@@ -759,6 +759,17 @@ def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_binary_column(assembled)
 
 
+def q49_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-to-N mapInPandas fan-out (ops.multimodal.sample_frames): every 4th
+    64-byte frame of each payload, fingerprinted — the video-frame-sampling
+    plumbing with a stubbed demuxer; checked rows-only (no oracle entry)."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    assembled = mm.assemble_multimodal(docs, emb)
+    frames = mm.sample_frames(assembled, frame_bytes=64, every_n=4)
+    return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -842,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_local_supplier_volume": q46_local_supplier_volume,
         "q47_window_analytics": q47_window_analytics,
         "q48_training_corpus": q48_training_corpus,
+        "q49_frame_sample": q49_frame_sample,
     }
 
 

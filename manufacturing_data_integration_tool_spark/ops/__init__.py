@@ -18,7 +18,14 @@ from .dedup import (
     simhash_fingerprints,
     word_shingles,
 )
-from .multimodal import assemble_multimodal, decode_binary_column, media_schema
+from .multimodal import (
+    assemble_multimodal,
+    decode_binary_column,
+    extract_features,
+    media_schema,
+    resize_media,
+    sample_frames,
+)
 from .temporal import asof_join
 from .similarity import cosine_similarity, cosine_topk, ivf_topk, lsh_ann_topk
 from .text import (
@@ -43,6 +50,9 @@ __all__ = [
     "word_shingles",
     "asof_join",
     "assemble_multimodal",
+    "extract_features",
+    "resize_media",
+    "sample_frames",
     "decode_binary_column",
     "media_schema",
     "cosine_similarity",

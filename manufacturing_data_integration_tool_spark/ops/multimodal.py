@@ -18,10 +18,18 @@ from __future__ import annotations
 
 from typing import Iterator, Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["media_schema", "assemble_multimodal", "decode_binary_column"]
+__all__ = [
+    "media_schema",
+    "assemble_multimodal",
+    "decode_binary_column",
+    "extract_features",
+    "resize_media",
+    "sample_frames",
+]
 
 
 def media_schema() -> T.StructType:
@@ -135,3 +143,155 @@ def decode_binary_column(
             )
 
     return flat.mapInPandas(kernel, schema=_DECODE_RESULT)
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    media_col: str = "media",
+    dim: int = 8,
+    real_codecs: bool = False,
+) -> DataFrame:
+    """Append a feature vector per media payload via a scalar Pandas UDF.
+
+    This is the vectorized-scalar path (``@pandas_udf`` on one column, Arrow
+    batch in / Arrow batch out) — the right shape when features attach to
+    existing rows, vs ``mapInPandas`` when the output relation changes. The
+    featurizer is a STUB: a normalized byte-value histogram standing in for
+    a real image/audio encoder (deterministic, so tests and oracles can pin
+    it); ``real_codecs=True`` raises ``NotImplementedError``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def featurize(payloads: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if real_codecs:
+            raise NotImplementedError(
+                "real feature extraction requires media codecs not present in "
+                "this environment; pass real_codecs=False for the stub"
+            )
+
+        def hist(b) -> list:
+            if b is None or len(b) == 0:
+                return [0.0] * dim
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            counts = np.bincount(arr % dim, minlength=dim).astype("float32")
+            return (counts / counts.sum()).tolist()
+
+        return pd.Series([hist(b) for b in payloads])
+
+    return df.withColumn("features", featurize(F.col(f"{media_col}.payload")))
+
+
+def resize_media(
+    df: DataFrame,
+    *,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    target_bytes: int = 256,
+    real_codecs: bool = False,
+) -> DataFrame:
+    """Resize payloads to a fixed byte budget via mapInPandas (binary in,
+    binary out) — the batch-transform shape of a real image resize.
+
+    STUB kernel: truncate-or-zero-pad to ``target_bytes`` (deterministic);
+    a real deployment swaps in an actual resampler per Arrow batch. The
+    output keeps the multimodal struct shape with updated ``n_bytes`` so
+    downstream operators are agnostic to whether a resize ran.
+    """
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.meta.media_type").alias("media_type"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if real_codecs:
+                raise NotImplementedError(
+                    "real media resizing requires codecs not present in this "
+                    "environment; pass real_codecs=False for the stub"
+                )
+
+            def fit(b) -> bytes:
+                b = bytes(b or b"")
+                return b[:target_bytes] if len(b) >= target_bytes else b + b"\x00" * (
+                    target_bytes - len(b)
+                )
+
+            out = pdf["payload"].map(fit)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "n_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    return flat.mapInPandas(kernel, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    real_codecs: bool = False,
+) -> DataFrame:
+    """Sample every n-th fixed-size frame from each payload — the 1-to-N
+    mapInPandas shape of video frame extraction (one input row fans out to
+    multiple frame rows inside the same Arrow batch; no explode/shuffle).
+
+    STUB framing: the payload is treated as concatenated ``frame_bytes``
+    chunks; a real deployment demuxes with an actual codec. Frame indices
+    are global per doc so downstream dedup/similarity over frames keys on
+    (doc_id, frame_idx) deterministically.
+    """
+    flat = df.select(F.col(id_col), F.col(f"{media_col}.payload").alias("payload"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if real_codecs:
+                raise NotImplementedError(
+                    "real frame sampling requires video codecs not present in "
+                    "this environment; pass real_codecs=False for the stub"
+                )
+            ids, idxs, frames = [], [], []
+            for doc, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload or b"")
+                n_frames = len(b) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(doc))
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame": frames}
+            )
+
+    return flat.mapInPandas(kernel, schema=schema)

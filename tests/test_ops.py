@@ -238,3 +238,49 @@ def test_time_rollup_levels(spark):
     assert rows[(0, 0)] == 2 and rows[(0, 1)] == 2 and rows[(1, 25)] == 2  # finest
     assert rows[(0, None)] == 4 and rows[(1, None)] == 2                   # per-day
     assert rows[(None, None)] == 6                                         # grand total
+
+
+def test_extract_features_histogram(spark, docs):
+    from manufacturing_data_integration_tool_spark.ops import extract_features
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.1] * 4, label=i % 2) for i in range(1, 6)]
+    )
+    assembled = assemble_multimodal(docs, emb)
+    out = {r["doc_id"]: r["features"] for r in extract_features(assembled, dim=8).collect()}
+    assert len(out) == 5
+    for feats in out.values():
+        assert len(feats) == 8
+        assert math.isclose(sum(feats), 1.0, rel_tol=1e-5)  # normalized histogram
+    # identical payloads -> identical features (docs 1 and 2 share text)
+    assert out[1] == out[2]
+
+
+def test_resize_media_fixed_budget(spark, docs):
+    from manufacturing_data_integration_tool_spark.ops import resize_media
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.1] * 4, label=i % 2) for i in range(1, 6)]
+    )
+    assembled = assemble_multimodal(docs, emb)
+    out = resize_media(assembled, target_bytes=32).collect()
+    assert len(out) == 5
+    assert all(r["n_bytes"] == 32 and len(bytes(r["payload"])) == 32 for r in out)
+    # truncation keeps the prefix
+    r1 = next(r for r in out if r["doc_id"] == 1)
+    assert bytes(r1["payload"]) == b"the quick brown fox jumps over t"
+
+
+def test_sample_frames_every_n(spark, docs):
+    from manufacturing_data_integration_tool_spark.ops import sample_frames
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.1] * 4, label=i % 2) for i in range(1, 6)]
+    )
+    assembled = assemble_multimodal(docs, emb)
+    # doc 1 text is 43 bytes -> 4 frames of 10 bytes -> sampled idx 0, 2
+    out = sample_frames(assembled, frame_bytes=10, every_n=2).collect()
+    d1 = sorted((r["frame_idx"], bytes(r["frame"])) for r in out if r["doc_id"] == 1)
+    assert [i for i, _ in d1] == [0, 2]
+    assert d1[0][1] == b"the quick "
+    assert d1[1][1] == b"jumps over"
