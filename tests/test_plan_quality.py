@@ -103,3 +103,11 @@ def test_salted_join_result_matches_plain_join(spark):
     assert salted.count() == plain.count()
     assert salted.subtract(plain).count() == 0
     assert plain.subtract(salted).count() == 0
+
+
+def test_q5_shape_broadcasts_dims(spark):
+    """The 6-table join must broadcast the dim-sized sides (supplier,
+    nation x region) rather than shuffling lineitem against them."""
+    plan = plan_of(entry.q46_local_supplier_volume(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters" in plan  # date/region filters reach the scans
