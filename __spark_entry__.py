@@ -750,6 +750,43 @@ def q48_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL): per-custkey
+    order multiplicities preserved. Spark plans these as aggregating
+    replicate-count joins — one shuffle per input, no sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    surplus = f_cust.exceptAll(o_cust).withColumn("tag", F.lit("f_surplus"))
+    matched = f_cust.intersectAll(o_cust).withColumn("tag", F.lit("matched"))
+    return surplus.unionByName(matched)
+
+
+def q51_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window operator (Structured Streaming's gap-merge
+    windows, exercised in batch): per-user sessions with a 30-minute gap.
+    Start/end surfaced as integer epoch micros so the lag-gap SQL oracle
+    matches exactly (end = last event + gap)."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", F.timestamp_micros(F.expr("ts_ns div 1000")).alias("t")
+    )
+    return (
+        base.groupBy(F.session_window("t", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
     non-SQL-expressible; checked rows-only (no oracle entry)."""
@@ -854,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_window_analytics": q47_window_analytics,
         "q48_training_corpus": q48_training_corpus,
         "q49_frame_sample": q49_frame_sample,
+        "q50_multiset_ops": q50_multiset_ops,
+        "q51_session_window": q51_session_window,
     }
 
 
@@ -1274,6 +1313,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN reps r ON q.doc_id = r.doc_id
             WHERE l.predicted_lang = 'en' AND q.n_tokens >= 30
               AND q.type_token_ratio >= 0.55
+        """,
+        "q50_multiset_ops": """
+            SELECT custkey, 'f_surplus' AS tag FROM (
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+              EXCEPT ALL
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            )
+            UNION ALL
+            SELECT custkey, 'matched' AS tag FROM (
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT ALL
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            )
+        """,
+        "q51_session_window": """
+            WITH t AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS t_us FROM events
+            ), marked AS (
+              SELECT user_id, t_us,
+                     CASE WHEN lag(t_us) OVER w IS NULL
+                               OR t_us - lag(t_us) OVER w >= 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+            ), sessions AS (
+              SELECT user_id, t_us,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id, MIN(t_us) AS session_start_us,
+                   MAX(t_us) + 30 * 60 * 1000000 AS session_end_us,
+                   COUNT(*) AS n_events
+            FROM sessions GROUP BY user_id, session_id
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —
