@@ -37,6 +37,8 @@ HEADLINE = [
     "q31_bpe_token_count",
     "q32_winnowing",
     "q43_shipping_priority",
+    "q46_local_supplier_volume",
+    "q48_training_corpus",
 ]
 
 
