@@ -141,7 +141,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: Optional[int] = None,
+    max_shingle_df: Optional[int | float] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs with n-gram Jaccard >= threshold.
 
@@ -151,7 +151,14 @@ def ngram_jaccard_pairs(
     cross-multiplication so the comparison is exact (no float boundary).
 
     ``max_shingle_df`` drops shingles appearing in more than that many docs
-    before the join — the standard hot-key guard at scale.
+    before the join — the standard hot-key guard at scale: a stop-phrase
+    shingle with document frequency d contributes d^2 join rows, so ONE hot
+    shingle at corpus scale is a quadratic blow-up. An ``int`` is an
+    absolute cap; a ``float`` in (0, 1) is a corpus-relative cap
+    ``max(1, floor(frac * n_docs))`` computed lazily (1-row aggregate
+    broadcast back — no extra driver action). Production callers should
+    always set this; set sizes are computed before the drop, so hot-shingle
+    pruning only ever makes the threshold test stricter, never looser.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
     base = df.select(F.col(id_col).alias("doc"), toks.alias("__tk")).select(
@@ -176,12 +183,18 @@ def ngram_jaccard_pairs(
     # re-tokenize — the right trade when the text column dominates scan IO).
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df:
-        hot = (
-            inv.groupBy("sh_h")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("sh_h")
-        )
+        dfreq = inv.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        if isinstance(max_shingle_df, float) and 0 < max_shingle_df < 1:
+            # corpus-relative cap without a driver-side count(): the 1-row
+            # doc-count aggregate broadcasts into the filter lazily.
+            n_docs = sizes.agg(F.count(F.lit(1)).alias("__n_docs"))
+            cap = F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.lit(max_shingle_df) * F.col("__n_docs")).cast("long"),
+            )
+            hot = dfreq.crossJoin(F.broadcast(n_docs)).filter(F.col("df") > cap).select("sh_h")
+        else:
+            hot = dfreq.filter(F.col("df") > int(max_shingle_df)).select("sh_h")
         inv = inv.join(F.broadcast(hot), "sh_h", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
@@ -261,20 +274,30 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_to: int = 4,
+    candidates: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity >= threshold.
 
-    Exact triangular self-join — O(n^2) pair scoring, the oracle-able
-    baseline and the verifier for the sub-quadratic paths. At corpus scale
-    use ``ops.similarity.lsh_ann_topk`` (random-hyperplane buckets) or
-    ``ivf_topk`` (KMeans cells) to generate candidates and this scoring
-    only within candidates.
+    **Production path**: pass ``candidates`` — an (id_a, id_b) frame from a
+    sub-quadratic generator (``ops.similarity.hyperplane_candidates``,
+    ``minhash_candidates``, or LSH/IVF bucket joins). Scoring then runs only
+    on candidate pairs via two plain equi-joins to fetch the vectors —
+    shuffle-or-broadcast hash joins, linear in |candidates|, never a
+    cartesian.
+
+    Without ``candidates`` this is the exact triangular self-join — O(n^2)
+    pair scoring. That form exists as the oracle-able baseline and the
+    recall verifier for the candidate generators; do NOT run it on a full
+    corpus at scale.
     """
     from .similarity import cosine_similarity
 
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        pairs = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), round_to)
     return (
         pairs.select("id_a", "id_b", sim.alias("cosine_sim"))

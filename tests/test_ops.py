@@ -72,6 +72,30 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert not any(4 in p or 5 in p for p in got)
 
 
+def test_ngram_jaccard_hot_shingle_guard_bounds_join(spark):
+    """A stop-phrase corpus must not explode quadratically: with the
+    document-frequency cap active, shingles shared by every doc are dropped
+    before the inverted-index self-join, so the pair count collapses from
+    C(n,2) to ~0."""
+    n = 40
+    rows = [Row(doc_id=i, text=f"all docs share this exact phrase tail{i} x{i} y{i}") for i in range(n)]
+    df = spark.createDataFrame(rows)
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3)
+    assert uncapped.count() == n * (n - 1) // 2  # the blow-up
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3, max_shingle_df=5)
+    assert capped.count() == 0
+    # relative form: 10% of a 40-doc corpus -> cap 4, same collapse
+    rel = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3, max_shingle_df=0.1)
+    assert rel.count() == 0
+
+
+def test_ngram_jaccard_cap_keeps_rare_shingle_pairs(spark, docs):
+    """The cap drops only hot shingles; pairs held together by rare
+    shingles survive (df of every shingle in the 5-doc fixture <= 3)."""
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.99, max_shingle_df=4)
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs.collect()} == {(1, 2)}
+
+
 def test_minhash_candidates_finds_near_dups(spark, docs):
     cands = minhash_candidates(docs, "doc_id", "text", max_distance=0.5).collect()
     got = {(c["doc_a"], c["doc_b"]) for c in cands}
@@ -123,6 +147,42 @@ def test_lsh_ann_recall_on_tiny_set(spark, vectors):
     q = vectors.filter(F.col("vec_id") == 0)
     out = lsh_ann_topk(vectors, q, k=2, num_hash_tables=5, bucket_length=2.0).collect()
     assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
+
+
+def test_hyperplane_candidates_subset_and_colinear_recall(spark, vectors):
+    """Candidate pairs are a subset of all pairs; identical-direction
+    vectors land in the same bucket in every table (all sign bits equal),
+    so the (0,1) near-dup pair is always recalled."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import hyperplane_candidates
+
+    cands = hyperplane_candidates(vectors, dim=3, n_tables=4, n_planes=2, seed=3)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert all(a < b for a, b in got)
+    assert got <= {(a, b) for a in range(5) for b in range(5) if a < b}
+    near = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 2.0, 3.0]), Row(vec_id=1, embedding=[2.0, 4.0, 6.0])]
+    )
+    same_dir = hyperplane_candidates(near, dim=3, n_tables=2, n_planes=4, seed=9)
+    assert {(r["id_a"], r["id_b"]) for r in same_dir.collect()} == {(0, 1)}
+
+
+def test_embedding_near_dups_candidates_routing(spark, vectors):
+    """Scoring restricted to candidates == exact result intersected with
+    the candidate set — and the candidate plan has no cartesian join."""
+    from manufacturing_data_integration_tool_spark.ops.dedup import embedding_near_dups
+    from manufacturing_data_integration_tool_spark.ops.similarity import hyperplane_candidates
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_near_dups(vectors, threshold=0.5).collect()
+    }
+    cands = hyperplane_candidates(vectors, dim=3, n_tables=6, n_planes=2, seed=1)
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    routed = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_near_dups(vectors, threshold=0.5, candidates=cands).collect()
+    }
+    assert routed == {p: s for p, s in exact.items() if p in cand_pairs}
 
 
 def test_term_counts(spark, docs):

@@ -107,7 +107,20 @@ def test_salted_join_result_matches_plain_join(spark):
 
 def test_q5_shape_broadcasts_dims(spark):
     """The 6-table join must broadcast the dim-sized sides (supplier,
-    nation x region) rather than shuffling lineitem against them."""
+    nation x region) rather than shuffling lineitem against them. Only
+    nation x region is hint-forced (fixed 25 x 5 rows); supplier/customer
+    broadcasts come from size estimation, which is the point — at 100 TB
+    they degrade to shuffled hash joins instead of OOMing the build side."""
     plan = plan_of(entry.q46_local_supplier_volume(spark, "/root/testdata/sf0.001"))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "PushedFilters" in plan  # date/region filters reach the scans
+
+
+def test_q52_candidate_path_has_no_cartesian(spark):
+    """The production near-dup path must never plan an all-pairs join: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere — candidate
+    generation is an equi-join on (table, bucket), scoring an equi-join on
+    the candidate ids."""
+    plan = plan_of(entry.q52_near_dup_candidates(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
