@@ -46,8 +46,9 @@ from manufacturing_data_integration_tool_spark.plans.validator import validate
 from manufacturing_data_integration_tool_spark.sources.readers import read_table
 
 
-# The validation config used by q04/q05: range + regex + not_null over
-# orders (reference rule vocabulary P2/P3/P4 exercised on driver testdata).
+# The validation config used by q04/q05: every row-rule compiler the
+# reference declares (P2 not_null / P3 range / P4 regex / P5 date_range)
+# exercised over orders on driver testdata.
 _ORDERS_VALIDATION = IntegrationConfig(
     fields=(
         FieldMapping(
@@ -68,12 +69,25 @@ _ORDERS_VALIDATION = IntegrationConfig(
             rules=(Rule("range", {"min": 0, "max": 400000}),),
         ),
         FieldMapping(
+            source="o_orderdate",
+            target="OrderDate",
+            data_type="datetime",
+            required=True,
+            # DATE_FORMAT-before-DATE_RANGE precedence (reference
+            # src/data_validator.py:167-185); the parse branch can't fire on
+            # a clean timestamp column — q53 exercises it on mixed strings.
+            rules=(Rule("date_range", {"min": "1996-01-01", "max": "2000-12-31"}),),
+        ),
+        FieldMapping(
             source="o_orderpriority",
             target="OrderPriority",
             data_type="varchar(20)",
             required=True,
             rules=(
                 Rule("regex", {"pattern": "^[1-3]-", "description": "priority 1-3"}),
+                # whitespace-only counts as null (reference
+                # src/data_validator.py:140-142)
+                Rule("not_null", {}),
             ),
         ),
     ),
@@ -81,11 +95,15 @@ _ORDERS_VALIDATION = IntegrationConfig(
 )
 
 # Matching predicates for the DuckDB oracle (same semantics as the compiled
-# rules: regex anchored at start, range bounds inclusive-pass).
+# rules: regex anchored at start, range bounds inclusive-pass, date_range
+# bounds at midnight, not_null rejecting whitespace-only strings).
 _ORDERS_INVALID_SQL = (
     "(o_orderstatus IS NULL OR NOT regexp_matches(o_orderstatus, '^(?:[FO])')"
     " OR o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 400000"
+    " OR o_orderdate IS NULL"
+    " OR o_orderdate < TIMESTAMP '1996-01-01' OR o_orderdate > TIMESTAMP '2000-12-31'"
     " OR o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^(?:[1-3]-)')"
+    " OR regexp_matches(o_orderpriority, '^\\s*$')"
     " OR o_orderkey IS NULL)"
 )
 
@@ -485,6 +503,106 @@ def q52_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     cand = sim.hyperplane_candidates(emb, dim=64, n_tables=8, n_planes=4, seed=7)
     return dd.embedding_near_dups(emb, threshold=0.45, candidates=cand)
+
+
+def q53_date_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_range + not_null rule compilers (SURVEY P5/P2) with BOTH error
+    branches live: a derived mixed column makes every 5th value unparseable
+    (DATE_FORMAT fires even when the underlying date is also out of range —
+    the reference's parse-before-bounds precedence,
+    src/data_validator.py:167-185), the rest parse and hit the bounds
+    (DATE_RANGE); a second derived column mixes whitespace-only (NOT_NULL)
+    and true NULLs (optional-missing skips rules — no error)."""
+    orders = read_table(spark, sf_dir, "orders")
+    derived = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("not-a-date"))
+        .otherwise(F.col("o_orderdate").cast("string"))
+        .alias("date_str"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("   "))
+        .when(F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("note"),
+    )
+    cfg = IntegrationConfig(
+        fields=(
+            FieldMapping(source="o_orderkey", target="OrderKey", data_type="bigint", required=True),
+            FieldMapping(
+                source="date_str",
+                target="DateStr",
+                data_type="varchar(30)",
+                required=True,
+                rules=(Rule("date_range", {"min": "1996-01-01", "max": "2000-12-31"}),),
+            ),
+            FieldMapping(
+                source="note",
+                target="Note",
+                data_type="varchar(20)",
+                required=False,
+                rules=(Rule("not_null", {}),),
+            ),
+        ),
+        etl=EtlSettings(),
+    )
+    res = validate(derived, cfg)
+    return res.errors.groupBy("field_name", "error_type").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+
+
+def q54_composed_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full validator composed with extensions=True (SURVEY P7/P8 via
+    plans/validator.py:114-136): row rules (regex, range) AND dataset rules
+    (unique scope=daily keyed on the config's timestamp field, global
+    zscore outlier_detection) in ONE validate() pass — errors grouped by
+    field and type. The zscore stats are a 1-row aggregate broadcast back,
+    the daily-unique window shuffles on (day, key): no global sort, no
+    Python, scales with partitions."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    cfg = IntegrationConfig(
+        fields=(
+            FieldMapping(source="event_id", target="EventId", data_type="bigint", required=True),
+            FieldMapping(source="ts", target="EventTime", data_type="datetime", required=True),
+            FieldMapping(
+                source="user_id",
+                target="UserId",
+                data_type="bigint",
+                required=True,
+                rules=(Rule("unique", {"scope": "daily"}),),
+            ),
+            FieldMapping(
+                source="event_type",
+                target="EventType",
+                data_type="varchar(20)",
+                required=True,
+                rules=(
+                    Rule(
+                        "regex",
+                        {
+                            "pattern": "^(?:click|view|purchase|signup)$",
+                            "description": "known event type",
+                        },
+                    ),
+                ),
+            ),
+            FieldMapping(
+                source="value",
+                target="Value",
+                data_type="double",
+                required=True,
+                rules=(
+                    Rule("range", {"min": 0, "max": 400}),
+                    Rule("outlier_detection", {"method": "zscore", "threshold": 3.0}),
+                ),
+            ),
+        ),
+        etl=EtlSettings(),
+    )
+    res = validate(base, cfg, extensions=True)
+    return res.errors.groupBy("field_name", "error_type").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
 
 
 def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_multiset_ops": q50_multiset_ops,
         "q51_session_window": q51_session_window,
         "q52_near_dup_candidates": q52_near_dup_candidates,
+        "q53_date_rules": q53_date_rules,
+        "q54_composed_validation": q54_composed_validation,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -999,8 +1119,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'o_totalprice', 'RANGE' FROM orders
                 WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000)
               UNION ALL
+              SELECT 'o_orderdate', 'DATE_RANGE' FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND (o_orderdate < TIMESTAMP '1996-01-01' OR o_orderdate > TIMESTAMP '2000-12-31')
+              UNION ALL
               SELECT 'o_orderpriority', 'REGEX' FROM orders
                 WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^(?:[1-3]-)')
+              UNION ALL
+              SELECT 'o_orderpriority', 'NOT_NULL' FROM orders
+                WHERE o_orderpriority IS NOT NULL AND regexp_matches(o_orderpriority, '^\\s*$')
             )
             SELECT field_name, error_type, COUNT(*) AS n_errors
             FROM errs GROUP BY 1, 2
@@ -1244,6 +1371,59 @@ def oracle_sql() -> dict[str, str]:
             FROM bk a JOIN bk b
               ON a.vec_id < b.vec_id AND ({same_bucket52})
             WHERE {cos52} >= 0.45
+        """,
+        "q53_date_rules": """
+            WITH derived AS (
+              SELECT o_orderkey, o_orderdate,
+                     CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+                          ELSE CAST(o_orderdate AS VARCHAR) END AS date_str,
+                     CASE WHEN o_orderkey % 7 = 0 THEN '   '
+                          WHEN o_orderkey % 11 = 0 THEN NULL
+                          ELSE o_orderpriority END AS note
+              FROM orders
+            ), errs AS (
+              -- parse failure takes precedence over bounds (DATE_FORMAT
+              -- before DATE_RANGE), mirroring the compiled WHEN chain
+              SELECT 'date_str' AS field_name,
+                     CASE WHEN o_orderkey % 5 = 0 THEN 'DATE_FORMAT'
+                          ELSE 'DATE_RANGE' END AS error_type
+              FROM derived
+              WHERE o_orderkey % 5 = 0
+                 OR o_orderdate < TIMESTAMP '1996-01-01'
+                 OR o_orderdate > TIMESTAMP '2000-12-31'
+              UNION ALL
+              -- whitespace-only fails not_null; true NULL on an optional
+              -- field skips the rule entirely (no error row)
+              SELECT 'note', 'NOT_NULL' FROM derived
+              WHERE note IS NOT NULL AND regexp_matches(note, '^\\s*$')
+            )
+            SELECT field_name, error_type, COUNT(*) AS n_errors
+            FROM errs GROUP BY 1, 2
+        """,
+        "q54_composed_validation": """
+            WITH uniq AS (
+              SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS c
+              FROM events GROUP BY 1, 2
+            ), stats AS (
+              SELECT avg(value) AS mu, stddev_samp(value) AS sigma FROM events
+            ), errs AS (
+              SELECT 'user_id' AS field_name, 'UNIQUE' AS error_type
+              FROM events e JOIN uniq u
+                ON u.user_id = e.user_id AND u.d = CAST(e.ts AS DATE)
+              WHERE u.c > 1 AND e.user_id IS NOT NULL
+              UNION ALL
+              SELECT 'event_type', 'REGEX' FROM events
+              WHERE event_type IS NOT NULL
+                AND NOT regexp_matches(event_type, '^(?:click|view|purchase|signup)$')
+              UNION ALL
+              SELECT 'value', 'RANGE' FROM events
+              WHERE value IS NOT NULL AND (value < 0 OR value > 400)
+              UNION ALL
+              SELECT 'value', 'OUTLIER' FROM events, stats
+              WHERE value IS NOT NULL AND abs((value - mu) / sigma) > 3.0
+            )
+            SELECT field_name, error_type, COUNT(*) AS n_errors
+            FROM errs GROUP BY 1, 2
         """,
         "q35_asof_join": """
             WITH base AS (
