@@ -438,8 +438,10 @@ def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (ops.dedup) — approximate; checked
-    rows-only (no oracle entry)."""
+    """Banded MinHash-LSH near-dup candidates (ops.dedup): 48 xxhash64
+    minhashes -> 12 bands x 4 rows -> equi-join on (band, band-hash), with
+    the signature-estimated Jaccard distance — approximate by construction;
+    checked rows-only (no oracle entry)."""
     docs = read_table(spark, sf_dir, "documents")
     out = dd.minhash_candidates(docs, "doc_id", "text", max_distance=0.5)
     return out.select("doc_a", "doc_b", F.round("jaccard_dist", 4).alias("jaccard_dist"))
@@ -479,11 +481,13 @@ def q32_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q33_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (ops.similarity): KMeans cells +
-    n_probe probing — approximate (training is not SQL-expressible);
-    checked rows-only."""
+    n_probe probing via the split fit/search API — the (iterative) KMeans
+    fit runs once per index, not per query batch — approximate (training is
+    not SQL-expressible); checked rows-only."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=3)
+    index = sim.fit_ivf(emb, n_clusters=8)
+    return sim.ivf_search(index, queries, k=10, n_probe=3)
 
 
 def q34_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,9 +503,14 @@ def q52_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes -> bucket equi-join, never all-pairs) followed by exact
     cosine scoring of candidate pairs only. Because the planes are
     deterministic literals, the whole pipeline is SQL-expressible — this is
-    q34's oracle restricted to LSH candidate pairs, hash-checked."""
+    q34's oracle restricted to LSH candidate pairs, hash-checked.
+
+    Parameter note: 6 planes/table x 8 tables targets PRODUCTION near-dup
+    bands (cos >= 0.9 pairs are recalled with p ~ 0.98) while keeping
+    candidate volume ~corpus/64 per bucket; the 0.45 demo threshold here is
+    deliberately loose so the oracle has rows to hash at test scale."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cand = sim.hyperplane_candidates(emb, dim=64, n_tables=8, n_planes=4, seed=7)
+    cand = sim.hyperplane_candidates(emb, dim=64, n_tables=8, n_planes=6, seed=7)
     return dd.embedding_near_dups(emb, threshold=0.45, candidates=cand)
 
 
@@ -1054,7 +1063,7 @@ def oracle_sql() -> dict[str, str]:
     # q52: the deterministic sign-LSH planes are regenerated here from the
     # same helper/seed the Spark query uses, so both engines bucket on
     # bit-identical literals.
-    planes52 = sim.hyperplane_planes(64, 8, 4, 7)
+    planes52 = sim.hyperplane_planes(64, 8, 6, 7)
 
     def _plane_lit(p: list[float]) -> str:
         return "[" + ", ".join(repr(x) for x in p) + "]"
@@ -1063,7 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         return " + ".join(
             "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
             f"{_plane_lit(planes52[table][j])}) >= 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(4)
+            for j in range(6)
         )
 
     bk52 = ",\n                   ".join(f"({_bucket52(t)}) AS b{t}" for t in range(8))

@@ -34,11 +34,20 @@ HEADLINE = [
     "q24_window_counts",
     "q25_sessionization",
     "q26_ngram_jaccard",
+    "q27_minhash_lsh",
+    "q28_simhash",
     "q31_bpe_token_count",
     "q32_winnowing",
+    "q35_asof_join",
+    "q36_range_join",
+    "q37_time_rollup",
     "q43_shipping_priority",
     "q46_local_supplier_volume",
+    "q47_window_analytics",
     "q48_training_corpus",
+    "q50_multiset_ops",
+    "q52_near_dup_candidates",
+    "q54_composed_validation",
 ]
 
 

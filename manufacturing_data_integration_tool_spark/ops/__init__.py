@@ -27,7 +27,16 @@ from .multimodal import (
     sample_frames,
 )
 from .temporal import asof_join
-from .similarity import cosine_similarity, cosine_topk, ivf_topk, lsh_ann_topk
+from .similarity import (
+    IvfIndex,
+    cosine_similarity,
+    cosine_topk,
+    fit_ivf,
+    hyperplane_candidates,
+    ivf_search,
+    ivf_topk,
+    lsh_ann_topk,
+)
 from .text import (
     bpe_ish_token_count,
     doc_quality,
@@ -55,8 +64,12 @@ __all__ = [
     "sample_frames",
     "decode_binary_column",
     "media_schema",
+    "IvfIndex",
     "cosine_similarity",
     "cosine_topk",
+    "fit_ivf",
+    "hyperplane_candidates",
+    "ivf_search",
     "ivf_topk",
     "lsh_ann_topk",
     "bpe_ish_token_count",

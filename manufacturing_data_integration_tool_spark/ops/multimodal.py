@@ -85,16 +85,15 @@ def assemble_multimodal(
     )
 
 
-_DECODE_RESULT = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("media_type", T.StringType()),
-        T.StructField("n_bytes", T.LongType()),
-        T.StructField("feature_hash", T.LongType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-    ]
-)
+def _require_stub_codecs(real_codecs: bool, what: str) -> None:
+    """Fail fast on the DRIVER, at plan-build time: raising inside the
+    Arrow kernel would surface as an executor task failure at action time
+    (and partitions with zero batches would never raise at all)."""
+    if real_codecs:
+        raise NotImplementedError(
+            f"real {what} requires media codecs not present in this "
+            "environment; pass real_codecs=False for the deterministic stub"
+        )
 
 
 def decode_binary_column(
@@ -107,32 +106,37 @@ def decode_binary_column(
     """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
 
     The kernel signature and batch shape are production-real; the decode
-    itself is a STUB: with ``real_codecs=True`` it raises
-    ``NotImplementedError`` (no image/audio libraries in this container),
-    otherwise it emits a deterministic fake (payload byte-sum as the
-    "feature", fixed 64x64 "dimensions") so the distributed plumbing is
-    testable end-to-end.
+    itself is a STUB: ``real_codecs=True`` raises ``NotImplementedError``
+    eagerly (no image/audio libraries in this container), otherwise it
+    emits a deterministic fake (payload byte-sum as the "feature", fixed
+    64x64 "dimensions") so the distributed plumbing is testable end-to-end.
+    The id column keeps its input name in the output schema.
     """
+    _require_stub_codecs(real_codecs, "media decoding")
     flat = df.select(
         F.col(id_col),
         F.col(f"{media_col}.payload").alias("payload"),
         F.col(f"{media_col}.meta.media_type").alias("media_type"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("feature_hash", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
     )
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            if real_codecs:
-                raise NotImplementedError(
-                    "real media decoding requires image/audio codecs not present "
-                    "in this environment; pass real_codecs=False for the "
-                    "deterministic stub"
-                )
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "media_type": pdf["media_type"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     # deterministic fake feature: byte sum
@@ -142,7 +146,7 @@ def decode_binary_column(
                 }
             )
 
-    return flat.mapInPandas(kernel, schema=_DECODE_RESULT)
+    return flat.mapInPandas(kernel, schema=schema)
 
 
 def extract_features(
@@ -163,15 +167,11 @@ def extract_features(
     """
     from pyspark.sql.functions import pandas_udf
 
+    _require_stub_codecs(real_codecs, "feature extraction")
+
     @pandas_udf(T.ArrayType(T.FloatType()))
     def featurize(payloads: pd.Series) -> pd.Series:
         import numpy as np
-
-        if real_codecs:
-            raise NotImplementedError(
-                "real feature extraction requires media codecs not present in "
-                "this environment; pass real_codecs=False for the stub"
-            )
 
         def hist(b) -> list:
             if b is None or len(b) == 0:
@@ -199,8 +199,10 @@ def resize_media(
     STUB kernel: truncate-or-zero-pad to ``target_bytes`` (deterministic);
     a real deployment swaps in an actual resampler per Arrow batch. The
     output keeps the multimodal struct shape with updated ``n_bytes`` so
-    downstream operators are agnostic to whether a resize ran.
+    downstream operators are agnostic to whether a resize ran; the id
+    column keeps its input name.
     """
+    _require_stub_codecs(real_codecs, "media resizing")
     flat = df.select(
         F.col(id_col),
         F.col(f"{media_col}.payload").alias("payload"),
@@ -208,7 +210,7 @@ def resize_media(
     )
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("media_type", T.StringType()),
             T.StructField("payload", T.BinaryType()),
             T.StructField("n_bytes", T.LongType()),
@@ -219,12 +221,6 @@ def resize_media(
         import pandas as pd
 
         for pdf in batches:
-            if real_codecs:
-                raise NotImplementedError(
-                    "real media resizing requires codecs not present in this "
-                    "environment; pass real_codecs=False for the stub"
-                )
-
             def fit(b) -> bytes:
                 b = bytes(b or b"")
                 return b[:target_bytes] if len(b) >= target_bytes else b + b"\x00" * (
@@ -234,7 +230,7 @@ def resize_media(
             out = pdf["payload"].map(fit)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "media_type": pdf["media_type"],
                     "payload": out,
                     "n_bytes": out.map(len).astype("int64"),
@@ -260,12 +256,13 @@ def sample_frames(
     STUB framing: the payload is treated as concatenated ``frame_bytes``
     chunks; a real deployment demuxes with an actual codec. Frame indices
     are global per doc so downstream dedup/similarity over frames keys on
-    (doc_id, frame_idx) deterministically.
+    (id, frame_idx) deterministically; the id column keeps its input name.
     """
+    _require_stub_codecs(real_codecs, "frame sampling")
     flat = df.select(F.col(id_col), F.col(f"{media_col}.payload").alias("payload"))
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("frame", T.BinaryType()),
         ]
@@ -275,11 +272,6 @@ def sample_frames(
         import pandas as pd
 
         for pdf in batches:
-            if real_codecs:
-                raise NotImplementedError(
-                    "real frame sampling requires video codecs not present in "
-                    "this environment; pass real_codecs=False for the stub"
-                )
             ids, idxs, frames = [], [], []
             for doc, payload in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(payload or b"")
@@ -289,7 +281,7 @@ def sample_frames(
                     idxs.append(i)
                     frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
             yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"),
+                {id_col: pd.Series(ids, dtype="int64"),
                  "frame_idx": pd.Series(idxs, dtype="int32"),
                  "frame": frames}
             )

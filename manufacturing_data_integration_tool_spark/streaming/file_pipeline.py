@@ -38,13 +38,19 @@ def start_file_stream(
     archive_dir: Optional[str] = None,
     available_now: bool = True,
     lookup_values: Optional[Mapping[str, Any]] = None,
-    max_files_per_trigger: Optional[int] = None,
+    max_files_per_trigger: Optional[int] = 128,
 ) -> StreamingQuery:
     """Stream CSVs from ``input_dir`` through validation into parquet sinks.
 
     ``available_now=True`` drains everything currently present then stops —
     deterministic for tests and batch-style backfills; ``False`` keeps
     watching the directory like a daemonized version of the reference CLI.
+
+    ``max_files_per_trigger`` defaults to 128 so the per-batch archive step
+    (which collects the DISTINCT file list of the batch to the driver for
+    renames) is bounded by construction, not by assumption — a backlogged
+    inbox drains over several batches instead of one unbounded batch.
+    Pass ``None`` to remove the bound.
     """
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in config.source_columns])
     reader = (

@@ -225,8 +225,33 @@ def test_multimodal_assemble_and_decode(spark, docs):
 def test_decode_real_codecs_stubbed(spark, docs):
     emb = spark.createDataFrame([Row(vec_id=1, embedding=[0.1] * 4, label=0)])
     assembled = assemble_multimodal(docs, emb)
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        decode_binary_column(assembled, real_codecs=True).collect()
+    # the stub guard raises EAGERLY on the driver at plan-build time — no
+    # .collect() needed, and no executor-side task failure to decode
+    with pytest.raises(NotImplementedError, match="real media decoding"):
+        decode_binary_column(assembled, real_codecs=True)
+    from manufacturing_data_integration_tool_spark.ops import resize_media, sample_frames
+    from manufacturing_data_integration_tool_spark.ops.multimodal import extract_features
+
+    for fn, msg in (
+        (resize_media, "resizing"),
+        (sample_frames, "frame sampling"),
+        (extract_features, "feature extraction"),
+    ):
+        with pytest.raises(NotImplementedError, match=msg):
+            fn(assembled, real_codecs=True)
+
+
+def test_multimodal_output_id_named_from_id_col(spark, docs):
+    from manufacturing_data_integration_tool_spark.ops import resize_media, sample_frames
+
+    emb = spark.createDataFrame([Row(vec_id=i, embedding=[0.1] * 4, label=0) for i in range(1, 6)])
+    assembled = assemble_multimodal(docs, emb).withColumnRenamed("doc_id", "item_id")
+    resized = resize_media(assembled, id_col="item_id", target_bytes=16)
+    assert resized.columns[0] == "item_id"
+    assert resized.filter(F.col("item_id") == 1).collect()[0]["n_bytes"] == 16
+    frames = sample_frames(assembled, id_col="item_id", frame_bytes=8, every_n=2)
+    assert frames.columns[0] == "item_id"
+    assert frames.count() > 0
 
 
 def test_embedding_near_dups(spark, vectors):
