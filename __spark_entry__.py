@@ -108,6 +108,24 @@ _ORDERS_INVALID_SQL = (
 )
 
 
+# Shared oracle CTE: SimHash fingerprint table fp(doc, simhash) — used by
+# both q28 (fingerprints) and q55 (Hamming-band near-dup join).
+_SIMHASH_FP_CTE = """tok AS (
+              SELECT doc_id, md5(t.tok) AS h
+              FROM documents,
+                   LATERAL (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok) t
+            ), bits AS (
+              SELECT doc_id, i,
+                     SUM(2 * ((CAST(('0x' || substring(h, 1 + i // 4, 1)) AS INTEGER) >> (3 - i % 4)) & 1) - 1) AS s
+              FROM tok, range(64) r(i)
+              GROUP BY doc_id, i
+            ), fp AS (
+              SELECT doc_id AS doc,
+                     string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+              FROM bits GROUP BY doc_id
+            )"""
+
+
 def _orders_validated(spark: SparkSession, sf_dir: str):
     orders = read_table(spark, sf_dir, "orders")
     return validate(orders, _ORDERS_VALIDATION)
@@ -451,6 +469,16 @@ def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints from md5 bits (ops.dedup)."""
     docs = read_table(spark, sf_dir, "documents")
     return dd.simhash_fingerprints(docs, "doc_id", "text")
+
+
+def q55_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-band near-dup join (ops.dedup): pigeonhole banding —
+    any pair within Hamming <= 3 shares at least one of 4 exact 16-bit
+    bands — so candidates come from an equi-join on (band, substring) and
+    exact Hamming is computed only for candidates. All integer/string math:
+    deterministic, hash-checked against the same pipeline in SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
 
 
 def q29_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_near_dup_candidates": q52_near_dup_candidates,
         "q53_date_rules": q53_date_rules,
         "q54_composed_validation": q54_composed_validation,
+        "q55_simhash_near_dups": q55_simhash_near_dups,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -1321,20 +1350,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.doc_b
             WHERE 25 * i.inter >= 3 * (sa.n_sh + sb.n_sh - i.inter)
         """,
-        "q28_simhash": """
-            WITH tok AS (
-              SELECT doc_id, md5(t.tok) AS h
-              FROM documents,
-                   LATERAL (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok) t
-            ), bits AS (
-              SELECT doc_id, i,
-                     SUM(2 * ((CAST(('0x' || substring(h, 1 + i // 4, 1)) AS INTEGER) >> (3 - i % 4)) & 1) - 1) AS s
-              FROM tok, range(64) r(i)
-              GROUP BY doc_id, i
+        "q28_simhash": f"""
+            WITH {_SIMHASH_FP_CTE}
+            SELECT doc, simhash FROM fp
+        """,
+        "q55_simhash_near_dups": f"""
+            WITH {_SIMHASH_FP_CTE},
+            bands AS (
+              SELECT doc, i AS band, substring(simhash, 1 + 16 * i, 16) AS sub
+              FROM fp, range(4) r(i)
+            ), cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sub = b.sub AND a.doc < b.doc
             )
-            SELECT doc_id AS doc,
-                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
-            FROM bits GROUP BY doc_id
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_filter(range(1, 65),
+                        i -> substring(fa.simhash, CAST(i AS INT), 1)
+                             <> substring(fb.simhash, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN fp fa ON fa.doc = c.doc_a
+            JOIN fp fb ON fb.doc = c.doc_b
+            WHERE len(list_filter(range(1, 65),
+                  i -> substring(fa.simhash, CAST(i AS INT), 1)
+                       <> substring(fb.simhash, CAST(i AS INT), 1))) <= 3
         """,
         "q31_bpe_token_count": f"""
             SELECT doc_id,

@@ -16,6 +16,7 @@ from .dedup import (
     minhash_candidates,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    simhash_near_dups,
     word_shingles,
 )
 from .multimodal import (
@@ -56,6 +57,7 @@ __all__ = [
     "minhash_candidates",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
+    "simhash_near_dups",
     "word_shingles",
     "asof_join",
     "assemble_multimodal",

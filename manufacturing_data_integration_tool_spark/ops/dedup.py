@@ -38,6 +38,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidates",
     "simhash_fingerprints",
+    "simhash_near_dups",
     "embedding_near_dups",
 ]
 
@@ -397,3 +398,57 @@ def simhash_fingerprints(
     sums = tok.groupBy("doc").agg(*aggs)
     fp = F.concat(*[F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)])
     return sums.select("doc", fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    The classic sharded-fingerprint scheme (Manku et al., WWW'07): split the
+    fingerprint into ``max_hamming + 1`` bands — by pigeonhole, any pair
+    within the Hamming budget agrees EXACTLY on at least one whole band —
+    so candidate generation is an equi-join on (band index, band substring),
+    never all-pairs. Exact Hamming distance is then computed only for
+    candidate pairs; everything is integer/string math, so the whole
+    pipeline is deterministic and SQL-expressible (oracled as q55).
+    """
+    bands = max_hamming + 1
+    width = bits // bands
+    # trailing bits that don't divide evenly go to the last band
+    widths = [width] * (bands - 1) + [bits - width * (bands - 1)]
+    starts = [1 + width * i for i in range(bands)]
+    fp = simhash_fingerprints(df, id_col, text_col, bits=bits)
+    band_arr = F.array(
+        *[F.substring("simhash", starts[b], widths[b]) for b in range(bands)]
+    )
+    tagged = fp.select("doc", F.posexplode(band_arr).alias("__band", "__sub"))
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("__fb"))
+    ham = None
+    for i in range(1, bits + 1):
+        term = (F.substring("__fa", i, 1) != F.substring("__fb", i, 1)).cast("int")
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -103,6 +103,18 @@ def test_minhash_candidates_finds_near_dups(spark, docs):
     assert not any((4 in p) or (5 in p) for p in got)
 
 
+def test_simhash_near_dups_banding(spark, docs):
+    """Hamming-0 pairs (identical docs) must always be candidates via the
+    pigeonhole banding; far pairs must not pass the Hamming budget."""
+    from manufacturing_data_integration_tool_spark.ops import simhash_near_dups
+
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+           simhash_near_dups(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert out[(1, 2)] == 0  # identical docs
+    assert all(h <= 3 for h in out.values())
+    assert not any(4 in p or 5 in p for p in out)  # unrelated docs excluded
+
+
 def test_simhash_identical_docs_same_fingerprint(spark, docs):
     fp = {r["doc"]: r["simhash"] for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
     assert fp[1] == fp[2]
