@@ -47,7 +47,9 @@ HEADLINE = [
     "q48_training_corpus",
     "q50_multiset_ops",
     "q52_near_dup_candidates",
+    "q53_date_rules",
     "q54_composed_validation",
+    "q55_simhash_near_dups",
 ]
 
 

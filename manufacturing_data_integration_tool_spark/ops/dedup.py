@@ -375,6 +375,7 @@ def simhash_fingerprints(
     text_col: str,
     *,
     bits: int = 64,
+    include_packed: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document, built from cross-engine-stable md5 bits.
 
@@ -383,8 +384,14 @@ def simhash_fingerprints(
     with 64 integer sum aggregates — a single shuffle on doc id; everything
     stays JVM-side.
 
-    Near-dup use: group or self-join on the fingerprint (Hamming-0), or on
-    band substrings of it for Hamming <= k.
+    ``include_packed`` additionally emits the fingerprint bit-packed into
+    one BIGINT (``simhash_long``, bit string position i -> long bit 63-i;
+    summing disjoint powers of two is exact in two's complement) so Hamming
+    distance is a single ``bit_count(a XOR b)`` instead of 64 substring
+    compares.
+
+    Near-dup use: group or self-join on the fingerprint (Hamming-0), or
+    ``simhash_near_dups`` for banded Hamming <= k.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
     tok = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tok"))
@@ -397,7 +404,17 @@ def simhash_fingerprints(
         aggs.append(F.sum(bit * 2 - 1).alias(f"b{i}"))
     sums = tok.groupBy("doc").agg(*aggs)
     fp = F.concat(*[F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)])
-    return sums.select("doc", fp.alias("simhash"))
+    cols = ["doc", fp.alias("simhash")]
+    if include_packed:
+        packed = None
+        for i in range(bits):
+            term = F.when(
+                F.col(f"b{i}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), bits - 1 - i),
+            ).otherwise(F.lit(0).cast("long"))
+            packed = term if packed is None else packed + term
+        cols.append(packed.alias("simhash_long"))
+    return sums.select(*cols)
 
 
 def simhash_near_dups(
@@ -423,11 +440,18 @@ def simhash_near_dups(
     # trailing bits that don't divide evenly go to the last band
     widths = [width] * (bands - 1) + [bits - width * (bands - 1)]
     starts = [1 + width * i for i in range(bands)]
-    fp = simhash_fingerprints(df, id_col, text_col, bits=bits)
+    fp = simhash_fingerprints(df, id_col, text_col, bits=bits, include_packed=True)
     band_arr = F.array(
         *[F.substring("simhash", starts[b], widths[b]) for b in range(bands)]
     )
-    tagged = fp.select("doc", F.posexplode(band_arr).alias("__band", "__sub"))
+    # the packed fingerprint rides along through the band join so the
+    # (explode + 64-agg groupBy) fingerprint subtree appears twice in the
+    # plan (the two self-join sides), not four times (no post-hoc fp
+    # re-join); the distinct collapses multi-band collisions of the same
+    # pair, and Hamming is ONE bit_count(xor) per candidate.
+    tagged = fp.select(
+        "doc", F.col("simhash_long"), F.posexplode(band_arr).alias("__band", "__sub")
+    )
     a = tagged.alias("a")
     b = tagged.alias("b")
     cand = (
@@ -437,18 +461,16 @@ def simhash_near_dups(
             & (F.col("a.__sub") == F.col("b.__sub"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash_long").alias("__fa"),
+            F.col("b.simhash_long").alias("__fb"),
+        )
         .distinct()
     )
-    fa = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("__fa"))
-    fb = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("__fb"))
-    ham = None
-    for i in range(1, bits + 1):
-        term = (F.substring("__fa", i, 1) != F.substring("__fb", i, 1)).cast("int")
-        ham = term if ham is None else ham + term
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

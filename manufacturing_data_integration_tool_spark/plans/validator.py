@@ -54,7 +54,13 @@ def with_row_index(df: DataFrame, order_by: Optional[list[str]] = None, name: st
     """Deterministic row index when an ordering exists; otherwise a
     partition-stable id. pandas row indices are file order — at distributed
     scale "file order" is only meaningful per file, so error reports should
-    be keyed on natural columns; this helper exists for compat/tests."""
+    be keyed on natural columns; this helper exists for compat/tests.
+
+    .. warning:: The ``order_by`` form is an UNPARTITIONED global-sort
+       window — every row funnels through ONE task. It exists solely so the
+       9-row golden fixture can reproduce the reference's pandas row
+       numbering byte-for-byte. Never call it from a pipeline or query
+       path; nothing in the production surface does."""
     if order_by:
         w = Window.orderBy(*[F.col(c) for c in order_by])
         return df.withColumn(name, F.row_number().over(w) - 1)
