@@ -110,6 +110,39 @@ _ORDERS_INVALID_SQL = (
 
 # Shared oracle CTE: SimHash fingerprint table fp(doc, simhash) — used by
 # both q28 (fingerprints) and q55 (Hamming-band near-dup join).
+# q26/q56 share this pair pipeline: 3-gram shingles -> hot-shingle cap ->
+# inverted-index self-join -> integer Jaccard threshold (the SQL mirror of
+# ops.dedup.ngram_jaccard_pairs with n=3, threshold=0.12, max_shingle_df=0.01).
+_JACCARD_PAIRS_CTE = r"""toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS shingles
+              FROM toks WHERE len(tk) >= 3
+            ), sizes AS (
+              SELECT doc_id, len(shingles) AS n_sh FROM sh
+            ), inv AS (
+              SELECT doc_id, unnest(shingles) AS shingle FROM sh
+            ), hot AS (
+              -- mirror of the 1%-of-corpus hot-shingle cap (set sizes stay pre-drop)
+              SELECT shingle FROM inv GROUP BY shingle
+              HAVING COUNT(*) > GREATEST(1, CAST(FLOOR(CAST(0.01 AS DOUBLE) * (SELECT COUNT(*) FROM sizes)) AS BIGINT))
+            ), inv2 AS (
+              SELECT doc_id, shingle FROM inv
+              WHERE shingle NOT IN (SELECT shingle FROM hot)
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jpairs AS (
+              SELECT i.doc_a, i.doc_b, i.inter,
+                     sa.n_sh AS n_a, sb.n_sh AS n_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 25 * i.inter >= 3 * (sa.n_sh + sb.n_sh - i.inter)
+            )"""
+
 _SIMHASH_FP_CTE = """tok AS (
               SELECT doc_id, md5(t.tok) AS h
               FROM documents,
@@ -988,6 +1021,97 @@ def q49_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
 
 
+def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> CLUSTERS -> survivors (ops.graph): alternating
+    large-star/small-star connected components (Kiveris et al., SoCC'14)
+    over the exact n-gram Jaccard pair graph, then one survivor per
+    component (min doc id) and every singleton kept. This is the step that
+    turns pair detection into an actual deduplicated corpus; hash-checked
+    against a recursive-CTE min-reachable oracle."""
+    from manufacturing_data_integration_tool_spark.ops.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=0.01
+    )
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (ops.sampling) — the
+    corpus-mixing primitive. Membership is a pure md5-prefix comparison on
+    (doc_id, salt): reproducible across partitionings/engines, zero
+    shuffle, one scan. en downsampled, low-resource langs kept whole."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        "lang",
+        "doc_id",
+        {"en": 0.5, "de": 1.0, "zh": 1.0},
+        default_fraction=0.25,
+        salt="mix1",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q58_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/holdout split (ops.sampling): contamination-safe
+    by construction — membership depends only on (doc_id, salt), so
+    appends/backfills can never move a document across the boundary."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        train_holdout_split,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return train_holdout_split(docs, "doc_id", 0.1).select("doc_id", "split")
+
+
+def q59_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (ops.text), rational smoothed idf
+    (no transcendental -> bit-identical across engines). Deterministic ties
+    (score desc, term asc); df table broadcast back as a vocab-sized dim."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(docs, "doc_id", "text", k=3, idf="rational")
+
+
+def q60_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with contiguous token ids (ops.text).
+    Counting is map-side-combined; the id-stamping window runs over the
+    bounded top-200 (TakeOrderedAndProject), never the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.build_vocab(docs, "text", max_size=200, min_count=2)
+
+
+def q61_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour rolling count + exact sum over event time
+    (ops.temporal.rolling_time_agg): integer RANGE frame on epoch micros —
+    same-timestamp rows share a frame, so the result is deterministic and
+    the decimal sum is partition-order-independent."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.col("value").cast("decimal(24,6)").alias("value_dec"),
+    )
+    out = tp.rolling_time_agg(
+        base,
+        key_col="user_id",
+        ts_col="ts_us",
+        window_size=MICROS_PER_HOUR,
+        aggs=[("count(*)", "n_1h"), ("sum(value_dec)", "sum_1h")],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("n_1h").cast("long").alias("n_1h"),
+        F.col("sum_1h").cast("double").alias("sum_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1077,6 +1201,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_date_rules": q53_date_rules,
         "q54_composed_validation": q54_composed_validation,
         "q55_simhash_near_dups": q55_simhash_near_dups,
+        "q56_dedup_clusters": q56_dedup_clusters,
+        "q57_stratified_sample": q57_stratified_sample,
+        "q58_train_split": q58_train_split,
+        "q59_tfidf": q59_tfidf,
+        "q60_vocab": q60_vocab,
+        "q61_rolling_time": q61_rolling_time,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -1088,6 +1218,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     tok = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+    # q57/q58: the sampling thresholds are regenerated from the SAME helper
+    # the Spark operators use, so both engines compare against identical
+    # hex literals (ops.sampling.hash_fraction_threshold).
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        bucket_sql as _bucket_sql,
+        hash_fraction_threshold as _hft,
+    )
+
+    mix_bucket = _bucket_sql("doc_id", "mix1")
+    split_bucket = _bucket_sql("doc_id", "split")
 
     # q52: the deterministic sign-LSH planes are regenerated here from the
     # same helper/seed the Spark query uses, so both engines bucket on
@@ -1321,34 +1462,86 @@ def oracle_sql() -> dict[str, str]:
             FROM sessions GROUP BY user_id, session_id
         """,
         "q26_ngram_jaccard": f"""
-            WITH toks AS (
-              SELECT doc_id, {tok} AS tk FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS shingles
-              FROM toks WHERE len(tk) >= 3
-            ), sizes AS (
-              SELECT doc_id, len(shingles) AS n_sh FROM sh
-            ), inv AS (
-              SELECT doc_id, unnest(shingles) AS shingle FROM sh
-            ), hot AS (
-              -- mirror of the 1%-of-corpus hot-shingle cap (set sizes stay pre-drop)
-              SELECT shingle FROM inv GROUP BY shingle
-              HAVING COUNT(*) > GREATEST(1, CAST(FLOOR(CAST(0.01 AS DOUBLE) * (SELECT COUNT(*) FROM sizes)) AS BIGINT))
-            ), inv2 AS (
-              SELECT doc_id, shingle FROM inv
-              WHERE shingle NOT IN (SELECT shingle FROM hot)
-            ), inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-              FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
+            WITH {_JACCARD_PAIRS_CTE}
+            SELECT doc_a, doc_b, inter, n_a, n_b FROM jpairs
+        """,
+        "q56_dedup_clusters": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION
+              SELECT doc_b, doc_a FROM jpairs
+            ),
+            reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.node
+            ),
+            comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_survivor
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        "q57_stratified_sample": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE {mix_bucket} <
+                  CASE lang WHEN 'en' THEN '{_hft(0.5)}'
+                            WHEN 'de' THEN '{_hft(1.0)}'
+                            WHEN 'zh' THEN '{_hft(1.0)}'
+                            ELSE '{_hft(0.25)}' END
+        """,
+        "q58_train_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {split_bucket} < '{_hft(0.1)}'
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "q59_tfidf": f"""
+            WITH terms AS (
+              SELECT doc_id AS doc, unnest({tok}) AS term FROM documents
+            ), tf AS (
+              SELECT doc, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc, term, tf, df,
+                     tf * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS rnk
+              FROM scored
             )
-            SELECT i.doc_a, i.doc_b, i.inter,
-                   sa.n_sh AS n_a, sb.n_sh AS n_b
-            FROM inter i
-            JOIN sizes sa ON sa.doc_id = i.doc_a
-            JOIN sizes sb ON sb.doc_id = i.doc_b
-            WHERE 25 * i.inter >= 3 * (sa.n_sh + sb.n_sh - i.inter)
+            SELECT doc AS doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rank
+            FROM ranked WHERE rnk <= 3
+        """,
+        "q60_vocab": f"""
+            WITH counts AS (
+              SELECT term, COUNT(*) AS term_count
+              FROM (SELECT unnest({tok}) AS term FROM documents)
+              GROUP BY term HAVING COUNT(*) >= 2
+            ), top AS (
+              SELECT term, term_count FROM counts
+              ORDER BY term_count DESC, term LIMIT 200
+            )
+            SELECT CAST(row_number() OVER (ORDER BY term_count DESC, term) - 1 AS BIGINT) AS token_id,
+                   term, term_count
+            FROM top
+        """,
+        "q61_rolling_time": f"""
+            WITH base AS (
+              SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+                     CAST(value AS DECIMAL(24,6)) AS value_dec
+              FROM events
+            )
+            SELECT event_id, user_id, ts_us,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+                   CAST(SUM(value_dec) OVER w AS DOUBLE) AS sum_1h
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN {MICROS_PER_HOUR} PRECEDING AND CURRENT ROW)
         """,
         "q28_simhash": f"""
             WITH {_SIMHASH_FP_CTE}

@@ -50,6 +50,10 @@ HEADLINE = [
     "q53_date_rules",
     "q54_composed_validation",
     "q55_simhash_near_dups",
+    "q56_dedup_clusters",
+    "q57_stratified_sample",
+    "q59_tfidf",
+    "q61_rolling_time",
 ]
 
 

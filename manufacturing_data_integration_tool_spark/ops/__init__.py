@@ -19,6 +19,13 @@ from .dedup import (
     simhash_near_dups,
     word_shingles,
 )
+from .graph import connected_components, dedup_clusters
+from .sampling import (
+    hash_fraction_threshold,
+    hash_sample,
+    stratified_sample,
+    train_holdout_split,
+)
 from .multimodal import (
     assemble_multimodal,
     decode_binary_column,
@@ -59,6 +66,12 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dups",
     "word_shingles",
+    "connected_components",
+    "dedup_clusters",
+    "hash_fraction_threshold",
+    "hash_sample",
+    "stratified_sample",
+    "train_holdout_split",
     "asof_join",
     "assemble_multimodal",
     "extract_features",

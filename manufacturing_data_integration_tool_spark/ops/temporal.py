@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup"]
+__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg"]
 
 
 def asof_join(
@@ -130,3 +130,38 @@ def time_rollup(
     ]
     base = events.select(*bucket_cols, *[c for c in events.columns])
     return base.rollup(*[name for name, _ in buckets]).agg(*aggs)
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    window_size: int,
+    aggs: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Per-key rolling aggregates over a trailing TIME interval.
+
+    ``aggs`` is ``[(expr_sql, alias), ...]`` — e.g.
+    ``[("count(*)", "n_1h"), ("sum(v)", "sum_1h")]`` — each evaluated over
+    the frame ``[ts - window_seconds, ts]`` within the key's timeline.
+    ``ts_col`` must be a NUMERIC epoch column (seconds, micros, nanos —
+    any unit, as long as ``window_size`` is expressed in the same unit):
+    integer RANGE frames are exact and engine-portable, and same-timestamp
+    rows always share a frame — deterministic regardless of
+    intra-partition order.
+
+    One hash shuffle on ``key_col``; the sort is per-key within its task —
+    no global ordering. This is the "rate over the last hour per device"
+    primitive; for exact sums over floats, pre-cast the value to decimal so
+    frame-internal accumulation order can't change the answer.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col))
+        .rangeBetween(-window_size, 0)
+    )
+    out = df
+    for expr_sql, alias in aggs:
+        out = out.withColumn(alias, F.expr(expr_sql).over(w))
+    return out

@@ -17,6 +17,8 @@ __all__ = [
     "token_count",
     "bpe_ish_token_count",
     "term_counts",
+    "tfidf_top_terms",
+    "build_vocab",
     "doc_quality",
     "lang_stats",
     "language_id",
@@ -117,6 +119,84 @@ def term_counts(df: DataFrame, text_col: str = "text", min_count: int = 1) -> Da
     if min_count > 1:
         out = out.filter(F.col("term_count") >= min_count)
     return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    idf: str = "log",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf is the in-document term count; document frequency comes from one
+    explode + groupBy over distinct (doc, term); idf is smoothed:
+
+    * ``idf="log"``: ``ln((N+1)/(df+1)) + 1`` (sklearn-style smooth idf)
+    * ``idf="rational"``: ``(N+1)/(df+1)`` — no transcendental function, so
+      the score is BIT-IDENTICAL across engines (Java's ``Math.log`` and C
+      libm may differ in the last ulp); use this variant when hash-checking
+      against another engine. Rankings differ from "log" only when tf
+      varies within a doc — both are standard weightings.
+
+    Ties break deterministically (score desc, term asc). The corpus size N
+    and per-term df are broadcast back as a tiny dim (|vocab| rows); the
+    only wide shuffles are the (doc, term) groupBy and the per-doc top-k
+    window — both hash-partitioned, no global sort.
+    """
+    if idf not in ("log", "rational"):
+        raise ValueError(f"idf must be 'log' or 'rational', got {idf!r}")
+    terms = df.select(F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("term"))
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    ratio = (F.col("n_docs") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast(
+        "double"
+    )
+    idf_col = (F.log(ratio) + F.lit(1.0)) if idf == "log" else ratio
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc", "term", "tf", "df", (F.col("tf") * idf_col).alias("tfidf"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col), "term", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_size: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked vocabulary with contiguous ids 0..max_size-1.
+
+    Counting is the scalable part (explode + map-side-combined groupBy);
+    id assignment is a deliberate TakeOrderedAndProject: the top
+    ``max_size`` rows (count desc, term asc — deterministic ties) are a
+    BOUNDED set, so the row_number window that stamps ids runs over at most
+    ``max_size`` rows, never the corpus. That is the correct shape at any
+    scale — a vocabulary is driver-sized by definition.
+    """
+    counts = term_counts(df, text_col, min_count=min_count)
+    top = counts.orderBy(F.desc("term_count"), F.asc("term")).limit(max_size)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("term_count"), F.asc("term"))
+    return top.withColumn("token_id", (F.row_number().over(w) - 1).cast("long")).select(
+        "token_id", "term", "term_count"
+    )
 
 
 def doc_quality(

@@ -1,0 +1,120 @@
+"""Unit tests for ops.graph (connected components / dedup clusters) and
+ops.sampling (deterministic hash sampling / splits)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from manufacturing_data_integration_tool_spark.ops.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from manufacturing_data_integration_tool_spark.ops.sampling import (
+    hash_fraction_threshold,
+    hash_sample,
+    stratified_sample,
+    train_holdout_split,
+)
+
+
+def _cc_map(rows):
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,4} (path), {10,11}; plus a self-loop ignored
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (5, 5)], ["src", "dst"]
+    )
+    got = _cc_map(connected_components(pairs).collect())
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path(spark):
+    # a 32-node path exercises multiple large/small-star rounds
+    n = 32
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    got = _cc_map(connected_components(pairs).collect())
+    assert set(got.values()) == {0}
+    assert set(got.keys()) == set(range(n + 1))
+
+
+def test_connected_components_direction_invariant(spark):
+    fwd = spark.createDataFrame([(7, 3), (3, 9), (2, 9)], ["src", "dst"])
+    rev = spark.createDataFrame([(3, 7), (9, 3), (9, 2)], ["src", "dst"])
+    assert _cc_map(connected_components(fwd).collect()) == _cc_map(
+        connected_components(rev).collect()
+    )
+
+
+def test_dedup_clusters_survivors_and_singletons(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], ["doc_a", "doc_b"])
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert len(rows) == 6
+    assert rows[1]["cluster_id"] == 1 and rows[3]["cluster_id"] == 1
+    assert rows[5]["cluster_id"] == 1
+    assert rows[1]["is_survivor"] and not rows[3]["is_survivor"]
+    # singletons survive as their own cluster
+    for d in (0, 2, 4):
+        assert rows[d]["cluster_id"] == d and rows[d]["is_survivor"]
+
+
+def test_hash_fraction_threshold_bounds():
+    assert hash_fraction_threshold(0.0) == "0" * 13
+    assert hash_fraction_threshold(1.0) == "g"  # > every hex char
+    assert hash_fraction_threshold(0.5) == "8" + "0" * 12
+    with pytest.raises(ValueError):
+        hash_fraction_threshold(1.5)
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s30 = set(r["k"] for r in hash_sample(df, "k", 0.3).collect())
+    s30_again = set(r["k"] for r in hash_sample(df, "k", 0.3).collect())
+    assert s30 == s30_again  # reproducible
+    # monotone thresholds nest: every 30% row is also a 60% row
+    s60 = set(r["k"] for r in hash_sample(df, "k", 0.6).collect())
+    assert s30 <= s60
+    # roughly the right rate
+    assert 0.25 < len(s30) / 2000 < 0.35
+    # different salt -> a different (independent) draw
+    s30b = set(r["k"] for r in hash_sample(df, "k", 0.3, salt="x").collect())
+    assert s30 != s30b
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = set(r["k"] for r in hash_sample(df, "k", 0.4).collect())
+    b = set(r["k"] for r in hash_sample(df.repartition(7), "k", 0.4).collect())
+    assert a == b
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = stratified_sample(df, "lang", "k", {"en": 0.2, "de": 1.0}).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    de = sum(1 for r in out if r["lang"] == "de")
+    assert de == 1000  # fraction 1.0 keeps everything
+    assert 0.12 < en / 1000 < 0.28
+    # unlisted strata fall back to default (drop)
+    df2 = df.withColumn("lang", df.lang.substr(1, 1))  # 'e'/'d' unlisted
+    assert stratified_sample(df2, "lang", "k", {"en": 0.5}).count() == 0
+
+
+def test_train_holdout_split_total_and_stability(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = train_holdout_split(df, "k", 0.25)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["train"] + counts["holdout"] == 1000
+    assert 150 < counts["holdout"] < 350
+    # growing the table never flips earlier rows
+    bigger = train_holdout_split(
+        spark.range(0, 2000).withColumnRenamed("id", "k"), "k", 0.25
+    )
+    small = {r["k"]: r["split"] for r in out.collect()}
+    big = {r["k"]: r["split"] for r in bigger.collect() if r["k"] < 1000}
+    assert small == big
