@@ -83,6 +83,41 @@ def read_source_csv(
     return df
 
 
+# Tables whose downstream pipelines are CPU-heavy per row (tokenization,
+# hashing, vector math, rule compilation) — worth fanning out when the scan
+# itself can't parallelize (see _fan_out_small_scan).
+_FAN_OUT_TABLES = frozenset({"documents", "embeddings", "events", "orders", "lineitem"})
+
+
+def _fan_out_small_scan(
+    spark: SparkSession, df: DataFrame, name: str, path: str
+) -> DataFrame:
+    """Round-robin repartition a scan that cannot parallelize on its own.
+
+    A single-row-group parquet file is ONE input split, so every downstream
+    narrow expression — tokenize, md5, shingling — runs on one core until
+    the first shuffle. This fires only in that small-data regime, decided
+    from driver-side file metadata (a local single-file table smaller than
+    one input split). NEVER probe ``df.rdd`` for this: under AQE that
+    materializes the query stages — a full scan job per ``read_table``
+    call (measured: it doubled bench cold times). At production scale the
+    table is a directory of many files, the condition is false, and no
+    extra shuffle is introduced. Filters and column pruning push through
+    Repartition, so scan pushdown is unaffected.
+    """
+    if name not in _FAN_OUT_TABLES:
+        return df
+    try:
+        import os
+
+        single_split = os.path.isfile(path) and os.path.getsize(path) < (128 << 20)
+    except OSError:
+        single_split = False
+    if single_split:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table.
 
@@ -96,8 +131,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts_ns", F.col("ts")).withColumn("ts", nanos_to_timestamp("ts"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _fan_out_small_scan(spark, df, name, f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    return _fan_out_small_scan(spark, spark.read.parquet(path), name, path)
 
 
 def read_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLE_NAMES) -> dict[str, DataFrame]:

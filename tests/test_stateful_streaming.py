@@ -21,9 +21,11 @@ def _drain(query, timeout=120):
 def test_streaming_dedup_drops_redelivered_rows(spark, sf_dir, tmp_path):
     src_dir = tmp_path / "events_in"
     ev = read_table(spark, sf_dir, "events").drop("ts_ns").limit(200)
-    # write the same 200 events TWICE -> simulated redelivery
+    # write 200 events, then re-deliver the SAME files (limit over a
+    # repartitioned source is not deterministic across actions, so the
+    # second copy must come from the first write, not a second limit)
     ev.write.parquet(str(src_dir / "a"))
-    ev.write.parquet(str(src_dir / "b"))
+    spark.read.parquet(str(src_dir / "a")).write.parquet(str(src_dir / "b"))
 
     schema = spark.read.parquet(str(src_dir / "a")).schema
     stream = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(
@@ -48,8 +50,11 @@ def test_running_user_stats_stateful(spark, sf_dir, tmp_path):
     src_dir = tmp_path / "events_in"
     ev = read_table(spark, sf_dir, "events").drop("ts_ns").limit(300)
     ev.write.parquet(str(src_dir))
+    # expectations must come from the rows actually written (limit over a
+    # repartitioned source is not deterministic across actions)
+    written = spark.read.parquet(str(src_dir))
     expected = (
-        ev.groupBy("user_id")
+        written.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
         .collect()
     )
