@@ -1112,6 +1112,95 @@ def q61_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus assembly pipeline, composed from the
+    LLM-ops family: near-dup CLUSTER survivors (ops.graph over the n-gram
+    Jaccard pair graph) -> minimum-quality token filter (ops.text) ->
+    per-language stratified mix (ops.sampling) -> reproducible
+    train/holdout split -> per-(lang, split) document and token budget.
+    Every stage is ids/expressions only (the text column never shuffles
+    past tokenization), and the whole pipeline hash-checks against one
+    SQL mirror including the recursive-CTE connected components."""
+    from manufacturing_data_integration_tool_spark.ops.graph import dedup_clusters
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        stratified_sample,
+        train_holdout_split,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=0.01
+    )
+    survivors = (
+        dedup_clusters(docs, pairs, "doc_id").filter("is_survivor").select("doc_id")
+    )
+    base = (
+        docs.join(survivors, "doc_id", "left_semi")
+        .withColumn("n_tokens", tx.token_count("text").cast("long"))
+        .filter(F.col("n_tokens") >= 20)
+    )
+    mixed = stratified_sample(
+        base,
+        "lang",
+        "doc_id",
+        {"en": 0.5, "de": 1.0, "zh": 1.0},
+        default_fraction=0.25,
+        salt="mix1",
+    )
+    split = train_holdout_split(mixed, "doc_id", 0.1)
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def q63_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization (ops.text.normalize_text):
+    lowercase, strip non-[a-z0-9 ], collapse whitespace, with removed-char
+    accounting. Pure per-row regexp under codegen; the char-class subset
+    behaves identically in Java regex and RE2, so it hash-checks."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.normalize_text(docs).select(
+        "doc_id", F.md5("text_norm").alias("norm_md5"), "n_chars_removed"
+    )
+
+
+def q64_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (SURVEY §2.4 breadth beyond cube/rollup):
+    per-lang, per-source, and grand-total document/char totals in ONE
+    Expand + hash-aggregate pass over one scan — never three jobs."""
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_gs")
+    return spark.sql(
+        """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars
+        FROM __docs_gs
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+def q65_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window surface in one keyed pass (SURVEY §2.5):
+    rank / dense_rank / ntile / percent_rank / lag / lead over each user's
+    event timeline — one hash shuffle on user_id, per-key sort only.
+    percent_rank is rank arithmetic (exact rational -> double), so it's
+    engine-portable; ties broken by event_id for full determinism."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1207,6 +1296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_tfidf": q59_tfidf,
         "q60_vocab": q60_vocab,
         "q61_rolling_time": q61_rolling_time,
+        "q62_training_mix": q62_training_mix,
+        "q63_normalize_text": q63_normalize_text,
+        "q64_grouping_sets": q64_grouping_sets,
+        "q65_window_suite": q65_window_suite,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -1482,6 +1575,69 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
                    COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_survivor
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        "q62_training_mix": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION
+              SELECT doc_b, doc_a FROM jpairs
+            ),
+            reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.node
+            ),
+            comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+            surv AS (
+              SELECT d.doc_id FROM documents d
+              LEFT JOIN comp c ON c.node = d.doc_id
+              WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+            ),
+            base AS (
+              SELECT d.doc_id, d.lang, CAST(len({tok}) AS BIGINT) AS n_tokens
+              FROM documents d JOIN surv USING (doc_id)
+              WHERE len({tok}) >= 20
+            ),
+            mixed AS (
+              SELECT * FROM base
+              WHERE {mix_bucket} <
+                    CASE lang WHEN 'en' THEN '{_hft(0.5)}'
+                              WHEN 'de' THEN '{_hft(1.0)}'
+                              WHEN 'zh' THEN '{_hft(1.0)}'
+                              ELSE '{_hft(0.25)}' END
+            ),
+            tagged AS (
+              SELECT *, CASE WHEN {split_bucket} < '{_hft(0.1)}'
+                             THEN 'holdout' ELSE 'train' END AS split
+              FROM mixed
+            )
+            SELECT lang, split, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM tagged GROUP BY 1, 2
+        """,
+        "q63_normalize_text": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_md5,
+                   CAST(length(text) - length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_removed
+            FROM documents
+        """,
+        "q64_grouping_sets": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "q65_window_suite": """
+            SELECT event_id, user_id,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   lag(event_type, 1) OVER w AS prev_type,
+                   lead(event_type, 1) OVER w AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
         """,
         "q57_stratified_sample": f"""
             SELECT doc_id, lang, source

@@ -54,6 +54,8 @@ HEADLINE = [
     "q57_stratified_sample",
     "q59_tfidf",
     "q61_rolling_time",
+    "q62_training_mix",
+    "q65_window_suite",
 ]
 
 
@@ -77,7 +79,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    spark.range(10).count()  # JVM/codegen warm-up so q01 isn't charged session init
+    # Warm-up: JVM/codegen init plus one touch of every input file, so the
+    # first timed query isn't charged session init, parquet footer reads,
+    # or OS page-cache misses the later queries don't pay either.
+    spark.range(10).count()
+    from pathlib import Path as _P
+
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    for p in sorted(_P(sf_dir).glob("*.parquet")):
+        read_table(spark, sf_dir, p.stem).count()  # nanos-safe for events
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

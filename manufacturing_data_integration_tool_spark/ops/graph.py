@@ -93,15 +93,18 @@ def connected_components(
 
     Node ids must be orderable (int/long/string all work).
     """
+    # Lazy checkpoints: the per-round checksum action is the thing that
+    # materializes the round's edges, so each round costs ONE job, not two
+    # (an eager checkpoint would run its own job first).
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev = _edge_checksum(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _edge_checksum(edges)
         if cur == prev:
             break

@@ -17,6 +17,7 @@ __all__ = [
     "token_count",
     "bpe_ish_token_count",
     "term_counts",
+    "normalize_text",
     "tfidf_top_terms",
     "build_vocab",
     "doc_quality",
@@ -119,6 +120,33 @@ def term_counts(df: DataFrame, text_col: str = "text", min_count: int = 1) -> Da
     if min_count > 1:
         out = out.filter(F.col("term_count") >= min_count)
     return out
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_norm",
+    keep_chars: str = "a-z0-9",
+) -> DataFrame:
+    """Standard pre-tokenization cleanup: lowercase, strip characters
+    outside ``keep_chars`` (replaced with spaces), collapse whitespace
+    runs, trim — plus ``n_chars_removed`` accounting so a pipeline can
+    monitor how destructive its normalization is.
+
+    Pure per-row regexp expressions (codegen'd, zero shuffle). The
+    character-class subset used here behaves identically under Java regex
+    (Spark) and RE2 (DuckDB/Go engines), which is what makes the operator
+    oracle-able; richer Unicode classes (\\p{{L}}) also exist in both if
+    callers need them.
+    """
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, f"[^{keep_chars} ]+", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.withColumn(out_col, collapsed).withColumn(
+        "n_chars_removed",
+        (F.length(F.col(text_col)) - F.length(F.col(out_col))).cast("long"),
+    )
 
 
 def tfidf_top_terms(
