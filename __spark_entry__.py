@@ -1201,6 +1201,51 @@ def q65_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (SURVEY §2.3 breadth): orders priced
+    above their customer's average. Catalyst decorrelates each correlated
+    aggregate into a grouped broadcast join — never per-row re-execution
+    (the plan shows grouped aggregates + joins; a window over
+    PARTITION BY o_custkey is the single-shuffle rewrite a pipeline would
+    use — this entry exists to pin the subquery path itself). The
+    comparison is division-free exact decimal math (price * count > sum)
+    so both engines agree to the last bit."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_corr")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM __orders_corr o
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM __orders_corr o2
+               WHERE o2.o_custkey = o.o_custkey) >
+              (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+               FROM __orders_corr o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+def q67_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (SURVEY §2.4 breadth): per-document quality metrics
+    wide -> long. Spark's native unpivot is an Expand node — one scan, no
+    join, row count = docs x metrics; the oracle mirrors it as UNION ALL
+    (the portable rendering of the same Expand)."""
+    docs = read_table(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tx.tokenize("text"))).cast("long").alias(
+            "n_distinct_tokens"
+        ),
+    )
+    return wide.unpivot(
+        "doc_id",
+        ["n_chars", "n_tokens", "n_distinct_tokens"],
+        "metric",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1300,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_normalize_text": q63_normalize_text,
         "q64_grouping_sets": q64_grouping_sets,
         "q65_window_suite": q65_window_suite,
+        "q66_correlated_subquery": q66_correlated_subquery,
+        "q67_unpivot": q67_unpivot,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -1638,6 +1685,29 @@ def oracle_sql() -> dict[str, str]:
                    lead(event_type, 1) OVER w AS next_type
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        """,
+        "q66_correlated_subquery": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM orders o
+            WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+                  (SELECT COUNT(*) FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey) >
+                  (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """,
+        "q67_unpivot": f"""
+            WITH wide AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len({tok}) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct({tok})) AS BIGINT) AS n_distinct_tokens
+              FROM documents
+            )
+            SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM wide
+            UNION ALL
+            SELECT doc_id, 'n_tokens', n_tokens FROM wide
+            UNION ALL
+            SELECT doc_id, 'n_distinct_tokens', n_distinct_tokens FROM wide
         """,
         "q57_stratified_sample": f"""
             SELECT doc_id, lang, source

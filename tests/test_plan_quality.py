@@ -131,3 +131,53 @@ def test_q52_candidate_path_has_no_cartesian(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_q55_simhash_band_join_has_no_cartesian(spark):
+    """SimHash Hamming-band near-dup must be an equi-join on (band, sub) —
+    a BroadcastNestedLoopJoin/CartesianProduct would mean the pigeonhole
+    banding degenerated to all-pairs."""
+    plan = plan_of(entry.q55_simhash_near_dups(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sampling_is_pure_filter_no_exchange(spark):
+    """hash/stratified sampling must add NO shuffle of its own: on an
+    already-parallel input the plan is scan -> filter (the md5 threshold
+    comparison), nothing else."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(0, 1000, 1, 8).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+    plan = plan_of(stratified_sample(df, "lang", "doc_id", {"en": 0.5, "de": 1.0}))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    """The per-term document-frequency table is vocab-sized and must come
+    back as a broadcast, never a shuffled join against the tf table."""
+    plan = plan_of(entry.q59_tfidf(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_id_window_is_bounded_by_limit(spark):
+    """build_vocab may use a single-partition window ONLY over the
+    TakeOrdered-bounded top-N — the plan must show the global limit below
+    the window, not a corpus-wide global sort."""
+    plan = plan_of(entry.q60_vocab(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_time_window_partitioned_by_key(spark):
+    """The trailing-time frame must be keyed on user_id (no unpartitioned
+    window — that would be the one-task bottleneck)."""
+    ev_plan = plan_of(entry.q61_rolling_time(spark, "/root/testdata/sf0.001"))
+    assert "Window" in ev_plan
+    # an unpartitioned window logs 'No Partition Defined'; structurally,
+    # partition spec shows up as hashpartitioning on user_id
+    assert "hashpartitioning" in ev_plan and "user_id" in ev_plan
