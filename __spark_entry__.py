@@ -143,6 +143,23 @@ _JACCARD_PAIRS_CTE = r"""toks AS (
               WHERE 25 * i.inter >= 3 * (sa.n_sh + sb.n_sh - i.inter)
             )"""
 
+# q32/q69 share this winnowing pipeline: k=8 char grams -> md5 -> window-4
+# lexicographic minima -> distinct fingerprints per doc (the SQL mirror of
+# ops.text.winnowing_fingerprints with its defaults).
+_WINNOW_FP_CTE = """wg AS (
+              SELECT doc_id,
+                     [md5(substring(lower(text), i, 8)) for i in range(1, length(text) - 8 + 2)] AS h
+              FROM documents WHERE length(text) >= 8
+            ), wm AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) >= 4
+                          THEN [list_aggregate(h[i:i+3], 'min') for i in range(1, len(h) - 4 + 2)]
+                          ELSE h END AS mins
+              FROM wg
+            ), wfps AS (
+              SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wm
+            )"""
+
 _SIMHASH_FP_CTE = """tok AS (
               SELECT doc_id, md5(t.tok) AS h
               FROM documents,
@@ -1246,6 +1263,35 @@ def q67_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (ops.text.repetition_stats): duplicate
+    word-trigram fraction per doc — the Gopher/C4-style boilerplate signal.
+    Pure per-row HOF math, zero shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.repetition_stats(docs)
+
+
+def q69_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->holdout contamination (ops.text.fingerprint_contamination):
+    which train-split documents share >= 5 winnowing fingerprints with any
+    holdout document. The decontamination primitive: detection is an
+    equi-join on fingerprints (any shared substring >= k+window-1 chars
+    guarantees a hit), with the hot-fingerprint df cap keeping the join
+    sub-quadratic against boilerplate."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        train_holdout_split,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    tagged = train_holdout_split(docs, "doc_id", 0.1)
+    return tx.fingerprint_contamination(
+        tagged.filter("split = 'train'"),
+        tagged.filter("split = 'holdout'"),
+        max_fp_df=20,
+        min_shared=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1347,6 +1393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_window_suite": q65_window_suite,
         "q66_correlated_subquery": q66_correlated_subquery,
         "q67_unpivot": q67_unpivot,
+        "q68_repetition_stats": q68_repetition_stats,
+        "q69_contamination": q69_contamination,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -1709,6 +1757,48 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'n_distinct_tokens', n_distinct_tokens FROM wide
         """,
+        "q68_repetition_stats": f"""
+            WITH t AS (
+              SELECT doc_id, {tok} AS tk FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+                          ELSE [] END AS grams
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+                   CASE WHEN len(grams) = 0 THEN 0.0
+                        ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                   END AS dup_gram_frac
+            FROM g
+        """,
+        "q69_contamination": f"""
+            WITH {_WINNOW_FP_CTE},
+            tagged AS (
+              SELECT doc_id, fp,
+                     CASE WHEN {split_bucket} < '{_hft(0.1)}'
+                          THEN 'holdout' ELSE 'train' END AS split
+              FROM wfps
+            ),
+            lf AS (SELECT doc_id AS lid, fp FROM tagged WHERE split = 'train'),
+            rf AS (SELECT doc_id AS rid, fp FROM tagged WHERE split = 'holdout'),
+            keep AS (
+              SELECT fp FROM (SELECT fp FROM lf UNION ALL SELECT fp FROM rf)
+              GROUP BY fp HAVING COUNT(*) <= 20
+            ),
+            j AS (
+              SELECT l.lid, l.fp, r.rid
+              FROM lf l JOIN keep USING (fp) JOIN rf r USING (fp)
+            )
+            SELECT lid AS doc_id,
+                   COUNT(DISTINCT fp) AS n_shared_fps,
+                   COUNT(DISTINCT rid) AS n_matched_docs
+            FROM j GROUP BY lid
+            HAVING COUNT(DISTINCT fp) >= 5
+        """,
         "q57_stratified_sample": f"""
             SELECT doc_id, lang, source
             FROM documents
@@ -1800,19 +1890,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_tokens_bpe
             FROM documents
         """,
-        "q32_winnowing": """
-            WITH g AS (
-              SELECT doc_id,
-                     [md5(substring(lower(text), i, 8)) for i in range(1, length(text) - 8 + 2)] AS h
-              FROM documents WHERE length(text) >= 8
-            ), m AS (
-              SELECT doc_id,
-                     CASE WHEN len(h) >= 4
-                          THEN [list_aggregate(h[i:i+3], 'min') for i in range(1, len(h) - 4 + 2)]
-                          ELSE h END AS mins
-              FROM g
-            )
-            SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
+        "q32_winnowing": f"""
+            WITH {_WINNOW_FP_CTE}
+            SELECT doc_id, fp FROM wfps
         """,
         "q34_embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -56,6 +56,8 @@ HEADLINE = [
     "q61_rolling_time",
     "q62_training_mix",
     "q65_window_suite",
+    "q68_repetition_stats",
+    "q69_contamination",
 ]
 
 

@@ -18,6 +18,8 @@ __all__ = [
     "bpe_ish_token_count",
     "term_counts",
     "normalize_text",
+    "repetition_stats",
+    "fingerprint_contamination",
     "tfidf_top_terms",
     "build_vocab",
     "doc_quality",
@@ -224,6 +226,96 @@ def build_vocab(
     w = Window.orderBy(F.desc("term_count"), F.asc("term"))
     return top.withColumn("token_id", (F.row_number().over(w) - 1).cast("long")).select(
         "token_id", "term", "term_count"
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Intra-document repetition (Gopher/C4-style quality signal): the
+    fraction of duplicate word n-grams inside each document. High values
+    mean boilerplate/looping text a training pipeline usually drops.
+
+    Pure per-row higher-order-function math — zero shuffle. The token
+    array is bound behind a projection boundary first (the measured no-CSE-
+    inside-HOF-lambdas rule, see ops/dedup.py docstrings).
+    """
+    base = df.select(F.col(id_col), tokenize(text_col).alias("__tk"))
+    grams = F.when(
+        F.size("__tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__tk", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(F.col(id_col), grams.alias("__g"))
+    n_grams = F.size("__g")
+    n_distinct = F.size(F.array_distinct("__g"))
+    frac = F.when(n_grams == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double"), round_to)
+    )
+    return g.select(
+        F.col(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct_grams"),
+        frac.alias("dup_gram_frac"),
+    )
+
+
+def fingerprint_contamination(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    max_fp_df: Optional[int] = None,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Cross-set contamination check: which ``left`` (train) documents
+    share winnowing fingerprints with any ``right`` (eval/benchmark)
+    document — the decontamination primitive for training corpora.
+
+    Any shared substring of length >= k + window - 1 guarantees a shared
+    fingerprint (winnowing property), so detection is an equi-join on
+    ``fp``. ``max_fp_df`` drops fingerprints whose document frequency
+    across BOTH sets exceeds the cap before the join — the same hot-key
+    guard as n-gram Jaccard (a boilerplate fingerprint with df=d costs
+    d_left x d_right join rows); the df is computed on the union so the
+    cap is one number with one tiny aggregate.
+
+    Returns one row per contaminated left doc: ``(id, n_shared_fps,
+    n_matched_docs)`` with ``n_shared_fps >= min_shared``.
+    """
+    lf = winnowing_fingerprints(left, text_col, id_col, k=k, window=window).select(
+        F.col(id_col).alias("__lid"), "fp"
+    )
+    rf = winnowing_fingerprints(right, text_col, id_col, k=k, window=window).select(
+        F.col(id_col).alias("__rid"), "fp"
+    )
+    if max_fp_df is not None:
+        df_counts = (
+            lf.select("fp").unionAll(rf.select("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_fp_df)
+            .select("fp")
+        )
+        lf = lf.join(df_counts, "fp", "left_semi")
+        rf = rf.join(df_counts, "fp", "left_semi")
+    joined = lf.join(rf, "fp")
+    out = joined.groupBy("__lid").agg(
+        F.count_distinct("fp").alias("n_shared_fps"),
+        F.count_distinct("__rid").alias("n_matched_docs"),
+    )
+    return out.filter(F.col("n_shared_fps") >= min_shared).select(
+        F.col("__lid").alias(id_col), "n_shared_fps", "n_matched_docs"
     )
 
 
