@@ -34,7 +34,7 @@ from .multimodal import (
     resize_media,
     sample_frames,
 )
-from .temporal import asof_join
+from .temporal import asof_join, range_join, rolling_time_agg, time_rollup
 from .similarity import (
     IvfIndex,
     cosine_similarity,
@@ -47,10 +47,15 @@ from .similarity import (
 )
 from .text import (
     bpe_ish_token_count,
+    build_vocab,
     doc_quality,
+    fingerprint_contamination,
     language_id,
     lang_stats,
+    normalize_text,
+    repetition_stats,
     term_counts,
+    tfidf_top_terms,
     token_count,
     tokenize,
     winnowing_fingerprints,
@@ -73,6 +78,9 @@ __all__ = [
     "stratified_sample",
     "train_holdout_split",
     "asof_join",
+    "range_join",
+    "rolling_time_agg",
+    "time_rollup",
     "assemble_multimodal",
     "extract_features",
     "resize_media",
@@ -88,7 +96,12 @@ __all__ = [
     "ivf_topk",
     "lsh_ann_topk",
     "bpe_ish_token_count",
+    "build_vocab",
     "doc_quality",
+    "fingerprint_contamination",
+    "normalize_text",
+    "repetition_stats",
+    "tfidf_top_terms",
     "language_id",
     "lang_stats",
     "term_counts",

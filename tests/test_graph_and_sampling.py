@@ -118,3 +118,41 @@ def test_train_holdout_split_total_and_stability(spark):
     small = {r["k"]: r["split"] for r in out.collect()}
     big = {r["k"]: r["split"] for r in bigger.collect() if r["k"] < 1000}
     assert small == big
+
+
+def _uf_components(edges):
+    """Reference union-find, driver-side, for property comparison."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Property: the distributed large-star/small-star result equals a
+    driver-side union-find on pseudo-random graphs of varied shape
+    (fixed seeds — deterministic, no flaky sampling)."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 60), (3, 25, 24), (4, 60, 30)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = _cc_map(connected_components(df).collect())
+        want = _uf_components(edges)
+        assert got == want, f"seed={seed}"

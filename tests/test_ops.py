@@ -381,3 +381,85 @@ def test_sample_frames_every_n(spark, docs):
     assert [i for i, _ in d1] == [0, 2]
     assert d1[0][1] == b"the quick "
     assert d1[1][1] == b"jumps over"
+
+
+def test_repetition_stats_math(spark):
+    from manufacturing_data_integration_tool_spark.ops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),   # 6 trigrams, 3 distinct -> 0.5
+            (2, "x y"),               # too short -> 0 grams, frac 0.0
+            (3, "p q r s"),           # 2 trigrams, all distinct -> 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_grams"] == 6 and got[1]["n_distinct_grams"] == 3
+    assert got[1]["dup_gram_frac"] == 0.5
+    assert got[2]["n_grams"] == 0 and got[2]["dup_gram_frac"] == 0.0
+    assert got[3]["n_grams"] == 2 and got[3]["dup_gram_frac"] == 0.0
+
+
+def test_fingerprint_contamination_planted_overlap(spark):
+    from manufacturing_data_integration_tool_spark.ops import fingerprint_contamination
+
+    # winnowing guarantee: any shared substring of length >= k + window - 1
+    # (= 11 at defaults) produces at least one shared fingerprint
+    leak = "the stolen benchmark answer string"
+    train = spark.createDataFrame(
+        [
+            (1, f"some training text containing {leak} verbatim"),
+            (2, "completely unrelated words about manufacturing lines"),
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [(100, f"benchmark item: {leak}")], ["doc_id", "text"]
+    )
+    hits = {
+        r["doc_id"]: r
+        for r in fingerprint_contamination(train, evalset, min_shared=1).collect()
+    }
+    assert 1 in hits and hits[1]["n_matched_docs"] == 1
+    assert 2 not in hits
+
+
+def test_sampling_and_normalize_are_streaming_safe(spark, tmp_path):
+    """Stateless per-row ops must compose into a streaming plan unchanged
+    (no batch-only operators): sample + normalize a file stream and drain."""
+    from manufacturing_data_integration_tool_spark.ops import (
+        normalize_text,
+        stratified_sample,
+    )
+
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(
+        [(i, "Some TEXT %d!" % i, "en" if i % 2 else "de") for i in range(100)],
+        ["doc_id", "text", "lang"],
+    ).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = normalize_text(
+        stratified_sample(stream, "lang", "doc_id", {"en": 0.5, "de": 1.0})
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("samp_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    if q.isActive:
+        q.stop()
+    rows = spark.sql("select * from samp_out").collect()
+    batch = set(
+        r["doc_id"]
+        for r in stratified_sample(
+            spark.read.parquet(str(src)), "lang", "doc_id", {"en": 0.5, "de": 1.0}
+        ).collect()
+    )
+    assert set(r["doc_id"] for r in rows) == batch  # stream == batch verdicts
+    assert all("!" not in r["text_norm"] for r in rows)
