@@ -1292,6 +1292,45 @@ def q69_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign each document to a training
+    shard so cumulative tokens per (lang, shard) stay under budget —
+    shard = floor(running_token_sum / budget) over a per-lang window
+    ordered by doc_id (deterministic). The window partitions on lang, so
+    no single task ever sees the whole corpus; at real scale the partition
+    key would be (lang, date_bucket) for narrower timelines."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", tx.token_count("text").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # integer `div`, never double->long casts (Spark truncates, DuckDB rounds)
+    prior = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__prior")
+    return base.select("doc_id", "lang", "n_tokens", prior).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("__prior div 4000").alias("shard_id"),
+    )
+
+
+def q71_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION 100 TB dedup path end-to-end: banded MinHash-LSH
+    candidate pairs (never all-pairs) -> large-star/small-star connected
+    components -> per-cluster survivor flags for the whole corpus.
+    Approximate by construction (LSH recall), so checked rows-only; the
+    exact-pair twin q56 is the hash-checked oracle of the same composition."""
+    from manufacturing_data_integration_tool_spark.ops.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidates(docs, "doc_id", "text", max_distance=0.5)
+    return dedup_clusters(docs, pairs.select("doc_a", "doc_b"), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1395,12 +1434,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_unpivot": q67_unpivot,
         "q68_repetition_stats": q68_repetition_stats,
         "q69_contamination": q69_contamination,
+        "q70_shard_pack": q70_shard_pack,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
         "q30_multimodal_decode": q30_multimodal_decode,
         "q33_ivf_ann": q33_ivf_ann,
         "q49_frame_sample": q49_frame_sample,
+        "q71_minhash_clusters": q71_minhash_clusters,
     }
 
 
@@ -1798,6 +1839,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT rid) AS n_matched_docs
             FROM j GROUP BY lid
             HAVING COUNT(DISTINCT fp) >= 5
+        """,
+        "q70_shard_pack": f"""
+            WITH base AS (
+              SELECT doc_id, lang, CAST(len({tok}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS prior_tokens
+              FROM base
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(prior_tokens // 4000 AS BIGINT) AS shard_id
+            FROM c
         """,
         "q57_stratified_sample": f"""
             SELECT doc_id, lang, source
