@@ -1331,6 +1331,27 @@ def q71_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs.select("doc_a", "doc_b"), "doc_id")
 
 
+def q72_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality cutoff: keep documents above their language's
+    60th-percentile token count — the per-stratum version of the two-pass
+    broadcast-stats pattern (q08): one grouped exact percentile (languages
+    x 1 row), broadcast back onto the scan, one filter. The scale path
+    swaps F.percentile for approx_percentile's mergeable t-digest; the
+    exact form is the oracle-able baseline (== DuckDB quantile_cont)."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", tx.token_count("text").cast("long").alias("n_tokens")
+    )
+    cuts = base.groupBy("lang").agg(
+        F.percentile("n_tokens", F.lit(0.6)).alias("__cut")
+    )
+    return (
+        base.join(F.broadcast(cuts), "lang")
+        .filter(F.col("n_tokens") > F.col("__cut"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1435,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_repetition_stats": q68_repetition_stats,
         "q69_contamination": q69_contamination,
         "q70_shard_pack": q70_shard_pack,
+        "q72_quality_cutoff": q72_quality_cutoff,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -1854,6 +1876,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_tokens,
                    CAST(prior_tokens // 4000 AS BIGINT) AS shard_id
             FROM c
+        """,
+        "q72_quality_cutoff": f"""
+            WITH base AS (
+              SELECT doc_id, lang, CAST(len({tok}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), cuts AS (
+              SELECT lang, quantile_cont(n_tokens, 0.6) AS cut
+              FROM base GROUP BY lang
+            )
+            SELECT doc_id, b.lang, n_tokens
+            FROM base b JOIN cuts c ON b.lang = c.lang
+            WHERE n_tokens > cut
         """,
         "q57_stratified_sample": f"""
             SELECT doc_id, lang, source
