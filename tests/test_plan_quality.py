@@ -181,3 +181,10 @@ def test_rolling_time_window_partitioned_by_key(spark):
     # an unpartitioned window logs 'No Partition Defined'; structurally,
     # partition spec shows up as hashpartitioning on user_id
     assert "hashpartitioning" in ev_plan and "user_id" in ev_plan
+
+
+def test_quality_cutoff_broadcasts_per_group_stats(spark):
+    """q72: the per-language percentile table must broadcast back onto the
+    corpus scan (languages x 1 row), never shuffle the corpus by lang."""
+    plan = plan_of(entry.q72_quality_cutoff(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
