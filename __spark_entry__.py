@@ -1352,6 +1352,38 @@ def q72_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded as-of join (ops.temporal): like q35 but a match older than
+    1 hour is considered stale and nulled — the sensor-fusion staleness
+    bound. The matched right timestamp rides along as a carried value, so
+    the tolerance is ONE post-join expression; no second window, no extra
+    shuffle. Verified against DuckDB's native ASOF JOIN + the same CASE."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "t_us")
+        .agg(F.max("value").alias("click_value"))
+        .withColumn("click_t", F.col("t_us"))
+    )
+    out = tp.asof_join(
+        purchases, clicks, ["user_id"], left_ts="t_us", right_ts="t_us",
+        right_value_cols=["click_value", "click_t"],
+    )
+    fresh = (F.col("t_us") - F.col("click_t")) <= F.lit(MICROS_PER_HOUR)
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.when(fresh, F.col("click_value")).alias("click_value_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1457,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_contamination": q69_contamination,
         "q70_shard_pack": q70_shard_pack,
         "q72_quality_cutoff": q72_quality_cutoff,
+        "q73_asof_tolerance": q73_asof_tolerance,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -2074,6 +2107,23 @@ def oracle_sql() -> dict[str, str]:
               FROM base WHERE event_type = 'click' GROUP BY 1, 2
             )
             SELECT p.event_id, p.user_id, p.t_us, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.t_us >= c.t_us
+        """,
+        "q73_asof_tolerance": f"""
+            WITH base AS (
+              SELECT event_id, user_id, event_type, value,
+                     epoch_ns(ts) // 1000 AS t_us
+              FROM events
+            ), p AS (
+              SELECT event_id, user_id, t_us FROM base WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, t_us, max(value) AS click_value
+              FROM base WHERE event_type = 'click' GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id, p.t_us,
+                   CASE WHEN p.t_us - c.t_us <= {MICROS_PER_HOUR}
+                        THEN c.click_value END AS click_value_1h
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.t_us >= c.t_us
         """,
