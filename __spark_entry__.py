@@ -1352,6 +1352,24 @@ def q72_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting (Apache DataSketches HLL via
+    Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
+    count_distinct — fixed-size mergeable state instead of a shuffle of
+    every distinct key. Estimates are deterministic (register-max merges
+    are commutative) but implementation-specific, so this is rows-only;
+    the exact twin q45 is the oracle-checked baseline, and a pytest pins
+    the estimate within 2% of exact."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def q73_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded as-of join (ops.temporal): like q35 but a match older than
     1 hour is considered stale and nulled — the sensor-fusion staleness
@@ -1497,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_ivf_ann": q33_ivf_ann,
         "q49_frame_sample": q49_frame_sample,
         "q71_minhash_clusters": q71_minhash_clusters,
+        "q74_hll_distinct": q74_hll_distinct,
     }
 
 

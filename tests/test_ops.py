@@ -463,3 +463,28 @@ def test_sampling_and_normalize_are_streaming_safe(spark, tmp_path):
     )
     assert set(r["doc_id"] for r in rows) == batch  # stream == batch verdicts
     assert all("!" not in r["text_norm"] for r in rows)
+
+
+def test_hll_estimate_close_to_exact(spark):
+    """q74's HLL sketch estimate must land within 2% of the exact distinct
+    count (lgConfigK default=12 -> ~1.6% RSE) and be partition-invariant
+    (register-max merges are commutative)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in entry.q74_hll_distinct(spark, sf).collect()
+    }
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf, "events")
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, d in exact.items():
+        assert abs(approx[k] - d) / d < 0.02, (k, approx[k], d)
