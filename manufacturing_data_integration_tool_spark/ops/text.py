@@ -19,6 +19,7 @@ __all__ = [
     "term_counts",
     "normalize_text",
     "repetition_stats",
+    "with_repetition_cols",
     "fingerprint_contamination",
     "tfidf_top_terms",
     "build_vocab",
@@ -229,6 +230,41 @@ def build_vocab(
     )
 
 
+def with_repetition_cols(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Append ``n_grams`` / ``n_distinct_grams`` / ``dup_gram_frac`` as
+    per-row columns — zero shuffle, zero joins, so it composes into
+    STREAMING plans unchanged (a stats-table join would be an unbounded
+    stream-stream join). Two projection boundaries bind the token and gram
+    arrays (the measured no-CSE-inside-HOF-lambdas rule, see ops/dedup.py
+    docstrings)."""
+    base = df.withColumn("__tk", tokenize(text_col))
+    grams = F.when(
+        F.size("__tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__tk", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.withColumn("__g", grams)
+    n_grams = F.size("__g")
+    n_distinct = F.size(F.array_distinct("__g"))
+    frac = F.when(n_grams == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double"), round_to)
+    )
+    return (
+        g.withColumn("n_grams", n_grams.cast("long"))
+        .withColumn("n_distinct_grams", n_distinct.cast("long"))
+        .withColumn("dup_gram_frac", frac)
+        .drop("__tk", "__g")
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -239,31 +275,9 @@ def repetition_stats(
 ) -> DataFrame:
     """Intra-document repetition (Gopher/C4-style quality signal): the
     fraction of duplicate word n-grams inside each document. High values
-    mean boilerplate/looping text a training pipeline usually drops.
-
-    Pure per-row higher-order-function math — zero shuffle. The token
-    array is bound behind a projection boundary first (the measured no-CSE-
-    inside-HOF-lambdas rule, see ops/dedup.py docstrings).
-    """
-    base = df.select(F.col(id_col), tokenize(text_col).alias("__tk"))
-    grams = F.when(
-        F.size("__tk") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__tk") - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("__tk", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = base.select(F.col(id_col), grams.alias("__g"))
-    n_grams = F.size("__g")
-    n_distinct = F.size(F.array_distinct("__g"))
-    frac = F.when(n_grams == 0, F.lit(0.0)).otherwise(
-        F.round(F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double"), round_to)
-    )
-    return g.select(
-        F.col(id_col),
-        n_grams.cast("long").alias("n_grams"),
-        n_distinct.cast("long").alias("n_distinct_grams"),
-        frac.alias("dup_gram_frac"),
+    mean boilerplate/looping text a training pipeline usually drops."""
+    return with_repetition_cols(df, text_col, n=n, round_to=round_to).select(
+        F.col(id_col), "n_grams", "n_distinct_grams", "dup_gram_frac"
     )
 
 

@@ -156,3 +156,18 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         got = _cc_map(connected_components(df).collect())
         want = _uf_components(edges)
         assert got == want, f"seed={seed}"
+
+
+def test_connected_components_empty_and_dedup_all_singletons(spark):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert connected_components(empty).count() == 0
+    docs = spark.createDataFrame([(i, "t") for i in range(4)], ["doc_id", "text"])
+    rows = dedup_clusters(
+        docs, empty.withColumnRenamed("src", "doc_a").withColumnRenamed("dst", "doc_b")
+    ).collect()
+    assert all(r["is_survivor"] and r["cluster_id"] == r["doc_id"] for r in rows)

@@ -80,3 +80,52 @@ def test_sessionized_counts_batch(spark, sf_dir):
     sess = sessionized_counts(events, gap="30 minutes")
     assert sess.agg(F.sum("n_events")).collect()[0][0] == events.count()
     assert {"session_start", "session_end", "user_id", "n_events"} == set(sess.columns)
+
+
+def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
+    """The streaming corpus-ingest pipeline (normalize -> quality gate ->
+    mix -> watermarked content dedup -> parquet) must produce exactly the
+    batch transform's rows on a drained inbox, including dropping the
+    redelivered duplicate content."""
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.streaming import (
+        corpus_ingest_transform,
+        start_corpus_stream,
+    )
+
+    rows = []
+    for i in range(80):
+        text = f"Document {i} has Some Distinct WORDS " + " ".join(
+            f"w{j}" for j in range(i % 7 + 10)
+        )
+        rows.append((i, text, "en" if i % 2 else "de"))
+    # redeliver doc 0's content under a new id -> content dedup must drop one
+    rows.append((999, rows[0][1], "de"))
+    src = tmp_path / "docs_in"
+    base = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).withColumn(
+        "ingest_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    base.write.parquet(str(src))
+    written = spark.read.parquet(str(src))
+
+    kwargs = dict(lang_fractions={"en": 0.6, "de": 1.0}, min_tokens=5)
+    q = start_corpus_stream(
+        spark,
+        str(src),
+        str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=written.schema,
+        **kwargs,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = corpus_ingest_transform(written, **kwargs)
+    # content-dedup survivor between doc 0 and 999 is arbitrary -> compare
+    # on content identity, not doc ids
+    g = sorted(r["content_md5"] for r in got.collect())
+    w = sorted(r["content_md5"] for r in want.collect())
+    assert g == w and len(g) == len(set(g))
