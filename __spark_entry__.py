@@ -1135,9 +1135,11 @@ def q62_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pair graph) -> minimum-quality token filter (ops.text) ->
     per-language stratified mix (ops.sampling) -> reproducible
     train/holdout split -> per-(lang, split) document and token budget.
-    Every stage is ids/expressions only (the text column never shuffles
-    past tokenization), and the whole pipeline hash-checks against one
-    SQL mirror including the recursive-CTE connected components."""
+    The near-dup machinery works on hashed shingles and ids only; the text
+    column crosses at most ONE shuffle (the survivor semi-join attach —
+    broadcastable at test scale, a single corpus repartition at 100 TB),
+    and the whole pipeline hash-checks against one SQL mirror including
+    the recursive-CTE connected components."""
     from manufacturing_data_integration_tool_spark.ops.graph import dedup_clusters
     from manufacturing_data_integration_tool_spark.ops.sampling import (
         stratified_sample,
