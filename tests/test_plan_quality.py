@@ -188,3 +188,22 @@ def test_quality_cutoff_broadcasts_per_group_stats(spark):
     corpus scan (languages x 1 row), never shuffle the corpus by lang."""
     plan = plan_of(entry.q72_quality_cutoff(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_sink_prunes_partitions_on_read(spark, tmp_path):
+    """The corpus-at-rest layout must support partition pruning: a write
+    partitioned by lang, read back with a lang filter, shows the filter in
+    PartitionFilters (whole directories skipped) — at 100 TB this is the
+    difference between scanning one language and scanning the corpus."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(60)],
+        ["doc_id", "text", "lang"],
+    )
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en").select("doc_id")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "lang" in seg  # the lang predicate prunes directories, not rows
+    assert back.count() == 20
