@@ -207,3 +207,28 @@ def test_partitioned_sink_prunes_partitions_on_read(spark, tmp_path):
     seg = plan.split("PartitionFilters")[1].splitlines()[0]
     assert "lang" in seg  # the lang predicate prunes directories, not rows
     assert back.count() == 20
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Pre-bucketed storage must give shuffle-free co-located joins: two
+    tables bucketed by the join key on disk join with ZERO Exchange nodes
+    — the at-rest layout SCALING.md prescribes for repeated big-big joins
+    (each side reads its bucket files already hash-distributed)."""
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_bleft")
+    right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_bright")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the big-big join shape (broadcast would hide the point)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bleft").join(spark.table("t_bright"), "k").select("k", "a", "b")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        # bucket layout IS the partitioning: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
