@@ -1354,6 +1354,24 @@ def q72_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-transition (funnel) matrix: lag over each user's
+    deterministic timeline (ts, event_id tiebreak), then count
+    (prev_type -> type) pairs — the Markov-style behavioral summary. One
+    key shuffle for the window, map-side-combined aggregate on a
+    |types|^2-sized result; session entries count from '(start)'."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.coalesce(F.lag("event_type", 1).over(w), F.lit("(start)")).alias("prev_type"),
+    )
+    return base.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -1510,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_shard_pack": q70_shard_pack,
         "q72_quality_cutoff": q72_quality_cutoff,
         "q73_asof_tolerance": q73_asof_tolerance,
+        "q75_event_transitions": q75_event_transitions,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -2147,6 +2166,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN c.click_value END AS click_value_1h
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.t_us >= c.t_us
+        """,
+        "q75_event_transitions": """
+            WITH base AS (
+              SELECT user_id, event_type,
+                     COALESCE(lag(event_type, 1) OVER (PARTITION BY user_id
+                              ORDER BY epoch_ns(ts), event_id), '(start)') AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type, COUNT(*) AS n_transitions
+            FROM base GROUP BY 1, 2
         """,
         "q36_range_join": f"""
             WITH base AS (
