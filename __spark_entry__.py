@@ -1372,6 +1372,26 @@ def q75_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language: explode + map-side-combined (lang, term)
+    counts, then a rank window PARTITIONED BY lang over the vocab-sized
+    count table — the per-domain vocabulary primitive. The window input is
+    |langs|x|vocab| rows, never the corpus; deterministic ties (count
+    desc, term asc)."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tx.tokenize("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -1529,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_quality_cutoff": q72_quality_cutoff,
         "q73_asof_tolerance": q73_asof_tolerance,
         "q75_event_transitions": q75_event_transitions,
+        "q76_top_terms_per_lang": q76_top_terms_per_lang,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -2166,6 +2187,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN c.click_value END AS click_value_1h
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.t_us >= c.t_us
+        """,
+        "q76_top_terms_per_lang": f"""
+            WITH counts AS (
+              SELECT lang, term, COUNT(*) AS n
+              FROM (SELECT lang, unnest({tok}) AS term FROM documents)
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT lang, term, n,
+                     row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+              FROM counts
+            )
+            SELECT lang, term, n, CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5
         """,
         "q75_event_transitions": """
             WITH base AS (
