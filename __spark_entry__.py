@@ -1392,6 +1392,73 @@ def q76_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (ops.text.chunk_documents) — the
+    context-window packing / RAG-passage primitive. Zero-shuffle per-row
+    sequence/slice compute; rows ~ n_tokens/stride per doc."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, "doc_id", "text", chunk_size=32, overlap=8)
+
+
+def q78_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: chunk small windows (3 tokens, stride 2 —
+    sized so the synthetic vocab actually collides), then group by content
+    hash with a deterministic (doc_id, chunk_idx) survivor. One shuffle on
+    the md5 — uniform by construction, skew-immune; text never shuffles
+    twice (the hash is computed pre-shuffle, map-side)."""
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = tx.chunk_documents(docs, "doc_id", "text", chunk_size=3, overlap=1)
+    return (
+        chunks.select(
+            dd.content_hash("chunk_text").alias("chunk_hash"),
+            "doc_id",
+            "chunk_idx",
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.min(F.struct("doc_id", "chunk_idx")).alias("__keep"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "chunk_hash",
+            F.col("__keep.doc_id").alias("keep_doc_id"),
+            F.col("__keep.chunk_idx").alias("keep_chunk_idx"),
+            "n_copies",
+        )
+    )
+
+
+def q79_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding table
+    (ops.similarity.quantize_embeddings): per-vector codes + reconstruction
+    error, summarized to scalars (code checksum / max / mean-abs-err) so the
+    full code vector is pinned by the oracle hash. Zero shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = sim.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return q.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
+        ).alias("code_sum"),
+        F.array_max("codes").cast("long").alias("max_code"),
+        F.round("q_min", 6).alias("q_min_r"),
+        F.round("q_scale", 6).alias("q_scale_r"),
+        F.round("mean_abs_err", 6).alias("mean_abs_err_r"),
+    )
+
+
+def q80_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote k-NN label propagation (ops.similarity.knn_classify):
+    every 10th vector is a query, the rest are the labeled corpus; k=5.
+    Labels ride the corpus scan (no join-back); both windows run over
+    k-bounded per-query rows, never the corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return sim.knn_classify(corpus, queries, k=5)
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -1550,6 +1617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_asof_tolerance": q73_asof_tolerance,
         "q75_event_transitions": q75_event_transitions,
         "q76_top_terms_per_lang": q76_top_terms_per_lang,
+        "q77_chunk_documents": q77_chunk_documents,
+        "q78_chunk_dedup": q78_chunk_dedup,
+        "q79_quantize_embeddings": q79_quantize_embeddings,
+        "q80_knn_classify": q80_knn_classify,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -2200,6 +2271,105 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, term, n, CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= 5
+        """,
+        "q77_chunk_documents": f"""
+            WITH tok AS (
+              SELECT doc_id, {tok} AS toks FROM documents
+            ), st AS (
+              SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 24)) AS s
+              FROM tok
+            )
+            SELECT doc_id,
+                   CAST(s // 24 AS BIGINT) AS chunk_idx,
+                   CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text
+            FROM st
+            WHERE len(list_slice(toks, s + 1, s + 32)) > 0
+        """,
+        "q78_chunk_dedup": f"""
+            WITH tok AS (
+              SELECT doc_id, {tok} AS toks FROM documents
+            ), st AS (
+              SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 2)) AS s
+              FROM tok
+            ), ch AS (
+              SELECT doc_id,
+                     CAST(s // 2 AS BIGINT) AS chunk_idx,
+                     array_to_string(list_slice(toks, s + 1, s + 3), ' ') AS chunk_text
+              FROM st
+              WHERE len(list_slice(toks, s + 1, s + 3)) > 0
+            ), g AS (
+              SELECT md5(chunk_text) AS chunk_hash, doc_id, chunk_idx,
+                     row_number() OVER (PARTITION BY md5(chunk_text)
+                                        ORDER BY doc_id, chunk_idx) AS rn,
+                     COUNT(*) OVER (PARTITION BY md5(chunk_text)) AS n_copies
+              FROM ch
+            )
+            SELECT chunk_hash, doc_id AS keep_doc_id, chunk_idx AS keep_chunk_idx,
+                   CAST(n_copies AS BIGINT) AS n_copies
+            FROM g WHERE rn = 1
+        """,
+        "q79_quantize_embeddings": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+            ), s AS (
+              SELECT vec_id, ve,
+                     list_aggregate(ve, 'min') AS vmin,
+                     list_aggregate(ve, 'max') AS vmax
+              FROM v
+            ), p AS (
+              SELECT vec_id, ve, vmin,
+                     CASE WHEN vmax = vmin THEN 1.0
+                          ELSE (vmax - vmin) / 255 END AS scale
+              FROM s
+            ), c AS (
+              SELECT vec_id, ve, vmin, scale,
+                     list_transform(ve, x ->
+                       CAST(floor((x - vmin) / scale + 0.5) AS INT)) AS codes
+              FROM p
+            )
+            SELECT vec_id,
+                   CAST(len(codes) AS BIGINT) AS n_dims,
+                   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                   CAST(list_aggregate(codes, 'max') AS BIGINT) AS max_code,
+                   round(vmin, 6) AS q_min_r,
+                   round(scale, 6) AS q_scale_r,
+                   round(list_sum(list_transform(range(1, len(ve) + 1), i ->
+                           abs(ve[i] - (vmin + codes[i] * scale))))
+                         / len(ve), 6) AS mean_abs_err_r
+            FROM c
+        """,
+        "q80_knn_classify": """
+            WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+              FROM embeddings WHERE vec_id % 10 <> 0
+            ), q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id % 10 = 0
+            ), pairs AS (
+              SELECT q.query_id, c.vec_id, c.label,
+                     round(list_dot_product(qe, e)
+                           / (sqrt(list_dot_product(qe, qe))
+                              * sqrt(list_dot_product(e, e))), 4) AS s
+              FROM q, c WHERE c.vec_id <> q.query_id
+            ), topk AS (
+              SELECT query_id, label FROM (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id) AS rn
+                FROM pairs
+              ) WHERE rn <= 5
+            ), votes AS (
+              SELECT query_id, label, COUNT(*) AS n_votes
+              FROM topk GROUP BY 1, 2
+            )
+            SELECT query_id, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+            FROM (
+              SELECT query_id, label, n_votes,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY n_votes DESC, label) AS vr
+              FROM votes
+            ) WHERE vr = 1
         """,
         "q75_event_transitions": """
             WITH base AS (

@@ -43,11 +43,14 @@ from .similarity import (
     hyperplane_candidates,
     ivf_search,
     ivf_topk,
+    knn_classify,
     lsh_ann_topk,
+    quantize_embeddings,
 )
 from .text import (
     bpe_ish_token_count,
     build_vocab,
+    chunk_documents,
     doc_quality,
     fingerprint_contamination,
     language_id,
@@ -94,8 +97,11 @@ __all__ = [
     "hyperplane_candidates",
     "ivf_search",
     "ivf_topk",
+    "knn_classify",
     "lsh_ann_topk",
+    "quantize_embeddings",
     "bpe_ish_token_count",
+    "chunk_documents",
     "build_vocab",
     "doc_quality",
     "fingerprint_contamination",

@@ -29,6 +29,8 @@ __all__ = [
     "l2_norm",
     "cosine_similarity",
     "cosine_topk",
+    "knn_classify",
+    "quantize_embeddings",
     "hyperplane_planes",
     "hyperplane_candidates",
     "lsh_ann_topk",
@@ -88,6 +90,113 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine_sim", "rank")
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: Optional[str] = None,
+    round_to: Optional[int] = 4,
+) -> DataFrame:
+    """Majority-vote k-NN classification over a labeled embedding corpus.
+
+    The label rides along the corpus scan (one narrow extra column), so no
+    join-back is needed after ranking: broadcast queries -> score -> per-query
+    top-k window -> (query, label) vote counts -> per-query argmax window.
+    Shuffle cost is the two windows over k*|queries| rows, never the corpus.
+    Ties are deterministic: similarity rounds to ``round_to`` then breaks on
+    corpus id; votes break on (count desc, label asc).
+
+    Output: ``(query_id, pred_label, n_votes)``.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+    sim = cosine_similarity(F.col("__qv"), F.col(vec_col))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, label_col, sim.alias("__sim"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.col(id_col))
+    topk = pairs.withColumn("__rn", F.row_number().over(w_rank)).filter(
+        F.col("__rn") <= k
+    )
+    votes = topk.groupBy("query_id", label_col).agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.col(label_col)
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(w_vote))
+        .filter(F.col("__vr") == 1)
+        .select(
+            "query_id",
+            F.col(label_col).alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bits: int = 8,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Per-vector min/max scalar quantization to ``bits``-bit integer codes
+    — the storage-compression primitive for embedding tables (an 8-bit code
+    is 4x smaller than float32, 8x smaller than float64).
+
+    ``code_i = floor((x_i - vmin) / scale + 0.5)`` with
+    ``scale = (vmax - vmin) / (2^bits - 1)``; constant vectors get scale 1
+    (all codes 0). Appends ``codes`` (array<int>), ``q_min``, ``q_scale``,
+    and ``mean_abs_err`` (mean |x - dequant(x)|). Pure per-row Column math
+    (``transform``/``aggregate`` under codegen): zero shuffle, and every
+    arithmetic step is a single IEEE double op so results are bit-identical
+    across engines.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError(f"need 1 <= bits <= 16, got {bits=}")
+    levels = (1 << bits) - 1
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vmin = F.array_min(v)
+    vmax = F.array_max(v)
+    scale = F.when(vmax == vmin, F.lit(1.0)).otherwise((vmax - vmin) / levels)
+    df = (
+        df.withColumn("__v", v)
+        .withColumn("q_min", vmin)
+        .withColumn("q_scale", scale)
+    )
+    code = F.transform(
+        F.col("__v"),
+        lambda x: F.floor((x - F.col("q_min")) / F.col("q_scale") + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    df = df.withColumn(out_col, code)
+    abs_err_sum = F.aggregate(
+        F.zip_with(
+            F.col("__v"),
+            F.col(out_col),
+            lambda x, c: F.abs(x - (F.col("q_min") + c * F.col("q_scale"))),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return df.withColumn(
+        "mean_abs_err", abs_err_sum / F.size(F.col("__v"))
+    ).drop("__v")
 
 
 def hyperplane_planes(

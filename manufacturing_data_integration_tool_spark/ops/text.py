@@ -17,6 +17,7 @@ __all__ = [
     "token_count",
     "bpe_ish_token_count",
     "term_counts",
+    "chunk_documents",
     "normalize_text",
     "repetition_stats",
     "with_repetition_cols",
@@ -149,6 +150,57 @@ def normalize_text(
     return df.withColumn(out_col, collapsed).withColumn(
         "n_chars_removed",
         (F.length(F.col(text_col)) - F.length(F.col(out_col))).cast("long"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the
+    context-window packing / RAG-passage primitive.
+
+    Chunk ``k`` starts at token ``k * (chunk_size - overlap)`` and takes
+    ``chunk_size`` tokens; a start is generated at every stride multiple
+    below ``n_tokens``, so the final chunk may be shorter (and for
+    ``n_tokens <= chunk_size`` there is more than one chunk only when a
+    stride multiple still lands inside the doc). Empty docs yield no rows.
+
+    Pure per-row compute (``sequence``/``transform``/``slice`` under
+    whole-stage codegen): zero shuffle, output rows ~ n_tokens / stride
+    per doc — linear in corpus size regardless of partition layout.
+
+    Output: ``(id_col, chunk_idx, n_tokens, chunk_text)``.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap=} {chunk_size=}"
+        )
+    stride = chunk_size - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("__toks")) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(starts, lambda s: F.slice("__toks", s + 1, chunk_size))
+            ).alias("chunk_idx", "__chunk"),
+        )
+        .filter(F.size("__chunk") > 0)
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
     )
 
 

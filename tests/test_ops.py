@@ -488,3 +488,112 @@ def test_hll_estimate_close_to_exact(spark):
     assert set(approx) == set(exact)
     for k, d in exact.items():
         assert abs(approx[k] - d) / d < 0.02, (k, approx[k], d)
+
+
+def test_chunk_documents_boundaries(spark):
+    """7 tokens, chunk_size=3, overlap=1 (stride 2): starts 0,2,4,6 ->
+    chunks of sizes 3,3,3,1; empty docs yield no rows; idx/text exact."""
+    from manufacturing_data_integration_tool_spark.ops.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "x y")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_size=3, overlap=1).collect()
+    )
+    assert rows == [
+        (1, 0, 3, "a b c"),
+        (1, 1, 3, "c d e"),
+        (1, 2, 3, "e f g"),
+        (1, 3, 1, "g"),
+        (3, 0, 2, "x y"),
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from manufacturing_data_integration_tool_spark.ops.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_knn_classify_majority_vote(spark):
+    """3 corpus points near +x with label 1, 2 near +y with label 2; a +x
+    query must vote label 1 (k=3 -> at least 2 of 3 neighbors are +x)."""
+    from pyspark.sql import Row, types as T
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import knn_classify
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0], label=1),
+            Row(vec_id=2, embedding=[0.9, 0.1], label=1),
+            Row(vec_id=3, embedding=[0.8, 0.2], label=1),
+            Row(vec_id=4, embedding=[0.0, 1.0], label=2),
+            Row(vec_id=5, embedding=[0.1, 0.9], label=2),
+        ],
+        schema,
+    )
+    queries = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[1.0, 0.05], label=0)], schema
+    )
+    rows = knn_classify(corpus, queries, k=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["query_id"] == 100
+    assert rows[0]["pred_label"] == 1
+    assert rows[0]["n_votes"] == 3
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """Codes span [0, 255]; dequantized max error is bounded by scale/2;
+    constant vectors quantize to all-zero codes with scale 1."""
+    from pyspark.sql import Row, types as T
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        quantize_embeddings,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.0, 0.5, 1.0]),
+            Row(vec_id=2, embedding=[3.0, 3.0, 3.0]),
+        ],
+        schema,
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["codes"] == [0, 128, 255]  # 0.5 -> 127.5 + 0.5 -> 128
+    assert out[1]["q_min"] == 0.0
+    assert out[1]["mean_abs_err"] <= out[1]["q_scale"] / 2
+    assert out[2]["codes"] == [0, 0, 0]
+    assert out[2]["q_scale"] == 1.0
+    assert out[2]["mean_abs_err"] == 0.0
+
+
+def test_quantize_embeddings_rejects_bad_bits(spark):
+    from pyspark.sql import Row
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0])])
+    with pytest.raises(ValueError):
+        quantize_embeddings(df, bits=0)
