@@ -1459,6 +1459,137 @@ def q80_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(corpus, queries, k=5)
 
 
+def q81_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between a nation pair by ship year. The two
+    nation dims are truly fixed-size (25 rows) so they ARE force-broadcast;
+    supplier/customer join sides are left to AQE/size estimation (they grow
+    with SF). The nation-pair filter collapses to two semi-joins pushed
+    below the big lineitem-orders join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    pair = ("NATION_3", "NATION_8")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*pair))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*pair))
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q82_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram via LEFT OUTER join +
+    double aggregation. First groupBy shuffles on c_custkey (uniform key);
+    second input is |customers| rows collapsing to a handful of buckets —
+    partial aggregation makes the second shuffle carry ~|distinct counts|
+    rows per partition."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+def q83_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a part join restricted
+    to one ship month. Part is scale-linear so the join side is left to
+    AQE; both sums are exact decimals and the single percentage division
+    happens once, at the end (bit-identical across engines)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    lo = F.to_timestamp(F.lit("1997-06-01"))
+    hi = F.to_timestamp(F.lit("1997-07-01"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_partkey", rev.alias("__rev"))
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = joined.agg(
+        _dsum(F.when(F.col("p_type") == "PROMO", F.col("__rev")).otherwise(F.lit(0.0))).alias("promo_revenue"),
+        _dsum(F.col("__rev")).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6).alias("promo_share_pct"),
+    )
+
+
+def q84_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-before-join. lineitem collapses to
+    per-order quantity sums FIRST (one uniform shuffle on l_orderkey, exact
+    decimal), the >300 filter shrinks it to a sliver, and only that sliver
+    joins back to orders/customer — never the raw 4-rows-per-order fact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q85_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-idle customers. The global positive-balance
+    average is a 1-row aggregate broadcast into the filter; customers with
+    recent orders drop via a broadcast-able ANTI join on the date-filtered
+    order keys; the survivor set groups by the c_name suffix digit (the
+    'country code' analog for this dataset's name format)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit("1999-01-01"))
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dsum("c_acctbal") / F.count(F.lit(1))).alias("__avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 18, 1).alias("name_digit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -1621,6 +1752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_chunk_dedup": q78_chunk_dedup,
         "q79_quantize_embeddings": q79_quantize_embeddings,
         "q80_knn_classify": q80_knn_classify,
+        "q81_volume_shipping": q81_volume_shipping,
+        "q82_order_count_distribution": q82_order_count_distribution,
+        "q83_promo_share": q83_promo_share,
+        "q84_large_volume_customers": q84_large_volume_customers,
+        "q85_idle_customers": q85_idle_customers,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -2370,6 +2506,76 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n_votes DESC, label) AS vr
               FROM votes
             ) WHERE vr = 1
+        """,
+        "q81_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+              AND n2.n_name IN ('NATION_3', 'NATION_8')
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "q82_order_count_distribution": """
+            SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q83_promo_share": """
+            WITH agg AS (
+              SELECT
+                CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1.0 - l_discount)
+                                   ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+                AND l_shipdate < TIMESTAMP '1997-07-01'
+            )
+            SELECT promo_revenue, total_revenue,
+                   round(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+            FROM agg
+        """,
+        "q84_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 300.0
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+                   o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q85_idle_customers": """
+            WITH avg_bal AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS a
+              FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT substring(c_name, 18, 1) AS name_digit,
+                   COUNT(*) AS n_custs,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > a
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01'
+              )
+            GROUP BY 1
         """,
         "q75_event_transitions": """
             WITH base AS (

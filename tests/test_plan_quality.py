@@ -232,3 +232,33 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_q81_nation_filter_pushed_and_no_nested_loop(spark):
+    """Q7 shape: the nation-pair IN filter must reach both nation scans and
+    the whole join tree must stay hash-based (no BroadcastNestedLoopJoin /
+    CartesianProduct from the inequality filter)."""
+    plan = plan_of(entry.q81_volume_shipping(spark, "/root/testdata/sf0.001"))
+    assert "In(n_name, [NATION_3,NATION_8])" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q84_aggregates_lineitem_before_join(spark):
+    """Q18 shape: the per-order quantity rollup must sit BELOW the joins —
+    an aggregate over lineitem feeding the join, never a join feeding one
+    giant aggregate."""
+    plan = plan_of(entry.q84_large_volume_customers(spark, "/root/testdata/sf0.001"))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # formatted explain prints the tree root-first: joins (near the root)
+    # must appear before the lineitem aggregate (a leaf-side subtree).
+    assert join_pos < agg_pos
+
+
+def test_q85_anti_join_and_scalar_broadcast(spark):
+    plan = plan_of(entry.q85_idle_customers(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
