@@ -1590,6 +1590,32 @@ def q85_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per doc (ops.text.unigram_logprob) —
+    the LM-free perplexity proxy for quality filtering. Vocab-sized prob
+    table broadcast; per-token ln rounds to 9 decimals before the exact
+    decimal sum so libm ulp differences can't shift the hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.unigram_logprob(docs, "doc_id", "text")
+
+
+def q87_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty vs the corpus (ops.text.ngram_novelty):
+    inverted-index df counts -> join back -> per-doc fraction. Low novelty
+    flags boilerplate for the dedup/quality gate."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.ngram_novelty(docs, "doc_id", "text", n=3, min_df=2)
+
+
+def q88_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form
+    (ops.similarity.label_centroids): posexplode + (label, dim) groupBy
+    with integer-grid snapping so BIGINT sums stay exact and
+    order-independent. |labels| x 64 output rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.label_centroids(emb, "label", "embedding")
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -1757,6 +1783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_promo_share": q83_promo_share,
         "q84_large_volume_customers": q84_large_volume_customers,
         "q85_idle_customers": q85_idle_customers,
+        "q86_unigram_logprob": q86_unigram_logprob,
+        "q87_ngram_novelty": q87_ngram_novelty,
+        "q88_label_centroids": q88_label_centroids,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -2576,6 +2605,48 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= TIMESTAMP '1999-01-01'
               )
             GROUP BY 1
+        """,
+        "q86_unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({tok}) AS term FROM documents
+            ), tf AS (
+              SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+            ), total AS (
+              SELECT SUM(n) AS t FROM tf
+            ), probs AS (
+              SELECT term, CAST(round(ln(n / t), 9) AS DECIMAL(24,12)) AS logp
+              FROM tf, total
+            )
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+            FROM toks JOIN probs USING (term)
+            GROUP BY doc_id
+        """,
+        "q87_ngram_novelty": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(tk[i:i+2], ' ')
+                                    for i in range(1, len(tk) - 1)]) AS grams
+              FROM (SELECT doc_id, {tok} AS tk FROM documents)
+            ), g AS (
+              SELECT doc_id, unnest(grams) AS gram FROM sh
+            ), gdf AS (
+              SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+            )
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+                   round(1.0 - SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) AS novelty
+            FROM g JOIN gdf USING (gram)
+            GROUP BY doc_id
+        """,
+        "q88_label_centroids": """
+            SELECT label,
+                   CAST(i - 1 AS BIGINT) AS dim,
+                   COUNT(*) AS n_vecs,
+                   round(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
+                         / (10000000.0 * COUNT(*)), 6) AS centroid
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY 1, 2
         """,
         "q75_event_transitions": """
             WITH base AS (

@@ -58,6 +58,18 @@ HEADLINE = [
     "q65_window_suite",
     "q68_repetition_stats",
     "q69_contamination",
+    "q72_quality_cutoff",
+    "q75_event_transitions",
+    "q76_top_terms_per_lang",
+    "q77_chunk_documents",
+    "q78_chunk_dedup",
+    "q79_quantize_embeddings",
+    "q80_knn_classify",
+    "q81_volume_shipping",
+    "q82_order_count_distribution",
+    "q83_promo_share",
+    "q84_large_volume_customers",
+    "q85_idle_customers",
 ]
 
 

@@ -44,6 +44,7 @@ from .similarity import (
     ivf_search,
     ivf_topk,
     knn_classify,
+    label_centroids,
     lsh_ann_topk,
     quantize_embeddings,
 )
@@ -51,6 +52,8 @@ from .text import (
     bpe_ish_token_count,
     build_vocab,
     chunk_documents,
+    ngram_novelty,
+    unigram_logprob,
     doc_quality,
     fingerprint_contamination,
     language_id,
@@ -98,6 +101,7 @@ __all__ = [
     "ivf_search",
     "ivf_topk",
     "knn_classify",
+    "label_centroids",
     "lsh_ann_topk",
     "quantize_embeddings",
     "bpe_ish_token_count",
@@ -105,7 +109,9 @@ __all__ = [
     "build_vocab",
     "doc_quality",
     "fingerprint_contamination",
+    "ngram_novelty",
     "normalize_text",
+    "unigram_logprob",
     "repetition_stats",
     "tfidf_top_terms",
     "language_id",

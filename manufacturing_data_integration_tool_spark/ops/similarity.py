@@ -30,6 +30,7 @@ __all__ = [
     "cosine_similarity",
     "cosine_topk",
     "knn_classify",
+    "label_centroids",
     "quantize_embeddings",
     "hyperplane_planes",
     "hyperplane_candidates",
@@ -197,6 +198,43 @@ def quantize_embeddings(
     return df.withColumn(
         "mean_abs_err", abs_err_sum / F.size(F.col("__v"))
     ).drop("__v")
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    *,
+    scale: int = 10**7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label element-wise centroids in long form
+    ``(label, dim, n_vecs, centroid)`` — the IVF/cluster-stats support
+    primitive (fit data for coarse quantizers, drift monitoring).
+
+    One posexplode (rows = |vectors| x dim) + one groupBy (label, dim) with
+    map-side combine — the shuffle carries |labels| x dim rows per
+    partition, never the corpus. Each component is snapped to an integer
+    grid (``floor(x * scale + 0.5)``) before summing: BIGINT addition is
+    exact and order-independent, so the centroid is deterministic across
+    engines and partitionings without decimal-cast rounding-mode concerns
+    on full-mantissa floats.
+    """
+    e = df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "__x"))
+    q = F.floor(F.col("__x").cast("double") * scale + F.lit(0.5)).cast("long")
+    return (
+        e.withColumn("__q", q)
+        .groupBy(label_col, "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("__q").alias("__qsum"))
+        .select(
+            label_col,
+            F.col("dim").cast("long").alias("dim"),
+            "n_vecs",
+            F.round(
+                F.col("__qsum") / (F.lit(float(scale)) * F.col("n_vecs")), round_to
+            ).alias("centroid"),
+        )
+    )
 
 
 def hyperplane_planes(

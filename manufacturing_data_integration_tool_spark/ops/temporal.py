@@ -165,3 +165,60 @@ def rolling_time_agg(
     for expr_sql, alias in aggs:
         out = out.withColumn(alias, F.expr(expr_sql).over(w))
     return out
+
+
+def group_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    y_scale: int = 10**4,
+    per_x: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group least-squares linear trend (slope + intercept) of
+    ``y_col`` over ``x_col`` — drift/trend detection per device, user, or
+    sensor. Spark 3.4+ ships ``regr_slope``, but its float co-moment sums
+    accumulate in partition order, so two runs (or two engines) can differ
+    in ulps; this implementation is deterministic by construction.
+
+    ``x_col`` must already be an exact integer (e.g. epoch seconds);
+    ``y_col`` is snapped to a ``1/y_scale`` grid. All five OLS sums
+    (n, Σx, Σy, Σxy, Σx²) then accumulate as exact ``decimal(38,0)`` —
+    associative, so partial aggregation order is irrelevant — and the
+    closed-form slope/intercept is computed with a fixed double-precision
+    expression tree from those exact sums: bit-identical on any engine.
+
+    One map-side-combined groupBy shuffle carrying 5 numbers per key —
+    the cheapest possible distributed regression. ``per_x`` rescales the
+    slope's x-unit for readability (e.g. 86400.0 → per-day when x is in
+    seconds). Groups with zero x-variance get NULL slope/intercept.
+
+    Output: ``(key_col, n_obs, slope, intercept)``.
+    """
+    x = F.col(x_col).cast("decimal(38,0)")
+    yq = F.floor(F.col(y_col).cast("double") * y_scale + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(x).alias("__sx"),
+        F.sum(yq).alias("__sy"),
+        F.sum(x * yq).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n = F.col("n_obs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope_q = (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))
+    intercept_q = (sy - slope_q * sx) / n
+    return agg.select(
+        key_col,
+        "n_obs",
+        F.round(slope_q * F.lit(float(per_x)) / y_scale, round_to).alias("slope"),
+        F.round(intercept_q / y_scale, round_to).alias("intercept"),
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Mapping, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "tokenize",
@@ -18,7 +18,13 @@ __all__ = [
     "bpe_ish_token_count",
     "term_counts",
     "chunk_documents",
+    "ngram_novelty",
     "normalize_text",
+    "scrub_text",
+    "strip_common_segments",
+    "unigram_logprob",
+    "vocab_coverage",
+    "DEFAULT_SCRUB_PATTERNS",
     "repetition_stats",
     "with_repetition_cols",
     "fingerprint_contamination",
@@ -200,6 +206,240 @@ def chunk_documents(
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.size("__chunk").cast("long").alias("n_tokens"),
             F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def strip_common_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    width: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Boilerplate / repeated-segment removal (the CCNet/RefinedWeb
+    line-dedup idea, generalized to fixed token windows because the
+    segmentation unit is a parameter of the pipeline, not the operator):
+    split each doc into non-overlapping ``width``-token segments, count in
+    how many DISTINCT documents each segment appears, drop segments seen in
+    ``>= min_df`` docs, and reassemble the survivors in original order.
+
+    Scale posture: one explode (rows ~ n_tokens / width), a df-count
+    aggregate on ``xxhash64(segment)`` (map-side combined; hot boilerplate
+    segments are exactly one reducer cell each), an equi-join of the
+    segment stream against the segment-df table on the 8-byte hash (never
+    the segment text), and one per-doc aggregate. The reassembly
+    ``collect_list`` is bounded by doc length — per-doc state, not
+    per-corpus.
+
+    Output: ``(id_col, n_segments, n_removed, clean_text)`` — empty docs
+    yield no row; a fully-boilerplate doc yields ``clean_text = ''``.
+    """
+    if width < 1 or min_df < 1:
+        raise ValueError(f"need width >= 1 and min_df >= 1, got {width=} {min_df=}")
+    n_segs = F.ceil(F.size("__toks") / F.lit(width)).cast("int")
+    segs = (
+        df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_segs, F.lit(1))),
+                    lambda i: F.array_join(
+                        F.slice("__toks", (i - F.lit(1)) * width + F.lit(1), width), " "
+                    ),
+                )
+            ).alias("idx", "seg"),
+        )
+        .withColumn("__h", F.xxhash64("seg"))
+    )
+    seg_df = segs.groupBy("__h").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    kept = F.when(F.col("__df") < min_df, F.struct("idx", "seg"))
+    return (
+        segs.join(seg_df, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("__df") >= min_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["seg"]),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+# Redaction patterns chosen from the Java-regex ∩ RE2 subset so the same
+# pattern string runs identically on Spark and DuckDB (no backrefs, no
+# lookaround). Order matters: URLs first (an email-shaped userinfo inside a
+# URL must redact as part of the URL), then emails, then bare IPv4s.
+DEFAULT_SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_scrubbed",
+    patterns: Sequence[tuple[str, str]] = DEFAULT_SCRUB_PATTERNS,
+) -> DataFrame:
+    """PII/URL scrubbing: sequentially replace each ``(pattern, token)``
+    pair and count the matches it redacted — the pre-training privacy
+    pass (emails, URLs, IP addresses by default).
+
+    Pure per-row ``regexp_replace``/``regexp_count`` expressions under
+    whole-stage codegen — zero shuffle, linear scan. Counts are taken on
+    the text as it stands BEFORE that pattern's replacement (so an email
+    already swallowed by the URL pass is not double-counted).
+
+    Output: input columns + ``out_col`` + ``n_redactions`` (total).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for pat, token in patterns:
+        counts.append(F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return df.withColumn(out_col, cur).withColumn(
+        "n_redactions", total.cast("long")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_n: int = 100,
+) -> DataFrame:
+    """Cumulative token coverage of the top-``top_n`` vocabulary — the
+    'how big a vocab do I need' curve for tokenizer design: rank terms by
+    corpus frequency and report what fraction of all token occurrences the
+    top-k terms cover.
+
+    The rank/cumsum window is UNPARTITIONED by construction — it runs over
+    the |vocab|-sized term-count table (already aggregated map-side), never
+    the corpus, so the single-task window is bounded by vocabulary size.
+    All math is integer until the one final division (ties broken by term
+    asc, so ranks are deterministic across engines).
+
+    Output: ``(rank, term, term_count, cum_coverage)``.
+    """
+    tc = term_counts(df, text_col)
+    total = tc.agg(F.sum("term_count").alias("__total"))
+    w = Window.orderBy(F.desc("term_count"), F.asc("term"))
+    ranked = tc.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "term",
+        "term_count",
+        F.sum("term_count")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__cum"),
+    ).filter(F.col("rank") <= top_n)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "term",
+        "term_count",
+        F.round(F.col("__cum") / F.col("__total"), 6).alias("cum_coverage"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the cheap LM-free
+    perplexity proxy used for corpus quality filtering (a doc of globally
+    rare tokens scores low, boilerplate scores high).
+
+    Two shuffles total: corpus term counts (map-side combined, vocab-sized
+    result broadcast back onto the token stream) and the per-doc mean. The
+    per-token ``ln(p)`` rounds to 9 decimals BEFORE the exact-decimal sum:
+    a libm ulp difference between engines vanishes at 9 decimals, and
+    decimal addition keeps the sum partition-order-independent.
+
+    Output: ``(id_col, n_tokens, avg_logprob)``.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__n"))
+    total = tf.agg(F.sum("__n").alias("__total"))
+    probs = tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("__n") / F.col("__total")), 9)
+        .cast("decimal(24,12)")
+        .alias("__logp"),
+    )
+    return (
+        toks.join(F.broadcast(probs), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # cast the exact decimal sum to double BEFORE dividing: one
+            # IEEE double division on both engines (Spark decimal division
+            # would round at decimal scale first and could differ in ulps)
+            F.round(
+                F.sum("__logp").cast("double") / F.count(F.lit(1)), round_to
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    min_df: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    n-grams that appear in fewer than ``min_df`` documents — high novelty
+    marks original text, low novelty marks boilerplate/near-dup fodder.
+
+    Inverted-index shape (same scale posture as the Jaccard family): one
+    shuffle on the gram for document frequencies, one broadcast-or-shuffle
+    join back, one per-doc aggregate. Grams are distinct-per-doc so df
+    counts are plain ``count(*)``.
+
+    Output: ``(id_col, n_grams, n_common, novelty)``.
+    """
+    from .dedup import shingles_from_tokens
+
+    grams = (
+        df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens("__toks", n)).alias("gram"),
+        )
+    )
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") >= min_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_common"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.when(F.col("__df") >= min_df, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("novelty"),
         )
     )
 
