@@ -1616,6 +1616,52 @@ def q88_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroids(emb, "label", "embedding")
 
 
+def q89_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document quota (ops.sampling.cap_per_group)
+    — the web-corpus "max N docs per domain" primitive. Survivors are the
+    cap lowest md5-buckets within each source: reproducible on any
+    partitioning/engine. ONE shuffle on source + a bounded window; no
+    global sort."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import cap_per_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cap_per_group(
+        docs.select("doc_id", "source", "lang"), "source", "doc_id", 15, salt="cap"
+    )
+
+
+def q90_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (ops.sampling.priority_sample,
+    Duffield-Lund-Thorup priority sampling): top-10 docs per language by
+    priority n_chars/u with u a 52-bit md5 uniform — longer docs are
+    proportionally likelier, deterministically. The score is ONE IEEE
+    division on exactly-representable doubles, so Spark and the DuckDB
+    oracle rank bit-identically (no ln/pow libm drift)."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import priority_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return priority_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "n_chars",
+        10,
+        strata_col="lang",
+        salt="prio",
+    )
+
+
+def q91_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ops.dedup.semantic_dedup,
+    arXiv:2303.09540): KMeans cells confine the quadratic cosine scoring,
+    higher-id member of every >=0.45 pair dropped (threshold matches the q34 exact baseline). Not SQL-expressible
+    (KMeans) -> rows-only; containment/recall pinned by pytest."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = dd.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, threshold=0.45
+    )
+    return out.select("vec_id", "label")
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -1786,7 +1832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_unigram_logprob": q86_unigram_logprob,
         "q87_ngram_novelty": q87_ngram_novelty,
         "q88_label_centroids": q88_label_centroids,
+        "q89_source_caps": q89_source_caps,
+        "q90_priority_sample": q90_priority_sample,
         # --- approximate / non-SQL-expressible: rows-only checks ---
+        "q91_semantic_dedup": q91_semantic_dedup,
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
         "q30_multimodal_decode": q30_multimodal_decode,
@@ -2647,6 +2696,27 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q89_source_caps": f"""
+            SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_bucket_sql("doc_id", "cap")}, doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 15
+        """,
+        "q90_priority_sample": f"""
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(n_chars AS DOUBLE) /
+                                ((CAST('0x' || {_bucket_sql("doc_id", "prio")} AS BIGINT)
+                                  + 0.5) / 4503599627370496.0) DESC,
+                                doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 10
         """,
         "q75_event_transitions": """
             WITH base AS (

@@ -15,14 +15,17 @@ from .dedup import (
     exact_dedup_by_content,
     minhash_candidates,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_fingerprints,
     simhash_near_dups,
     word_shingles,
 )
 from .graph import connected_components, dedup_clusters
 from .sampling import (
+    cap_per_group,
     hash_fraction_threshold,
     hash_sample,
+    priority_sample,
     stratified_sample,
     train_holdout_split,
 )
@@ -74,13 +77,16 @@ __all__ = [
     "exact_dedup_by_content",
     "minhash_candidates",
     "ngram_jaccard_pairs",
+    "semantic_dedup",
     "simhash_fingerprints",
     "simhash_near_dups",
     "word_shingles",
     "connected_components",
     "dedup_clusters",
+    "cap_per_group",
     "hash_fraction_threshold",
     "hash_sample",
+    "priority_sample",
     "stratified_sample",
     "train_holdout_split",
     "asof_join",

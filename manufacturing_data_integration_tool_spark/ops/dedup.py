@@ -40,6 +40,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dups",
     "embedding_near_dups",
+    "semantic_dedup",
 ]
 
 
@@ -474,3 +475,61 @@ def simhash_near_dups(
         cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+    cluster embeddings with KMeans, score cosine similarity ONLY within each
+    cluster, and drop the higher-id member of every >= ``threshold`` pair.
+    Returns the surviving rows of ``vectors``.
+
+    100 TB posture: the quadratic term is confined to single cells —
+    pair generation is an equi-join on the cell id (shuffle-or-broadcast
+    hash join), never the corpus cross join; with balanced cells the pair
+    count is ~n^2/n_clusters, tuned by ``n_clusters``. The KMeans fit runs
+    on a sample-sized driver loop inside Spark ML; in a real deployment
+    fit once (``ops.similarity.fit_ivf``) and reuse the centroids across
+    corpus snapshots.
+
+    Not SQL-expressible (KMeans) -> rows-only in the driver gate; the
+    recall/containment properties are pinned by pytest against the exact
+    ``embedding_near_dups`` baseline.
+    """
+    from .similarity import fit_ivf
+
+    index = fit_ivf(
+        vectors, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+    )
+    assigned = index.assigned  # id, vec, __cell
+    a = assigned.select(
+        F.col("__cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col("__cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    from .similarity import dot, l2_norm
+
+    pairs = a.join(b, "__cell").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("va"), F.col("vb")),
+            l2_norm(F.col("va")) * l2_norm(F.col("vb")),
+        ),
+        round_to,
+    )
+    dupes = (
+        pairs.select(F.col("id_b").alias(id_col), sim.alias("__s"))
+        .filter(F.col("__s") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return vectors.join(dupes, id_col, "left_anti")

@@ -21,15 +21,17 @@ pruning; at 100 TB a stratified sample is exactly one scan.
 
 from __future__ import annotations
 
-from typing import Mapping, Optional
+from typing import Mapping, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "hash_fraction_threshold",
     "hash_sample",
     "stratified_sample",
     "train_holdout_split",
+    "cap_per_group",
+    "priority_sample",
 ]
 
 _HEX_DIGITS = 13  # 13 hex chars = 52 bits: exactly representable in a double
@@ -119,4 +121,86 @@ def train_holdout_split(
         F.when(_bucket(key_col, salt) < F.lit(thr), F.lit("holdout")).otherwise(
             F.lit("train")
         ),
+    )
+
+
+def _u52(key: Column | str, salt: str) -> Column:
+    """Uniform 52-bit integer from the portable md5 bucket.
+
+    ``conv(hex, 16, 10)`` is the Spark rendering; the oracle twin is
+    ``CAST('0x' || substr(md5(..)) AS BIGINT)`` (see ``u52_sql``). 52 bits
+    fit a double exactly, so downstream float math is engine-identical.
+    """
+    return F.conv(_bucket(key, salt), 16, 10).cast("bigint")
+
+
+def u52_sql(key_sql: str, salt: str) -> str:
+    """ANSI-ish SQL twin of ``_u52`` (DuckDB-compatible hex cast)."""
+    return f"CAST('0x' || {bucket_sql(key_sql, salt)} AS BIGINT)"
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str | Sequence[str],
+    key_col: str,
+    cap: int,
+    *,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group quota — at most ``cap`` rows per group.
+
+    The web-corpus "max N documents per domain/source" primitive: rows
+    within a group are ranked by their content-hash bucket (a reproducible
+    shuffle of the group), and rank > cap is dropped. Same survivors on any
+    cluster layout or engine.
+
+    100 TB posture: ONE hash shuffle on the group key + a bounded per-group
+    window — no global sort. Groups larger than executor memory are fine
+    (window spills); a pathological mega-group is exactly the case the cap
+    exists to neuter, and rank <= cap lets the window stop early under
+    AQE's skew splitting.
+    """
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*groups).orderBy(_bucket(key_col, salt), F.col(key_col))
+    return (
+        df.withColumn("__cap_rk", F.row_number().over(w))
+        .filter(F.col("__cap_rk") <= F.lit(int(cap)))
+        .drop("__cap_rk")
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    *,
+    strata_col: Optional[str] = None,
+    salt: str = "prio",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement: top-``k`` rows by priority
+    ``w / u`` (priority sampling, Duffield-Lund-Thorup JACM'07) — rows with
+    larger weight are proportionally more likely to survive, deterministically.
+
+    ``u = (h + 0.5) / 2^52`` with ``h`` the portable 52-bit md5 bucket of
+    ``key_col`` — exact in a double, so ``w / u`` is ONE correctly-rounded
+    IEEE division and the ranking is bit-identical across Spark and any
+    SQL engine with md5 (the oracle requirement). No ``ln``/``pow`` — libm
+    ulp drift can't flip a rank.
+
+    With ``strata_col``, k rows per stratum (per-language / per-source
+    quotas weighted by quality score). 100 TB posture: one shuffle on the
+    stratum key (or a single-partition top-k for the global case — prefer
+    strata at scale); rank <= k is a bounded window, never a global sort
+    of the corpus.
+    """
+    w_col = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (_u52(key_col, salt).cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    prio = w_col.cast("double") / u
+    parts = [strata_col] if strata_col else []
+    win = Window.partitionBy(*parts).orderBy(F.desc_nulls_last(prio), F.col(key_col))
+    return (
+        df.withColumn("__prio_rk", F.row_number().over(win))
+        .filter(F.col("__prio_rk") <= F.lit(int(k)))
+        .drop("__prio_rk")
     )

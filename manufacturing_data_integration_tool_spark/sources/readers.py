@@ -129,8 +129,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         enable_nanos_as_long(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts_ns", F.col("ts")).withColumn("ts", nanos_to_timestamp("ts"))
+        elif ts_type == "timestamp_ntz":
+            # plain TIMESTAMP_NTZ (µs) storage: synthesize the raw-nanos twin
+            # so every ts_ns consumer (and DuckDB's epoch_ns(ts) oracle, which
+            # yields µs*1000 for microsecond timestamps) sees one schema.
+            # timestampdiff is timezone-free — the naive wall-clock value maps
+            # to epoch micros exactly as DuckDB treats it.
+            df = df.withColumn(
+                "ts_ns",
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+                ).cast("bigint"),
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
         return _fan_out_small_scan(spark, df, name, f"{sf_dir}/{name}.parquet")
     path = f"{sf_dir}/{name}.parquet"
     return _fan_out_small_scan(spark, spark.read.parquet(path), name, path)

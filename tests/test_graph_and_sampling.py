@@ -171,3 +171,55 @@ def test_connected_components_empty_and_dedup_all_singletons(spark):
         docs, empty.withColumnRenamed("src", "doc_a").withColumnRenamed("dst", "doc_b")
     ).collect()
     assert all(r["is_survivor"] and r["cluster_id"] == r["doc_id"] for r in rows)
+
+
+def test_cap_per_group_limits_and_determinism(spark):
+    from manufacturing_data_integration_tool_spark.ops.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)], ["id", "grp"]
+    )
+    capped = cap_per_group(df, "grp", "id", 7)
+    counts = {r["grp"]: r["n"] for r in capped.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 7 for n in counts.values()) and len(counts) == 3
+    # groups under the cap survive whole
+    small = cap_per_group(df.filter(F.col("id") < 9), "grp", "id", 7)
+    assert small.count() == 9
+    # survivors are partitioning-invariant
+    a = {(r["id"], r["grp"]) for r in capped.collect()}
+    b = {(r["id"], r["grp"]) for r in cap_per_group(df.repartition(13), "grp", "id", 7).collect()}
+    assert a == b
+
+
+def test_priority_sample_k_per_stratum_and_weight_bias(spark):
+    from manufacturing_data_integration_tool_spark.ops.sampling import priority_sample
+
+    rows = [(i, "s", 1000.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "strat", "w"])
+    got = priority_sample(df, "id", "w", 40, strata_col="strat").collect()
+    assert len(got) == 40
+    heavy = sum(1 for r in got if r["w"] == 1000.0)
+    # 50 heavy rows at 1000x weight should dominate a 40-row draw
+    assert heavy >= 30
+    # deterministic under repartitioning
+    again = priority_sample(df.repartition(17), "id", "w", 40, strata_col="strat").collect()
+    assert {r["id"] for r in got} == {r["id"] for r in again}
+
+
+def test_semantic_dedup_drops_exact_dupes_keeps_distinct(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import semantic_dedup
+
+    # 4 well-separated base directions in 8-dim, each duplicated 3x with the
+    # same vector -> within every cluster the dupes score cosine 1.0
+    base = [[1.0 if d == g else 0.0 for d in range(8)] for g in range(4)]
+    rows = []
+    for g, v in enumerate(base):
+        for j in range(3):
+            rows.append((g * 10 + j, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", n_clusters=4, threshold=0.99, seed=7
+    )
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # exactly the lowest id of each duplicate family survives
+    assert kept == [0, 10, 20, 30]
