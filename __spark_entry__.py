@@ -1662,6 +1662,141 @@ def q91_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def q92_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicates across the
+    lineitem-part join. part is a true dim (SF x 2k rows) broadcast by
+    AQE/size estimation; the OR-of-ANDs stays one join with a composite
+    residual condition — Catalyst extracts the common p_partkey equi-key
+    so this is a hash join, not a nested loop."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        part.select("p_partkey", "p_brand", "p_size"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    bracket = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#8") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(bracket).agg(
+        _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q93_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems under 20% of their part's
+    average quantity. The correlated avg decorrelates into a per-part
+    aggregate joined back on p_partkey — one shuffle on the part key, and
+    the brand filter prunes both sides before the join. The 20%-of-avg
+    comparison is division-free integer-ish decimal math (5 * qty * cnt <
+    sum_qty) so both engines agree exactly."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    li_b = li.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = li_b.groupBy("l_partkey").agg(
+        _dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    ).select(F.col("l_partkey").alias("s_partkey"), "sum_qty", "cnt")
+    cond = (
+        F.col("l_quantity").cast("decimal(18,2)") * F.lit(5) * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return (
+        li_b.join(stats, F.col("l_partkey") == F.col("s_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(_dsum("l_extendedprice").cast("double") / F.lit(7.0), 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q94_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the driver schema: 'late' = shipped
+    more than 90 days after the order date): suppliers who were the ONLY
+    late shipper on a multi-supplier order. The EXISTS / NOT EXISTS pair
+    decorrelates to a left-semi + left-anti join on l_orderkey; top-20 by
+    numwait is TakeOrderedAndProject, never a global sort."""
+    for name in ("lineitem", "orders", "supplier"):
+        read_table(spark, sf_dir, name).createOrReplaceTempView(f"__q94_{name}")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM __q94_lineitem l1
+        JOIN __q94_orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        JOIN __q94_supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAYS
+          AND EXISTS (
+            SELECT 1 FROM __q94_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM __q94_lineitem l3
+            JOIN __q94_orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAYS)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+def q95_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter. The revenue aggregate is |suppliers| rows, so the max is a
+    broadcast one-row cross join back onto it — the scalar-subquery plan —
+    and exact decimal sums make 'equal to max' engine-stable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(supplier.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q96_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (driver schema has no partsupp, so profit =
+    discounted revenue): per supplier-nation, per order year, for parts
+    whose name contains 'widget'. Five-table star: part filter prunes the
+    probe side first, nation (25 rows) force-broadcast, supplier left to
+    AQE — the same join posture as q81."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            part.filter(F.col("p_name").contains("widget")).select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("profit"))
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -1834,6 +1969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_label_centroids": q88_label_centroids,
         "q89_source_caps": q89_source_caps,
         "q90_priority_sample": q90_priority_sample,
+        "q92_disjunctive_pred": q92_disjunctive_pred,
+        "q93_small_qty_orders": q93_small_qty_orders,
+        "q94_waiting_suppliers": q94_waiting_suppliers,
+        "q95_top_supplier": q95_top_supplier,
+        "q96_nation_year_profit": q96_nation_year_profit,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q91_semantic_dedup": q91_semantic_dedup,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -2695,6 +2835,72 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY 1, 2
+        """,
+        "q92_disjunctive_pred": """
+            SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#8' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q93_small_qty_orders": """
+            WITH li_b AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#5'
+            ), stats AS (
+              SELECT l_partkey AS s_partkey,
+                     SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qty,
+                     COUNT(*) AS cnt
+              FROM li_b GROUP BY 1
+            )
+            SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM li_b JOIN stats ON l_partkey = s_partkey
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+        """,
+        "q94_waiting_suppliers": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "q95_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name,
+                   CAST(total_revenue AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q96_nation_year_profit": """
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1, 2
         """,
         "q89_source_caps": f"""

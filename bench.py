@@ -70,6 +70,13 @@ HEADLINE = [
     "q83_promo_share",
     "q84_large_volume_customers",
     "q85_idle_customers",
+    "q89_source_caps",
+    "q90_priority_sample",
+    "q92_disjunctive_pred",
+    "q93_small_qty_orders",
+    "q94_waiting_suppliers",
+    "q95_top_supplier",
+    "q96_nation_year_profit",
 ]
 
 

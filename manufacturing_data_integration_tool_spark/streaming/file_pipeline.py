@@ -28,6 +28,17 @@ from ..sources.archive import archive_file
 from ..sources.sinks import shape_errors_for_sink
 
 
+def ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Streaming watermarks demand TIMESTAMP (LTZ); parquet written as
+    TIMESTAMP_NTZ fails analysis with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.
+    Cast in place — the naive wall-clock becomes a session-tz instant, and
+    windows/gaps/watermark horizons are offset-invariant, so results are
+    unchanged. Batch paths keep NTZ untouched (window() accepts it)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def start_file_stream(
     spark: SparkSession,
     input_dir: str,
@@ -110,7 +121,7 @@ def windowed_event_counts(
     adds a sum when present; pass None (or a missing name) to skip it."""
     src = events
     if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col and value_col in events.columns:
         aggs.append(F.sum(value_col).alias("total_value"))
@@ -133,7 +144,7 @@ def sessionized_counts(
     in batch mode Spark computes the same sessions analytically."""
     src = events
     if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col))
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -38,7 +38,13 @@ def streaming_dedup(
     State size is bounded: a key's dedup record is dropped once the
     watermark passes it (unbounded plain ``dropDuplicates`` state is the
     classic streaming OOM at scale)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    from .file_pipeline import ensure_event_time
+
+    return (
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 RUNNING_STATS_SCHEMA = T.StructType(
@@ -89,10 +95,18 @@ def running_user_stats(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
     """Running per-user count/sum with idle-key eviction
     (``applyInPandasWithState``). Expects ``user_id``, ``value`` and an
     event-time column; emits one updated row per user per micro-batch."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        # timezone-free epoch micros for NTZ storage (unix_micros only
+        # accepts TIMESTAMP; the naive wall-clock maps to epoch directly)
+        t_us = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        ).cast("bigint")
+    else:
+        t_us = F.unix_micros(F.col(ts_col))
     src = events.select(
         "user_id",
         F.col("value").cast("double").alias("value"),
-        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        t_us.alias("t_us"),
     )
     return src.groupBy("user_id").applyInPandasWithState(
         _stats_fn,

@@ -262,3 +262,33 @@ def test_q85_anti_join_and_scalar_broadcast(spark):
     assert "LeftAnti" in plan
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_pred_is_hash_join_not_nested_loop(spark):
+    """q92 (Q19 shape): the OR-of-ANDs must stay one equi-join on
+    p_partkey with a residual condition — never BroadcastNestedLoopJoin."""
+    plan = plan_of(entry.q92_disjunctive_pred(spark, "/root/testdata/sf0.001"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_waiting_suppliers_decorrelates_to_semi_anti(spark):
+    """q94 (Q21 shape): EXISTS/NOT EXISTS must decorrelate into semi/anti
+    joins, and the top-20 must be TakeOrderedAndProject (no global sort)."""
+    plan = plan_of(entry.q94_waiting_suppliers(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_supplier_broadcasts_scalar_max(spark):
+    """q95 (Q15 shape): the one-row max joins back via broadcast."""
+    plan = plan_of(entry.q95_top_supplier(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_source_caps_no_global_sort(spark):
+    """q89: the per-group cap is a keyed window (hashpartitioning on
+    source), never an unpartitioned global sort."""
+    plan = plan_of(entry.q89_source_caps(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan and "hashpartitioning(source" in plan
+    assert "Exchange SinglePartition" not in plan
