@@ -1797,6 +1797,52 @@ def q96_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance entity resolution (ops.dedup.fuzzy_key_pairs):
+    fuzzy part-name pairs within a 3-char prefix block, levenshtein <= 3.
+    The vocabulary is DISTINCT names (64 rows here; always << corpus), the
+    block join is an equi-join — never a cross join of the corpus."""
+    part = read_table(spark, sf_dir, "part")
+    return dd.fuzzy_key_pairs(part, "p_name", max_dist=3, block_chars=3)
+
+
+def q98_daily_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation (relational breadth): daily order counts
+    vs daily lineitem-ship counts, coalesced onto one calendar axis with
+    both sides' counts and the gap. Two partial aggregates shuffle by day
+    BEFORE the join, so the outer join is day-cardinality, not row-scale."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    od = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sd = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ship_lines")
+    )
+    return (
+        od.join(sd, "d", "full_outer")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ship_lines", F.lit(0)).alias("n_ship_lines"),
+            (F.coalesce("n_ship_lines", F.lit(0)) - F.coalesce("n_orders", F.lit(0))).alias("gap"),
+        )
+    )
+
+
+def q99_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles via ntile(10) (window breadth): rank
+    docs by a deterministic quality proxy (n_chars, doc_id tiebreak) inside
+    each language. Keyed window — one shuffle on lang, no global sort; at
+    100 TB prefer the percentile-cutoff form (q72) which broadcasts
+    per-group cut points instead of ranking every row."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.col("doc_id"))
+    return docs.select(
+        "doc_id", "lang", "n_chars", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -1974,6 +2020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_waiting_suppliers": q94_waiting_suppliers,
         "q95_top_supplier": q95_top_supplier,
         "q96_nation_year_profit": q96_nation_year_profit,
+        "q97_fuzzy_name_match": q97_fuzzy_name_match,
+        "q98_daily_reconciliation": q98_daily_reconciliation,
+        "q99_quality_deciles": q99_quality_deciles,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q91_semantic_dedup": q91_semantic_dedup,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -2836,6 +2885,34 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q97_fuzzy_name_match": """
+            WITH keys AS (SELECT DISTINCT p_name AS k FROM part),
+            blocked AS (SELECT k, lower(substr(k, 1, 3)) AS blk FROM keys)
+            SELECT a.k AS key_a, b.k AS key_b,
+                   CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+            FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.k < b.k
+            WHERE levenshtein(a.k, b.k) <= 3
+        """,
+        "q98_daily_reconciliation": """
+            WITH od AS (
+              SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+              FROM orders GROUP BY 1
+            ), sd AS (
+              SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ship_lines
+              FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(COALESCE(od.d, sd.d) AS VARCHAR) AS day,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   COALESCE(n_ship_lines, 0) AS n_ship_lines,
+                   COALESCE(n_ship_lines, 0) - COALESCE(n_orders, 0) AS gap
+            FROM od FULL OUTER JOIN sd ON od.d = sd.d
+        """,
+        "q99_quality_deciles": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(ntile(10) OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS decile
+            FROM documents
         """,
         "q92_disjunctive_pred": """
             SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -77,6 +77,9 @@ HEADLINE = [
     "q94_waiting_suppliers",
     "q95_top_supplier",
     "q96_nation_year_profit",
+    "q97_fuzzy_name_match",
+    "q98_daily_reconciliation",
+    "q99_quality_deciles",
 ]
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "simhash_near_dups",
     "embedding_near_dups",
     "semantic_dedup",
+    "fuzzy_key_pairs",
 ]
 
 
@@ -533,3 +534,34 @@ def semantic_dedup(
         .distinct()
     )
     return vectors.join(dupes, id_col, "left_anti")
+
+
+def fuzzy_key_pairs(
+    df: DataFrame,
+    key_col: str,
+    *,
+    max_dist: int = 2,
+    block_chars: int = 3,
+) -> DataFrame:
+    """Blocked edit-distance matching over a key vocabulary — the
+    entity-resolution primitive (fuzzy product/supplier/domain names).
+
+    Distinct keys are paired only within a blocking bucket (shared
+    lowercase prefix), then filtered by exact ``levenshtein <= max_dist``:
+    an equi-join on the block key, NEVER an all-pairs cross join. Cost is
+    sum of per-block pair counts — tune ``block_chars`` so blocks stay
+    bounded; at 100 TB block on a cheap canonical form (prefix, soundex,
+    length bucket) with the same shape. The key table is DISTINCT keys
+    (a vocabulary), typically orders of magnitude smaller than the corpus.
+    """
+    keys = df.select(F.col(key_col).cast("string").alias("k")).distinct()
+    blocked = keys.withColumn("__blk", F.lower(F.substring("k", 1, block_chars)))
+    a = blocked.select(F.col("__blk"), F.col("k").alias("key_a"))
+    b = blocked.select(F.col("__blk"), F.col("k").alias("key_b"))
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("key_a", "key_b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -597,3 +597,16 @@ def test_quantize_embeddings_rejects_bad_bits(spark):
     df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0])])
     with pytest.raises(ValueError):
         quantize_embeddings(df, bits=0)
+
+
+def test_fuzzy_key_pairs_blocked_levenshtein(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import fuzzy_key_pairs
+
+    df = spark.createDataFrame(
+        [(1, "widget"), (2, "widgit"), (3, "widget"), (4, "gadget"), (5, "wing")],
+        ["id", "name"],
+    )
+    got = {(r["key_a"], r["key_b"], r["dist"]) for r in fuzzy_key_pairs(df, "name", max_dist=2, block_chars=2).collect()}
+    # widget~widgit inside the 'wi' block at dist 1; gadget blocks under 'ga'
+    # (never compared); wing vs widget/widgit is dist 3 -> filtered
+    assert got == {("widget", "widgit", 1)}
