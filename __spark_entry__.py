@@ -1843,6 +1843,51 @@ def q99_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    VARIANT column, then typed variant_get extraction — the columnar-JSON
+    answer at scale (parse once, extract many, no per-field re-parse like
+    get_json_object). Aggregates hash-match the string-path oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q100_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (approx_percentile, GK/t-digest style
+    mergeable state): the 100 TB answer to percentiles — fixed-size
+    per-partition sketches merged once, no sort of the value column.
+    Estimates are implementation-specific -> rows-only; q41 is the exact
+    oracled twin and a pytest pins each estimate within 2% relative error
+    of exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+            ).alias("pcts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n_rows",
+        )
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2023,7 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_fuzzy_name_match": q97_fuzzy_name_match,
         "q98_daily_reconciliation": q98_daily_reconciliation,
         "q99_quality_deciles": q99_quality_deciles,
+        "q101_variant_json": q101_variant_json,
         # --- approximate / non-SQL-expressible: rows-only checks ---
+        "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
@@ -2885,6 +2932,14 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q101_variant_json": """
+            SELECT event_type,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY event_type
         """,
         "q97_fuzzy_name_match": """
             WITH keys AS (SELECT DISTINCT p_name AS k FROM part),

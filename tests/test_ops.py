@@ -610,3 +610,32 @@ def test_fuzzy_key_pairs_blocked_levenshtein(spark):
     # widget~widgit inside the 'wi' block at dist 1; gadget blocks under 'ga'
     # (never compared); wing vs widget/widgit is dist 3 -> filtered
     assert got == {("widget", "widgit", 1)}
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    """q100's sketch quantiles must land within 2% relative error of the
+    exact per-group percentiles (accuracy parameter 10000)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in entry.q100_approx_quantiles(spark, sf).collect()
+    }
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    li = read_table(spark, sf, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (a50, a90, a99) in approx.items():
+        for a, e in zip((a50, a90, a99), exact[flag]):
+            assert abs(a - e) / e < 0.02, (flag, a, e)
