@@ -121,10 +121,12 @@ def _fan_out_small_scan(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table.
 
-    ``events.ts`` is stored as INT64 TIMESTAMP(NANOS); we read it via the
-    legacy long escape hatch and expose BOTH the raw nanos (``ts_ns``,
-    LongType — what the DuckDB oracle's ``epoch_ns(ts)`` sees) and a
-    truncated-to-µs ``ts`` TimestampType column for window/date functions.
+    ``events.ts`` storage has shipped in two flavors across driver testdata
+    generations — INT64 TIMESTAMP(NANOS) (read via the legacy nanos-as-long
+    escape hatch) and plain TIMESTAMP/TIMESTAMP_NTZ (µs). Either way the
+    loaded frame exposes BOTH a raw-nanos ``ts_ns`` LongType twin (what the
+    DuckDB oracle's ``epoch_ns(ts)`` sees) and a timestamp ``ts`` column
+    for window/date functions, so every consumer sees one schema.
     """
     if name == "events":
         enable_nanos_as_long(spark)
@@ -155,3 +157,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def read_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLE_NAMES) -> dict[str, DataFrame]:
     """Load the driver's parquet tables for one scale factor."""
     return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: "T.StructType | str",
+    *,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """Read newline-delimited JSON with an EXPLICIT schema.
+
+    Schema inference on JSON triggers a full pre-scan of the data — at
+    100 TB that is a second read of the corpus before the first real job,
+    so this helper makes the schema mandatory. Corrupt lines land in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the scan;
+    route them to the error sink like any validation failure.
+    """
+    reader = spark.read.schema(schema)
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)

@@ -99,3 +99,24 @@ def test_fail_fast_aborts_before_sinks(spark, golden_csv, mapping_config_path, t
         run_etl_pipeline(spark, golden_csv, cfg, output_dir=str(out))
     assert exc.value.report.invalid_records == 3
     assert not (out / "quality_data").exists()
+
+
+def test_read_jsonl_explicit_schema_and_corrupt_capture(spark, tmp_path):
+    from manufacturing_data_integration_tool_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        'not json at all\n'
+        '{"doc_id": 2, "text": "second"}\n'
+    )
+    df = read_jsonl(
+        spark,
+        str(p),
+        "doc_id BIGINT, text STRING, _corrupt_record STRING",
+    )
+    rows = df.collect()
+    good = {r["doc_id"]: r["text"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: "hello world", 2: "second"}
+    assert bad == ["not json at all"]
