@@ -80,6 +80,8 @@ HEADLINE = [
     "q97_fuzzy_name_match",
     "q98_daily_reconciliation",
     "q99_quality_deciles",
+    "q100_approx_quantiles",
+    "q101_variant_json",
 ]
 
 

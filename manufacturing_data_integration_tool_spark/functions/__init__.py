@@ -5,6 +5,7 @@ deterministic aggregation (exact decimal sums), event-time integer math for
 nanosecond payloads, and cross-engine-stable hashing.
 """
 
+from .layout import interleave_bits_16, zorder_key_2d
 from .scalars import (
     HOUR_NS,
     MICROS_PER_HOUR,
@@ -16,6 +17,8 @@ from .scalars import (
 )
 
 __all__ = [
+    "interleave_bits_16",
+    "zorder_key_2d",
     "HOUR_NS",
     "MICROS_PER_HOUR",
     "bucket_ns",

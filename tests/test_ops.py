@@ -639,3 +639,49 @@ def test_approx_quantiles_close_to_exact(spark):
     for flag, (a50, a90, a99) in approx.items():
         for a, e in zip((a50, a90, a99), exact[flag]):
             assert abs(a - e) / e < 0.02, (flag, a, e)
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """The JVM-side Morton interleave must equal the classic bit-by-bit
+    reference, and Z-ordering must tighten min/max ranges on BOTH
+    dimensions vs a single-column sort (the data-skipping property)."""
+    from manufacturing_data_integration_tool_spark.functions.layout import (
+        interleave_bits_16,
+        zorder_key_2d,
+    )
+
+    def ref_interleave(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 100)]
+    df = spark.createDataFrame(vals, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["m"]
+        for r in df.select("a", "b", interleave_bits_16("a", "b").alias("m")).collect()
+    }
+    for a, b in vals:
+        assert got[(a, b)] == ref_interleave(a, b), (a, b)
+
+    # clustering property: order 4096 (x, y) grid points by z-key, cut into
+    # 16 chunks; per-chunk x/y ranges must be far tighter than under an
+    # x-only sort's y ranges (which span the whole domain).
+    import itertools
+    pts = list(itertools.product(range(64), range(64)))
+    pdf = spark.createDataFrame(pts, ["x", "y"]).select(
+        "x", "y", zorder_key_2d("x", "y", a_max=63, b_max=63).alias("z")
+    )
+    rows = sorted(pdf.collect(), key=lambda r: r["z"])
+    chunk = len(rows) // 16
+    spans = []
+    for i in range(16):
+        part = rows[i * chunk : (i + 1) * chunk]
+        xs = [r["x"] for r in part]
+        ys = [r["y"] for r in part]
+        spans.append(max(max(xs) - min(xs), max(ys) - min(ys)))
+    # every z-chunk spans at most a quarter of either axis; an x-sorted
+    # layout would give y spans of 63 in every chunk
+    assert max(spans) <= 31, spans
