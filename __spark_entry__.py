@@ -1888,6 +1888,26 @@ def q100_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface (stddev/variance/correlation/
+    covariance, sample forms — identical definitions across engines):
+    price-vs-quantity moments per return flag. One partial-aggregable
+    pass (all four are algebraic: sum/sum-of-squares/cross-products
+    combine map-side); rounded to 4 decimals so summation-order float
+    noise can't shift the hash."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+            F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("cov_price_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2069,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_daily_reconciliation": q98_daily_reconciliation,
         "q99_quality_deciles": q99_quality_deciles,
         "q101_variant_json": q101_variant_json,
+        "q102_stats_aggs": q102_stats_aggs,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -2932,6 +2953,16 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q102_stats_aggs": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                   round(var_samp(l_quantity), 4) AS var_qty,
+                   round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+                   round(covar_samp(l_extendedprice, l_discount), 4) AS cov_price_disc,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "q101_variant_json": """
             SELECT event_type,

@@ -82,6 +82,7 @@ HEADLINE = [
     "q99_quality_deciles",
     "q100_approx_quantiles",
     "q101_variant_json",
+    "q102_stats_aggs",
 ]
 
 
