@@ -5,7 +5,7 @@ deterministic aggregation (exact decimal sums), event-time integer math for
 nanosecond payloads, and cross-engine-stable hashing.
 """
 
-from .layout import interleave_bits_16, zorder_key_2d
+from .layout import interleave_bits_16, write_zordered, zorder_key_2d
 from .scalars import (
     HOUR_NS,
     MICROS_PER_HOUR,
@@ -18,6 +18,7 @@ from .scalars import (
 
 __all__ = [
     "interleave_bits_16",
+    "write_zordered",
     "zorder_key_2d",
     "HOUR_NS",
     "MICROS_PER_HOUR",

@@ -685,3 +685,37 @@ def test_zorder_interleave_matches_python_reference(spark):
     # every z-chunk spans at most a quarter of either axis; an x-sorted
     # layout would give y spans of 63 in every chunk
     assert max(spans) <= 31, spans
+
+
+def test_write_zordered_tightens_file_stats(spark, tmp_path):
+    """Z-ordered parquet files must carry tight per-file min/max on BOTH
+    clustered columns (verified from parquet footer statistics via
+    pyarrow) — the property row-group/file skipping depends on."""
+    import itertools
+    import pyarrow.parquet as pq
+    from pathlib import Path
+    from manufacturing_data_integration_tool_spark.functions.layout import write_zordered
+
+    pts = list(itertools.product(range(64), range(64)))
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = tmp_path / "zordered"
+    write_zordered(df, str(out), "x", "y", n_files=16, a_max=63, b_max=63)
+
+    spans = []
+    for f in Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        mins, maxs = {}, {}
+        for rg in range(md.num_row_groups):
+            for ci, name in enumerate(schema_names):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None:
+                    continue
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        if mins:
+            spans.append(max(maxs["x"] - mins["x"], maxs["y"] - mins["y"]))
+    assert spans, "no parquet files written"
+    # every file covers at most ~a quarter of either axis; an unsorted or
+    # x-only-sorted write leaves y spanning the full 63 in every file
+    assert max(spans) <= 31, spans
