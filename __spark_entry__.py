@@ -1908,6 +1908,37 @@ def q102_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: the LATEST event per (user, event_type) —
+    row_number over a keyed window ordered by event time desc (event_id
+    tiebreak). The upsert-materialization primitive: one key shuffle,
+    bounded window, no global sort; at 100 TB this is exactly how a
+    changelog stream compacts to current state."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("user_id", "event_type", "event_id", "ts_ns", "value")
+    )
+
+
+def q104_json_key_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral JSON-key frequency: parse props once to a map, explode the
+    keys, count per (event_type, key). The schema-discovery query every
+    semi-structured ingest runs first; explode+groupBy with map-side
+    combine, JSON parsed exactly once per row."""
+    ev = read_table(spark, sf_dir, "events")
+    keys = F.map_keys(F.from_json(F.col("props"), "map<string,string>"))
+    return (
+        ev.select("event_type", F.explode(keys).alias("key"))
+        .groupBy("event_type", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2090,6 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_quality_deciles": q99_quality_deciles,
         "q101_variant_json": q101_variant_json,
         "q102_stats_aggs": q102_stats_aggs,
+        "q103_latest_per_key": q103_latest_per_key,
+        "q104_json_key_freq": q104_json_key_freq,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -2952,6 +2985,20 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY 1, 2
+        """,
+        "q103_latest_per_key": """
+            SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns, value
+            FROM (
+              SELECT user_id, event_type, event_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rk
+              FROM events)
+            WHERE rk = 1
+        """,
+        "q104_json_key_freq": """
+            SELECT event_type, k AS key, COUNT(*) AS n
+            FROM events, unnest(json_keys(props)) AS u(k)
             GROUP BY 1, 2
         """,
         "q102_stats_aggs": """

@@ -83,6 +83,8 @@ HEADLINE = [
     "q100_approx_quantiles",
     "q101_variant_json",
     "q102_stats_aggs",
+    "q103_latest_per_key",
+    "q104_json_key_freq",
 ]
 
 
