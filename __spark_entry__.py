@@ -1718,30 +1718,48 @@ def q93_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q94_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted to the driver schema: 'late' = shipped
     more than 90 days after the order date): suppliers who were the ONLY
-    late shipper on a multi-supplier order. The EXISTS / NOT EXISTS pair
-    decorrelates to a left-semi + left-anti join on l_orderkey; top-20 by
-    numwait is TakeOrderedAndProject, never a global sort."""
-    for name in ("lineitem", "orders", "supplier"):
-        read_table(spark, sf_dir, name).createOrReplaceTempView(f"__q94_{name}")
-    return spark.sql(
-        """
-        SELECT s_name, COUNT(*) AS numwait
-        FROM __q94_lineitem l1
-        JOIN __q94_orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
-        JOIN __q94_supplier ON s_suppkey = l1.l_suppkey
-        WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAYS
-          AND EXISTS (
-            SELECT 1 FROM __q94_lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (
-            SELECT 1 FROM __q94_lineitem l3
-            JOIN __q94_orders o3 ON o3.o_orderkey = l3.l_orderkey
-            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAYS)
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name
-        LIMIT 20
-        """
+    late shipper on a multi-supplier order.
+
+    Deliberately NOT the textbook EXISTS / NOT EXISTS form (which even
+    after decorrelation re-scans lineitem three times — the oracle keeps
+    that form as the semantic spec): one scan of lineitem + per-order
+    windows carrying the distinct-supplier and distinct-late-supplier
+    sets. 'Another supplier exists' = n_supp >= 2; 'no OTHER late
+    supplier' = exactly one late supplier (this row is already late).
+    Order groups are tiny (<= 7 lines), so the collect_set state is
+    bounded; top-20 is TakeOrderedAndProject, never a global sort.
+    Correlated-subquery decorrelation itself is pinned by q66."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    lo = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    annotated = lo.select(
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = annotated.filter(
+        F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        waiting.join(
+            supplier.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )
 
 
