@@ -1957,6 +1957,27 @@ def q104_json_key_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour windows every 15 minutes via
+    native F.window(ts, '1 hour', '15 minutes') — each event lands in
+    exactly 4 overlapping windows (the smoothing/alerting window shape;
+    q24 is the tumbling special case). Spark expands the hop set inline
+    (a bounded 4x row explode fused into the scan projection), then one
+    keyed aggregate; the oracle mirrors the expansion with a range(4)
+    lateral join. Identical partial-agg posture to any groupBy at 100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        ev.select(win.alias("w"), "event_type")
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2141,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_stats_aggs": q102_stats_aggs,
         "q103_latest_per_key": q103_latest_per_key,
         "q104_json_key_freq": q104_json_key_freq,
+        "q105_sliding_windows": q105_sliding_windows,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3003,6 +3025,14 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY 1, 2
+        """,
+        "q105_sliding_windows": """
+            SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                        - i * INTERVAL '15 minutes' AS VARCHAR) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events
+            FROM events, range(4) t(i)
             GROUP BY 1, 2
         """,
         "q103_latest_per_key": """

@@ -85,6 +85,7 @@ HEADLINE = [
     "q102_stats_aggs",
     "q103_latest_per_key",
     "q104_json_key_freq",
+    "q105_sliding_windows",
 ]
 
 
