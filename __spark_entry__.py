@@ -1978,6 +1978,33 @@ def q105_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q106_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup (ops.dedup.incremental_dedup): admit from an
+    incoming batch (odd doc ids) only content NOT already in the at-rest
+    corpus (even doc ids), then one representative per hash within the
+    batch. Hash-only anti-join — text never crosses the shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = dd.incremental_dedup(batch, corpus, "text", "doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+def q107_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget fill (ops.sampling.budget_fill): admit
+    docs in deterministic md5 order until 5000 tokens per language are
+    reached (inclusive). The 'N tokens per language, reproducibly'
+    corpus-assembly primitive; one stratum shuffle + a running-sum
+    window."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import budget_fill
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", tx.token_count("text").cast("long").alias("n_tokens")
+    )
+    return budget_fill(base, "lang", "doc_id", "n_tokens", 5000, salt="fill")
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2163,6 +2190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_latest_per_key": q103_latest_per_key,
         "q104_json_key_freq": q104_json_key_freq,
         "q105_sliding_windows": q105_sliding_windows,
+        "q106_incremental_dedup": q106_incremental_dedup,
+        "q107_token_budget_fill": q107_token_budget_fill,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3026,6 +3055,35 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q106_incremental_dedup": """
+            WITH corpus AS (
+              SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+            ), batch AS (
+              SELECT doc_id, lang, source, md5(text) AS h
+              FROM documents WHERE doc_id % 2 = 1
+            ), fresh AS (
+              SELECT b.* FROM batch b
+              WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+            )
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+              FROM fresh)
+            WHERE rk = 1
+        """,
+        "q107_token_budget_fill": f"""
+            WITH base AS (
+              SELECT doc_id, lang, CAST(len({tok}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY {_bucket_sql("doc_id", "fill")}, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+              FROM base)
+            SELECT doc_id, lang, n_tokens FROM c WHERE running <= 5000
         """,
         "q105_sliding_windows": """
             SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)

@@ -86,6 +86,8 @@ HEADLINE = [
     "q103_latest_per_key",
     "q104_json_key_freq",
     "q105_sliding_windows",
+    "q106_incremental_dedup",
+    "q107_token_budget_fill",
 ]
 
 

@@ -42,6 +42,7 @@ __all__ = [
     "embedding_near_dups",
     "semantic_dedup",
     "fuzzy_key_pairs",
+    "incremental_dedup",
 ]
 
 
@@ -564,4 +565,34 @@ def fuzzy_key_pairs(
         .withColumn("dist", F.levenshtein("key_a", "key_b"))
         .filter(F.col("dist") <= max_dist)
         .select("key_a", "key_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    algo: str = "md5",
+) -> DataFrame:
+    """Admit only NEW content from an incoming batch: drop rows whose
+    content hash already exists in the at-rest corpus, then keep one
+    deterministic representative (min id) per hash within the batch.
+
+    The continuous-ingest primitive: at 100 TB the corpus side is a
+    hash-only projection (one narrow column off the corpus scan, or a
+    pre-materialized hash index table), the anti-join shuffles on the
+    uniformly-distributed hash, and within-batch dedup is a bounded
+    per-hash window. Never ships text across the wire — hashes only.
+    """
+    h = content_hash(F.col(text_col), algo)
+    seen = corpus.select(h.alias("__h")).distinct()
+    tagged = batch.withColumn("__h", h)
+    fresh = tagged.join(seen, "__h", "left_anti")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__h")
     )

@@ -32,6 +32,7 @@ __all__ = [
     "train_holdout_split",
     "cap_per_group",
     "priority_sample",
+    "budget_fill",
 ]
 
 _HEX_DIGITS = 13  # 13 hex chars = 52 bits: exactly representable in a double
@@ -203,4 +204,36 @@ def priority_sample(
         df.withColumn("__prio_rk", F.row_number().over(win))
         .filter(F.col("__prio_rk") <= F.lit(int(k)))
         .drop("__prio_rk")
+    )
+
+
+def budget_fill(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    *,
+    salt: str = "fill",
+) -> DataFrame:
+    """Fill a per-stratum size budget (e.g. N tokens per language) in a
+    deterministic pseudo-random order: rows are ranked by their md5 bucket
+    within the stratum and admitted while the running size total stays
+    within ``budget`` (inclusive).
+
+    The 'give me 1B tokens per language, sampled fairly, reproducibly'
+    primitive. ONE shuffle on the stratum key + a monotone running-sum
+    window — no global sort; admission depends only on (key, salt, sizes),
+    so re-runs and engine swaps admit identical rows.
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(_bucket(key_col, salt), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(size_col).cast("bigint")).over(w)
+    return (
+        df.withColumn("__running", running)
+        .filter(F.col("__running") <= F.lit(int(budget)))
+        .drop("__running")
     )

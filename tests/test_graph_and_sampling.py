@@ -223,3 +223,29 @@ def test_semantic_dedup_drops_exact_dupes_keeps_distinct(spark):
     kept = sorted(r["vec_id"] for r in out.collect())
     # exactly the lowest id of each duplicate family survives
     assert kept == [0, 10, 20, 30]
+
+
+def test_incremental_dedup_admits_only_new_content(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        ["doc_id", "text"],
+    )
+    got = sorted(r["doc_id"] for r in incremental_dedup(batch, corpus).collect())
+    # 'alpha' already in corpus; 'gamma' deduped within the batch to min id
+    assert got == [11, 13]
+
+
+def test_budget_fill_respects_budget_and_determinism(spark):
+    from manufacturing_data_integration_tool_spark.ops.sampling import budget_fill
+
+    rows = [(i, "s", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "strat", "sz"])
+    got = budget_fill(df, "strat", "id", "sz", 250).collect()
+    assert len(got) == 25  # 25 x 10 == 250 inclusive
+    again = budget_fill(df.repartition(9), "strat", "id", "sz", 250).collect()
+    assert {r["id"] for r in got} == {r["id"] for r in again}
