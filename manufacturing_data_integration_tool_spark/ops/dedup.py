@@ -543,6 +543,7 @@ def fuzzy_key_pairs(
     *,
     max_dist: int = 2,
     block_chars: int = 3,
+    max_block: Optional[int] = 10_000,
 ) -> DataFrame:
     """Blocked edit-distance matching over a key vocabulary — the
     entity-resolution primitive (fuzzy product/supplier/domain names).
@@ -557,6 +558,17 @@ def fuzzy_key_pairs(
     """
     keys = df.select(F.col(key_col).cast("string").alias("k")).distinct()
     blocked = keys.withColumn("__blk", F.lower(F.substring("k", 1, block_chars)))
+    if max_block is not None:
+        # hot-block guard (same rationale as ngram_jaccard_pairs'
+        # max_shingle_df): one pathological prefix must not quadratically
+        # dominate the join — drop blocks above the cap; rerun those keys
+        # with a finer blocking key if they matter.
+        blk_w = Window.partitionBy("__blk")
+        blocked = (
+            blocked.withColumn("__blk_n", F.count(F.lit(1)).over(blk_w))
+            .filter(F.col("__blk_n") <= F.lit(int(max_block)))
+            .drop("__blk_n")
+        )
     a = blocked.select(F.col("__blk"), F.col("k").alias("key_a"))
     b = blocked.select(F.col("__blk"), F.col("k").alias("key_b"))
     return (

@@ -719,3 +719,16 @@ def test_write_zordered_tightens_file_stats(spark, tmp_path):
     # every file covers at most ~a quarter of either axis; an unsorted or
     # x-only-sorted write leaves y spanning the full 63 in every file
     assert max(spans) <= 31, spans
+
+
+def test_fuzzy_key_pairs_hot_block_guard(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import fuzzy_key_pairs
+
+    # 30 keys share the 'aa' block; cap at 10 drops the whole hot block
+    rows = [(i, f"aa{i:03d}") for i in range(30)] + [(100, "zz1"), (101, "zz2")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = fuzzy_key_pairs(df, "name", max_dist=2, block_chars=2, max_block=10).collect()
+    assert {(r["key_a"], r["key_b"]) for r in out} == {("zz1", "zz2")}
+    # uncapped, the hot block contributes pairs
+    full = fuzzy_key_pairs(df, "name", max_dist=2, block_chars=2, max_block=None)
+    assert full.count() > 1
