@@ -2005,6 +2005,29 @@ def q107_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_fill(base, "lang", "doc_id", "n_tokens", 5000, salt="fill")
 
 
+def q108_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sketch rollup: per-(day, event_type) HLL sketches merged
+    up to per-event_type distinct-user counts via hll_union_agg — THE
+    100 TB distinct-count pattern (materialize small mergeable sketches at
+    fine grain once; answer coarser grains by merging bytes, never
+    re-scanning raw data). Register-max merges are associative and
+    commutative, so the rollup is partial-aggregable like any sum.
+    Estimates are implementation-specific -> rows-only; pytest pins the
+    merged estimate within 2% of exact AND equal to the single-level
+    sketch (merge-consistency)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2195,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
+        "q108_sketch_rollup": q108_sketch_rollup,
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
         "q30_multimodal_decode": q30_multimodal_decode,

@@ -732,3 +732,29 @@ def test_fuzzy_key_pairs_hot_block_guard(spark):
     # uncapped, the hot block contributes pairs
     full = fuzzy_key_pairs(df, "name", max_dist=2, block_chars=2, max_block=None)
     assert full.count() > 1
+
+
+def test_sketch_rollup_merge_consistent_and_accurate(spark):
+    """q108's two-level sketch rollup must equal the single-level sketch
+    (merge consistency) and land within 2% of the exact distinct count."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rolled = {
+        r["event_type"]: r["n_users_approx"]
+        for r in entry.q108_sketch_rollup(spark, sf).collect()
+    }
+    single = {
+        r["event_type"]: r["n_users_approx"]
+        for r in entry.q74_hll_distinct(spark, sf).collect()
+    }
+    assert rolled == single  # register-max merging is exact w.r.t. the sketch
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf, "events")
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("d")).collect()
+    }
+    for k, d in exact.items():
+        assert abs(rolled[k] - d) / d < 0.02, (k, rolled[k], d)
