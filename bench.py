@@ -88,6 +88,7 @@ HEADLINE = [
     "q105_sliding_windows",
     "q106_incremental_dedup",
     "q107_token_budget_fill",
+    "q108_sketch_rollup",
 ]
 
 
