@@ -2028,6 +2028,22 @@ def q108_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q109_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture re-weighting
+    (ops.sampling.temperature_mix): per-language keep rates computed from
+    counts^alpha shares toward a 300-row target — low-resource languages
+    up-weighted, en down-sampled. Counts aggregate broadcast back; keep
+    test is the integer u52 threshold with round(frac, 9) absorbing libm
+    pow drift between engines."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import temperature_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = temperature_mix(
+        docs, "lang", "doc_id", alpha=0.5, target_rows=300, salt="temp"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2215,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_sliding_windows": q105_sliding_windows,
         "q106_incremental_dedup": q106_incremental_dedup,
         "q107_token_budget_fill": q107_token_budget_fill,
+        "q109_temperature_mix": q109_temperature_mix,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3079,6 +3096,20 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q109_temperature_mix": f"""
+            WITH counts AS (
+              SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+            ), shares AS (
+              SELECT lang, n, pow(n, 0.5) / SUM(pow(n, 0.5)) OVER () AS share
+              FROM counts
+            ), limits AS (
+              SELECT lang, round(least(1.0, 300 * share / n), 9) AS frac FROM shares
+            )
+            SELECT doc_id, d.lang, source
+            FROM documents d JOIN limits l ON d.lang = l.lang
+            WHERE CAST('0x' || {_bucket_sql("doc_id", "temp")} AS BIGINT)
+                  < frac * 4503599627370496.0
         """,
         "q106_incremental_dedup": """
             WITH corpus AS (

@@ -89,6 +89,7 @@ HEADLINE = [
     "q106_incremental_dedup",
     "q107_token_budget_fill",
     "q108_sketch_rollup",
+    "q109_temperature_mix",
 ]
 
 

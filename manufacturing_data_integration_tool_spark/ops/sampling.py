@@ -33,6 +33,7 @@ __all__ = [
     "cap_per_group",
     "priority_sample",
     "budget_fill",
+    "temperature_mix",
 ]
 
 _HEX_DIGITS = 13  # 13 hex chars = 52 bits: exactly representable in a double
@@ -236,4 +237,44 @@ def budget_fill(
         df.withColumn("__running", running)
         .filter(F.col("__running") <= F.lit(int(budget)))
         .drop("__running")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    target_rows: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture re-weighting (multilingual-LM alpha
+    sampling): target share of stratum s is n_s^alpha / sum(n^alpha) —
+    alpha < 1 up-weights low-resource strata — and each stratum is then
+    hash-sampled at min(1, target_rows * share / n_s).
+
+    Unlike ``stratified_sample`` the per-stratum fractions are COMPUTED
+    (one tiny counts aggregate broadcast back, not literals), so the keep
+    test is the integer form ``u52 < round(frac, 9) * 2^52``: the md5
+    uniform is exact in a double and the rounding step absorbs cross-
+    engine libm ulp drift in ``pow``. One counts pass + one scan: the
+    counts side is |strata| rows, always broadcast.
+    """
+    n_col = F.count(F.lit(1)).cast("double")
+    counts = df.groupBy(strata_col).agg(n_col.alias("__n"))
+    w = F.pow(F.col("__n"), F.lit(float(alpha)))
+    shares = counts.withColumn("__w", w).withColumn(
+        "__share", F.col("__w") / F.sum("__w").over(Window.partitionBy())
+    )
+    frac = F.round(
+        F.least(F.lit(1.0), F.lit(float(target_rows)) * F.col("__share") / F.col("__n")),
+        9,
+    )
+    limits = shares.select(strata_col, frac.alias("__frac"))
+    keep = _u52(key_col, salt).cast("double") < F.col("__frac") * F.lit(float(1 << 52))
+    return (
+        df.join(F.broadcast(limits), strata_col)
+        .filter(keep)
+        .drop("__frac")
     )

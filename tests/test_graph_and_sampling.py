@@ -249,3 +249,21 @@ def test_budget_fill_respects_budget_and_determinism(spark):
     assert len(got) == 25  # 25 x 10 == 250 inclusive
     again = budget_fill(df.repartition(9), "strat", "id", "sz", 250).collect()
     assert {r["id"] for r in got} == {r["id"] for r in again}
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    from manufacturing_data_integration_tool_spark.ops.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    out = temperature_mix(df, "lang", "id", alpha=0.5, target_rows=400).collect()
+    kept = {"big": 0, "small": 0}
+    for r in out:
+        kept[r["lang"]] += 1
+    # alpha=0.5 shares: sqrt(900):sqrt(100) = 3:1 -> ~300 big / ~100 small;
+    # proportional sampling would have kept only ~40 small rows
+    assert kept["small"] >= 70
+    assert 0.55 < kept["big"] / (kept["big"] + kept["small"]) < 0.85
+    # determinism under repartitioning
+    again = temperature_mix(df.repartition(11), "lang", "id", alpha=0.5, target_rows=400).collect()
+    assert {r["id"] for r in out} == {r["id"] for r in again}
