@@ -2044,6 +2044,43 @@ def q109_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q110_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: a dense daily spine per user (sequence()
+    between the user's first and last active day, exploded) left-joined
+    with observed daily maxima, gaps forward-filled with last_value
+    IGNORE NULLS — the sensor/metric gap-fill shape. The spine explode is
+    linear in user-days and keyed by user; the fill is ONE keyed window.
+    Restricted to 10 users so the oracled result stays bounded; the plan
+    shape is user-count-independent."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("user_id") < 10).select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = base.groupBy("user_id", "day").agg(F.max("value").alias("day_max"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.col("day_max").isNotNull().alias("observed"),
+            F.round(F.last("day_max", ignorenulls=True).over(w), 6).alias("filled_max"),
+        )
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2232,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_incremental_dedup": q106_incremental_dedup,
         "q107_token_budget_fill": q107_token_budget_fill,
         "q109_temperature_mix": q109_temperature_mix,
+        "q110_gap_fill": q110_gap_fill,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3096,6 +3134,25 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q110_gap_fill": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
+              FROM events WHERE user_id < 10
+              GROUP BY 1, 2
+            ), spine AS (
+              SELECT user_id, unnest(generate_series(min(day), max(day),
+                                                     INTERVAL 1 DAY))::DATE AS day
+              FROM daily GROUP BY user_id
+            )
+            SELECT s.user_id,
+                   CAST(s.day AS VARCHAR) AS day,
+                   d.day_max IS NOT NULL AS observed,
+                   round(last_value(d.day_max IGNORE NULLS) OVER (
+                     PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_max
+            FROM spine s LEFT JOIN daily d
+              ON s.user_id = d.user_id AND s.day = d.day
         """,
         "q109_temperature_mix": f"""
             WITH counts AS (

@@ -90,6 +90,7 @@ HEADLINE = [
     "q107_token_budget_fill",
     "q108_sketch_rollup",
     "q109_temperature_mix",
+    "q110_gap_fill",
 ]
 
 
