@@ -2081,6 +2081,37 @@ def q110_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation, the
+    heavy-tail-safe sibling of the z-score rule (q08): per-event_type
+    median, then MAD = median(|x - med|), flag |x - med| > 3 * MAD.
+    Two grouped exact-percentile passes whose outputs are event-type-sized
+    dims broadcast back onto the scan — never an unpartitioned window over
+    the data. Exact interpolated percentile == DuckDB quantile_cont
+    (the q41-proven pairing), so the whole rule hash-matches."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type", F.col("value").cast("double").alias("v"))
+    med = base.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    with_med = base.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    flagged = (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("v") - F.col("med")) > F.lit(3.0) * F.col("mad"))
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.round("v", 6).alias("value"),
+        F.round(F.col("med"), 6).alias("type_median"),
+        F.round(F.col("mad"), 6).alias("type_mad"),
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2270,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_token_budget_fill": q107_token_budget_fill,
         "q109_temperature_mix": q109_temperature_mix,
         "q110_gap_fill": q110_gap_fill,
+        "q111_mad_outliers": q111_mad_outliers,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3134,6 +3166,22 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q111_mad_outliers": """
+            WITH base AS (
+              SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+            ), med AS (
+              SELECT event_type, quantile_cont(v, 0.5) AS med FROM base GROUP BY 1
+            ), mad AS (
+              SELECT b.event_type, quantile_cont(abs(v - med), 0.5) AS mad
+              FROM base b JOIN med USING (event_type) GROUP BY 1
+            )
+            SELECT event_id, b.event_type,
+                   round(v, 6) AS value,
+                   round(med, 6) AS type_median,
+                   round(mad, 6) AS type_mad
+            FROM base b JOIN med USING (event_type) JOIN mad USING (event_type)
+            WHERE abs(v - med) > 3.0 * mad
         """,
         "q110_gap_fill": """
             WITH daily AS (

@@ -91,6 +91,7 @@ HEADLINE = [
     "q108_sketch_rollup",
     "q109_temperature_mix",
     "q110_gap_fill",
+    "q111_mad_outliers",
 ]
 
 
