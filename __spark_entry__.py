@@ -2112,6 +2112,62 @@ def q111_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q112_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (ops.text.scrub_text): URL -> EMAIL -> IP sequential
+    regexp passes with per-pattern match counting. The corpus text is
+    synthetic word salad, so a deterministic contact line (built from
+    doc_id) is appended first — every row then exercises both the email
+    and IP patterns. Pure codegen'd per-row regexps, zero shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = tx.scrub_text(salted, "text")
+    return out.select("doc_id", "text_scrubbed", "n_redactions")
+
+
+def q113_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative vocabulary coverage curve (ops.text.vocab_coverage):
+    what fraction of all token occurrences the top-100 terms cover — the
+    tokenizer-design query. The rank window runs over the vocab-sized
+    term-count table (never the corpus); integer math until one final
+    division."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.vocab_coverage(docs, "text", top_n=100)
+
+
+def q114_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-segment boilerplate removal (ops.text.strip_common_segments,
+    the CCNet/RefinedWeb line-dedup idea on fixed 8-token windows):
+    segments appearing in >= 3 distinct docs are dropped and survivors
+    reassembled in order. Segment df counting joins on xxhash64, never
+    segment text."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.strip_common_segments(docs, "doc_id", "text", width=8, min_df=3)
+
+
+def q115_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares value trend over time
+    (ops.temporal.group_trend): drift detection with EXACT decimal OLS
+    sums (partial-agg order-independent) and a fixed double expression
+    tree from those sums — deterministic where regr_slope's float
+    accumulation is not. x = epoch day, slope reported per day."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("ts_ns div 86400000000000").alias("day"),
+        "value",
+    )
+    return tp.group_trend(base, "event_type", "day", "value")
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2302,6 +2358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_temperature_mix": q109_temperature_mix,
         "q110_gap_fill": q110_gap_fill,
         "q111_mad_outliers": q111_mad_outliers,
+        "q112_pii_scrub": q112_pii_scrub,
+        "q113_vocab_coverage": q113_vocab_coverage,
+        "q114_boilerplate_strip": q114_boilerplate_strip,
+        "q115_value_trend": q115_value_trend,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3166,6 +3226,98 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q112_pii_scrub": r"""
+            WITH salted AS (
+              SELECT doc_id,
+                     text || ' contact' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) AS t
+              FROM documents
+            ), p1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, 'https?://[^\s]+')) AS c1,
+                     regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+              FROM salted
+            ), p2 AS (
+              SELECT doc_id, c1,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c2,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM p1
+            )
+            SELECT doc_id,
+                   regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                                  '<IP>', 'g') AS text_scrubbed,
+                   CAST(c1 + c2 + len(regexp_extract_all(t,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                     AS n_redactions
+            FROM p2
+        """,
+        "q113_vocab_coverage": f"""
+            WITH tc AS (
+              SELECT t AS term, COUNT(*) AS term_count
+              FROM documents, unnest({tok}) AS u(t)
+              GROUP BY 1
+            ), ranked AS (
+              SELECT row_number() OVER (ORDER BY term_count DESC, term) AS rank,
+                     term, term_count,
+                     SUM(term_count) OVER (ORDER BY term_count DESC, term
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM tc
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, term, term_count,
+                   round(cum / (SELECT SUM(term_count) FROM tc), 6) AS cum_coverage
+            FROM ranked WHERE rank <= 100
+        """,
+        "q114_boilerplate_strip": f"""
+            WITH t AS (
+              SELECT doc_id, {tok} AS toks FROM documents
+            ), nz AS (
+              SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS INT) AS ns
+              FROM t WHERE len(toks) > 0
+            ), segs AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(list_slice(toks, (i - 1) * 8 + 1, i * 8), ' ') AS seg
+              FROM nz, unnest(range(1, ns + 1)) AS u(i)
+            ), sdf AS (
+              SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+            )
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(CASE WHEN d.df < 3 THEN s.seg END, ' '
+                                       ORDER BY s.pos), '') AS clean_text
+            FROM segs s JOIN sdf d USING (seg)
+            GROUP BY s.doc_id
+        """,
+        "q115_value_trend": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(epoch_ns(ts) // 86400000000000 AS DECIMAL(38,0)) AS x,
+                     CAST(floor(CAST(value AS DOUBLE) * 10000 + 0.5) AS DECIMAL(38,0)) AS yq
+              FROM events
+            ), agg AS (
+              SELECT event_type, COUNT(*) AS n_obs,
+                     SUM(x) AS sx, SUM(yq) AS sy, SUM(x * yq) AS sxy, SUM(x * x) AS sxx
+              FROM base GROUP BY 1
+            )
+            SELECT event_type, n_obs,
+                   round(((CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / nullif(CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                         * 1.0 / 10000, 6) AS slope,
+                   round(((CAST(sy AS DOUBLE)
+                           - ((CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / nullif(CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                             * CAST(sx AS DOUBLE))
+                          / CAST(n_obs AS DOUBLE)) / 10000, 6) AS intercept
+            FROM agg
         """,
         "q111_mad_outliers": """
             WITH base AS (

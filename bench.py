@@ -92,6 +92,10 @@ HEADLINE = [
     "q109_temperature_mix",
     "q110_gap_fill",
     "q111_mad_outliers",
+    "q112_pii_scrub",
+    "q113_vocab_coverage",
+    "q114_boilerplate_strip",
+    "q115_value_trend",
 ]
 
 
