@@ -188,9 +188,21 @@ def ngram_jaccard_pairs(
     # text column once less (a narrow shuffle on doc replaces a full
     # re-tokenize — the right trade when the text column dominates scan IO).
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_shingle_df:
+    if max_shingle_df is not None:
+        # boundary discipline: a float must be a relative fraction in
+        # (0, 1] (1.0 = cap at n_docs, i.e. keep everything); an int must
+        # be an absolute cap >= 1. Anything else (0, negatives, float 2.0)
+        # is an error — silently disabling or over-tightening the guard is
+        # how quadratic blow-ups sneak back in.
+        if isinstance(max_shingle_df, float):
+            if not 0.0 < max_shingle_df <= 1.0:
+                raise ValueError(
+                    f"float max_shingle_df must be in (0, 1], got {max_shingle_df}"
+                )
+        elif int(max_shingle_df) < 1:
+            raise ValueError(f"int max_shingle_df must be >= 1, got {max_shingle_df}")
         dfreq = inv.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
-        if isinstance(max_shingle_df, float) and 0 < max_shingle_df < 1:
+        if isinstance(max_shingle_df, float):
             # corpus-relative cap without a driver-side count(): the 1-row
             # doc-count aggregate broadcasts into the filter lazily.
             n_docs = sizes.agg(F.count(F.lit(1)).alias("__n_docs"))
@@ -359,7 +371,21 @@ def embedding_near_dups(
         l2_norm(F.col(vec_col)).alias("__nb"),
     )
     if candidates is not None:
-        pairs = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+        # accept either pair-column convention: (id_a, id_b) from the
+        # similarity generators, (doc_a, doc_b) from minhash_candidates /
+        # ngram_jaccard_pairs — the docstring promises both compose here.
+        cand_cols = set(candidates.columns)
+        if {"id_a", "id_b"} <= cand_cols:
+            cand = candidates.select("id_a", "id_b")
+        elif {"doc_a", "doc_b"} <= cand_cols:
+            cand = candidates.select(
+                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            )
+        else:
+            raise ValueError(
+                f"candidates needs (id_a, id_b) or (doc_a, doc_b); got {sorted(cand_cols)}"
+            )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = F.round(
@@ -512,28 +538,21 @@ def semantic_dedup(
         vectors, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, seed=seed
     )
     assigned = index.assigned  # id, vec, __cell
-    a = assigned.select(
-        F.col("__cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"))
+    b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"))
+    cand = a.join(b, "__cell").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    # score through embedding_near_dups so there is exactly ONE cosine
+    # expression tree in the codebase — its float-op order is what the
+    # q34-baseline parity tests pin.
+    scored = embedding_near_dups(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        round_to=round_to,
+        candidates=cand,
     )
-    b = assigned.select(
-        F.col("__cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    from .similarity import dot, l2_norm
-
-    pairs = a.join(b, "__cell").filter(F.col("id_a") < F.col("id_b"))
-    sim = F.round(
-        F.try_divide(
-            dot(F.col("va"), F.col("vb")),
-            l2_norm(F.col("va")) * l2_norm(F.col("vb")),
-        ),
-        round_to,
-    )
-    dupes = (
-        pairs.select(F.col("id_b").alias(id_col), sim.alias("__s"))
-        .filter(F.col("__s") >= threshold)
-        .select(id_col)
-        .distinct()
-    )
+    dupes = scored.select(F.col("id_b").alias(id_col)).distinct()
     return vectors.join(dupes, id_col, "left_anti")
 
 

@@ -103,12 +103,23 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev = _edge_checksum(edges)
+    converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _edge_checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # an unconverged edge set is NOT a star forest: the same node can
+        # carry two component labels, and downstream joins fan out rows.
+        # Refusing loudly beats silently corrupting a dedup pass.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "alternating rounds; raise max_iter (components this deep are rare "
+            "— alternation contracts diameter roughly logarithmically)"
+        )
     # at the fixed point the edge set is a star forest: node -> component min
     comp = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(

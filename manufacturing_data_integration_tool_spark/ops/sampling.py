@@ -271,10 +271,15 @@ def temperature_mix(
         F.least(F.lit(1.0), F.lit(float(target_rows)) * F.col("__share") / F.col("__n")),
         9,
     )
-    limits = shares.select(strata_col, frac.alias("__frac"))
+    limits = shares.select(F.col(strata_col).alias("__stratum"), frac.alias("__frac"))
     keep = _u52(key_col, salt).cast("double") < F.col("__frac") * F.lit(float(1 << 52))
+    # null-safe join: a NULL stratum is a real group in the counts table,
+    # and an inner equi-join would silently drop every NULL-stratum row.
     return (
-        df.join(F.broadcast(limits), strata_col)
+        df.join(
+            F.broadcast(limits),
+            F.col(strata_col).eqNullSafe(F.col("__stratum")),
+        )
         .filter(keep)
-        .drop("__frac")
+        .drop("__frac", "__stratum")
     )

@@ -121,11 +121,13 @@ def knn_classify(
     sim = cosine_similarity(F.col("__qv"), F.col(vec_col))
     if round_to is not None:
         sim = F.round(sim, round_to)
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col, label_col, sim.alias("__sim"))
-    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if query_id_col is None:
+        # leave-self-out only applies when queries ARE corpus rows (shared
+        # id namespace); with a separate query id space an equal id is a
+        # coincidence, and filtering it would wrongly discard a neighbor.
+        pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    pairs = pairs.select("query_id", id_col, label_col, sim.alias("__sim"))
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.col(id_col))
     topk = pairs.withColumn("__rn", F.row_number().over(w_rank)).filter(
         F.col("__rn") <= k
@@ -445,9 +447,12 @@ def ivf_search(
         .select("query_id", "__qv", "__cell")
     )
 
-    pairs = index.assigned.join(F.broadcast(q_cells), "__cell").filter(
-        F.col(id_col) != F.col("query_id")
-    )
+    pairs = index.assigned.join(F.broadcast(q_cells), "__cell")
+    if query_id_col is None:
+        # leave-self-out only when queries share the corpus id namespace
+        # (see knn_classify) — a separate query id space makes an equal id
+        # a coincidence, not the same vector.
+        pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
     sim = cosine_similarity(F.col("__qv"), F.col(vec_col))
     if round_to is not None:
         sim = F.round(sim, round_to)

@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg"]
+__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend"]
 
 
 def asof_join(

@@ -153,10 +153,12 @@ def normalize_text(
     lowered = F.lower(F.col(text_col))
     stripped = F.regexp_replace(lowered, f"[^{keep_chars} ]+", " ")
     collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
-    return df.withColumn(out_col, collapsed).withColumn(
-        "n_chars_removed",
-        (F.length(F.col(text_col)) - F.length(F.col(out_col))).cast("long"),
-    )
+    # removed-chars accounting BEFORE the output column lands: with
+    # out_col == text_col (in-place normalization) a post-hoc
+    # length(text) - length(out) would compare the normalized column to
+    # itself and always report 0.
+    removed = (F.length(F.col(text_col)) - F.length(collapsed)).cast("long")
+    return df.withColumn("n_chars_removed", removed).withColumn(out_col, collapsed)
 
 
 def chunk_documents(
@@ -307,7 +309,7 @@ def scrub_text(
     for pat, token in patterns:
         counts.append(F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, token)
-    total = counts[0]
+    total = counts[0] if counts else F.lit(0)
     for c in counts[1:]:
         total = total + c
     return df.withColumn(out_col, cur).withColumn(

@@ -174,6 +174,15 @@ def read_jsonl(
     ``_corrupt_record`` (PERMISSIVE mode) instead of failing the scan;
     route them to the error sink like any validation failure.
     """
+    # PERMISSIVE mode only captures bad lines if the corrupt column exists
+    # in the schema — without it they'd surface as all-NULL rows,
+    # indistinguishable from legitimate nulls. Append it when absent so the
+    # documented error-sink flow always has the raw payload.
+    if isinstance(schema, str):
+        if "_corrupt_record" not in schema:
+            schema = schema + ", _corrupt_record STRING"
+    elif "_corrupt_record" not in schema.fieldNames():
+        schema = schema.add("_corrupt_record", T.StringType())
     reader = spark.read.schema(schema)
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)

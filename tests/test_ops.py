@@ -758,3 +758,52 @@ def test_sketch_rollup_merge_consistent_and_accurate(spark):
     }
     for k, d in exact.items():
         assert abs(rolled[k] - d) / d < 0.02, (k, rolled[k], d)
+
+
+def test_review_fixes_regressions(spark):
+    """Pin the code-review fixes: shingle-cap boundary validation, empty
+    scrub pattern list, in-place normalize accounting, doc_a/doc_b
+    candidate frames, separate-namespace knn self-filter."""
+    import pytest as _pytest
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        embedding_near_dups,
+        ngram_jaccard_pairs,
+    )
+    from manufacturing_data_integration_tool_spark.ops.similarity import knn_classify
+    from manufacturing_data_integration_tool_spark.ops.text import normalize_text, scrub_text
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], ["doc_id", "text"]
+    )
+    # float 1.0 = relative 100% cap -> keeps everything (pair 1-2 found)
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5,
+                               max_shingle_df=1.0).count() == 1
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, "doc_id", "text", max_shingle_df=0.0)
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, "doc_id", "text", max_shingle_df=0)
+
+    # empty scrub pattern list: text unchanged, zero redactions
+    out = scrub_text(docs, "text", patterns=()).collect()
+    assert all(r["n_redactions"] == 0 and r["text_scrubbed"] == r["text"] for r in out)
+
+    # in-place normalization still accounts removed chars
+    messy = spark.createDataFrame([(1, "A!!  b")], ["doc_id", "text"])
+    r = normalize_text(messy, "text", out_col="text").collect()[0]
+    assert r["text"] == "a b" and r["n_chars_removed"] == 3
+
+    # doc_a/doc_b candidate frames compose with embedding_near_dups
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    pairs = embedding_near_dups(vecs, threshold=0.9, candidates=cand).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+    # separate query-id namespace: an id collision must NOT drop a neighbor
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0], "A"), (1, [0.0, 1.0], "B")], ["vec_id", "embedding", "label"]
+    )
+    queries = spark.createDataFrame([(0, [1.0, 0.0])], ["query_id", "embedding"])
+    got = knn_classify(corpus, queries, k=1, query_id_col="query_id").collect()
+    assert got[0]["pred_label"] == "A"  # vec_id==0 row must still be eligible
