@@ -2168,6 +2168,29 @@ def q115_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tp.group_trend(base, "event_type", "day", "value")
 
 
+def q116_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out mapInPandas resize plumbing
+    (ops.multimodal.resize_media, stubbed resampler): payloads fit to a
+    fixed 128-byte budget, keeping the multimodal struct contract.
+    Non-SQL-expressible Arrow kernel; checked rows-only."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    assembled = mm.assemble_multimodal(docs, emb)
+    out = mm.resize_media(assembled, target_bytes=128)
+    return out.select("doc_id", "media_type", "n_bytes", F.md5("payload").alias("payload_md5"))
+
+
+def q117_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf feature extraction (ops.multimodal.extract_features,
+    stubbed featurizer): per-payload byte-histogram vector via Arrow
+    batches. Non-SQL-expressible; checked rows-only."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    assembled = mm.assemble_multimodal(docs, emb)
+    out = mm.extract_features(assembled)
+    return out.select("doc_id", F.size("features").alias("n_dims"))
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2366,6 +2389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q108_sketch_rollup": q108_sketch_rollup,
+        "q116_media_resize": q116_media_resize,
+        "q117_media_features": q117_media_features,
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
         "q30_multimodal_decode": q30_multimodal_decode,
