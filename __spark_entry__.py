@@ -2191,6 +2191,67 @@ def q117_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.size("features").alias("n_dims"))
 
 
+def q118_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic numeric-integrity screen (fabricated numbers drift from the
+    log distribution). First digit via string head of the absolute value
+    (exact, no float log), share as one integer division at the end; one
+    map-side-combined groupBy."""
+    orders = read_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.abs(F.col("o_totalprice")).cast("string"), r"[^1-9]", ""), 1, 1
+    )
+    counts = (
+        orders.select(digit.alias("first_digit"))
+        .filter(F.col("first_digit") != "")
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "first_digit",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("first_digit").cast("double")), 6).alias(
+            "benford_expected"
+        ),
+    )
+
+
+def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary of the orders table in long form: per column
+    the row count, null count, distinct count, and min/max rendered as
+    strings — the 'describe before you ingest' primitive. One aggregate
+    pass computes every column's stats (no per-column scans); the long
+    form comes from a stack/unpivot of the single result row."""
+    orders = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "__rows as n_rows",
+        f"stack({len(cols)}, {stack_args}) as (column_name, n_non_null, n_distinct, min_str, max_str)",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_non_null",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2385,6 +2446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_vocab_coverage": q113_vocab_coverage,
         "q114_boilerplate_strip": q114_boilerplate_strip,
         "q115_value_trend": q115_value_trend,
+        "q118_benford_digits": q118_benford_digits,
+        "q119_column_profile": q119_column_profile,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3251,6 +3314,52 @@ def oracle_sql() -> dict[str, str]:
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "q118_benford_digits": """
+            WITH d AS (
+              SELECT substring(regexp_replace(CAST(abs(o_totalprice) AS VARCHAR),
+                                              '[^1-9]', '', 'g'), 1, 1) AS first_digit
+              FROM orders
+            ), counts AS (
+              SELECT first_digit, COUNT(*) AS n FROM d
+              WHERE first_digit <> '' GROUP BY 1
+            )
+            SELECT first_digit, n,
+                   round(n / (SELECT SUM(n) FROM counts), 6) AS share,
+                   round(log10(1.0 + 1.0 / CAST(first_digit AS DOUBLE)), 6)
+                     AS benford_expected
+            FROM counts
+        """,
+        "q119_column_profile": """
+            SELECT * FROM (
+              SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+                     COUNT(o_orderkey) AS n_non_null,
+                     COUNT(*) - COUNT(o_orderkey) AS n_null,
+                     COUNT(DISTINCT o_orderkey) AS n_distinct,
+                     CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+                     CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+                     COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+                     CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+                     COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+                     CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+                     COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+                     CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+                     COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+                     CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+              FROM orders
+            )
         """,
         "q112_pii_scrub": r"""
             WITH salted AS (

@@ -96,6 +96,8 @@ HEADLINE = [
     "q113_vocab_coverage",
     "q114_boilerplate_strip",
     "q115_value_trend",
+    "q118_benford_digits",
+    "q119_column_profile",
 ]
 
 
