@@ -2252,6 +2252,28 @@ def q119_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    distinct active users per (cohort_week, weeks_since) — the
+    product-analytics staple. The per-user first-activity dim is ONE
+    groupBy (user-cardinality, shuffles ids only) joined back onto the
+    event scan; week math is integer epoch-day division, identical across
+    engines (no timezone/truncation functions)."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.expr("ts_ns div 86400000000000").alias("day"))
+    firsts = base.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        base.join(firsts, "user_id")
+        .select(
+            (F.col("first_day") - (F.col("first_day") % 7)).alias("cohort_week"),
+            F.floor((F.col("day") - F.col("first_day")) / 7).cast("long").alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2448,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_value_trend": q115_value_trend,
         "q118_benford_digits": q118_benford_digits,
         "q119_column_profile": q119_column_profile,
+        "q120_cohort_retention": q120_cohort_retention,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3313,6 +3336,18 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
                          / (10000000.0 * COUNT(*)), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY 1, 2
+        """,
+        "q120_cohort_retention": """
+            WITH base AS (
+              SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+            ), firsts AS (
+              SELECT user_id, MIN(day) AS first_day FROM base GROUP BY 1
+            )
+            SELECT first_day - (first_day % 7) AS cohort_week,
+                   CAST((day - first_day) // 7 AS BIGINT) AS weeks_since,
+                   COUNT(DISTINCT b.user_id) AS n_active
+            FROM base b JOIN firsts f ON b.user_id = f.user_id
             GROUP BY 1, 2
         """,
         "q118_benford_digits": """

@@ -98,6 +98,7 @@ HEADLINE = [
     "q115_value_trend",
     "q118_benford_digits",
     "q119_column_profile",
+    "q120_cohort_retention",
 ]
 
 
