@@ -572,7 +572,7 @@ def q34_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (ops.dedup): exact triangular join,
     the oracle-able baseline for the LSH/IVF candidate paths."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return dd.embedding_near_dups(emb, threshold=0.45)
+    return dd.embedding_near_dups(emb, threshold=0.45, allow_quadratic=True)
 
 
 def q52_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,26 +1297,36 @@ def q69_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q70_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: assign each document to a training
     shard so cumulative tokens per (lang, shard) stay under budget —
-    shard = floor(running_token_sum / budget) over a per-lang window
-    ordered by doc_id (deterministic). The window partitions on lang, so
-    no single task ever sees the whole corpus; at real scale the partition
-    key would be (lang, date_bucket) for narrower timelines."""
+    shard = floor(running_token_sum / budget) over a per-lang cumulative
+    sum ordered by doc_id (deterministic). The cumulative sum is the
+    skew-safe two-phase form (ops.sampling.two_phase_running_sum):
+    sub-bucketed on `doc_id div 64` (monotone in the doc_id order), so no
+    single task streams a whole language — at real scale the divisor is
+    picked so each stratum splits into ~256 sub-buckets. Admissions are
+    byte-identical to the naive single window, which is why the plain
+    running-sum oracle SQL below stays valid."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        two_phase_running_sum,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "lang", tx.token_count("text").cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    r = two_phase_running_sum(
+        base,
+        ["lang"],
+        [F.col("doc_id")],
+        F.col("n_tokens"),
+        F.expr("doc_id div 64"),
+        out_col="__running",
     )
     # integer `div`, never double->long casts (Spark truncates, DuckDB rounds)
-    prior = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__prior")
-    return base.select("doc_id", "lang", "n_tokens", prior).select(
+    return r.select(
         "doc_id",
         "lang",
         "n_tokens",
-        F.expr("__prior div 4000").alias("shard_id"),
+        F.expr("(__running - n_tokens) div 4000").alias("shard_id"),
     )
 
 
@@ -1449,13 +1459,16 @@ def q79_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q80_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Majority-vote k-NN label propagation (ops.similarity.knn_classify):
-    every 10th vector is a query, the rest are the labeled corpus; k=5.
-    Labels ride the corpus scan (no join-back); both windows run over
-    k-bounded per-query rows, never the corpus."""
+    """Majority-vote k-NN label propagation (ops.similarity.knn_classify),
+    exact brute-force route: the query set is BOUNDED (vec_id < 1000 and
+    % 10 = 0 -> at most 100 queries at ANY scale factor), honoring the
+    operator contract that the broadcast side stays fixed-size. Labels
+    ride the corpus scan (no join-back); both windows run over k-bounded
+    per-query rows, never the corpus. Large query sets route through the
+    LSH-candidate twin q121 instead (never a corpus-sized broadcast)."""
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 10 != 0)
-    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    queries = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 1000))
     return sim.knn_classify(corpus, queries, k=5)
 
 
@@ -2274,6 +2287,28 @@ def q120_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_knn_classify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification for a LARGE query set — the 100 TB route q80
+    cannot take: every 10th vector is a query (grows with SF, so
+    broadcasting it is banned by contract). Candidates come from
+    ops.similarity.hyperplane_query_candidates — both sides bucketed with
+    the SAME deterministic sign-LSH plane literals, candidates = bucket
+    equi-join on (table, bucket) — then exact cosine scoring + vote run
+    only on candidate pairs via hash joins (knn_classify(candidates=...)).
+    Approximate kNN (top-k among candidates), but fully deterministic:
+    planes are seeded literals, similarity rounds to 4, ties break on id —
+    so the DuckDB oracle recomputes it exactly. Plan-guarded: no
+    corpus-sized broadcast, no cartesian
+    (tests/test_plan_quality.py::test_q121_lsh_knn_no_corpus_broadcast)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    cand = sim.hyperplane_query_candidates(
+        corpus, queries, dim=64, n_tables=8, n_planes=4, seed=11
+    )
+    return sim.knn_classify(corpus, queries, k=5, candidates=cand)
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2471,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_benford_digits": q118_benford_digits,
         "q119_column_profile": q119_column_profile,
         "q120_cohort_retention": q120_cohort_retention,
+        "q121_knn_classify_lsh": q121_knn_classify_lsh,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -2518,6 +2554,20 @@ def oracle_sql() -> dict[str, str]:
 
     bk52 = ",\n                   ".join(f"({_bucket52(t)}) AS b{t}" for t in range(8))
     same_bucket52 = " OR ".join(f"a.b{t} = b.b{t}" for t in range(8))
+
+    # q121: cross-set LSH kNN — same plane-literal regeneration trick as
+    # q52, different (n_planes, seed) tuned for query-vs-corpus recall.
+    planes121 = sim.hyperplane_planes(64, 8, 4, 11)
+
+    def _bucket121(table: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{_plane_lit(planes121[table][j])}) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(4)
+        )
+
+    bk121 = ",\n                   ".join(f"({_bucket121(t)}) AS b{t}" for t in range(8))
+    same_bucket121 = " OR ".join(f"q.b{t} = c.b{t}" for t in range(8))
     cos52 = (
         "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
         " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
@@ -3200,13 +3250,52 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id % 10 <> 0
             ), q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-              FROM embeddings WHERE vec_id % 10 = 0
+              FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 1000
             ), pairs AS (
               SELECT q.query_id, c.vec_id, c.label,
                      round(list_dot_product(qe, e)
                            / (sqrt(list_dot_product(qe, qe))
                               * sqrt(list_dot_product(e, e))), 4) AS s
               FROM q, c WHERE c.vec_id <> q.query_id
+            ), topk AS (
+              SELECT query_id, label FROM (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id) AS rn
+                FROM pairs
+              ) WHERE rn <= 5
+            ), votes AS (
+              SELECT query_id, label, COUNT(*) AS n_votes
+              FROM topk GROUP BY 1, 2
+            )
+            SELECT query_id, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+            FROM (
+              SELECT query_id, label, n_votes,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY n_votes DESC, label) AS vr
+              FROM votes
+            ) WHERE vr = 1
+        """,
+        "q121_knn_classify_lsh": f"""
+            WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label,
+                   {bk121}
+              FROM embeddings WHERE vec_id % 10 <> 0
+            ), q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+                   {bk121}
+              FROM embeddings WHERE vec_id % 10 = 0
+            ), cand AS (
+              SELECT DISTINCT q.query_id, c.vec_id
+              FROM q JOIN c ON ({same_bucket121}) AND c.vec_id <> q.query_id
+            ), pairs AS (
+              SELECT cand.query_id, cand.vec_id, c.label,
+                     round(list_dot_product(q.qe, c.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.e, c.e))), 4) AS s
+              FROM cand
+              JOIN c ON cand.vec_id = c.vec_id
+              JOIN q ON cand.query_id = q.query_id
             ), topk AS (
               SELECT query_id, label FROM (
                 SELECT query_id, label,

@@ -1,8 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (kept well under 1 kB so the driver's tail
+capture can parse it — round 3's full per-query dict overflowed the 2 kB
+capture and shipped `parsed: null`):
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "queries": {"q01_pricing_summary": sec, ...}, "sf": "<dir>"}
+     "queries": {<10 slowest>: sec}, "n": <count>, "sf": "<dir>"}
+
+Full per-query timings are written to BENCH_DETAIL.json next to this file
+for round-over-round diffing.
 
 Each query is executed to completion (count() over the result — forces the
 full plan without driver-side materialization of every row).
@@ -99,6 +104,7 @@ HEADLINE = [
     "q118_benford_digits",
     "q119_column_profile",
     "q120_cohort_retention",
+    "q121_knn_classify_lsh",
 ]
 
 
@@ -148,15 +154,32 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    detail = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "n": len(HEADLINE),
+        "sf": sf_dir,
+        "cpus": cpus,
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n": len(HEADLINE),
                 "sf": sf_dir,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

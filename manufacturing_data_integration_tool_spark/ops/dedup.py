@@ -341,6 +341,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     round_to: int = 4,
     candidates: Optional[DataFrame] = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity >= threshold.
 
@@ -353,10 +354,20 @@ def embedding_near_dups(
 
     Without ``candidates`` this is the exact triangular self-join — O(n^2)
     pair scoring. That form exists as the oracle-able baseline and the
-    recall verifier for the candidate generators; do NOT run it on a full
-    corpus at scale.
+    recall verifier for the candidate generators; because it is a hard
+    scale-killer on a full corpus, it must be opted into explicitly with
+    ``allow_quadratic=True`` — a bare call raises so nobody reaches the
+    all-pairs plan by default.
     """
     from .similarity import dot, l2_norm
+
+    if candidates is None and not allow_quadratic:
+        raise ValueError(
+            "embedding_near_dups without candidates= is an O(n^2) all-pairs "
+            "self-join. Pass candidates= from a sub-quadratic generator "
+            "(hyperplane_candidates / minhash_candidates / IVF), or opt in "
+            "explicitly with allow_quadratic=True for small/oracle use."
+        )
 
     # norms are projected BELOW the join — computed once per vector row,
     # not once per pair (3x fewer array traversals than a per-pair

@@ -32,6 +32,7 @@ __all__ = [
     "train_holdout_split",
     "cap_per_group",
     "priority_sample",
+    "two_phase_running_sum",
     "budget_fill",
     "temperature_mix",
 ]
@@ -208,6 +209,72 @@ def priority_sample(
     )
 
 
+def two_phase_running_sum(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    size: Column,
+    sub_bucket: Column,
+    *,
+    out_col: str = "__running",
+) -> DataFrame:
+    """Per-stratum cumulative sum WITHOUT a one-task-per-stratum window.
+
+    A naive ``Window.partitionBy(stratum)`` running sum streams the whole
+    hottest stratum (tens of TB of ``en`` at 100 TB corpus scale) through
+    a single task — a hard scale-killer. This computes the SAME cumulative
+    total in two phases, provided ``sub_bucket`` is monotone non-decreasing
+    along the ``order_cols`` ordering (e.g. a prefix of the string ordering
+    key, or ``id div N`` for an integer ordering key) — the per-stratum
+    order is then exactly the concatenation of per-sub-bucket orders:
+
+    1. Aggregate per-(stratum, sub-bucket) size subtotals — a tiny,
+       map-side-combined table (|strata| x |sub-buckets| rows).
+    2. Window the tiny table into per-sub-bucket starting offsets and
+       broadcast it back onto the rows.
+    3. Run the running sum per (stratum, sub-bucket); add the offset.
+       ``offset + running-within-bucket`` equals the global per-stratum
+       running total byte-for-byte, so a plain single-window ORACLE SQL
+       stays valid.
+
+    Cost: one extra tiny aggregate + broadcast; the wide window now
+    partitions on (stratum, sub-bucket), so the widest task handles
+    ~1/|sub-buckets| of the hottest stratum. Returns ``df`` plus
+    ``out_col`` (bigint cumulative total including the current row).
+    """
+    d = df.withColumn("__tprs_sub", sub_bucket)
+    subs = d.groupBy(*strata_cols, "__tprs_sub").agg(
+        F.sum(size.cast("bigint")).alias("__subtotal")
+    )
+    off_w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(F.asc_nulls_first("__tprs_sub"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = subs.withColumn(
+        "__offset", F.coalesce(F.sum("__subtotal").over(off_w), F.lit(0))
+    ).select(
+        *[F.col(c).alias(f"__o_{c}") for c in strata_cols],
+        F.col("__tprs_sub").alias("__o_sub"),
+        "__offset",
+    )
+    cond = F.col("__tprs_sub").eqNullSafe(F.col("__o_sub"))
+    for c in strata_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+    w = (
+        Window.partitionBy(*strata_cols, "__tprs_sub")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = (F.sum(size.cast("bigint")).over(w) + F.col("__offset")).alias(out_col)
+    drop = ["__tprs_sub", "__o_sub", "__offset"] + [f"__o_{c}" for c in strata_cols]
+    return (
+        d.join(F.broadcast(offsets), cond)
+        .withColumn(out_col, running)
+        .drop(*drop)
+    )
+
+
 def budget_fill(
     df: DataFrame,
     strata_col: str,
@@ -216,6 +283,7 @@ def budget_fill(
     budget: int,
     *,
     salt: str = "fill",
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Fill a per-stratum size budget (e.g. N tokens per language) in a
     deterministic pseudo-random order: rows are ranked by their md5 bucket
@@ -223,20 +291,31 @@ def budget_fill(
     within ``budget`` (inclusive).
 
     The 'give me 1B tokens per language, sampled fairly, reproducibly'
-    primitive. ONE shuffle on the stratum key + a monotone running-sum
-    window — no global sort; admission depends only on (key, salt, sizes),
-    so re-runs and engine swaps admit identical rows.
+    primitive. Admission depends only on (key, salt, sizes), so re-runs
+    and engine swaps admit identical rows.
+
+    100 TB posture: the running sum goes through
+    :func:`two_phase_running_sum`, sub-bucketed on the first
+    ``bucket_chars`` hex chars of the md5 ordering bucket (16^bucket_chars
+    sub-buckets per stratum — prefix of the ordering key, so trivially
+    monotone). No single task ever streams a whole stratum; admissions are
+    byte-identical to the naive single-window form, so the plain
+    running-sum oracle SQL stays valid. Plan pinned by
+    ``tests/test_plan_quality.py``.
     """
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(_bucket(key_col, salt), F.col(key_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bkt = _bucket(key_col, salt)
+    d = df.withColumn("__bkt", bkt)
+    r = two_phase_running_sum(
+        d,
+        [strata_col],
+        [F.col("__bkt"), F.col(key_col)],
+        F.col(size_col),
+        F.substring(F.col("__bkt"), 1, int(bucket_chars)),
+        out_col="__running",
     )
-    running = F.sum(F.col(size_col).cast("bigint")).over(w)
     return (
-        df.withColumn("__running", running)
-        .filter(F.col("__running") <= F.lit(int(budget)))
-        .drop("__running")
+        r.filter(F.col("__running") <= F.lit(int(budget)))
+        .drop("__bkt", "__running")
     )
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "quantize_embeddings",
     "hyperplane_planes",
     "hyperplane_candidates",
+    "hyperplane_query_candidates",
     "lsh_ann_topk",
     "IvfIndex",
     "fit_ivf",
@@ -103,15 +104,28 @@ def knn_classify(
     label_col: str = "label",
     query_id_col: Optional[str] = None,
     round_to: Optional[int] = 4,
+    candidates: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Majority-vote k-NN classification over a labeled embedding corpus.
 
     The label rides along the corpus scan (one narrow extra column), so no
-    join-back is needed after ranking: broadcast queries -> score -> per-query
-    top-k window -> (query, label) vote counts -> per-query argmax window.
-    Shuffle cost is the two windows over k*|queries| rows, never the corpus.
-    Ties are deterministic: similarity rounds to ``round_to`` then breaks on
-    corpus id; votes break on (count desc, label asc).
+    join-back is needed after ranking: score -> per-query top-k window ->
+    (query, label) vote counts -> per-query argmax window. Shuffle cost is
+    the two windows over k*|queries| rows, never the corpus. Ties are
+    deterministic: similarity rounds to ``round_to`` then breaks on corpus
+    id; votes break on (count desc, label asc).
+
+    Scoring routes:
+    - default: ``queries`` is BROADCAST against the corpus scan — by
+      contract the query set must be small (well under the broadcast
+      threshold). Broadcasting a corpus-sized query set is impossible at
+      scale; use the candidates route instead.
+    - ``candidates=``: a (query_id, <id_col>) frame from a sub-quadratic
+      cross-set generator (``hyperplane_query_candidates``, IVF cell
+      joins). Scoring becomes two hash equi-joins (fetch corpus vector +
+      label, fetch query vector) over |candidates| rows — never a
+      broadcast of either side, AQE-skew-splittable. Result is then
+      approximate kNN (top-k among candidates).
 
     Output: ``(query_id, pred_label, n_votes)``.
     """
@@ -121,12 +135,18 @@ def knn_classify(
     sim = cosine_similarity(F.col("__qv"), F.col(vec_col))
     if round_to is not None:
         sim = F.round(sim, round_to)
-    pairs = c.crossJoin(F.broadcast(q))
-    if query_id_col is None:
-        # leave-self-out only applies when queries ARE corpus rows (shared
-        # id namespace); with a separate query id space an equal id is a
-        # coincidence, and filtering it would wrongly discard a neighbor.
-        pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    if candidates is not None:
+        cand = candidates.select("query_id", id_col)
+        pairs = cand.join(c, id_col).join(q, "query_id")
+        if query_id_col is None:
+            pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    else:
+        pairs = c.crossJoin(F.broadcast(q))
+        if query_id_col is None:
+            # leave-self-out only applies when queries ARE corpus rows (shared
+            # id namespace); with a separate query id space an equal id is a
+            # coincidence, and filtering it would wrongly discard a neighbor.
+            pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
     pairs = pairs.select("query_id", id_col, label_col, sim.alias("__sim"))
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.col(id_col))
     topk = pairs.withColumn("__rn", F.row_number().over(w_rank)).filter(
@@ -259,6 +279,78 @@ def hyperplane_planes(
     ]
 
 
+def _plane_df(spark, dim: int, n_tables: int, n_planes: int, seed: int) -> DataFrame:
+    """The deterministic plane set as a tiny (n_tables x n_planes)-row
+    broadcastable DataFrame: (table, bit weight, plane vector)."""
+    planes = hyperplane_planes(dim, n_tables, n_planes, seed)
+    rows = [(t, 1 << j, planes[t][j]) for t in range(n_tables) for j in range(n_planes)]
+    return spark.createDataFrame(rows, "__table int, __w int, __plane array<double>")
+
+
+def _hyperplane_tagged(
+    df: DataFrame, id_col: str, vec_col: str, plane_df: DataFrame
+) -> DataFrame:
+    """(id, table, bucket) tags: one bounded fan-out against the broadcast
+    plane table, sign bits bit-packed by a map-side-combined groupBy."""
+    bit = F.when(dot(F.col(vec_col), F.col("__plane")) >= 0, F.col("__w")).otherwise(
+        F.lit(0)
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col))
+        .crossJoin(F.broadcast(plane_df))
+        .select("__id", "__table", bit.alias("__bit"))
+        .groupBy("__id", "__table")
+        .agg(F.sum("__bit").alias("__bucket"))
+    )
+
+
+def hyperplane_query_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    dim: int,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-set sign-LSH candidates: (query_id, id) pairs whose vectors
+    share a hyperplane bucket in ANY table — the scale path for k-NN /
+    similarity against a LARGE query set, where broadcasting the queries
+    (``cosine_topk``/``knn_classify`` contract) is impossible.
+
+    Both sides are bucketed with the SAME deterministic plane literals
+    (``hyperplane_planes``), so candidates come from an ordinary shuffled
+    equi-join on (table, bucket) — linear in collisions, never
+    |corpus| x |queries|, AQE-skew-splittable, and SQL-expressible for the
+    oracle. Self-pairs are kept only when the id namespaces differ
+    (mirrors ``knn_classify``'s leave-self-out rule).
+
+    Feed to ``knn_classify(candidates=...)`` or
+    ``embedding_near_dups(candidates=...)`` for exact scoring.
+    """
+    qid = query_id_col or id_col
+    plane_df = _plane_df(corpus.sparkSession, dim, n_tables, n_planes, seed)
+    ct = _hyperplane_tagged(corpus, id_col, vec_col, plane_df)
+    qt = _hyperplane_tagged(queries, qid, vec_col, plane_df).select(
+        F.col("__id").alias("__qid"),
+        F.col("__table").alias("__qtable"),
+        F.col("__bucket").alias("__qbucket"),
+    )
+    pairs = ct.join(
+        qt,
+        (F.col("__table") == F.col("__qtable"))
+        & (F.col("__bucket") == F.col("__qbucket")),
+    )
+    if query_id_col is None:
+        pairs = pairs.filter(F.col("__id") != F.col("__qid"))
+    return pairs.select(
+        F.col("__qid").alias("query_id"), F.col("__id").alias(id_col)
+    ).distinct()
+
+
 def hyperplane_candidates(
     vectors: DataFrame,
     *,
@@ -293,19 +385,8 @@ def hyperplane_candidates(
     bit-packs the bucket ids (map-side combined), and the bucket self-join
     is an equi-join on (table, bucket).
     """
-    planes = hyperplane_planes(dim, n_tables, n_planes, seed)
-    spark = vectors.sparkSession
-    plane_rows = [(t, 1 << j, planes[t][j]) for t in range(n_tables) for j in range(n_planes)]
-    plane_df = spark.createDataFrame(plane_rows, "__table int, __w int, __plane array<double>")
-
-    bit = F.when(dot(F.col(vec_col), F.col("__plane")) >= 0, F.col("__w")).otherwise(F.lit(0))
-    tagged = (
-        vectors.select(F.col(id_col).alias("__id"), F.col(vec_col))
-        .crossJoin(F.broadcast(plane_df))
-        .select("__id", "__table", bit.alias("__bit"))
-        .groupBy("__id", "__table")
-        .agg(F.sum("__bit").alias("__bucket"))
-    )
+    plane_df = _plane_df(vectors.sparkSession, dim, n_tables, n_planes, seed)
+    tagged = _hyperplane_tagged(vectors, id_col, vec_col, plane_df)
     a = tagged.alias("a")
     b = tagged.alias("b")
     return (

@@ -178,6 +178,18 @@ def test_hyperplane_candidates_subset_and_colinear_recall(spark, vectors):
     assert {(r["id_a"], r["id_b"]) for r in same_dir.collect()} == {(0, 1)}
 
 
+def test_embedding_near_dups_bare_call_raises(spark, vectors):
+    """The O(n^2) all-pairs form must be an explicit opt-in: a bare call
+    (no candidates, no allow_quadratic) raises instead of planning a
+    corpus-scale cartesian by default."""
+    import pytest
+
+    from manufacturing_data_integration_tool_spark.ops.dedup import embedding_near_dups
+
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        embedding_near_dups(vectors, threshold=0.5)
+
+
 def test_embedding_near_dups_candidates_routing(spark, vectors):
     """Scoring restricted to candidates == exact result intersected with
     the candidate set — and the candidate plan has no cartesian join."""
@@ -186,7 +198,7 @@ def test_embedding_near_dups_candidates_routing(spark, vectors):
 
     exact = {
         (r["id_a"], r["id_b"]): r["cosine_sim"]
-        for r in embedding_near_dups(vectors, threshold=0.5).collect()
+        for r in embedding_near_dups(vectors, threshold=0.5, allow_quadratic=True).collect()
     }
     cands = hyperplane_candidates(vectors, dim=3, n_tables=6, n_planes=2, seed=1)
     cand_pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
@@ -269,7 +281,7 @@ def test_multimodal_output_id_named_from_id_col(spark, docs):
 def test_embedding_near_dups(spark, vectors):
     from manufacturing_data_integration_tool_spark.ops import embedding_near_dups
 
-    pairs = embedding_near_dups(vectors, threshold=0.9).collect()
+    pairs = embedding_near_dups(vectors, threshold=0.9, allow_quadratic=True).collect()
     got = {(p["id_a"], p["id_b"]): p["cosine_sim"] for p in pairs}
     assert set(got) == {(0, 1)}  # only the 0.9939-similar pair passes 0.9
     assert got[(0, 1)] > 0.99

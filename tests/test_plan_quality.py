@@ -289,6 +289,44 @@ def test_top_supplier_broadcasts_scalar_max(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_q121_lsh_knn_no_corpus_broadcast(spark):
+    """The large-query-set kNN route must never broadcast a corpus-sized
+    side or plan a cartesian: candidate generation is an equi-join on
+    (table, bucket), scoring two hash joins on ids. The only nested-loop
+    joins allowed are the two bounded fan-outs against the 32-row
+    broadcast plane table (formatted explain mentions each node twice)."""
+    plan = plan_of(entry.q121_knn_classify_lsh(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_budget_fill_window_is_sub_bucketed(spark):
+    """q107: the corpus-wide running-sum window must partition on
+    (stratum, sub-bucket) — a per-stratum-only window streams the whole
+    hottest language through one task at 100 TB. The only per-stratum
+    window allowed is the offsets pass over the tiny subtotal table,
+    which sits under a BroadcastExchange."""
+    import re
+
+    plan = plan_of(entry.q107_token_budget_fill(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(lang#\d+, __tprs_sub#\d+", plan), plan
+    # the wide window (the one ordered by the md5 bucket) partitions on
+    # the sub-bucket too — its windowspecdefinition carries both keys
+    wide = re.search(r"windowspecdefinition\(lang#\d+, __tprs_sub#\d+, __bkt", plan)
+    assert wide, plan
+
+
+def test_shard_pack_window_is_sub_bucketed(spark):
+    """q70: same two-phase guarantee for the doc_id-ordered shard packer."""
+    import re
+
+    plan = plan_of(entry.q70_shard_pack(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(lang#\d+, __tprs_sub#\d+", plan), plan
+
+
 def test_source_caps_no_global_sort(spark):
     """q89: the per-group cap is a keyed window (hashpartitioning on
     source), never an unpartitioned global sort."""
