@@ -22,6 +22,7 @@ Cross-engine parity rules used throughout (so value hashes match):
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -31,6 +32,7 @@ from manufacturing_data_integration_tool_spark.config import (
     GlobalRule,
     IntegrationConfig,
     Rule,
+    load_config,
 )
 from manufacturing_data_integration_tool_spark.functions import (
     HOUR_NS,
@@ -2309,6 +2311,55 @@ def q121_knn_classify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(corpus, queries, k=5, candidates=cand)
 
 
+def q122_corpus_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming corpus-ingest pipeline's BATCH TWIN, end-to-end
+    (streaming/corpus_pipeline.py): normalize -> token-count quality gate
+    -> repetition gate -> stratified language mix -> content-hash dedup
+    (deterministic min-id survivor). Every stage is the same Column
+    expression the streaming job runs — this row makes §2.9's pipeline
+    driver-visible with a full DuckDB oracle; the watermarked streaming
+    variant of the same transform is pinned by
+    tests/test_streaming.py::test_corpus_ingest_stream_matches_batch."""
+    from manufacturing_data_integration_tool_spark.streaming.corpus_pipeline import (
+        corpus_ingest_transform,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", "lang",
+        F.timestamp_seconds(F.col("doc_id")).alias("ingest_ts"),
+    )
+    out = corpus_ingest_transform(
+        base,
+        min_tokens=8,
+        max_dup_gram_frac=0.6,
+        lang_fractions={"en": 0.6, "de": 1.0, "zh": 0.8},
+        default_fraction=0.5,
+    )
+    return out.select("doc_id", "lang", "content_md5", "n_chars_removed")
+
+
+def q123_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 through the driver gate: the pinned all-string CSV read
+    (sources/readers.py read_source_csv) over the reference's golden
+    9-row fixture, schema driven by the XML mapping config — malformed
+    text can't shift columns, and no type inference job runs (at scale,
+    schema inference is a full extra pass over the landing zone). Lineage
+    is off so the row values are engine-comparable."""
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        read_source_csv,
+    )
+
+    fixtures = Path(__file__).resolve().parent / "tests" / "fixtures"
+    cfg = load_config(str(fixtures / "mapping_config.xml"))
+    return read_source_csv(
+        spark,
+        str(fixtures / "production_golden_9rows.csv"),
+        cfg,
+        with_lineage=False,
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2507,6 +2558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_column_profile": q119_column_profile,
         "q120_cohort_retention": q120_cohort_retention,
         "q121_knn_classify_lsh": q121_knn_classify_lsh,
+        "q122_corpus_ingest_batch": q122_corpus_ingest_batch,
+        "q123_csv_scan": q123_csv_scan,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3314,6 +3367,49 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n_votes DESC, label) AS vr
               FROM votes
             ) WHERE vr = 1
+        """,
+        "q122_corpus_ingest_batch": f"""
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text_norm,
+                     CAST(length(text) - length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_removed
+              FROM documents
+            ), tokd AS (
+              SELECT *, list_filter(string_split_regex(lower(text_norm), '\\s+'), t -> t <> '') AS tk
+              FROM norm
+            ), gated AS (
+              SELECT * FROM tokd WHERE len(tk) >= 8
+            ), rep AS (
+              SELECT *, CASE WHEN len(tk) >= 3
+                             THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+                             ELSE [] END AS grams
+              FROM gated
+            ), repgated AS (
+              SELECT * FROM rep
+              WHERE (CASE WHEN len(grams) = 0 THEN 0.0
+                          ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                     END) <= 0.6
+            ), mixed AS (
+              SELECT * FROM repgated
+              WHERE {_bucket_sql("doc_id", "")} <
+                    CASE lang WHEN 'en' THEN '{_hft(0.6)}'
+                              WHEN 'de' THEN '{_hft(1.0)}'
+                              WHEN 'zh' THEN '{_hft(0.8)}'
+                              ELSE '{_hft(0.5)}' END
+            ), hashed AS (
+              SELECT doc_id, lang, md5(text_norm) AS content_md5, n_chars_removed,
+                     row_number() OVER (PARTITION BY md5(text_norm) ORDER BY doc_id) AS rn
+              FROM mixed
+            )
+            SELECT doc_id, lang, content_md5, n_chars_removed
+            FROM hashed WHERE rn = 1
+        """,
+        "q123_csv_scan": f"""
+            SELECT "timestamp", line_id, batch_number, product_code,
+                   temperature_c, pressure_kpa, humidity_pct, operator_id,
+                   defect_count
+            FROM read_csv('{Path(__file__).resolve().parent / "tests" / "fixtures" / "production_golden_9rows.csv"}',
+                          header=true, all_varchar=true)
         """,
         "q81_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -105,6 +105,7 @@ HEADLINE = [
     "q119_column_profile",
     "q120_cohort_retention",
     "q121_knn_classify_lsh",
+    "q122_corpus_ingest_batch",
 ]
 
 

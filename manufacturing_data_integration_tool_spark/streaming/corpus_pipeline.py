@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Mapping, Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..ops.dedup import content_hash
@@ -70,7 +70,17 @@ def corpus_ingest_transform(
             ["content_md5"]
         )
     else:
-        hashed = hashed.dropDuplicates(["content_md5"])
+        # deterministic survivor (min id per content hash) instead of
+        # dropDuplicates' arrival-order pick: batch runs are then
+        # engine-reproducible and oracle-able (driver query q122). The
+        # window is keyed on the hash — bounded per-hash groups, one
+        # shuffle, same cost shape as dropDuplicates' partial aggregate.
+        w = Window.partitionBy("content_md5").orderBy(F.col(id_col))
+        hashed = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return hashed.select(
         id_col, lang_col, "text_norm", "content_md5", "n_chars_removed", ts_col
     )
