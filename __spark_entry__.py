@@ -2360,6 +2360,248 @@ def q123_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority for orders in one quarter
+    that have at least one late lineitem (shipped > 90 days after the
+    order date — driver schema has no commit/receipt dates). The EXISTS
+    collapses to ONE left-semi join; the quarter filter is pushed to the
+    orders scan, so the semi-join probe side is already quarter-sized."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01")))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q125_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the query whose entire
+    cost is the scan, so EVERY predicate must reach the parquet reader
+    (PushedFilters: shipdate bounds, discount bounds, quantity) and only
+    3 columns may be read. One partial agg per partition + a 1-row final
+    merge; zero joins, zero wide shuffles at any scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def q126_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of ASIA-customer order revenue per
+    order year. nation x region force-broadcast (fixed 25 x 5); the share
+    is a conditional-sum ratio inside one aggregate — never two passes
+    over the join tree. Decimal sums keep the ratio engine-exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    cust_nat = F.broadcast(
+        nation.join(
+            region.filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nat = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_nat, F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nat, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                _dsum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                / _dsum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q127_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. Aggregate keys on the customer id; nation broadcast; the
+    top-20 is TakeOrderedAndProject, never a global sort of customers."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-10-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q128_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp in the driver schema, so 'stock value'
+    = shipped discounted revenue per part): parts whose value exceeds
+    0.5%% of the global total. The global total is a 1-row aggregate
+    broadcast back onto the per-part aggregate (two-pass broadcast-stats
+    pattern, q08's posture) — never a second scan-side shuffle or an
+    unpartitioned window."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(_dsum(rev).alias("part_value"))
+    total = per_part.agg(_dsum(F.col("part_value")).alias("__total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__total") * 0.005)
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+def q129_late_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (driver schema has no shipmode, so the axis is the
+    ship YEAR): per year, how many late-shipped lineitems (> 60 days
+    after order) belong to high-priority (1-URGENT/2-HIGH) vs lower
+    orders — conditional counts inside one aggregate after one equi-join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q130_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    for non-PROMO, non-Brand#1 parts, supplier evidence coming from
+    lineitem (no partsupp). The part filter prunes the dimension BEFORE
+    the join; count_distinct shuffles (group keys, suppkey) pairs once —
+    no distinct-then-join double shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q131_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers that shipped more than 30%% of
+    some part's 1997 volume — dominant-supplier detection. Per-(part,
+    supplier) and per-part aggregates reuse ONE shuffle (the second agg
+    re-groups the first's output); the part-total table is part-
+    cardinality and joins back by key; the final DISTINCT supplier set
+    semi-joins supplier."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    shipped = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_ps = shipped.groupBy("l_partkey", "l_suppkey").agg(
+        _dsum(F.col("l_quantity")).alias("ps_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        _dsum(F.col("ps_qty")).alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("ps_qty") > F.col("part_qty") * 0.3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q132_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: supply cost = shipped unit price):
+    for each part, the EUROPE supplier(s) with the minimum unit cost.
+    The correlated MIN subquery becomes a per-part aggregate joined back
+    by (part, cost) — groupBy + broadcast-size join instead of a
+    re-executed subquery per row. Unit cost is decimal-sum / decimal-sum
+    in ONE IEEE division rounded to 6, so the equality join-back is
+    engine-exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    eu_sup = supplier.join(
+        F.broadcast(
+            nation.join(
+                region.filter(F.col("r_name") == "EUROPE"),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey", "n_name")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    cost = F.round(
+        _dsum(F.col("l_extendedprice")) / _dsum(F.col("l_quantity")), 6
+    ).alias("unit_cost")
+    per_ps = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(eu_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "supp_nation")
+        .agg(cost)
+    )
+    min_cost = per_ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        per_ps.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            "s_name",
+            "supp_nation",
+            F.col("unit_cost"),
+        )
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2560,6 +2802,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_knn_classify_lsh": q121_knn_classify_lsh,
         "q122_corpus_ingest_batch": q122_corpus_ingest_batch,
         "q123_csv_scan": q123_csv_scan,
+        "q124_order_priority_counts": q124_order_priority_counts,
+        "q125_forecast_revenue": q125_forecast_revenue,
+        "q126_market_share": q126_market_share,
+        "q127_returned_items": q127_returned_items,
+        "q128_important_parts": q128_important_parts,
+        "q129_late_priority_matrix": q129_late_priority_matrix,
+        "q130_parts_supplier_counts": q130_parts_supplier_counts,
+        "q131_dominant_suppliers": q131_dominant_suppliers,
+        "q132_min_cost_supplier": q132_min_cost_supplier,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3410,6 +3661,126 @@ def oracle_sql() -> dict[str, str]:
                    defect_count
             FROM read_csv('{Path(__file__).resolve().parent / "tests" / "fixtures" / "production_golden_9rows.csv"}',
                           header=true, all_varchar=true)
+        """,
+        "q124_order_priority_counts": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q125_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q126_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(
+                     CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))
+                              ELSE CAST(0.0 AS DECIMAL(30,6)) END) AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE),
+                     6) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY 1
+        """,
+        "q127_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q128_important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+              FROM lineitem GROUP BY 1
+            ), total AS (
+              SELECT CAST(SUM(CAST(part_value AS DECIMAL(30,6))) AS DOUBLE) AS t FROM per_part
+            )
+            SELECT l_partkey, round(part_value, 2) AS part_value
+            FROM per_part, total
+            WHERE part_value > t * 0.005
+        """,
+        "q129_late_priority_matrix": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+        """,
+        "q130_parts_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+            GROUP BY 1, 2, 3
+        """,
+        "q131_dominant_suppliers": """
+            WITH per_ps AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS ps_qty
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2
+            ), per_part AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(ps_qty AS DECIMAL(30,6))) AS DOUBLE) AS part_qty
+              FROM per_ps GROUP BY 1
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT DISTINCT a.l_suppkey
+              FROM per_ps a JOIN per_part b ON a.l_partkey = b.l_partkey
+              WHERE a.ps_qty > b.part_qty * 0.3
+            )
+        """,
+        "q132_min_cost_supplier": """
+            WITH eu AS (
+              SELECT s_suppkey, s_name, n_name AS supp_nation
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ), per_ps AS (
+              SELECT l_partkey, l_suppkey, s_name, supp_nation,
+                     round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                           / CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 6) AS unit_cost
+              FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+              GROUP BY 1, 2, 3, 4
+            ), mc AS (
+              SELECT l_partkey, MIN(unit_cost) AS min_cost
+              FROM per_ps GROUP BY 1
+            )
+            SELECT a.l_partkey AS p_key, a.s_name, a.supp_nation, a.unit_cost
+            FROM per_ps a JOIN mc b
+              ON a.l_partkey = b.l_partkey AND a.unit_cost = b.min_cost
         """,
         "q81_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

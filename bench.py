@@ -106,6 +106,15 @@ HEADLINE = [
     "q120_cohort_retention",
     "q121_knn_classify_lsh",
     "q122_corpus_ingest_batch",
+    "q124_order_priority_counts",
+    "q125_forecast_revenue",
+    "q126_market_share",
+    "q127_returned_items",
+    "q128_important_parts",
+    "q129_late_priority_matrix",
+    "q130_parts_supplier_counts",
+    "q131_dominant_suppliers",
+    "q132_min_cost_supplier",
 ]
 
 

@@ -303,6 +303,34 @@ def test_q121_lsh_knn_no_corpus_broadcast(spark):
     )
 
 
+def test_q124_exists_is_one_semi_join(spark):
+    """Q4 shape: EXISTS must collapse to one left-semi join with the
+    quarter filter pushed to the orders scan — never a re-executed
+    per-row subquery or an extra aggregate."""
+    plan = plan_of(entry.q124_order_priority_counts(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_q125_all_predicates_reach_scan(spark):
+    """Q6 shape: the whole query is the scan, so discount/quantity/date
+    predicates must appear in PushedFilters and only the 3 needed columns
+    may be read."""
+    plan = plan_of(entry.q125_forecast_revenue(spark, "/root/testdata/sf0.001"))
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed and "l_shipdate" in pushed
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_returnflag" not in read
+
+
+def test_q128_global_total_broadcasts(spark):
+    """Q11 shape: the 1-row global total must come back as a broadcast
+    (two-pass stats), never an unpartitioned window over parts."""
+    plan = plan_of(entry.q128_important_parts(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
 def test_budget_fill_window_is_sub_bucketed(spark):
     """q107: the corpus-wide running-sum window must partition on
     (stratum, sub-bucket) — a per-stratum-only window streams the whole
