@@ -2602,6 +2602,94 @@ def q132_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q133_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 change-tracking: collapse each user's event-type stream into
+    validity intervals [valid_from, valid_to) — keep only CHANGE rows
+    (state differs from the previous state), then close each interval at
+    the next change (open intervals get NULL). Both windows share one
+    (user_id)-keyed partition order, so the whole query is ONE shuffle;
+    integer nanosecond epochs, no timestamp arithmetic to drift across
+    engines."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_type", "ts_ns", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    changes = (
+        base.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_ns").alias("valid_from_ns"),
+        F.lead("ts_ns").over(w2).alias("valid_to_ns"),
+    )
+
+
+def q134_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> first click AFTER signup -> first
+    purchase AFTER that click): per-stage user counts. Each stage is a
+    user-keyed min-aggregate joined to the previous stage's row — stage
+    tables are user-cardinality (ids + one timestamp), so every join
+    shuffles only ids, never the event scan; the event table is read
+    once per stage arm with the event_type filter pushed to the scan."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_type", "ts_ns")
+    s1 = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("s_ts"))
+    )
+    s2 = (
+        base.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_ns") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("c_ts"))
+    )
+    s3 = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_ns") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("p_ts"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .join(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .join(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+def q135_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets) over l_extendedprice: global
+    min/max is a 1-row broadcast (two-pass stats, q08 posture), bucket
+    assignment a pure per-row expression, counts one hash aggregate on a
+    20-value key. The float ops (one subtract, one divide, one floor)
+    are identical IEEE sequences on both engines, so bucket edges cannot
+    drift."""
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("__lo"), F.max("l_extendedprice").alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(20.0)
+    bucket = F.least(
+        F.lit(19),
+        F.floor((F.col("l_extendedprice") - F.col("__lo")) / width).cast("int"),
+    )
+    return (
+        li.select("l_extendedprice")
+        .join(F.broadcast(stats))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bucket_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2811,6 +2899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_parts_supplier_counts": q130_parts_supplier_counts,
         "q131_dominant_suppliers": q131_dominant_suppliers,
         "q132_min_cost_supplier": q132_min_cost_supplier,
+        "q133_scd2_intervals": q133_scd2_intervals,
+        "q134_funnel_conversion": q134_funnel_conversion,
+        "q135_price_histogram": q135_price_histogram,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3781,6 +3872,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.l_partkey AS p_key, a.s_name, a.supp_nation, a.unit_cost
             FROM per_ps a JOIN mc b
               ON a.l_partkey = b.l_partkey AND a.unit_cost = b.min_cost
+        """,
+        "q133_scd2_intervals": """
+            WITH base AS (
+              SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id
+              FROM events
+            ), changes AS (
+              SELECT * FROM (
+                SELECT user_id, event_type, ts_ns, event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts_ns, event_id) AS prev
+                FROM base
+              ) WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type AS state, ts_ns AS valid_from_ns,
+                   lead(ts_ns) OVER (PARTITION BY user_id
+                                     ORDER BY ts_ns, event_id) AS valid_to_ns
+            FROM changes
+        """,
+        "q134_funnel_conversion": """
+            WITH base AS (
+              SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+            ), s1 AS (
+              SELECT user_id, min(ts_ns) AS s_ts FROM base
+              WHERE event_type = 'signup' GROUP BY 1
+            ), s2 AS (
+              SELECT b.user_id, min(b.ts_ns) AS c_ts
+              FROM base b JOIN s1 ON b.user_id = s1.user_id
+              WHERE b.event_type = 'click' AND b.ts_ns > s1.s_ts
+              GROUP BY 1
+            ), s3 AS (
+              SELECT b.user_id, min(b.ts_ns) AS p_ts
+              FROM base b JOIN s2 ON b.user_id = s2.user_id
+              WHERE b.event_type = 'purchase' AND b.ts_ns > s2.c_ts
+              GROUP BY 1
+            )
+            SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+                   (SELECT COUNT(*) FROM s2) AS n_click_after,
+                   (SELECT COUNT(*) FROM s3) AS n_purchase_after
+        """,
+        "q135_price_histogram": """
+            WITH stats AS (
+              SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+              FROM lineitem
+            )
+            SELECT CAST(least(19, CAST(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)) AS INT)) AS BIGINT) AS bucket,
+                   COUNT(*) AS n,
+                   round(min(l_extendedprice), 2) AS bucket_min,
+                   round(max(l_extendedprice), 2) AS bucket_max
+            FROM lineitem, stats
+            GROUP BY 1
         """,
         "q81_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -115,6 +115,9 @@ HEADLINE = [
     "q130_parts_supplier_counts",
     "q131_dominant_suppliers",
     "q132_min_cost_supplier",
+    "q133_scd2_intervals",
+    "q134_funnel_conversion",
+    "q135_price_histogram",
 ]
 
 

@@ -64,6 +64,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("-q", "--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write a per-query JSON report (CORRECTNESS-style) to this path",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -88,30 +93,59 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.queries or sorted(qs)
     failures = 0
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
+            report[name] = {"status": "error", "error": f"{type(e).__name__}: {str(e)[:300]}"}
             failures += 1
             continue
-        spark_s = time.time() - t0
+        spark_s = round(time.time() - t0, 2)
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle; rows-only) [{spark_s:.1f}s]")
+            report[name] = {
+                "status": "rows_only",
+                "spark_rows": len(sdf),
+                "seconds": spark_s,
+            }
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {str(e)[:300]}")
+            report[name] = {"status": "error", "error": f"{type(e).__name__}: {str(e)[:300]}"}
             failures += 1
             continue
         ok, why = values_equal(canon(sdf), canon(odf))
         status = "OK  " if ok else "FAIL"
         print(f"{status}  {name}: spark={len(sdf)} oracle={len(odf)} rows [{spark_s:.1f}s] {'' if ok else why}")
+        report[name] = {
+            "status": "ok" if ok else "fail",
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "rows_match": len(sdf) == len(odf),
+            "columns_match": sorted(sdf.columns) == sorted(odf.columns),
+            "values_match": ok,
+            "seconds": spark_s,
+            **({} if ok else {"why": why}),
+        }
         failures += 0 if ok else 1
 
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'} over {len(names)} queries")
+    if args.json:
+        import json
+
+        summary = {
+            "sf": args.sf,
+            "n_queries": len(names),
+            "n_failures": failures,
+            "queries": report,
+        }
+        Path(args.json).write_text(json.dumps(summary, indent=1) + "\n")
+        print(f"wrote {args.json}")
     spark.stop()
     return 1 if failures else 0
 
