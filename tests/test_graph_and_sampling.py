@@ -251,6 +251,54 @@ def test_budget_fill_respects_budget_and_determinism(spark):
     assert {r["id"] for r in got} == {r["id"] for r in again}
 
 
+def test_two_phase_running_sum_equals_naive_window(spark):
+    """The skew-safe two-phase cumulative sum must be BYTE-IDENTICAL to
+    the naive per-stratum window on every row — that equivalence is what
+    keeps the plain running-sum oracle SQL valid."""
+    from pyspark.sql import Window
+
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        two_phase_running_sum,
+    )
+
+    rows = [(i, ["en", "de", "fr"][i % 3], (i * 7) % 23 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "lang", "sz"]).repartition(7)
+    got = {
+        (r["lang"], r["id"]): r["run"]
+        for r in two_phase_running_sum(
+            df, ["lang"], [F.col("id")], F.col("sz"), F.expr("id div 16"), out_col="run"
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["lang"], r["id"]): r["run"]
+        for r in df.withColumn("run", F.sum(F.col("sz").cast("bigint")).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_budget_fill_null_stratum_and_key(spark):
+    """NULL strata and NULL keys must survive the two-phase offsets join
+    (null-safe equality) and admit deterministically, same as the naive
+    form admitted them."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import budget_fill
+
+    rows = [(i, None if i % 4 == 0 else "s", 10) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "strat", "sz"])
+    got = budget_fill(df, "strat", "id", "sz", 70).collect()
+    by_strat = {}
+    for r in got:
+        by_strat.setdefault(r["strat"], set()).add(r["id"])
+    # each stratum fills its own budget: 7 rows of size 10
+    assert len(by_strat[None]) == 7 and len(by_strat["s"]) == 7
+    again = budget_fill(df.repartition(5), "strat", "id", "sz", 70).collect()
+    assert {(r["strat"], r["id"]) for r in got} == {(r["strat"], r["id"]) for r in again}
+
+
 def test_temperature_mix_upweights_low_resource(spark):
     from manufacturing_data_integration_tool_spark.ops.sampling import temperature_mix
 
