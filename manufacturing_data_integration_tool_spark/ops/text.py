@@ -536,7 +536,20 @@ def with_repetition_cols(
     STREAMING plans unchanged (a stats-table join would be an unbounded
     stream-stream join). Two projection boundaries bind the token and gram
     arrays (the measured no-CSE-inside-HOF-lambdas rule, see ops/dedup.py
-    docstrings)."""
+    docstrings).
+
+    The gram column is additionally a PUSHDOWN FENCE: a downstream
+    ``filter(dup_gram_frac <= x)`` would otherwise be substituted through
+    these projections by PushDownPredicates, inlining the token-array
+    expression INTO the transform lambda — interpreted HOF evaluation then
+    re-tokenizes the document once per gram (measured: a corpus pass went
+    from ~3 s to >9 min at sf0.1). Wrapping the gram expression in a
+    nondeterministic no-op (``element_at(shuffle(array(grams)), 1)`` — a
+    one-element shuffle is the identity, so the value is unchanged and
+    results stay deterministic; ``rand()``-based guards don't work because
+    the optimizer folds comparisons against rand's known [0,1) range)
+    makes the projection non-substitutable, so filters stop above it and
+    evaluate the MATERIALIZED columns once per row."""
     base = df.withColumn("__tk", tokenize(text_col))
     grams = F.when(
         F.size("__tk") >= n,
@@ -545,7 +558,7 @@ def with_repetition_cols(
             lambda i: F.concat_ws(" ", F.slice("__tk", i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = base.withColumn("__g", grams)
+    g = base.withColumn("__g", F.element_at(F.shuffle(F.array(grams)), 1))
     n_grams = F.size("__g")
     n_distinct = F.size(F.array_distinct("__g"))
     frac = F.when(n_grams == 0, F.lit(0.0)).otherwise(
