@@ -331,6 +331,24 @@ def test_q128_global_total_broadcasts(spark):
     assert "Window" not in plan
 
 
+def test_q122_repetition_gate_not_inlined_into_filter(spark):
+    """The dup_gram_frac gate must evaluate MATERIALIZED repetition
+    columns: if predicate pushdown substitutes the trigram transform into
+    the filter condition, interpreted HOF evaluation re-tokenizes the
+    document once per gram (measured 45 s -> >9 min pathologies at
+    sf0.1). The shuffle-array fence in with_repetition_cols pins this."""
+    import re
+
+    opt = (
+        entry.q122_corpus_ingest_batch(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"Filter (.+)", opt):
+        assert "transform(" not in m.group(1), m.group(1)[:200]
+
+
 def test_budget_fill_window_is_sub_bucketed(spark):
     """q107: the corpus-wide running-sum window must partition on
     (stratum, sub-bucket) — a per-stratum-only window streams the whole

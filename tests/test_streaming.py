@@ -82,6 +82,49 @@ def test_sessionized_counts_batch(spark, sf_dir):
     assert {"session_start", "session_end", "user_id", "n_events"} == set(sess.columns)
 
 
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a micro-batch stream enriched against a static
+    dimension. The static side is broadcast into every micro-batch (no
+    stream-state), which is the 100 TB pattern for attaching dimension
+    attributes to an event stream; results must equal the batch join."""
+    dim = spark.createDataFrame(
+        [(i, f"seg_{i % 3}") for i in range(10)], ["cust_id", "segment"]
+    )
+    rows = [(i, i % 10, float(i)) for i in range(50)]
+    src = tmp_path / "ev_in"
+    base = spark.createDataFrame(rows, ["event_id", "cust_id", "amount"])
+    base.write.parquet(str(src))
+    static = spark.read.parquet(str(src))
+
+    stream = spark.readStream.schema(static.schema).parquet(str(src))
+    enriched = stream.join(F.broadcast(dim), "cust_id").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        r["segment"]: (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM enriched_agg").collect()
+    }
+    want = {
+        r["segment"]: (r["n"], r["total"])
+        for r in static.join(dim, "cust_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
+
+
 def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
     """The streaming corpus-ingest pipeline (normalize -> quality gate ->
     mix -> watermarked content dedup -> parquet) must produce exactly the
