@@ -2690,6 +2690,61 @@ def q135_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q136_pair_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph health check: degree histogram of the exact n-gram
+    Jaccard pair graph (how many docs have k near-duplicates). The pair
+    table is id-pairs only; degrees are one explode + groupBy on ids, the
+    histogram a second tiny aggregate — corpus text never re-enters. At
+    100 TB this is the monitoring query you run BEFORE committing to a
+    dedup pass: a heavy tail here means a boilerplate cluster the
+    hot-shingle cap or CC clustering must absorb."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=0.01
+    )
+    deg = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q137_revenue_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year cumulative revenue share (the 'what fraction of the
+    year's revenue do the first N orders carry' CDF) — the skew-safe
+    two-phase running sum (ops.sampling.two_phase_running_sum) applied to
+    a TPC-H-shaped fact table: sub-bucketed on `o_orderkey div 4096`, so
+    no single task streams a whole year. Money is summed as integer
+    cents (exact, engine-identical); the share is ONE IEEE division
+    rounded at the end."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        two_phase_running_sum,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    r = two_phase_running_sum(
+        base,
+        ["o_year"],
+        [F.col("o_orderkey")],
+        F.col("cents"),
+        F.expr("o_orderkey div 4096"),
+        out_col="run_cents",
+    )
+    tot = base.groupBy("o_year").agg(F.sum("cents").alias("tot_cents"))
+    return r.join(F.broadcast(tot), "o_year").select(
+        "o_orderkey",
+        "o_year",
+        "run_cents",
+        F.round(F.col("run_cents") / F.col("tot_cents"), 6).alias("rev_cdf"),
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2902,6 +2957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_scd2_intervals": q133_scd2_intervals,
         "q134_funnel_conversion": q134_funnel_conversion,
         "q135_price_histogram": q135_price_histogram,
+        "q136_pair_degree_histogram": q136_pair_degree_histogram,
+        "q137_revenue_running_share": q137_revenue_running_share,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3922,6 +3979,33 @@ def oracle_sql() -> dict[str, str]:
                    round(max(l_extendedprice), 2) AS bucket_max
             FROM lineitem, stats
             GROUP BY 1
+        """,
+        "q136_pair_degree_histogram": f"""
+            WITH {_JACCARD_PAIRS_CTE},
+            deg AS (
+              SELECT doc, COUNT(*) AS degree FROM (
+                SELECT doc_a AS doc FROM jpairs
+                UNION ALL
+                SELECT doc_b AS doc FROM jpairs
+              ) GROUP BY 1
+            )
+            SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1
+        """,
+        "q137_revenue_running_share": """
+            WITH base AS (
+              SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), r AS (
+              SELECT o_orderkey, o_year,
+                     SUM(cents) OVER (PARTITION BY o_year ORDER BY o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
+                     SUM(cents) OVER (PARTITION BY o_year) AS tot_cents
+              FROM base
+            )
+            SELECT o_orderkey, o_year, run_cents,
+                   round(CAST(run_cents AS DOUBLE) / tot_cents, 6) AS rev_cdf
+            FROM r
         """,
         "q81_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

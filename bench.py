@@ -118,6 +118,8 @@ HEADLINE = [
     "q133_scd2_intervals",
     "q134_funnel_conversion",
     "q135_price_histogram",
+    "q136_pair_degree_histogram",
+    "q137_revenue_running_share",
 ]
 
 
