@@ -125,6 +125,71 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+def test_stream_stream_time_bounded_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks and a time-range
+    condition (purchase within 1 hour after the same user's click).
+    Both watermarks + the range bound are what let Spark AGE OUT join
+    state — without them a stream-stream join buffers forever. Results
+    must equal the equivalent batch join."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for u in range(8):
+        rows.append((f"c{u}", u, "click", t0 + dt.timedelta(minutes=10 * u)))
+        # purchase 30 min after click for even users (inside the bound),
+        # 3 h after for odd users (outside the bound)
+        delta = dt.timedelta(minutes=30) if u % 2 == 0 else dt.timedelta(hours=3)
+        rows.append((f"p{u}", u, "purchase", t0 + dt.timedelta(minutes=10 * u) + delta))
+    src = tmp_path / "ss_in"
+    base = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    base.write.parquet(str(src))
+    static = spark.read.parquet(str(src))
+
+    def pipeline(df):
+        clicks = (
+            df.filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"))
+        )
+        purchases = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        )
+        if df.isStreaming:
+            clicks = clicks.withWatermark("click_ts", "2 hours")
+            purchases = purchases.withWatermark("p_ts", "2 hours")
+        return clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("user_id", "click_ts", "p_ts")
+
+    stream = spark.readStream.schema(static.schema).parquet(str(src))
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        (r["user_id"], r["click_ts"], r["p_ts"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    want = {
+        (r["user_id"], r["click_ts"], r["p_ts"])
+        for r in pipeline(static).collect()
+    }
+    assert got == want
+    assert {u for (u, _, _) in got} == {0, 2, 4, 6}  # only in-bound purchases
+
+
 def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
     """The streaming corpus-ingest pipeline (normalize -> quality gate ->
     mix -> watermarked content dedup -> parquet) must produce exactly the
