@@ -75,12 +75,51 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.union(selves).filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Union-find over a driver-sized edge set, min-id canonical labels.
+
+    Byte-identical output to the distributed star rounds (both label each
+    node with its component's minimum id)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r["src"], r["dst"]
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict = {}
+    for v in parent:
+        groups.setdefault(find(v), []).append(v)
+    out = []
+    for members in groups.values():
+        m = min(members)
+        out.extend((v, m) for v in members)
+    node_t = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("component", node_t)]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
     *,
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -90,6 +129,18 @@ def connected_components(
     recursive-CTE min-reachable query). Isolated nodes never appear in a
     pair table; callers join back to the corpus and ``coalesce`` (see
     ``dedup_clusters``).
+
+    HYBRID execution: the first convergence probe materializes the
+    deduped edge set and reports its exact size for free. At or below
+    ``driver_threshold`` edges (default 100k ≈ a few MB of id pairs) the
+    transitive closure is a driver-sized problem — union-find on the
+    driver costs ONE bounded collect, strictly cheaper than the 2+ probe
+    actions the distributed fixed point needs even on a trivial graph.
+    Above it, the alternating star rounds run unchanged (pair tables on
+    boilerplate-heavy corpora can reach billions of edges — the driver
+    path is a small-graph fast path, never the scale path; pass
+    ``driver_threshold=0`` to force the distributed rounds). Both paths
+    emit byte-identical (node, min-id component) rows.
 
     Node ids must be orderable (int/long/string all work).
     """
@@ -103,6 +154,12 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev = _edge_checksum(edges)
+    if prev[0] == 0:
+        return edges.select(
+            F.col("src").alias("node"), F.col("dst").alias("component")
+        ).limit(0)
+    if driver_threshold and prev[0] <= driver_threshold:
+        return _driver_components(edges)
     converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
@@ -136,6 +193,7 @@ def dedup_clusters(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Assign every document a near-dup cluster id and survivor flag.
 
@@ -151,7 +209,9 @@ def dedup_clusters(
     left join keeps singleton docs without a shuffle of the pair graph per
     doc — the pair/component side is small by construction.
     """
-    comp = connected_components(pairs, src, dst, max_iter=max_iter)
+    comp = connected_components(
+        pairs, src, dst, max_iter=max_iter, driver_threshold=driver_threshold
+    )
     joined = docs.join(
         comp.withColumnRenamed("node", id_col), id_col, "left"
     )

@@ -153,9 +153,13 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         if not edges:
             continue
         df = spark.createDataFrame(edges, ["src", "dst"])
-        got = _cc_map(connected_components(df).collect())
         want = _uf_components(edges)
-        assert got == want, f"seed={seed}"
+        # distributed star rounds (driver_threshold=0 forces them) AND the
+        # driver union-find fast path must both match the reference
+        got_dist = _cc_map(connected_components(df, driver_threshold=0).collect())
+        got_drv = _cc_map(connected_components(df).collect())
+        assert got_dist == want, f"distributed, seed={seed}"
+        assert got_drv == want, f"driver path, seed={seed}"
 
 
 def test_connected_components_empty_and_dedup_all_singletons(spark):
