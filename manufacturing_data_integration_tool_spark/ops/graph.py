@@ -15,7 +15,10 @@ plain groupBy + join, so it inherits AQE, codegen, and tungsten for free.
 Scale notes (100 TB posture):
 
 * Each round is ONE groupBy (min over neighbors) + ONE equi-join, both
-  hash-partitioned on node id — no global sort, no driver-side graph.
+  hash-partitioned on node id — no global sort; the graph only comes to
+  the driver on the explicit small-graph fast path (union-find below
+  ``driver_threshold`` edges, where one bounded collect beats the fixed
+  point's per-round probe actions).
 * The per-round convergence check is a 1-row aggregate (count + xor of
   ``xxhash64`` over edges) — a driver action per round is inherent to any
   fixed-point algorithm; rounds are O(log^2 n) bounded.
