@@ -130,9 +130,25 @@ def knn_classify(
     Output: ``(query_id, pred_label, n_votes)``.
     """
     qid = query_id_col or id_col
-    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col))
-    sim = cosine_similarity(F.col("__qv"), F.col(vec_col))
+    # norms projected BELOW the pairing join — once per vector row, not
+    # once per candidate pair (same float-op sequence as
+    # cosine_similarity: try_divide(dot, norm_q * norm_c), so oracle
+    # parity is unchanged; saves 2/3 of the interpreted HOF work on
+    # large candidate sets).
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__nq"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        l2_norm(F.col(vec_col)).alias("__nc"),
+    )
+    sim = F.try_divide(
+        dot(F.col("__qv"), F.col(vec_col)), F.col("__nq") * F.col("__nc")
+    )
     if round_to is not None:
         sim = F.round(sim, round_to)
     if candidates is not None:
