@@ -79,10 +79,20 @@ def cosine_topk(
     engines/partitionings; ties break on corpus id.
     """
     qid = query_id_col or id_col
-    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    # norms once per vector row, not per (query, corpus) pair — same
+    # float-op sequence as cosine_similarity, so oracles are unchanged
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__nq"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__nc")
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
-    sim = cosine_similarity(F.col("__qv"), F.col(vec_col))
+    sim = F.try_divide(
+        dot(F.col("__qv"), F.col(vec_col)), F.col("__nq") * F.col("__nc")
+    )
     if round_to is not None:
         sim = F.round(sim, round_to)
     pairs = pairs.select("query_id", id_col, sim.alias("cosine_sim"))
