@@ -2745,6 +2745,115 @@ def q137_revenue_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q138_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix concentration monitor: per-language Herfindahl index
+    of token share across sources (HHI -> 1 means one source dominates
+    the language's data — the 'is my mix collapsing' alarm). Two stacked
+    aggregates reuse one shuffle; HHI = sum(t^2)/total^2 from EXACT
+    integer sums with a single IEEE division at the end, so the float
+    never depends on accumulation order (at petabyte token counts the
+    squares move to DECIMAL — same shape)."""
+    docs = read_table(spark, sf_dir, "documents")
+    per_ls = docs.groupBy("lang", "source").agg(
+        F.sum(tx.token_count("text").cast("long")).alias("t")
+    )
+    return (
+        per_ls.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("t").alias("total_tokens"),
+            F.sum(F.col("t") * F.col("t")).alias("__sq"),
+        )
+        .select(
+            "lang",
+            "n_sources",
+            "total_tokens",
+            F.round(
+                F.col("__sq").cast("double")
+                / (F.col("total_tokens").cast("double") * F.col("total_tokens").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
+def q139_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-half smoothed bigram language model over the corpus:
+    P(w2 | w1) = (c12 + 0.5) / (c1 + 0.5 V), computed in the
+    integer-exact form (2*c12 + 1) / (2*c1 + V) — one IEEE division of
+    two exact BIGINTs, so Spark and the oracle agree bit-for-bit with no
+    log/exp libm drift. Bigram and unigram counts are two map-side-
+    combined aggregates; V is a 1-row broadcast. Only bigrams seen >= 3
+    times are emitted (the conditioning table a quality/perplexity
+    scorer would broadcast)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    grams = docs.select(F.col("doc_id"), toks.alias("__tk")).select(
+        F.explode(
+            F.when(
+                F.size("__tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - F.lit(1)),
+                    lambda i: F.concat_ws(" ", F.slice("__tk", i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg")
+    )
+    c12 = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12")).filter(
+        F.col("c12") >= 3
+    )
+    vocab = base.agg(F.count(F.lit(1)).alias("__v"))
+    j = c12.withColumn("w1", F.substring_index(F.col("bg"), " ", 1)).join(
+        base.select(F.col("w").alias("w1"), "c1"), "w1"
+    ).join(F.broadcast(vocab))
+    return j.select(
+        "bg",
+        "c12",
+        "c1",
+        F.round(
+            (F.lit(2) * F.col("c12") + F.lit(1)).cast("double")
+            / (F.lit(2) * F.col("c1") + F.col("__v")).cast("double"),
+            6,
+        ).alias("p_cond"),
+    )
+
+
+def q140_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-baseline relationship as a first-class query: exact
+    all-pairs near-dups (q34's opted-in quadratic baseline) vs the
+    sign-LSH candidate route (q52's production path), reduced to ONE
+    audit row — pair counts and recall. This is the query a pipeline
+    owner schedules on a SAMPLE to tune (n_tables, n_planes) before a
+    full-corpus dedup: candidates scored with the same threshold are a
+    subset of the exact pairs by construction, so recall = found/exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = dd.embedding_near_dups(emb, threshold=0.45, allow_quadratic=True)
+    cand = sim.hyperplane_candidates(
+        emb, dim=64, n_tables=8, n_planes=6, seed=7
+    )
+    found = dd.embedding_near_dups(emb, threshold=0.45, candidates=cand)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_exact.join(n_cand)
+        .join(n_found)
+        .select(
+            "n_exact",
+            "n_candidate_pairs",
+            "n_found",
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def q74_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (Apache DataSketches HLL via
     Spark's hll_sketch_agg/hll_sketch_estimate): the 100 TB answer to
@@ -2959,6 +3068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_price_histogram": q135_price_histogram,
         "q136_pair_degree_histogram": q136_pair_degree_histogram,
         "q137_revenue_running_share": q137_revenue_running_share,
+        "q138_source_concentration": q138_source_concentration,
+        "q139_bigram_lm": q139_bigram_lm,
+        "q140_lsh_recall_audit": q140_lsh_recall_audit,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -4006,6 +4118,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_year, run_cents,
                    round(CAST(run_cents AS DOUBLE) / tot_cents, 6) AS rev_cdf
             FROM r
+        """,
+        "q138_source_concentration": f"""
+            WITH per_ls AS (
+              SELECT lang, source, SUM(CAST(len({tok}) AS BIGINT)) AS t
+              FROM documents GROUP BY 1, 2
+            ), per_l AS (
+              SELECT lang, COUNT(*) AS n_sources, SUM(t) AS total_tokens,
+                     SUM(t * t) AS sq
+              FROM per_ls GROUP BY 1
+            )
+            SELECT lang, n_sources, total_tokens,
+                   round(CAST(sq AS DOUBLE)
+                         / (CAST(total_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE)),
+                         6) AS hhi
+            FROM per_l
+        """,
+        "q139_bigram_lm": f"""
+            WITH t AS (
+              SELECT doc_id, {tok} AS tk FROM documents
+            ), uni AS (
+              SELECT unnest(tk) AS w FROM t
+            ), c1t AS (
+              SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1
+            ), v AS (
+              SELECT COUNT(*) AS vv FROM c1t
+            ), bgt AS (
+              SELECT unnest(CASE WHEN len(tk) >= 2
+                            THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+                            ELSE [] END) AS bg
+              FROM t
+            ), c12t AS (
+              SELECT bg, COUNT(*) AS c12 FROM bgt GROUP BY 1 HAVING COUNT(*) >= 3
+            )
+            SELECT c12t.bg, c12, c1,
+                   round(CAST(2 * c12 + 1 AS DOUBLE) / CAST(2 * c1 + vv AS DOUBLE), 6) AS p_cond
+            FROM c12t
+            JOIN c1t ON split_part(c12t.bg, ' ', 1) = c1t.w
+            CROSS JOIN v
+        """,
+        "q140_lsh_recall_audit": f"""
+            WITH bk AS (
+              SELECT vec_id, embedding,
+                   {bk52}
+              FROM embeddings
+            ), exact AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE {cos52} >= 0.45
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bk a JOIN bk b
+                ON a.vec_id < b.vec_id AND ({same_bucket52})
+            ), found AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bk a JOIN bk b
+                ON a.vec_id < b.vec_id AND ({same_bucket52})
+              WHERE {cos52} >= 0.45
+            )
+            SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+                   (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+                   (SELECT COUNT(*) FROM found) AS n_found,
+                   round(CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM exact), 6) AS recall
         """,
         "q81_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

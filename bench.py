@@ -120,6 +120,8 @@ HEADLINE = [
     "q135_price_histogram",
     "q136_pair_degree_histogram",
     "q137_revenue_running_share",
+    "q138_source_concentration",
+    "q139_bigram_lm",
 ]
 
 
