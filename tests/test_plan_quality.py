@@ -373,6 +373,24 @@ def test_shard_pack_window_is_sub_bucketed(spark):
     assert re.search(r"hashpartitioning\(lang#\d+, __tprs_sub#\d+", plan), plan
 
 
+def test_q137_running_share_window_is_sub_bucketed(spark):
+    """q137: the fact-table cumulative sum must partition on
+    (o_year, sub-bucket), never the year alone."""
+    import re
+
+    plan = plan_of(entry.q137_revenue_running_share(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(o_year#\d+L?, __tprs_sub#\d+", plan), plan
+
+
+def test_q139_bigram_lm_broadcasts_vocab(spark):
+    """q139: the 1-row vocab count must broadcast; the unigram table is
+    vocab-sized and must come back as a (broadcastable) hash join against
+    the bigram aggregate, never a corpus-wide extra shuffle."""
+    plan = plan_of(entry.q139_bigram_lm(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_source_caps_no_global_sort(spark):
     """q89: the per-group cap is a keyed window (hashpartitioning on
     source), never an unpartitioned global sort."""
