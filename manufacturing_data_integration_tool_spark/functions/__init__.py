@@ -6,6 +6,8 @@ nanosecond payloads, and cross-engine-stable hashing.
 """
 
 from .layout import interleave_bits_16, write_zordered, zorder_key_2d
+from .merge import merge_upsert
+from .skew import key_skew_profile, salted_join, two_stage_agg
 from .scalars import (
     HOUR_NS,
     MICROS_PER_HOUR,
@@ -27,4 +29,8 @@ __all__ = [
     "exact_sum",
     "nanos_to_micros",
     "stable_hash",
+    "merge_upsert",
+    "key_skew_profile",
+    "salted_join",
+    "two_stage_agg",
 ]

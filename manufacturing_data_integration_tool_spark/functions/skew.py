@@ -20,7 +20,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["salted_join", "two_stage_agg"]
+__all__ = ["salted_join", "two_stage_agg", "key_skew_profile"]
 
 SALT = "__salt"
 
@@ -90,3 +90,40 @@ def two_stage_agg(
         ]
     )
     return final
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """Join/group-key skew diagnostic: the top ``top_n`` heaviest keys with
+    their row counts and share of the table — the query you run BEFORE
+    picking a join strategy, deciding ``salted_join``'s salt count, or
+    trusting AQE's skew split to cope.
+
+    One map-side-combined aggregate on the key, a 1-row total broadcast,
+    and a TakeOrderedAndProject top-N (never a full sort). Ties break
+    deterministically on the key itself so the LIMIT is reproducible and
+    oracle-able. Share is ONE IEEE division of two exact bigints, rounded.
+
+    Reading it at 100 TB: ``share`` of the top key ~ the fraction of the
+    shuffle that lands on one reducer — anything over ~1/shuffle.partitions
+    is a straggler in waiting.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("__total"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            *key_cols,
+            "n",
+            F.col("__total").alias("total_rows"),
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), *[F.asc(c) for c in key_cols])
+        .limit(top_n)
+    )

@@ -35,6 +35,7 @@ __all__ = [
     "word_shingles",
     "shingles_from_tokens",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_candidates",
     "simhash_fingerprints",
@@ -241,6 +242,96 @@ def ngram_jaccard_pairs(
             "inter",
             F.col("n_a"),
             F.col("n_b"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.8,
+    max_fp_df: Optional[int | float] = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by winnowing-fingerprint CONTAINMENT.
+
+    Jaccard misses the "doc A is a chunk of doc B" case: a page embedded in
+    a 100x larger aggregation page has tiny Jaccard but containment ~1.
+    Broder's containment c(A, B) = |F(A) & F(B)| / |F(A)| over winnowing
+    fingerprints (Schleimer et al., SIGMOD'03) catches exactly that —
+    the standard truncation/quotation/aggregator-page dedup signal.
+
+    Mechanics mirror ``ngram_jaccard_pairs``: inverted-index equi-join on
+    the fingerprint (never all-pairs), intersection counts per pair, then
+    an integer cross-multiplied threshold test on BOTH directions — a pair
+    is emitted when ``max(c(A,B), c(B,A)) >= threshold``. ``max_fp_df``
+    is the same hot-key guard (absolute int cap, or corpus-relative float
+    fraction) — boilerplate fingerprints shared by d docs contribute d^2
+    join rows, so production callers should always set it.
+
+    Returns (doc_a, doc_b, inter, n_a, n_b, containment_a, containment_b)
+    with doc_a < doc_b; ``containment_a`` is the fraction of doc_a's
+    fingerprints found in doc_b (so containment_a ~ 1.0 means A inside B).
+
+    100 TB posture: one explode, one groupBy for set sizes, one long-key
+    equi-join confined by the df cap — identical shuffle budget to the
+    Jaccard path, and the fingerprint density (~2/(window+1) per char) is
+    tunable with k/window before anything shuffles.
+    """
+    from .text import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(df, text_col, id_col, k=k, window=window).select(
+        F.col(id_col).alias("doc"), F.xxhash64("fp").alias("fp_h")
+    )
+    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    if max_fp_df is not None:
+        if isinstance(max_fp_df, float):
+            if not 0.0 < max_fp_df <= 1.0:
+                raise ValueError(f"float max_fp_df must be in (0, 1], got {max_fp_df}")
+        elif int(max_fp_df) < 1:
+            raise ValueError(f"int max_fp_df must be >= 1, got {max_fp_df}")
+        dfreq = fps.groupBy("fp_h").agg(F.count(F.lit(1)).alias("df"))
+        if isinstance(max_fp_df, float):
+            n_docs = sizes.agg(F.count(F.lit(1)).alias("__n_docs"))
+            cap = F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.lit(max_fp_df) * F.col("__n_docs")).cast("long"),
+            )
+            hot = dfreq.crossJoin(F.broadcast(n_docs)).filter(F.col("df") > cap).select("fp_h")
+        else:
+            hot = dfreq.filter(F.col("df") > int(max_fp_df)).select("fp_h")
+        fps = fps.join(F.broadcast(hot), "fp_h", "left_anti")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp_h") == F.col("b.fp_h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    p, q = frac.numerator, frac.denominator
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    # q*inter >= p*min(n_a, n_b)  <=>  max-direction containment >= p/q
+    # (set sizes come from the PRE-cap index, so hot-fp pruning only ever
+    # tightens the test — same discipline as ngram_jaccard_pairs).
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.lit(q) * F.col("inter") >= F.lit(p) * F.least("n_a", "n_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.round(F.col("inter") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("inter") / F.col("n_b"), 6).alias("containment_b"),
         )
     )
 

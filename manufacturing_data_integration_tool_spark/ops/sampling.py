@@ -33,6 +33,7 @@ __all__ = [
     "cap_per_group",
     "priority_sample",
     "two_phase_running_sum",
+    "two_phase_ntile",
     "budget_fill",
     "temperature_mix",
 ]
@@ -272,6 +273,70 @@ def two_phase_running_sum(
         d.join(F.broadcast(offsets), cond)
         .withColumn(out_col, running)
         .drop(*drop)
+    )
+
+
+def two_phase_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: Sequence[Column],
+    sub_bucket: Column,
+    *,
+    rank_col: str = "__rank",
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact global ``NTILE(n)`` WITHOUT a single-task global sort.
+
+    ``NTILE() OVER (ORDER BY ...)`` with no PARTITION BY drags the entire
+    table through ONE window task — the equi-depth-histogram /
+    decile-bucketing shape that silently serializes at scale. Same cure as
+    :func:`two_phase_running_sum`: a global rank is just a running COUNT,
+    so with a ``sub_bucket`` monotone non-decreasing along ``order_cols``
+    (value-range prefix of the leading order key), per-bucket row counts
+    broadcast back as rank offsets and the wide window partitions on the
+    sub-bucket.
+
+    The tile is then pure integer math replicating SQL NTILE semantics
+    exactly (first ``N mod n`` tiles get ``ceil(N/n)`` rows): with
+    ``q = N div n``, ``r = N mod n``,
+
+        tile(rank) = (rank-1) div (q+1) + 1              if rank <= r*(q+1)
+                     r + (rank - r*(q+1) - 1) div q + 1  otherwise
+
+    so a plain ``NTILE(n) OVER (ORDER BY ...)`` oracle stays valid —
+    PROVIDED ``order_cols`` is a total order (break ties down to a unique
+    key), else both engines' outputs are ambiguous.
+
+    Returns ``df`` plus ``rank_col`` (1-based global rank, bigint) and
+    ``out_col`` (1..n_tiles, bigint). Cost: one tiny per-bucket count
+    aggregate + two 1-row/broadcast joins; the widest window task holds one
+    sub-bucket, not the table.
+    """
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    ranked = two_phase_running_sum(
+        df, [], order_cols, F.lit(1), sub_bucket, out_col=rank_col
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n_total"))
+    # all-integer math (bigint `div`/`%`), no float path anywhere
+    q_ = F.expr(f"__n_total div {int(n_tiles)}")
+    r_ = F.col("__n_total") % F.lit(int(n_tiles)).cast("bigint")
+    rank = F.col(rank_col)
+    head = r_ * (q_ + 1)
+    tile = F.when(
+        rank <= head, F.expr(f"({rank_col} - 1) div (__n_total div {int(n_tiles)} + 1) + 1")
+    ).otherwise(
+        r_
+        + F.expr(
+            f"({rank_col} - (__n_total % {int(n_tiles)}) * (__n_total div {int(n_tiles)} + 1) - 1)"
+            f" div (__n_total div {int(n_tiles)})"
+        )
+        + 1
+    )
+    return (
+        ranked.join(F.broadcast(tot))
+        .withColumn(out_col, tile.cast("bigint"))
+        .drop("__n_total")
     )
 
 

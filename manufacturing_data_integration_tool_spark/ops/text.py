@@ -36,6 +36,8 @@ __all__ = [
     "winnowing_fingerprints",
     "DEFAULT_LANG_MARKERS",
     "BPE_ISH_PATTERN",
+    "char_pair_counts",
+    "bpe_train",
 ]
 
 # GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
@@ -739,3 +741,141 @@ def language_id(
         chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
     pred = F.when(best > 0, chain).otherwise(F.lit(default_lang))
     return out.withColumn("predicted_lang", pred)
+
+
+def char_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — BPE iteration
+    zero's statistic (Sennrich et al., ACL'16), weighted by word frequency.
+
+    Two stacked aggregates: words -> (word, count) collapses the corpus to
+    its vocabulary FIRST (the shuffle carries |vocab|, not |tokens|), then
+    each distinct word explodes into its ``len-1`` adjacent 2-grams with
+    the word count as the weight. All higher-order-function/substring
+    Column math — JVM-side, no Python.
+
+    Returns (pair, pair_count). 100 TB posture: pass 1 is the classic
+    word-count (map-side combined); pass 2 runs over the vocabulary — a
+    few million rows however big the corpus is.
+    """
+    words = (
+        df.select(F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(1))),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "wc",
+    )
+    out = pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
+    if min_count > 1:
+        out = out.filter(F.col("pair_count") >= min_count)
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 10,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges over the corpus, distributed.
+
+    The textbook greedy loop (Sennrich et al., ACL'16) re-expressed for
+    Spark: the corpus collapses ONCE to the (word, count) vocabulary
+    table; each iteration (a) counts adjacent symbol pairs across the
+    vocabulary weighted by word count — one explode + one map-side-combined
+    aggregate, (b) takes the argmax pair (1-row driver probe, ties broken
+    lexicographically so the learned merges are deterministic), (c)
+    rewrites each word's symbol array with the pair merged left-to-right
+    — a pure ``F.aggregate`` fold, no Python in the loop body.
+
+    Returns the learned merge list [(left, right), ...] in order.
+
+    100 TB posture: the corpus is touched once (word count); every
+    iteration runs over the |vocab|-row table (~millions of rows at any
+    corpus size), with a localCheckpoint every few rounds to stop lineage
+    growth — same discipline as the connected-components loop
+    (`ops/graph.py`). The driver probe is 1 row/round, inherent to any
+    greedy argmax loop.
+    """
+    spark_df = (
+        df.select(F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(F.split("w", "").alias("syms"), "wc")
+    )
+    # Spark's split('abc', '') yields ['a','b','c'] (no trailing empty)
+    vocab = spark_df.localCheckpoint(eager=False)
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        pair_counts = (
+            vocab.select(
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.greatest(F.size("syms") - 2, F.lit(0))),
+                            lambda i: F.struct(
+                                F.element_at("syms", i + 1).alias("l"),
+                                F.element_at("syms", i + 2).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p")
+            .agg(F.sum("wc").alias("c"))
+        )
+        top = pair_counts.orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r")).limit(1).collect()
+        if not top:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merges.append((left, right))
+        merged = left + right
+        # left-to-right greedy merge as a fold: carry (out array, pending
+        # symbol); when pending==left and current==right emit the merged
+        # symbol, else flush pending. NULL pending marks 'nothing held'.
+        fold = F.aggregate(
+            "syms",
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("hold"),
+            ),
+            lambda acc, s: F.when(
+                (acc["hold"] == F.lit(left)) & (s == F.lit(right)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("hold"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        acc["hold"].isNotNull(), F.concat(acc["out"], F.array(acc["hold"]))
+                    )
+                    .otherwise(acc["out"])
+                    .alias("out"),
+                    s.alias("hold"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["hold"].isNotNull(), F.concat(acc["out"], F.array(acc["hold"]))
+            ).otherwise(acc["out"]),
+        )
+        vocab = vocab.select(fold.alias("syms"), "wc")
+        if (it + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=False)
+    return merges
