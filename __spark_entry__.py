@@ -2904,6 +2904,170 @@ def q73_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: winnowing-fingerprint CONTAINMENT
+    pairs (ops.dedup.containment_pairs) — the 'doc A is a chunk of doc B'
+    signal Jaccard structurally misses (a page quoted inside a 100x
+    larger aggregator page has Jaccard ~0 but containment ~1). Inverted-
+    index equi-join on fingerprint hashes with the corpus-relative hot-fp
+    cap ON; the threshold test is integer cross-multiplication on the
+    max-direction containment, so no float boundary."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        docs, "doc_id", "text", k=8, window=4, threshold=0.15, max_fp_df=0.02
+    )
+
+
+def q142_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic (functions.skew.key_skew_profile): the
+    top-20 heaviest o_custkey values with row counts and table share —
+    what you run BEFORE sizing salted_join / trusting AQE's skew split.
+    One map-side-combined aggregate + 1-row total broadcast +
+    TakeOrderedAndProject; ties break on the key so the LIMIT is
+    deterministic and oracle-able."""
+    from manufacturing_data_integration_tool_spark.functions.skew import (
+        key_skew_profile,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return key_skew_profile(orders, ["o_custkey"], top_n=20)
+
+
+def q143_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (NTILE) price deciles WITHOUT the single-task global
+    sort: ops.sampling.two_phase_ntile ranks via per-sub-bucket counts
+    broadcast back as offsets (sub-bucket = cents div 65536, a value-range
+    prefix of the ordering key), then replicates SQL NTILE's integer
+    fill-order math exactly — so a plain NTILE(10) oracle stays valid
+    while the widest window task holds one sub-bucket, not the table.
+    Money ranks as exact integer cents with (orderkey, linenumber)
+    tie-breaks for a total order."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import two_phase_ntile
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    r = two_phase_ntile(
+        li,
+        10,
+        [F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        F.expr("cents div 65536"),
+    )
+    return r.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+def q144_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE semantics (functions.merge.merge_upsert): apply a
+    deterministic change batch onto the customer snapshot — updates
+    (custkey % 5 = 0 rows get patched name/segment), deletes
+    (custkey % 17 = 3), and inserts (update rows with custkey % 23 = 5
+    re-keyed past the snapshot's key space) — in exactly ONE full-outer
+    shuffle join, the minimum any MERGE needs on plain parquet. This is
+    the nightly corpus-snapshot apply (new crawl + takedown list) without
+    a table format."""
+    from manufacturing_data_integration_tool_spark.functions.merge import merge_upsert
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    src = cust.filter((F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 17 == 3)).select(
+        F.when(F.col("c_custkey") % 23 == 5, F.col("c_custkey") + 1000000000)
+        .otherwise(F.col("c_custkey"))
+        .alias("c_custkey"),
+        F.concat(F.lit("PATCHED_"), "c_name").alias("c_name"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_custkey") % 17 == 3).alias("is_delete"),
+    )
+    return merge_upsert(cust, src, ["c_custkey"], delete_col="is_delete")
+
+
+def q145_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-zero statistics (ops.text.char_pair_counts):
+    corpus-wide adjacent character-pair frequencies weighted by word
+    frequency — the table the first tokenizer merge is argmaxed from.
+    The corpus collapses to its (word, count) vocabulary FIRST, so the
+    expensive explode runs over |vocab| rows, not |tokens|; the full
+    iterative learner (ops.text.bpe_train) is pinned against a pure-
+    Python reference in pytest and exposed as q146."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.char_pair_counts(docs, "text", min_count=2)
+
+
+def q146_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (ops.text.bpe_train): the greedy
+    Sennrich et al. loop with the corpus collapsed once to its vocabulary
+    and each iteration one explode + one aggregate + a 1-row argmax probe
+    (ties broken lexicographically, so the learned merge sequence is
+    fully deterministic). Rows-only by nature — the iterative argmax is
+    not expressible as one SQL query — with cross-engine determinism
+    pinned by the pytest twin against a pure-Python reference."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, "text", n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "merge_rank INT, left STRING, right STRING, merged STRING",
+    )
+
+
+def q147_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mix rebalancing: downsample every source to the smallest
+    source's token count with the engine's deterministic md5-uniform
+    admission (same 52-bit mechanism as ops.sampling, compared
+    numerically against a runtime rate instead of a precomputed hex
+    threshold). Per-source totals are one aggregate broadcast back onto
+    the scan; admission is a stateless per-row filter — at 100 TB this is
+    ONE pass over the corpus plus a |sources|-row broadcast, zero extra
+    shuffles. Counts are exact bigints; the rate is one IEEE division,
+    identical on both engines."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count("text").cast("long").alias("tk")
+    )
+    totals = docs.groupBy("source").agg(F.sum("tk").alias("total_tokens"))
+    target = totals.agg(F.min("total_tokens").alias("target_tokens"))
+    rates = totals.join(F.broadcast(target)).select(
+        "source",
+        "total_tokens",
+        "target_tokens",
+        (F.col("target_tokens").cast("double") / F.col("total_tokens").cast("double")).alias(
+            "__rate"
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rebal"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)  # 16^13 = 2^52
+    )
+    admitted = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("__rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("admitted_docs"),
+            F.sum("tk").alias("admitted_tokens"),
+        )
+    )
+    return (
+        rates.join(admitted, "source", "left")
+        .select(
+            "source",
+            "total_tokens",
+            "target_tokens",
+            F.round("__rate", 6).alias("rate"),
+            F.coalesce("admitted_docs", F.lit(0)).alias("admitted_docs"),
+            F.coalesce("admitted_tokens", F.lit(0)).alias("admitted_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3071,6 +3235,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_source_concentration": q138_source_concentration,
         "q139_bigram_lm": q139_bigram_lm,
         "q140_lsh_recall_audit": q140_lsh_recall_audit,
+        "q141_containment_dedup": q141_containment_dedup,
+        "q142_key_skew_profile": q142_key_skew_profile,
+        "q143_equidepth_deciles": q143_equidepth_deciles,
+        "q144_merge_upsert": q144_merge_upsert,
+        "q145_bpe_pair_counts": q145_bpe_pair_counts,
+        "q146_bpe_merges": q146_bpe_merges,
+        "q147_mix_rebalance": q147_mix_rebalance,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -4847,7 +5018,115 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM sessions GROUP BY user_id, session_id
         """,
+        "q141_containment_dedup": f"""
+            WITH {_WINNOW_FP_CTE}, fph AS (
+              SELECT doc_id AS doc, fp FROM wfps
+            ), sizes AS (
+              SELECT doc, COUNT(*) AS n_fp FROM fph GROUP BY 1
+            ), ndocs AS (SELECT COUNT(*) AS n FROM sizes),
+            hot AS (
+              SELECT fp FROM fph CROSS JOIN ndocs
+              GROUP BY fp, ndocs.n
+              HAVING COUNT(*) > greatest(1, floor(0.02 * n))
+            ), kept AS (
+              SELECT doc, fp FROM fph WHERE fp NOT IN (SELECT fp FROM hot)
+            ), inter AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+              FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, inter, sa.n_fp AS n_a, sb.n_fp AS n_b,
+                   round(CAST(inter AS DOUBLE) / sa.n_fp, 6) AS containment_a,
+                   round(CAST(inter AS DOUBLE) / sb.n_fp, 6) AS containment_b
+            FROM inter
+            JOIN sizes sa ON inter.doc_a = sa.doc
+            JOIN sizes sb ON inter.doc_b = sb.doc
+            WHERE 20 * inter >= 3 * least(sa.n_fp, sb.n_fp)
+        """,
+        "q142_key_skew_profile": """
+            WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+                 t AS (SELECT COUNT(*) AS total FROM orders)
+            SELECT o_custkey, n, total AS total_rows,
+                   round(CAST(n AS DOUBLE) / total, 6) AS share
+            FROM c CROSS JOIN t
+            ORDER BY n DESC, o_custkey
+            LIMIT 20
+        """,
+        "q143_equidepth_deciles": """
+            WITH b AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem
+            ), t AS (
+              SELECT cents,
+                     NTILE(10) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS tile
+              FROM b
+            )
+            SELECT CAST(tile AS BIGINT) AS tile, COUNT(*) AS n,
+                   MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+            FROM t GROUP BY 1
+        """,
+        "q144_merge_upsert": """
+            WITH cust AS (
+              SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+            ), src AS (
+              SELECT CASE WHEN c_custkey % 23 = 5 THEN c_custkey + 1000000000
+                          ELSE c_custkey END AS c_custkey,
+                     'PATCHED_' || c_name AS c_name,
+                     'UPDATED' AS c_mktsegment,
+                     (c_custkey % 17 = 3) AS is_delete
+              FROM cust WHERE c_custkey % 5 = 0 OR c_custkey % 17 = 3
+            )
+            SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                        ELSE t.c_name END AS c_name,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                        ELSE t.c_mktsegment END AS c_mktsegment,
+                   t.c_acctbal
+            FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+            WHERE NOT COALESCE(s.is_delete, FALSE)
+        """,
+        "q145_bpe_pair_counts": f"""
+            WITH words AS (
+              SELECT unnest({tok}) AS w FROM documents
+            ), wc AS (
+              SELECT w, COUNT(*) AS wc FROM words GROUP BY 1
+            ), pairs AS (
+              SELECT unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair, wc
+              FROM wc WHERE length(w) >= 2
+            )
+            SELECT pair, SUM(wc) AS pair_count
+            FROM pairs GROUP BY 1 HAVING SUM(wc) >= 2
+        """,
+        "q147_mix_rebalance": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          t -> t <> '')) AS BIGINT) AS tk
+              FROM documents
+            ), totals AS (
+              SELECT source, SUM(tk) AS total_tokens FROM d GROUP BY 1
+            ), tgt AS (
+              SELECT MIN(total_tokens) AS target_tokens FROM totals
+            ), rates AS (
+              SELECT source, total_tokens, target_tokens,
+                     CAST(target_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS rate
+              FROM totals CROSS JOIN tgt
+            ), adm AS (
+              SELECT d.source, COUNT(*) AS admitted_docs, SUM(tk) AS admitted_tokens
+              FROM d JOIN rates ON d.source = rates.source
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rebal'), 1, 13)) AS BIGINT)
+                    / 4503599627370496.0 < rate
+              GROUP BY 1
+            )
+            SELECT rates.source, total_tokens, target_tokens,
+                   round(rate, 6) AS rate,
+                   COALESCE(admitted_docs, 0) AS admitted_docs,
+                   COALESCE(admitted_tokens, 0) AS admitted_tokens
+            FROM rates LEFT JOIN adm ON rates.source = adm.source
+        """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —
-        # rows-only check.
+        # rows-only check. q146_bpe_merges: iterative greedy argmax — not
+        # one SQL query; determinism pinned by the pytest pure-Python twin.
     }

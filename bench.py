@@ -122,6 +122,12 @@ HEADLINE = [
     "q137_revenue_running_share",
     "q138_source_concentration",
     "q139_bigram_lm",
+    "q141_containment_dedup",
+    "q142_key_skew_profile",
+    "q143_equidepth_deciles",
+    "q144_merge_upsert",
+    "q145_bpe_pair_counts",
+    "q147_mix_rebalance",
 ]
 
 

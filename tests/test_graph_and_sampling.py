@@ -319,3 +319,38 @@ def test_temperature_mix_upweights_low_resource(spark):
     # determinism under repartitioning
     again = temperature_mix(df.repartition(11), "lang", "id", alpha=0.5, target_rows=400).collect()
     assert {r["id"] for r in out} == {r["id"] for r in again}
+
+
+def test_two_phase_ntile_matches_single_window(spark):
+    """two_phase_ntile must replicate SQL NTILE fill-order semantics
+    exactly — compared against Spark's own ntile() over the (test-only)
+    unpartitioned window, including the uneven-tile and N < n edges."""
+    from pyspark.sql import Row, Window
+    from manufacturing_data_integration_tool_spark.ops.sampling import two_phase_ntile
+
+    rows = [Row(id=i, v=(i * 37) % 101) for i in range(57)]
+    df = spark.createDataFrame(rows)
+    for n_tiles in (4, 10, 57, 60):
+        got = {
+            r["id"]: r["tile"]
+            for r in two_phase_ntile(
+                df, n_tiles, [F.asc("v"), F.asc("id")], F.expr("v div 13")
+            ).collect()
+        }
+        w = Window.orderBy(F.asc("v"), F.asc("id"))
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+        }
+        assert got == want, n_tiles
+
+
+def test_two_phase_ntile_validates(spark):
+    from pyspark.sql import Row
+    from manufacturing_data_integration_tool_spark.ops.sampling import two_phase_ntile
+
+    df = spark.createDataFrame([Row(v=1)])
+    import pytest
+
+    with pytest.raises(ValueError):
+        two_phase_ntile(df, 0, [F.asc("v")], F.expr("v"))

@@ -819,3 +819,142 @@ def test_review_fixes_regressions(spark):
     queries = spark.createDataFrame([(0, [1.0, 0.0])], ["query_id", "embedding"])
     got = knn_classify(corpus, queries, k=1, query_id_col="query_id").collect()
     assert got[0]["pred_label"] == "A"  # vec_id==0 row must still be eligible
+
+
+# ---------------------------------------------------------------------------
+# containment dedup / BPE / merge / skew profile (round-4 operators)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_pairs_finds_doc_inside_doc(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import containment_pairs
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    outer = (
+        "prologue text that is much longer and entirely unrelated padding "
+        + inner
+        + " epilogue with more unrelated trailing filler words here"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=inner),
+            Row(doc_id=2, text=outer),
+            Row(doc_id=3, text="совершенно другой текст без общих подстрок"),
+        ]
+    )
+    rows = containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # every fingerprint of the inner doc appears in the outer doc
+    assert r["containment_a"] == 1.0
+    # but the pair is far from symmetric — Jaccard would have missed it
+    assert r["containment_b"] < 0.8
+
+
+def test_containment_pairs_hot_fp_cap_validates(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import containment_pairs
+
+    df = spark.createDataFrame([Row(doc_id=1, text="abcdefghijkl")])
+    with pytest.raises(ValueError):
+        containment_pairs(df, "doc_id", "text", max_fp_df=1.5)
+    with pytest.raises(ValueError):
+        containment_pairs(df, "doc_id", "text", max_fp_df=0)
+
+
+def _ref_bpe(words, n_merges):
+    """Pure-Python greedy BPE (Sennrich et al.) — the spec twin."""
+    from collections import Counter
+
+    vocab = {}
+    for w, c in Counter(words).items():
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + c
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, c in vocab.items():
+            for i in range(len(w) - 1):
+                pc[(w[i], w[i + 1])] += c
+        if not pc:
+            break
+        mx = max(pc.values())
+        best = min(p for p, c in pc.items() if c == mx)
+        merges.append(best)
+        l, r = best
+        nv = {}
+        for w, c in vocab.items():
+            nw, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == l and w[i + 1] == r:
+                    nw.append(l + r)
+                    i += 2
+                else:
+                    nw.append(w[i])
+                    i += 1
+            nv[tuple(nw)] = nv.get(tuple(nw), 0) + c
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import bpe_train
+
+    corpus = "low low low lower lowest newest newest newest widest wide wide"
+    df = spark.createDataFrame([Row(text=corpus), Row(text="low newest widest")])
+    got = bpe_train(df, "text", n_merges=8)
+    want = _ref_bpe((corpus + " low newest widest").split(), 8)
+    assert got == want
+
+
+def test_char_pair_counts_weighted_by_word_freq(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import char_pair_counts
+
+    df = spark.createDataFrame([Row(text="aa aa ab x")])  # 'x' has no pair
+    got = {r["pair"]: r["pair_count"] for r in char_pair_counts(df, "text").collect()}
+    assert got == {"aa": 2, "ab": 1}
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    from manufacturing_data_integration_tool_spark.functions.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [Row(k=1, v="a", extra=10), Row(k=2, v="b", extra=20), Row(k=3, v="c", extra=30)]
+    )
+    source = spark.createDataFrame(
+        [
+            Row(k=2, v="B2", is_del=False),   # update (NULL-able extra untouched)
+            Row(k=3, v=None, is_del=True),    # delete
+            Row(k=9, v="new", is_del=False),  # insert
+        ]
+    )
+    got = {
+        r["k"]: (r["v"], r["extra"])
+        for r in merge_upsert(target, source, ["k"], delete_col="is_del").collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B2", 20), 9: ("new", None)}
+
+
+def test_merge_upsert_no_insert_and_key_check(spark):
+    from manufacturing_data_integration_tool_spark.functions.merge import merge_upsert
+
+    target = spark.createDataFrame([Row(k=1, v="a")])
+    source = spark.createDataFrame([Row(k=9, v="new")])
+    got = merge_upsert(target, source, ["k"], insert_unmatched=False).collect()
+    assert [r["k"] for r in got] == [1]
+    with pytest.raises(ValueError):
+        merge_upsert(target, spark.createDataFrame([Row(x=1)]), ["k"])
+
+
+def test_key_skew_profile_orders_and_shares(spark):
+    from manufacturing_data_integration_tool_spark.functions.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [Row(k="hot")] * 6 + [Row(k="warm")] * 3 + [Row(k="cold")]
+    )
+    rows = key_skew_profile(df, ["k"], top_n=2).collect()
+    assert [(r["k"], r["n"], r["total_rows"], r["share"]) for r in rows] == [
+        ("hot", 6, 10, 0.6),
+        ("warm", 3, 10, 0.3),
+    ]
+    with pytest.raises(ValueError):
+        key_skew_profile(df, [])

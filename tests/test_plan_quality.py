@@ -397,3 +397,28 @@ def test_source_caps_no_global_sort(spark):
     plan = plan_of(entry.q89_source_caps(spark, "/root/testdata/sf0.001"))
     assert "Window" in plan and "hashpartitioning(source" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q143_ntile_window_is_sub_bucketed(spark):
+    """q143: the table-wide rank window must partition on the sub-bucket
+    (never 'Exchange SinglePartition' under the wide Window) — the only
+    global window allowed is the offsets pass over the tiny per-bucket
+    count table, which sits under a BroadcastExchange."""
+    import re
+
+    plan = plan_of(entry.q143_equidepth_deciles(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(__tprs_sub#\d+", plan), plan
+
+
+def test_q141_containment_no_cartesian(spark):
+    """q141: candidate generation must be the fingerprint equi-join — no
+    CartesianProduct; the only nested-loop joins allowed are the 1-row
+    doc-count broadcasts feeding the corpus-relative hot-fp cap (one per
+    appearance of the capped index subtree; formatted explain prints each
+    node twice, tree + detail block)."""
+    plan = plan_of(entry.q141_containment_dedup(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
