@@ -17,9 +17,17 @@ Python per row, fully codegen'd.
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 from pyspark.sql import Column, functions as F
 
-__all__ = ["interleave_bits_16", "zorder_key_2d", "write_zordered"]
+__all__ = [
+    "interleave_bits_16",
+    "zorder_key_2d",
+    "write_zordered",
+    "write_bucketed",
+    "compact_small_files",
+]
 
 
 def _spread_16(c: Column) -> Column:
@@ -111,3 +119,72 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    *,
+    sort_cols: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+    path: Optional[str] = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED table on ``bucket_cols`` — the at-rest
+    layout that makes repeated large-large joins and aggregations on the
+    bucket key SHUFFLE-FREE: both sides pre-hashed into the same bucket
+    scheme means SortMergeJoin reads co-located buckets with no Exchange
+    (verified by ``test_bucketed_join_has_no_exchange``).
+
+    This is the 100 TB answer for the engine's recurring join keys
+    (orderkey between orders/lineitem, doc_id between corpus tables): pay
+    ONE shuffle at write time, amortize it over every downstream join.
+    Bucketing requires the session catalog (``saveAsTable``) — plain
+    ``.parquet(path)`` files can't carry bucket metadata; pass ``path``
+    to control the physical location as an external table.
+    """
+    w = df.write.mode(mode).format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    if sort_cols:
+        w = w.bucketBy(n_buckets, *bucket_cols).sortBy(*sort_cols)
+    else:
+        w = w.bucketBy(n_buckets, *bucket_cols)
+    w.saveAsTable(table)
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    *,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files and
+    return the output file count chosen.
+
+    Streaming appends and fine-grained partitioned writes accumulate
+    thousands of small files; at scale the metadata listing and per-file
+    open cost dominate scans (the classic small-files problem). This
+    measures the directory's on-disk bytes via the Hadoop FileSystem API
+    (driver-side metadata only, no data read), picks
+    ``ceil(bytes / target)`` output files, and rewrites with a
+    ``repartition(n)`` round-robin shuffle — one pass, uniformly sized
+    outputs, no driver materialization.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-int(total) // int(target_file_bytes)))
+    (
+        spark.read.parquet(src_path)
+        .repartition(n_files)
+        .write.mode(mode)
+        .parquet(dest_path)
+    )
+    return n_files

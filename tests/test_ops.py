@@ -958,3 +958,47 @@ def test_key_skew_profile_orders_and_shares(spark):
     ]
     with pytest.raises(ValueError):
         key_skew_profile(df, [])
+
+
+def test_write_bucketed_helper_join_without_shuffle(spark, tmp_path):
+    from manufacturing_data_integration_tool_spark.functions.layout import write_bucketed
+
+    left = spark.range(0, 500).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 500).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "t_wb_left", ["k"], 4, sort_cols=["k"])
+    write_bucketed(right, "t_wb_right", ["k"], 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_wb_left").join(spark.table("t_wb_right"), "k")
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        assert "Exchange hashpartitioning" not in buf.getvalue()
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_wb_left")
+        spark.sql("DROP TABLE IF EXISTS t_wb_right")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from manufacturing_data_integration_tool_spark.functions.layout import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "small")
+    dest = str(tmp_path / "compacted")
+    # 32 tiny files
+    spark.range(0, 3200).repartition(32).write.parquet(src)
+    import glob
+
+    n_src = len(glob.glob(src + "/part-*"))
+    assert n_src == 32
+    n_out = compact_small_files(spark, src, dest, target_file_bytes=64 * 1024 * 1024)
+    assert n_out == 1  # a few KB of data fits one 64 MB target file
+    assert len(glob.glob(dest + "/part-*")) == 1
+    assert spark.read.parquet(dest).count() == 3200
