@@ -1,8 +1,10 @@
 from .corpus_pipeline import corpus_ingest_transform, start_corpus_stream
 from .file_pipeline import start_file_stream, windowed_event_counts, sessionized_counts
 from .stateful import running_user_stats, streaming_dedup
+from .cdc import apply_cdc_stream
 
 __all__ = [
+    "apply_cdc_stream",
     "corpus_ingest_transform",
     "start_corpus_stream",
     "start_file_stream",

@@ -237,3 +237,52 @@ def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
     g = sorted(r["content_md5"] for r in got.collect())
     w = sorted(r["content_md5"] for r in want.collect())
     assert g == w and len(g) == len(set(g))
+
+
+def test_cdc_stream_applies_merge_batches(spark, tmp_path):
+    """Streaming CDC apply: a JSON change feed merged into a parquet
+    snapshot via foreachBatch + merge_upsert, with last-change-per-key
+    within a batch and an atomic rename swap (readers never see a partial
+    snapshot)."""
+    import json
+
+    from manufacturing_data_integration_tool_spark.streaming import apply_cdc_stream
+
+    snap = tmp_path / "snapshot"
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "v", "x"]
+    ).write.parquet(str(snap))
+
+    inbox = tmp_path / "changes"
+    inbox.mkdir()
+    # one batch file carrying: two changes for k=2 (later wins), a delete
+    # for k=3, and an insert k=9
+    changes = [
+        {"__seq": 1, "k": 2, "v": "stale", "is_del": False},
+        {"__seq": 2, "k": 2, "v": "B2", "is_del": False},
+        {"__seq": 3, "k": 3, "v": None, "is_del": True},
+        {"__seq": 4, "k": 9, "v": "new", "is_del": False},
+    ]
+    (inbox / "batch1.jsonl").write_text("\n".join(json.dumps(c) for c in changes))
+
+    stream = (
+        spark.readStream.schema("__seq LONG, k LONG, v STRING, is_del BOOLEAN")
+        .json(str(inbox))
+    )
+    q = apply_cdc_stream(
+        stream,
+        str(snap),
+        ["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        delete_col="is_del",
+    )
+    q.awaitTermination(60)
+
+    got = {
+        r["k"]: (r["v"], r["x"])
+        for r in spark.read.parquet(str(snap)).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B2", 20), 9: ("new", None)}
+    # no staging/backup debris after the swap
+    assert not (tmp_path / "snapshot.staging").exists()
+    assert not (tmp_path / "snapshot.previous").exists()
