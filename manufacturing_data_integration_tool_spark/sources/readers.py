@@ -189,3 +189,45 @@ def read_jsonl(
     return reader.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", "_corrupt_record"
     ).json(path)
+
+
+def conform_to_contract(
+    df: DataFrame,
+    contract: "T.StructType | str",
+    *,
+    on_type_mismatch: str = "try_cast",
+) -> DataFrame:
+    """Conform a drifting source frame to a stable schema CONTRACT.
+
+    Long-lived pipelines read sources whose physical schema drifts across
+    vintages (columns appear, disappear, change type). Downstream
+    operators must not care, so the contract is enforced at the boundary:
+
+    * contract column missing from the source -> typed NULL column;
+    * extra source columns -> dropped (projection, pushed into the scan);
+    * type mismatch -> ``try_cast`` (value-level failures become NULL for
+      the validation engine to flag, never a job abort — ANSI-safe), or
+      ``"strict"`` to raise at plan time for schema-incompatible vintages.
+
+    Pure projection: zero shuffle, column pruning still reaches the scan,
+    and the output schema is bit-identical across every vintage — which
+    is what makes multi-year backfills unionable by position-free name.
+    """
+    schema = T._parse_datatype_string(contract) if isinstance(contract, str) else contract
+    if on_type_mismatch not in ("try_cast", "strict"):
+        raise ValueError(f"on_type_mismatch must be try_cast|strict, got {on_type_mismatch!r}")
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name] == f.dataType:
+            cols.append(F.col(f.name))
+        elif on_type_mismatch == "strict":
+            raise TypeError(
+                f"column {f.name!r}: source has {have[f.name].simpleString()}, "
+                f"contract wants {f.dataType.simpleString()}"
+            )
+        else:
+            cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
+    return df.select(*cols)

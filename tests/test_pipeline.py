@@ -149,3 +149,25 @@ def test_synthetic_docs_source_deterministic_and_partitioned(spark):
     from manufacturing_data_integration_tool_spark.ops.text import doc_quality
 
     assert doc_quality(df).count() == 500
+
+
+def test_conform_to_contract_handles_drift(spark):
+    """Schema-contract boundary: missing contract columns become typed
+    NULLs, extra source columns are dropped, type drift goes through
+    try_cast (bad values -> NULL, never a job abort), and strict mode
+    raises at plan time."""
+    import pytest
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        conform_to_contract,
+    )
+
+    src = spark.createDataFrame(
+        [("1", "x", 9.5), ("oops", "y", 0.5)], ["a", "junk", "b"]
+    )
+    out = conform_to_contract(src, "a BIGINT, b DOUBLE, c STRING")
+    assert out.columns == ["a", "b", "c"]
+    rows = out.orderBy("b").collect()
+    assert [tuple(r) for r in rows] == [(None, 0.5, None), (1, 9.5, None)]
+    assert dict(out.dtypes) == {"a": "bigint", "b": "double", "c": "string"}
+    with pytest.raises(TypeError):
+        conform_to_contract(src, "a BIGINT, b DOUBLE", on_type_mismatch="strict")
