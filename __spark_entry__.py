@@ -3068,6 +3068,23 @@ def q147_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence construction (ops.sampling.pack_sequences):
+    per-language, documents are laid out in deterministic md5 order and
+    the token stream is cut every 4096 tokens — each doc labeled with the
+    sequence it starts in and its offset inside it. The running sum is
+    the skew-safe two-phase form (window partitions on (lang, md5-prefix
+    sub-bucket)), so the hottest language never serializes through one
+    task; admissions/labels are byte-identical to the naive single-window
+    oracle."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "lang", "doc_id", "n_tokens", 4096)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3242,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q146_bpe_merges": q146_bpe_merges,
         "q147_mix_rebalance": q147_mix_rebalance,
+        "q148_sequence_packing": q148_sequence_packing,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -5124,6 +5142,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(admitted_docs, 0) AS admitted_docs,
                    COALESCE(admitted_tokens, 0) AS admitted_tokens
             FROM rates LEFT JOIN adm ON rates.source = adm.source
+        """,
+        "q148_sequence_packing": f"""
+            WITH base AS (
+              SELECT doc_id, lang, CAST(len({tok}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY {_bucket_sql("doc_id", "pack")}, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+              FROM base)
+            SELECT doc_id, lang, n_tokens,
+                   (running - n_tokens) // 4096 AS seq_id,
+                   (running - n_tokens) % 4096 AS seq_offset
+            FROM c
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

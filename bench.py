@@ -128,6 +128,7 @@ HEADLINE = [
     "q144_merge_upsert",
     "q145_bpe_pair_counts",
     "q147_mix_rebalance",
+    "q148_sequence_packing",
 ]
 
 

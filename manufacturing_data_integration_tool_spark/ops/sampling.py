@@ -35,6 +35,7 @@ __all__ = [
     "two_phase_running_sum",
     "two_phase_ntile",
     "budget_fill",
+    "pack_sequences",
     "temperature_mix",
 ]
 
@@ -426,4 +427,52 @@ def temperature_mix(
         )
         .filter(keep)
         .drop("__frac", "__stratum")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    size_col: str,
+    seq_len: int,
+    *,
+    salt: str = "pack",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-size training
+    sequences: per stratum, documents are laid out in the deterministic
+    md5 order and the token stream is cut every ``seq_len`` tokens; each
+    document is labeled with the sequence it STARTS in (``seq_id``) and
+    its token offset within that sequence (``seq_offset``).
+
+    This is the 'build 4k-token training sequences out of the corpus'
+    primitive. Assigning the whole doc to its start bin keeps the op a
+    pure projection over the running sum — the boundary-splitting variant
+    (real pipelines chop the crossing document) is a downstream explode of
+    the same two columns, not a different shuffle shape.
+
+    Reproducible on any cluster layout (order is content-hashed, ties
+    broken on the key) and skew-safe: the running sum is the TWO-PHASE
+    form — the wide window partitions on (stratum, md5-prefix sub-bucket),
+    so no task streams a whole stratum (same guarantee as
+    :func:`budget_fill`, pinned by the q148 plan test).
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    bkt = _bucket(key_col, salt)
+    d = df.withColumn("__bkt", bkt)
+    r = two_phase_running_sum(
+        d,
+        [strata_col],
+        [F.col("__bkt"), F.col(key_col)],
+        F.col(size_col),
+        F.substring(F.col("__bkt"), 1, int(bucket_chars)),
+        out_col="__running",
+    )
+    start = F.col("__running") - F.col(size_col)
+    return (
+        r.withColumn("seq_id", F.expr(f"(__running - {size_col}) div {int(seq_len)}"))
+        .withColumn("seq_offset", start % F.lit(int(seq_len)).cast("bigint"))
+        .drop("__bkt", "__running")
     )

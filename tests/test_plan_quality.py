@@ -422,3 +422,12 @@ def test_q141_containment_no_cartesian(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_q148_packing_window_is_sub_bucketed(spark):
+    """q148: the sequence-packing running sum must partition on
+    (lang, sub-bucket) like every other two-phase window."""
+    import re
+
+    plan = plan_of(entry.q148_sequence_packing(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(lang#\d+, __tprs_sub#\d+", plan), plan
