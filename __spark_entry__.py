@@ -3085,6 +3085,47 @@ def q148_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "lang", "doc_id", "n_tokens", 4096)
 
 
+def q149_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) cross-corpus dedup
+    (ops.dedup.segment_dedup): documents are cut into 8-token segments,
+    each segment keeps only its FIRST corpus-wide occurrence (min
+    (doc_id, pos)), and docs are re-assembled from surviving segments —
+    the RefinedWeb/CCNet boilerplate-paragraph hygiene step. Election is
+    one groupBy on the uniformly-distributed segment md5 (skew-free no
+    matter how hot the boilerplate); text crosses the shuffle once."""
+    from manufacturing_data_integration_tool_spark.ops.dedup import segment_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, "doc_id", "text", tokens_per_segment=8)
+
+
+def q150_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1;
+    ops.text.gopher_quality_flags): word-count bounds, mean word length,
+    symbol-to-word ratio, alphabetic-word share, stopword presence — each
+    as a measurement plus a boolean flag, all computed as zero-shuffle
+    higher-order-function folds inside whole-stage codegen (runs at scan
+    speed over 100 TB; the final filter pushes into the same stage)."""
+    from manufacturing_data_integration_tool_spark.ops.text import gopher_quality_flags
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, min_words=30, min_stopword_hits=1)
+
+
+def q151_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (ops.text.char_entropy) —
+    the cheap gibberish/low-diversity screen. Zero shuffle AND zero
+    explode: the per-doc char histogram is built row-locally with
+    higher-order functions (alphabet-bounded inner loop), so the operator
+    is a narrow map over the scan. Per-char terms quantize to 1e-12 and
+    accumulate as exact integers, so the result is summation-order-free
+    and engine-portable."""
+    from manufacturing_data_integration_tool_spark.ops.text import char_entropy
+
+    docs = read_table(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3260,6 +3301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_bpe_merges": q146_bpe_merges,
         "q147_mix_rebalance": q147_mix_rebalance,
         "q148_sequence_packing": q148_sequence_packing,
+        "q149_segment_dedup": q149_segment_dedup,
+        "q150_gopher_quality": q150_gopher_quality,
+        "q151_char_entropy": q151_char_entropy,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -5158,6 +5202,84 @@ def oracle_sql() -> dict[str, str]:
                    (running - n_tokens) // 4096 AS seq_id,
                    (running - n_tokens) % 4096 AS seq_offset
             FROM c
+        """,
+        "q149_segment_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, {tok} AS tk FROM documents
+            ), segs AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1))
+                       AS pos,
+                     tk
+              FROM toks
+            ), seg2 AS (
+              SELECT doc_id, pos,
+                     array_to_string(list_slice(tk, pos * 8 + 1, pos * 8 + 8), ' ') AS seg
+              FROM segs
+            ), hashed AS (
+              SELECT doc_id, pos, seg, md5(seg) AS h
+              FROM seg2 WHERE len(seg) >= 1
+            ), elected AS (
+              SELECT doc_id, pos, seg,
+                     (row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1) AS keep
+              FROM hashed
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_kept,
+                   COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+                     AS dedup_text
+            FROM elected
+            GROUP BY doc_id
+        """,
+        "q150_gopher_quality": f"""
+            WITH m AS (
+              SELECT doc_id, text, {tok} AS tk FROM documents
+            ), meas AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS BIGINT) AS n_words,
+                     round(CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)
+                           / CAST(len(tk) AS DOUBLE), 4) AS mean_word_len,
+                     round(CAST(len(regexp_extract_all(text, '#')) +
+                                len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+                           / CAST(len(tk) AS DOUBLE), 4) AS symbol_word_ratio,
+                     round(CAST(len(list_filter(tk, t -> regexp_matches(t, '\\p{{L}}')))
+                                AS DOUBLE)
+                           / CAST(len(tk) AS DOUBLE), 4) AS alpha_word_ratio,
+                     CAST(len(list_intersect(list_distinct(tk),
+                         ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+                       AS stopword_hits
+              FROM m
+            )
+            SELECT *,
+                   (n_words >= 30 AND n_words <= 100000) AS ok_words,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+                   (symbol_word_ratio <= 0.1) AS ok_symbol_ratio,
+                   (alpha_word_ratio >= 0.8) AS ok_alpha_ratio,
+                   (stopword_hits >= 1) AS ok_stopwords,
+                   ((n_words >= 30 AND n_words <= 100000)
+                    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                    AND (symbol_word_ratio <= 0.1)
+                    AND (alpha_word_ratio >= 0.8)
+                    AND (stopword_hits >= 1)) AS passes_gopher
+            FROM meas
+        """,
+        "q151_char_entropy": """
+            WITH cs AS (
+              SELECT doc_id, string_split(text, '') AS c FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(c) AS BIGINT) AS n_chars,
+                   round(CASE WHEN len(c) > 0 THEN
+                     -CAST(list_sum(list_transform(list_distinct(c),
+                        d -> CAST(round((CAST(len(list_filter(c, x -> x = d)) AS DOUBLE)
+                                          / CAST(len(c) AS DOUBLE))
+                                        * ln(CAST(len(list_filter(c, x -> x = d)) AS DOUBLE)
+                                             / CAST(len(c) AS DOUBLE))
+                                        * 1e12) AS BIGINT))) AS DOUBLE) / 1e12
+                   ELSE 0.0 END, 6) AS char_entropy
+            FROM cs
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

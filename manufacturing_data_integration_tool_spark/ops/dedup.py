@@ -44,6 +44,7 @@ __all__ = [
     "semantic_dedup",
     "fuzzy_key_pairs",
     "incremental_dedup",
+    "segment_dedup",
 ]
 
 
@@ -737,4 +738,94 @@ def incremental_dedup(
         fresh.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__rk", "__h")
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    delimiter: Optional[str] = None,
+    tokens_per_segment: int = 32,
+    min_segment_chars: int = 1,
+) -> DataFrame:
+    """Sub-document (paragraph / line-level) cross-corpus deduplication —
+    the RefinedWeb / CCNet hygiene step exact whole-doc dedup misses:
+    boilerplate paragraphs repeated across MANY distinct documents.
+
+    Every document is cut into segments (on ``delimiter`` when the corpus
+    has natural paragraph breaks, else fixed ``tokens_per_segment`` token
+    windows), each segment is hashed, and only the FIRST occurrence
+    corpus-wide (smallest ``(doc_id, position)``) keeps it; later copies are
+    dropped and each document is re-assembled from its surviving segments.
+
+    Output: one row per input doc —
+    ``(id_col, n_segments, n_kept, dedup_text)`` where ``dedup_text`` joins
+    surviving segments in original order (empty string when every segment
+    was seen earlier).
+
+    100 TB posture: the explode is linear in corpus size; first-occurrence
+    election is one groupBy on the segment hash (md5 — uniformly
+    distributed, skew-free regardless of how hot the boilerplate is: the
+    per-hash state is a single min struct, map-side combined); re-assembly
+    is one groupBy on ``id_col``. Text crosses the shuffle once (the
+    re-assembly); the election itself ships only (hash, doc, pos).
+    """
+    if delimiter is not None:
+        segs = F.filter(
+            F.split(F.col(text_col), delimiter), lambda s: F.length(s) >= min_segment_chars
+        )
+        base = df.select(F.col(id_col), segs.alias("__segs"))
+    else:
+        # No natural paragraph breaks: cut the (materialized) token array
+        # into fixed-size windows. The token column must be bound before the
+        # HOF (no CSE inside lambdas — see shingles_from_tokens).
+        toks = F.col("__toks")
+        n_chunks = F.ceil(F.size(toks) / F.lit(tokens_per_segment)).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * tokens_per_segment + 1, tokens_per_segment)
+            ),
+        )
+        base = df.select(
+            F.col(id_col),
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")).alias(
+                "__toks"
+            ),
+        ).select(
+            F.col(id_col),
+            F.filter(chunks, lambda s: F.length(s) >= min_segment_chars).alias("__segs"),
+        )
+    exploded = base.select(
+        F.col(id_col), F.posexplode("__segs").alias("__pos", "__seg")
+    )
+    hashed = exploded.select(
+        F.col(id_col), "__pos", "__seg", F.md5(F.col("__seg")).alias("__h")
+    )
+    first = hashed.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("__pos").alias("p"))).alias("__first")
+    )
+    kept = hashed.join(first, "__h").withColumn(
+        "__keep",
+        (F.col("__first.d") == F.col(id_col)) & (F.col("__first.p") == F.col("__pos")),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct(F.col("__pos"), F.col("__seg")))
+                        )
+                    ),
+                    lambda s: s["__seg"],
+                ),
+            ).alias("dedup_text"),
+        )
     )

@@ -38,6 +38,9 @@ __all__ = [
     "BPE_ISH_PATTERN",
     "char_pair_counts",
     "bpe_train",
+    "gopher_quality_flags",
+    "char_entropy",
+    "GOPHER_STOPWORDS",
 ]
 
 # GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
@@ -879,3 +882,130 @@ def bpe_train(
         if (it + 1) % 4 == 0:
             vocab = vocab.localCheckpoint(eager=False)
     return merges
+
+
+# Stopword set used by the Gopher-style "contains common English words"
+# screen (Rae et al. 2021 use {the, be, to, of, and, that, have, with}).
+GOPHER_STOPWORDS: Sequence[str] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: Sequence[str] = GOPHER_STOPWORDS,
+    round_to: int = 4,
+) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1) as
+    per-document boolean flags plus the underlying measurements.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; symbol-to-word ratio (``#`` and
+    ellipsis) below max_symbol_word_ratio; share of words containing at
+    least one alphabetic character above min_alpha_word_ratio; at least
+    min_stopword_hits distinct common stopwords present.
+
+    Zero shuffle: every measurement is a higher-order-function fold over
+    the token array inside whole-stage codegen — this runs at scan speed
+    over 100 TB and the flags feed a plain filter (pushed into the same
+    stage). Output: measurements + one boolean per rule + ``passes_gopher``.
+    """
+    toks = F.col("__toks")
+    n_words = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = F.try_divide(total_len.cast("double"), n_words.cast("double"))
+    n_symbols = (
+        F.regexp_count(F.col(text_col), F.lit(r"#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
+    )
+    symbol_ratio = F.try_divide(n_symbols.cast("double"), n_words.cast("double"))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+    alpha_ratio = F.try_divide(n_alpha_words.cast("double"), n_words.cast("double"))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+
+    bound = df.select(F.col(id_col), F.col(text_col), tokenize(text_col).alias("__toks"))
+    out = bound.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, round_to).alias("mean_word_len"),
+        F.round(symbol_ratio, round_to).alias("symbol_word_ratio"),
+        F.round(alpha_ratio, round_to).alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    flags = out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias("ok_words"),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("ok_mean_word_len"),
+        (F.col("symbol_word_ratio") <= max_symbol_word_ratio).alias("ok_symbol_ratio"),
+        (F.col("alpha_word_ratio") >= min_alpha_word_ratio).alias("ok_alpha_ratio"),
+        (F.col("stopword_hits") >= min_stopword_hits).alias("ok_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_words")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_alpha_ratio")
+            & F.col("ok_stopwords")
+        ).alias("passes_gopher"),
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the character distribution —
+    the cheap gibberish / low-diversity screen (mashed-key junk scores low;
+    natural prose sits in a narrow band per language).
+
+    Zero shuffle and zero explode: the per-document character histogram is
+    built row-locally with higher-order functions — ``array_distinct`` over
+    the char array (alphabet-bounded, so the inner count loop is
+    O(alphabet x n_chars) per row, alphabet <= a few dozen) — and the
+    entropy sum folds over the distinct-char counts. Each per-char term
+    ``p*ln(p)`` is quantized to 1e-12 and accumulated as an exact integer,
+    so the sum is summation-order-free and a 1-ulp libm difference between
+    engines cannot reach the 6-decimal output.
+    """
+    chars = F.col("__chars")
+    n = F.size(chars)
+
+    def _term(k: Column) -> Column:
+        p = k.cast("double") / n.cast("double")
+        return F.round(p * F.log(p) * F.lit(1e12)).cast("long")
+
+    per_char = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    ent = -(
+        F.aggregate(per_char, F.lit(0).cast("long"), lambda acc, k: acc + _term(k)).cast(
+            "double"
+        )
+        / F.lit(1e12)
+    )
+    bound = df.select(
+        F.col(id_col), F.split(F.col(text_col), "").alias("__chars")
+    )
+    return bound.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), round_to).alias("char_entropy"),
+    )

@@ -1002,3 +1002,65 @@ def test_compact_small_files(spark, tmp_path):
     assert n_out == 1  # a few KB of data fits one 64 MB target file
     assert len(glob.glob(dest + "/part-*")) == 1
     assert spark.read.parquet(dest).count() == 3200
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared boiler plate"),
+            (2, "shared boiler plate\n\ngamma delta"),
+            (3, "shared boiler plate"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, delimiter=r"\n\n").collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    # doc 2 and 3 lose the boilerplate paragraph doc 1 introduced
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == "gamma delta"
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+
+
+def test_segment_dedup_token_windows_reassemble_in_order(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import segment_dedup
+
+    df = spark.createDataFrame([(7, "a b c d e f g")], ["doc_id", "text"])
+    row = segment_dedup(df, tokens_per_segment=3).collect()[0]
+    # 3 windows: "a b c", "d e f", "g" — all unique, original order kept
+    assert row["n_segments"] == 3 and row["n_kept"] == 3
+    assert row["dedup_text"] == "a b c d e f g"
+
+
+def test_gopher_quality_flags_rules(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps with vigor and " + " ".join(
+        f"word{i}" for i in range(50)
+    )
+    short = "the end"
+    symbols = "the # " + " ".join("#" * 1 for _ in range(60)) + " of it all"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df, min_words=10).collect()}
+    assert out[1]["passes_gopher"]
+    assert not out[2]["ok_words"] and not out[2]["passes_gopher"]
+    assert not out[3]["ok_symbol_ratio"] and not out[3]["ok_alpha_ratio"]
+
+
+def test_char_entropy_matches_math(spark):
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "aabb")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["char_entropy"] for r in char_entropy(df).collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - math.log(4)) < 1e-6
+    assert abs(out[3] - math.log(2)) < 1e-6
