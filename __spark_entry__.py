@@ -3112,6 +3112,56 @@ def q150_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(docs, min_words=30, min_stopword_hits=1)
 
 
+def q154_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact support-threshold heavy hitters (ops.text.frequent_terms):
+    per-partition Arrow-batched local counts emit only terms above the
+    pigeonhole bar ceil(min_count/P) — a guaranteed superset of every
+    global heavy hitter — then ONLY candidates are re-counted exactly and
+    filtered. The long-tail vocabulary never crosses the shuffle; the
+    final answer is exact and oracle-equal to GROUP BY ... HAVING."""
+    from manufacturing_data_integration_tool_spark.ops.text import frequent_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return frequent_terms(docs, "text", min_count=200)
+
+
+def q153_dsir_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-resampled admission (Xie et al. 2023;
+    ops.sampling.dsir_admission): docs from source 'src0' define the
+    target unigram LM, the whole corpus the background LM; each doc is
+    scored by the mean per-token log-ratio (add-one smoothing, exact
+    decimal accumulation) and admitted with probability min(1, e^score)
+    on the portable md5 u52 coin. One token-stream pass builds BOTH LMs
+    (conditional count in the same map-side-combined groupBy)."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import dsir_admission
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_admission(docs, F.col("source") == "src0")
+
+
+def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part-supplier bipartite graph from lineitem
+    (ops.graph.pagerank): distinct (part, supplier) trade edges, made
+    symmetric, 6 power iterations. Ranks are exact integers in 1e-12
+    units (integer `div` shares, exact long sums), so the result is
+    bit-identical across partitionings — pinned against a pure-Python
+    twin in pytest. Two hash shuffles per iteration, lineage truncated
+    with localCheckpoint. Rows-only driver check (iterative fixed point
+    is not one SQL query)."""
+    from manufacturing_data_integration_tool_spark.ops.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    ).distinct()
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=6)
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(50)
+
+
 def q151_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy (ops.text.char_entropy) —
     the cheap gibberish/low-diversity screen. Zero shuffle AND zero
@@ -3304,7 +3354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_segment_dedup": q149_segment_dedup,
         "q150_gopher_quality": q150_gopher_quality,
         "q151_char_entropy": q151_char_entropy,
+        "q153_dsir_admission": q153_dsir_admission,
+        "q154_frequent_terms": q154_frequent_terms,
         # --- approximate / non-SQL-expressible: rows-only checks ---
+        "q152_pagerank": q152_pagerank,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q108_sketch_rollup": q108_sketch_rollup,
@@ -3329,6 +3382,7 @@ def oracle_sql() -> dict[str, str]:
     from manufacturing_data_integration_tool_spark.ops.sampling import (
         bucket_sql as _bucket_sql,
         hash_fraction_threshold as _hft,
+        u52_sql as _u52_sql,
     )
 
     mix_bucket = _bucket_sql("doc_id", "mix1")
@@ -5264,6 +5318,44 @@ def oracle_sql() -> dict[str, str]:
                     AND (alpha_word_ratio >= 0.8)
                     AND (stopword_hits >= 1)) AS passes_gopher
             FROM meas
+        """,
+        "q154_frequent_terms": f"""
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest({tok}) AS term FROM documents)
+            GROUP BY term
+            HAVING COUNT(*) >= 200
+        """,
+        "q153_dsir_admission": f"""
+            WITH toks AS (
+              SELECT doc_id, (source = 'src0') AS t,
+                     unnest({tok}) AS term
+              FROM documents
+            ), counts AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS cb,
+                     CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+              FROM toks GROUP BY 1
+            ), tot AS (
+              SELECT SUM(cb) AS tb, SUM(ct) AS tt, COUNT(*) AS v FROM counts
+            ), lr AS (
+              SELECT term,
+                     CAST(round(
+                       ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+                       - ln(CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE)), 9)
+                       AS DECIMAL(24,12)) AS logr
+              FROM counts, tot
+            ), scored AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     round(CAST(SUM(logr) AS DOUBLE) / COUNT(*), 6) AS score
+              FROM toks JOIN lr USING (term)
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, score,
+                   round(least(1.0, exp(score)), 9) AS weight,
+                   ({_u52_sql("doc_id", "dsir")} <
+                    CAST(round(round(least(1.0, exp(score)), 9)
+                               * 4503599627370496.0) AS BIGINT)) AS admitted
+            FROM scored
         """,
         "q151_char_entropy": """
             WITH cs AS (

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "pagerank"]
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
@@ -223,4 +223,91 @@ def dedup_clusters(
         F.col(id_col),
         cluster.alias("cluster_id"),
         (cluster == F.col(id_col)).alias("is_survivor"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 8,
+    damping: float = 0.85,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list (Page et al. 1999; the
+    power-iteration form every distributed graph engine ships).
+
+    Fully deterministic across partitionings and engines: ranks live as
+    exact integers in units of ``1/scale`` (1e-12 by default). Each
+    iteration a node's rank splits evenly over its out-edges with integer
+    division (the deterministic remainder stays with the node's dangling
+    mass), contributions are summed exactly (LongType — order-free), and
+    dangling + teleport mass redistributes uniformly. Two shuffles per
+    iteration (contribution groupBy on dst + rank join), both
+    hash-partitioned on node id. The dangling/teleport residue is a 1-row
+    aggregate folded into the SAME job via a broadcast cross-join — there
+    is NO driver action inside the loop (the whole fixed-iteration plan is
+    one lazy DAG; AQE exchange reuse dedupes the shared scan), unlike the
+    convergence-probed ``connected_components``. ``localCheckpoint``
+    (eager, every 4 rounds) bounds plan depth.
+
+    Output: ``(node, rank)`` with rank as DOUBLE summing to ~1.0.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # damping as an exact rational: damp_num / damp_den
+    damp_num = int(round(damping * 1_000_000))
+    damp_den = 1_000_000
+    ranks = nodes.withColumn("r", F.lit(int(scale // n_nodes)).cast("long"))
+    for it in range(iterations):
+        with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
+        # per-edge integer share; dangling nodes (no out-edges) and integer
+        # remainders contribute to the uniformly-redistributed residue
+        shared = with_deg.select(
+            "node",
+            "r",
+            "outdeg",
+            # `div` is exact integer division on LongType — a double `/`
+            # would round at 2^53 and drift from the pure-Python twin
+            F.when(F.col("outdeg").isNotNull(), F.expr("r div outdeg"))
+            .otherwise(F.lit(0))
+            .alias("share"),
+        )
+        contrib = (
+            e.join(shared.select(F.col("node").alias("src"), "share"), "src")
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_mass"))
+        )
+        # exact residue: scale - damped total distributed mass, as a 1-row
+        # broadcast (stays inside the job — no per-iteration collect)
+        residue = shared.agg(
+            F.expr(
+                f"(({scale}L - (coalesce(sum(share * outdeg), 0L) * {damp_num}L)"
+                f" div {damp_den}L)) div {n_nodes}L"
+            ).alias("__residue")
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(residue))
+            .select(
+                "node",
+                (
+                    F.expr(f"(coalesce(in_mass, 0L) * {damp_num}L) div {damp_den}L")
+                    + F.col("__residue")
+                ).alias("r"),
+            )
+        )
+        if (it + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node", F.round(F.col("r").cast("double") / F.lit(float(scale)), 9).alias("rank")
     )

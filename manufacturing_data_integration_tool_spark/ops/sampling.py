@@ -37,6 +37,7 @@ __all__ = [
     "budget_fill",
     "pack_sequences",
     "temperature_mix",
+    "dsir_admission",
 ]
 
 _HEX_DIGITS = 13  # 13 hex chars = 52 bits: exactly representable in a double
@@ -475,4 +476,89 @@ def pack_sequences(
         r.withColumn("seq_id", F.expr(f"(__running - {size_col}) div {int(seq_len)}"))
         .withColumn("seq_offset", start % F.lit(int(seq_len)).cast("bigint"))
         .drop("__bkt", "__running")
+    )
+
+
+def dsir_admission(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    salt: str = "dsir",
+    round_to: int = 6,
+) -> DataFrame:
+    """Importance-resampled admission toward a target domain — the DSIR
+    recipe (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every document by how much more likely
+    its tokens are under the target-domain unigram LM than under the
+    background (whole-corpus) LM, then admit with probability
+    ``min(1, exp(score))`` using the portable md5 u52 coin.
+
+    ``is_target`` is any boolean Column marking the in-domain subset (a
+    source label, a hand-curated seed set, ...). Both LMs use add-one
+    smoothing over the background vocabulary, per-term log-ratios round to
+    9 decimals and accumulate as exact decimals (summation-order-free, the
+    ``unigram_logprob`` discipline), and the admission threshold is an
+    integer u52 comparison — reproducible on any engine with md5.
+
+    100 TB posture: ONE pass over the token stream computes both LMs
+    (background count + conditional target count in the same groupBy,
+    map-side combined); the vocabulary-sized log-ratio table joins back
+    onto tokens (broadcast while it fits, plain equi-join on the term
+    otherwise); the per-doc reduce is one more map-side-combinable
+    groupBy. No driver-side state, no Python in the hot path.
+
+    Output: ``(id_col, n_tokens, score, weight, admitted)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))).alias(
+            "term"
+        ),
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cb"),
+        F.sum(F.col("__t").cast("long")).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cb").alias("tb"),
+        F.sum("ct").alias("tt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    logr = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("ct") + F.lit(1)).cast("double")
+                / (F.col("tt") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cb") + F.lit(1)).cast("double")
+                / (F.col("tb") + F.col("v")).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(24,12)")
+        .alias("__logr"),
+    )
+    scored = (
+        toks.join(F.broadcast(logr), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("__logr").cast("double") / F.count(F.lit(1)), round_to
+            ).alias("score"),
+        )
+    )
+    weight = F.round(F.least(F.lit(1.0), F.exp(F.col("score"))), 9)
+    thresh = F.round(weight * F.lit(4503599627370496.0)).cast("long")  # 2^52
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        "score",
+        weight.alias("weight"),
+        (_u52(id_col, salt) < thresh).alias("admitted"),
     )

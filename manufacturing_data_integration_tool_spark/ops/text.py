@@ -41,6 +41,7 @@ __all__ = [
     "gopher_quality_flags",
     "char_entropy",
     "GOPHER_STOPWORDS",
+    "frequent_terms",
 ]
 
 # GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
@@ -1008,4 +1009,62 @@ def char_entropy(
         F.col(id_col),
         n.cast("long").alias("n_chars"),
         F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), round_to).alias("char_entropy"),
+    )
+
+
+def frequent_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1000,
+    *,
+    force_local_threshold: Optional[int] = None,
+) -> DataFrame:
+    """EXACT support-threshold heavy hitters (every term with global count
+    >= ``min_count``) with pigeonhole candidate pruning — the long-tail
+    vocabulary never crosses the wire.
+
+    Phase 1 (no shuffle): each partition counts its own tokens in one
+    Arrow-batched ``mapInPandas`` pass (per-partition imperative state is
+    the one job built-ins can't express) and emits only terms with local
+    count >= ceil(min_count / P). Pigeonhole guarantees the survivors are
+    a superset of every global heavy hitter: a term with global count >=
+    min_count must reach that local bar in at least one of the P
+    partitions. Phase 2: the candidate set (tiny by construction) is
+    re-counted EXACTLY with a plain map-side-combined groupBy after a
+    semi-join, and filtered to >= min_count — so the output is exact and
+    oracle-equal to ``GROUP BY term HAVING count >= m``, while the shuffle
+    carries only candidate terms instead of the full long-tail vocabulary.
+
+    100 TB posture: phase 1 is scan-speed with O(local vocab) memory per
+    task; phase 2's semi-join broadcasts while the candidate set fits and
+    degrades to a hash join on the (uniform) term otherwise.
+
+    Output: ``(term, n)`` — exact global counts of the heavy hitters.
+    """
+    toks = df.select(F.explode(tokenize(text_col)).alias("term"))
+    n_parts = max(1, df.rdd.getNumPartitions())
+    local_bar = (
+        int(force_local_threshold)
+        if force_local_threshold is not None
+        else max(1, -(-int(min_count) // n_parts))
+    )
+
+    def _local_counts(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["term"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+        heavy = [t for t, c in counts.items() if c >= local_bar]
+        yield pd.DataFrame({"term": heavy})
+
+    candidates = (
+        toks.mapInPandas(_local_counts, "term string").distinct()
+    )
+    return (
+        toks.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(int(min_count)))
     )

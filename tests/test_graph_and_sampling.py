@@ -354,3 +354,49 @@ def test_two_phase_ntile_validates(spark):
 
     with pytest.raises(ValueError):
         two_phase_ntile(df, 0, [F.asc("v")], F.expr("v"))
+
+
+def _pagerank_python(edges, iterations=8, damping=0.85, scale=10**12):
+    """Pure-Python integer twin of ops.graph.pagerank."""
+    e = sorted(set(edges))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    dnum, dden = int(round(damping * 1_000_000)), 1_000_000
+    r = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        share = {v: r[v] // outdeg[v] for v in nodes if v in outdeg}
+        in_mass = {v: 0 for v in nodes}
+        for a, b in e:
+            in_mass[b] += share[a]
+        distributed = sum(share[a] * outdeg[a] for a in share)
+        residue = (scale - (distributed * dnum) // dden) // n
+        r = {v: (in_mass[v] * dnum) // dden + residue for v in nodes}
+    return {v: round(r[v] / scale, 9) for v in nodes}
+
+
+def test_pagerank_matches_integer_python_twin(spark):
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.graph import pagerank
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    want = _pagerank_python(edges, iterations=8)
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_star_center_dominates(spark):
+    from manufacturing_data_integration_tool_spark.ops.graph import pagerank
+
+    # undirected star: center 0 <-> leaves 1..6
+    edges = [(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    assert got[0] > max(got[i] for i in range(1, 7)) * 3

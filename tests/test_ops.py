@@ -1064,3 +1064,42 @@ def test_char_entropy_matches_math(spark):
     assert out[1] == 0.0
     assert abs(out[2] - math.log(4)) < 1e-6
     assert abs(out[3] - math.log(2)) < 1e-6
+
+
+def test_frequent_terms_exact_and_pruned(spark):
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.ops.text import frequent_terms
+
+    # long-tail corpus: 'hot' appears 40x, 'warm' 10x, tail words once each
+    rows = [(i, "hot " * 4 + f"tail{i}") for i in range(10)] + [
+        (100 + i, "warm tailx%d" % i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+    got = {r["term"]: r["n"] for r in frequent_terms(df, min_count=10).collect()}
+    assert got == {"hot": 40, "warm": 10}
+    # exactness is independent of the local bar (superset guarantee):
+    # force a degenerate bar of 1 (all terms candidate) and compare
+    loose = {
+        r["term"]: r["n"]
+        for r in frequent_terms(df, min_count=10, force_local_threshold=1).collect()
+    }
+    assert loose == got
+
+
+def test_frequent_terms_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.ops.text import frequent_terms, tokenize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["term"]: r["n"] for r in frequent_terms(docs, min_count=50).collect()}
+    want = {
+        r["term"]: r["n"]
+        for r in docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+        .collect()
+    }
+    assert got == want and len(got) > 0
