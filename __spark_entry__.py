@@ -3112,6 +3112,49 @@ def q150_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(docs, min_words=30, min_stopword_hits=1)
 
 
+def q155_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (ops.text.bpe_encode): learn 8 BPE merges over the
+    corpus (q146's distributed trainer), then encode every document with
+    them — merges applied in learned order, left-to-right, ids from the
+    deterministic (alphabet + merge order) vocabulary. The encode kernel
+    is Arrow-batched mapInPandas (per-symbol loops are the legitimate
+    Python case), zero shuffle. Completes the tokenizer story:
+    bpe_train -> bpe_encode -> pack_sequences. Rows-only driver check;
+    determinism pinned by the pure-Python pytest twin."""
+    from manufacturing_data_integration_tool_spark.ops.text import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    alphabet = [
+        r["c"]
+        for r in docs.select(
+            F.explode(F.split(F.regexp_replace(F.lower("text"), r"\s+", ""), "")).alias("c")
+        )
+        .distinct()
+        .collect()
+    ]
+    enc = bpe_encode(docs, merges, alphabet)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.slice("token_ids", 1, 12).alias("head_ids"),
+    )
+
+
+def q156_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table (ops.similarity.pca_fit /
+    pca_project): one Arrow-batched pass reduces each partition to its
+    (count, sum, Gram) partials, the driver eigendecomposes the d x d
+    covariance (d=64), and the projection onto the top-4 components is
+    pure zip_with/aggregate Column math (zero shuffle, zero Python).
+    Rows-only driver check; accuracy pinned vs numpy in pytest."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import pca_fit, pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, "embedding", k=4)
+    return pca_project(emb, mean, comps, "embedding").select("vec_id", "label", "pca")
+
+
 def q154_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact support-threshold heavy hitters (ops.text.frequent_terms):
     per-partition Arrow-batched local counts emit only terms above the
@@ -3358,6 +3401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_frequent_terms": q154_frequent_terms,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q152_pagerank": q152_pagerank,
+        "q155_bpe_encode": q155_bpe_encode,
+        "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q108_sketch_rollup": q108_sketch_rollup,

@@ -40,6 +40,8 @@ __all__ = [
     "fit_ivf",
     "ivf_search",
     "ivf_topk",
+    "pca_fit",
+    "pca_project",
 ]
 
 
@@ -588,3 +590,107 @@ def ivf_topk(
     query batches fit once and call ``ivf_search`` with the saved index."""
     index = fit_ivf(corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, seed=seed)
     return ivf_search(index, queries, k=k, n_probe=n_probe, round_to=round_to)
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit a PCA basis over an embedding column, distributed.
+
+    The classic two-phase moment computation: every partition reduces to
+    its (count, sum, Gram=X^T X) partials in one Arrow-batched
+    ``mapInPandas`` pass (d x d doubles per partition, d = embedding dim —
+    tiny), the driver combines the partials and eigendecomposes the d x d
+    covariance with numpy. Only O(P * d^2) floats ever reach the driver —
+    the corpus is touched exactly once regardless of size, which is how
+    every distributed PCA (Spark MLlib included) scales.
+
+    Sign convention: each component is flipped so its largest-magnitude
+    coordinate is positive (eigenvector sign is otherwise arbitrary and
+    would differ across BLAS builds).
+
+    Returns ``(mean, components, explained_variance)`` — plain Python
+    lists, ready to broadcast into ``pca_project``.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    def _partials(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            if x.size == 0:
+                continue
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x if g is None else g + x.T @ x
+        if n == 0:
+            yield pd.DataFrame({"n": [], "s": [], "g": []})
+            return
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.flatten().tolist()]}
+        )
+
+    parts = df.select(vec_col).mapInPandas(
+        _partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    parts = [p for p in parts if p["n"]]
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for p in parts:
+        s += np.asarray(p["s"])
+        g += np.asarray(p["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    ev = []
+    for i in order:
+        v = evecs[:, i]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v.tolist())
+        ev.append(float(evals[i]))
+    return mean.tolist(), comps, ev
+
+
+def pca_project(
+    df: DataFrame,
+    mean: Sequence[float],
+    components: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    *,
+    out_col: str = "pca",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis (``pca_fit`` output).
+
+    The basis enters the plan as literal arrays, so the projection is pure
+    Column math — one ``zip_with``/``aggregate`` dot per component inside
+    whole-stage codegen, zero shuffle, zero Python. Rounded so downstream
+    comparisons are stable.
+    """
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x.cast("double") - m,
+    )
+    bound = df.withColumn("__centered", centered)
+    projs = [
+        F.round(
+            dot(F.col("__centered"), F.array(*[F.lit(float(c)) for c in comp])), round_to
+        )
+        for comp in components
+    ]
+    return bound.withColumn(out_col, F.array(*projs)).drop("__centered")

@@ -42,6 +42,7 @@ __all__ = [
     "char_entropy",
     "GOPHER_STOPWORDS",
     "frequent_terms",
+    "bpe_encode",
 ]
 
 # GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
@@ -1068,3 +1069,73 @@ def frequent_terms(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(int(min_count)))
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    alphabet: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges (``bpe_train`` output) to a corpus —
+    the tokenizer-apply half of the tokenizer story (train -> encode ->
+    ``pack_sequences``).
+
+    Encoding applies each merge in learned order, left-to-right within
+    every word — exactly the trainer's rewrite rule, so encode(train
+    corpus) reproduces the trained vocabulary states. Token ids are
+    deterministic: sorted base alphabet first, then merged symbols in
+    merge order; characters outside the alphabet map to id -1 (the UNK
+    convention callers can re-map).
+
+    The kernel is an Arrow-batched ``mapInPandas`` (a per-symbol Python
+    loop is genuinely inexpressible as Column ops for realistic merge
+    counts); the merge table and alphabet broadcast with the closure.
+    Zero shuffle — encoding is embarrassingly parallel, scan-speed at
+    100 TB.
+
+    Output: ``(id_col, n_tokens, token_ids array<int>)``.
+    """
+    merge_list = [tuple(m) for m in merges]
+    vocab: dict[str, int] = {}
+    for ch in sorted(set(alphabet)):
+        vocab[ch] = len(vocab)
+    for left, right in merge_list:
+        sym = left + right
+        if sym not in vocab:
+            vocab[sym] = len(vocab)
+
+    def _encode(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        def enc_word(word: str) -> list[int]:
+            syms = list(word)
+            for left, right in merge_list:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return [vocab.get(s, -1) for s in syms]
+
+        for pdf in batches:
+            ids = [
+                [t for w in str(txt).lower().split() for t in enc_word(w)]
+                for txt in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": [len(x) for x in ids],
+                    "token_ids": ids,
+                }
+            )
+
+    schema = f"{id_col} long, n_tokens long, token_ids array<int>"
+    return df.select(id_col, text_col).mapInPandas(_encode, schema)

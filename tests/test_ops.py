@@ -1103,3 +1103,69 @@ def test_frequent_terms_matches_plain_groupby(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_bpe_encode_matches_python_twin(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest"), (3, "low new")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(df, n_merges=6)
+    alphabet = sorted({c for _, t in [(1, "low lower lowest new newer newest")] for c in t if c != " "})
+
+    def enc_word(word):
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    vocab = {}
+    for ch in sorted(set(alphabet)):
+        vocab[ch] = len(vocab)
+    for l, r in merges:
+        if l + r not in vocab:
+            vocab[l + r] = len(vocab)
+
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges, alphabet).collect()}
+    for doc_id, text in [(1, "low lower lowest"), (2, "new newer newest"), (3, "low new")]:
+        want = [vocab.get(s, -1) for w in text.split() for s in enc_word(w)]
+        assert list(got[doc_id]["token_ids"]) == want
+        assert got[doc_id]["n_tokens"] == len(want)
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    import numpy as np
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(11)
+    # anisotropic 6-dim data: variance concentrated in 2 directions
+    base = rng.normal(size=(200, 2)) @ rng.normal(size=(2, 6)) * 3
+    x = base + rng.normal(size=(200, 6)) * 0.1
+    rows = [(i, [float(v) for v in x[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+
+    mean, comps, ev = pca_fit(df, "embedding", k=2)
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    for j, comp in enumerate(comps):
+        v_ref = evecs[:, np.argsort(evals)[::-1][j]]
+        # eigenvector up to sign
+        assert min(np.abs(np.asarray(comp) - v_ref).max(),
+                   np.abs(np.asarray(comp) + v_ref).max()) < 1e-8
+    assert ev[0] >= ev[1] > 0
+    out = pca_project(df, mean, comps, "embedding").orderBy("vec_id").collect()
+    proj_ref = (x - x.mean(axis=0)) @ np.asarray(comps).T
+    got = np.asarray([r["pca"] for r in out])
+    assert np.abs(got - proj_ref[np.argsort([r["vec_id"] for r in out])]).max() < 1e-5
