@@ -129,6 +129,12 @@ HEADLINE = [
     "q145_bpe_pair_counts",
     "q147_mix_rebalance",
     "q148_sequence_packing",
+    "q149_segment_dedup",
+    "q150_gopher_quality",
+    "q151_char_entropy",
+    "q153_dsir_admission",
+    "q154_frequent_terms",
+    "q156_pca_embeddings",
 ]
 
 

@@ -431,3 +431,43 @@ def test_q148_packing_window_is_sub_bucketed(spark):
 
     plan = plan_of(entry.q148_sequence_packing(spark, "/root/testdata/sf0.001"))
     assert re.search(r"hashpartitioning\(lang#\d+, __tprs_sub#\d+", plan), plan
+
+
+def test_gopher_and_entropy_plans_have_no_exchange(spark):
+    """q150/q151 claim zero shuffle — no hash/range repartitioning and no
+    Python eval may appear (the only allowed Exchange is read_table's
+    RoundRobin fan-out of the single small test file)."""
+    for q in (entry.q150_gopher_quality, entry.q151_char_entropy):
+        plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+        assert "hashpartitioning" not in plan, plan
+        assert "rangepartitioning" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_segment_dedup_shuffles_on_hash_and_doc_only(spark):
+    """q149: election groups on the segment md5 and reassembly on doc_id —
+    no global sort, no cartesian."""
+    plan = plan_of(entry.q149_segment_dedup(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Sort [" not in plan.split("Exchange rangepartitioning")[-1] or \
+        "rangepartitioning" not in plan  # no range-partitioned global sort
+
+
+def test_frequent_terms_recount_is_semi_join_on_candidates(spark):
+    """q154: the exact recount must semi-join the token stream against the
+    candidate set (broadcast at this size), never shuffle the full vocab
+    without pruning."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from manufacturing_data_integration_tool_spark.ops.text import frequent_terms
+
+    plan = plan_of(frequent_terms(docs, min_count=50))
+    assert "LeftSemi" in plan
+    assert "Broadcast" in plan
+
+
+def test_dsir_admission_single_token_pass_no_python(spark):
+    """q153: both LMs come from ONE token-stream groupBy; no Python eval
+    nodes anywhere in the plan."""
+    plan = plan_of(entry.q153_dsir_admission(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
