@@ -760,7 +760,8 @@ def segment_dedup(
     corpus-wide (smallest ``(doc_id, position)``) keeps it; later copies are
     dropped and each document is re-assembled from its surviving segments.
 
-    Output: one row per input doc —
+    Output: one row per doc with at least one segment (docs whose text
+    yields no segments drop out) —
     ``(id_col, n_segments, n_kept, dedup_text)`` where ``dedup_text`` joins
     surviving segments in original order (empty string when every segment
     was seen earlier).
