@@ -1,6 +1,6 @@
 from .corpus_pipeline import corpus_ingest_transform, start_corpus_stream
 from .file_pipeline import start_file_stream, windowed_event_counts, sessionized_counts
-from .stateful import running_user_stats, streaming_dedup
+from .stateful import running_user_stats, streaming_dedup, user_value_peaks
 from .cdc import apply_cdc_stream
 
 __all__ = [
@@ -12,4 +12,5 @@ __all__ = [
     "sessionized_counts",
     "running_user_stats",
     "streaming_dedup",
+    "user_value_peaks",
 ]

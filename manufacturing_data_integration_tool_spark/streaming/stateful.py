@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_dedup", "running_user_stats", "RUNNING_STATS_SCHEMA"]
+__all__ = [
+    "streaming_dedup",
+    "running_user_stats",
+    "RUNNING_STATS_SCHEMA",
+    "user_value_peaks",
+    "PEAK_SCHEMA",
+]
 
 
 def streaming_dedup(
@@ -114,4 +120,81 @@ def running_user_stats(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+PEAK_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("peak_value", T.DoubleType()),
+        T.StructField("n_peaks", T.LongType()),
+    ]
+)
+
+
+def user_value_peaks(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
+    """Per-user running-peak detector on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49564 "State API v2"): typed state
+    handles (ValueState here), optional per-state TTL, and timer support,
+    with state partitioned by the grouping key exactly like a shuffle.
+
+    Emits one row per input micro-batch per user whose batch contained a
+    new all-time-high ``value``: ``(user_id, peak_value, n_peaks)`` where
+    ``n_peaks`` counts how many times the peak has been raised. State per
+    key is ONE (double, long) pair — bounded regardless of stream length,
+    and evicted by TTL when ``ttl_ms`` is set (dormant users cost nothing).
+
+    The Python boundary is crossed per key-batch (Arrow), not per row;
+    horizontal scale comes from the key shuffle. Scale posture matches
+    ``running_user_stats`` with the newer, TTL-capable state store API.
+
+    Requires ``protobuf`` (the State API v2 Python worker speaks protobuf
+    to the state server); raises eagerly driver-side when it is missing —
+    this container ships without it, so the operator is exercised by a
+    skippable test and ``running_user_stats`` stays the in-container path.
+    """
+    try:
+        import google.protobuf  # noqa: F401, PLC0415
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "user_value_peaks needs the 'protobuf' package "
+            "(transformWithStateInPandas state-server protocol); install "
+            "protobuf or use running_user_stats (applyInPandasWithState)."
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+
+    class PeakProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "peak", "peak double, n bigint", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # noqa: PLC0415
+
+            peak, n = (None, 0)
+            if self._state.exists():
+                peak, n = self._state.get()
+            raised = False
+            for pdf in rows:
+                for v in pdf["value"]:
+                    fv = float(v)
+                    if peak is None or fv > peak:
+                        peak, n = fv, n + 1
+                        raised = True
+            if raised:
+                self._state.update((peak, n))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "peak_value": [peak], "n_peaks": [n]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        PeakProcessor(),
+        outputStructType=PEAK_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

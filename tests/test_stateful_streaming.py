@@ -82,3 +82,63 @@ def test_running_user_stats_stateful(spark, sf_dir, tmp_path):
     for uid, (n, tv) in exp.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - tv) < 1e-6
+
+
+def test_user_value_peaks_transform_with_state(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user running peak with
+    ValueState — final peak per user must equal the batch max, and
+    n_peaks must be the count of strictly-increasing prefix maxima in
+    file order is NOT deterministic, so only the final peak is pinned."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent in container)",
+    )
+    from manufacturing_data_integration_tool_spark.streaming import user_value_peaks
+
+    src_dir = tmp_path / "events_in"
+    ev = read_table(spark, sf_dir, "events").drop("ts_ns").limit(300)
+    ev.write.parquet(str(src_dir))
+    written = spark.read.parquet(str(src_dir))
+    exp = {
+        r["user_id"]: r["mx"]
+        for r in written.groupBy("user_id").agg(F.max("value").alias("mx")).collect()
+    }
+
+    schema = written.schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    peaks = user_value_peaks(stream)
+    q = (
+        peaks.writeStream.format("memory")
+        .queryName("peaks_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql(
+        "select user_id, max(peak_value) pk, max(n_peaks) np from peaks_out group by user_id"
+    ).collect()
+    got = {r["user_id"]: r["pk"] for r in rows}
+    assert got == exp
+    assert all(r["np"] >= 1 for r in rows)
+
+
+def test_user_value_peaks_raises_eagerly_without_protobuf(spark, sf_dir):
+    """Driver-side guard: missing protobuf must fail fast with a clear
+    message, not crash the streaming Python worker mid-query."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf installed; eager-guard path not reachable")
+    except ImportError:
+        pass
+    from manufacturing_data_integration_tool_spark.streaming import user_value_peaks
+
+    ev = read_table(spark, sf_dir, "events").drop("ts_ns")
+    with pytest.raises(RuntimeError, match="protobuf"):
+        user_value_peaks(ev)
