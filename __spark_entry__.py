@@ -3219,6 +3219,201 @@ def q151_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs)
 
 
+def q157_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval (ops.text.bm25_topk) for a 4-term
+    query — the lexical-retrieval primitive next to the embedding ANN
+    path (q22/q29). Rational idf keeps every factor plain IEEE
+    arithmetic; per-term contributions sum as exact decimals; the top-k
+    is a distributed TakeOrderedAndProject with the rank window running
+    over <= k rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.bm25_topk(docs, ["filter", "merge", "stream", "window"], k=20)
+
+
+def q158_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (ops.text.c4_line_filter, Raffel et
+    al. 2020 §2.2): 12-token window "lines", drop lines under 5 words /
+    containing blocklist words or braces, re-assemble surviving lines in
+    order. Entirely higher-order-function folds — zero shuffle, runs at
+    scan speed at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.c4_line_filter(docs, tokens_per_line=12)
+
+
+def q159_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte/char encoding hygiene profile (ops.text.encoding_screen):
+    char-vs-UTF-8-byte widths, whitespace/alpha/digit ratios, U+FFFD and
+    control-char counts, ok_encoding flag. Pure per-row Column
+    expressions — the pre-tokenizer mojibake screen."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.encoding_screen(docs)
+
+
+def q160_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source contamination matrix
+    (ops.dedup.source_overlap_matrix): distinct 8-token segments per
+    source, self-join on the segment hash, overlap coefficient
+    |A∩B|/min(|A|,|B|) per source pair. Text never crosses the shuffle
+    (64-bit hashes only); fanout per segment is bounded by |sources|²."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.source_overlap_matrix(docs)
+
+
+def q161_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift (ops.text.unigram_drift): add-1
+    smoothed KL(source ‖ corpus) over the full vocabulary, exact-decimal
+    summation of rounded per-term contributions. One explode + one
+    (source, term) map-side-combined aggregate; the vocab × sources
+    completion is linear in vocabulary size."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.unigram_drift(docs)
+
+
+def q162_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (ops.text.bigram_doc_logprob):
+    every document scored by mean bigram log-probability under an
+    add-half bigram model trained on the src0-excluded subset; admission
+    at the corpus-median cutoff. The LM is two map-side-combined
+    aggregates; scoring is two hash joins + one per-doc aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.bigram_doc_logprob(
+        docs, train_predicate=F.col("source") != "src0", cutoff=-3.404
+    )
+
+
+def q163_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via AllPairs/PPJoin PREFIX FILTERING
+    (ops.dedup.prefix_filtered_jaccard, Bayardo WWW'07): shingle sets in
+    global rarest-first order join only on their prefix tokens, then
+    candidates verify exactly — at t=0.5 the inverted-index join is
+    ~4x smaller than q26's full join and hot shingles stay out of
+    prefixes LOSSLESSLY (no df-cap truncation). Oracle: plain exact
+    Jaccard SQL — prefix filtering must not change the answer."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.prefix_filtered_jaccard(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q164_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (last order date), frequency
+    (order count), monetary (exact decimal revenue) per customer, each
+    quartiled with ops.sampling.two_phase_ntile — three exact global
+    NTILE(4)s with NO single-task sort (per-metric sub-buckets carry the
+    wide window; offsets broadcast back). rfm_code = r*100 + f*10 + m."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import two_phase_ntile
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("__rev"),
+    ).select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(F.col("__rev") * 100).cast("bigint").alias("__cents"),
+        F.datediff(F.col("last_order"), F.lit("1990-01-01")).cast("bigint").alias("__days"),
+    )
+    r = two_phase_ntile(
+        base, 4, [F.asc("__days"), F.asc("custkey")], F.expr("__days div 256"),
+        out_col="r_tile",
+    ).select("custkey", "last_order", "n_orders", "revenue", "__cents", "r_tile")
+    f_ = two_phase_ntile(
+        base.select("custkey", "n_orders"), 4,
+        [F.asc("n_orders"), F.asc("custkey")], F.expr("n_orders div 4"),
+        out_col="f_tile",
+    ).select("custkey", "f_tile")
+    m = two_phase_ntile(
+        base.select("custkey", "__cents"), 4,
+        [F.asc("__cents"), F.asc("custkey")], F.expr("__cents div 16777216"),
+        out_col="m_tile",
+    ).select("custkey", "m_tile")
+    return (
+        r.join(f_, "custkey")
+        .join(m, "custkey")
+        .select(
+            "custkey",
+            "last_order",
+            "n_orders",
+            "revenue",
+            F.col("r_tile").cast("long").alias("r_tile"),
+            F.col("f_tile").cast("long").alias("f_tile"),
+            F.col("m_tile").cast("long").alias("m_tile"),
+            (F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile"))
+            .cast("long")
+            .alias("rfm_code"),
+        )
+    )
+
+
+def q165_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median unit price per (returnflag, linestatus)
+    (ops.sampling.weighted_percentile): weights collapse per distinct
+    value first (map-side combine), the cumulative window runs over
+    distinct values only, and the threshold test is integer
+    cross-multiplication on exact decimal weights — no float boundary."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        weighted_percentile,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return weighted_percentile(
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            "l_quantity",
+        ),
+        ["l_returnflag", "l_linestatus"],
+        "cents",
+        "l_quantity",
+        fraction=0.5,
+        out_col="median_cents",
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("total_w"), 4).alias("total_w"),
+        "median_cents",
+    )
+
+
+
+def q166_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup pair graph
+    (ops.graph.triangle_counts): degree-oriented node-iterator (Suri &
+    Vassilvitskii WWW'11) — wedges are built only at each edge's
+    low-degree end, so one boilerplate-hot node costs O(m) wedges, never
+    O(d²). The cluster-cohesion health check next to q136's degree
+    histogram: dense dup clusters close triangles, chain-merge artifacts
+    don't. Oracle: 3-way self-join on the same pair table."""
+    from manufacturing_data_integration_tool_spark.ops.graph import triangle_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=0.01
+    )
+    return triangle_counts(pairs, "doc_a", "doc_b")
+
+
+def q167_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval page: BM25 top-50 (q157's retriever, the
+    distributed part) -> embeddings joined on the id -> MMR re-rank to
+    10 (ops.similarity.mmr_rerank, λ=0.7). The greedy k·|page| loop is
+    driver-side BY CONTRACT (a rerank page is bounded; the collect is
+    guarded) — rows-only check; determinism pinned by the pure-python
+    twin in tests."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import mmr_rerank
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    page = tx.bm25_topk(docs, ["filter", "merge", "stream", "window"], k=50)
+    cand = page.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    return mmr_rerank(cand, "doc_id", "bm25", "embedding", k=10, lambda_=0.7)
+
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3402,6 +3597,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q152_pagerank": q152_pagerank,
         "q155_bpe_encode": q155_bpe_encode,
+        "q157_bm25_retrieval": q157_bm25_retrieval,
+        "q158_c4_line_filter": q158_c4_line_filter,
+        "q159_encoding_screen": q159_encoding_screen,
+        "q160_source_overlap": q160_source_overlap,
+        "q161_unigram_drift": q161_unigram_drift,
+        "q162_lm_quality_filter": q162_lm_quality_filter,
+        "q163_prefix_jaccard": q163_prefix_jaccard,
+        "q164_rfm_segments": q164_rfm_segments,
+        "q165_weighted_median": q165_weighted_median,
+        "q166_triangle_counts": q166_triangle_counts,
+        "q167_mmr_rerank": q167_mmr_rerank,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -5417,6 +5623,191 @@ def oracle_sql() -> dict[str, str]:
                                         * 1e12) AS BIGINT))) AS DOUBLE) / 1e12
                    ELSE 0.0 END, 6) AS char_entropy
             FROM cs
+        """,
+        "q157_bm25_retrieval": f"""
+            WITH base AS (SELECT doc_id AS doc, {tok} AS tk FROM documents),
+            lens AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl FROM base),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
+            tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc, unnest(tk) AS term FROM base)
+                   WHERE term IN ('filter','merge','stream','window')
+                   GROUP BY 1,2),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            contrib AS (
+              SELECT tf.doc,
+                CAST(round(
+                  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                       + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                , 9) AS DECIMAL(24,12)) AS c
+              FROM tf JOIN lens USING (doc) JOIN dfreq USING (term), stats
+            ),
+            scored AS (SELECT doc, SUM(c) AS sc,
+                              CAST(COUNT(*) AS BIGINT) AS n_query_terms_hit
+                       FROM contrib GROUP BY 1),
+            topk AS (SELECT doc, sc, n_query_terms_hit,
+                            ROW_NUMBER() OVER (ORDER BY sc DESC, doc ASC) AS rank
+                     FROM scored)
+            SELECT doc AS doc_id, CAST(rank AS BIGINT) AS rank, n_query_terms_hit,
+                   round(CAST(sc AS DOUBLE), 6) AS bm25
+            FROM topk WHERE rank <= 20
+        """,
+        "q158_c4_line_filter": f"""
+            WITH t AS (SELECT doc_id, {tok} AS tk FROM documents),
+            l AS (SELECT doc_id, list_filter(list_transform(
+                    generate_series(0, CAST(greatest(ceil(len(tk)/12.0),1) AS BIGINT) - 1),
+                    i -> array_to_string(list_slice(tk, i*12+1, i*12+12), ' ')),
+                    s -> len(s)>0) AS lines FROM t),
+            k AS (SELECT doc_id, lines, list_filter(lines, s ->
+                    len(list_filter(string_split_regex(lower(s),'\\s+'), w -> w<>'')) >= 5
+                    AND len(list_intersect(
+                          list_filter(string_split_regex(lower(s),'\\s+'), w -> w<>''),
+                          ['javascript','cookies','lorem'])) = 0
+                    AND NOT contains(s,'{{') AND NOT contains(s,'}}')) AS kept FROM l)
+            SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   array_to_string(kept, ' ') AS clean_text
+            FROM k
+        """,
+        "q159_encoding_screen": r"""
+            SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(strlen(text) AS BIGINT) AS n_bytes,
+              (strlen(text) = length(text)) AS ascii_width,
+              CAST(length(text) - length(regexp_replace(text, '[ \t\r\n]', '', 'g')) AS BIGINT) AS n_ws,
+              round(CASE WHEN length(text)>0 THEN CAST(length(text) - length(regexp_replace(text, '[ \t\r\n]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END, 4) AS ws_ratio,
+              round(CASE WHEN length(text)>0 THEN CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END, 4) AS alpha_ratio,
+              round(CASE WHEN length(text)>0 THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END, 4) AS digit_ratio,
+              CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS n_replacement,
+              CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS BIGINT) AS n_control,
+              ((length(text) - length(replace(text, chr(65533), ''))) = 0
+               AND (length(text) - length(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))) = 0) AS ok_encoding
+            FROM documents
+        """,
+        "q160_source_overlap": f"""
+            WITH t AS (SELECT source, {tok} AS tk FROM documents),
+            segs AS (SELECT DISTINCT source, seg FROM (
+              SELECT source, unnest(list_filter(list_transform(
+                 generate_series(0, CAST(greatest(ceil(len(tk)/8.0),1) AS BIGINT)-1),
+                 i -> array_to_string(list_slice(tk, i*8+1, i*8+8),' ')),
+                 s -> len(s)>0)) AS seg
+              FROM t)),
+            sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM segs GROUP BY 1),
+            pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                             CAST(COUNT(*) AS BIGINT) AS inter
+                      FROM segs a JOIN segs b ON a.seg=b.seg AND a.source<b.source
+                      GROUP BY 1,2)
+            SELECT source_a, source_b, inter, sa.n AS n_a, sb.n AS n_b,
+                   round(CAST(inter AS DOUBLE)/least(sa.n, sb.n), 6) AS overlap_coef
+            FROM pairs JOIN sizes sa ON sa.source=pairs.source_a
+                       JOIN sizes sb ON sb.source=pairs.source_b
+        """,
+        "q161_unigram_drift": f"""
+            WITH toks AS (SELECT source AS grp, unnest({tok}) AS term FROM documents),
+            cgt AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS c_gt FROM toks GROUP BY 1,2),
+            vocab AS (SELECT term, CAST(SUM(c_gt) AS BIGINT) AS c_t FROM cgt GROUP BY 1),
+            totals AS (SELECT grp, CAST(SUM(c_gt) AS BIGINT) AS t_g FROM cgt GROUP BY 1),
+            corpus AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_all,
+                              CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+            full_t AS (
+              SELECT totals.grp, vocab.term, vocab.c_t, totals.t_g,
+                     COALESCE(cgt.c_gt, 0) AS c_gt, corpus.t_all, corpus.v
+              FROM vocab CROSS JOIN totals
+              LEFT JOIN cgt ON cgt.grp=totals.grp AND cgt.term=vocab.term, corpus)
+            SELECT grp AS source, MAX(t_g) AS n_tokens,
+              CAST(SUM(CASE WHEN c_gt>0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+              round(CAST(SUM(CAST(round(
+                 (CAST(c_gt+1 AS DOUBLE)/CAST(t_g+v AS DOUBLE))
+                 * ln((CAST(c_gt+1 AS DOUBLE)/CAST(t_g+v AS DOUBLE))
+                      / (CAST(c_t+1 AS DOUBLE)/CAST(t_all+v AS DOUBLE)))
+               ,9) AS DECIMAL(24,12))) AS DOUBLE), 6) AS kl_divergence
+            FROM full_t GROUP BY 1
+        """,
+        "q162_lm_quality_filter": f"""
+            WITH base AS (SELECT doc_id AS doc, (source <> 'src0') AS tr, {tok} AS tk FROM documents),
+            grams AS (SELECT doc, tr, unnest(CASE WHEN len(tk)>=2
+                        THEN list_transform(generate_series(1,len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+                        ELSE [] END) AS bg FROM base),
+            c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+                   FROM (SELECT unnest(tk) AS w FROM base WHERE tr) GROUP BY 1),
+            c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM grams WHERE tr GROUP BY 1),
+            v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+            sc AS (SELECT g.doc,
+               CAST(round(ln(CAST(2*COALESCE(c12.c12,0)+1 AS DOUBLE)
+                             / CAST(2*COALESCE(c1.c1,0)+v.v AS DOUBLE)),9)
+                    AS DECIMAL(24,12)) AS lp
+               FROM grams g LEFT JOIN c12 ON g.bg=c12.bg
+               LEFT JOIN c1 ON c1.w = string_split(g.bg,' ')[1], v)
+            SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              round(CAST(SUM(lp) AS DOUBLE)/COUNT(*),6) AS avg_logp,
+              (round(CAST(SUM(lp) AS DOUBLE)/COUNT(*),6) >= -3.404) AS admitted
+            FROM sc GROUP BY 1
+        """,
+        "q163_prefix_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk)>=3
+                     THEN list_transform(generate_series(1,len(tk)-2),
+                                         i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+                     ELSE [] END)) AS s FROM toks),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             CAST(COUNT(*) AS BIGINT) AS inter
+                      FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+            SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b
+            FROM inter JOIN sizes sa ON sa.doc_id=doc_a JOIN sizes sb ON sb.doc_id=doc_b
+            WHERE 2*inter >= 1*(sa.n + sb.n - inter)
+        """,
+        "q164_rfm_segments": """
+            WITH base AS (
+              SELECT o_custkey AS custkey,
+                     MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+              FROM orders GROUP BY 1),
+            b2 AS (SELECT custkey, last_order, n_orders,
+                          round(rev, 2) AS revenue,
+                          CAST(round(rev*100) AS BIGINT) AS cents,
+                          date_diff('day', DATE '1990-01-01', last_order) AS days
+                   FROM base),
+            t AS (SELECT custkey, last_order, n_orders, revenue,
+                         NTILE(4) OVER (ORDER BY days, custkey) AS r_tile,
+                         NTILE(4) OVER (ORDER BY n_orders, custkey) AS f_tile,
+                         NTILE(4) OVER (ORDER BY cents, custkey) AS m_tile
+                  FROM b2)
+            SELECT custkey, last_order, n_orders, revenue,
+              CAST(r_tile AS BIGINT) AS r_tile, CAST(f_tile AS BIGINT) AS f_tile,
+              CAST(m_tile AS BIGINT) AS m_tile,
+              CAST(r_tile*100 + f_tile*10 + m_tile AS BIGINT) AS rfm_code
+            FROM t
+        """,
+        "q165_weighted_median": """
+            WITH c AS (SELECT l_returnflag, l_linestatus,
+                              CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+                              SUM(CAST(l_quantity AS DECIMAL(28,4))) AS w
+                       FROM lineitem GROUP BY 1,2,3),
+            cum AS (SELECT *, SUM(w) OVER (PARTITION BY l_returnflag,l_linestatus
+                                           ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+                           SUM(w) OVER (PARTITION BY l_returnflag,l_linestatus) AS tw FROM c)
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(MAX(tw) AS DOUBLE),4) AS total_w, MIN(v) AS median_cents
+            FROM cum WHERE 2*cw >= tw GROUP BY 1,2
+        """,
+        "q166_triangle_counts": f"""
+            WITH {_JACCARD_PAIRS_CTE},
+            e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs),
+            nodes AS (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM nodes GROUP BY 1),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                   FROM (SELECT unnest([x,y,z]) AS node FROM tri) GROUP BY 1)
+            SELECT deg.node, deg.degree, COALESCE(pt.n_triangles, 0) AS n_triangles
+            FROM deg LEFT JOIN pt USING (node)
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

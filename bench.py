@@ -135,6 +135,17 @@ HEADLINE = [
     "q153_dsir_admission",
     "q154_frequent_terms",
     "q156_pca_embeddings",
+    "q157_bm25_retrieval",
+    "q158_c4_line_filter",
+    "q159_encoding_screen",
+    "q160_source_overlap",
+    "q161_unigram_drift",
+    "q162_lm_quality_filter",
+    "q163_prefix_jaccard",
+    "q164_rfm_segments",
+    "q165_weighted_median",
+    "q166_triangle_counts",
+    "q167_mmr_rerank",
 ]
 
 

@@ -45,6 +45,8 @@ __all__ = [
     "fuzzy_key_pairs",
     "incremental_dedup",
     "segment_dedup",
+    "source_overlap_matrix",
+    "prefix_filtered_jaccard",
 ]
 
 
@@ -528,20 +530,30 @@ def simhash_fingerprints(
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
     tok = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tok"))
     tok = tok.withColumn("h", F.md5(F.col("tok")))
-    # md5 hex -> per-bit +-1 contributions; nibble i of the hex covers bits
-    # 4i..4i+3. The 16 hex->int nibble decodes are hoisted into ONE
-    # projection so each aggregate expression is two integer bit ops —
-    # not its own substring+conv per row (measured ~3x on the 64-agg pass).
+    # md5 hex -> per-bit +-1 contributions. The hex is parsed in FOUR
+    # 8-char (32-bit) chunks, each one string->bigint conv, hoisted into
+    # ONE projection; every aggregate expression is then two integer bit
+    # ops on a chunk. (Four 32-bit parses replaced the earlier sixteen
+    # 1-char nibble convs — same bit layout, 4x less string parsing per
+    # row; chunk c holds bits 32c..32c+31 big-endian, so
+    # bit i = (chunk[i div 32] >> (31 - i mod 32)) & 1.)
+    n_chunks = (bits + 31) // 32
     tok = tok.select(
         "doc",
         *[
-            F.conv(F.substring("h", 1 + j, 1), 16, 10).cast("int").alias(f"n{j}")
-            for j in range(bits // 4)
+            F.conv(F.substring("h", 1 + 8 * c, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"n{c}")
+            for c in range(n_chunks)
         ],
     )
     aggs = []
     for i in range(bits):
-        bit = F.shiftright(F.col(f"n{i // 4}"), 3 - (i % 4)).bitwiseAND(F.lit(1))
+        bit = (
+            F.shiftright(F.col(f"n{i // 32}"), 31 - (i % 32))
+            .bitwiseAND(F.lit(1))
+            .cast("int")
+        )
         aggs.append(F.sum(bit * 2 - 1).alias(f"b{i}"))
     sums = tok.groupBy("doc").agg(*aggs)
     fp = F.concat(*[F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)])
@@ -582,14 +594,20 @@ def simhash_near_dups(
     widths = [width] * (bands - 1) + [bits - width * (bands - 1)]
     starts = [1 + width * i for i in range(bands)]
     fp = simhash_fingerprints(df, id_col, text_col, bits=bits, include_packed=True)
+    # materialize the fingerprint table ONCE before the self-join: the
+    # (explode + 64-agg groupBy) subtree is the dominant cost, and a
+    # self-join would otherwise evaluate it on BOTH sides (broadcast
+    # build + probe are different exchange types, so runtime exchange
+    # reuse cannot collapse them). |fp| = one row per doc — tiny
+    # relative to the token explode it snips off the plan. Lazy, same
+    # pattern as the connected-components rounds (ops/graph.py).
+    fp = fp.localCheckpoint(eager=False)
     band_arr = F.array(
         *[F.substring("simhash", starts[b], widths[b]) for b in range(bands)]
     )
-    # the packed fingerprint rides along through the band join so the
-    # (explode + 64-agg groupBy) fingerprint subtree appears twice in the
-    # plan (the two self-join sides), not four times (no post-hoc fp
-    # re-join); the distinct collapses multi-band collisions of the same
-    # pair, and Hamming is ONE bit_count(xor) per candidate.
+    # the packed fingerprint rides along through the band join (no
+    # post-hoc fp re-join); the distinct collapses multi-band collisions
+    # of the same pair, and Hamming is ONE bit_count(xor) per candidate.
     tagged = fp.select(
         "doc", F.col("simhash_long"), F.posexplode(band_arr).alias("__band", "__sub")
     )
@@ -828,5 +846,190 @@ def segment_dedup(
                     lambda s: s["__seg"],
                 ),
             ).alias("dedup_text"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    tokens_per_segment: int = 8,
+) -> DataFrame:
+    """Pairwise cross-source contamination matrix: how many distinct
+    text segments each pair of sources shares — the audit a pipeline
+    owner runs before mixing crawls (two mirrors of the same site look
+    like two "sources" until this table says 90% overlap).
+
+    Each document is cut into fixed ``tokens_per_segment`` token windows
+    (the ``segment_dedup`` segmentation); the distinct (source, segment)
+    inverted index self-joins on the segment hash with ``source_a <
+    source_b``. Overlap coefficient = |A∩B| / min(|A|,|B|) — the
+    containment-style measure that still fires when one source is much
+    smaller than the other.
+
+    100 TB posture: the index carries (group, 64-bit hash) only — text
+    never crosses the shuffle; a segment's join fanout is bounded by
+    |groups|² (sources are an operational handful, not data-scaled), so
+    there is no hot-key quadratic in corpus size. One explode, one
+    distinct, one equi-join, two tiny aggregates.
+
+    Output: (source_a, source_b, inter, n_a, n_b, overlap_coef).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    base = df.select(F.col(group_col).alias("grp"), toks.alias("__tk"))
+    n_segs = F.ceil(F.size("__tk") / F.lit(tokens_per_segment)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("__tk", i * tokens_per_segment + 1, tokens_per_segment)
+        ),
+    )
+    inv = (
+        base.select("grp", F.explode_outer(segs).alias("seg"))
+        .filter(F.col("seg").isNotNull() & (F.length("seg") > 0))
+        .select("grp", F.xxhash64("seg").alias("seg_h"))
+        .distinct()
+    )
+    sizes = inv.groupBy("grp").agg(F.count(F.lit(1)).alias("n_segs"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.seg_h") == F.col("b.seg_h")) & (F.col("a.grp") < F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("source_a"), F.col("b.grp").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("grp").alias("source_a"), F.col("n_segs").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("source_b"), F.col("n_segs").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+def prefix_filtered_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via AllPairs/PPJoin PREFIX FILTERING
+    (Bayardo et al. WWW'07; Xiao et al. WWW'08) — same output contract as
+    ``ngram_jaccard_pairs`` (doc_a, doc_b, inter, n_a, n_b), different
+    candidate generator with a much smaller join at high thresholds.
+
+    Principle: order every shingle set by a GLOBAL canonical order
+    (ascending document frequency, ties by hash — rarest first). If
+    J(A,B) >= t then |A∩B| >= t·|A|, so the first
+    ``|A| - ceil(t·|A|) + 1`` ordered elements of A must contain at least
+    one common element (likewise for B) — the inverted index only ever
+    joins on PREFIX tokens, and df-ascending ordering keeps corpus-hot
+    shingles out of prefixes entirely (the hot-key quadratic that
+    ``max_shingle_df`` merely truncates is avoided *losslessly* here).
+    Candidates are then verified exactly with an integer
+    cross-multiplied threshold test on the full sorted-hash arrays.
+
+    At t=0.8 the prefix is ~20% of each set (25x fewer index pairs than
+    the full inverted join); at low thresholds the prefix approaches the
+    whole set and ``ngram_jaccard_pairs`` + df-cap is the better tool.
+
+    100 TB posture: one df-table join + per-doc re-sort (the canonical
+    order), prefix explode, long-key equi-join on prefix hashes, then a
+    pair-bounded verification join that ships two hash arrays per
+    candidate. No window, no cartesian, no driver action.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    p, q = frac.numerator, frac.denominator
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__tk")).select(
+        "doc", shingles_from_tokens("__tk", n).alias("sh")
+    )
+    inv = (
+        base.select("doc", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .select("doc", F.xxhash64("shingle").alias("sh_h"))
+    )
+    dfreq = inv.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    # canonical per-doc array, rarest shingle first: array_sort on
+    # struct(df, sh_h) orders by df then hash — one groupBy on doc.
+    ordered = (
+        inv.join(dfreq, "sh_h")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "sh_h"))), lambda s: s.sh_h
+            ).alias("arr")
+        )
+        .select(
+            "doc",
+            "arr",
+            F.size("arr").cast("long").alias("n_sh"),
+        )
+        # materialize ONCE: this table feeds three plan branches (the
+        # prefix index and both verification sides) — without a
+        # checkpoint the whole shingle->df->sort pipeline would run 3x
+        # (same rationale as the simhash band join). One row per doc.
+        .localCheckpoint(eager=False)
+    )
+    # prefix length |A| - ceil(t|A|) + 1, with ceil(p*n/q) in exact ints
+    ceil_tn = F.floor((F.lit(p) * F.col("n_sh") + F.lit(q) - 1) / F.lit(q))
+    prefixes = ordered.select(
+        "doc",
+        F.col("n_sh"),
+        F.explode(F.slice("arr", 1, (F.col("n_sh") - ceil_tn + 1).cast("int"))).alias(
+            "sh_h"
+        ),
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # PPJoin length filter: J >= t forces t <= min/max of the two
+            # set sizes — prunes size-mismatched pairs BEFORE the distinct
+            # and the array-carrying verification join (exact integer test)
+            & (F.lit(q) * F.col("a.n_sh") >= F.lit(p) * F.col("b.n_sh"))
+            & (F.lit(q) * F.col("b.n_sh") >= F.lit(p) * F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    fa = ordered.select(
+        F.col("doc").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("n_a")
+    )
+    fb = ordered.select(
+        F.col("doc").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("inter"),
+            "n_a",
+            "n_b",
+        )
+        .filter(
+            F.lit(q) * F.col("inter")
+            >= F.lit(p) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
         )
     )

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "pagerank"]
+__all__ = ["connected_components", "dedup_clusters", "pagerank", "triangle_counts"]
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
@@ -310,4 +310,79 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node", F.round(F.col("r").cast("double") / F.lit(float(scale)), 9).alias("rank")
+    )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts of an undirected pair graph — the
+    cluster-cohesion signal for near-duplicate graphs: a node whose
+    neighbors all know each other (many triangles) sits in a dense dup
+    cluster; a high-degree node with no triangles is a hub/boilerplate
+    artifact that chaining-style dedup would over-merge.
+
+    Node-iterator with DEGREE ORIENTATION (Schank & Wagner '05; the
+    MapReduce form in Suri & Vassilvitskii WWW'11): every edge is
+    oriented from the (degree, id)-smaller endpoint to the larger, wedges
+    are built only at each edge's LOW-degree end, and a wedge closes into
+    a triangle iff its outer pair is an edge. Orientation bounds the
+    per-node wedge fanout by the node's *oriented* out-degree ~ O(√m) on
+    any graph, so one corpus-hot node (degree d) generates O(m) wedges,
+    never the O(d²) a naive neighbor self-join produces — that is the
+    difference between a skewed-but-linear shuffle and a quadratic
+    blow-up at 100 TB. Each triangle is counted exactly once.
+
+    Output: ``(node, degree, n_triangles)`` for every node in the pair
+    table (zero-triangle nodes included).
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    ranked = edges.join(da, "a").join(db, "b")
+    # orient low (degree, id) -> high: 'u' is the cheap end
+    oriented = ranked.select(
+        F.when(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedges at u: two out-neighbors v < w (by id — dedups the wedge pair)
+    wedges = o1.join(
+        o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v"))
+    ).select(
+        F.col("o1.u").alias("u"),
+        F.col("o1.v").alias("v"),
+        F.col("o2.v").alias("w"),
+    )
+    closing = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])  # v < w already normalized
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
     )

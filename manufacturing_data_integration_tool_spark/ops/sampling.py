@@ -38,6 +38,7 @@ __all__ = [
     "pack_sequences",
     "temperature_mix",
     "dsir_admission",
+    "weighted_percentile",
 ]
 
 _HEX_DIGITS = 13  # 13 hex chars = 52 bits: exactly representable in a double
@@ -561,4 +562,58 @@ def dsir_admission(
         "score",
         weight.alias("weight"),
         (_u52(id_col, salt) < thresh).alias("admitted"),
+    )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    *,
+    fraction: float = 0.5,
+    out_col: str = "wpct",
+) -> DataFrame:
+    """Exact WEIGHTED percentile per group (lower weighted-quantile rule):
+    the smallest value whose cumulative weight reaches ``fraction`` of the
+    group's total — e.g. the quantity-weighted median price, where a line
+    selling 50 units counts 50x a line selling one.
+
+    Two-phase for scale: weights are first COLLAPSED per (group, value) —
+    a map-side-combined aggregate, so the subsequent cumulative-weight
+    window runs over *distinct values per group* (bounded by the value
+    domain), not over the raw rows. The threshold test uses integer cross
+    multiplication on exact decimal weights — no float boundary: a value
+    qualifies when ``q * cum_w >= p * total_w`` (fraction = p/q).
+
+    The remaining per-group window is ordered by value over that
+    collapsed table; for the common "few groups × bounded value domain"
+    shape its widest task holds one group's distinct values. Groups whose
+    distinct-value count itself scales with the data need the
+    ``two_phase_running_sum`` sub-bucket treatment instead.
+
+    Output: one row per group — (*group_cols, total_w, {out_col}).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(fraction).limit_denominator(10_000)
+    p, q = frac.numerator, frac.denominator
+    gcols = [F.col(c) for c in group_cols]
+    collapsed = (
+        df.groupBy(*gcols, F.col(value_col).alias("__v"))
+        .agg(F.sum(F.col(weight_col).cast("decimal(28,4)")).alias("__w"))
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.asc("__v"))
+    cum = collapsed.withColumn(
+        "__cw", F.sum("__w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = collapsed.groupBy(*gcols).agg(F.sum("__w").alias("__tw"))
+    hit = (
+        cum.join(totals, list(group_cols))
+        .filter(F.lit(q) * F.col("__cw") >= F.lit(p) * F.col("__tw"))
+        .groupBy(*gcols)
+        .agg(F.min("__v").alias(out_col), F.max("__tw").alias("__tw2"))
+    )
+    return hit.select(
+        *group_cols, F.col("__tw2").cast("double").alias("total_w"), out_col
     )

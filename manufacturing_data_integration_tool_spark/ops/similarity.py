@@ -28,6 +28,7 @@ __all__ = [
     "dot",
     "l2_norm",
     "cosine_similarity",
+    "mmr_rerank",
     "cosine_topk",
     "knn_classify",
     "label_centroids",
@@ -694,3 +695,80 @@ def pca_project(
         for comp in components
     ]
     return bound.withColumn(out_col, F.array(*projs)).drop("__centered")
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str,
+    score_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    lambda_: float = 0.7,
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick ``k`` results maximizing
+    ``λ·relevance − (1−λ)·max_similarity_to_already_picked`` — the
+    standard diversification pass over a retrieval page, so ten near-dup
+    hits don't fill the whole result list.
+
+    CONTRACT: ``candidates`` is a RERANK PAGE, not a corpus — the top-N
+    of an upstream retriever (BM25 / ANN), bounded by construction. MMR
+    is inherently sequential (each pick conditions the next), so the
+    page is collected to the driver and the k·|page| greedy loop runs in
+    numpy; the collect is guarded by ``max_candidates`` and raises
+    loudly on larger inputs instead of silently serializing a corpus.
+    The heavy work (scoring the corpus down to the page) belongs to the
+    upstream operator — that part is distributed.
+
+    Deterministic: cosine similarities in float64, ties broken by id
+    ascending. Returns (id_col, mmr_rank, {score_col}, mmr_score).
+    """
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    n = candidates.count()
+    if n > max_candidates:
+        raise ValueError(
+            f"mmr_rerank got {n} candidates > max_candidates={max_candidates}; "
+            "MMR is a page reranker — cut the set with the upstream retriever "
+            "or raise max_candidates explicitly"
+        )
+    import numpy as np
+
+    rows = (
+        candidates.select(id_col, score_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .collect()
+    )
+    if not rows:
+        return candidates.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("mmr_rank"),
+            F.col(score_col),
+            F.lit(0.0).alias("mmr_score"),
+        ).limit(0)
+    ids = [r[0] for r in rows]
+    rel = np.array([float(r[1]) for r in rows])
+    vecs = np.array([r[2] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = vecs / norms[:, None]
+    sims = unit @ unit.T
+    k = min(k, len(ids))
+    picked: list[int] = []
+    max_sim = np.zeros(len(ids))
+    out = []
+    avail = np.ones(len(ids), dtype=bool)
+    for rank in range(1, k + 1):
+        mmr = lambda_ * rel - (1.0 - lambda_) * max_sim
+        mmr[~avail] = -np.inf
+        best = int(np.argmax(mmr))  # ties: first index = smallest id (sorted)
+        out.append((ids[best], rank, float(rel[best]), float(round(mmr[best], 9))))
+        avail[best] = False
+        max_sim = np.maximum(max_sim, sims[best])
+        picked.append(best)
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        out, f"{id_col} long, mmr_rank long, {score_col} double, mmr_score double"
+    )

@@ -43,6 +43,11 @@ __all__ = [
     "GOPHER_STOPWORDS",
     "frequent_terms",
     "bpe_encode",
+    "bm25_topk",
+    "c4_line_filter",
+    "encoding_screen",
+    "unigram_drift",
+    "bigram_doc_logprob",
 ]
 
 # GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
@@ -1139,3 +1144,314 @@ def bpe_encode(
 
     schema = f"{id_col} long, n_tokens long, token_ids array<int>"
     return df.select(id_col, text_col).mapInPandas(_encode, schema)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag-of-terms query.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with the rational idf (N - df + 0.5) / (df + 0.5) — Robertson's idf
+    without the log, so every factor is plain IEEE arithmetic (correctly
+    rounded, engine-independent; ln is the one op where JVM and C libm may
+    drift an ulp). Per-term contributions are rounded then summed as EXACT
+    decimals, so partial-aggregation order cannot change the total, and
+    the final ordering key is that exact decimal — deterministic top-k
+    (ties broken by id) on any engine.
+
+    100 TB posture: the explode is pre-filtered to the query terms, so the
+    per-doc tf table is |query| rows per matching doc, never the corpus
+    vocabulary; df/N/avgdl are a tiny broadcast; the top-k is a
+    distributed TakeOrderedAndProject (no single-task global sort), and
+    the rank stamp runs over <= k collected rows.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = tokenize(text_col)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__tk"))
+    lengths = base.select("doc", F.size("__tk").cast("long").alias("dl"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = (
+        base.select("doc", F.explode("__tk").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    norm = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    contrib = F.round(idf * norm, 9).cast("decimal(24,12)")
+    scored = (
+        tf.join(lengths, "doc")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc")
+        .agg(
+            F.sum(contrib).alias("__score_exact"),
+            F.count(F.lit(1)).alias("n_query_terms_hit"),
+        )
+        .orderBy(F.desc("__score_exact"), F.asc("doc"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("__score_exact"), F.asc("doc"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("doc").alias(id_col),
+        "rank",
+        "n_query_terms_hit",
+        F.round(F.col("__score_exact").cast("double"), 6).alias("bm25"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    line_sep: Optional[str] = None,
+    tokens_per_line: int = 12,
+    min_words: int = 5,
+    blocklist: Sequence[str] = ("javascript", "cookies", "lorem"),
+    drop_braces: bool = True,
+    require_terminal_punct: bool = False,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): drop lines
+    that are too short, contain a blocklisted word, contain curly braces
+    (code leakage), or (optionally) lack terminal punctuation — then
+    re-assemble each document from its surviving lines, in order.
+
+    Lines come from ``line_sep`` (a split regex, e.g. ``'\\n'``) when the
+    corpus has natural breaks, else fixed ``tokens_per_line`` token
+    windows (for pre-flattened corpora). All rules evaluate as
+    higher-order-function folds over the line array — zero shuffle, the
+    whole operator runs inside whole-stage codegen at scan speed, so it
+    holds at any corpus size with no partition-layout caveats.
+
+    Output: ``(id_col, n_lines, n_kept, clean_text)`` — one row per doc,
+    including docs where every line was dropped (``clean_text = ''``).
+    """
+    block = F.array(*[F.lit(w) for w in blocklist])
+
+    def _keep(line: Column) -> Column:
+        words = F.filter(F.split(F.lower(line), r"\s+"), lambda t: t != F.lit(""))
+        cond = F.size(words) >= F.lit(min_words)
+        cond = cond & ~F.exists(words, lambda w: F.array_contains(block, w))
+        if drop_braces:
+            cond = cond & ~line.contains("{") & ~line.contains("}")
+        if require_terminal_punct:
+            cond = cond & line.rlike(r'[.!?"]\s*$')
+        return cond
+
+    if line_sep is not None:
+        lines = F.filter(F.split(F.col(text_col), line_sep), lambda s: F.length(s) > 0)
+        out = df.select(F.col(id_col), lines.alias("__lines"))
+    else:
+        # token-window lines: bind the token array to a real column before
+        # the HOF (no CSE inside lambdas — see shingles_from_tokens).
+        base_tk = F.col("__tk")
+        n_lines = F.ceil(F.size(base_tk) / F.lit(tokens_per_line)).cast("int")
+        windows = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(base_tk, i * tokens_per_line + 1, tokens_per_line)
+            ),
+        )
+        out = (
+            df.select(F.col(id_col), tokenize(text_col).alias("__tk"))
+            .select(
+                id_col,
+                F.filter(windows, lambda s: F.length(s) > 0).alias("__lines"),
+            )
+        )
+    kept = F.filter(F.col("__lines"), _keep)
+    return out.select(
+        id_col,
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " " if line_sep is None else "\n").alias("clean_text"),
+    )
+
+
+def encoding_screen(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte/char-level encoding hygiene profile — the mojibake/control-char
+    screen a web-scale ingest runs before any tokenizer sees the bytes.
+
+    Per document: char vs UTF-8 byte length (multi-byte detection),
+    whitespace / alphabetic / digit ratios, U+FFFD replacement-character
+    and C0/C1-control counts, and an ``ok_encoding`` flag (no replacement
+    chars, no control chars). Counts use length-difference over
+    ``replace``/``regexp_replace`` with explicit byte-range classes so
+    Java regex and RE2 agree. Pure per-row Column expressions: zero
+    shuffle, scan-speed at any scale.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+
+    def _n(cls: str) -> Column:
+        return (n_chars - F.length(F.regexp_replace(t, cls, ""))).cast("long")
+
+    n_repl = (n_chars - F.length(F.regexp_replace(t, "�", ""))).cast("long")
+    n_ctrl = _n(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ratio = lambda c: F.round(
+        F.when(n_chars > 0, c.cast("double") / n_chars.cast("double")).otherwise(0.0), 4
+    )
+    n_ws = _n(r"[ \t\r\n]")
+    n_alpha = _n("[a-zA-Z]")
+    n_digit = _n("[0-9]")
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        F.octet_length(t).cast("long").alias("n_bytes"),
+        (F.octet_length(t) == n_chars).alias("ascii_width"),
+        n_ws.alias("n_ws"),
+        ratio(n_ws).alias("ws_ratio"),
+        ratio(n_alpha).alias("alpha_ratio"),
+        ratio(n_digit).alias("digit_ratio"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        ((n_repl == 0) & (n_ctrl == 0)).alias("ok_encoding"),
+    )
+
+
+def unigram_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group distribution-drift monitor: add-1-smoothed KL divergence
+    of each group's unigram distribution from the corpus distribution —
+    the standard check that one crawl/source/day has not drifted away
+    from the mix the model was tuned on.
+
+    KL(g ‖ corpus) = Σ_t p_g(t) · ln(p_g(t) / p_c(t)) over the FULL corpus
+    vocabulary (terms absent from the group contribute their smoothed
+    floor mass). Per-term contributions are rounded to 9 decimals and
+    summed as exact decimals so partial-aggregation order cannot move the
+    total; ``ln`` is the only libm call (same cross-engine posture as the
+    DSIR scorer).
+
+    100 TB posture: one explode + one (group, term) map-side-combined
+    aggregate; the vocabulary × groups completion is a broadcast of the
+    per-group totals (|G| rows) against the vocab table — |V|·|G| rows,
+    linear in vocabulary size, never in corpus size.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokenize(text_col)).alias("term")
+    )
+    cgt = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c_gt"))
+    vocab = cgt.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
+    totals = cgt.groupBy("grp").agg(F.sum("c_gt").alias("t_g"))
+    corpus = vocab.agg(
+        F.sum("c_t").alias("t_all"), F.count(F.lit(1)).alias("v")
+    )
+    full = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(cgt, ["grp", "term"], "left")
+        .na.fill({"c_gt": 0})
+        .crossJoin(F.broadcast(corpus))
+    )
+    p_g = (F.col("c_gt") + 1).cast("double") / (F.col("t_g") + F.col("v")).cast("double")
+    p_c = (F.col("c_t") + 1).cast("double") / (F.col("t_all") + F.col("v")).cast("double")
+    contrib = F.round(p_g * F.log(p_g / p_c), 9).cast("decimal(24,12)")
+    return (
+        full.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("t_g").alias("n_tokens"),
+            F.sum((F.col("c_gt") > 0).cast("long")).alias("n_terms"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("kl_divergence"),
+        )
+    )
+
+
+def bigram_doc_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    train_predicate: Column,
+    cutoff: float = -9.0,
+) -> DataFrame:
+    """CCNet-style LM quality filter: score every document's mean bigram
+    log-probability under an add-half bigram model trained on the subset
+    selected by ``train_predicate``, and flag admission at ``cutoff``.
+
+    P(w2|w1) = (2·c12 + 1) / (2·c1 + V) in integer-exact form (one IEEE
+    division of two exact BIGINTs); unseen bigrams/unigrams hit the
+    smoothed floor, exactly how a held-out scorer behaves. Per-bigram
+    ``ln`` terms are rounded to 9 decimals and summed as exact decimals —
+    order-free totals. Docs with < 2 tokens have no bigrams and drop out.
+
+    100 TB posture: the LM is two map-side-combined aggregates over the
+    training subset; scoring is one explode + two hash joins on the
+    bigram/unigram keys (both uniformly distributed strings) + one per-doc
+    aggregate. Nothing is quadratic and no window is unpartitioned.
+    """
+    toks = tokenize(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc"), train_predicate.alias("__train"), toks.alias("__tk")
+    )
+    grams = base.select(
+        "doc",
+        "__train",
+        F.explode_outer(
+            F.when(
+                F.size("__tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - F.lit(1)),
+                    lambda i: F.concat_ws(" ", F.slice("__tk", i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    ).filter(F.col("bg").isNotNull())
+    unis = base.filter("__train").select(F.explode("__tk").alias("w"))
+    c1 = unis.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = (
+        grams.filter("__train").groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    vocab = c1.agg(F.count(F.lit(1)).alias("__v"))
+    scored = (
+        grams.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(c12, "bg", "left")
+        .join(c1.withColumnRenamed("w", "w1"), "w1", "left")
+        .na.fill({"c12": 0, "c1": 0})
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.lit(2) * F.col("c12") + F.lit(1)).cast("double") / (
+        F.lit(2) * F.col("c1") + F.col("__v")
+    ).cast("double")
+    logp = F.round(F.log(p), 9).cast("decimal(24,12)")
+    return (
+        scored.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # cast the EXACT decimal sum to double BEFORE dividing — a
+            # decimal/long division would pick engine-specific result
+            # scales; double/long is one IEEE op, identical everywhere.
+            F.round(F.sum(logp).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logp"
+            ),
+        )
+        .withColumn("admitted", F.col("avg_logp") >= F.lit(cutoff))
+    )

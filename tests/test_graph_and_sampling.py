@@ -400,3 +400,115 @@ def test_pagerank_star_center_dominates(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
     assert got[0] > max(got[i] for i in range(1, 7)) * 3
+
+
+def test_triangle_counts_known_graph(spark):
+    from manufacturing_data_integration_tool_spark.ops.graph import triangle_counts
+
+    # K4 on 1-4 (4 triangles, 3 per node) + pendant 5 + disjoint edge 6-7
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5),
+        (6, 7),
+        (2, 1),  # reversed duplicate must not double-count
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: (r.degree, r.n_triangles) for r in triangle_counts(df).collect()}
+    assert out == {
+        1: (3, 3),
+        2: (3, 3),
+        3: (3, 3),
+        4: (4, 3),
+        5: (1, 0),
+        6: (1, 0),
+        7: (1, 0),
+    }
+
+
+def test_triangle_counts_star_has_none(spark):
+    from manufacturing_data_integration_tool_spark.ops.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    out = triangle_counts(df).collect()
+    assert all(r.n_triangles == 0 for r in out)
+    assert {r.degree for r in out} == {1, 5}
+
+
+def test_mmr_rerank_prefers_diverse_results(spark):
+    from manufacturing_data_integration_tool_spark.ops.similarity import mmr_rerank
+
+    # docs 1,2 nearly identical vectors with top relevance; doc 3 slightly
+    # less relevant but orthogonal -> MMR must pick 3 second, not 2
+    rows = [
+        (1, 1.00, [1.0, 0.0, 0.0]),
+        (2, 0.99, [0.999, 0.01, 0.0]),
+        (3, 0.90, [0.0, 1.0, 0.0]),
+        (4, 0.10, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, vec array<double>"
+    )
+    out = mmr_rerank(df, "doc_id", "score", "vec", k=3, lambda_=0.5)
+    got = [r.doc_id for r in out.orderBy("mmr_rank").collect()]
+    assert got == [1, 3, 4]
+    # pure relevance (lambda=1) keeps the near-dup at rank 2
+    out2 = mmr_rerank(df, "doc_id", "score", "vec", k=3, lambda_=1.0)
+    assert [r.doc_id for r in out2.orderBy("mmr_rank").collect()] == [1, 2, 3]
+
+
+def test_mmr_rerank_matches_pure_python_twin(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import mmr_rerank
+    from manufacturing_data_integration_tool_spark.ops.text import bm25_topk
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    page = bm25_topk(docs, ["filter", "merge"], k=20)
+    cand = page.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    got = [
+        (r.doc_id, r.mmr_rank)
+        for r in mmr_rerank(cand, "doc_id", "bm25", "embedding", k=8, lambda_=0.7)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    rows = sorted(cand.select("doc_id", "bm25", "embedding").collect())
+    ids = [r.doc_id for r in rows]
+    rel = np.array([r.bm25 for r in rows])
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = unit @ unit.T
+    picked, max_sim = [], np.zeros(len(ids))
+    avail = np.ones(len(ids), dtype=bool)
+    for rank in range(1, 9):
+        mmr = 0.7 * rel - 0.3 * max_sim
+        mmr[~avail] = -np.inf
+        b = int(np.argmax(mmr))
+        picked.append((ids[b], rank))
+        avail[b] = False
+        max_sim = np.maximum(max_sim, sims[b])
+    assert got == picked
+
+
+def test_mmr_rerank_guard_rails(spark):
+    import pytest as _pytest
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(i, 1.0, [float(i), 1.0]) for i in range(5)],
+        "doc_id long, score double, vec array<double>",
+    )
+    with _pytest.raises(ValueError, match="max_candidates"):
+        mmr_rerank(df, "doc_id", "score", "vec", k=2, max_candidates=3)
+    with _pytest.raises(ValueError, match="lambda_"):
+        mmr_rerank(df, "doc_id", "score", "vec", k=2, lambda_=1.5)
+    # k larger than the page: returns the whole page, ranked
+    out = mmr_rerank(df, "doc_id", "score", "vec", k=50)
+    assert out.count() == 5

@@ -1169,3 +1169,248 @@ def test_pca_fit_project_matches_numpy(spark):
     proj_ref = (x - x.mean(axis=0)) @ np.asarray(comps).T
     got = np.asarray([r["pca"] for r in out])
     assert np.abs(got - proj_ref[np.argsort([r["vec_id"] for r in out])]).max() < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 2: BM25, C4 line filter, encoding screen, overlap matrix,
+# drift, LM quality filter, prefix-filtered Jaccard, weighted percentile
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranking_and_rank_column(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark merge merge merge filler filler"),
+            (2, "merge once in a long document " + "pad " * 40),
+            (3, "nothing relevant here at all"),
+            (4, "merge stream merge stream short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["merge", "stream"], k=10).orderBy("rank").collect()
+    # doc 3 has no query terms -> absent; doc 4 hits both terms
+    assert [r.doc_id for r in out][0] == 4
+    assert {r.doc_id for r in out} == {1, 2, 4}
+    assert [r.rank for r in out] == [1, 2, 3]
+    ranked = sorted(out, key=lambda r: -r.bm25)
+    assert [r.doc_id for r in ranked] == [r.doc_id for r in out]
+    # tf saturation + length normalization: doc1 (tf=3, short) beats doc2
+    # (tf=1, long)
+    d = {r.doc_id: r.bm25 for r in out}
+    assert d[1] > d[2]
+
+
+def test_bm25_empty_query_raises(spark):
+    import pytest as _pytest
+
+    from manufacturing_data_integration_tool_spark.ops.text import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+def test_c4_line_filter_newline_mode_rules(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "this line has five good words\n"
+                "too short\n"
+                "enable javascript to view this page\n"
+                "object = { key: value } with words\n"
+                "another perfectly fine line of text",
+            ),
+            (2, "all lines\nare tiny\nhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in c4_line_filter(df, line_sep=r"\n", min_words=5).collect()
+    }
+    assert out[1].n_lines == 5
+    assert out[1].n_kept == 2
+    assert out[1].clean_text == (
+        "this line has five good words\nanother perfectly fine line of text"
+    )
+    assert out[2].n_kept == 0 and out[2].clean_text == ""
+
+
+def test_c4_line_filter_token_window_mode_matches_manual(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import c4_line_filter
+
+    words = [f"w{i}" for i in range(30)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = c4_line_filter(df, tokens_per_line=12, min_words=5).collect()[0]
+    # windows: 12 + 12 + 6 tokens -> last window (6 words) passes min_words=5
+    assert out.n_lines == 3 and out.n_kept == 3
+    assert out.clean_text == " ".join(words)
+    out2 = c4_line_filter(df, tokens_per_line=12, min_words=7).collect()[0]
+    assert out2.n_kept == 2
+    assert out2.clean_text == " ".join(words[:24])
+
+
+def test_encoding_screen_flags_and_ratios(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import encoding_screen
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean ascii text 123"),
+            (2, "bad \x07 control"),
+            (3, "moji�bake"),
+            (4, "café latte"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in encoding_screen(df).collect()}
+    assert out[1].ok_encoding and out[1].ascii_width
+    assert out[1].n_ws == 3 and out[1].digit_ratio > 0
+    assert out[2].n_control == 1 and not out[2].ok_encoding
+    assert out[3].n_replacement == 1 and not out[3].ok_encoding
+    # multi-byte char: byte width exceeds char width but encoding is fine
+    assert out[4].n_bytes > out[4].n_chars and not out[4].ascii_width
+    assert out[4].ok_encoding
+
+
+def test_source_overlap_matrix_counts(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        source_overlap_matrix,
+    )
+
+    seg_a = "a b c d e f g h"          # shared by src1 and src2
+    seg_b = "p q r s t u v w"          # src1 only
+    seg_c = "k l m n o p q r"          # src2 only
+    df = spark.createDataFrame(
+        [
+            (1, seg_a + " " + seg_b, "src1"),
+            (2, seg_a + " " + seg_c, "src2"),
+            (3, seg_a, "src2"),        # duplicate segment within source: distinct
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = source_overlap_matrix(df, tokens_per_segment=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b) == ("src1", "src2")
+    assert r.inter == 1 and r.n_a == 2 and r.n_b == 2
+    assert abs(r.overlap_coef - 0.5) < 1e-9
+
+
+def test_unigram_drift_identical_groups_near_zero(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import unigram_drift
+
+    same = "alpha beta gamma delta alpha beta"
+    df = spark.createDataFrame(
+        [(1, same, "s1"), (2, same, "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r.kl_divergence for r in unigram_drift(df).collect()}
+    # identical groups: only add-1 smoothing bias remains (different group
+    # vs corpus totals), well under any drift-alarm threshold — and
+    # symmetric across the two groups
+    assert abs(out["s1"]) < 0.01 and abs(out["s2"]) < 0.01
+    assert out["s1"] == out["s2"]
+
+    skewed = spark.createDataFrame(
+        [(1, "alpha alpha alpha alpha", "s1"), (2, "beta gamma delta zeta", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out2 = {r.source: r.kl_divergence for r in unigram_drift(skewed).collect()}
+    # pure-python mirror of the add-1 smoothed KL over the shared vocab
+    assert out2["s1"] == 0.059659 and out2["s2"] == 0.188898
+    assert out2["s2"] > out2["s1"] > out["s1"]  # drift orders sensibly
+
+
+def test_bigram_doc_logprob_favors_in_distribution_text(spark):
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.ops.text import bigram_doc_logprob
+
+    train = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, train, "train"),
+            (2, train, "train"),
+            (3, "the quick brown fox", "score"),   # seen bigrams
+            (4, "dog lazy over jumps", "score"),   # reversed: unseen bigrams
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_doc_logprob(
+            df, train_predicate=F.col("source") == "train", cutoff=-3.0
+        ).collect()
+    }
+    assert out[3].avg_logp > out[4].avg_logp
+    assert out[3].n_bigrams == 3
+    # single-token/empty docs yield no row
+    single = spark.createDataFrame(
+        [(1, "word word", "train"), (9, "solo", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = bigram_doc_logprob(
+        single, train_predicate=F.col("source") == "train"
+    ).collect()
+    assert {r.doc_id for r in got} == {1}
+
+
+def test_prefix_filtered_jaccard_matches_full_inverted_join(spark, sf_dir):
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard,
+    )
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for t in (0.3, 0.5, 0.8):
+        full = {
+            (r.doc_a, r.doc_b, r.inter, r.n_a, r.n_b)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b, r.inter, r.n_a, r.n_b)
+            for r in prefix_filtered_jaccard(
+                docs, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        assert pref == full, f"threshold {t}: prefix filtering changed the answer"
+
+
+def test_weighted_percentile_hand_computed(spark):
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        weighted_percentile,
+    )
+
+    # group g: values 10(w=1), 20(w=1), 30(w=8) -> weighted median = 30
+    # unweighted median would be 20; group h: uniform weights -> 2nd of 3
+    df = spark.createDataFrame(
+        [
+            ("g", 10, 1.0),
+            ("g", 20, 1.0),
+            ("g", 30, 8.0),
+            ("h", 5, 1.0),
+            ("h", 6, 1.0),
+            ("h", 7, 1.0),
+        ],
+        "grp string, v int, w double",
+    )
+    out = {
+        r.grp: r
+        for r in weighted_percentile(df, ["grp"], "v", "w", fraction=0.5).collect()
+    }
+    assert out["g"].wpct == 30 and out["g"].total_w == 10.0
+    assert out["h"].wpct == 6
+    # fraction=1.0 -> max value; duplicate values collapse first
+    out2 = {
+        r.grp: r.wpct
+        for r in weighted_percentile(df, ["grp"], "v", "w", fraction=1.0).collect()
+    }
+    assert out2 == {"g": 30, "h": 7}

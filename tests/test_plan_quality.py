@@ -471,3 +471,81 @@ def test_dsir_admission_single_token_pass_no_python(spark):
     plan = plan_of(entry.q153_dsir_admission(spark, "/root/testdata/sf0.001"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q157_bm25_topk_is_take_ordered(spark):
+    plan = plan_of(entry.q157_bm25_retrieval(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the df/stats sides broadcast — no shuffle join against tiny dims
+    assert "BroadcastExchange" in plan
+
+
+def test_q158_c4_and_q159_encoding_have_no_exchange(spark):
+    """Line filtering and the encoding screen are per-row HOF folds — any
+    hash/single-partition Exchange means a shuffle snuck into a
+    scan-speed op (the reader's round-robin fan-out of a single parquet
+    file is the one allowed Exchange)."""
+    for q in (entry.q158_c4_line_filter, entry.q159_encoding_screen):
+        plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+        n_exchange = plan.count("Arguments: ") and len(
+            [l for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l]
+        )
+        n_roundrobin = plan.count("RoundRobinPartitioning")
+        assert n_exchange == n_roundrobin, q.__name__
+        assert "hashpartitioning" not in plan and "SinglePartition" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q160_overlap_and_q163_prefix_jaccard_no_cartesian(spark):
+    for q in (entry.q160_source_overlap, entry.q163_prefix_jaccard):
+        plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_q163_prefix_index_smaller_than_full_index(spark):
+    """The point of prefix filtering: the inverted index the self-join
+    runs on must be strictly smaller than the full shingle index."""
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        shingles_from_tokens,
+    )
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    base = docs.select(F.col("doc_id").alias("doc"), toks.alias("__tk")).select(
+        "doc", shingles_from_tokens("__tk", 3).alias("sh")
+    )
+    full_index = base.select(F.explode("sh")).count()
+    # at t=0.5 each doc contributes ~half its shingles to the prefix
+    from fractions import Fraction
+
+    sizes = base.select(F.size("sh").alias("n")).collect()
+    expected_prefix = sum(n.n - (n.n + 1) // 2 + 1 for n in sizes if n.n > 0)
+    assert expected_prefix < 0.6 * full_index
+
+
+def test_q164_rfm_ntile_windows_are_sub_bucketed(spark):
+    """All three RFM quartile windows must partition on their sub-bucket
+    — an empty PARTITION BY would serialize the customer table through
+    one task per metric."""
+    plan = plan_of(entry.q164_rfm_segments(spark, "/root/testdata/sf0.001"))
+    import re
+
+    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
+        assert m.group(1).strip() != "", "unpartitioned window in RFM plan"
+
+
+def test_q165_weighted_median_collapses_before_window(spark):
+    """The cumulative-weight window must run over the per-(group, value)
+    collapsed table: a HashAggregate (partial+final on group+value) has
+    to appear BELOW the Window node in the plan."""
+    plan = plan_of(entry.q165_weighted_median(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan
+    # at least one aggregate is produced before the window consumes it:
+    # the window's child subtree (printed after in formatted output)
+    # contains the collapse aggregate
+    assert plan.count("HashAggregate") >= 2
