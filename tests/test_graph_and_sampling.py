@@ -512,3 +512,76 @@ def test_mmr_rerank_guard_rails(spark):
     # k larger than the page: returns the whole page, ranked
     out = mmr_rerank(df, "doc_id", "score", "vec", k=50)
     assert out.count() == 5
+
+
+def test_triangle_counts_matches_bruteforce_random_graph(spark):
+    import itertools
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.graph import triangle_counts
+
+    rng = random.Random(1234)
+    nodes = list(range(60))
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.12
+    ]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for n in nodes:
+        if not adj[n]:
+            continue
+        tri = sum(
+            1
+            for v, w in itertools.combinations(sorted(adj[n]), 2)
+            if w in adj[v]
+        )
+        expected[n] = (len(adj[n]), tri)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.degree, r.n_triangles) for r in triangle_counts(df).collect()
+    }
+    assert got == expected
+
+
+def test_weighted_percentile_matches_pure_python_random(spark):
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        weighted_percentile,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (f"g{rng.randrange(3)}", rng.randrange(1, 50), float(rng.randrange(1, 9)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v int, w double")
+
+    def pure(frac):
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: defaultdict(float))
+        for g, v, w in rows:
+            agg[g][v] += w
+        out = {}
+        for g, vw in agg.items():
+            total = sum(vw.values())
+            cum = 0.0
+            for v in sorted(vw):
+                cum += vw[v]
+                if cum >= frac * total - 1e-12:
+                    out[g] = v
+                    break
+        return out
+
+    for frac in (0.25, 0.5, 0.9):
+        got = {
+            r.grp: r.wpct
+            for r in weighted_percentile(df, ["grp"], "v", "w", fraction=frac).collect()
+        }
+        assert got == pure(frac), f"fraction {frac}"

@@ -1414,3 +1414,35 @@ def test_weighted_percentile_hand_computed(spark):
         for r in weighted_percentile(df, ["grp"], "v", "w", fraction=1.0).collect()
     }
     assert out2 == {"g": 30, "h": 7}
+
+
+def test_prefix_filtered_jaccard_random_corpus_equivalence(spark):
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(120):
+        n = rng.randrange(4, 40)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # inject heavy near-dup structure: clones with small edits
+    for i in range(120, 160):
+        base = rows[i % 40][1].split()
+        j = rng.randrange(len(base))
+        base[j] = rng.choice(vocab)
+        rows.append((i, " ".join(base)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.4, 0.7):
+        full = {
+            tuple(r) for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=t).collect()
+        }
+        pref = {
+            tuple(r)
+            for r in prefix_filtered_jaccard(df, "doc_id", "text", n=3, threshold=t).collect()
+        }
+        assert pref == full, f"threshold {t}"
