@@ -3414,6 +3414,20 @@ def q167_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q168_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (ops.sampling.negative_samples): every doc anchors k=4 negatives at
+    fixed rank rotations of the md5-shuffled corpus order — the
+    reproducible negatives feed for a contrastive training batch
+    builder. The global rank rides the two-phase running sum (no
+    single-task sort); pairing is one equi-join on the unique rank."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import negative_samples
+
+    docs = read_table(spark, sf_dir, "documents")
+    return negative_samples(docs, "doc_id", k=4)
+
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3608,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_weighted_median": q165_weighted_median,
         "q166_triangle_counts": q166_triangle_counts,
         "q167_mmr_rerank": q167_mmr_rerank,
+        "q168_contrastive_negatives": q168_contrastive_negatives,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -5808,6 +5823,22 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT unnest([x,y,z]) AS node FROM tri) GROUP BY 1)
             SELECT deg.node, deg.degree, COALESCE(pt.n_triangles, 0) AS n_triangles
             FROM deg LEFT JOIN pt USING (node)
+        """,
+        "q168_contrastive_negatives": """
+            WITH ranked AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':neg'), doc_id
+                     ) AS r
+              FROM documents),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+            anchors AS (
+              SELECT a.doc_id AS anchor_id, CAST(t.j AS BIGINT) AS neg_idx,
+                     ((a.r - 1 + t.j * GREATEST(1, n.n // 5)) % n.n) + 1 AS pr
+              FROM ranked a CROSS JOIN n CROSS JOIN generate_series(1, 4) AS t(j))
+            SELECT anchor_id, neg_idx, b.doc_id AS negative_id
+            FROM anchors JOIN ranked b ON b.r = anchors.pr
+            WHERE b.doc_id <> anchor_id
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

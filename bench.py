@@ -146,6 +146,7 @@ HEADLINE = [
     "q165_weighted_median",
     "q166_triangle_counts",
     "q167_mmr_rerank",
+    "q168_contrastive_negatives",
 ]
 
 

@@ -39,6 +39,7 @@ __all__ = [
     "temperature_mix",
     "dsir_admission",
     "weighted_percentile",
+    "negative_samples",
 ]
 
 _HEX_DIGITS = 13  # 13 hex chars = 52 bits: exactly representable in a double
@@ -616,4 +617,72 @@ def weighted_percentile(
     )
     return hit.select(
         *group_cols, F.col("__tw2").cast("double").alias("total_w"), out_col
+    )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic contrastive NEGATIVE sampling: for every anchor row,
+    ``k`` pseudo-random partner rows drawn corpus-wide — the negatives
+    feeding a contrastive/embedding training batch builder.
+
+    Mechanism (shuffled round-robin pairing): rows are ranked in the
+    pseudo-random total order ``md5(id || ':' || salt)`` (engine-portable
+    like every sampler here), and anchor at rank r takes partners at
+    ranks ``(r - 1 + j·s) mod N + 1`` for ``j = 1..k`` with stride
+    ``s = max(1, N div (k+1))``. Each offset is a rotation of a random
+    permutation, so negatives are uniform-ish, content-independent, and
+    REPRODUCIBLE on any engine/cluster layout — and every row serves as
+    anchor exactly once and as negative at most k+? times (a rotation is
+    a bijection: exactly once per offset).
+
+    100 TB posture: the global rank rides :func:`two_phase_running_sum`
+    (md5-prefix sub-buckets, no single-task sort); pairing is ONE
+    equi-join on the unique rank key after a k-way offset explode —
+    fanout exactly k, no skew (ranks are unique), no shuffle wider than
+    the pairing join. Self-pairs (possible when N <= k·s wraps) are
+    filtered; N=1 yields zero rows.
+
+    Output: ``(anchor_id, neg_idx 1..k, negative_id)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    base = df.select(F.col(id_col), h.alias("__h"))
+    ranked = two_phase_running_sum(
+        base,
+        [],
+        [F.asc("__h"), F.asc(id_col)],
+        F.lit(1),
+        F.substring("__h", 1, 2),
+        out_col="__r",
+    ).select(id_col, "__r")
+    n = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    stride = F.greatest(F.lit(1).cast("bigint"), F.expr(f"__n div {int(k) + 1}"))
+    anchors = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            "__r",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("neg_idx"),
+        )
+        .select(
+            "anchor_id",
+            F.col("neg_idx").cast("long").alias("neg_idx"),
+            ((F.col("__r") - 1 + F.col("neg_idx") * stride) % F.col("__n") + 1).alias(
+                "__pr"
+            ),
+        )
+    )
+    partners = ranked.select(F.col(id_col).alias("negative_id"), F.col("__r").alias("__pr"))
+    return (
+        anchors.join(partners, "__pr")
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_idx", "negative_id")
     )

@@ -585,3 +585,41 @@ def test_weighted_percentile_matches_pure_python_random(spark):
             for r in weighted_percentile(df, ["grp"], "v", "w", fraction=frac).collect()
         }
         assert got == pure(frac), f"fraction {frac}"
+
+
+def test_negative_samples_bijection_and_determinism(spark):
+    from manufacturing_data_integration_tool_spark.ops.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    out = negative_samples(df, "doc_id", k=4).collect()
+    # every anchor gets exactly k negatives; every doc serves as negative
+    # exactly k times (each offset is a rotation = bijection)
+    from collections import Counter
+
+    anchors = Counter(r.anchor_id for r in out)
+    negs = Counter(r.negative_id for r in out)
+    assert set(anchors.values()) == {4} and len(anchors) == 30
+    assert set(negs.values()) == {4} and len(negs) == 30
+    assert all(r.anchor_id != r.negative_id for r in out)
+    # deterministic under repartition
+    out2 = negative_samples(df.repartition(7), "doc_id", k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # different salt -> different pairing
+    out3 = negative_samples(df, "doc_id", k=4, salt="other").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, out3))
+
+
+def test_negative_samples_tiny_corpus(spark):
+    import pytest as _pytest
+
+    from manufacturing_data_integration_tool_spark.ops.sampling import negative_samples
+
+    one = spark.createDataFrame([(1,)], "doc_id long")
+    assert negative_samples(one, "doc_id", k=2).count() == 0
+    two = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    rows = negative_samples(two, "doc_id", k=2).collect()
+    # N=2, s=1: offsets 1,2 -> one real partner and one self (filtered)
+    assert all(r.anchor_id != r.negative_id for r in rows)
+    assert len(rows) == 2
+    with _pytest.raises(ValueError):
+        negative_samples(two, "doc_id", k=0)

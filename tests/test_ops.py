@@ -1446,3 +1446,43 @@ def test_prefix_filtered_jaccard_random_corpus_equivalence(spark):
             for r in prefix_filtered_jaccard(df, "doc_id", "text", n=3, threshold=t).collect()
         }
         assert pref == full, f"threshold {t}"
+
+
+def test_text_and_dedup_ops_survive_edge_case_corpus(spark):
+    """Null text, empty string, whitespace-only, single token, and unicode
+    rows must not crash any documents-table operator, and per-doc outputs
+    must stay sane (no negative counts, no nulls where the contract says
+    none)."""
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.ops import dedup as dd
+    from manufacturing_data_integration_tool_spark.ops import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "en", "s0"),
+            (2, "", "en", "s0"),
+            (3, "   \t  ", "en", "s1"),
+            (4, "solo", "en", "s1"),
+            (5, "café königsberg 東京 word word", "de", "s1"),
+            (6, "normal words appear here repeatedly words appear", "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    # ops returning one row per (non-empty) doc
+    assert tx.encoding_screen(df).count() == 6
+    c4 = tx.c4_line_filter(df, tokens_per_line=3, min_words=1)
+    assert c4.filter(F.col("n_kept") < 0).count() == 0
+    gq = tx.gopher_quality_flags(df, min_words=1, min_stopword_hits=0)
+    assert gq.count() >= 4  # null/empty docs may drop out
+    assert tx.char_entropy(df).filter(F.col("char_entropy") < 0).count() == 0
+    # corpus-level ops
+    assert tx.unigram_drift(df).count() == 2  # two sources with tokens
+    lm = tx.bigram_doc_logprob(df, train_predicate=F.col("source") == "s0")
+    assert {r.doc_id for r in lm.collect()} <= {5, 6}  # only multi-token docs
+    assert tx.bm25_topk(df, ["words", "café"], k=5).count() >= 1
+    # dedup family
+    assert dd.source_overlap_matrix(df, tokens_per_segment=2).count() >= 0
+    assert dd.prefix_filtered_jaccard(df, "doc_id", "text", n=2, threshold=0.5).count() >= 0
+    assert dd.segment_dedup(df, tokens_per_segment=2).count() >= 3
+    assert dd.simhash_near_dups(df, "doc_id", "text").count() >= 0
