@@ -22,6 +22,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, functions as F
 
 __all__ = [
+    "write_range_sorted",
     "interleave_bits_16",
     "zorder_key_2d",
     "write_zordered",
@@ -188,3 +189,40 @@ def compact_small_files(
         .parquet(dest_path)
     )
     return n_files
+
+
+def write_range_sorted(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    path: str,
+    *,
+    n_files: int = 8,
+    descending: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Write a GLOBALLY range-sorted parquet layout — the curriculum-
+    ordering / merge-friendly layout: file i's last key <= file i+1's
+    first key, and rows inside each file are sorted.
+
+    ``repartitionByRange`` samples the ordering key to build balanced
+    range boundaries (a tiny sampling job — never a global sort), then
+    each of the ``n_files`` partitions sorts LOCALLY and writes one file.
+    A curriculum trainer can then stream part files in name order and see
+    quality-ascending (or descending) data; a downstream merge join can
+    treat the directory as pre-sorted runs. Cost at any scale: one
+    sampling pass + one shuffle + per-partition sorts — no single-task
+    global sort anywhere.
+
+    Footer min/max stats also become perfectly disjoint on the leading
+    key, so range predicates prune whole files (same data-skipping payoff
+    as Z-order, specialized to one dimension).
+    """
+    cols = [
+        (F.col(c).desc() if descending else F.col(c).asc()) for c in order_cols
+    ]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -549,3 +549,13 @@ def test_q165_weighted_median_collapses_before_window(spark):
     # the window's child subtree (printed after in formatted output)
     # contains the collapse aggregate
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q168_negative_rank_window_is_sub_bucketed(spark):
+    """q168: the md5-shuffle global rank must ride the two-phase running
+    sum (window partitioned on the md5-prefix sub-bucket), never an
+    unpartitioned ROW_NUMBER over the corpus."""
+    import re
+
+    plan = plan_of(entry.q168_contrastive_negatives(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(__tprs_sub#\d+", plan), "rank window not sub-bucketed"
