@@ -3428,6 +3428,58 @@ def q168_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q169_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing EWMA of event value (ops.stats.ewma_trailing,
+    depth 16, decay 0.7): the weight table is exact Python-int literals
+    (7^j * 10^(15-j)) shipped as an array both engines index — a float
+    ``pow`` would already round at 7^19 — and every product/sum runs in
+    decimal, so the single final divide is the only float op. One window
+    over a bounded 16-row tail per user; no global sort."""
+    from manufacturing_data_integration_tool_spark.ops.stats import ewma_trailing
+
+    ev = read_table(spark, sf_dir, "events")
+    return ewma_trailing(
+        ev, "user_id", "ts", "value", tiebreak_col="event_id", depth=16
+    )
+
+
+def q170_mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen on order totals per priority
+    (ops.stats.mad_outliers): the 50 %-breakdown cousin of the zscore
+    rule (P8) — contamination can't drag the center/width it is measured
+    against. Same two-pass broadcast-stats shape as P8: two grouped
+    aggregates + broadcast joins, no unpartitioned window."""
+    from manufacturing_data_integration_tool_spark.ops.stats import mad_outliers
+
+    orders = read_table(spark, sf_dir, "orders")
+    return mad_outliers(
+        orders, ["o_orderpriority"], "o_totalprice", scale=100, n_sigmas=3.0
+    )
+
+
+def q171_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift flags on the per-(event_type, day) mean
+    value series (ops.stats.cusum_flags): Page's recursion via its
+    prefix-min closed form over INTEGER cumulative sums — deviations are
+    multiplied through by the day count so centering never divides, and
+    the raw stream collapses to one row per (key, day) before any window
+    runs. slack=2.0, threshold=5.0 in value units."""
+    from manufacturing_data_integration_tool_spark.ops.stats import cusum_flags
+
+    ev = read_table(spark, sf_dir, "events")
+    return cusum_flags(ev, "event_type", "ts", "value", slack=2.0, threshold=5.0)
+
+
+def q172_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocations over the top-100 vocabulary
+    (ops.text.token_pmi, Church & Hanks CL'90): all document frequencies
+    stay exact integers; the broadcast vocab bounds the per-doc pair
+    fan-out, so the self-join is C(|vocab ∩ doc|, 2), never
+    C(doc_len, 2)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.token_pmi(docs, "doc_id", "text", vocab_size=100, min_pair_count=5)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3623,6 +3675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_triangle_counts": q166_triangle_counts,
         "q167_mmr_rerank": q167_mmr_rerank,
         "q168_contrastive_negatives": q168_contrastive_negatives,
+        "q169_ewma_user_value": q169_ewma_user_value,
+        "q170_mad_price_outliers": q170_mad_price_outliers,
+        "q171_cusum_drift": q171_cusum_drift,
+        "q172_token_pmi": q172_token_pmi,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3641,6 +3697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     tok = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+    # q169's exact-integer EWMA weight table (depth 16, decay 7/10) —
+    # identical literals to ops.stats.ewma_trailing's array.
+    _EWMA_WEIGHTS_SQL = ", ".join(
+        str(7**j * 10 ** (15 - j)) for j in range(16)
+    )
 
     # q57/q58: the sampling thresholds are regenerated from the SAME helper
     # the Spark operators use, so both engines compare against identical
@@ -5839,6 +5901,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT anchor_id, neg_idx, b.doc_id AS negative_id
             FROM anchors JOIN ranked b ON b.r = anchors.pr
             WHERE b.doc_id <> anchor_id
+        """,
+        # q169: weights are the SAME exact Python-int literals the Spark
+        # operator ships (ops.stats.ewma_trailing) — 7^j * 10^(15-j).
+        "q169_ewma_user_value": f"""
+            WITH r AS (
+              SELECT user_id, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ) AS rn
+              FROM events),
+            t AS (
+              SELECT user_id,
+                     CAST([{_EWMA_WEIGHTS_SQL}][rn] AS HUGEINT) AS w,
+                     CAST(CAST(floor(value*10000 + 0.5) AS BIGINT) AS HUGEINT) AS xq
+              FROM r WHERE rn <= 16)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_used,
+                   round(CAST(SUM(w*xq) AS DOUBLE)/CAST(SUM(w) AS DOUBLE)/10000, 6)
+                     AS ewma
+            FROM t GROUP BY 1
+        """,
+        "q170_mad_price_outliers": """
+            WITH b AS (SELECT o_orderpriority,
+                              CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5)
+                                   AS BIGINT) AS vq
+                       FROM orders),
+            med AS (SELECT o_orderpriority, quantile_cont(vq, 0.5) AS med,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM b GROUP BY 1),
+            d AS (SELECT b.o_orderpriority, abs(vq - med) AS dev, med, n
+                  FROM b JOIN med USING (o_orderpriority)),
+            mad AS (SELECT o_orderpriority, quantile_cont(dev, 0.5) AS mad
+                    FROM d GROUP BY 1)
+            SELECT d.o_orderpriority, MAX(n) AS n,
+                   round(MAX(med)/100, 4) AS median_v,
+                   round(MAX(mad)/100, 4) AS mad_v,
+                   CAST(SUM(CASE WHEN dev > 3.0*1.4826*mad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM d JOIN mad USING (o_orderpriority) GROUP BY 1
+        """,
+        "q171_cusum_drift": """
+            WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(floor(
+                       CAST(SUM(CAST(floor(value*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m
+              FROM events GROUP BY 1,2),
+            st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+                          SUM(m) AS sm
+                   FROM daily GROUP BY 1),
+            y AS (SELECT daily.event_type, day, m, d, sm,
+                         d*m - sm - d*20000 AS yp,
+                         sm - d*m - d*20000 AS yn
+                  FROM daily JOIN st USING (event_type)),
+            c AS (SELECT *, SUM(yp) OVER w AS cp, SUM(yn) OVER w AS cn
+                  FROM y WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING)),
+            s AS (SELECT *,
+                    cp - LEAST(0, MIN(cp) OVER wp) AS sp,
+                    cn - LEAST(0, MIN(cn) OVER wp) AS sn
+                  FROM c WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING))
+            SELECT event_type, day,
+                   round(CAST(m AS DOUBLE)/10000.0, 4) AS m,
+                   round(CAST(sp AS DOUBLE)/(CAST(d AS DOUBLE)*10000.0), 4) AS s_pos,
+                   round(CAST(sn AS DOUBLE)/(CAST(d AS DOUBLE)*10000.0), 4) AS s_neg,
+                   (sp > d*50000 OR sn > d*50000) AS flagged
+            FROM s
+        """,
+        "q172_token_pmi": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id AS doc, t.tok
+              FROM documents,
+              LATERAL (SELECT unnest({tok}) AS tok) t),
+            vocab AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              FROM dt GROUP BY 1
+              ORDER BY df DESC, tok ASC LIMIT 100),
+            nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+                   FROM documents),
+            vt AS (SELECT doc, dt.tok, df FROM dt JOIN vocab USING (tok)),
+            p AS (SELECT a.tok AS token_a, b.tok AS token_b,
+                         a.df AS df_a, b.df AS df_b,
+                         CAST(COUNT(*) AS BIGINT) AS df_ab
+                  FROM vt a JOIN vt b ON a.doc = b.doc AND a.tok < b.tok
+                  GROUP BY 1,2,3,4
+                  HAVING COUNT(*) >= 5)
+            SELECT token_a, token_b, df_a, df_b, df_ab,
+                   round(ln(CAST(df_ab AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                            / (CAST(df_a AS DOUBLE)*CAST(df_b AS DOUBLE))), 6)
+                     AS pmi
+            FROM p, nn
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

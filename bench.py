@@ -147,6 +147,10 @@ HEADLINE = [
     "q166_triangle_counts",
     "q167_mmr_rerank",
     "q168_contrastive_negatives",
+    "q169_ewma_user_value",
+    "q170_mad_price_outliers",
+    "q171_cusum_drift",
+    "q172_token_pmi",
 ]
 
 

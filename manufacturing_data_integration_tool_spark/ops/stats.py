@@ -1,0 +1,283 @@
+"""Sequential / robust statistics as deterministic DataFrame compositions:
+trailing EWMA, MAD outlier screens, and integer-exact CUSUM change
+detection.
+
+These are the monitoring primitives a large ingest pipeline runs next to
+validation (SURVEY §2.3's zscore rule is the parametric cousin): a
+z-score screen breaks down when the contamination it is hunting inflates
+the mean/std it depends on, so production screens use the median/MAD
+robust pair; drift on a metric stream is the CUSUM sequential test, not a
+per-batch threshold.
+
+Determinism is the design constraint throughout — every operator here
+must hash-match a DuckDB oracle, so:
+
+- EWMA weights are precomputed exact Python integers (``decay_num**j *
+  decay_den**(depth-1-j)``), never ``pow()`` on doubles (``7**19`` already
+  exceeds 2^53 — a float pow would round);
+- values are snapped to a ``1/scale`` integer grid at the boundary and all
+  accumulation happens in ``decimal``/exact-integer space (associative,
+  so partial-aggregation order is irrelevant);
+- CUSUM runs the closed form ``S_d = cum_d - min(0, prefix-min(cum))``
+  over integer cumulative sums — the textbook ``max(0, S_{d-1} + y_d)``
+  recursion is not window-expressible, but its prefix-min closed form is,
+  and on integers it is exact on any engine.
+
+Scale posture: MAD is two grouped aggregates plus one broadcast join
+back (same two-pass shape as the zscore rule — no unpartitioned window);
+EWMA is one per-key window over a bounded ``depth`` tail; CUSUM
+aggregates the raw stream down to one row per (key, day) FIRST, so the
+windows that follow run over day-count-sized partitions no matter how
+many raw events a key has.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["ewma_trailing", "mad_outliers", "cusum_flags"]
+
+
+def ewma_trailing(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tiebreak_col: str,
+    depth: int = 16,
+    decay_num: int = 7,
+    decay_den: int = 10,
+    scale: int = 10_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key exponentially weighted average of the last ``depth``
+    observations (most recent first), weights ``(decay_num/decay_den)**j``
+    normalized over the rows actually present.
+
+    The weight table is ``depth`` exact integers ``num^j * den^(depth-1-j)``
+    built driver-side in Python int arithmetic and shipped as an array
+    literal — ``element_at(weights, rn)`` — so both Spark and any SQL
+    oracle index the same constants. Values snap to the ``1/scale`` grid;
+    weight*value products and both sums run in ``decimal`` (exact), and
+    only the final ratio touches floating point, as one fixed expression.
+
+    One hash shuffle on ``key_col``; the window is ``row_number`` ordered
+    ``(ts DESC, tiebreak DESC)`` and everything beyond ``depth`` is
+    filtered before aggregation, so per-key cost is O(depth).
+
+    Output: ``(key_col, n_used, ewma)``.
+    """
+    if depth < 1 or depth > 32:
+        raise ValueError("depth must be in [1, 32] (exact-integer weights)")
+    weights = [decay_num**j * decay_den ** (depth - 1 - j) for j in range(depth)]
+    if max(weights) >= 10**18:
+        raise ValueError("weight table overflows 18 digits; lower depth/decay_den")
+    w_arr = F.array(*[F.lit(w).cast("decimal(20,0)") for w in weights])
+    rn = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+        )
+    )
+    xq = (
+        F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
+        .cast("decimal(12,0)")
+    )
+    tail = (
+        df.select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col),
+                  xq.alias("__xq"))
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") <= depth)
+        .select(
+            F.col(key_col),
+            F.element_at(w_arr, F.col("__rn")).alias("__w"),
+            "__xq",
+        )
+    )
+    return tail.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.round(
+            F.sum(F.col("__w") * F.col("__xq")).cast("double")
+            / F.sum("__w").cast("double")
+            / F.lit(float(scale)),
+            round_to,
+        ).alias("ewma"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    scale: int = 100,
+    n_sigmas: float = 3.0,
+    consistency: float = 1.4826,
+    round_to: int = 4,
+) -> DataFrame:
+    """Median/MAD robust outlier screen per group: a value is an outlier
+    when ``|x - median| > n_sigmas * consistency * MAD`` (1.4826 rescales
+    MAD to a normal-equivalent sigma).
+
+    Unlike the zscore rule (plans/dataset_rules.py), a single 1e9 junk
+    value cannot drag the screen's center or width — the breakdown point
+    is 50 %. Values snap to the ``1/scale`` integer grid; the exact
+    ``percentile`` aggregate interpolates ``(a+b)/2`` on integers, which
+    every engine's ``quantile_cont`` reproduces bit-identically.
+
+    Two grouped aggregates (median, then median of absolute deviations)
+    and one broadcast join back — the same two-pass no-global-window shape
+    as the zscore rule, so a hot group costs two combiner-friendly
+    shuffles, never a single-task sort.
+
+    Output: one row per group —
+    ``(group_cols..., n, median_v, mad_v, n_outliers)`` in original value
+    units.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    vq = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast("bigint")
+    base = df.select(*gcols, vq.alias("__vq"))
+    med = base.groupBy(*group_cols).agg(
+        F.expr("percentile(__vq, 0.5)").alias("__med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = base.join(F.broadcast(med), list(group_cols)).withColumn(
+        "__dev", F.abs(F.col("__vq") - F.col("__med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.expr("percentile(__dev, 0.5)").alias("__mad")
+    )
+    cut = F.lit(float(n_sigmas)) * F.lit(float(consistency)) * F.col("__mad")
+    return (
+        dev.join(F.broadcast(mad), list(group_cols))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("__med") / scale, round_to).alias("median_v"),
+            F.round(F.max("__mad") / scale, round_to).alias("mad_v"),
+            F.sum(F.when(F.col("__dev") > cut, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def cusum_flags(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    scale: int = 10_000,
+    slack: float = 0.0,
+    threshold: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection on a per-(key, day) mean series.
+
+    Page's recursion ``S_d = max(0, S_{d-1} + (x_d - mu - k))`` has the
+    window-expressible closed form ``S_d = cum_d - min(0, min_{i<=d}
+    cum_i)`` over the cumulative sum of centered deviations — this runs
+    that form ENTIRELY in exact integer units:
+
+    1. aggregate raw events to one quantized daily mean ``m_d`` per key
+       (exact decimal sum of grid-snapped values, one deterministic double
+       division, one floor back to the grid);
+    2. center by the key's own series mean WITHOUT dividing — multiply
+       through by the day count ``D`` so the deviation ``y_d = D*m_d -
+       sum(m) -/+ D*k`` stays an exact bigint;
+    3. integer cumulative-sum + prefix-min windows give ``S+``/``S-``; a
+       day flags when either exceeds ``D * threshold * scale`` (the same
+       D-scaling, so the comparison is exact too).
+
+    The raw stream collapses at step 1 via one combiner-friendly groupBy —
+    the windows after it see day-count-sized partitions per key, so a key
+    with 10^9 events costs the same window work as one with 10^3.
+
+    Output: one row per (key, day) —
+    ``(key_col, day, m, s_pos, s_neg, flagged)`` with ``s_pos``/``s_neg``
+    reported in original value units.
+    """
+    k_units = int(round(slack * scale))
+    h_units = int(round(threshold * scale))
+    vq = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast("bigint")
+    daily = (
+        df.select(
+            F.col(key_col),
+            F.to_date(F.col(ts_col)).alias("day"),
+            vq.alias("__vq"),
+        )
+        .groupBy(key_col, "day")
+        .agg(
+            F.floor(
+                F.sum(F.col("__vq").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("__m")
+        )
+    )
+    st = daily.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__d"), F.sum("__m").alias("__sm")
+    )
+    y = daily.join(F.broadcast(st), key_col).select(
+        F.col(key_col),
+        "day",
+        "__m",
+        "__d",
+        (F.col("__d") * F.col("__m") - F.col("__sm") - F.col("__d") * k_units)
+        .alias("__yp"),
+        (F.col("__sm") - F.col("__d") * F.col("__m") - F.col("__d") * k_units)
+        .alias("__yn"),
+    )
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # prefix-min INCLUDES the current row (cum_0 = 0 is the LEAST(0, .)):
+    # S_d = cum_d - min(0, min_{i<=d} cum_i) — dropping the current row
+    # from the frame lets S_d go negative when cum_d is itself the min,
+    # which the max(0, .) recursion never does.
+    wmin = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = y.select(
+        F.col(key_col),
+        "day",
+        "__m",
+        "__d",
+        F.sum("__yp").over(wcum).alias("__cp"),
+        F.sum("__yn").over(wcum).alias("__cn"),
+    )
+    s = c.select(
+        F.col(key_col),
+        "day",
+        "__m",
+        "__d",
+        (
+            F.col("__cp")
+            - F.least(F.lit(0).cast("bigint"), F.min("__cp").over(wmin))
+        ).alias("__sp"),
+        (
+            F.col("__cn")
+            - F.least(F.lit(0).cast("bigint"), F.min("__cn").over(wmin))
+        ).alias("__sn"),
+    )
+    denom = F.col("__d").cast("double") * F.lit(float(scale))
+    return s.select(
+        F.col(key_col),
+        "day",
+        F.round(F.col("__m") / F.lit(float(scale)), round_to).alias("m"),
+        F.round(F.col("__sp") / denom, round_to).alias("s_pos"),
+        F.round(F.col("__sn") / denom, round_to).alias("s_neg"),
+        (
+            (F.col("__sp") > F.col("__d") * h_units)
+            | (F.col("__sn") > F.col("__d") * h_units)
+        ).alias("flagged"),
+    )

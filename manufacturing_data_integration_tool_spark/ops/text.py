@@ -48,6 +48,7 @@ __all__ = [
     "encoding_screen",
     "unigram_drift",
     "bigram_doc_logprob",
+    "token_pmi",
 ]
 
 # GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
@@ -1455,3 +1456,63 @@ def bigram_doc_logprob(
         )
         .withColumn("admitted", F.col("avg_logp") >= F.lit(cutoff))
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    vocab_size: int = 100,
+    min_pair_count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information of within-document token co-occurrence
+    over the top-``vocab_size`` tokens by document frequency — the
+    collocation/association miner behind phrase detection and
+    feature-correlation audits (Church & Hanks, CL 1990).
+
+    PMI here is document-level: ``pmi(a,b) = ln(df_ab * N / (df_a *
+    df_b))`` with document frequencies (distinct per doc), all exact
+    integers until the single final ``ln``.
+
+    Scale posture: the vocabulary is a top-K aggregate (tiny, broadcast
+    both into the token filter and the df lookup), so the pair self-join
+    is bounded — each document contributes at most C(|vocab ∩ doc|, 2)
+    pairs, never C(doc_len, 2). One shuffle keyed on ``id_col`` for the
+    per-doc pairing, one combiner-friendly count shuffle on the pair; a
+    boilerplate-hot pair is a single counter, not a hot partition.
+
+    Output: ``(token_a, token_b, df_a, df_b, df_ab, pmi)`` for pairs with
+    ``df_ab >= min_pair_count``.
+    """
+    dt = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("tok")
+    ).distinct()
+    vocab = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    vt = dt.join(F.broadcast(vocab), "tok")
+    a = vt.select("doc", F.col("tok").alias("token_a"), F.col("df").alias("df_a"))
+    b = vt.select("doc", F.col("tok").alias("token_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .filter(F.col("df_ab") >= min_pair_count)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("df_ab").cast("double")
+            * F.lit(float(n_docs))
+            / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+        ),
+        round_to,
+    )
+    return pairs.select("token_a", "token_b", "df_a", "df_b", "df_ab",
+                        pmi.alias("pmi"))

@@ -1,0 +1,172 @@
+"""Unit tests for ops.stats (EWMA / MAD / CUSUM) and ops.text.token_pmi:
+pure-Python twins on micro-fixtures pin the semantics; driver-scale parity
+against DuckDB lives in tools/parity_check.py (q169-q172)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from manufacturing_data_integration_tool_spark.ops.stats import (
+    cusum_flags,
+    ewma_trailing,
+    mad_outliers,
+)
+from manufacturing_data_integration_tool_spark.ops.text import token_pmi
+
+
+def test_ewma_trailing_matches_recursive_twin(spark):
+    # One user, 5 readings: the closed-form weighted tail must equal the
+    # textbook truncated EWMA with normalized weights.
+    vals = [10.0, 20.0, 15.0, 30.0, 25.0]  # chronological
+    rows = [
+        Row(k=1, ts=i, eid=i, v=v) for i, v in enumerate(vals)
+    ]
+    out = ewma_trailing(
+        spark.createDataFrame(rows), "k", "ts", "v", tiebreak_col="eid", depth=16
+    ).collect()
+    assert len(out) == 1 and out[0]["n_used"] == 5
+    # most-recent-first weights (7/10)^j, normalized over present rows
+    w = [(0.7) ** j for j in range(5)]
+    expect = sum(wi * x for wi, x in zip(w, reversed(vals))) / sum(w)
+    assert out[0]["ewma"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_ewma_trailing_depth_truncates_and_ties_break_on_tiebreak(spark):
+    rows = [Row(k=1, ts=i, eid=i, v=float(i)) for i in range(30)]
+    out = ewma_trailing(
+        spark.createDataFrame(rows), "k", "ts", "v", tiebreak_col="eid", depth=4
+    ).collect()[0]
+    assert out["n_used"] == 4
+    w = [(0.7) ** j for j in range(4)]
+    expect = sum(wi * x for wi, x in zip(w, [29.0, 28.0, 27.0, 26.0])) / sum(w)
+    assert out["ewma"] == pytest.approx(expect, abs=1e-6)
+    # equal timestamps: the higher tiebreak value is "most recent"
+    dup = [Row(k=1, ts=0, eid=0, v=100.0), Row(k=1, ts=0, eid=1, v=0.0)]
+    out2 = ewma_trailing(
+        spark.createDataFrame(dup), "k", "ts", "v", tiebreak_col="eid", depth=2
+    ).collect()[0]
+    # eid=1 (v=0) gets weight 1, eid=0 (v=100) gets weight 0.7
+    assert out2["ewma"] == pytest.approx(100 * 0.7 / 1.7, abs=1e-6)
+
+
+def test_ewma_weight_table_is_exact_integer(spark):
+    with pytest.raises(ValueError):
+        ewma_trailing(
+            spark.range(1), "id", "id", "id", tiebreak_col="id", depth=40
+        )
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    # 20 values near 100 plus one 1e6 junk row: a zscore screen's std
+    # explodes; the MAD screen must still flag exactly the junk row.
+    rows = [Row(g="a", v=100.0 + (i % 5)) for i in range(20)]
+    rows.append(Row(g="a", v=1_000_000.0))
+    out = mad_outliers(
+        spark.createDataFrame(rows), ["g"], "v", scale=100, n_sigmas=3.0
+    ).collect()[0]
+    assert out["n"] == 21
+    assert out["n_outliers"] == 1
+    assert out["median_v"] == pytest.approx(102.0, abs=0.01)
+    # MAD of {0,1,1,2,2,...} pattern stays ~1, not 1e5
+    assert out["mad_v"] < 5
+
+
+def test_mad_outliers_median_interpolates_even_counts(spark):
+    rows = [Row(g="a", v=float(x)) for x in (1, 2, 3, 4)]
+    out = mad_outliers(spark.createDataFrame(rows), ["g"], "v").collect()[0]
+    assert out["median_v"] == pytest.approx(2.5)
+
+
+def _cusum_recursive(series, target, k_units, scale=10_000):
+    """Textbook Page recursion on the integer grid, for the twin check."""
+    sp = sn = 0
+    out = []
+    d = len(series)
+    sm = sum(series)
+    for m in series:
+        yp = d * m - sm - d * k_units
+        yn = sm - d * m - d * k_units
+        sp = max(0, sp + yp)
+        sn = max(0, sn + yn)
+        out.append((sp, sn))
+    return out
+
+
+def test_cusum_flags_matches_page_recursion(spark):
+    # Mean shifts up from ~10 to ~50 halfway: the closed form
+    # cum - min(0, prefix-min(cum)) must equal the max(0, ...) recursion.
+    vals = [10.0, 11.0, 9.0, 10.0, 50.0, 51.0, 49.0, 50.0]
+    rows = [
+        Row(k="x", ts=f"2024-01-{i + 1:02d} 00:00:00", v=v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows).selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts", "v"
+    )
+    out = cusum_flags(df, "k", "ts", "v", slack=2.0, threshold=5.0)
+    got = {r["day"].day: r for r in out.collect()}
+    series = [round(v * 10_000) for v in vals]
+    twin = _cusum_recursive(series, None, 20_000)
+    d = len(vals)
+    for i, (sp, sn) in enumerate(twin):
+        r = got[i + 1]
+        assert r["s_pos"] == pytest.approx(sp / (d * 10_000), abs=1e-4)
+        assert r["s_neg"] == pytest.approx(sn / (d * 10_000), abs=1e-4)
+        assert r["flagged"] == (sp > d * 50_000 or sn > d * 50_000)
+    # centered on the series mean, a step change flags on BOTH sides:
+    # the low head drives S- and the high tail drives S+.
+    assert got[1]["s_pos"] == 0.0 and got[1]["s_neg"] > 0
+    assert got[8]["flagged"] and got[8]["s_pos"] > got[8]["s_neg"]
+
+
+def test_cusum_collapses_raw_events_to_daily_means(spark):
+    # 3 events on one day average to one m; window partitions are
+    # day-count sized regardless of raw event count.
+    rows = [
+        Row(k="x", ts="2024-01-01 01:00:00", v=10.0),
+        Row(k="x", ts="2024-01-01 02:00:00", v=20.0),
+        Row(k="x", ts="2024-01-01 03:00:00", v=30.0),
+        Row(k="x", ts="2024-01-02 00:00:00", v=40.0),
+    ]
+    df = spark.createDataFrame(rows).selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts", "v"
+    )
+    out = {r["day"].day: r for r in cusum_flags(df, "k", "ts", "v").collect()}
+    assert len(out) == 2
+    assert out[1]["m"] == pytest.approx(20.0)
+    assert out[2]["m"] == pytest.approx(40.0)
+
+
+def test_token_pmi_hand_computed(spark):
+    # "a b" together in 3 of 4 docs; "a" in 4, "b" in 3.
+    rows = [
+        Row(doc_id=1, text="a b"),
+        Row(doc_id=2, text="a b"),
+        Row(doc_id=3, text="a b c"),
+        Row(doc_id=4, text="a c"),
+    ]
+    out = token_pmi(
+        spark.createDataFrame(rows), "doc_id", "text",
+        vocab_size=10, min_pair_count=1,
+    ).collect()
+    got = {(r["token_a"], r["token_b"]): r for r in out}
+    ab = got[("a", "b")]
+    assert (ab["df_a"], ab["df_b"], ab["df_ab"]) == (4, 3, 3)
+    assert ab["pmi"] == pytest.approx(math.log(3 * 4 / (4 * 3)), abs=1e-6)
+    bc = got[("b", "c")]
+    assert bc["df_ab"] == 1
+    assert bc["pmi"] == pytest.approx(math.log(1 * 4 / (3 * 2)), abs=1e-6)
+
+
+def test_token_pmi_vocab_cap_bounds_pairs(spark):
+    # vocab_size=2 keeps only the two highest-df tokens — pairs outside
+    # the vocab must not appear.
+    rows = [
+        Row(doc_id=i, text="x y rare%d" % i) for i in range(5)
+    ]
+    out = token_pmi(
+        spark.createDataFrame(rows), "doc_id", "text",
+        vocab_size=2, min_pair_count=1,
+    ).collect()
+    assert {(r["token_a"], r["token_b"]) for r in out} == {("x", "y")}
