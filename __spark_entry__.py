@@ -3480,6 +3480,87 @@ def q172_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_pmi(docs, "doc_id", "text", vocab_size=100, min_pair_count=5)
 
 
+def q173_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by their first active
+    ISO week, distinct-user counts per (cohort, weeks-since). The classic
+    product-analytics triangle — one groupBy for cohort assignment, one
+    distinct on (user, week), one shuffle join on user_id (both sides
+    user-keyed; at 100 TB neither side broadcasts), one count-distinct."""
+    ev = read_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort")) / F.lit(7))
+            .cast("bigint")
+            .alias("period"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q174_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch revenue attribution: each user's earliest event (ts,
+    then event_id as the deterministic tiebreak) is the acquisition
+    channel; every purchase the user ever makes credits that channel.
+    Purchase cents snap to an exact bigint before summing, so the per-
+    channel total is order-independent. One per-user window over events
+    + one user-keyed aggregate + one user-keyed join."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("__np"),
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("__cents"),
+        )
+    )
+    return (
+        first.join(pur, "user_id", "left")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("__np"), F.lit(0))).cast("bigint").alias(
+                "n_purchases"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("__cents"), F.lit(0))) / F.lit(100.0), 2
+            ).alias("total_value"),
+        )
+    )
+
+
+def q175_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index posting lists for the top-50 vocabulary
+    (ops.text.inverted_postings): per token, exact document frequency +
+    the first 100 doc ids. The collect is TWO-LEVEL (per id-bucket cap,
+    then merge-of-caps) so no aggregation buffer ever holds more than
+    ``max_postings`` ids even for a token posting in every document.
+    Postings surface as a CSV string — engine-portable for the value
+    hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    idx = tx.inverted_postings(docs, "doc_id", "text", vocab_size=50, max_postings=100)
+    return idx.select(
+        "tok", "df", F.array_join("postings", ",").alias("postings_csv")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3679,6 +3760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_mad_price_outliers": q170_mad_price_outliers,
         "q171_cusum_drift": q171_cusum_drift,
         "q172_token_pmi": q172_token_pmi,
+        "q173_retention_cohorts": q173_retention_cohorts,
+        "q174_first_touch_attribution": q174_first_touch_attribution,
+        "q175_inverted_postings": q175_inverted_postings,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -5992,6 +6076,55 @@ def oracle_sql() -> dict[str, str]:
                             / (CAST(df_a AS DOUBLE)*CAST(df_b AS DOUBLE))), 6)
                      AS pmi
             FROM p, nn
+        """,
+        "q173_retention_cohorts": """
+            WITH cohort AS (
+              SELECT user_id,
+                     CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+              FROM events GROUP BY 1),
+            active AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events)
+            SELECT cohort,
+                   CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS period,
+                   CAST(COUNT(DISTINCT active.user_id) AS BIGINT) AS n_users
+            FROM active JOIN cohort USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "q174_first_touch_attribution": """
+            WITH first AS (
+              SELECT user_id, event_type AS channel
+              FROM (SELECT user_id, event_type,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ) AS rn
+                    FROM events)
+              WHERE rn = 1),
+            pur AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np,
+                     SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+              FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(COALESCE(np, 0)) AS BIGINT) AS n_purchases,
+                   round(CAST(SUM(COALESCE(cents, 0)) AS DOUBLE) / 100.0, 2)
+                     AS total_value
+            FROM first LEFT JOIN pur USING (user_id)
+            GROUP BY 1
+        """,
+        "q175_inverted_postings": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id AS id, t.tok
+              FROM documents,
+              LATERAL (SELECT unnest({tok}) AS tok) t),
+            agg AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+                     array_to_string(list_sort(list(id))[1:100], ',')
+                       AS postings_csv
+              FROM dt GROUP BY 1)
+            SELECT tok, df, postings_csv FROM agg
+            ORDER BY df DESC, tok ASC LIMIT 50
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

@@ -49,6 +49,7 @@ __all__ = [
     "unigram_drift",
     "bigram_doc_logprob",
     "token_pmi",
+    "inverted_postings",
 ]
 
 # GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
@@ -1516,3 +1517,47 @@ def token_pmi(
     )
     return pairs.select("token_a", "token_b", "df_a", "df_b", "df_ab",
                         pmi.alias("pmi"))
+
+
+def inverted_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    vocab_size: int = 50,
+    max_postings: int = 100,
+) -> DataFrame:
+    """Build the posting lists of a search index for the top-``vocab_size``
+    tokens: per token, the document frequency and the first
+    ``max_postings`` doc ids in ascending order.
+
+    "First N ids" is a TOP-K, and top-k is associative — so the collect
+    runs TWO-LEVEL: per (token, id-bucket) sort+cap first (every
+    aggregation buffer is ≤ ``max_postings`` ids), then merge the ≤64
+    capped bucket arrays and cap again. A stopword that posts in every
+    document never materializes a corpus-sized buffer the way a naive
+    ``collect_list`` per token would. ``df`` (the full count) is an exact
+    ``count`` beside the capped arrays, so ranking stays exact while
+    storage stays bounded; sorted-then-capped arrays are collect-order
+    independent, so the output hash-matches a SQL oracle.
+
+    One distinct + two combiner-friendly token shuffles. Output:
+    ``(tok, df, postings array<id>)``.
+    """
+    dt = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
+    ).distinct()
+    bucketed = dt.groupBy("tok", F.pmod(F.col("id"), F.lit(64)).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.slice(F.sort_array(F.collect_list("id")), 1, max_postings).alias("__p"),
+    )
+    agg = bucketed.groupBy("tok").agg(
+        F.sum("__n").alias("df"),
+        F.slice(F.sort_array(F.flatten(F.collect_list("__p"))), 1, max_postings)
+        .alias("postings"),
+    )
+    return (
+        agg.orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", "df", "postings")
+    )

@@ -170,3 +170,27 @@ def test_token_pmi_vocab_cap_bounds_pairs(spark):
         vocab_size=2, min_pair_count=1,
     ).collect()
     assert {(r["token_a"], r["token_b"]) for r in out} == {("x", "y")}
+
+
+def test_inverted_postings_two_level_equals_naive(spark):
+    from pyspark.sql import functions as F
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        inverted_postings,
+        tokenize,
+    )
+
+    rows = [Row(doc_id=i, text="common tok%d" % (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["tok"]: r
+        for r in inverted_postings(
+            df, "doc_id", "text", vocab_size=10, max_postings=17
+        ).collect()
+    }
+    # "common" appears in all 200 docs: df exact, postings capped at the
+    # 17 smallest ids despite the 64-way bucketed two-level collect.
+    assert out["common"]["df"] == 200
+    assert out["common"]["postings"] == list(range(17))
+    assert out["tok1"]["df"] == 67
+    assert out["tok1"]["postings"][:3] == [1, 4, 7]
+    assert len(out["tok1"]["postings"]) == 17
