@@ -3480,31 +3480,6 @@ def q172_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_pmi(docs, "doc_id", "text", vocab_size=100, min_pair_count=5)
 
 
-def q173_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention-cohort matrix: users grouped by their first active
-    ISO week, distinct-user counts per (cohort, weeks-since). The classic
-    product-analytics triangle — one groupBy for cohort assignment, one
-    distinct on (user, week), one shuffle join on user_id (both sides
-    user-keyed; at 100 TB neither side broadcasts), one count-distinct."""
-    ev = read_table(spark, sf_dir, "events")
-    cohort = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
-    )
-    active = ev.select(
-        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
-    ).distinct()
-    return (
-        active.join(cohort, "user_id")
-        .groupBy(
-            "cohort",
-            F.floor(F.datediff(F.col("wk"), F.col("cohort")) / F.lit(7))
-            .cast("bigint")
-            .alias("period"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_users"))
-    )
-
-
 def q174_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch revenue attribution: each user's earliest event (ts,
     then event_id as the deterministic tiebreak) is the acquisition
@@ -3760,7 +3735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_mad_price_outliers": q170_mad_price_outliers,
         "q171_cusum_drift": q171_cusum_drift,
         "q172_token_pmi": q172_token_pmi,
-        "q173_retention_cohorts": q173_retention_cohorts,
         "q174_first_touch_attribution": q174_first_touch_attribution,
         "q175_inverted_postings": q175_inverted_postings,
         "q156_pca_embeddings": q156_pca_embeddings,
@@ -6076,21 +6050,6 @@ def oracle_sql() -> dict[str, str]:
                             / (CAST(df_a AS DOUBLE)*CAST(df_b AS DOUBLE))), 6)
                      AS pmi
             FROM p, nn
-        """,
-        "q173_retention_cohorts": """
-            WITH cohort AS (
-              SELECT user_id,
-                     CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
-              FROM events GROUP BY 1),
-            active AS (
-              SELECT DISTINCT user_id,
-                     CAST(date_trunc('week', ts) AS DATE) AS wk
-              FROM events)
-            SELECT cohort,
-                   CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS period,
-                   CAST(COUNT(DISTINCT active.user_id) AS BIGINT) AS n_users
-            FROM active JOIN cohort USING (user_id)
-            GROUP BY 1, 2
         """,
         "q174_first_touch_attribution": """
             WITH first AS (

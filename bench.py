@@ -151,6 +151,8 @@ HEADLINE = [
     "q170_mad_price_outliers",
     "q171_cusum_drift",
     "q172_token_pmi",
+    "q174_first_touch_attribution",
+    "q175_inverted_postings",
 ]
 
 
