@@ -3536,6 +3536,21 @@ def q175_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q176_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-confusability matrix: pairwise cosine between per-label
+    embedding centroids (ops.similarity.centroid_similarity). Centroids
+    come from q88's exact integer-grid sums; components re-snap to a
+    1e-6 grid so dot/norm accumulate as exact BIGINTs — the single
+    float op is the final dot/(|a||b|). The quadratic term is
+    |labels|^2 over a broadcast dim-join, never |vectors|^2."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        centroid_similarity,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return centroid_similarity(emb, "label", "embedding")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3737,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_token_pmi": q172_token_pmi,
         "q174_first_touch_attribution": q174_first_touch_attribution,
         "q175_inverted_postings": q175_inverted_postings,
+        "q176_centroid_similarity": q176_centroid_similarity,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -6084,6 +6100,29 @@ def oracle_sql() -> dict[str, str]:
               FROM dt GROUP BY 1)
             SELECT tok, df, postings_csv FROM agg
             ORDER BY df DESC, tok ASC LIMIT 50
+        """,
+        "q176_centroid_similarity": """
+            WITH cent AS (
+              SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                     round(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
+                           / (10000000.0 * COUNT(*)), 9) AS centroid
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+              GROUP BY 1, 2),
+            cq AS (SELECT label, dim, n_vecs,
+                          CAST(floor(centroid * 1000000 + 0.5) AS BIGINT) AS cq
+                   FROM cent),
+            p AS (SELECT a.label AS label_a, b.label AS label_b,
+                         MAX(a.n_vecs) AS n_a, MAX(b.n_vecs) AS n_b,
+                         SUM(a.cq * b.cq) AS dot,
+                         SUM(a.cq * a.cq) AS na, SUM(b.cq * b.cq) AS nb
+                  FROM cq a JOIN cq b ON a.dim = b.dim AND a.label < b.label
+                  GROUP BY 1, 2)
+            SELECT label_a, label_b, n_a, n_b,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+                     AS cos_sim
+            FROM p
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

@@ -153,6 +153,7 @@ HEADLINE = [
     "q172_token_pmi",
     "q174_first_touch_attribution",
     "q175_inverted_postings",
+    "q176_centroid_similarity",
 ]
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "cosine_topk",
     "knn_classify",
     "label_centroids",
+    "centroid_similarity",
     "quantize_embeddings",
     "hyperplane_planes",
     "hyperplane_candidates",
@@ -771,4 +772,77 @@ def mmr_rerank(
     spark = candidates.sparkSession
     return spark.createDataFrame(
         out, f"{id_col} long, mmr_rank long, {score_col} double, mmr_score double"
+    )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    *,
+    scale: int = 10**6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids — the
+    class-confusability matrix an embedding-quality audit reads (two
+    labels whose centroids sit at cos > 0.9 are candidates for merging
+    or for label-noise review).
+
+    Built on ``label_centroids`` (exact integer-grid component sums), so
+    the centroid itself is deterministic; each centroid component then
+    re-snaps to a ``1/scale`` grid and the dot/norm accumulations run on
+    BIGINT (64 dims x (1e6)^2 = ~6.4e13 << 2^63 — exact, order-free).
+    Only the final ``dot / (|a| * |b|)`` touches floating point, as one
+    fixed expression over exact integers (sqrt is IEEE
+    correctly-rounded, so engines agree).
+
+    Scale posture: the |labels| x dim centroid table is tiny — the
+    pairing is a broadcast self-join on ``dim``, and the quadratic term
+    is |labels|^2, never |vectors|^2.
+
+    Output: ``(label_a, label_b, n_a, n_b, cos_sim)`` for label_a <
+    label_b.
+    """
+    cents = label_centroids(df, label_col, vec_col, scale=scale * 10, round_to=9)
+    cq = cents.select(
+        F.col(label_col).alias("lbl"),
+        "dim",
+        "n_vecs",
+        F.floor(F.col("centroid").cast("double") * scale + F.lit(0.5))
+        .cast("bigint")
+        .alias("cq"),
+    )
+    a = cq.select(
+        F.col("lbl").alias("label_a"),
+        "dim",
+        F.col("n_vecs").alias("n_a"),
+        F.col("cq").alias("ca"),
+    )
+    b = cq.select(
+        F.col("lbl").alias("label_b"),
+        "dim",
+        F.col("n_vecs").alias("n_b"),
+        F.col("cq").alias("cb"),
+    )
+    pairs = a.join(F.broadcast(b), "dim").filter(F.col("label_a") < F.col("label_b"))
+    agg = pairs.groupBy("label_a", "label_b").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("ca") * F.col("cb")).alias("__dot"),
+        F.sum(F.col("ca") * F.col("ca")).alias("__na"),
+        F.sum(F.col("cb") * F.col("cb")).alias("__nb"),
+    )
+    return agg.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("__dot").cast("double")
+            / (
+                F.sqrt(F.col("__na").cast("double"))
+                * F.sqrt(F.col("__nb").cast("double"))
+            ),
+            round_to,
+        ).alias("cos_sim"),
     )

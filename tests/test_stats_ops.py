@@ -194,3 +194,24 @@ def test_inverted_postings_two_level_equals_naive(spark):
     assert out["tok1"]["df"] == 67
     assert out["tok1"]["postings"][:3] == [1, 4, 7]
     assert len(out["tok1"]["postings"]) == 17
+
+
+def test_centroid_similarity_hand_computed(spark):
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        centroid_similarity,
+    )
+
+    rows = [
+        Row(label=0, embedding=[1.0, 0.0]),
+        Row(label=0, embedding=[1.0, 0.0]),
+        Row(label=1, embedding=[0.0, 1.0]),
+        Row(label=2, embedding=[1.0, 1.0]),
+    ]
+    out = {
+        (r["label_a"], r["label_b"]): r
+        for r in centroid_similarity(spark.createDataFrame(rows)).collect()
+    }
+    assert out[(0, 1)]["cos_sim"] == pytest.approx(0.0, abs=1e-6)
+    assert out[(0, 2)]["cos_sim"] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert out[(1, 2)]["cos_sim"] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 1
