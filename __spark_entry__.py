@@ -3551,6 +3551,58 @@ def q176_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_similarity(emb, "label", "embedding")
 
 
+def q177_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (functions.profiling.fd_violations):
+    four candidate FDs on orders, each one combiner-friendly groupBy on
+    the lhs + a 1-row summary — key-discovery profiling before trusting
+    a join key. o_orderkey->o_custkey must hold (rate 0.0); the
+    custkey-driven candidates quantify how far they fail."""
+    from manufacturing_data_integration_tool_spark.functions.profiling import (
+        fd_violations,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return fd_violations(
+        orders,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderdate", "o_orderstatus"),
+        ],
+    )
+
+
+def q178_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user
+    (ops.temporal.longest_daily_streak): textbook gaps-and-islands —
+    day minus row_number is the island id. The day-level distinct runs
+    BEFORE the window, so partitions are active-day-sized regardless of
+    raw event volume; longest-run ties break on earliest start."""
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        longest_daily_streak,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return longest_daily_streak(ev, "user_id", "ts")
+
+
+def q179_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the near-dup pair graph (ops.graph.kcore): iterative
+    degree-peeling to the unique fixed point (Batagelj-Zaversnik) —
+    separates true template clusters (dense, survive) from chains of
+    borderline matches (fall out). Per round one degree groupBy + two
+    semi-joins; rows-only check (iterative), semantics pinned by the
+    pure-Python twin in tests."""
+    from manufacturing_data_integration_tool_spark.ops.graph import kcore
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=0.01
+    )
+    return kcore(pairs, "doc_a", "doc_b", k=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3753,6 +3805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_first_touch_attribution": q174_first_touch_attribution,
         "q175_inverted_postings": q175_inverted_postings,
         "q176_centroid_similarity": q176_centroid_similarity,
+        "q177_fd_violations": q177_fd_violations,
+        "q178_longest_streak": q178_longest_streak,
+        "q179_kcore": q179_kcore,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -6123,6 +6178,49 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
                      AS cos_sim
             FROM p
+        """,
+        "q177_fd_violations": """
+            WITH c1 AS (SELECT o_orderkey AS lhs, o_custkey AS rhs FROM orders),
+            c2 AS (SELECT o_custkey, o_orderpriority FROM orders),
+            c3 AS (SELECT o_custkey, o_orderstatus FROM orders),
+            c4 AS (SELECT o_orderdate, o_orderstatus FROM orders),
+            a1 AS (SELECT 'o_orderkey->o_custkey' AS fd, lhs AS k,
+                          COUNT(DISTINCT rhs) AS nd FROM c1 GROUP BY 1, 2),
+            a2 AS (SELECT 'o_custkey->o_orderpriority' AS fd, o_custkey AS k,
+                          COUNT(DISTINCT o_orderpriority) AS nd FROM c2 GROUP BY 1, 2),
+            a3 AS (SELECT 'o_custkey->o_orderstatus' AS fd, o_custkey AS k,
+                          COUNT(DISTINCT o_orderstatus) AS nd FROM c3 GROUP BY 1, 2),
+            a4 AS (SELECT 'o_orderdate->o_orderstatus' AS fd, o_orderdate AS k,
+                          COUNT(DISTINCT o_orderstatus) AS nd FROM c4 GROUP BY 1, 2),
+            u AS (SELECT fd, nd FROM a1 UNION ALL SELECT fd, nd FROM a2
+                  UNION ALL SELECT fd, nd FROM a3 UNION ALL SELECT fd, nd FROM a4)
+            SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating_keys,
+                   round(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS violation_rate,
+                   CAST(MAX(nd) AS BIGINT) AS max_distinct_rhs
+            FROM u GROUP BY 1
+        """,
+        "q178_longest_streak": """
+            WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                          FROM events),
+            isl AS (SELECT user_id, day,
+                           day - CAST(ROW_NUMBER() OVER (
+                             PARTITION BY user_id ORDER BY day
+                           ) AS INTEGER) AS isl
+                    FROM days),
+            runs AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len,
+                            MIN(day) AS start
+                     FROM isl GROUP BY 1, 2),
+            pick AS (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY len DESC, start ASC
+                     ) AS rn FROM runs)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                   MAX(CASE WHEN rn = 1 THEN len END) AS longest_streak,
+                   MAX(CASE WHEN rn = 1 THEN start END) AS best_start
+            FROM pick GROUP BY 1
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

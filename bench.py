@@ -154,6 +154,8 @@ HEADLINE = [
     "q174_first_touch_attribution",
     "q175_inverted_postings",
     "q176_centroid_similarity",
+    "q177_fd_violations",
+    "q178_longest_streak",
 ]
 
 

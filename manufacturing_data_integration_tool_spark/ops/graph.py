@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "pagerank", "triangle_counts"]
+__all__ = ["connected_components", "dedup_clusters", "kcore", "pagerank", "triangle_counts"]
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
@@ -385,4 +385,60 @@ def triangle_counts(
         "node",
         "degree",
         F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+def kcore(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    k: int = 3,
+    max_iter: int = 30,
+) -> DataFrame:
+    """K-core decomposition for a fixed ``k``: iteratively peel nodes of
+    degree < k until the remaining subgraph is stable — the dense-cluster
+    extractor for near-dup pair graphs (a chain of borderline matches
+    falls out of the 3-core; a true template cluster survives).
+
+    The peeling fixed point is unique regardless of removal order
+    (Batagelj & Zaversnik 2003), so the result is deterministic even
+    though it is iterative (rows-only correctness check; semantics pinned
+    by the pure-Python twin in tests).
+
+    Per round: one degree groupBy + two semi-joins on the surviving-node
+    set — all equi-joins on node ids; the edge set only shrinks. The
+    convergence probe is the same 1-row count/xor checksum the CC loop
+    uses; ``localCheckpoint`` truncates lineage per round.
+
+    Output: ``(node, core_degree)`` for nodes in the k-core, with their
+    degree inside the core.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    prev = _edge_checksum(edges)
+    for _ in range(max_iter):
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )

@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend"]
+__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak"]
 
 
 def asof_join(
@@ -221,4 +221,51 @@ def group_trend(
         "n_obs",
         F.round(slope_q * F.lit(float(per_x)) / y_scale, round_to).alias("slope"),
         F.round(intercept_q / y_scale, round_to).alias("intercept"),
+    )
+
+
+def longest_daily_streak(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Longest run of consecutive active days per key — the classic
+    gaps-and-islands composition: distinct active days, then
+    ``day - row_number`` is constant within a consecutive run (the
+    island id), then one count per island and one top-1 per key.
+
+    Two per-key operations (a distinct and a window) after one hash
+    shuffle on ``key_col`` — partitions are active-day-sized, never raw
+    event-sized, because the day-level distinct runs first. The longest
+    island ties break on earliest start date, so the result is
+    deterministic and oracle-able.
+
+    Output: ``(key_col, n_days, n_streaks, longest_streak, best_start)``.
+    """
+    days = df.select(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("__day")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("__day")
+    islands = days.withColumn(
+        "__isl", F.date_sub(F.col("__day"), F.row_number().over(w))
+    )
+    runs = islands.groupBy(key_col, "__isl").agg(
+        F.count(F.lit(1)).alias("__len"), F.min("__day").alias("__start")
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.col("__len").desc(), F.col("__start").asc()
+    )
+    return (
+        runs.withColumn("__rn", F.row_number().over(pick))
+        .groupBy(key_col)
+        .agg(
+            F.sum("__len").alias("n_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__len"))).alias(
+                "longest_streak"
+            ),
+            F.max(F.when(F.col("__rn") == 1, F.col("__start"))).alias(
+                "best_start"
+            ),
+        )
     )

@@ -215,3 +215,68 @@ def test_centroid_similarity_hand_computed(spark):
     assert out[(0, 2)]["cos_sim"] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
     assert out[(1, 2)]["cos_sim"] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
     assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 1
+
+
+def test_kcore_matches_peeling_twin(spark):
+    from manufacturing_data_integration_tool_spark.ops.graph import kcore
+
+    # K4 clique (1-4) + a pendant chain 4-5-6: the 3-core is exactly the
+    # clique; the chain peels away.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["core_degree"] for r in kcore(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=1 keeps everything (every node has an edge)
+    out1 = {r["node"]: r["core_degree"] for r in kcore(df, k=1).collect()}
+    assert set(out1) == {1, 2, 3, 4, 5, 6}
+
+
+def test_kcore_cascading_peel(spark):
+    from manufacturing_data_integration_tool_spark.ops.graph import kcore
+
+    # A chain 1-2-3-4: 2-core is empty, and removal must CASCADE (ends
+    # peel first, exposing new degree-1 nodes each round).
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert kcore(df, k=2).count() == 0
+
+
+def test_longest_daily_streak_hand_case(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        longest_daily_streak,
+    )
+
+    rows = []
+    # user 1: days 1,2,3 then 7,8 -> longest 3 starting day 1
+    for d in (1, 2, 3, 7, 8):
+        rows.append(Row(u=1, ts=f"2024-03-{d:02d} 10:00:00"))
+    # duplicate events on one day must not inflate the streak
+    rows.append(Row(u=1, ts="2024-03-02 23:00:00"))
+    # user 2: ties — two 2-day runs; best_start is the EARLIER one
+    for d in (1, 2, 5, 6):
+        rows.append(Row(u=2, ts=f"2024-03-{d:02d} 09:00:00"))
+    df = spark.createDataFrame(rows).selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {r["u"]: r for r in longest_daily_streak(df, "u", "ts").collect()}
+    assert (out[1]["n_days"], out[1]["n_streaks"], out[1]["longest_streak"]) == (5, 2, 3)
+    assert str(out[1]["best_start"]) == "2024-03-01"
+    assert (out[2]["longest_streak"], str(out[2]["best_start"])) == (2, "2024-03-01")
+
+
+def test_fd_violations_exact_and_violated(spark):
+    from manufacturing_data_integration_tool_spark.functions.profiling import (
+        fd_violations,
+    )
+
+    rows = [
+        Row(k=1, a="x", b="p"),
+        Row(k=1, a="x", b="q"),  # k=1 maps to two b values
+        Row(k=2, a="y", b="r"),
+    ]
+    out = {
+        r["fd"]: r
+        for r in fd_violations(
+            spark.createDataFrame(rows), [("k", "a"), ("k", "b")]
+        ).collect()
+    }
+    assert out["k->a"]["violation_rate"] == 0.0
+    assert out["k->b"]["n_violating_keys"] == 1
+    assert out["k->b"]["max_distinct_rhs"] == 2
