@@ -280,3 +280,38 @@ def test_fd_violations_exact_and_violated(spark):
     assert out["k->a"]["violation_rate"] == 0.0
     assert out["k->b"]["n_violating_keys"] == 1
     assert out["k->b"]["max_distinct_rhs"] == 2
+
+
+def test_kcore_random_graph_matches_python_peeling(spark):
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.graph import kcore
+
+    rng = random.Random(1234)
+    n, m, k = 60, 150, 3
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+
+    # reference peeling (order-independent fixed point)
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    expect = {v: len(nb) for v, nb in adj.items() if nb}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["core_degree"] for r in kcore(df, k=k).collect()}
+    assert got == expect
