@@ -3447,8 +3447,11 @@ def q170_mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier screen on order totals per priority
     (ops.stats.mad_outliers): the 50 %-breakdown cousin of the zscore
     rule (P8) — contamination can't drag the center/width it is measured
-    against. Same two-pass broadcast-stats shape as P8: two grouped
-    aggregates + broadcast joins, no unpartitioned window."""
+    against. Same two-pass broadcast-stats shape as P8. Complements
+    q111's inline per-row flags: this is the REUSABLE package operator
+    (grid-snapped values, 1.4826 consistency factor, per-group summary
+    contract) a pipeline composes, where q111 demonstrates the rule-like
+    row-flagging form."""
     from manufacturing_data_integration_tool_spark.ops.stats import mad_outliers
 
     orders = read_table(spark, sf_dir, "orders")
