@@ -3433,8 +3433,10 @@ def q169_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth 16, decay 0.7): the weight table is exact Python-int literals
     (7^j * 10^(15-j)) shipped as an array both engines index — a float
     ``pow`` would already round at 7^19 — and every product/sum runs in
-    decimal, so the single final divide is the only float op. One window
-    over a bounded 16-row tail per user; no global sort."""
+    decimal, so the single final divide is the only float op. The
+    latest-16 selection is TWO-PHASE (per (user, hash-bucket) rank, then
+    a final window over <= depth*buckets rows) — no task ever sorts a
+    user's full history."""
     from manufacturing_data_integration_tool_spark.ops.stats import ewma_trailing
 
     ev = read_table(spark, sf_dir, "events")
@@ -3488,14 +3490,16 @@ def q174_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     then event_id as the deterministic tiebreak) is the acquisition
     channel; every purchase the user ever makes credits that channel.
     Purchase cents snap to an exact bigint before summing, so the per-
-    channel total is order-independent. One per-user window over events
-    + one user-keyed aggregate + one user-keyed join."""
+    channel total is order-independent. First-touch is a min_by
+    aggregate (map-side combinable, sort-free) + one user-keyed
+    aggregate + one user-keyed join."""
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    first = (
-        ev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", F.col("event_type").alias("channel"))
+    # min_by on the (ts, event_id) struct: the "earliest event per user"
+    # is a map-side-combinable aggregate — no per-user history sort the
+    # way a row_number window would require (event_id is unique, so the
+    # struct ordering has no ties).
+    first = ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("channel")
     )
     pur = (
         ev.filter(F.col("event_type") == "purchase")

@@ -52,6 +52,7 @@ def ewma_trailing(
     decay_den: int = 10,
     scale: int = 10_000,
     round_to: int = 6,
+    sub_buckets: int = 16,
 ) -> DataFrame:
     """Per-key exponentially weighted average of the last ``depth``
     observations (most recent first), weights ``(decay_num/decay_den)**j``
@@ -64,9 +65,14 @@ def ewma_trailing(
     weight*value products and both sums run in ``decimal`` (exact), and
     only the final ratio touches floating point, as one fixed expression.
 
-    One hash shuffle on ``key_col``; the window is ``row_number`` ordered
-    ``(ts DESC, tiebreak DESC)`` and everything beyond ``depth`` is
-    filtered before aggregation, so per-key cost is O(depth).
+    The "latest ``depth`` rows" selection is a per-key top-k, and a bare
+    ``row_number`` window would sort a key's ENTIRE history in one task —
+    the single-task-sort scale-killer. With ``sub_buckets > 1`` the
+    selection runs TWO-PHASE (the q137/q164 sub-bucket pattern): rank
+    within (key, hash-bucket) first — ``sub_buckets``-way parallel, and
+    every global top-``depth`` row is necessarily in its bucket's
+    top-``depth`` — then the final ranking window sees at most
+    ``depth * sub_buckets`` rows per key, never the history.
 
     Output: ``(key_col, n_used, ewma)``.
     """
@@ -76,19 +82,32 @@ def ewma_trailing(
     if max(weights) >= 10**18:
         raise ValueError("weight table overflows 18 digits; lower depth/decay_den")
     w_arr = F.array(*[F.lit(w).cast("decimal(20,0)") for w in weights])
+    xq = (
+        F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
+        .cast("decimal(12,0)")
+    )
+    pruned = df.select(
+        F.col(key_col), F.col(ts_col), F.col(tiebreak_col), xq.alias("__xq")
+    )
+    if sub_buckets > 1:
+        pre = F.row_number().over(
+            Window.partitionBy(
+                key_col,
+                F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(sub_buckets)),
+            ).orderBy(F.col(ts_col).desc(), F.col(tiebreak_col).desc())
+        )
+        pruned = (
+            pruned.withColumn("__pre", pre)
+            .filter(F.col("__pre") <= depth)
+            .drop("__pre")
+        )
     rn = F.row_number().over(
         Window.partitionBy(key_col).orderBy(
             F.col(ts_col).desc(), F.col(tiebreak_col).desc()
         )
     )
-    xq = (
-        F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
-        .cast("decimal(12,0)")
-    )
     tail = (
-        df.select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col),
-                  xq.alias("__xq"))
-        .withColumn("__rn", rn)
+        pruned.withColumn("__rn", rn)
         .filter(F.col("__rn") <= depth)
         .select(
             F.col(key_col),

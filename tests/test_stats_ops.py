@@ -315,3 +315,29 @@ def test_kcore_random_graph_matches_python_peeling(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["core_degree"] for r in kcore(df, k=k).collect()}
     assert got == expect
+
+
+def test_ewma_sub_bucketed_prune_is_exact(spark):
+    # Two-phase latest-k selection must be lossless: same EWMA with and
+    # without the (key, hash-bucket) pre-rank.
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(k=i % 5, ts=rng.randrange(10_000), eid=i, v=rng.uniform(0, 100))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows)
+    a = {
+        r["k"]: (r["n_used"], r["ewma"])
+        for r in ewma_trailing(
+            df, "k", "ts", "v", tiebreak_col="eid", sub_buckets=0
+        ).collect()
+    }
+    b = {
+        r["k"]: (r["n_used"], r["ewma"])
+        for r in ewma_trailing(
+            df, "k", "ts", "v", tiebreak_col="eid", sub_buckets=16
+        ).collect()
+    }
+    assert a == b
