@@ -198,3 +198,80 @@ def user_value_peaks(events: DataFrame, *, ttl_ms: int | None = None) -> DataFra
         outputMode="Update",
         timeMode="None",
     )
+
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def running_ewma(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming per-user EWMA — the stream twin of the batch
+    ``ops.stats.ewma_trailing`` smoother, as the textbook recursion
+    ``s = alpha*x + (1-alpha)*s`` over per-key state
+    (``applyInPandasWithState``).
+
+    Within each micro-batch the rows are applied in ``(event time, id)``
+    order, so a replay that delivers the same files in the same batching
+    reproduces the same state (the batch-parity test pins this against a
+    pure-Python recursion). Unlike the batch operator there is no depth
+    truncation — the state is O(1) per key (count + current smoothed
+    value), the streaming advantage.
+
+    Emits one updated ``(user_id, n_events, ewma)`` row per key per
+    micro-batch.
+    """
+    a = float(alpha)
+
+    def _ewma_fn(
+        key: Tuple, pdf_iter: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["t_us", "__id"])
+            for x in pdf["value"].to_list():
+                s = x if n == 0 else a * x + (1.0 - a) * s
+                n += 1
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [s]}
+        )
+
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        t_us = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        ).cast("bigint")
+    else:
+        t_us = F.unix_micros(F.col(ts_col))
+    src = events.select(
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        t_us.alias("t_us"),
+        F.col(id_col).alias("__id"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

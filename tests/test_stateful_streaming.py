@@ -142,3 +142,45 @@ def test_user_value_peaks_raises_eagerly_without_protobuf(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events").drop("ts_ns")
     with pytest.raises(RuntimeError, match="protobuf"):
         user_value_peaks(ev)
+
+
+def test_running_ewma_matches_python_recursion(spark, sf_dir, tmp_path):
+    from manufacturing_data_integration_tool_spark.streaming import running_ewma
+
+    src_dir = tmp_path / "events_ewma"
+    ev = read_table(spark, sf_dir, "events").drop("ts_ns").limit(300)
+    ev.write.parquet(str(src_dir))
+    written = spark.read.parquet(str(src_dir)).select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+
+    # pure-Python recursion over (ts, event_id)-ordered history per user
+    alpha = 0.3
+    hist = {}
+    for r in sorted(written, key=lambda r: (r["ts"], r["event_id"])):
+        n, s = hist.get(r["user_id"], (0, 0.0))
+        x = float(r["value"])
+        s = x if n == 0 else alpha * x + (1.0 - alpha) * s
+        hist[r["user_id"]] = (n + 1, s)
+
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    out = running_ewma(stream, ts_col="ts", alpha=alpha)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql(
+        "select user_id, max_by(n_events, n_events) n, max_by(ewma, n_events) e "
+        "from ewma_out group by user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["e"]) for r in rows}
+    assert set(got) == set(hist)
+    for u, (n, s) in hist.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - s) < 1e-9
