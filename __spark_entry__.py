@@ -3610,6 +3610,92 @@ def q179_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(pairs, "doc_a", "doc_b", k=3)
 
 
+_DECAY_W = [7**d * 10 ** (7 - d) for d in range(8)]  # (7/10)^d, exact ints
+
+
+def q180_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution with exponential time decay:
+    every non-purchase touch in the 7 days before a purchase earns a
+    share proportional to 0.7^(days-before). The weight table is the
+    same exact-integer-literal trick as q169 (7^d * 10^(7-d)); per-
+    purchase shares are one IEEE divide, and the per-channel rollup
+    sums decimal(20,6)-rounded shares — associative, so partial-agg
+    order can't change the total. The touch-purchase pairing is a
+    bounded range join (0..7 day window) keyed on user_id — per-user
+    cost is touches-in-window x purchases, never history^2."""
+    ev = read_table(spark, sf_dir, "events")
+    w_arr = F.array(*[F.lit(w).cast("bigint") for w in _DECAY_W])
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.to_date("ts").alias("t_day"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.to_date("ts").alias("p_day"),
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    pairs = t.join(p, "user_id").filter(
+        (F.datediff("p_day", "t_day") >= 0) & (F.datediff("p_day", "t_day") <= 7)
+    )
+    pairs = pairs.withColumn(
+        "w", F.element_at(w_arr, F.datediff("p_day", "t_day") + 1)
+    )
+    tot = pairs.groupBy("p_id").agg(F.sum("w").alias("sw"))
+    alloc = (
+        pairs.join(tot, "p_id")
+        .withColumn(
+            "share",
+            F.round(
+                F.col("cents")
+                * F.col("w").cast("double")
+                / F.col("sw").cast("double")
+                / F.lit(100.0),
+                6,
+            ).cast("decimal(20,6)"),
+        )
+    )
+    return alloc.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.round(F.sum("share").cast("double"), 2).alias("attributed_value"),
+    )
+
+
+def q181_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95 latency-style trend per event_type with
+    day-over-day p50 delta: exact interpolated percentiles on grid-
+    snapped cents per (type, day) — one combiner-unfriendly but
+    day-bounded grouped percentile — then a lag window over the tiny
+    per-type day series. The raw stream collapses to (type, day)
+    before the window, same posture as the CUSUM detector."""
+    ev = read_table(spark, sf_dir, "events")
+    vq = F.floor(F.col("value").cast("double") * 10000 + F.lit(0.5)).cast("bigint")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"), vq.alias("__vq"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(__vq, 0.5)").alias("__p50"),
+            F.expr("percentile(__vq, 0.95)").alias("__p95"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.col("__p50") / 10000, 4).alias("p50"),
+        F.round(F.col("__p95") / 10000, 4).alias("p95"),
+        F.round(
+            (F.col("__p50") - F.lag("__p50", 1).over(w)) / 10000, 4
+        ).alias("p50_delta"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3815,6 +3901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_fd_violations": q177_fd_violations,
         "q178_longest_streak": q178_longest_streak,
         "q179_kcore": q179_kcore,
+        "q180_decay_attribution": q180_decay_attribution,
+        "q181_percentile_trend": q181_percentile_trend,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -3839,6 +3927,9 @@ def oracle_sql() -> dict[str, str]:
     _EWMA_WEIGHTS_SQL = ", ".join(
         str(7**j * 10 ** (15 - j)) for j in range(16)
     )
+
+    # q180's decay weights — the same _DECAY_W ints the Spark query ships.
+    _DECAY_W_SQL = ", ".join(str(w) for w in _DECAY_W)
 
     # q57/q58: the sampling thresholds are regenerated from the SAME helper
     # the Spark operators use, so both engines compare against identical
@@ -6228,6 +6319,47 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN rn = 1 THEN len END) AS longest_streak,
                    MAX(CASE WHEN rn = 1 THEN start END) AS best_start
             FROM pick GROUP BY 1
+        """,
+        # q180: weight literals regenerated from the SAME Python ints
+        "q180_decay_attribution": f"""
+            WITH t AS (SELECT user_id, event_type AS channel,
+                              CAST(ts AS DATE) AS t_day
+                       FROM events WHERE event_type <> 'purchase'),
+            p AS (SELECT user_id, event_id AS p_id, CAST(ts AS DATE) AS p_day,
+                         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase'),
+            pairs AS (SELECT t.user_id, channel, p_id, cents,
+                             date_diff('day', t_day, p_day) AS dd
+                      FROM t JOIN p ON t.user_id = p.user_id
+                      WHERE date_diff('day', t_day, p_day) BETWEEN 0 AND 7),
+            pw AS (SELECT *, CAST([{_DECAY_W_SQL}][dd + 1] AS BIGINT) AS w
+                   FROM pairs),
+            tot AS (SELECT p_id, SUM(w) AS sw FROM pw GROUP BY 1),
+            alloc AS (SELECT channel, pw.p_id,
+                             CAST(round(cents * CAST(w AS DOUBLE)
+                                        / CAST(sw AS DOUBLE) / 100.0, 6)
+                                  AS DECIMAL(20,6)) AS share
+                      FROM pw JOIN tot ON pw.p_id = tot.p_id)
+            SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+                   CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+                   round(CAST(SUM(share) AS DOUBLE), 2) AS attributed_value
+            FROM alloc GROUP BY 1
+        """,
+        "q181_percentile_trend": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     quantile_cont(CAST(floor(value*10000 + 0.5) AS BIGINT), 0.5)
+                       AS p50r,
+                     quantile_cont(CAST(floor(value*10000 + 0.5) AS BIGINT), 0.95)
+                       AS p95r
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, day, n,
+                   round(p50r/10000, 4) AS p50,
+                   round(p95r/10000, 4) AS p95,
+                   round((p50r - LAG(p50r, 1) OVER (
+                     PARTITION BY event_type ORDER BY day))/10000, 4) AS p50_delta
+            FROM daily
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

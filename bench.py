@@ -156,6 +156,8 @@ HEADLINE = [
     "q176_centroid_similarity",
     "q177_fd_violations",
     "q178_longest_streak",
+    "q180_decay_attribution",
+    "q181_percentile_trend",
 ]
 
 

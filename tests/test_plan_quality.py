@@ -614,3 +614,17 @@ def test_q178_streak_distinct_runs_before_window(spark):
     for m in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
         assert "user_id" in m
     assert "BatchEvalPython" not in plan
+
+
+def test_q180_attribution_join_is_user_keyed_no_cartesian(spark):
+    plan = plan_of(entry.q180_decay_attribution(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q181_trend_collapses_to_daily_before_window(spark):
+    import re
+
+    plan = plan_of(entry.q181_percentile_trend(spark, "/root/testdata/sf0.001"))
+    for m in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
+        assert "event_type" in m
