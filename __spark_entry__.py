@@ -3696,6 +3696,46 @@ def q181_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q182_quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health cross-check: near-duplication rate per quality
+    decile — joins the quality ranking (q99's per-lang ntile) with the
+    near-dup pair graph (q136's degrees) to answer 'is our low-quality
+    tail also the duplicated tail?'. One lang-keyed window + the pair
+    table's id-only degree aggregate + a doc_id join; corpus text is
+    read once, by the shingle pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.col("doc_id"))
+    ranked = docs.select(
+        "doc_id", "lang", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=0.01
+    )
+    deg = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        ranked.join(deg, "doc_id", "left")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("degree").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_involved"),
+            F.round(
+                F.sum(F.when(F.col("degree").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+            F.coalesce(F.sum("degree"), F.lit(0)).cast("bigint").alias(
+                "total_degree"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3903,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_kcore": q179_kcore,
         "q180_decay_attribution": q180_decay_attribution,
         "q181_percentile_trend": q181_percentile_trend,
+        "q182_quality_vs_dup": q182_quality_vs_dup,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -6360,6 +6401,28 @@ def oracle_sql() -> dict[str, str]:
                    round((p50r - LAG(p50r, 1) OVER (
                      PARTITION BY event_type ORDER BY day))/10000, 4) AS p50_delta
             FROM daily
+        """,
+        "q182_quality_vs_dup": f"""
+            WITH {_JACCARD_PAIRS_CTE},
+            deg AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM (SELECT doc_a AS doc_id FROM jpairs
+                    UNION ALL SELECT doc_b FROM jpairs)
+              GROUP BY 1),
+            ranked AS (
+              SELECT doc_id, lang,
+                     CAST(NTILE(10) OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ) AS BIGINT) AS decile
+              FROM documents)
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN degree IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_involved,
+                   round(CAST(SUM(CASE WHEN degree IS NOT NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+                   CAST(COALESCE(SUM(degree), 0) AS BIGINT) AS total_degree
+            FROM ranked LEFT JOIN deg USING (doc_id)
+            GROUP BY 1
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

@@ -158,6 +158,7 @@ HEADLINE = [
     "q178_longest_streak",
     "q180_decay_attribution",
     "q181_percentile_trend",
+    "q182_quality_vs_dup",
 ]
 
 
