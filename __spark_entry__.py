@@ -2559,9 +2559,13 @@ def q132_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each part, the EUROPE supplier(s) with the minimum unit cost.
     The correlated MIN subquery becomes a per-part aggregate joined back
     by (part, cost) — groupBy + broadcast-size join instead of a
-    re-executed subquery per row. Unit cost is decimal-sum / decimal-sum
-    in ONE IEEE division rounded to 6, so the equality join-back is
-    engine-exact."""
+    re-executed subquery per row. Unit cost is computed in exact INTEGER
+    micro-units — round-half-up on the exact rational via integral
+    division, floor((2*1e4*cents + qty) div (2*qty)) — because a
+    round(double, 6) sat exactly on a .5-ulp boundary at sf0.1 and Spark
+    (HALF_UP on the shortest decimal repr) and DuckDB (binary-value
+    rounding) disagreed by 1e-6; integer division cannot disagree, and
+    the min-selection equality join runs on the integer too."""
     li = read_table(spark, sf_dir, "lineitem")
     supplier = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
@@ -2575,23 +2579,32 @@ def q132_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
-    cost = F.round(
-        _dsum(F.col("l_extendedprice")) / _dsum(F.col("l_quantity")), 6
-    ).alias("unit_cost")
     per_ps = (
         li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
         .join(eu_sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey", "s_name", "supp_nation")
-        .agg(cost)
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice").cast("double") * 100 + F.lit(0.5))
+                .cast("bigint")
+            ).alias("__spc"),
+            F.sum(
+                F.floor(F.col("l_quantity").cast("double") + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("__sq"),
+        )
+        .withColumn("__micro", F.expr("(2*10000*__spc + __sq) div (2*__sq)"))
+        .withColumn("unit_cost", F.col("__micro") / F.lit(1000000.0))
     )
     min_cost = per_ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
+        F.min("__micro").alias("min_micro")
     )
     return (
         per_ps.join(
             min_cost,
             (F.col("l_partkey") == F.col("mc_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
+            & (F.col("__micro") == F.col("min_micro")),
         )
         .select(
             F.col("l_partkey").alias("p_key"),
@@ -4913,17 +4926,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE r_name = 'EUROPE'
             ), per_ps AS (
               SELECT l_partkey, l_suppkey, s_name, supp_nation,
-                     round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
-                           / CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 6) AS unit_cost
+                     (2*10000*SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                      + SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)))
+                     // (2*SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))) AS micro
               FROM lineitem JOIN eu ON l_suppkey = s_suppkey
               GROUP BY 1, 2, 3, 4
             ), mc AS (
-              SELECT l_partkey, MIN(unit_cost) AS min_cost
+              SELECT l_partkey, MIN(micro) AS min_micro
               FROM per_ps GROUP BY 1
             )
-            SELECT a.l_partkey AS p_key, a.s_name, a.supp_nation, a.unit_cost
+            SELECT a.l_partkey AS p_key, a.s_name, a.supp_nation,
+                   a.micro / 1000000.0 AS unit_cost
             FROM per_ps a JOIN mc b
-              ON a.l_partkey = b.l_partkey AND a.unit_cost = b.min_cost
+              ON a.l_partkey = b.l_partkey AND a.micro = b.min_micro
         """,
         "q133_scd2_intervals": """
             WITH base AS (
