@@ -3749,6 +3749,17 @@ def q182_quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q183_phonetic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-blocking entity resolution (ops.dedup.phonetic_key_pairs):
+    Soundex-coded candidate blocks + levenshtein verify over the DISTINCT
+    part-name vocabulary — the complement of q97's prefix blocking, which
+    misses leading-character typos. Rows-only check (no Soundex in the
+    oracle engine); semantics pinned by the hand-computed block fixture
+    in tests."""
+    part = read_table(spark, sf_dir, "part")
+    return dd.phonetic_key_pairs(part, "p_name", max_dist=3, min_len=4)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3931,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_frequent_terms": q154_frequent_terms,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q152_pagerank": q152_pagerank,
+        "q183_phonetic_match": q183_phonetic_match,
         "q155_bpe_encode": q155_bpe_encode,
         "q157_bm25_retrieval": q157_bm25_retrieval,
         "q158_c4_line_filter": q158_c4_line_filter,

@@ -43,6 +43,7 @@ __all__ = [
     "embedding_near_dups",
     "semantic_dedup",
     "fuzzy_key_pairs",
+    "phonetic_key_pairs",
     "incremental_dedup",
     "segment_dedup",
     "source_overlap_matrix",
@@ -1032,4 +1033,47 @@ def prefix_filtered_jaccard(
             F.lit(q) * F.col("inter")
             >= F.lit(p) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
         )
+    )
+
+
+def phonetic_key_pairs(
+    df: DataFrame,
+    key_col: str,
+    *,
+    max_dist: int = 3,
+    min_len: int = 4,
+) -> DataFrame:
+    """Entity-resolution candidate pairs under PHONETIC blocking: distinct
+    keys that share a Soundex code, verified with ``levenshtein <=
+    max_dist``. The complement of ``fuzzy_key_pairs``'s prefix blocking —
+    prefix blocks miss leading-character typos ("Jonson"/"Johnson" share
+    a block, "Onson" does not), Soundex blocks catch sound-alike variants
+    whose spellings diverge early.
+
+    Same scale posture as the prefix blocker: the vocabulary is DISTINCT
+    keys (always << corpus), candidates come from an equi-join on the
+    4-char Soundex code, and the edit-distance verify runs only within
+    blocks. A degenerate block (many keys, one code) is the classic
+    Soundex failure mode — ``min_len`` drops short keys, whose codes
+    collapse worst.
+
+    Rows-only correctness check (no Soundex in the SQL oracle engine);
+    semantics pinned by the pure-Python twin in tests.
+
+    Output: ``(key_a, key_b, code, dist)`` with ``key_a < key_b``.
+    """
+    keys = (
+        df.select(F.col(key_col).alias("k"))
+        .filter(F.length("k") >= min_len)
+        .distinct()
+        .withColumn("code", F.soundex(F.upper(F.col("k"))))
+    )
+    a = keys.select(F.col("k").alias("key_a"), "code")
+    b = keys.select(F.col("k").alias("key_b"), "code")
+    return (
+        a.join(b, "code")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("key_a", "key_b", "code", "dist")
     )

@@ -1,9 +1,15 @@
 from .corpus_pipeline import corpus_ingest_transform, start_corpus_stream
-from .file_pipeline import start_file_stream, windowed_event_counts, sessionized_counts
+from .file_pipeline import (
+    start_file_stream,
+    windowed_event_counts,
+    windowed_term_counts,
+    sessionized_counts,
+)
 from .stateful import running_ewma, running_user_stats, streaming_dedup, user_value_peaks
 from .cdc import apply_cdc_stream
 
 __all__ = [
+    "windowed_term_counts",
     "running_ewma",
     "apply_cdc_stream",
     "corpus_ingest_transform",

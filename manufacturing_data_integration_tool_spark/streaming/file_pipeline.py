@@ -155,3 +155,38 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def windowed_term_counts(
+    src: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Trending-terms source: per-(event-time window, token) counts with
+    a watermark — the streaming half of a "what's trending this hour"
+    dashboard (the consumer ranks the emitted finalized windows; ranking
+    inside the stream would need complete-mode state over every token).
+
+    The token explode multiplies rows BEFORE the stateful aggregate, but
+    state is bounded by (windows in the watermark horizon) x (distinct
+    tokens seen in them), and append mode emits each window once, when
+    the watermark closes it — late rows beyond the watermark are dropped
+    rather than reopening state (the documented trade).
+    """
+    from ..ops.text import tokenize
+
+    return (
+        ensure_event_time(src, ts_col)
+        .withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(tokenize(text_col)).alias("tok"))
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("tok"))
+        .count()
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("tok"),
+            F.col("count").alias("n"),
+        )
+    )

@@ -341,3 +341,31 @@ def test_ewma_sub_bucketed_prune_is_exact(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_phonetic_key_pairs_blocks_sound_alikes(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        phonetic_key_pairs,
+    )
+
+    rows = [
+        Row(name=n)
+        for n in [
+            "Johnson", "Jonson", "Johnsen",     # J525 block
+            "Smith", "Smyth", "Smithe",         # S530 block
+            "Baker",                            # alone
+            "abc",                              # below min_len
+        ]
+    ]
+    out = phonetic_key_pairs(
+        spark.createDataFrame(rows), "name", max_dist=3, min_len=4
+    ).collect()
+    pairs = {(r["key_a"], r["key_b"]) for r in out}
+    assert ("Johnsen", "Johnson") in pairs
+    assert ("Johnson", "Jonson") in pairs or ("Jonson", "Johnson") in pairs
+    assert ("Smith", "Smyth") in pairs
+    # cross-block pairs must not exist; Baker pairs with nothing
+    assert not any("Baker" in p for p in pairs)
+    assert not any("abc" in p for p in pairs)
+    for r in out:
+        assert r["dist"] <= 3 and len(r["code"]) == 4
