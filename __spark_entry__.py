@@ -3760,6 +3760,21 @@ def q183_phonetic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.phonetic_key_pairs(part, "p_name", max_dist=3, min_len=4)
 
 
+def q184_xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar/R control chart per event_type over daily n=5
+    rational subgroups (ops.stats.xbar_r_chart) — THE manufacturing SPC
+    primitive for the domain the reference tool feeds. Subgroup sampling
+    is the lossless two-phase first-n (no full-day sort on a hot key);
+    sums/ranges are exact grid integers; A2/D3/D4 are shared literals,
+    so limits and out-of-control flags hash-match the oracle."""
+    from manufacturing_data_integration_tool_spark.ops.stats import xbar_r_chart
+
+    ev = read_table(spark, sf_dir, "events")
+    return xbar_r_chart(
+        ev, "event_type", "ts", "value", tiebreak_col="event_id", n=5, scale=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3969,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_decay_attribution": q180_decay_attribution,
         "q181_percentile_trend": q181_percentile_trend,
         "q182_quality_vs_dup": q182_quality_vs_dup,
+        "q184_xbar_r_chart": q184_xbar_r_chart,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -6450,6 +6466,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(degree), 0) AS BIGINT) AS total_degree
             FROM ranked LEFT JOIN deg USING (doc_id)
             GROUP BY 1
+        """,
+        # q184: A2/D3/D4 are the SAME literals ops.stats.XBAR_R_CONSTANTS
+        # ships for n=5 (0.577, 0.0, 2.114); limits/flags are computed
+        # from UNROUNDED doubles with the identical expression tree.
+        "q184_xbar_r_chart": """
+            WITH base AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                     CAST(floor(value*100 + 0.5) AS BIGINT) AS vq
+              FROM events),
+            rk AS (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY event_type, day ORDER BY ts, event_id
+                   ) AS rn FROM base),
+            sub AS (SELECT event_type, day, COUNT(*) AS cnt,
+                           SUM(vq) AS s, MAX(vq) - MIN(vq) AS r
+                    FROM rk WHERE rn <= 5 GROUP BY 1, 2
+                    HAVING COUNT(*) = 5),
+            pk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+                          SUM(s) AS ss, SUM(r) AS sr
+                   FROM sub GROUP BY 1),
+            j AS (SELECT sub.event_type, day,
+                         CAST(s AS DOUBLE) / 500.0 AS xbar_u,
+                         CAST(r AS DOUBLE) / 100.0 AS r_u,
+                         CAST(ss AS DOUBLE) / (CAST(d AS DOUBLE) * 500.0)
+                           AS xbarbar_u,
+                         CAST(sr AS DOUBLE) / (CAST(d AS DOUBLE) * 100.0)
+                           AS rbar_u
+                  FROM sub JOIN pk USING (event_type))
+            SELECT event_type, day,
+                   round(xbar_u, 4) AS xbar, round(r_u, 4) AS r,
+                   round(xbarbar_u, 4) AS xbarbar, round(rbar_u, 4) AS rbar,
+                   round(xbarbar_u + 0.577 * rbar_u, 4) AS ucl_x,
+                   round(xbarbar_u - 0.577 * rbar_u, 4) AS lcl_x,
+                   round(2.114 * rbar_u, 4) AS ucl_r,
+                   round(0.0 * rbar_u, 4) AS lcl_r,
+                   (xbar_u > xbarbar_u + 0.577 * rbar_u
+                    OR xbar_u < xbarbar_u - 0.577 * rbar_u
+                    OR r_u > 2.114 * rbar_u
+                    OR r_u < 0.0 * rbar_u) AS out_of_control
+            FROM j
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

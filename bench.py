@@ -159,6 +159,7 @@ HEADLINE = [
     "q180_decay_attribution",
     "q181_percentile_trend",
     "q182_quality_vs_dup",
+    "q184_xbar_r_chart",
 ]
 
 

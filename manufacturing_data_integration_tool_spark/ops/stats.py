@@ -37,7 +37,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["ewma_trailing", "mad_outliers", "cusum_flags"]
+__all__ = ["ewma_trailing", "mad_outliers", "cusum_flags", "xbar_r_chart", "XBAR_R_CONSTANTS"]
 
 
 def ewma_trailing(
@@ -299,4 +299,127 @@ def cusum_flags(
             (F.col("__sp") > F.col("__d") * h_units)
             | (F.col("__sn") > F.col("__d") * h_units)
         ).alias("flagged"),
+    )
+
+
+# Shewhart X-bar/R control-chart constants (ASTM E2587 / standard SPC
+# tables) for subgroup sizes 2..10: A2 (X-bar limits from R-bar), D3/D4
+# (R limits). Literals, so any SQL oracle reuses the exact same numbers.
+XBAR_R_CONSTANTS = {
+    2: (1.880, 0.0, 3.267),
+    3: (1.023, 0.0, 2.574),
+    4: (0.729, 0.0, 2.282),
+    5: (0.577, 0.0, 2.114),
+    6: (0.483, 0.0, 2.004),
+    7: (0.419, 0.076, 1.924),
+    8: (0.373, 0.136, 1.864),
+    9: (0.337, 0.184, 1.816),
+    10: (0.308, 0.223, 1.777),
+}
+
+
+def xbar_r_chart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tiebreak_col: str,
+    n: int = 5,
+    scale: int = 100,
+    round_to: int = 4,
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """Shewhart X-bar/R control chart per key over daily rational
+    subgroups — THE statistical-process-control primitive for
+    manufacturing quality data (the domain the reference tool feeds):
+    sample the first ``n`` readings of each (key, day), chart each
+    subgroup's mean and range against 3-sigma limits derived from the
+    key's average range (``A2/D3/D4`` constants, standard SPC tables).
+
+    Determinism/scale posture mirrors the EWMA operator:
+
+    - the "first n per (key, day)" selection is the same lossless
+      TWO-PHASE top-k (pre-rank inside (key, day, hash-bucket), then a
+      final window over <= n * sub_buckets rows) — no task ever sorts a
+      full day's readings for a hot key;
+    - values snap to the ``1/scale`` grid, so subgroup sums and ranges
+      are exact integers; every division is a fixed IEEE expression on
+      exact operands; the A2/D3/D4 multipliers are shared literals.
+
+    Subgroups with fewer than ``n`` readings are dropped (standard
+    practice — partial subgroups bias R-bar downward).
+
+    Output: one row per complete (key, day) subgroup —
+    ``(key_col, day, xbar, r, xbarbar, rbar, ucl_x, lcl_x, ucl_r, lcl_r,
+    out_of_control)``.
+    """
+    if n not in XBAR_R_CONSTANTS:
+        raise ValueError(f"subgroup size must be in {sorted(XBAR_R_CONSTANTS)}")
+    a2, d3, d4 = XBAR_R_CONSTANTS[n]
+    vq = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast("bigint")
+    base = df.select(
+        F.col(key_col),
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        vq.alias("__vq"),
+    )
+    if sub_buckets > 1:
+        pre = F.row_number().over(
+            Window.partitionBy(
+                key_col,
+                "day",
+                F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(sub_buckets)),
+            ).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        )
+        base = base.withColumn("__pre", pre).filter(F.col("__pre") <= n).drop("__pre")
+    rn = F.row_number().over(
+        Window.partitionBy(key_col, "day").orderBy(
+            F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+        )
+    )
+    sub = (
+        base.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= n)
+        .groupBy(key_col, "day")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("__vq").alias("__s"),
+            (F.max("__vq") - F.min("__vq")).alias("__r"),
+        )
+        .filter(F.col("__cnt") == n)
+    )
+    per_key = sub.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__d"),
+        F.sum("__s").alias("__ss"),
+        F.sum("__r").alias("__sr"),
+    )
+    j = sub.join(F.broadcast(per_key), key_col)
+    xbar = F.col("__s").cast("double") / F.lit(float(n * scale))
+    rr = F.col("__r").cast("double") / F.lit(float(scale))
+    xbarbar = F.col("__ss").cast("double") / (
+        F.col("__d").cast("double") * F.lit(float(n * scale))
+    )
+    rbar = F.col("__sr").cast("double") / (
+        F.col("__d").cast("double") * F.lit(float(scale))
+    )
+    ucl_x = xbarbar + F.lit(a2) * rbar
+    lcl_x = xbarbar - F.lit(a2) * rbar
+    ucl_r = F.lit(d4) * rbar
+    lcl_r = F.lit(d3) * rbar
+    return j.select(
+        F.col(key_col),
+        "day",
+        F.round(xbar, round_to).alias("xbar"),
+        F.round(rr, round_to).alias("r"),
+        F.round(xbarbar, round_to).alias("xbarbar"),
+        F.round(rbar, round_to).alias("rbar"),
+        F.round(ucl_x, round_to).alias("ucl_x"),
+        F.round(lcl_x, round_to).alias("lcl_x"),
+        F.round(ucl_r, round_to).alias("ucl_r"),
+        F.round(lcl_r, round_to).alias("lcl_r"),
+        (
+            (xbar > ucl_x) | (xbar < lcl_x) | (rr > ucl_r) | (rr < lcl_r)
+        ).alias("out_of_control"),
     )

@@ -369,3 +369,72 @@ def test_phonetic_key_pairs_blocks_sound_alikes(spark):
     assert not any("abc" in p for p in pairs)
     for r in out:
         assert r["dist"] <= 3 and len(r["code"]) == 4
+
+
+def test_xbar_r_chart_hand_computed(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import xbar_r_chart
+
+    rows = []
+    # key "m": two days, 5 readings each (plus a 6th reading on day 1
+    # that must be EXCLUDED — only the first n by (ts, id) count)
+    day1 = [10.0, 12.0, 11.0, 13.0, 9.0]
+    day2 = [30.0, 31.0, 29.0, 30.0, 30.0]  # shifted mean, tight range
+    for i, v in enumerate(day1):
+        rows.append(Row(k="m", ts=f"2024-01-01 0{i}:00:00", eid=i, v=v))
+    rows.append(Row(k="m", ts="2024-01-01 09:00:00", eid=99, v=1000.0))
+    for i, v in enumerate(day2):
+        rows.append(Row(k="m", ts=f"2024-01-02 0{i}:00:00", eid=10 + i, v=v))
+    # incomplete day: must be dropped
+    rows.append(Row(k="m", ts="2024-01-03 00:00:00", eid=20, v=50.0))
+    df = spark.createDataFrame(rows).selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts", "eid", "v"
+    )
+    out = {
+        str(r["day"]): r
+        for r in xbar_r_chart(df, "k", "ts", "v", tiebreak_col="eid", n=5).collect()
+    }
+    assert set(out) == {"2024-01-01", "2024-01-02"}  # day 3 dropped
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert d1["xbar"] == pytest.approx(11.0)  # 1000.0 outlier excluded
+    assert d1["r"] == pytest.approx(4.0)
+    assert d2["xbar"] == pytest.approx(30.0)
+    assert d2["r"] == pytest.approx(2.0)
+    xbarbar, rbar = 20.5, 3.0
+    assert d1["xbarbar"] == pytest.approx(xbarbar)
+    assert d1["ucl_x"] == pytest.approx(xbarbar + 0.577 * rbar, abs=1e-4)
+    assert d1["ucl_r"] == pytest.approx(2.114 * rbar, abs=1e-4)
+    # both days sit far from the 2-subgroup grand mean -> both flag
+    assert d1["out_of_control"] and d2["out_of_control"]
+
+
+def test_xbar_r_chart_two_phase_sampling_is_lossless(spark):
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.stats import xbar_r_chart
+
+    rng = random.Random(5)
+    rows = [
+        Row(
+            k="a",
+            ts=f"2024-02-{1 + (i % 6):02d} {rng.randrange(24):02d}:{rng.randrange(60):02d}:00",
+            eid=i,
+            v=rng.uniform(0, 50),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows).selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts", "eid", "v"
+    )
+    a = sorted(
+        (str(r["day"]), r["xbar"], r["r"], r["out_of_control"])
+        for r in xbar_r_chart(
+            df, "k", "ts", "v", tiebreak_col="eid", sub_buckets=0
+        ).collect()
+    )
+    b = sorted(
+        (str(r["day"]), r["xbar"], r["r"], r["out_of_control"])
+        for r in xbar_r_chart(
+            df, "k", "ts", "v", tiebreak_col="eid", sub_buckets=16
+        ).collect()
+    )
+    assert a == b and len(a) == 6
