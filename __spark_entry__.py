@@ -3775,6 +3775,24 @@ def q184_xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q185_validation_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC over the validation engine (ops.stats.p_chart): daily order
+    validation-FAILURE rate charted against binomial 3-sigma limits
+    around the overall rate — "is today's reject rate in statistical
+    control, or did the upstream process shift?". Runs the REAL rule
+    compiler (q04's validation) to produce the defect flag; all counts
+    exact, limits one fixed IEEE expression, variable-width per-day
+    limits (standard unequal-n treatment)."""
+    from manufacturing_data_integration_tool_spark.ops.stats import p_chart
+
+    res = _orders_validated(spark, sf_dir)
+    flagged = res.annotated.select(
+        F.to_date("o_orderdate").alias("day"),
+        (F.size("errors") > 0).alias("bad"),
+    )
+    return p_chart(flagged, "day", "bad")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3985,6 +4003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_percentile_trend": q181_percentile_trend,
         "q182_quality_vs_dup": q182_quality_vs_dup,
         "q184_xbar_r_chart": q184_xbar_r_chart,
+        "q185_validation_p_chart": q185_validation_p_chart,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -6504,6 +6523,30 @@ def oracle_sql() -> dict[str, str]:
                     OR xbar_u < xbarbar_u - 0.577 * rbar_u
                     OR r_u > 2.114 * rbar_u
                     OR r_u < 0.0 * rbar_u) AS out_of_control
+            FROM j
+        """,
+        "q185_validation_p_chart": f"""
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN {_ORDERS_INVALID_SQL} THEN 1 ELSE 0 END)
+                          AS BIGINT) AS defects
+              FROM orders GROUP BY 1),
+            tot AS (SELECT SUM(n) AS nn, SUM(defects) AS dd FROM daily),
+            j AS (SELECT day, n, defects,
+                         CAST(defects AS DOUBLE) / CAST(n AS DOUBLE) AS p_u,
+                         CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE) AS pbar_u,
+                         sqrt((CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (1.0 - CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE))
+                              / CAST(n AS DOUBLE)) AS se_u
+                  FROM daily, tot)
+            SELECT day, n, defects,
+                   round(p_u, 6) AS p, round(pbar_u, 6) AS pbar,
+                   round(pbar_u + 3.0 * se_u, 6) AS ucl,
+                   round(GREATEST(0.0, pbar_u - 3.0 * se_u), 6) AS lcl,
+                   (p_u > pbar_u + 3.0 * se_u
+                    OR p_u < GREATEST(0.0, pbar_u - 3.0 * se_u))
+                     AS out_of_control
             FROM j
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)

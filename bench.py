@@ -160,6 +160,7 @@ HEADLINE = [
     "q181_percentile_trend",
     "q182_quality_vs_dup",
     "q184_xbar_r_chart",
+    "q185_validation_p_chart",
 ]
 
 

@@ -37,7 +37,14 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["ewma_trailing", "mad_outliers", "cusum_flags", "xbar_r_chart", "XBAR_R_CONSTANTS"]
+__all__ = [
+    "ewma_trailing",
+    "mad_outliers",
+    "cusum_flags",
+    "xbar_r_chart",
+    "p_chart",
+    "XBAR_R_CONSTANTS",
+]
 
 
 def ewma_trailing(
@@ -422,4 +429,55 @@ def xbar_r_chart(
         (
             (xbar > ucl_x) | (xbar < lcl_x) | (rr > ucl_r) | (rr < lcl_r)
         ).alias("out_of_control"),
+    )
+
+
+def p_chart(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    *,
+    n_sigmas: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Attribute (p) control chart: per-group defective PROPORTION
+    charted against binomial 3-sigma limits around the overall rate —
+    ``pbar +- n_sigmas * sqrt(pbar*(1-pbar)/n)``, with per-group ``n``
+    (variable-width limits, the standard p-chart treatment for unequal
+    subgroup sizes; LCL floors at 0).
+
+    ``flag_col`` is any boolean defect indicator — here typically "row
+    failed validation", which makes this the SPC view OVER the
+    validation engine: is today's failure rate in statistical control,
+    or did the upstream process shift?
+
+    One combiner-friendly groupBy + a 1-row overall-rate broadcast; all
+    counts are exact integers, every derived number is one fixed IEEE
+    expression over them (sqrt is correctly rounded, so engines agree).
+
+    Output: ``(group_col, n, defects, p, pbar, ucl, lcl,
+    out_of_control)``.
+    """
+    daily = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(flag_col).cast("int")).cast("bigint").alias("defects"),
+    )
+    tot = daily.agg(
+        F.sum("n").alias("__nn"), F.sum("defects").alias("__dd")
+    )
+    j = daily.crossJoin(F.broadcast(tot))
+    p_u = F.col("defects").cast("double") / F.col("n").cast("double")
+    pbar_u = F.col("__dd").cast("double") / F.col("__nn").cast("double")
+    se_u = F.sqrt(pbar_u * (F.lit(1.0) - pbar_u) / F.col("n").cast("double"))
+    ucl_u = pbar_u + F.lit(float(n_sigmas)) * se_u
+    lcl_u = F.greatest(F.lit(0.0), pbar_u - F.lit(float(n_sigmas)) * se_u)
+    return j.select(
+        F.col(group_col),
+        "n",
+        "defects",
+        F.round(p_u, round_to).alias("p"),
+        F.round(pbar_u, round_to).alias("pbar"),
+        F.round(ucl_u, round_to).alias("ucl"),
+        F.round(lcl_u, round_to).alias("lcl"),
+        ((p_u > ucl_u) | (p_u < lcl_u)).alias("out_of_control"),
     )

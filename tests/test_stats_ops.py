@@ -438,3 +438,22 @@ def test_xbar_r_chart_two_phase_sampling_is_lossless(spark):
         ).collect()
     )
     assert a == b and len(a) == 6
+
+
+def test_p_chart_hand_computed(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import p_chart
+
+    rows = []
+    # group A: 2/100 bad; group B: 30/100 bad (way out of control)
+    for i in range(100):
+        rows.append(Row(g="A", bad=i < 2))
+        rows.append(Row(g="B", bad=i < 30))
+    out = {r["g"]: r for r in p_chart(spark.createDataFrame(rows), "g", "bad").collect()}
+    pbar = 32 / 200
+    se = math.sqrt(pbar * (1 - pbar) / 100)
+    assert out["A"]["p"] == pytest.approx(0.02)
+    assert out["A"]["pbar"] == pytest.approx(pbar)
+    assert out["A"]["ucl"] == pytest.approx(pbar + 3 * se, abs=1e-6)
+    assert out["A"]["lcl"] == pytest.approx(max(0.0, pbar - 3 * se), abs=1e-6)
+    assert out["A"]["out_of_control"] is True  # 0.02 < LCL (0.05)
+    assert out["B"]["out_of_control"] is True  # 0.30 > UCL (0.27)
