@@ -3793,6 +3793,49 @@ def q185_validation_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p_chart(flagged, "day", "bad")
 
 
+def q186_we_run_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric run rules over q184's X-bar chart
+    (ops.stats.we_run_rules): the drift patterns a bare 3-sigma test
+    misses — 2-of-3 beyond 2 sigma same side (rule2), 8 consecutive
+    same side of center (rule4). Bounded ROWS windows (<= 8) per key
+    over the day series; all zone tests on the chart's own published
+    (rounded) numbers, so the flags hash-match the oracle."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        we_run_rules,
+        xbar_r_chart,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    chart = xbar_r_chart(
+        ev, "event_type", "ts", "value", tiebreak_col="event_id", n=5, scale=100
+    )
+    return we_run_rules(chart, "event_type")
+
+
+def q187_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability Cp/Cpk per event_type
+    (ops.stats.process_capability): within-subgroup sigma via
+    R-bar/d2(5)=2.326, spec limits [0, 400] as literals. Rides the
+    X-bar/R machinery (two-phase subgroup sampling, exact integer
+    sums) + one per-key aggregate."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        process_capability,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return process_capability(
+        ev,
+        "event_type",
+        "ts",
+        "value",
+        tiebreak_col="event_id",
+        lsl=0.0,
+        usl=400.0,
+        n=5,
+        scale=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4004,6 +4047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_quality_vs_dup": q182_quality_vs_dup,
         "q184_xbar_r_chart": q184_xbar_r_chart,
         "q185_validation_p_chart": q185_validation_p_chart,
+        "q186_we_run_rules": q186_we_run_rules,
+        "q187_process_capability": q187_process_capability,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -4031,6 +4076,48 @@ def oracle_sql() -> dict[str, str]:
 
     # q180's decay weights — the same _DECAY_W ints the Spark query ships.
     _DECAY_W_SQL = ", ".join(str(w) for w in _DECAY_W)
+
+    def _xbar_chart_cte(r: int) -> str:
+        """q184's chart derivation as a reusable CTE chain, rounded to
+        ``r`` decimals — shared by the q186/q187 oracles so the rules and
+        capability math run on exactly the chart's published numbers."""
+        return f"""base AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                     CAST(floor(value*100 + 0.5) AS BIGINT) AS vq
+              FROM events),
+            rk AS (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY event_type, day ORDER BY ts, event_id
+                   ) AS rn FROM base),
+            sub AS (SELECT event_type, day, COUNT(*) AS cnt,
+                           SUM(vq) AS s, MAX(vq) - MIN(vq) AS r
+                    FROM rk WHERE rn <= 5 GROUP BY 1, 2
+                    HAVING COUNT(*) = 5),
+            pk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+                          SUM(s) AS ss, SUM(r) AS sr
+                   FROM sub GROUP BY 1),
+            ju AS (SELECT sub.event_type, day,
+                          CAST(s AS DOUBLE) / 500.0 AS xbar_u,
+                          CAST(r AS DOUBLE) / 100.0 AS r_u,
+                          CAST(ss AS DOUBLE) / (CAST(d AS DOUBLE) * 500.0)
+                            AS xbarbar_u,
+                          CAST(sr AS DOUBLE) / (CAST(d AS DOUBLE) * 100.0)
+                            AS rbar_u
+                   FROM sub JOIN pk USING (event_type)),
+            chart AS (SELECT event_type, day,
+                             round(xbar_u, {r}) AS xbar, round(r_u, {r}) AS r,
+                             round(xbarbar_u, {r}) AS xbarbar,
+                             round(rbar_u, {r}) AS rbar,
+                             round(xbarbar_u + 0.577 * rbar_u, {r}) AS ucl_x,
+                             round(xbarbar_u - 0.577 * rbar_u, {r}) AS lcl_x,
+                             round(2.114 * rbar_u, {r}) AS ucl_r,
+                             round(0.0 * rbar_u, {r}) AS lcl_r,
+                             (xbar_u > xbarbar_u + 0.577 * rbar_u
+                              OR xbar_u < xbarbar_u - 0.577 * rbar_u
+                              OR r_u > 2.114 * rbar_u
+                              OR r_u < 0.0 * rbar_u) AS out_of_control
+                      FROM ju)"""
+
+
 
     # q57/q58: the sampling thresholds are regenerated from the SAME helper
     # the Spark operators use, so both engines compare against identical
@@ -6548,6 +6635,41 @@ def oracle_sql() -> dict[str, str]:
                     OR p_u < GREATEST(0.0, pbar_u - 3.0 * se_u))
                      AS out_of_control
             FROM j
+        """,
+        "q186_we_run_rules": f"""
+            WITH {_xbar_chart_cte(4)},
+            st AS (SELECT event_type, day, xbar, out_of_control,
+                     CASE WHEN xbar > xbarbar THEN 1
+                          WHEN xbar < xbarbar THEN -1 ELSE 0 END AS side,
+                     CAST(abs(xbar - xbarbar)
+                          > 2.0 * ((ucl_x - xbarbar) / 3.0) AS INT) AS b2
+                   FROM chart)
+            SELECT event_type, day, xbar, CAST(side AS INT) AS side,
+                   CAST(b2 AS BOOLEAN) AS beyond_2s,
+                   out_of_control AS rule1,
+                   ((SUM(CASE WHEN side > 0 THEN b2 ELSE 0 END) OVER w3 >= 2
+                     OR SUM(CASE WHEN side < 0 THEN b2 ELSE 0 END) OVER w3 >= 2)
+                    AND COUNT(*) OVER w3 = 3) AS rule2,
+                   (abs(SUM(side) OVER w8) = 8 AND COUNT(*) OVER w8 = 8)
+                     AS rule4
+            FROM st
+            WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                   w8 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        """,
+        "q187_process_capability": f"""
+            WITH {_xbar_chart_cte(9)},
+            pc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_subgroups,
+                          MAX(xbarbar) AS xbb, MAX(rbar) AS rb
+                   FROM chart GROUP BY 1)
+            SELECT event_type, n_subgroups,
+                   round(xbb, 4) AS xbarbar,
+                   round(rb / 2.326, 4) AS sigma_hat,
+                   round((400.0 - 0.0) / (6.0 * (rb / 2.326)), 4) AS cp,
+                   round(LEAST(400.0 - xbb, xbb - 0.0)
+                         / (3.0 * (rb / 2.326)), 4) AS cpk
+            FROM pc
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

@@ -161,6 +161,8 @@ HEADLINE = [
     "q182_quality_vs_dup",
     "q184_xbar_r_chart",
     "q185_validation_p_chart",
+    "q186_we_run_rules",
+    "q187_process_capability",
 ]
 
 

@@ -43,7 +43,10 @@ __all__ = [
     "cusum_flags",
     "xbar_r_chart",
     "p_chart",
+    "we_run_rules",
+    "process_capability",
     "XBAR_R_CONSTANTS",
+    "D2_CONSTANTS",
 ]
 
 
@@ -480,4 +483,131 @@ def p_chart(
         F.round(ucl_u, round_to).alias("ucl"),
         F.round(lcl_u, round_to).alias("lcl"),
         ((p_u > ucl_u) | (p_u < lcl_u)).alias("out_of_control"),
+    )
+
+
+# Hartley's d2 (mean-range-to-sigma) constants for subgroup sizes 2..10,
+# standard SPC tables — sigma_hat = R-bar / d2.
+D2_CONSTANTS = {
+    2: 1.128, 3: 1.693, 4: 2.059, 5: 2.326,
+    6: 2.534, 7: 2.704, 8: 2.847, 9: 2.970, 10: 3.078,
+}
+
+
+def we_run_rules(
+    chart: DataFrame,
+    key_col: str,
+    *,
+    order_col: str = "day",
+    round_to: int = 4,
+) -> DataFrame:
+    """Western Electric run rules over an X-bar chart's subgroup series
+    (input = ``xbar_r_chart`` output): the patterns that flag a process
+    drifting while every point is still inside the 3-sigma limits.
+
+    - rule1: point beyond 3 sigma (the chart's own ``out_of_control``);
+    - rule2: 2 of the last 3 points beyond 2 sigma on the SAME side;
+    - rule4: 8 consecutive points on the same side of the center line.
+
+    ``sigma_xbar`` is recovered as ``(ucl_x - xbarbar) / 3`` — the A2
+    identity — so the rules run on exactly the numbers the chart
+    published. All windows are per-key, ordered by ``order_col``, with
+    bounded ROWS frames (8 at most): one hash shuffle, subgroup-count
+    partitions. Side/zone tests compare deterministic doubles, so the
+    flags hash-match a SQL oracle.
+
+    Output: chart columns + ``(side, beyond_2s, rule1, rule2, rule4)``.
+    """
+    sigma = (F.col("ucl_x") - F.col("xbarbar")) / F.lit(3.0)
+    side = F.when(F.col("xbar") > F.col("xbarbar"), F.lit(1)).otherwise(
+        F.when(F.col("xbar") < F.col("xbarbar"), F.lit(-1)).otherwise(F.lit(0))
+    )
+    beyond2 = (
+        F.abs(F.col("xbar") - F.col("xbarbar")) > F.lit(2.0) * sigma
+    ).cast("int")
+    w3 = (
+        Window.partitionBy(key_col).orderBy(order_col).rowsBetween(-2, 0)
+    )
+    w8 = (
+        Window.partitionBy(key_col).orderBy(order_col).rowsBetween(-7, 0)
+    )
+    step = chart.withColumn("side", side).withColumn("__b2", beyond2)
+    rule2 = (
+        (F.sum(F.when(F.col("side") > 0, F.col("__b2")).otherwise(0)).over(w3)
+         >= 2)
+        | (F.sum(F.when(F.col("side") < 0, F.col("__b2")).otherwise(0)).over(w3)
+           >= 2)
+    ) & (F.count(F.lit(1)).over(w3) == 3)
+    rule4 = (
+        (F.abs(F.sum("side").over(w8)) == 8)
+        & (F.count(F.lit(1)).over(w8) == 8)
+    )
+    return step.select(
+        F.col(key_col),
+        F.col(order_col),
+        "xbar",
+        "side",
+        F.col("__b2").cast("boolean").alias("beyond_2s"),
+        F.col("out_of_control").alias("rule1"),
+        rule2.alias("rule2"),
+        rule4.alias("rule4"),
+    )
+
+
+def process_capability(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tiebreak_col: str,
+    lsl: float,
+    usl: float,
+    n: int = 5,
+    scale: int = 100,
+    round_to: int = 4,
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """Process capability Cp / Cpk per key from the X-bar/R machinery:
+    ``sigma_hat = R-bar / d2(n)`` (within-subgroup estimate, the
+    standard short-term capability sigma), ``Cp = (USL-LSL)/(6*sigma)``,
+    ``Cpk = min(USL - xbarbar, xbarbar - LSL) / (3*sigma)``.
+
+    Rides ``xbar_r_chart`` unchanged (same two-phase subgroup sampling,
+    same exact integer sums), then one per-key aggregate; spec limits
+    and ``d2`` are literals shared with any oracle.
+
+    Output: ``(key_col, n_subgroups, xbarbar, sigma_hat, cp, cpk)``.
+    """
+    if n not in D2_CONSTANTS:
+        raise ValueError(f"subgroup size must be in {sorted(D2_CONSTANTS)}")
+    d2 = D2_CONSTANTS[n]
+    chart = xbar_r_chart(
+        df,
+        key_col,
+        ts_col,
+        value_col,
+        tiebreak_col=tiebreak_col,
+        n=n,
+        scale=scale,
+        round_to=9,
+        sub_buckets=sub_buckets,
+    )
+    per_key = chart.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_subgroups"),
+        F.max("xbarbar").alias("__xbb"),
+        F.max("rbar").alias("__rb"),
+    )
+    sigma = F.col("__rb") / F.lit(d2)
+    cp = (F.lit(float(usl)) - F.lit(float(lsl))) / (F.lit(6.0) * sigma)
+    cpk = F.least(
+        F.lit(float(usl)) - F.col("__xbb"), F.col("__xbb") - F.lit(float(lsl))
+    ) / (F.lit(3.0) * sigma)
+    return per_key.select(
+        F.col(key_col),
+        "n_subgroups",
+        F.round(F.col("__xbb"), round_to).alias("xbarbar"),
+        F.round(sigma, round_to).alias("sigma_hat"),
+        F.round(cp, round_to).alias("cp"),
+        F.round(cpk, round_to).alias("cpk"),
     )

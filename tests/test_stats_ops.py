@@ -457,3 +457,60 @@ def test_p_chart_hand_computed(spark):
     assert out["A"]["lcl"] == pytest.approx(max(0.0, pbar - 3 * se), abs=1e-6)
     assert out["A"]["out_of_control"] is True  # 0.02 < LCL (0.05)
     assert out["B"]["out_of_control"] is True  # 0.30 > UCL (0.27)
+
+
+def test_we_run_rules_detects_same_side_runs(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        we_run_rules,
+        xbar_r_chart,
+    )
+
+    rows = []
+    # 8 days below ~50, then 8 days above — rule4 must fire on days 8
+    # and 16; nothing breaches 3 sigma (values are tight around means).
+    for d in range(8):
+        for i in range(5):
+            rows.append(
+                Row(k="m", ts=f"2024-01-{d + 1:02d} 0{i}:00:00",
+                    eid=d * 10 + i, v=40.0 + i)
+            )
+    for d in range(8, 16):
+        for i in range(5):
+            rows.append(
+                Row(k="m", ts=f"2024-01-{d + 1:02d} 0{i}:00:00",
+                    eid=d * 10 + i, v=60.0 + i)
+            )
+    df = spark.createDataFrame(rows).selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts", "eid", "v"
+    )
+    chart = xbar_r_chart(df, "k", "ts", "v", tiebreak_col="eid", n=5)
+    out = {r["day"].day: r for r in we_run_rules(chart, "k").collect()}
+    assert out[8]["rule4"] and out[16]["rule4"]
+    assert not out[7]["rule4"] and not out[9]["rule4"]
+    # sides: first half -1, second half +1
+    assert out[1]["side"] == -1 and out[16]["side"] == 1
+
+
+def test_process_capability_hand_computed(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        process_capability,
+    )
+
+    rows = []
+    # two identical subgroups: mean 12, range 4 -> rbar=4, sigma=4/2.326
+    for d in (1, 2):
+        for i, v in enumerate([10.0, 12.0, 11.0, 13.0, 14.0]):
+            rows.append(
+                Row(k="m", ts=f"2024-01-{d:02d} 0{i}:00:00", eid=d * 10 + i, v=v)
+            )
+    df = spark.createDataFrame(rows).selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts", "eid", "v"
+    )
+    out = process_capability(
+        df, "k", "ts", "v", tiebreak_col="eid", lsl=0.0, usl=24.0, n=5
+    ).collect()[0]
+    sigma = 4.0 / 2.326
+    assert out["n_subgroups"] == 2
+    assert out["sigma_hat"] == pytest.approx(sigma, abs=1e-4)
+    assert out["cp"] == pytest.approx(24.0 / (6 * sigma), abs=1e-4)
+    assert out["cpk"] == pytest.approx(12.0 / (3 * sigma), abs=1e-4)
