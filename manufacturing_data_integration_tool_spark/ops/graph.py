@@ -420,6 +420,7 @@ def kcore(
         .distinct()
     )
     prev = _edge_checksum(edges)
+    converged = False
     for _ in range(max_iter):
         sym = edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -434,8 +435,18 @@ def kcore(
         )
         cur = _edge_checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # exiting on max_iter without a fixed point would silently return a
+        # subgraph that still contains degree<k nodes — not a k-core.
+        # Pathological chain-heavy graphs can need >max_iter peel rounds;
+        # fail loudly rather than hand back a wrong answer.
+        raise RuntimeError(
+            f"kcore: peeling did not reach the fixed point in {max_iter} "
+            "rounds; raise max_iter"
+        )
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -43,6 +43,7 @@ __all__ = [
     "ivf_search",
     "ivf_topk",
     "pca_fit",
+    "pca_moments",
     "pca_project",
 ]
 
@@ -594,28 +595,29 @@ def ivf_topk(
     return ivf_search(index, queries, k=k, n_probe=n_probe, round_to=round_to)
 
 
-def pca_fit(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    *,
-    k: int = 8,
-) -> tuple[list[float], list[list[float]], list[float]]:
-    """Fit a PCA basis over an embedding column, distributed.
+_PCA_MOMENT_SCHEMA = "n long, s array<double>, g array<double>"
 
-    The classic two-phase moment computation: every partition reduces to
-    its (count, sum, Gram=X^T X) partials in one Arrow-batched
-    ``mapInPandas`` pass (d x d doubles per partition, d = embedding dim —
-    tiny), the driver combines the partials and eigendecomposes the d x d
-    covariance with numpy. Only O(P * d^2) floats ever reach the driver —
-    the corpus is touched exactly once regardless of size, which is how
-    every distributed PCA (Spark MLlib included) scales.
 
-    Sign convention: each component is flipped so its largest-magnitude
-    coordinate is positive (eigenvector sign is otherwise arbitrary and
-    would differ across BLAS builds).
+def pca_moments(df: DataFrame, vec_col: str = "embedding", *, fan_in: int = 256) -> DataFrame:
+    """Reduce an embedding column to its (count, sum, Gram) moment row —
+    the sufficient statistics for PCA — entirely Spark-side.
 
-    Returns ``(mean, components, explained_variance)`` — plain Python
-    lists, ready to broadcast into ``pca_project``.
+    Three levels, all Arrow-batched:
+
+    1. per-partition partials via ``mapInPandas`` (one row per input
+       partition, d + d^2 doubles each);
+    2. partials grouped by ``spark_partition_id() % fan_in`` and summed
+       with numpy in ``applyInPandas`` (<= fan_in rows survive, each
+       combine task holds ~P/fan_in partials);
+    3. a constant-key ``applyInPandas`` merges the <= fan_in rows to ONE.
+
+    The driver never sees per-partition partials — at P input partitions
+    and dimension d the old single-level collect shipped P*(d + d^2)
+    doubles to the driver (~800 GB at P=1e5, d=1024); this ships d + d^2
+    once. Level-2/3 shuffles carry <= P + fan_in tiny rows.
+
+    Returns a 1-row DataFrame ``(n, s array<double>, g array<double>)``
+    (g row-major flattened). Empty input yields n=0 with empty arrays.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -639,19 +641,66 @@ def pca_fit(
             {"n": [n], "s": [s.tolist()], "g": [g.flatten().tolist()]}
         )
 
-    parts = df.select(vec_col).mapInPandas(
-        _partials, "n long, s array<double>, g array<double>"
-    ).collect()
-    parts = [p for p in parts if p["n"]]
-    if not parts:
+    def _combine(pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        pdf = pdf[pdf["n"] > 0]
+        if not len(pdf):
+            return pd.DataFrame({"n": [], "s": [], "g": []})
+        n = int(pdf["n"].sum())
+        s = np.asarray(pdf["s"].tolist(), dtype="float64").sum(axis=0)
+        g = np.asarray(pdf["g"].tolist(), dtype="float64").sum(axis=0)
+        return pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.tolist()]})
+
+    parts = df.select(vec_col).mapInPandas(_partials, _PCA_MOMENT_SCHEMA)
+    lvl1 = (
+        parts.groupBy(
+            F.pmod(F.spark_partition_id().cast("long"), F.lit(int(fan_in))).alias("__b")
+        )
+        .applyInPandas(lambda _, pdf: _combine(pdf), _PCA_MOMENT_SCHEMA)
+    )
+    one = (
+        lvl1.groupBy(F.lit(0).alias("__b"))
+        .applyInPandas(lambda _, pdf: _combine(pdf), _PCA_MOMENT_SCHEMA)
+    )
+    return one.select("n", "s", "g")
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit a PCA basis over an embedding column, distributed.
+
+    The classic two-phase moment computation: every partition reduces to
+    its (count, sum, Gram=X^T X) partials in one Arrow-batched
+    ``mapInPandas`` pass (d x d doubles per partition, d = embedding dim),
+    the partials tree-combine SPARK-SIDE down to one row (see
+    ``pca_moments``), and the driver eigendecomposes the d x d covariance
+    with numpy. Exactly one (count, sum, Gram) row ever reaches the
+    driver — O(d^2) floats — however many input partitions exist; the
+    corpus itself is touched exactly once regardless of size, which is
+    how every distributed PCA (Spark MLlib included) scales.
+
+    Sign convention: each component is flipped so its largest-magnitude
+    coordinate is positive (eigenvector sign is otherwise arbitrary and
+    would differ across BLAS builds).
+
+    Returns ``(mean, components, explained_variance)`` — plain Python
+    lists, ready to broadcast into ``pca_project``.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    parts = pca_moments(df, vec_col).collect()
+    if not parts or not parts[0]["n"]:
         raise ValueError("pca_fit: empty input")
-    n = sum(p["n"] for p in parts)
+    assert len(parts) == 1, "pca_moments contract: exactly one combined row"
+    n = int(parts[0]["n"])
     d = len(parts[0]["s"])
-    s = np.zeros(d)
-    g = np.zeros((d, d))
-    for p in parts:
-        s += np.asarray(p["s"])
-        g += np.asarray(p["g"]).reshape(d, d)
+    s = np.asarray(parts[0]["s"])
+    g = np.asarray(parts[0]["g"]).reshape(d, d)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending

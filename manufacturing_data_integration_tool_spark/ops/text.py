@@ -802,26 +802,43 @@ def bpe_train(
     text_col: str = "text",
     *,
     n_merges: int = 10,
+    batch_size: int = 16,
 ) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merges over the corpus, distributed.
+    """Learn ``n_merges`` BPE merges over the corpus, distributed, with
+    PROVABLY-GREEDY merge batching.
 
     The textbook greedy loop (Sennrich et al., ACL'16) re-expressed for
     Spark: the corpus collapses ONCE to the (word, count) vocabulary
-    table; each iteration (a) counts adjacent symbol pairs across the
+    table; each ROUND (a) counts adjacent symbol pairs across the
     vocabulary weighted by word count — one explode + one map-side-combined
-    aggregate, (b) takes the argmax pair (1-row driver probe, ties broken
-    lexicographically so the learned merges are deterministic), (c)
-    rewrites each word's symbol array with the pair merged left-to-right
-    — a pure ``F.aggregate`` fold, no Python in the loop body.
+    aggregate, (b) collects the top-K pairs (one small driver probe) and
+    selects a batch of up to ``batch_size`` merges that serial greedy
+    would provably pick in exactly this order, (c) rewrites each word's
+    symbol array with ALL batch pairs merged left-to-right in one pure
+    ``F.aggregate`` fold — no Python in the loop body.
+
+    Batch safety (identical output to batch_size=1, not an
+    approximation): walk the (count desc, pair asc) list, batching pairs
+    until the first pair that shares a symbol with an earlier batch
+    member; let ``c_bound`` be that pair's count (or the first unbatched
+    row's count). Every pair a batch merge can create or touch shares a
+    symbol with a batch pair, so its count is <= c_bound; batch pairs are
+    pairwise symbol-disjoint, so their counts are invariant under each
+    other. Keeping only batch pairs with count STRICTLY above c_bound
+    (plus the always-correct top-1) means nothing can overtake them
+    between the batched steps — serial greedy picks exactly these pairs
+    in this order. Ties inside the batch resolve lexicographically, the
+    same order the sort already imposes.
 
     Returns the learned merge list [(left, right), ...] in order.
 
-    100 TB posture: the corpus is touched once (word count); every
-    iteration runs over the |vocab|-row table (~millions of rows at any
-    corpus size), with a localCheckpoint every few rounds to stop lineage
+    100 TB posture: the corpus is touched once (word count); every round
+    runs over the |vocab|-row table (~millions of rows at any corpus
+    size), with a localCheckpoint every few rounds to stop lineage
     growth — same discipline as the connected-components loop
-    (`ops/graph.py`). The driver probe is 1 row/round, inherent to any
-    greedy argmax loop.
+    (`ops/graph.py`). At production vocab sizes (30-50k merges) batching
+    cuts driver round-trips and Spark jobs ~batch_size x vs the r4
+    one-job-per-merge loop.
     """
     spark_df = (
         df.select(F.explode(tokenize(text_col)).alias("w"))
@@ -832,7 +849,9 @@ def bpe_train(
     # Spark's split('abc', '') yields ['a','b','c'] (no trailing empty)
     vocab = spark_df.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
-    for it in range(n_merges):
+    batch_size = max(1, int(batch_size))
+    rounds = 0
+    while len(merges) < n_merges:
         pair_counts = (
             vocab.select(
                 F.explode(
@@ -852,15 +871,47 @@ def bpe_train(
             .groupBy("p")
             .agg(F.sum("wc").alias("c"))
         )
-        top = pair_counts.orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r")).limit(1).collect()
+        k_probe = batch_size * 4
+        top = (
+            pair_counts.orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
+            .limit(k_probe)
+            .collect()
+        )
         if not top:
             break
-        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
-        merges.append((left, right))
-        merged = left + right
+        rows = [(r["p"]["l"], r["p"]["r"], int(r["c"])) for r in top]
+        table_exhausted = len(rows) < k_probe
+        want = min(batch_size, n_merges - len(merges))
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        c_bound = 0 if table_exhausted else rows[-1][2]
+        for l, r, c in rows:
+            if len(batch) >= want or l in used or r in used:
+                c_bound = c
+                break
+            batch.append((l, r, c))
+            used.add(l)
+            used.add(r)
+        # strict-majority truncation: only pairs whose count cannot be
+        # matched by any pair outside the batch survive; the top-1 pick
+        # is unconditionally greedy-correct.
+        batch = [batch[0]] + [b for b in batch[1:] if b[2] > c_bound]
+        merges.extend((l, r) for l, r, _ in batch)
+
+        def _merged(hold: Column, s: Column) -> Column:
+            """NULL unless (hold, s) is a batch pair; else the fused symbol."""
+            expr = F.lit(None).cast("string")
+            for bl, br, _ in reversed(batch):
+                expr = F.when(
+                    (hold == F.lit(bl)) & (s == F.lit(br)), F.lit(bl + br)
+                ).otherwise(expr)
+            return expr
+
         # left-to-right greedy merge as a fold: carry (out array, pending
-        # symbol); when pending==left and current==right emit the merged
-        # symbol, else flush pending. NULL pending marks 'nothing held'.
+        # symbol); when (pending, current) hits any batch pair emit the
+        # fused symbol, else flush pending. NULL pending marks 'nothing
+        # held'. Batch pairs are symbol-disjoint, so one fold applies all
+        # of them exactly as consecutive single-pair folds would.
         fold = F.aggregate(
             "syms",
             F.struct(
@@ -868,9 +919,9 @@ def bpe_train(
                 F.lit(None).cast("string").alias("hold"),
             ),
             lambda acc, s: F.when(
-                (acc["hold"] == F.lit(left)) & (s == F.lit(right)),
+                _merged(acc["hold"], s).isNotNull(),
                 F.struct(
-                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.concat(acc["out"], F.array(_merged(acc["hold"], s))).alias("out"),
                     F.lit(None).cast("string").alias("hold"),
                 ),
             ).otherwise(
@@ -888,7 +939,8 @@ def bpe_train(
             ).otherwise(acc["out"]),
         )
         vocab = vocab.select(fold.alias("syms"), "wc")
-        if (it + 1) % 4 == 0:
+        rounds += 1
+        if rounds % 4 == 0:
             vocab = vocab.localCheckpoint(eager=False)
     return merges
 
@@ -1026,6 +1078,7 @@ def frequent_terms(
     min_count: int = 1000,
     *,
     force_local_threshold: Optional[int] = None,
+    n_partitions: Optional[int] = None,
 ) -> DataFrame:
     """EXACT support-threshold heavy hitters (every term with global count
     >= ``min_count``) with pigeonhole candidate pruning — the long-tail
@@ -1043,33 +1096,65 @@ def frequent_terms(
     oracle-equal to ``GROUP BY term HAVING count >= m``, while the shuffle
     carries only candidate terms instead of the full long-tail vocabulary.
 
+    The pigeonhole bar needs the RUNTIME partition count P: a bar derived
+    from an underestimate of P is too high and silently drops heavy
+    hitters. The count is NOT probed via ``df.rdd`` (the
+    ``sources/readers.py`` rule: under AQE that materializes query
+    stages); instead phase 1 emits one marker row per partition alongside
+    the candidates, the candidate set is checkpointed (it must
+    materialize anyway for the broadcast), and the marker count is read
+    off the tiny checkpointed frame. If the assumed P (defaultParallelism
+    floor, or ``n_partitions``) proves too low, phase 1 re-runs once with
+    the measured P — the bar is sound by construction, never by luck.
+
     100 TB posture: phase 1 is scan-speed with O(local vocab) memory per
     task; phase 2's semi-join broadcasts while the candidate set fits and
     degrades to a hash join on the (uniform) term otherwise.
 
     Output: ``(term, n)`` — exact global counts of the heavy hitters.
     """
+    spark = df.sparkSession
     toks = df.select(F.explode(tokenize(text_col)).alias("term"))
-    n_parts = max(1, df.rdd.getNumPartitions())
-    local_bar = (
-        int(force_local_threshold)
-        if force_local_threshold is not None
-        else max(1, -(-int(min_count) // n_parts))
-    )
 
-    def _local_counts(batches):
-        import pandas as pd  # noqa: PLC0415
+    def _phase1(local_bar: int) -> DataFrame:
+        def _local_counts(batches):
+            import pandas as pd  # noqa: PLC0415
+            from pyspark import TaskContext  # noqa: PLC0415
 
-        counts: dict[str, int] = {}
-        for pdf in batches:
-            for t, c in pdf["term"].value_counts().items():
-                counts[t] = counts.get(t, 0) + int(c)
-        heavy = [t for t, c in counts.items() if c >= local_bar]
-        yield pd.DataFrame({"term": heavy})
+            counts: dict[str, int] = {}
+            for pdf in batches:
+                for t, c in pdf["term"].value_counts().items():
+                    counts[t] = counts.get(t, 0) + int(c)
+            heavy = [t for t, c in counts.items() if c >= local_bar]
+            pid = TaskContext.get().partitionId()
+            # one NULL-term marker row per partition: the runtime P probe
+            yield pd.DataFrame(
+                {"term": heavy + [None], "pid": [pid] * (len(heavy) + 1)}
+            )
 
-    candidates = (
-        toks.mapInPandas(_local_counts, "term string").distinct()
-    )
+        return toks.mapInPandas(_local_counts, "term string, pid int").localCheckpoint(
+            eager=True
+        )
+
+    p_assumed = max(1, int(n_partitions or spark.sparkContext.defaultParallelism))
+    for _ in range(3):
+        local_bar = (
+            int(force_local_threshold)
+            if force_local_threshold is not None
+            else max(1, -(-int(min_count) // p_assumed))
+        )
+        phase1 = _phase1(local_bar)
+        p_actual = phase1.filter(F.col("term").isNull()).count()
+        if force_local_threshold is not None or local_bar == 1 or p_actual <= p_assumed:
+            break
+        p_assumed = p_actual  # bar was too high — rerun with measured P
+    else:
+        raise RuntimeError(
+            "frequent_terms: partition count kept growing across reruns; "
+            "pass n_partitions= explicitly"
+        )
+
+    candidates = phase1.filter(F.col("term").isNotNull()).select("term").distinct()
     return (
         toks.join(F.broadcast(candidates), "term", "left_semi")
         .groupBy("term")

@@ -906,6 +906,26 @@ def test_bpe_train_matches_pure_python_reference(spark):
     assert got == want
 
 
+def test_bpe_train_batched_equals_serial(spark):
+    """Merge batching (r4 verdict #3) must be a pure job-count
+    optimization: batch_size=8 learns byte-identical merges to the
+    one-merge-per-job loop AND to the pure-Python serial reference."""
+    from manufacturing_data_integration_tool_spark.ops.text import bpe_train
+
+    corpus = (
+        "the quick brown fox jumps over the lazy dog "
+        "the quicker browner foxes jumped over those lazier dogs "
+        "pack packing packed packs unpack unpacked repack "
+        "low lower lowest newest newer new wide wider widest"
+    )
+    df = spark.createDataFrame([Row(text=corpus), Row(text="the pack low wide")])
+    serial = bpe_train(df, "text", n_merges=12, batch_size=1)
+    batched = bpe_train(df, "text", n_merges=12, batch_size=8)
+    assert batched == serial
+    assert batched == _ref_bpe((corpus + " the pack low wide").split(), 12)
+    assert len(batched) == 12
+
+
 def test_char_pair_counts_weighted_by_word_freq(spark):
     from manufacturing_data_integration_tool_spark.ops.text import char_pair_counts
 
@@ -1085,6 +1105,16 @@ def test_frequent_terms_exact_and_pruned(spark):
         for r in frequent_terms(df, min_count=10, force_local_threshold=1).collect()
     }
     assert loose == got
+    # SOUNDNESS under an underestimated partition count: n_partitions=1
+    # against 4 real partitions makes the initial pigeonhole bar too high
+    # (ceil(10/1)=10 > any single partition's 'warm' count); the marker
+    # probe must detect this and re-run with the measured P rather than
+    # silently dropping 'warm'.
+    corrected = {
+        r["term"]: r["n"]
+        for r in frequent_terms(df, min_count=10, n_partitions=1).collect()
+    }
+    assert corrected == got
 
 
 def test_frequent_terms_matches_plain_groupby(spark):
@@ -1169,6 +1199,28 @@ def test_pca_fit_project_matches_numpy(spark):
     proj_ref = (x - x.mean(axis=0)) @ np.asarray(comps).T
     got = np.asarray([r["pca"] for r in out])
     assert np.abs(got - proj_ref[np.argsort([r["vec_id"] for r in out])]).max() < 1e-5
+
+
+def test_pca_moments_reduces_to_one_row_spark_side(spark):
+    """The driver must receive exactly ONE (n, s, g) row however many
+    input partitions exist — the r4 verdict's scale demand (the old
+    single-level collect shipped one partial per partition)."""
+    import numpy as np
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import pca_moments
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(64, 5))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(16)
+    # small fan_in forces both combine levels to do real merging
+    out = pca_moments(df, "embedding", fan_in=4).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 64
+    assert np.allclose(out[0]["s"], x.sum(axis=0), atol=1e-9)
+    assert np.allclose(
+        np.asarray(out[0]["g"]).reshape(5, 5), x.T @ x, atol=1e-8
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -628,3 +628,30 @@ def test_q181_trend_collapses_to_daily_before_window(spark):
     plan = plan_of(entry.q181_percentile_trend(spark, "/root/testdata/sf0.001"))
     for m in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
         assert "event_type" in m
+
+
+def test_no_df_rdd_probe_anywhere_in_package():
+    """Lint: no `.rdd` access in package code (r4 verdict #4). Under AQE a
+    `df.rdd` probe materializes the query stages — the exact trap
+    `sources/readers.py` documents. Docstrings/comments may mention it;
+    code may not, so the scan runs on the token stream."""
+    import io
+    import pathlib
+    import tokenize
+
+    root = pathlib.Path(__file__).resolve().parents[1] / (
+        "manufacturing_data_integration_tool_spark"
+    )
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        toks = list(tokenize.generate_tokens(
+            io.StringIO(path.read_text()).readline))
+        for prev, cur in zip(toks, toks[1:]):
+            if (
+                prev.type == tokenize.OP
+                and prev.string == "."
+                and cur.type == tokenize.NAME
+                and cur.string == "rdd"
+            ):
+                offenders.append(f"{path.name}:{cur.start[0]}")
+    assert not offenders, f".rdd access in package code: {offenders}"

@@ -105,12 +105,21 @@ def main() -> int:
             continue
         spark_s = round(time.time() - t0, 2)
         if name not in oracles:
-            print(f"rows  {name}: {len(sdf)} rows (no oracle; rows-only) [{spark_s:.1f}s]")
+            # A rows-only entry that emits nothing proves only that the
+            # query doesn't crash (r4 verdict #1) — 0 rows is a FAILURE.
+            vacuous = len(sdf) == 0
+            tag = "FAIL" if vacuous else "rows"
+            note = " VACUOUS: 0 rows" if vacuous else ""
+            print(
+                f"{tag}  {name}: {len(sdf)} rows (no oracle; rows-only)"
+                f" [{spark_s:.1f}s]{note}"
+            )
             report[name] = {
-                "status": "rows_only",
+                "status": "fail_vacuous" if vacuous else "rows_only",
                 "spark_rows": len(sdf),
                 "seconds": spark_s,
             }
+            failures += 1 if vacuous else 0
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
