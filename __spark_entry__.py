@@ -6651,13 +6651,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q186_we_run_rules": f"""
             WITH {_xbar_chart_cte(4)},
-            st AS (SELECT event_type, day, xbar, out_of_control,
+            st AS (SELECT event_type, day, xbar, r, xbarbar, rbar,
+                     ucl_x, lcl_x, ucl_r, lcl_r, out_of_control,
                      CASE WHEN xbar > xbarbar THEN 1
                           WHEN xbar < xbarbar THEN -1 ELSE 0 END AS side,
                      CAST(abs(xbar - xbarbar)
                           > 2.0 * ((ucl_x - xbarbar) / 3.0) AS INT) AS b2
                    FROM chart)
-            SELECT event_type, day, xbar, CAST(side AS INT) AS side,
+            SELECT event_type, day, xbar, r, xbarbar, rbar,
+                   ucl_x, lcl_x, ucl_r, lcl_r,
+                   CAST(side AS INT) AS side,
                    CAST(b2 AS BOOLEAN) AS beyond_2s,
                    out_of_control AS rule1,
                    ((SUM(CASE WHEN side > 0 THEN b2 ELSE 0 END) OVER w3 >= 2

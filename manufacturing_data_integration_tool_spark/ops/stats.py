@@ -92,9 +92,15 @@ def ewma_trailing(
     if max(weights) >= 10**18:
         raise ValueError("weight table overflows 18 digits; lower depth/decay_den")
     w_arr = F.array(*[F.lit(w).cast("decimal(20,0)") for w in weights])
+    # decimal(18,0), not (12,0): with the default scale=10_000 a (12,0)
+    # quantized value overflows (-> non-ANSI NULL, silently skewing the
+    # weighted sum) at |value| >= 10^8; 18 digits represent |value| up to
+    # 10^14 at that scale. w*x products then peak < 10^36 and a depth-32
+    # sum < 10^38 — inside decimal(38,0), mirroring the weight-table
+    # overflow guard above.
     xq = (
         F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
-        .cast("decimal(12,0)")
+        .cast("decimal(18,0)")
     )
     pruned = df.select(
         F.col(key_col), F.col(ts_col), F.col(tiebreak_col), xq.alias("__xq")
@@ -516,7 +522,10 @@ def we_run_rules(
     partitions. Side/zone tests compare deterministic doubles, so the
     flags hash-match a SQL oracle.
 
-    Output: chart columns + ``(side, beyond_2s, rule1, rule2, rule4)``.
+    Output: the full chart row — ``(key, order, xbar, r, xbarbar, rbar,
+    ucl_x, lcl_x, ucl_r, lcl_r)`` — plus ``(side, beyond_2s, rule1,
+    rule2, rule4)``; consumers plotting rule hits against the limits
+    need both halves.
     """
     sigma = (F.col("ucl_x") - F.col("xbarbar")) / F.lit(3.0)
     side = F.when(F.col("xbar") > F.col("xbarbar"), F.lit(1)).otherwise(
@@ -546,6 +555,13 @@ def we_run_rules(
         F.col(key_col),
         F.col(order_col),
         "xbar",
+        "r",
+        "xbarbar",
+        "rbar",
+        "ucl_x",
+        "lcl_x",
+        "ucl_r",
+        "lcl_r",
         "side",
         F.col("__b2").cast("boolean").alias("beyond_2s"),
         F.col("out_of_control").alias("rule1"),

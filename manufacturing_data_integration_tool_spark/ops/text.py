@@ -1632,7 +1632,12 @@ def inverted_postings(
     dt = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
     ).distinct()
-    bucketed = dt.groupBy("tok", F.pmod(F.col("id"), F.lit(64)).alias("__b")).agg(
+    # bucket on a HASH of the id: pmod over the raw id assumes numeric —
+    # a string doc id would coerce to NULL and collapse every posting
+    # into one bucket, silently voiding the bounded-buffer guarantee.
+    bucketed = dt.groupBy(
+        "tok", F.pmod(F.xxhash64(F.col("id")), F.lit(64)).alias("__b")
+    ).agg(
         F.count(F.lit(1)).alias("__n"),
         F.slice(F.sort_array(F.collect_list("id")), 1, max_postings).alias("__p"),
     )

@@ -74,6 +74,14 @@ class CompileContext:
     lookup_values: dict[str, Any] = dc_field(default_factory=dict)
     extensions: bool = False
     timestamp_field: Optional[str] = None
+    # lookup rules with no registered literal set: raising beats the
+    # reference's silent fall-through (src/data_validator.py:197 simply
+    # never dispatches an unknown column) — a misspelled lookup table
+    # must not silently disable a validation. Tables listed in
+    # ``deferred_lookup_tables`` (a referential-integrity rule or dim
+    # table is configured for them) legitimately compile to None here.
+    strict_lookup: bool = True
+    deferred_lookup_tables: frozenset = frozenset()
 
 
 def error_struct(field_name: str, value: Column, error_type: str, message: Column | str) -> Column:
@@ -200,8 +208,21 @@ def _lookup(fname: str, c: Column, params: Mapping[str, Any], ctx: CompileContex
     if values is None:
         values = ctx.lookup_values.get(column, params.get("values"))
     if values is None:
-        # No literal set registered: defer to dataset_rules.referential_check
-        # (broadcast anti-join) — per-row compilation has nothing to check.
+        if table in ctx.deferred_lookup_tables:
+            # A referential-integrity rule / dim table is configured for
+            # this table: dataset_rules.referential_check (broadcast
+            # anti-join) owns the validation; per-row compilation has
+            # nothing to check.
+            return None
+        if ctx.strict_lookup:
+            raise ValueError(
+                f"lookup rule on '{fname}' against {table}.{column} has no "
+                "literal set registered and no referential path configured — "
+                "a misspelled table would silently disable this validation. "
+                "Register the set in lookup_values, configure a "
+                "referential_integrity rule / dim table, or pass "
+                "strict_lookup=False to restore the warn-and-skip behavior."
+            )
         import warnings
 
         warnings.warn(

@@ -81,6 +81,7 @@ def annotate_errors(
     dim_tables: Optional[Mapping[str, DataFrame]] = None,
     extensions: bool = False,
     scope_cols: Optional[list[str]] = None,
+    strict_lookup: bool = True,
 ) -> DataFrame:
     """Append the ``errors`` array column (row rules + dataset rules).
 
@@ -92,10 +93,17 @@ def annotate_errors(
     check_columns(df, config)
     if scope_cols is None:
         scope_cols = ["FileSource"] if "FileSource" in df.columns else []
+    deferred = frozenset(
+        str(g.params.get("foreignTable", ""))
+        for g in config.global_rules
+        if g.kind == "referential_integrity"
+    ) | frozenset(dim_tables or ())
     ctx = CompileContext(
         lookup_values=dict(REFERENCE_DEMO_LOOKUPS) | dict(lookup_values or {}),
         extensions=extensions,
         timestamp_field=config.timestamp_field(),
+        strict_lookup=strict_lookup,
+        deferred_lookup_tables=deferred,
     )
     schema = {f.name: f.dataType for f in df.schema.fields}
 
@@ -153,6 +161,7 @@ def validate(
     extensions: bool = False,
     id_columns: Optional[list[str]] = None,
     scope_cols: Optional[list[str]] = None,
+    strict_lookup: bool = True,
 ) -> ValidationResult:
     """Full validation pass -> (annotated, valid, invalid, errors report).
 
@@ -162,6 +171,7 @@ def validate(
     annotated = annotate_errors(
         df, config, lookup_values=lookup_values, dim_tables=dim_tables,
         extensions=extensions, scope_cols=scope_cols,
+        strict_lookup=strict_lookup,
     )
     has_errors = F.size(F.col(ERRORS)) > 0
     valid = annotated.filter(~has_errors).drop(ERRORS)

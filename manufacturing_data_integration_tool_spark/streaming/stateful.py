@@ -246,8 +246,15 @@ def running_ewma(
         import pandas as pd
 
         n, s = state.get if state.exists else (0, 0.0)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["t_us", "__id"])
+        # A key's micro-batch rows can arrive split across several Arrow
+        # chunks in arbitrary order (default ~10k rows/chunk); sorting
+        # each chunk independently would make the EWMA order-dependent
+        # for hot keys. Materialize the key's whole micro-batch and sort
+        # ONCE — memory is bounded by the key's per-batch volume, which
+        # any per-key sorted fold needs anyway.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["t_us", "__id"])
             for x in pdf["value"].to_list():
                 s = x if n == 0 else a * x + (1.0 - a) * s
                 n += 1

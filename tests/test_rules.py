@@ -94,15 +94,47 @@ def test_lookup_literal_set(spark):
     cfg = mk_cfg(
         FieldMapping("v", "V", "varchar", True, (Rule("lookup", {"table": "T", "column": "C"}),))
     )
-    errs, valid, _ = run(spark, cfg, [("A",), ("Z",)], "v string")
-    # no lookup set registered for T.C -> rule defers (no error)
-    assert errs == [] and valid == 2
     from manufacturing_data_integration_tool_spark.plans.validator import validate as v2
 
     df = spark.createDataFrame([("A",), ("Z",)], "v string")
+    # no lookup set registered for T.C and no referential path: STRICT by
+    # default (r4 verdict #7) — a misspelled table must not silently
+    # disable the validation
+    with pytest.raises(ValueError, match="lookup rule on 'v'"):
+        v2(df, cfg)
+    # explicit opt-out restores the warn-and-skip behavior
+    with pytest.warns(UserWarning, match="compiled to a no-op"):
+        res0 = v2(df, cfg, strict_lookup=False)
+    assert res0.errors.count() == 0 and res0.valid.count() == 2
+
     res = v2(df, cfg, lookup_values={"T.C": {"A", "B"}})
     errs2 = [(r.field_name, r.error_type) for r in res.errors.collect()]
     assert errs2 == [("v", "LOOKUP")]
+
+
+def test_lookup_defers_silently_when_referential_path_configured(spark):
+    """A lookup whose table has a configured referential_integrity rule
+    legitimately compiles to None — dataset_rules.referential_check owns
+    it (broadcast anti-join), no warning, no raise."""
+    from manufacturing_data_integration_tool_spark import GlobalRule
+    from manufacturing_data_integration_tool_spark.plans.validator import validate as v2
+
+    cfg = IntegrationConfig(
+        fields=(
+            FieldMapping("v", "V", "varchar", True, (Rule("lookup", {"table": "DimT", "column": "C"}),)),
+        ),
+        global_rules=(
+            GlobalRule("referential_integrity", {"foreignKey": "v", "foreignTable": "DimT"}),
+        ),
+    )
+    df = spark.createDataFrame([("A",), ("Z",)], "v string")
+    dim = spark.createDataFrame([("A",)], "C string")
+    res = v2(
+        df, cfg, dim_tables={"DimT": dim.withColumnRenamed("C", "v")},
+        extensions=True,
+    )
+    errs = [(r.field_name, r.error_type) for r in res.errors.collect()]
+    assert errs == [("v", "REFERENTIAL")]
 
 
 def test_unknown_rule_kind_silently_ignored(spark):

@@ -50,6 +50,18 @@ def test_ewma_trailing_depth_truncates_and_ties_break_on_tiebreak(spark):
     assert out2["ewma"] == pytest.approx(100 * 0.7 / 1.7, abs=1e-6)
 
 
+def test_ewma_trailing_large_values_do_not_overflow_to_null(spark):
+    # decimal(12,0) quantization silently NULLed any |value| >= 1e8 at the
+    # default scale=10_000 (r4 advice); (18,0) must carry them exactly.
+    rows = [Row(k=1, ts=0, eid=0, v=2.5e9), Row(k=1, ts=1, eid=1, v=1.0e9)]
+    out = ewma_trailing(
+        spark.createDataFrame(rows), "k", "ts", "v", tiebreak_col="eid", depth=4
+    ).collect()[0]
+    assert out["n_used"] == 2
+    expect = (1.0e9 * 1.0 + 2.5e9 * 0.7) / 1.7
+    assert out["ewma"] == pytest.approx(expect, rel=1e-9)
+
+
 def test_ewma_weight_table_is_exact_integer(spark):
     with pytest.raises(ValueError):
         ewma_trailing(
@@ -194,6 +206,19 @@ def test_inverted_postings_two_level_equals_naive(spark):
     assert out["tok1"]["df"] == 67
     assert out["tok1"]["postings"][:3] == [1, 4, 7]
     assert len(out["tok1"]["postings"]) == 17
+
+    # STRING doc ids must bucket correctly too (r4 advice: pmod on a raw
+    # string id coerced to NULL, collapsing all postings into one bucket)
+    srows = [Row(doc_id="doc%03d" % i, text="common tok%d" % (i % 3)) for i in range(200)]
+    sout = {
+        r["tok"]: r
+        for r in inverted_postings(
+            spark.createDataFrame(srows), "doc_id", "text",
+            vocab_size=10, max_postings=17,
+        ).collect()
+    }
+    assert sout["common"]["df"] == 200
+    assert sout["common"]["postings"] == ["doc%03d" % i for i in range(17)]
 
 
 def test_centroid_similarity_hand_computed(spark):
