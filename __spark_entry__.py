@@ -3319,7 +3319,11 @@ def q164_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order count), monetary (exact decimal revenue) per customer, each
     quartiled with ops.sampling.two_phase_ntile — three exact global
     NTILE(4)s with NO single-task sort (per-metric sub-buckets carry the
-    wide window; offsets broadcast back). rfm_code = r*100 + f*10 + m."""
+    wide window; offsets broadcast back). rfm_code = r*100 + f*10 + m.
+    The (custkey, recency, frequency, monetary) aggregate is computed
+    ONCE and localCheckpointed; without it each of the three rank
+    pipelines re-scans and re-aggregates orders (r4 verdict #8 — 22
+    exchanges, three of them the same wide groupBy)."""
     from manufacturing_data_integration_tool_spark.ops.sampling import two_phase_ntile
 
     orders = read_table(spark, sf_dir, "orders")
@@ -3334,7 +3338,7 @@ def q164_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
         F.round(F.col("__rev") * 100).cast("bigint").alias("__cents"),
         F.datediff(F.col("last_order"), F.lit("1990-01-01")).cast("bigint").alias("__days"),
-    )
+    ).localCheckpoint(eager=False)
     r = two_phase_ntile(
         base, 4, [F.asc("__days"), F.asc("custkey")], F.expr("__days div 256"),
         out_col="r_tile",
@@ -3848,6 +3852,24 @@ def q187_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q188_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per event_type (ops.stats.ewma_control_chart):
+    day-mean series smoothed with lambda=0.25, flagged against
+    asymptotic limits center +/- 3*sigma_hat*sqrt(lam/(2-lam)) with
+    sigma_hat = MR-bar/1.128 — the small-sustained-shift drift detector
+    that completes the SPC family (q184 Shewhart, q185 p, q186 run
+    rules, q187 capability). Day means quantize to a 1e-6 integer grid,
+    cross-row sums are exact BIGINTs, the recursion is one left fold in
+    doubles with exact-binary lambda, and sqrt enters as a shared
+    literal — so the chart hash-matches the SQL oracle."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        ewma_control_chart,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return ewma_control_chart(ev, "event_type", "ts", "value")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3908,6 +3930,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_lang_stats": q19_lang_stats,
         "q20_doc_quality": q20_doc_quality,
         "q21_language_id": q21_language_id,
+        # round-4 families promoted into the driver's first-50
+        # correctness window (r4 verdict #6) — newest, highest-risk
+        # operators get driver-oracle rows, not only parity rows:
+        "q121_knn_classify_lsh": q121_knn_classify_lsh,
+        "q122_corpus_ingest_batch": q122_corpus_ingest_batch,
+        "q123_csv_scan": q123_csv_scan,
+        "q141_containment_dedup": q141_containment_dedup,
+        "q143_equidepth_deciles": q143_equidepth_deciles,
+        "q149_segment_dedup": q149_segment_dedup,
+        "q163_prefix_jaccard": q163_prefix_jaccard,
+        "q184_xbar_r_chart": q184_xbar_r_chart,
+        "q185_validation_p_chart": q185_validation_p_chart,
+        "q186_we_run_rules": q186_we_run_rules,
+        "q187_process_capability": q187_process_capability,
+        "q188_ewma_chart": q188_ewma_chart,
         "q22_similarity_topk": q22_similarity_topk,
         "q23_multimodal_join": q23_multimodal_join,
         "q24_window_counts": q24_window_counts,
@@ -3995,9 +4032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_benford_digits": q118_benford_digits,
         "q119_column_profile": q119_column_profile,
         "q120_cohort_retention": q120_cohort_retention,
-        "q121_knn_classify_lsh": q121_knn_classify_lsh,
-        "q122_corpus_ingest_batch": q122_corpus_ingest_batch,
-        "q123_csv_scan": q123_csv_scan,
         "q124_order_priority_counts": q124_order_priority_counts,
         "q125_forecast_revenue": q125_forecast_revenue,
         "q126_market_share": q126_market_share,
@@ -4015,15 +4049,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_source_concentration": q138_source_concentration,
         "q139_bigram_lm": q139_bigram_lm,
         "q140_lsh_recall_audit": q140_lsh_recall_audit,
-        "q141_containment_dedup": q141_containment_dedup,
         "q142_key_skew_profile": q142_key_skew_profile,
-        "q143_equidepth_deciles": q143_equidepth_deciles,
         "q144_merge_upsert": q144_merge_upsert,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q146_bpe_merges": q146_bpe_merges,
         "q147_mix_rebalance": q147_mix_rebalance,
         "q148_sequence_packing": q148_sequence_packing,
-        "q149_segment_dedup": q149_segment_dedup,
         "q150_gopher_quality": q150_gopher_quality,
         "q151_char_entropy": q151_char_entropy,
         "q153_dsir_admission": q153_dsir_admission,
@@ -4038,7 +4069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_source_overlap": q160_source_overlap,
         "q161_unigram_drift": q161_unigram_drift,
         "q162_lm_quality_filter": q162_lm_quality_filter,
-        "q163_prefix_jaccard": q163_prefix_jaccard,
         "q164_rfm_segments": q164_rfm_segments,
         "q165_weighted_median": q165_weighted_median,
         "q166_triangle_counts": q166_triangle_counts,
@@ -4057,10 +4087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_decay_attribution": q180_decay_attribution,
         "q181_percentile_trend": q181_percentile_trend,
         "q182_quality_vs_dup": q182_quality_vs_dup,
-        "q184_xbar_r_chart": q184_xbar_r_chart,
-        "q185_validation_p_chart": q185_validation_p_chart,
-        "q186_we_run_rules": q186_we_run_rules,
-        "q187_process_capability": q187_process_capability,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
@@ -4088,6 +4114,12 @@ def oracle_sql() -> dict[str, str]:
 
     # q180's decay weights — the same _DECAY_W ints the Spark query ships.
     _DECAY_W_SQL = ", ".join(str(w) for w in _DECAY_W)
+
+    # q188's EWMA-limit width sqrt(lam/(2-lam)) — the IDENTICAL double
+    # literal the Spark operator embeds (no runtime sqrt on either side).
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        EWMA_CHART_FACTOR as _EWMA_CHART_FACTOR,
+    )
 
     def _xbar_chart_cte(r: int) -> str:
         """q184's chart derivation as a reusable CTE chain, rounded to
@@ -6686,6 +6718,69 @@ def oracle_sql() -> dict[str, str]:
                    round(LEAST(400.0 - xbb, xbb - 0.0)
                          / (3.0 * (rb / 2.326)), 4) AS cpk
             FROM pc
+        """,
+        # q188: the recursion z_i = lam*x_i + (1-lam)*z_(i-1) runs as the
+        # SAME left-to-right double fold on both engines (list_reduce over
+        # the per-key prefix); lam=0.25 and 1-lam=0.75 are exact binary
+        # doubles and sqrt(lam/(2-lam)) ships as the shared literal
+        # EWMA_CHART_FACTOR, so no runtime sqrt / no float-sum order
+        # dependence anywhere. Publishing uses floor(v*1e4+0.5)/1e4, not
+        # native round(): Spark rounds the shortest decimal string
+        # HALF_UP while DuckDB rounds the true binary value, and the
+        # 1e-6 grid lands on .00005 boundaries routinely.
+        "q188_ewma_chart": f"""
+            WITH base AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            d AS (SELECT event_type, day, COUNT(*) AS cnt, SUM(cents) AS sc
+                  FROM base GROUP BY 1, 2),
+            q AS (SELECT event_type, day,
+                         CAST(floor(sc * 10000.0 / cnt + 0.5) AS BIGINT) AS xq
+                  FROM d),
+            mrr AS (SELECT event_type,
+                           xq - lag(xq) OVER (PARTITION BY event_type
+                                              ORDER BY day) AS dlt
+                    FROM q),
+            st AS (SELECT q.event_type,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          SUM(xq) AS sxq
+                   FROM q GROUP BY 1 HAVING COUNT(*) >= 2),
+            mr AS (SELECT event_type, SUM(abs(dlt)) AS mrs
+                   FROM mrr WHERE dlt IS NOT NULL GROUP BY 1),
+            wk AS (SELECT event_type,
+                          list(CAST(xq AS DOUBLE) / 1000000.0
+                               ORDER BY day) AS xs
+                   FROM q GROUP BY 1),
+            rn AS (SELECT event_type, day, xq,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS i
+                   FROM q),
+            lim AS (SELECT st.event_type,
+                           CAST(sxq AS DOUBLE) / CAST(n AS DOUBLE)
+                             / 1000000.0 AS center_u,
+                           3.0 * (CAST(mrs AS DOUBLE)
+                                  / CAST(n - 1 AS DOUBLE) / 1000000.0
+                                  / 1.128)
+                               * {_EWMA_CHART_FACTOR!r} AS half_u
+                    FROM st JOIN mr USING (event_type)),
+            z AS (SELECT rn.event_type, day, xq, i,
+                         floor(list_reduce(wk.xs[1:i],
+                               (acc, x) -> 0.25 * x + 0.75 * acc)
+                               * 10000.0 + 0.5) / 10000.0 AS z
+                  FROM rn JOIN wk USING (event_type)
+                  JOIN st USING (event_type))
+            SELECT z.event_type, day,
+                   floor((CAST(xq AS DOUBLE) / 1000000.0) * 10000.0 + 0.5)
+                     / 10000.0 AS x,
+                   z,
+                   floor(center_u * 10000.0 + 0.5) / 10000.0 AS center,
+                   floor((center_u + half_u) * 10000.0 + 0.5) / 10000.0 AS ucl,
+                   floor((center_u - half_u) * 10000.0 + 0.5) / 10000.0 AS lcl,
+                   (z > floor((center_u + half_u) * 10000.0 + 0.5) / 10000.0
+                    OR z < floor((center_u - half_u) * 10000.0 + 0.5) / 10000.0)
+                     AS out_of_control
+            FROM z JOIN lim USING (event_type)
         """,
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —

@@ -45,6 +45,9 @@ __all__ = [
     "p_chart",
     "we_run_rules",
     "process_capability",
+    "ewma_control_chart",
+    "EWMA_CHART_LAMBDA",
+    "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
     "D2_CONSTANTS",
 ]
@@ -626,4 +629,148 @@ def process_capability(
         F.round(sigma, round_to).alias("sigma_hat"),
         F.round(cp, round_to).alias("cp"),
         F.round(cpk, round_to).alias("cpk"),
+    )
+
+
+# EWMA chart limit width sqrt(lambda/(2-lambda)) for the asymptotic
+# (steady-state) limits, precomputed for the default lambda=0.25 so BOTH
+# engines use the identical double literal — no runtime sqrt whose last
+# ulp could differ between libm builds (same discipline as the A2/D2
+# literal tables above).
+EWMA_CHART_LAMBDA = 0.25  # lambda AND 1-lambda are exact binary doubles
+EWMA_CHART_FACTOR = 0.3779644730092272  # sqrt(0.25 / 1.75)
+
+
+def ewma_control_chart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    lam: float = EWMA_CHART_LAMBDA,
+    limit_factor: float = EWMA_CHART_FACTOR,
+    n_sigmas: float = 3.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959; Montgomery SPC ch. 9) over the
+    per-(key, day) mean series: ``z_i = lam*x_i + (1-lam)*z_{i-1}``,
+    ``z_1 = x_1``, flagged against asymptotic limits ``center +/-
+    n_sigmas * sigma_hat * sqrt(lam/(2-lam))`` — the drift detector that
+    beats Shewhart charts on small sustained shifts.
+
+    Determinism discipline (what makes this hash-match a SQL oracle):
+
+    * day means quantize to an exact 1e-6 grid — ``xq = floor(sum_cents *
+      10000.0 / cnt + 0.5)`` — so the cross-row aggregates (grand mean,
+      moving-range sum via an integer fold over the sorted day array)
+      accumulate BIGINTs, immune to float summation order;
+    * the EWMA recursion runs as one left-to-right ``F.aggregate`` fold
+      in doubles with ``lam`` = 0.25 (both lam and 1-lam exact binary),
+      the identical op sequence any engine's left fold produces;
+    * ``sqrt(lam/(2-lam))`` enters as the shared literal
+      ``limit_factor`` — no runtime sqrt;
+    * the out-of-control flag compares ROUNDED z against ROUNDED limits,
+      so both engines test exactly the published numbers (q184-q187's
+      rule).
+
+    sigma_hat is the individuals-chart estimate MR-bar/1.128. Keys with
+    a single day are dropped (no moving range).
+
+    100 TB posture: the raw stream collapses to (key, day) FIRST (one
+    map-side-combined shuffle); the per-key sorted array and fold then
+    touch day-count-sized data — a year is 365 elements however many
+    raw events exist. Output: ``(key, day, x, z, center, ucl, lcl,
+    out_of_control)``.
+    """
+    lam = float(lam)
+    one_m = 1.0 - lam
+    day = F.to_date(F.col(ts_col)).alias("day")
+    cents = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        df.select(F.col(key_col), day, cents.alias("__c"))
+        .groupBy(key_col, "day")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum("__c").alias("__sc"))
+        .select(
+            F.col(key_col),
+            "day",
+            F.floor(F.col("__sc") * F.lit(10000.0) / F.col("__cnt") + F.lit(0.5))
+            .cast("bigint")
+            .alias("__xq"),
+        )
+    )
+    per_key = daily.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__xq").alias("__sxq"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day"), F.col("__xq")))
+        ).alias("__pts"),
+    ).filter(F.col("__n") >= 2)
+    # moving-range sum as an exact integer fold over the sorted day array
+    xs = F.transform(F.col("__pts"), lambda p: p["__xq"])
+    mr_sum = F.aggregate(
+        F.sequence(F.lit(2), F.col("__n").cast("int")),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.abs(
+            F.element_at(xs, i.cast("int"))
+            - F.element_at(xs, (i - 1).cast("int"))
+        ),
+    )
+    # z sequence: left fold appending lam*x + (1-lam)*last(acc)
+    zs = F.aggregate(
+        F.slice(xs, 2, 1_000_000),
+        F.array(F.element_at(xs, 1).cast("double") / F.lit(1e6)),
+        lambda acc, v: F.concat(
+            acc,
+            F.array(
+                F.lit(lam) * (v.cast("double") / F.lit(1e6))
+                + F.lit(one_m) * F.element_at(acc, F.size(acc))
+            ),
+        ),
+    )
+    center = F.col("__sxq").cast("double") / F.col("__n").cast("double") / F.lit(1e6)
+    sigma = (
+        mr_sum.cast("double")
+        / (F.col("__n") - 1).cast("double")
+        / F.lit(1e6)
+        / F.lit(1.128)
+    )
+    half = F.lit(float(n_sigmas)) * sigma * F.lit(float(limit_factor))
+    # publish via floor(v*10^r + 0.5)/10^r, NOT each engine's native
+    # round(): natives disagree on exact .5 boundaries (Spark rounds the
+    # shortest decimal string HALF_UP, DuckDB rounds the true binary
+    # value), and the 1e-6 quantization grid lands on .00005 boundaries
+    # routinely. floor/mul/add are plain IEEE ops — identical inputs give
+    # identical outputs on any engine.
+    pw = float(10 ** round_to)
+
+    def _pub(v):
+        return F.floor(v * F.lit(pw) + F.lit(0.5)) / F.lit(pw)
+
+    staged = per_key.select(
+        F.col(key_col),
+        F.col("__pts"),
+        zs.alias("__zs"),
+        _pub(center).alias("center"),
+        _pub(center + half).alias("ucl"),
+        _pub(center - half).alias("lcl"),
+    )
+    exploded = staged.select(
+        F.col(key_col),
+        "center",
+        "ucl",
+        "lcl",
+        F.posexplode(F.col("__pts")).alias("__i", "__p"),
+        F.col("__zs"),
+    )
+    z_r = _pub(F.element_at(F.col("__zs"), F.col("__i") + 1))
+    return exploded.select(
+        F.col(key_col),
+        F.col("__p")["day"].alias("day"),
+        _pub(F.col("__p")["__xq"].cast("double") / F.lit(1e6)).alias("x"),
+        z_r.alias("z"),
+        "center",
+        "ucl",
+        "lcl",
+        ((z_r > F.col("ucl")) | (z_r < F.col("lcl"))).alias("out_of_control"),
     )

@@ -539,3 +539,68 @@ def test_process_capability_hand_computed(spark):
     assert out["sigma_hat"] == pytest.approx(sigma, abs=1e-4)
     assert out["cp"] == pytest.approx(24.0 / (6 * sigma), abs=1e-4)
     assert out["cpk"] == pytest.approx(12.0 / (3 * sigma), abs=1e-4)
+
+
+def test_ewma_control_chart_matches_python_twin(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        EWMA_CHART_FACTOR,
+        ewma_control_chart,
+    )
+
+    # two keys; key 'a' has a level shift in the back half that Shewhart
+    # limits would miss but the EWMA must flag
+    rows = []
+    for i in range(20):
+        v = 10.0 if i < 12 else 10.6
+        rows.append(Row(k="a", ts="2024-01-%02d 05:00:00" % (i + 1), v=v + (0.01 * (i % 3))))
+    for i in range(5):
+        rows.append(Row(k="b", ts="2024-02-%02d 05:00:00" % (i + 1), v=50.0 + i))
+    # second same-day reading for one 'a' day: exercises the day-mean
+    rows.append(Row(k="a", ts="2024-01-03 09:00:00", v=10.04))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), F.col("v")
+    )
+    out = {
+        (r["k"], str(r["day"])): r
+        for r in ewma_control_chart(df, "k", "ts", "v").collect()
+    }
+
+    # twin: identical quantization + left fold
+    import collections
+    daily = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        day = r.ts[:10]
+        cents = int(r.v * 100 + 0.5)
+        daily[(r.k, day)][0] += 1
+        daily[(r.k, day)][1] += cents
+    series = collections.defaultdict(list)
+    for (k, day), (cnt, sc) in sorted(daily.items()):
+        xq = int(sc * 10000.0 / cnt + 0.5)
+        series[k].append((day, xq))
+    for k, pts in series.items():
+        xs = [xq / 1e6 for _, xq in pts]
+        n = len(pts)
+        mu = sum(xq for _, xq in pts) / n / 1e6
+        mr = sum(abs(pts[i][1] - pts[i - 1][1]) for i in range(1, n))
+        sigma = mr / (n - 1) / 1e6 / 1.128
+        half = 3.0 * sigma * EWMA_CHART_FACTOR
+        def r4(v):
+            return math.floor(v * 10000.0 + 0.5) / 10000.0
+
+        z = xs[0]
+        for i, (day, xq) in enumerate(pts):
+            if i:
+                z = 0.25 * xs[i] + 0.75 * z
+            got = out[(k, day)]
+            assert got["x"] == pytest.approx(xs[i], abs=1e-4)
+            assert got["z"] == pytest.approx(r4(z), abs=1e-9)
+            assert got["center"] == pytest.approx(r4(mu), abs=1e-9)
+            assert got["ucl"] == pytest.approx(r4(mu + half), abs=1e-9)
+            assert got["out_of_control"] == (
+                r4(z) > r4(mu + half) or r4(z) < r4(mu - half)
+            )
+    # the shift in key 'a' must actually trip the chart
+    assert any(r["out_of_control"] for (k, _), r in out.items() if k == "a")
+    assert len(out) == 20 + 5
