@@ -163,6 +163,7 @@ HEADLINE = [
     "q185_validation_p_chart",
     "q186_we_run_rules",
     "q187_process_capability",
+    "q188_ewma_chart",
 ]
 
 
