@@ -3209,9 +3209,11 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric, 6 power iterations. Ranks are exact integers in 1e-12
     units (integer `div` shares, exact long sums), so the result is
     bit-identical across partitionings — pinned against a pure-Python
-    twin in pytest. Two hash shuffles per iteration, lineage truncated
-    with localCheckpoint. Rows-only driver check (iterative fixed point
-    is not one SQL query)."""
+    twin in pytest AND value-oracled against a DuckDB twin that unrolls
+    the 6 fixed iterations as chained CTEs (r5: upgraded from rows-only;
+    publish is floor-half-up on the integer grid so engine round() tie
+    behavior can't diverge). Two hash shuffles per iteration, lineage
+    truncated with localCheckpoint."""
     from manufacturing_data_integration_tool_spark.ops.graph import pagerank
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -4059,8 +4061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_char_entropy": q151_char_entropy,
         "q153_dsir_admission": q153_dsir_admission,
         "q154_frequent_terms": q154_frequent_terms,
-        # --- approximate / non-SQL-expressible: rows-only checks ---
         "q152_pagerank": q152_pagerank,
+        # --- approximate / non-SQL-expressible: rows-only checks ---
         "q183_phonetic_match": q183_phonetic_match,
         "q155_bpe_encode": q155_bpe_encode,
         "q157_bm25_retrieval": q157_bm25_retrieval,
@@ -4101,6 +4103,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_minhash_clusters": q71_minhash_clusters,
         "q74_hll_distinct": q74_hll_distinct,
     }
+
+
+def _pagerank_oracle_sql(iterations: int = 6) -> str:
+    """DuckDB twin of q152: ops.graph.pagerank's fixed-iteration integer
+    power method, unrolled (``iterations`` CTE blocks generated here with
+    the same damp_num/damp_den/scale literals the Spark loop embeds)."""
+    scale = 1_000_000_000_000
+    dn, dd = 850_000, 1_000_000
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        its.append(f"""
+            s{k} AS (SELECT r.node, r.r, o.odeg,
+                       CASE WHEN o.odeg IS NOT NULL THEN r.r // o.odeg
+                            ELSE 0 END AS share
+                     FROM {prev} r LEFT JOIN outdeg o ON r.node = o.src),
+            c{k} AS (SELECT e.dst AS node, SUM(s.share) AS in_mass
+                     FROM e JOIN s{k} s ON e.src = s.node GROUP BY 1),
+            res{k} AS (SELECT ({scale} - (COALESCE(SUM(share * odeg), 0)
+                                          * {dn}) // {dd}) // nn.n AS resid
+                       FROM s{k}, nn GROUP BY nn.n),
+            r{k} AS (SELECT nodes.node,
+                            (COALESCE(c.in_mass, 0) * {dn}) // {dd}
+                              + res{k}.resid AS r
+                     FROM nodes LEFT JOIN c{k} c ON nodes.node = c.node
+                     CROSS JOIN res{k})""")
+        prev = f"r{k}"
+    return f"""
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS a,
+                                       l_suppkey * 2 + 1 AS b
+                       FROM lineitem),
+        e AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+        r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes, nn),
+        {",".join(its)}
+        SELECT node,
+               floor(CAST(r AS DOUBLE) / 1000.0 + 0.5) / 1000000000.0 AS rank
+        FROM {prev}
+        ORDER BY rank DESC, node
+        LIMIT 50
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6782,6 +6828,13 @@ def oracle_sql() -> dict[str, str]:
                      AS out_of_control
             FROM z JOIN lim USING (event_type)
         """,
+        # q152: 6 fixed power iterations of the EXACT-integer PageRank
+        # unrolled as chained CTEs (a recursive CTE can't aggregate per
+        # step). Every quantity is a BIGINT on the 1e-12 grid — integer
+        # div shares, exact sums, the same ops in the same order as
+        # ops.graph.pagerank — and the publish is floor(r/1000+0.5)/1e9,
+        # so the hash must match bit-for-bit at any SF.
+        "q152_pagerank": _pagerank_oracle_sql(),
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —
         # rows-only check. q146_bpe_merges: iterative greedy argmax — not

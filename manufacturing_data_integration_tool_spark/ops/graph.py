@@ -308,8 +308,16 @@ def pagerank(
         )
         if (it + 1) % 4 == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    # publish as floor(r/1000 + 0.5)/1e9 (exact half-up on the integer
+    # grid) rather than native round(): r % 1000 == 500 boundaries are
+    # common on an integer lattice and Spark/DuckDB native round() tie
+    # behavior differs there (the q188 lesson).
     return ranks.select(
-        "node", F.round(F.col("r").cast("double") / F.lit(float(scale)), 9).alias("rank")
+        "node",
+        (
+            F.floor(F.col("r").cast("double") / F.lit(1000.0) + F.lit(0.5))
+            / F.lit(float(scale) / 1000.0)
+        ).alias("rank"),
     )
 
 

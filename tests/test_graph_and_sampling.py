@@ -374,7 +374,10 @@ def _pagerank_python(edges, iterations=8, damping=0.85, scale=10**12):
         distributed = sum(share[a] * outdeg[a] for a in share)
         residue = (scale - (distributed * dnum) // dden) // n
         r = {v: (in_mass[v] * dnum) // dden + residue for v in nodes}
-    return {v: round(r[v] / scale, 9) for v in nodes}
+    # floor-based half-up publish, mirroring ops.graph.pagerank
+    import math
+
+    return {v: math.floor(r[v] / 1000.0 + 0.5) / (scale / 1000.0) for v in nodes}
 
 
 def test_pagerank_matches_integer_python_twin(spark):
