@@ -3630,8 +3630,11 @@ def q179_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     every test SF, and a registered query that provably emits 0 rows
     proves nothing (r4 verdict #1) — the 2-core is non-empty at sf0.001
     (7 nodes) and sf0.01 (3 nodes). Per round one degree groupBy + two
-    semi-joins; rows-only check (iterative), semantics pinned by the
-    pure-Python twin in tests."""
+    semi-joins. Value-oracled (r5): the DuckDB twin reuses q26's exact
+    pair chain and unrolls 24 peel rounds as materialized CTEs —
+    peeling is idempotent at the fixed point, so over-unrolling is
+    harmless; semantics additionally pinned by the pure-Python twin in
+    tests."""
     from manufacturing_data_integration_tool_spark.ops.graph import kcore
 
     docs = read_table(spark, sf_dir, "documents")
@@ -4062,6 +4065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_dsir_admission": q153_dsir_admission,
         "q154_frequent_terms": q154_frequent_terms,
         "q152_pagerank": q152_pagerank,
+        "q179_kcore": q179_kcore,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q183_phonetic_match": q183_phonetic_match,
         "q155_bpe_encode": q155_bpe_encode,
@@ -4085,7 +4089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_centroid_similarity": q176_centroid_similarity,
         "q177_fd_violations": q177_fd_violations,
         "q178_longest_streak": q178_longest_streak,
-        "q179_kcore": q179_kcore,
         "q180_decay_attribution": q180_decay_attribution,
         "q181_percentile_trend": q181_percentile_trend,
         "q182_quality_vs_dup": q182_quality_vs_dup,
@@ -4103,6 +4106,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_minhash_clusters": q71_minhash_clusters,
         "q74_hll_distinct": q74_hll_distinct,
     }
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 24) -> str:
+    """DuckDB twin of q179: q26's exact pair-generation chain (n=3,
+    threshold 3/25, 1%% hot-shingle cap) followed by ``rounds`` unrolled
+    Batagelj-Zaversnik peel rounds. Peeling is monotone and idempotent at
+    the fixed point, so unrolling more rounds than the graph needs is
+    harmless; if a graph ever needed more than ``rounds``, the parity
+    hash would fail loudly (the Spark side raises past max_iter=30)."""
+    its = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        its.append(f"""
+            sym{r} AS MATERIALIZED (SELECT src, dst FROM {prev}
+                       UNION ALL SELECT dst, src FROM {prev}),
+            keep{r} AS MATERIALIZED (SELECT src AS node FROM sym{r}
+                        GROUP BY src HAVING COUNT(*) >= {k}),
+            e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e
+                     JOIN keep{r} ka ON e.src = ka.node
+                     JOIN keep{r} kb ON e.dst = kb.node)""")
+        prev = f"e{r}"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(tk[i:i+2], ' ')
+                                for i in range(1, len(tk) - 1)]) AS shingles
+          FROM toks WHERE len(tk) >= 3
+        ), sizes AS (
+          SELECT doc_id, len(shingles) AS n_sh FROM sh
+        ), inv AS (
+          SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), hot AS (
+          SELECT shingle FROM inv GROUP BY shingle
+          HAVING COUNT(*) > GREATEST(1, CAST(FLOOR(CAST(0.01 AS DOUBLE)
+                 * (SELECT COUNT(*) FROM sizes)) AS BIGINT))
+        ), inv2 AS (
+          SELECT doc_id, shingle FROM inv
+          WHERE shingle NOT IN (SELECT shingle FROM hot)
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM inv2 a JOIN inv2 b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), jpairs AS (
+          SELECT i.doc_a, i.doc_b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE 25 * i.inter >= 3 * (sa.n_sh + sb.n_sh - i.inter)
+        ),
+        e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+               WHERE doc_a <> doc_b),
+        {",".join(its)}
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM (SELECT src, dst FROM {prev}
+              UNION ALL SELECT dst, src FROM {prev})
+        GROUP BY 1
+    """
 
 
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
@@ -6835,6 +6901,8 @@ def oracle_sql() -> dict[str, str]:
         # ops.graph.pagerank — and the publish is floor(r/1000+0.5)/1e9,
         # so the hash must match bit-for-bit at any SF.
         "q152_pagerank": _pagerank_oracle_sql(),
+        # q179: q26's pair chain + 24 unrolled peel rounds (see helper).
+        "q179_kcore": _kcore_oracle_sql(),
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —
         # rows-only check. q146_bpe_merges: iterative greedy argmax — not
