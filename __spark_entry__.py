@@ -3025,9 +3025,10 @@ def q146_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sennrich et al. loop with the corpus collapsed once to its vocabulary
     and each iteration one explode + one aggregate + a 1-row argmax probe
     (ties broken lexicographically, so the learned merge sequence is
-    fully deterministic). Rows-only by nature — the iterative argmax is
-    not expressible as one SQL query — with cross-engine determinism
-    pinned by the pytest twin against a pure-Python reference."""
+    fully deterministic). Value-oracled (r5): the DuckDB twin unrolls
+    the fixed 6 iterations with the wrapped-string replace() trick (see
+    _bpe_merges_oracle_sql), on top of the pytest twin against a
+    pure-Python reference."""
     docs = read_table(spark, sf_dir, "documents")
     merges = tx.bpe_train(docs, "text", n_merges=6)
     return spark.createDataFrame(
@@ -3140,8 +3141,12 @@ def q155_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (alphabet + merge order) vocabulary. The encode kernel
     is Arrow-batched mapInPandas (per-symbol loops are the legitimate
     Python case), zero shuffle. Completes the tokenizer story:
-    bpe_train -> bpe_encode -> pack_sequences. Rows-only driver check;
-    determinism pinned by the pure-Python pytest twin."""
+    bpe_train -> bpe_encode -> pack_sequences. Value-oracled (r5): the
+    DuckDB twin learns the same 8 merges with the unrolled
+    wrapped-string loop (_bpe_merges_oracle_sql's trick) and encodes
+    every word with 8 chained replaces; head_ids publishes as a
+    comma-joined string (the parity canon cannot sort list columns).
+    Also pinned by the pure-Python pytest twin."""
     from manufacturing_data_integration_tool_spark.ops.text import bpe_encode, bpe_train
 
     docs = read_table(spark, sf_dir, "documents")
@@ -3158,7 +3163,10 @@ def q155_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "doc_id",
         "n_tokens",
-        F.slice("token_ids", 1, 12).alias("head_ids"),
+        F.array_join(
+            F.transform(F.slice("token_ids", 1, 12), lambda x: x.cast("string")),
+            ",",
+        ).alias("head_ids"),
     )
 
 
@@ -3774,9 +3782,10 @@ def q183_phonetic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phonetic-blocking entity resolution (ops.dedup.phonetic_key_pairs):
     Soundex-coded candidate blocks + levenshtein verify over the DISTINCT
     part-name vocabulary — the complement of q97's prefix blocking, which
-    misses leading-character typos. Rows-only check (no Soundex in the
-    oracle engine); semantics pinned by the hand-computed block fixture
-    in tests."""
+    misses leading-character typos. Value-oracled (r5): the code comes
+    from ops.dedup.soundex_code — explicit translate/regexp-collapse ops
+    the DuckDB twin mirrors exactly — with the classic published codes
+    and the block fixture pinned in tests."""
     part = read_table(spark, sf_dir, "part")
     return dd.phonetic_key_pairs(part, "p_name", max_dist=3, min_len=4)
 
@@ -4057,7 +4066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_key_skew_profile": q142_key_skew_profile,
         "q144_merge_upsert": q144_merge_upsert,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
-        "q146_bpe_merges": q146_bpe_merges,
         "q147_mix_rebalance": q147_mix_rebalance,
         "q148_sequence_packing": q148_sequence_packing,
         "q150_gopher_quality": q150_gopher_quality,
@@ -4065,10 +4073,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_dsir_admission": q153_dsir_admission,
         "q154_frequent_terms": q154_frequent_terms,
         "q152_pagerank": q152_pagerank,
+        "q146_bpe_merges": q146_bpe_merges,
+        "q155_bpe_encode": q155_bpe_encode,
+        "q183_phonetic_match": q183_phonetic_match,
         "q179_kcore": q179_kcore,
         # --- approximate / non-SQL-expressible: rows-only checks ---
-        "q183_phonetic_match": q183_phonetic_match,
-        "q155_bpe_encode": q155_bpe_encode,
         "q157_bm25_retrieval": q157_bm25_retrieval,
         "q158_c4_line_filter": q158_c4_line_filter,
         "q159_encoding_screen": q159_encoding_screen,
@@ -4106,6 +4115,186 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_minhash_clusters": q71_minhash_clusters,
         "q74_hll_distinct": q74_hll_distinct,
     }
+
+
+def _bpe_merges_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB twin of q146: the greedy Sennrich BPE loop unrolled.
+
+    Trick: a word's symbol sequence is a wrapped string
+    ``SEP s1 SEP SEP s2 SEP ... SEP`` (SEP = chr(1), absent from the
+    corpus); the greedy left-to-right merge of (l, r) is then DuckDB's
+    plain non-overlapping left-to-right ``replace`` of
+    ``SEP l SEP SEP r SEP`` with ``SEP lr SEP`` — wrapping makes
+    adjacent matches share no characters, so replace() applies them
+    exactly as the Spark fold does (including the "aaa" -> [aa, a]
+    case). Each iteration is pair counts -> (count desc, pair asc)
+    argmax -> rewrite, all MATERIALIZED so multi-referenced CTEs don't
+    inline exponentially."""
+    sep = "chr(1)"
+    its = []
+    prev = "v0"
+    for k in range(1, n_merges + 1):
+        its.append(f"""
+        s{k} AS (SELECT string_split(substr(v, 2, len(v)-2),
+                                     {sep}||{sep}) AS s, wc
+                 FROM {prev}),
+        px{k} AS (SELECT unnest([{{'l': s[i], 'r': s[i+1]}}
+                                 for i in range(1, len(s))]) AS p, wc
+                  FROM s{k} WHERE len(s) >= 2),
+        pc{k} AS (SELECT p.l AS l, p.r AS r, SUM(wc) AS c
+                  FROM px{k} GROUP BY 1, 2),
+        m{k} AS MATERIALIZED (SELECT l, r FROM pc{k}
+                              ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        v{k} AS MATERIALIZED (
+            SELECT replace(v, {sep}||m.l||{sep}||{sep}||m.r||{sep},
+                           {sep}||m.l||m.r||{sep}) AS v, wc
+            FROM {prev}, m{k} m)""")
+        prev = f"v{k}"
+    finals = " UNION ALL ".join(
+        f'SELECT CAST({k} AS INTEGER) AS merge_rank, l AS "left", '
+        f'r AS "right", l || r AS merged FROM m{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents
+        ),
+        w0 AS (SELECT w, COUNT(*) AS wc
+               FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+        v0 AS MATERIALIZED (
+          SELECT {sep} || array_to_string(string_split(w, ''),
+                                          {sep}||{sep}) || {sep} AS v, wc
+          FROM w0),
+        {",".join(its)}
+        {finals}
+    """
+
+
+def _phonetic_oracle_sql() -> str:
+    """DuckDB twin of q183: the identical explicit-ops Soundex chain as
+    ops.dedup.soundex_code (translate -> per-digit H/W-transparent run
+    collapse -> marker strip -> first-code drop -> pad), then the
+    blocked levenshtein verify. Every function here has engine-identical
+    semantics; DuckDB regexp_replace needs the explicit 'g' flag where
+    Spark's is global by default."""
+    m = "m0"
+    collapses = []
+    for i, d in enumerate("123456", start=1):
+        collapses.append(
+            f"m{i} AS (SELECT k, L, regexp_replace(m, '{d}[-{d}]*{d}', "
+            f"'{d}', 'g') AS m FROM m{i - 1})"
+        )
+        m = f"m{i}"
+    return f"""
+        WITH keys AS (
+          SELECT DISTINCT p_name AS k FROM part WHERE len(p_name) >= 4),
+        lets AS (SELECT k,
+                        regexp_replace(upper(k), '[^A-Z]', '', 'g') AS L
+                 FROM keys),
+        m0 AS (SELECT k, L,
+                      translate(L, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                '.123.12-.22455.12623.1-2.2') AS m
+               FROM lets),
+        {",".join(collapses)},
+        dig AS (SELECT k, L, m,
+                       regexp_replace(m, '[-.]', '', 'g') AS digits
+                FROM {m}),
+        dig2 AS (SELECT k, L,
+                        CASE WHEN regexp_matches(substr(m, 1, 1), '[1-6]')
+                             THEN substr(digits, 2) ELSE digits END AS digits
+                 FROM dig),
+        coded AS (
+          SELECT k,
+                 substr(L, 1, 1) || substr(digits || '000', 1, 3) AS code
+          FROM dig2 WHERE L <> '')
+        SELECT a.k AS key_a, b.k AS key_b, a.code AS code,
+               CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+        FROM coded a JOIN coded b ON a.code = b.code AND a.k < b.k
+        WHERE levenshtein(a.k, b.k) <= 3
+    """
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of q155: learn ``n_merges`` merges with the unrolled
+    wrapped-string loop (see ``_bpe_merges_oracle_sql``), then encode
+    every word with ``n_merges`` chained replaces and map symbols to the
+    deterministic (sorted alphabet + merges-in-order) vocabulary;
+    unknown symbols map to -1 via ``coalesce(list_position, 0) - 1``."""
+    sep = "chr(1)"
+    its = []
+    prev = "v0"
+    for k in range(1, n_merges + 1):
+        its.append(f"""
+        s{k} AS (SELECT string_split(substr(v, 2, len(v)-2),
+                                     {sep}||{sep}) AS s, wc FROM {prev}),
+        px{k} AS (SELECT unnest([{{'l': s[i], 'r': s[i+1]}}
+                                 for i in range(1, len(s))]) AS p, wc
+                  FROM s{k} WHERE len(s) >= 2),
+        pc{k} AS (SELECT p.l AS l, p.r AS r, SUM(wc) AS c
+                  FROM px{k} GROUP BY 1, 2),
+        m{k} AS MATERIALIZED (SELECT l, r FROM pc{k}
+                              ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        v{k} AS MATERIALIZED (
+            SELECT replace(v, {sep}||m.l||{sep}||{sep}||m.r||{sep},
+                           {sep}||m.l||m.r||{sep}) AS v, wc
+            FROM {prev}, m{k} m)""")
+        prev = f"v{k}"
+    rep = "wr"
+    for k in range(1, n_merges + 1):
+        rep = (
+            f"replace({rep}, {sep}||m{k}.l||{sep}||{sep}||m{k}.r||{sep}, "
+            f"{sep}||m{k}.l||m{k}.r||{sep})"
+        )
+    mjoin = " ".join(f"CROSS JOIN m{k}" for k in range(1, n_merges + 1))
+    merged_syms = ", ".join(
+        f"m{k}.l||m{k}.r" for k in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                     t -> t <> '') AS tk
+          FROM documents),
+        w0 AS (SELECT w, COUNT(*) AS wc
+               FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+        v0 AS MATERIALIZED (
+          SELECT {sep} || array_to_string(string_split(w, ''),
+                                          {sep}||{sep}) || {sep} AS v, wc
+          FROM w0),
+        {",".join(its)},
+        al AS MATERIALIZED (
+          SELECT list(c ORDER BY c) AS a FROM (
+            SELECT DISTINCT unnest(string_split(
+                regexp_replace(lower(text), '\\s+', '', 'g'), '')) AS c
+            FROM documents)),
+        vocab AS MATERIALIZED (
+          SELECT a || [{merged_syms}] AS vl
+          FROM al {mjoin}),
+        words AS (
+          SELECT doc_id, wi.i AS i, tk[wi.i] AS w
+          FROM toks,
+               unnest([{{'i': x}} for x in range(1, len(tk)+1)]) AS t(wi)),
+        encw AS (
+          SELECT doc_id, i,
+                 [CAST(coalesce(list_position(vocab.vl, s), 0) - 1
+                       AS INTEGER)
+                  for s in string_split(substr(enc, 2, len(enc)-2),
+                                        {sep}||{sep})] AS ids
+          FROM (
+            SELECT doc_id, i, {rep} AS enc
+            FROM (SELECT doc_id, i,
+                         {sep} || array_to_string(string_split(w, ''),
+                                                  {sep}||{sep}) || {sep} AS wr
+                  FROM words) {mjoin}
+          ) CROSS JOIN vocab),
+        docs2 AS (
+          SELECT doc_id, flatten(list(ids ORDER BY i)) AS token_ids
+          FROM encw GROUP BY doc_id)
+        SELECT doc_id, CAST(len(token_ids) AS BIGINT) AS n_tokens,
+               array_to_string(token_ids[1:12], ',') AS head_ids
+        FROM docs2
+    """
 
 
 def _kcore_oracle_sql(k: int = 2, rounds: int = 24) -> str:
@@ -6903,6 +7092,12 @@ def oracle_sql() -> dict[str, str]:
         "q152_pagerank": _pagerank_oracle_sql(),
         # q179: q26's pair chain + 24 unrolled peel rounds (see helper).
         "q179_kcore": _kcore_oracle_sql(),
+        # q146: the greedy BPE loop unrolled via wrapped-string replace.
+        "q146_bpe_merges": _bpe_merges_oracle_sql(),
+        # q155: same unrolled loop (8 merges) + chained-replace encoding.
+        "q155_bpe_encode": _bpe_encode_oracle_sql(),
+        # q183: explicit-ops Soundex chain mirrored exactly (see helper).
+        "q183_phonetic_match": _phonetic_oracle_sql(),
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —
         # rows-only check. q146_bpe_merges: iterative greedy argmax — not

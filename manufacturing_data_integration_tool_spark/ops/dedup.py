@@ -43,6 +43,7 @@ __all__ = [
     "embedding_near_dups",
     "semantic_dedup",
     "fuzzy_key_pairs",
+    "soundex_code",
     "phonetic_key_pairs",
     "incremental_dedup",
     "segment_dedup",
@@ -1036,6 +1037,43 @@ def prefix_filtered_jaccard(
     )
 
 
+# American Soundex digit map: vowels+Y -> '.', H/W -> '-', consonants ->
+# class digit. The markers make the H/W-transparency rule a regex
+# collapse instead of a scan: 'd[-d]*d' -> 'd' merges codes separated
+# only by H/W (and plain doubles), while '.' (a vowel) breaks the run,
+# exactly the classic rule. RE2/Java-safe (no backreferences).
+_SOUNDEX_MAP = ".123.12-.22455.12623.1-2.2"
+
+
+def soundex_code(col: Column | str) -> Column:
+    """American Soundex as explicit Column ops — NOT ``F.soundex``.
+
+    The JVM builtin is a black box an external SQL oracle cannot
+    reproduce; this expression chain (upper -> letters-only ->
+    ``translate`` -> per-digit H/W-transparent run collapse -> marker
+    strip -> first-letter-code drop -> pad) uses only functions every
+    engine ships with identical semantics, so phonetic blocking joins
+    hash-match a DuckDB twin. Classic algorithm (Knuth TAOCP vol. 3):
+    Johnson/Jonson/Johnsen -> J525, Smith/Smyth/Smithe -> S530,
+    Ashcraft -> A261 (H-transparency).
+
+    Returns the 4-char code; NULL-ish/letterless inputs yield ''.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    letters = F.regexp_replace(F.upper(c), "[^A-Z]", "")
+    f0 = F.substring(letters, 1, 1)
+    m = F.translate(letters, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", _SOUNDEX_MAP)
+    for d in "123456":
+        m = F.regexp_replace(m, f"{d}[-{d}]*{d}", d)
+    digits = F.regexp_replace(m, "[-.]", "")
+    digits = F.when(
+        F.substring(m, 1, 1).rlike("[1-6]"), F.substring(digits, 2, 1_000_000)
+    ).otherwise(digits)
+    return F.when(
+        letters == F.lit(""), F.lit("")
+    ).otherwise(F.concat(f0, F.substring(F.concat(digits, F.lit("000")), 1, 3)))
+
+
 def phonetic_key_pairs(
     df: DataFrame,
     key_col: str,
@@ -1057,8 +1095,11 @@ def phonetic_key_pairs(
     Soundex failure mode — ``min_len`` drops short keys, whose codes
     collapse worst.
 
-    Rows-only correctness check (no Soundex in the SQL oracle engine);
-    semantics pinned by the pure-Python twin in tests.
+    Value-oracled (r5): the code comes from ``soundex_code`` — explicit
+    translate/regexp collapse ops a SQL oracle mirrors exactly — and the
+    levenshtein verify is the standard unit-cost edit distance both
+    engines implement identically. Also pinned by the block fixture in
+    tests.
 
     Output: ``(key_a, key_b, code, dist)`` with ``key_a < key_b``.
     """
@@ -1066,7 +1107,8 @@ def phonetic_key_pairs(
         df.select(F.col(key_col).alias("k"))
         .filter(F.length("k") >= min_len)
         .distinct()
-        .withColumn("code", F.soundex(F.upper(F.col("k"))))
+        .withColumn("code", soundex_code(F.col("k")))
+        .filter(F.col("code") != F.lit(""))
     )
     a = keys.select(F.col("k").alias("key_a"), "code")
     b = keys.select(F.col("k").alias("key_b"), "code")

@@ -604,3 +604,23 @@ def test_ewma_control_chart_matches_python_twin(spark):
     # the shift in key 'a' must actually trip the chart
     assert any(r["out_of_control"] for (k, _), r in out.items() if k == "a")
     assert len(out) == 20 + 5
+
+
+def test_soundex_code_classic_values(spark):
+    """Explicit-ops Soundex vs the classic published codes (Knuth TAOCP
+    vol. 3 / NARA spec), including the H/W-transparency rule."""
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.ops.dedup import soundex_code
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Johnson": "J525", "Smith": "S530",
+        "Smyth": "S530", "Washington": "W252", "Lee": "L000",
+        "Gutierrez": "G362", "Jackson": "J250", "BAB": "B100",
+        "x123": "X000",
+    }
+    df = spark.createDataFrame([Row(k=k) for k in cases])
+    got = {r["k"]: r["c"] for r in df.select("k", soundex_code("k").alias("c")).collect()}
+    assert got == cases
