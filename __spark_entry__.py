@@ -2478,17 +2478,28 @@ def q128_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window."""
     li = read_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    per_part = li.groupBy("l_partkey").agg(_dsum(rev).alias("part_value"))
+    # keep the per-part sum as an exact DECIMAL: the published 2-decimal
+    # value must round in decimal space (HALF_UP is exact and identical
+    # on every engine), not on the double — a part whose exact sum ends
+    # in .005 is a native-round() tie the engines resolve differently
+    # (bit us at sf0.1: 2275637.905 -> .91 vs .90).
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev.cast("decimal(30,6)")).alias("__dec")
+    )
     total = per_part.agg(
-        _dsum(F.col("part_value")).alias("__total"),
+        F.sum("__dec").cast("double").alias("__total"),
         F.count(F.lit(1)).alias("__n"),
     )
     return (
         per_part.join(F.broadcast(total))
         .filter(
-            F.col("part_value") * F.col("__n") > F.col("__total") * F.lit(1.5)
+            F.col("__dec").cast("double") * F.col("__n")
+            > F.col("__total") * F.lit(1.5)
         )
-        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .select(
+            "l_partkey",
+            F.round(F.col("__dec"), 2).cast("double").alias("part_value"),
+        )
     )
 
 
@@ -4369,32 +4380,41 @@ def _pagerank_oracle_sql(iterations: int = 6) -> str:
     its = []
     prev = "r0"
     for k in range(1, iterations + 1):
+        # every CTE is MATERIALIZED: s{{k}}/r{{k}} are referenced twice
+        # per iteration, and DuckDB inlines non-materialized CTEs — the
+        # expansion is exponential in iterations (at sf0.1 the inlined
+        # plan spilled until the disk filled).
         its.append(f"""
-            s{k} AS (SELECT r.node, r.r, o.odeg,
+            s{k} AS MATERIALIZED (SELECT r.node, r.r, o.odeg,
                        CASE WHEN o.odeg IS NOT NULL THEN r.r // o.odeg
                             ELSE 0 END AS share
                      FROM {prev} r LEFT JOIN outdeg o ON r.node = o.src),
-            c{k} AS (SELECT e.dst AS node, SUM(s.share) AS in_mass
+            c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(s.share) AS in_mass
                      FROM e JOIN s{k} s ON e.src = s.node GROUP BY 1),
-            res{k} AS (SELECT ({scale} - (COALESCE(SUM(share * odeg), 0)
+            res{k} AS MATERIALIZED (
+                       SELECT ({scale} - (COALESCE(SUM(share * odeg), 0)
                                           * {dn}) // {dd}) // nn.n AS resid
                        FROM s{k}, nn GROUP BY nn.n),
-            r{k} AS (SELECT nodes.node,
+            r{k} AS MATERIALIZED (SELECT nodes.node,
                             (COALESCE(c.in_mass, 0) * {dn}) // {dd}
                               + res{k}.resid AS r
                      FROM nodes LEFT JOIN c{k} c ON nodes.node = c.node
                      CROSS JOIN res{k})""")
         prev = f"r{k}"
     return f"""
-        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS a,
+        WITH pairs AS MATERIALIZED (
+                       SELECT DISTINCT l_partkey * 2 AS a,
                                        l_suppkey * 2 + 1 AS b
                        FROM lineitem),
-        e AS (SELECT a AS src, b AS dst FROM pairs
+        e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
               UNION SELECT b, a FROM pairs),
-        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        nn AS (SELECT COUNT(*) AS n FROM nodes),
-        outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
-        r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes, nn),
+        nodes AS MATERIALIZED (
+              SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS MATERIALIZED (
+              SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+        r0 AS MATERIALIZED (
+              SELECT node, {scale} // nn.n AS r FROM nodes, nn),
         {",".join(its)}
         SELECT node,
                floor(CAST(r AS DOUBLE) / 1000.0 + 0.5) / 1000000000.0 AS rank
@@ -5351,15 +5371,16 @@ def oracle_sql() -> dict[str, str]:
         "q128_important_parts": """
             WITH per_part AS (
               SELECT l_partkey,
-                     CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+                     SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS dec
               FROM lineitem GROUP BY 1
             ), total AS (
-              SELECT CAST(SUM(CAST(part_value AS DECIMAL(30,6))) AS DOUBLE) AS t,
-                     COUNT(*) AS n FROM per_part
+              SELECT CAST(SUM(dec) AS DOUBLE) AS t, COUNT(*) AS n
+              FROM per_part
             )
-            SELECT l_partkey, round(part_value, 2) AS part_value
+            SELECT l_partkey,
+                   CAST(round(dec, 2) AS DOUBLE) AS part_value
             FROM per_part, total
-            WHERE part_value * n > t * 1.5
+            WHERE CAST(dec AS DOUBLE) * n > t * 1.5
         """,
         "q129_late_priority_matrix": """
             SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
