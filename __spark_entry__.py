@@ -3970,6 +3970,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_we_run_rules": q186_we_run_rules,
         "q187_process_capability": q187_process_capability,
         "q188_ewma_chart": q188_ewma_chart,
+        # r5-upgraded oracles (formerly rows-only) — also driver-window:
+        "q146_bpe_merges": q146_bpe_merges,
+        "q152_pagerank": q152_pagerank,
+        "q155_bpe_encode": q155_bpe_encode,
+        "q179_kcore": q179_kcore,
+        "q183_phonetic_match": q183_phonetic_match,
         "q22_similarity_topk": q22_similarity_topk,
         "q23_multimodal_join": q23_multimodal_join,
         "q24_window_counts": q24_window_counts,
@@ -4083,11 +4089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_char_entropy": q151_char_entropy,
         "q153_dsir_admission": q153_dsir_admission,
         "q154_frequent_terms": q154_frequent_terms,
-        "q152_pagerank": q152_pagerank,
-        "q146_bpe_merges": q146_bpe_merges,
-        "q155_bpe_encode": q155_bpe_encode,
-        "q183_phonetic_match": q183_phonetic_match,
-        "q179_kcore": q179_kcore,
         # --- approximate / non-SQL-expressible: rows-only checks ---
         "q157_bm25_retrieval": q157_bm25_retrieval,
         "q158_c4_line_filter": q158_c4_line_filter,
