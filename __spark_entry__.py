@@ -3446,8 +3446,11 @@ def q167_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed part) -> embeddings joined on the id -> MMR re-rank to
     10 (ops.similarity.mmr_rerank, λ=0.7). The greedy k·|page| loop is
     driver-side BY CONTRACT (a rerank page is bounded; the collect is
-    guarded) — rows-only check; determinism pinned by the pure-python
-    twin in tests."""
+    guarded). Value-oracled (r5): pairwise cosines compute Spark-side
+    with the repo's left-fold dot/norm ops (exact_sims=True — no BLAS,
+    whose blocked accumulation order no SQL oracle can reproduce), and
+    the DuckDB twin unrolls the 10 greedy rounds with fold-identical
+    sims; also pinned by the pure-python twin in tests."""
     from manufacturing_data_integration_tool_spark.ops.similarity import mmr_rerank
 
     docs = read_table(spark, sf_dir, "documents")
@@ -3976,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_bpe_encode": q155_bpe_encode,
         "q179_kcore": q179_kcore,
         "q183_phonetic_match": q183_phonetic_match,
+        "q167_mmr_rerank": q167_mmr_rerank,
         "q22_similarity_topk": q22_similarity_topk,
         "q23_multimodal_join": q23_multimodal_join,
         "q24_window_counts": q24_window_counts,
@@ -4099,7 +4103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_rfm_segments": q164_rfm_segments,
         "q165_weighted_median": q165_weighted_median,
         "q166_triangle_counts": q166_triangle_counts,
-        "q167_mmr_rerank": q167_mmr_rerank,
         "q168_contrastive_negatives": q168_contrastive_negatives,
         "q169_ewma_user_value": q169_ewma_user_value,
         "q170_mad_price_outliers": q170_mad_price_outliers,
@@ -4180,6 +4183,97 @@ def _bpe_merges_oracle_sql(n_merges: int = 6) -> str:
                                           {sep}||{sep}) || {sep} AS v, wc
           FROM w0),
         {",".join(its)}
+        {finals}
+    """
+
+
+def _mmr_oracle_sql(k: int = 10, lam: float = 0.7) -> str:
+    """DuckDB twin of q167: q157's BM25 chain at k=50, embeddings joined,
+    pairwise cosines as the SAME left folds the Spark page computes
+    (``list_reduce`` == ``F.aggregate`` with 0.0 init — 0.0+v1 is v1),
+    and the greedy MMR selection unrolled: per round one (score desc, id
+    asc) argmax CTE plus one GREATEST-chained max-sim CTE, all
+    MATERIALIZED. ``1 - lambda`` is injected as the repr of the PYTHON
+    float (0.30000000000000004, not the SQL literal 0.3 — they differ in
+    the last ulp and the scores must be bit-identical); mmr_score
+    publishes via floor(v*1e9+0.5)/1e9."""
+    oml = repr(1.0 - lam)
+    lam_s = repr(float(lam))
+    rounds = []
+    sel_union = "SELECT id FROM sel1"
+    for j in range(2, k + 1):
+        rounds.append(f"""
+        sel{j} AS MATERIALIZED (
+          SELECT p.id, p.rel, {lam_s} * p.rel - {oml} * m.ms AS sc
+          FROM nrm p JOIN ms{j - 1} m ON m.id = p.id
+          WHERE p.id NOT IN ({sel_union})
+          ORDER BY sc DESC, p.id ASC LIMIT 1),
+        ms{j} AS MATERIALIZED (
+          SELECT m.id, GREATEST(m.ms, COALESCE(y.s, 0.0)) AS ms
+          FROM ms{j - 1} m JOIN sel{j} x ON true
+          LEFT JOIN sym y ON y.ia = m.id AND y.ib = x.id)""")
+        sel_union += f" UNION ALL SELECT id FROM sel{j}"
+    finals = " UNION ALL ".join(
+        f"SELECT id AS doc_id, CAST({j} AS BIGINT) AS mmr_rank, "
+        f"rel AS bm25, floor(sc * 1000000000.0 + 0.5) / 1000000000.0 "
+        f"AS mmr_score FROM sel{j}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+        WITH base AS (SELECT doc_id AS doc,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk FROM documents),
+        lens AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl FROM base),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
+        tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc, unnest(tk) AS term FROM base)
+               WHERE term IN ('filter','merge','stream','window')
+               GROUP BY 1,2),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc,
+            CAST(round(
+              ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                 / (CAST(df AS DOUBLE) + 0.5))
+              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                   + 0.75 * CAST(dl AS DOUBLE)
+                     / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+            , 9) AS DECIMAL(24,12)) AS c
+          FROM tf JOIN lens USING (doc) JOIN dfreq USING (term), stats),
+        scored AS (SELECT doc, SUM(c) AS sc FROM contrib GROUP BY 1),
+        topk AS MATERIALIZED (
+          SELECT doc, sc FROM scored ORDER BY sc DESC, doc ASC LIMIT 50),
+        page AS MATERIALIZED (
+          SELECT t.doc AS id, round(CAST(t.sc AS DOUBLE), 6) AS rel,
+                 e.embedding AS v
+          FROM topk t JOIN embeddings e ON e.vec_id = t.doc),
+        nrm AS MATERIALIZED (
+          SELECT id, rel, v,
+                 sqrt(list_reduce(
+                   [CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)
+                    for i in range(1, len(v) + 1)],
+                   (a, x) -> a + x)) AS nv
+          FROM page),
+        sims AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib,
+                 list_reduce(
+                   [CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)
+                    for i in range(1, len(a.v) + 1)],
+                   (x, y) -> x + y) / (a.nv * b.nv) AS s
+          FROM nrm a JOIN nrm b ON a.id < b.id),
+        sym AS MATERIALIZED (SELECT ia, ib, s FROM sims
+                             UNION ALL SELECT ib, ia, s FROM sims),
+        sel1 AS MATERIALIZED (
+          SELECT id, rel, {lam_s} * rel - {oml} * 0.0 AS sc
+          FROM nrm ORDER BY sc DESC, id ASC LIMIT 1),
+        ms1 AS MATERIALIZED (
+          SELECT p.id, GREATEST(0.0, COALESCE(y.s, 0.0)) AS ms
+          FROM nrm p JOIN sel1 x ON true
+          LEFT JOIN sym y ON y.ia = p.id AND y.ib = x.id),
+        {",".join(rounds)}
         {finals}
     """
 
@@ -7120,6 +7214,8 @@ def oracle_sql() -> dict[str, str]:
         "q155_bpe_encode": _bpe_encode_oracle_sql(),
         # q183: explicit-ops Soundex chain mirrored exactly (see helper).
         "q183_phonetic_match": _phonetic_oracle_sql(),
+        # q167: BM25 page + fold-identical cosines + unrolled greedy MMR.
+        "q167_mmr_rerank": _mmr_oracle_sql(),
         # q27_minhash_lsh, q29_lsh_ann, q33_ivf_ann: approximate (LSH/KMeans)
         # — rows-only check. q30_multimodal_decode: mapInPandas plumbing —
         # rows-only check. q146_bpe_merges: iterative greedy argmax — not

@@ -756,6 +756,7 @@ def mmr_rerank(
     k: int = 10,
     lambda_: float = 0.7,
     max_candidates: int = 10_000,
+    exact_sims: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR'98): greedily pick ``k`` results maximizing
@@ -766,14 +767,26 @@ def mmr_rerank(
     CONTRACT: ``candidates`` is a RERANK PAGE, not a corpus — the top-N
     of an upstream retriever (BM25 / ANN), bounded by construction. MMR
     is inherently sequential (each pick conditions the next), so the
-    page is collected to the driver and the k·|page| greedy loop runs in
-    numpy; the collect is guarded by ``max_candidates`` and raises
+    page is collected to the driver and the k·|page| greedy loop runs
+    driver-side; the collect is guarded by ``max_candidates`` and raises
     loudly on larger inputs instead of silently serializing a corpus.
     The heavy work (scoring the corpus down to the page) belongs to the
     upstream operator — that part is distributed.
 
-    Deterministic: cosine similarities in float64, ties broken by id
-    ascending. Returns (id_col, mmr_rank, {score_col}, mmr_score).
+    Deterministic ACROSS ENGINES with ``exact_sims=True`` (default):
+    pairwise cosines compute Spark-side with the repo's left-fold
+    ``dot``/``l2_norm`` Column ops — the exact IEEE op sequence a SQL
+    oracle's ``list_reduce`` reproduces — and the greedy loop runs in
+    pure Python floats (no BLAS: blocked SIMD accumulation orders are
+    implementation-defined, which is why the old numpy path could never
+    hash-match an oracle). Cost is page^2 fold evaluations — fine for
+    retrieval pages (50-500); for unusually large pages pass
+    ``exact_sims=False`` to use the numpy/BLAS path (same semantics,
+    within-float-noise scores, not oracle-reproducible). ``mmr_score``
+    publishes via floor(v*1e9+0.5)/1e9 — engine-neutral half-up, the
+    q188 lesson. Ties broken by id ascending.
+
+    Returns (id_col, mmr_rank, {score_col}, mmr_score).
     """
     if not 0.0 <= lambda_ <= 1.0:
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
@@ -784,44 +797,115 @@ def mmr_rerank(
             "MMR is a page reranker — cut the set with the upstream retriever "
             "or raise max_candidates explicitly"
         )
+    import math
+
     import numpy as np
 
-    rows = (
-        candidates.select(id_col, score_col, vec_col)
-        .orderBy(F.asc(id_col))
-        .collect()
-    )
-    if not rows:
+    spark = candidates.sparkSession
+    out_schema = f"{id_col} long, mmr_rank long, {score_col} double, mmr_score double"
+    if n == 0:
         return candidates.select(
             F.col(id_col),
             F.lit(0).cast("long").alias("mmr_rank"),
             F.col(score_col),
             F.lit(0.0).alias("mmr_score"),
         ).limit(0)
+
+    if exact_sims:
+        pg = candidates.select(
+            F.col(id_col).alias("__id"),
+            F.col(score_col).cast("double").alias("__rel"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__n"),
+        ).localCheckpoint(eager=False)
+        rows = pg.select("__id", "__rel").orderBy("__id").collect()
+        ids = [r["__id"] for r in rows]
+        rel = {r["__id"]: float(r["__rel"]) for r in rows}
+        a = pg.select(
+            F.col("__id").alias("ia"), F.col("__v").alias("va"), F.col("__n").alias("na")
+        )
+        b = pg.select(
+            F.col("__id").alias("ib"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+        )
+        # bounded-page BNLJ (the documented exception class): |page|^2
+        # pairs, guarded by max_candidates above
+        pairs = (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("ia") < F.col("ib"))
+            .select(
+                "ia",
+                "ib",
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+                ).alias("s"),
+            )
+        )
+        sims: dict = {}
+        for r in pairs.collect():
+            sv = float(r["s"]) if r["s"] is not None else 0.0
+            sims[(r["ia"], r["ib"])] = sv
+            sims[(r["ib"], r["ia"])] = sv
+        k = min(k, len(ids))
+        lam = float(lambda_)
+        oml = 1.0 - lam
+        max_sim = {i: 0.0 for i in ids}
+        avail = set(ids)
+        out = []
+        for rank in range(1, k + 1):
+            best = None
+            best_sc = None
+            for i in ids:  # ascending id order -> ties pick smallest id
+                if i not in avail:
+                    continue
+                sc = lam * rel[i] - oml * max_sim[i]
+                if best is None or sc > best_sc:
+                    best, best_sc = i, sc
+            out.append(
+                (
+                    best,
+                    rank,
+                    rel[best],
+                    math.floor(best_sc * 1e9 + 0.5) / 1e9,
+                )
+            )
+            avail.discard(best)
+            for i in ids:
+                sv = sims.get((i, best), 0.0)
+                if sv > max_sim[i]:
+                    max_sim[i] = sv
+        return spark.createDataFrame(out, out_schema)
+
+    rows = (
+        candidates.select(id_col, score_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .collect()
+    )
     ids = [r[0] for r in rows]
-    rel = np.array([float(r[1]) for r in rows])
+    rel_arr = np.array([float(r[1]) for r in rows])
     vecs = np.array([r[2] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0.0] = 1.0
     unit = vecs / norms[:, None]
-    sims = unit @ unit.T
+    sims_m = unit @ unit.T
     k = min(k, len(ids))
-    picked: list[int] = []
-    max_sim = np.zeros(len(ids))
+    max_sim_a = np.zeros(len(ids))
     out = []
-    avail = np.ones(len(ids), dtype=bool)
+    avail_m = np.ones(len(ids), dtype=bool)
     for rank in range(1, k + 1):
-        mmr = lambda_ * rel - (1.0 - lambda_) * max_sim
-        mmr[~avail] = -np.inf
+        mmr = lambda_ * rel_arr - (1.0 - lambda_) * max_sim_a
+        mmr[~avail_m] = -np.inf
         best = int(np.argmax(mmr))  # ties: first index = smallest id (sorted)
-        out.append((ids[best], rank, float(rel[best]), float(round(mmr[best], 9))))
-        avail[best] = False
-        max_sim = np.maximum(max_sim, sims[best])
-        picked.append(best)
-    spark = candidates.sparkSession
-    return spark.createDataFrame(
-        out, f"{id_col} long, mmr_rank long, {score_col} double, mmr_score double"
-    )
+        out.append(
+            (
+                ids[best],
+                rank,
+                float(rel_arr[best]),
+                math.floor(float(mmr[best]) * 1e9 + 0.5) / 1e9,
+            )
+        )
+        avail_m[best] = False
+        max_sim_a = np.maximum(max_sim_a, sims_m[best])
+    return spark.createDataFrame(out, out_schema)
 
 
 def centroid_similarity(
