@@ -4327,7 +4327,11 @@ def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
     wrapped-string loop (see ``_bpe_merges_oracle_sql``), then encode
     every word with ``n_merges`` chained replaces and map symbols to the
     deterministic (sorted alphabet + merges-in-order) vocabulary;
-    unknown symbols map to -1 via ``coalesce(list_position, 0) - 1``."""
+    unknown symbols map to -1 via ``coalesce(list_position, 0) - 1``.
+    The final SELECT LEFT JOINs ``toks`` (every document row) back in so
+    a whitespace-only document keeps its (n_tokens=0, head_ids='') row —
+    Spark's ``bpe_encode`` emits one row per input document, and the
+    unnest-driven ``words`` CTE would otherwise drop empty ones."""
     sep = "chr(1)"
     its = []
     prev = "v0"
@@ -4397,19 +4401,25 @@ def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
         docs2 AS (
           SELECT doc_id, flatten(list(ids ORDER BY i)) AS token_ids
           FROM encw GROUP BY doc_id)
-        SELECT doc_id, CAST(len(token_ids) AS BIGINT) AS n_tokens,
-               array_to_string(token_ids[1:12], ',') AS head_ids
-        FROM docs2
+        SELECT t.doc_id,
+               CAST(coalesce(len(d.token_ids), 0) AS BIGINT) AS n_tokens,
+               coalesce(array_to_string(d.token_ids[1:12], ','), '')
+                 AS head_ids
+        FROM toks t LEFT JOIN docs2 d ON t.doc_id = d.doc_id
     """
 
 
-def _kcore_oracle_sql(k: int = 2, rounds: int = 24) -> str:
+def _kcore_oracle_sql(k: int = 2, rounds: int = 30) -> str:
     """DuckDB twin of q179: q26's exact pair-generation chain (n=3,
     threshold 3/25, 1%% hot-shingle cap) followed by ``rounds`` unrolled
     Batagelj-Zaversnik peel rounds. Peeling is monotone and idempotent at
     the fixed point, so unrolling more rounds than the graph needs is
-    harmless; if a graph ever needed more than ``rounds``, the parity
-    hash would fail loudly (the Spark side raises past max_iter=30)."""
+    harmless. ``rounds`` MUST be >= ``ops.graph.kcore``'s max_iter
+    (default 30): below it there is a window (e.g. a graph needing 25-30
+    rounds at rounds=24) where Spark converges correctly but the oracle
+    returns a pre-fixed-point subgraph — a spurious parity failure
+    misattributed to the Spark side. Past max_iter both sides now fail
+    loudly (Spark raises; the oracle's hash mismatches)."""
     its = []
     prev = "e0"
     for r in range(1, rounds + 1):

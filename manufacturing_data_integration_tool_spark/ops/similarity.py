@@ -616,8 +616,12 @@ def pca_moments(df: DataFrame, vec_col: str = "embedding", *, fan_in: int = 256)
     doubles to the driver (~800 GB at P=1e5, d=1024); this ships d + d^2
     once. Level-2/3 shuffles carry <= P + fan_in tiny rows.
 
-    Returns a 1-row DataFrame ``(n, s array<double>, g array<double>)``
-    (g row-major flattened). Empty input yields n=0 with empty arrays.
+    Returns a DataFrame ``(n, s array<double>, g array<double>)`` with
+    AT MOST one row (g row-major flattened). Empty input yields a 0-ROW
+    frame, not an (n=0, [], []) row: both combine levels filter ``n > 0``
+    and return empty frames, and an empty groupBy never invokes
+    ``applyInPandas`` at all — callers must handle the 0-row case the way
+    ``pca_fit`` does (raise or default), not index ``[0]`` blindly.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -696,7 +700,7 @@ def pca_fit(
     parts = pca_moments(df, vec_col).collect()
     if not parts or not parts[0]["n"]:
         raise ValueError("pca_fit: empty input")
-    assert len(parts) == 1, "pca_moments contract: exactly one combined row"
+    assert len(parts) == 1, "pca_moments contract: at most one combined row"
     n = int(parts[0]["n"])
     d = len(parts[0]["s"])
     s = np.asarray(parts[0]["s"])
@@ -757,6 +761,7 @@ def mmr_rerank(
     lambda_: float = 0.7,
     max_candidates: int = 10_000,
     exact_sims: bool = True,
+    exact_sims_max: int = 512,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR'98): greedily pick ``k`` results maximizing
@@ -779,9 +784,14 @@ def mmr_rerank(
     oracle's ``list_reduce`` reproduces — and the greedy loop runs in
     pure Python floats (no BLAS: blocked SIMD accumulation orders are
     implementation-defined, which is why the old numpy path could never
-    hash-match an oracle). Cost is page^2 fold evaluations — fine for
-    retrieval pages (50-500); for unusually large pages pass
-    ``exact_sims=False`` to use the numpy/BLAS path (same semantics,
+    hash-match an oracle). Cost is page^2 fold evaluations AND a
+    |page|^2/2-row pair collect into a both-directions driver dict, so
+    the exact path carries its OWN, tighter cap: ``exact_sims_max``
+    (default 512 -> <=131k collected pairs, ~MBs). Above it the call
+    raises — a 10k page under ``max_candidates`` alone would collect
+    ~50M pair rows / ~100M dict entries, multi-GB driver memory. For
+    large pages pass ``exact_sims=False`` to use the numpy/BLAS path
+    (collects only |page| rows, matmuls locally; same semantics,
     within-float-noise scores, not oracle-reproducible). ``mmr_score``
     publishes via floor(v*1e9+0.5)/1e9 — engine-neutral half-up, the
     q188 lesson. Ties broken by id ascending.
@@ -796,6 +806,14 @@ def mmr_rerank(
             f"mmr_rerank got {n} candidates > max_candidates={max_candidates}; "
             "MMR is a page reranker — cut the set with the upstream retriever "
             "or raise max_candidates explicitly"
+        )
+    if exact_sims and n > exact_sims_max:
+        raise ValueError(
+            f"mmr_rerank got {n} candidates > exact_sims_max={exact_sims_max}: "
+            "the exact-sims path collects |page|^2/2 pairwise cosines to the "
+            "driver, which is multi-GB at thousands of candidates. Pass "
+            "exact_sims=False (numpy path, collects |page| rows) or raise "
+            "exact_sims_max explicitly for a deliberately larger exact page"
         )
     import math
 

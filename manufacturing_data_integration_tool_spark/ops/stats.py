@@ -99,10 +99,30 @@ def ewma_trailing(
     # quantized value overflows (-> non-ANSI NULL, silently skewing the
     # weighted sum) at |value| >= 10^8; 18 digits represent |value| up to
     # 10^14 at that scale. w*x products then peak < 10^36 and a depth-32
-    # sum < 10^38 — inside decimal(38,0), mirroring the weight-table
-    # overflow guard above.
+    # sum < 10^38 — inside decimal(38,0). Values past 18 digits would
+    # STILL cast to NULL non-ANSI and silently skew the weighted sum, so
+    # the quantizer raises loudly first — mirroring the weight-table
+    # ValueError above rather than repeating the (12,0) failure mode one
+    # magnitude up. NULL values pass through as NULL (when(NULL) takes
+    # the otherwise branch); Spark orders NaN above every double, so NaN
+    # trips the guard too.
+    overflow_limit = (10.0**18 - 1.0) / scale
+    v = F.col(value_col).cast("double")
     xq = (
-        F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
+        F.when(
+            F.abs(v) >= F.lit(overflow_limit),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ewma_trailing: |{value_col}| * scale={scale} overflows "
+                        "decimal(18,0) (the quantized sum would silently NULL); "
+                        "lower scale or pre-filter. value="
+                    ),
+                    F.col(value_col).cast("string"),
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.floor(v * scale + F.lit(0.5)))
         .cast("decimal(18,0)")
     )
     pruned = df.select(

@@ -512,6 +512,14 @@ def test_mmr_rerank_guard_rails(spark):
         mmr_rerank(df, "doc_id", "score", "vec", k=2, max_candidates=3)
     with _pytest.raises(ValueError, match="lambda_"):
         mmr_rerank(df, "doc_id", "score", "vec", k=2, lambda_=1.5)
+    # exact-sims path has its own tighter cap (|page|^2 driver collect):
+    # raises under exact_sims=True, but the numpy path takes the same page
+    with _pytest.raises(ValueError, match="exact_sims_max"):
+        mmr_rerank(df, "doc_id", "score", "vec", k=2, exact_sims_max=3)
+    out_np = mmr_rerank(
+        df, "doc_id", "score", "vec", k=2, exact_sims=False, exact_sims_max=3
+    )
+    assert out_np.count() == 2
     # k larger than the page: returns the whole page, ranked
     out = mmr_rerank(df, "doc_id", "score", "vec", k=50)
     assert out.count() == 5

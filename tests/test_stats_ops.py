@@ -62,6 +62,26 @@ def test_ewma_trailing_large_values_do_not_overflow_to_null(spark):
     assert out["ewma"] == pytest.approx(expect, rel=1e-9)
 
 
+def test_ewma_trailing_raises_loudly_past_decimal18_overflow(spark):
+    # Past 18 digits the quantized value would cast to NULL non-ANSI and
+    # silently skew the weighted sum (r5 advice); the quantizer must raise
+    # loudly instead, like the weight-table guard.
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [Row(k=1, ts=0, eid=0, v=1.0e15), Row(k=1, ts=1, eid=1, v=1.0)]
+    with pytest.raises(SparkRuntimeException, match="overflows"):
+        ewma_trailing(
+            spark.createDataFrame(rows), "k", "ts", "v", tiebreak_col="eid", depth=4
+        ).collect()
+    # NULL values still pass through (NULL, not a raise)
+    rows2 = [Row(k=1, ts=0, eid=0, v=None), Row(k=1, ts=1, eid=1, v=2.0)]
+    out = ewma_trailing(
+        spark.createDataFrame(rows2, "k int, ts int, eid int, v double"),
+        "k", "ts", "v", tiebreak_col="eid", depth=4,
+    ).collect()[0]
+    assert out["n_used"] == 2
+
+
 def test_ewma_weight_table_is_exact_integer(spark):
     with pytest.raises(ValueError):
         ewma_trailing(
