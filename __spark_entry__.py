@@ -178,6 +178,54 @@ _SIMHASH_FP_CTE = """tok AS (
             )"""
 
 
+def _minhash_pairs_cte(
+    num_hashes: int = 48, bands: int = 12, max_distance: float = 0.5
+) -> str:
+    """Shared oracle CTE chain for the md5_32 MinHash-LSH family
+    (ops.dedup.minhash_signatures/minhash_candidates with
+    hash_family='md5_32'), ending in ``mh_pairs(doc_a, doc_b, jdist)``.
+    q27 publishes the pairs; q71 clusters them with a recursive CTE.
+    Every hash is a 32-bit lane of md5(shingle || chr(31) || salt) —
+    byte-identical across engines, which is the whole point of the
+    portable family."""
+    r = num_hashes // bands
+    lanes = ", ".join(
+        "CAST(CAST(('0x' || substr(md5(shingle || chr(31) || '{s}'), {p}, 8)) "
+        "AS UBIGINT) AS BIGINT)".format(s=i // 4, p=1 + 8 * (i % 4))
+        for i in range(num_hashes)
+    )
+    mins = ", ".join(f"MIN(h[{i + 1}])" for i in range(num_hashes))
+    return f"""mtoks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk FROM documents
+            ), msh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS shingles
+              FROM mtoks WHERE len(tk) >= 3
+            ), minv AS (
+              SELECT doc_id, [{lanes}] AS h
+              FROM (SELECT doc_id, unnest(shingles) AS shingle FROM msh)
+            ), msig AS MATERIALIZED (
+              SELECT doc_id, [{mins}] AS sig FROM minv GROUP BY doc_id
+            ), mtag AS (
+              SELECT doc_id, tb.b AS band,
+                     array_to_string(sig[{r}*tb.b+1 : {r}*tb.b+{r}], ',') AS key
+              FROM msig, unnest([{{'b': x}} for x in range(0, {bands})]) AS u(tb)
+            ), mcand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM mtag a JOIN mtag b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), mh_pairs AS (
+              SELECT c.doc_a, c.doc_b,
+                     1.0 - (len(list_filter(range(1, {num_hashes + 1}),
+                            i -> sa.sig[i] = sb.sig[i])) / {float(num_hashes)}) AS jdist
+              FROM mcand c
+              JOIN msig sa ON sa.doc_id = c.doc_a
+              JOIN msig sb ON sb.doc_id = c.doc_b
+              WHERE 1.0 - (len(list_filter(range(1, {num_hashes + 1}),
+                           i -> sa.sig[i] = sb.sig[i])) / {float(num_hashes)}) <= {max_distance}
+            )"""
+
+
 def _orders_validated(spark: SparkSession, sf_dir: str):
     orders = read_table(spark, sf_dir, "orders")
     return validate(orders, _ORDERS_VALIDATION)
@@ -508,13 +556,22 @@ def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash-LSH near-dup candidates (ops.dedup): 48 xxhash64
-    minhashes -> 12 bands x 4 rows -> equi-join on (band, band-hash), with
-    the signature-estimated Jaccard distance — approximate by construction;
-    checked rows-only (no oracle entry)."""
+    """Banded MinHash-LSH near-dup candidates (ops.dedup): 48 minhashes
+    -> 12 bands x 4 rows -> equi-join on (band, band key), with the
+    signature-estimated Jaccard distance. Runs the PORTABLE md5_32 hash
+    family (four 32-bit lanes per md5(shingle || US || salt)) so the
+    whole pipeline — shingles, signatures, banding, distance — is
+    byte-identical in DuckDB and carries a full value oracle (upgraded
+    from rows-only in r6); production keeps the cheaper engine-private
+    xxhash64 default, pinned equivalent-shape by pytest. The estimated
+    distance publishes via floor(v*1e4+0.5)/1e4 (engine-neutral half-up,
+    k/48 grid)."""
     docs = read_table(spark, sf_dir, "documents")
-    out = dd.minhash_candidates(docs, "doc_id", "text", max_distance=0.5)
-    return out.select("doc_a", "doc_b", F.round("jaccard_dist", 4).alias("jaccard_dist"))
+    out = dd.minhash_candidates(
+        docs, "doc_id", "text", max_distance=0.5, hash_family="md5_32"
+    )
+    pub = F.floor(F.col("jaccard_dist") * 1e4 + F.lit(0.5)) / F.lit(1e4)
+    return out.select("doc_a", "doc_b", pub.alias("jaccard_dist"))
 
 
 def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,11 +591,24 @@ def q55_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q29_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbors (ops.similarity) —
-    approximate; checked rows-only (no oracle entry)."""
+    """LSH-bucketed approximate nearest neighbors on the repo's
+    DETERMINISTIC sign-LSH path (ops.similarity): both sides bucketed
+    with the same seeded hyperplane literals
+    (hyperplane_query_candidates, the q121 generator), then exact cosine
+    scoring + per-query top-k over candidate pairs only
+    (cosine_topk(candidates=...)) — two hash equi-joins, no broadcast of
+    either side, never |corpus| x |queries|. Approximate (top-k among
+    bucket collisions) but fully reproducible, so it carries a full
+    DuckDB value oracle (upgraded from rows-only in r6); q22 is the
+    exact brute-force baseline it approximates. The Spark-ML
+    BucketedRandomProjectionLSH variant (lsh_ann_topk) remains
+    pytest-covered — its internal RNG is not oracle-expressible."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return sim.lsh_ann_topk(emb, queries, k=10)
+    cand = sim.hyperplane_query_candidates(
+        emb, queries, dim=64, n_tables=8, n_planes=4, seed=11
+    )
+    return sim.cosine_topk(emb, queries, k=10, candidates=cand)
 
 
 def q31_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,13 +1405,18 @@ def q70_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q71_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION 100 TB dedup path end-to-end: banded MinHash-LSH
     candidate pairs (never all-pairs) -> large-star/small-star connected
-    components -> per-cluster survivor flags for the whole corpus.
-    Approximate by construction (LSH recall), so checked rows-only; the
-    exact-pair twin q56 is the hash-checked oracle of the same composition."""
+    components -> per-cluster survivor flags for the whole corpus. Runs
+    the portable md5_32 hash family (q27), so the full composition —
+    candidates AND clustering — carries a value oracle (upgraded from
+    rows-only in r6): the DuckDB twin recomputes the same pairs and
+    clusters them with a recursive CTE, q56's pattern. Production keeps
+    the cheaper xxhash64 family; q56 remains the exact-pair twin."""
     from manufacturing_data_integration_tool_spark.ops.graph import dedup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_candidates(docs, "doc_id", "text", max_distance=0.5)
+    pairs = dd.minhash_candidates(
+        docs, "doc_id", "text", max_distance=0.5, hash_family="md5_32"
+    )
     return dedup_clusters(docs, pairs.select("doc_a", "doc_b"), "doc_id")
 
 
@@ -5107,6 +5182,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(range(1, 65),
                   i -> substring(fa.simhash, CAST(i AS INT), 1)
                        <> substring(fb.simhash, CAST(i AS INT), 1))) <= 3
+        """,
+        "q27_minhash_lsh": f"""
+            WITH {_minhash_pairs_cte()}
+            SELECT doc_a, doc_b,
+                   floor(jdist * 1e4 + 0.5) / 1e4 AS jaccard_dist
+            FROM mh_pairs
+        """,
+        "q71_minhash_clusters": f"""
+            WITH RECURSIVE {_minhash_pairs_cte()},
+            msym AS (
+              SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+              UNION
+              SELECT doc_b, doc_a FROM mh_pairs
+            ),
+            mreach(node, r) AS (
+              SELECT a, a FROM msym
+              UNION
+              SELECT s.b, r.r FROM mreach r JOIN msym s ON s.a = r.node
+            ),
+            mcomp AS (SELECT node, MIN(r) AS cluster_id FROM mreach GROUP BY node)
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_survivor
+            FROM documents d LEFT JOIN mcomp c ON c.node = d.doc_id
+        """,
+        "q29_lsh_ann": f"""
+            WITH bk AS (
+              SELECT vec_id, embedding,
+                   {bk121}
+              FROM embeddings
+            ),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+              FROM bk q JOIN bk c ON ({same_bucket121})
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            scored AS (
+              SELECT cand.query_id, cand.vec_id,
+                     round(
+                       list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))),
+                       4) AS cosine_sim
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.vec_id
+            )
+            SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
         "q31_bpe_token_count": f"""
             SELECT doc_id,

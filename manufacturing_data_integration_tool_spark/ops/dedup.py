@@ -341,6 +341,16 @@ def containment_pairs(
     )
 
 
+def _md5_lane(col: Column, salt: int, lane: int) -> Column:
+    """One of four independent 32-bit hash lanes from md5(col || US || salt):
+    hex chars [1+8*lane, 8+8*lane) parsed as an unsigned 32-bit value (fits
+    a signed BIGINT). md5 is byte-identical in every engine, so a SQL
+    oracle recomputes the exact value — the property xxhash64 lacks
+    (DuckDB does not expose it)."""
+    h = F.md5(F.concat(col, F.lit("\x1f" + str(salt))))
+    return F.conv(F.substring(h, 1 + 8 * lane, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -348,11 +358,24 @@ def minhash_signatures(
     *,
     n: int = 3,
     num_hashes: int = 48,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: ``num_hashes`` permutations
-    simulated as ``min(xxhash64(shingle_hash, i))`` over the doc's distinct
-    shingles — one explode + ONE groupBy shuffle on the doc id, everything
-    64-bit integer JVM-side. Returns (doc, sig: array<bigint>)."""
+    simulated as ``min(h_i(shingle))`` over the doc's distinct shingles —
+    one explode + ONE groupBy shuffle on the doc id, everything integer
+    JVM-side. Returns (doc, sig: array<bigint>).
+
+    ``hash_family``:
+    - ``"xxhash64"`` (default, production): ``h_i = xxhash64(shingle_hash,
+      i)`` — the cheapest 64-bit family Spark ships, but engine-private.
+    - ``"md5_32"`` (portable): four 32-bit lanes per ``md5(shingle || US ||
+      salt)``, ``ceil(num_hashes/4)`` md5 calls per shingle. ~4x the hash
+      cost of xxhash64 and a 32-bit range, but byte-identical in DuckDB /
+      any SQL engine — the family that lets banded-LSH output carry a full
+      value oracle (q27/q71). Same asymptotics: one explode, one groupBy.
+    """
+    if hash_family not in ("xxhash64", "md5_32"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
     base = df.select(F.col(id_col).alias("doc"), toks.alias("__tk")).select(
         "doc", shingles_from_tokens("__tk", n).alias("sh")
@@ -360,9 +383,18 @@ def minhash_signatures(
     inv = (
         base.select("doc", F.explode_outer("sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
-        .select("doc", F.xxhash64("shingle").alias("sh_h"))
     )
-    aggs = [F.min(F.xxhash64(F.col("sh_h"), F.lit(i))).alias(f"__mh{i}") for i in range(num_hashes)]
+    if hash_family == "xxhash64":
+        inv = inv.select("doc", F.xxhash64("shingle").alias("sh_h"))
+        aggs = [
+            F.min(F.xxhash64(F.col("sh_h"), F.lit(i))).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(_md5_lane(F.col("shingle"), i // 4, i % 4)).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
     sig = inv.groupBy("doc").agg(*aggs)
     return sig.select("doc", F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig"))
 
@@ -376,6 +408,7 @@ def minhash_candidates(
     num_hashes: int = 48,
     bands: int = 12,
     max_distance: float = 0.4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH (the scale
     path). Returns (doc_a, doc_b, jaccard_dist) with the signature-estimated
@@ -396,11 +429,28 @@ def minhash_candidates(
     r = num_hashes // bands
     if r * bands != num_hashes:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    band_hashes = F.array(
-        *[F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)) for b in range(bands)]
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, hash_family=hash_family
     )
-    tagged = sigs.select("doc", F.posexplode(band_hashes).alias("__band", "__bh"))
+    if hash_family == "xxhash64":
+        band_keys = [F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)) for b in range(bands)]
+    else:
+        # portable family: the band key is the comma-joined slice itself —
+        # exact equality semantics (no band-hash collisions to reconcile)
+        # and trivially re-expressible in any SQL engine. Key width is
+        # r * ~10 chars; the join stays an ordinary (band, key) equi-join.
+        band_keys = [
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * r + 1, r), lambda x: x.cast("string")
+                ),
+            )
+            for b in range(bands)
+        ]
+    tagged = sigs.select(
+        "doc", F.posexplode(F.array(*band_keys)).alias("__band", "__bh")
+    )
     a = tagged.alias("a")
     b = tagged.alias("b")
     cand = (

@@ -75,13 +75,24 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: Optional[str] = None,
     round_to: Optional[int] = 4,
+    candidates: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Exact top-k nearest corpus vectors per query vector (cosine).
+    """Top-k nearest corpus vectors per query vector (cosine).
 
-    ``queries`` is broadcast — it must be the small side. Self-matches
-    (same id) are excluded when the id columns share a name. ``round_to``
-    rounds the similarity before ranking so orderings are stable across
-    engines/partitionings; ties break on corpus id.
+    Scoring routes (same split as ``knn_classify``):
+
+    - default: exact brute force — ``queries`` is broadcast, so it must
+      be the small side by contract (a handful of probe vectors).
+    - ``candidates=``: a (query_id, <id_col>) frame from a sub-quadratic
+      cross-set generator (``hyperplane_query_candidates``, IVF cell
+      joins). Scoring becomes two hash equi-joins over |candidates| rows
+      — never a broadcast of either side — and the result is approximate
+      top-k (best among candidates). This is the 100 TB route when the
+      query set grows with the corpus.
+
+    Self-matches (same id) are excluded when the id columns share a name.
+    ``round_to`` rounds the similarity before ranking so orderings are
+    stable across engines/partitionings; ties break on corpus id.
     """
     qid = query_id_col or id_col
     # norms once per vector row, not per (query, corpus) pair — same
@@ -94,7 +105,16 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__nc")
     )
-    pairs = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    if candidates is not None:
+        pairs = candidates.select("query_id", id_col).join(c, id_col).join(
+            q, "query_id"
+        )
+        if query_id_col is None:
+            pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    else:
+        pairs = c.crossJoin(F.broadcast(q)).filter(
+            F.col(id_col) != F.col("query_id")
+        )
     sim = F.try_divide(
         dot(F.col("__qv"), F.col(vec_col)), F.col("__nq") * F.col("__nc")
     )

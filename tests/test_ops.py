@@ -103,6 +103,56 @@ def test_minhash_candidates_finds_near_dups(spark, docs):
     assert not any((4 in p) or (5 in p) for p in got)
 
 
+def test_minhash_md5_family_matches_python_twin(spark, docs):
+    """The portable md5_32 family (the oracle-able variant of q27/q71)
+    must reproduce a pure-Python twin exactly: 4 lanes of
+    md5(shingle || chr(31) || salt), min per lane over the doc's
+    3-gram shingles."""
+    import hashlib
+
+    from manufacturing_data_integration_tool_spark.ops.dedup import minhash_signatures
+
+    def twin(text: str, num_hashes: int = 48) -> list[int]:
+        tk = [t for t in text.lower().split() if t]
+        shingles = {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+        sig = []
+        for i in range(num_hashes):
+            salt, lane = i // 4, i % 4
+            vals = [
+                int(
+                    hashlib.md5((s + "\x1f" + str(salt)).encode()).hexdigest()[
+                        8 * lane : 8 * lane + 8
+                    ],
+                    16,
+                )
+                for s in shingles
+            ]
+            sig.append(min(vals))
+        return sig
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = {
+        r["doc"]: list(r["sig"])
+        for r in minhash_signatures(
+            docs, "doc_id", "text", hash_family="md5_32"
+        ).collect()
+    }
+    for doc_id, sig in out.items():
+        assert sig == twin(texts[doc_id]), f"doc {doc_id} signature mismatch"
+    # candidate generation with the portable family keeps LSH semantics
+    cands = minhash_candidates(
+        docs, "doc_id", "text", max_distance=0.5, hash_family="md5_32"
+    ).collect()
+    got = {(c["doc_a"], c["doc_b"]) for c in cands}
+    assert (1, 2) in got
+    assert not any((4 in p) or (5 in p) for p in got)
+    # unknown family raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_family"):
+        minhash_signatures(docs, "doc_id", "text", hash_family="fnv")
+
+
 def test_simhash_near_dups_banding(spark, docs):
     """Hamming-0 pairs (identical docs) must always be candidates via the
     pigeonhole banding; far pairs must not pass the Hamming budget."""
