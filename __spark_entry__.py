@@ -1091,8 +1091,12 @@ def q51_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing with stubbed codec (ops.multimodal) —
-    non-SQL-expressible; checked rows-only (no oracle entry)."""
+    """mapInPandas decode plumbing with stubbed codec (ops.multimodal).
+    The Arrow kernel is production-shaped but the stub decode is pure
+    byte math (n_bytes, byte-sum feature, fixed 64x64 dims), so it
+    carries a full value oracle (upgraded from rows-only in r6): the
+    DuckDB twin recomputes byte sums from hex pairs of the UTF-8
+    payload."""
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
     assembled = mm.assemble_multimodal(docs, emb)
@@ -1102,7 +1106,10 @@ def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q49_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-to-N mapInPandas fan-out (ops.multimodal.sample_frames): every 4th
     64-byte frame of each payload, fingerprinted — the video-frame-sampling
-    plumbing with a stubbed demuxer; checked rows-only (no oracle entry)."""
+    plumbing with a stubbed demuxer. Value-oracled (r6): frames are byte
+    slices of the UTF-8 payload and the corpus text is ASCII at every SF
+    (verified), so the DuckDB twin md5s the same 64-char substrings; a
+    non-ASCII corpus would fail the parity hash loudly, not silently."""
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
     assembled = mm.assemble_multimodal(docs, emb)
@@ -2262,7 +2269,11 @@ def q116_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-in/binary-out mapInPandas resize plumbing
     (ops.multimodal.resize_media, stubbed resampler): payloads fit to a
     fixed 128-byte budget, keeping the multimodal struct contract.
-    Non-SQL-expressible Arrow kernel; checked rows-only."""
+    Value-oracled (r6): the stub is truncate-or-NUL-pad, so the DuckDB
+    twin md5s substr(text,1,128) or text || repeat(chr(0), pad) — DuckDB
+    VARCHARs carry NUL bytes and its md5 hashes the same UTF-8 bytes
+    Spark's binary md5 sees (corpus is ASCII; non-ASCII would fail the
+    hash loudly)."""
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
     assembled = mm.assemble_multimodal(docs, emb)
@@ -2273,12 +2284,26 @@ def q116_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q117_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf feature extraction (ops.multimodal.extract_features,
     stubbed featurizer): per-payload byte-histogram vector via Arrow
-    batches. Non-SQL-expressible; checked rows-only."""
+    batches. The stub is pure byte math (bincount(byte % 8) / n, float32),
+    so it carries a full value oracle (upgraded from rows-only in r6):
+    each float32 dim casts to double exactly and publishes on the 1e7
+    integer grid (floor half-up, engine-neutral), comma-joined because the
+    parity canon cannot sort list columns; the DuckDB twin recomputes the
+    histogram from hex byte pairs with REAL (float32) division."""
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
     assembled = mm.assemble_multimodal(docs, emb)
     out = mm.extract_features(assembled)
-    return out.select("doc_id", F.size("features").alias("n_dims"))
+    hist_q = F.array_join(
+        F.transform(
+            "features",
+            lambda x: F.floor(x.cast("double") * 1e7 + F.lit(0.5)).cast("string"),
+        ),
+        ",",
+    )
+    return out.select(
+        "doc_id", F.size("features").alias("n_dims"), hist_q.alias("hist_q")
+    )
 
 
 def q118_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5233,6 +5258,57 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 10
+        """,
+        "q30_multimodal_decode": """
+            WITH mmrows AS (
+              SELECT d.doc_id, hex(encode(d.text)) AS hx,
+                     octet_length(encode(d.text)) AS nb
+              FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            )
+            SELECT doc_id, 'text/plain' AS media_type,
+                   CAST(nb AS BIGINT) AS n_bytes,
+                   CAST(list_sum([CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT)
+                                  for i in range(0, nb)]) AS BIGINT) AS feature_hash,
+                   CAST(64 AS INT) AS width, CAST(64 AS INT) AS height
+            FROM mmrows
+        """,
+        "q49_frame_sample": """
+            WITH mmrows AS (
+              SELECT d.doc_id, d.text,
+                     octet_length(encode(d.text)) // 64 AS n_frames
+              FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            )
+            SELECT doc_id, CAST(fi.i AS INT) AS frame_idx,
+                   md5(substr(text, fi.i * 64 + 1, 64)) AS frame_md5
+            FROM mmrows,
+                 unnest([{'i': x} for x in range(0, n_frames) if x % 4 = 0]) AS u(fi)
+        """,
+        "q116_media_resize": """
+            SELECT d.doc_id, 'text/plain' AS media_type,
+                   CAST(128 AS BIGINT) AS n_bytes,
+                   md5(CASE WHEN length(d.text) >= 128 THEN substr(d.text, 1, 128)
+                            ELSE d.text || repeat(chr(0), 128 - length(d.text))
+                       END) AS payload_md5
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        """,
+        "q117_media_features": """
+            WITH mmrows AS (
+              SELECT d.doc_id, hex(encode(d.text)) AS hx,
+                     octet_length(encode(d.text)) AS nb
+              FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            ), bins AS (
+              SELECT doc_id, nb,
+                     [len(list_filter(range(0, nb),
+                          i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS INT) % 8 = dd))
+                      for dd in range(0, 8)] AS counts
+              FROM mmrows
+            )
+            SELECT doc_id, CAST(8 AS INT) AS n_dims,
+                   array_to_string(
+                     [CAST(floor(CAST(CAST(c AS REAL) / CAST(nb AS REAL) AS DOUBLE)
+                                 * 1e7 + 0.5) AS BIGINT) for c in counts],
+                     ',') AS hist_q
+            FROM bins
         """,
         "q31_bpe_token_count": f"""
             SELECT doc_id,
