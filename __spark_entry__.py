@@ -4080,6 +4080,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_kcore": q179_kcore,
         "q183_phonetic_match": q183_phonetic_match,
         "q167_mmr_rerank": q167_mmr_rerank,
+        # r6-upgraded oracles (formerly rows-only) — also driver-window:
+        "q27_minhash_lsh": q27_minhash_lsh,
+        "q29_lsh_ann": q29_lsh_ann,
+        "q30_multimodal_decode": q30_multimodal_decode,
+        "q49_frame_sample": q49_frame_sample,
+        "q71_minhash_clusters": q71_minhash_clusters,
+        "q116_media_resize": q116_media_resize,
+        "q117_media_features": q117_media_features,
         "q22_similarity_topk": q22_similarity_topk,
         "q23_multimodal_join": q23_multimodal_join,
         "q24_window_counts": q24_window_counts,
@@ -4220,14 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_approx_quantiles": q100_approx_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q108_sketch_rollup": q108_sketch_rollup,
-        "q116_media_resize": q116_media_resize,
-        "q117_media_features": q117_media_features,
-        "q27_minhash_lsh": q27_minhash_lsh,
-        "q29_lsh_ann": q29_lsh_ann,
-        "q30_multimodal_decode": q30_multimodal_decode,
         "q33_ivf_ann": q33_ivf_ann,
-        "q49_frame_sample": q49_frame_sample,
-        "q71_minhash_clusters": q71_minhash_clusters,
         "q74_hll_distinct": q74_hll_distinct,
     }
 
