@@ -303,6 +303,19 @@ def test_q121_lsh_knn_no_corpus_broadcast(spark):
     )
 
 
+def test_q29_lsh_ann_no_corpus_broadcast(spark):
+    """q29's r6 rewrite onto the deterministic sign-LSH route must keep
+    the q121 shape: candidates from a (table, bucket) equi-join, exact
+    cosine via two hash joins on ids — no cartesian, and nested-loop
+    joins only for the bounded broadcast plane-table fan-outs."""
+    plan = plan_of(entry.q29_lsh_ann(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
 def test_q124_exists_is_one_semi_join(spark):
     """Q4 shape: EXISTS must collapse to one left-semi join with the
     quarter filter pushed to the orders scan — never a re-executed
