@@ -3998,6 +3998,21 @@ def q188_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_control_chart(ev, "event_type", "ts", "value")
 
 
+def q189_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite duplicated-span coverage
+    (ops.dedup.duplicate_span_coverage, after Lee et al. ACL'22): every
+    8-token sliding window is hashed (md5 — engine-portable), windows
+    whose text repeats >= 2 times corpus-wide are DUPLICATED, and each
+    document reports how many tokens the union of its duplicated windows
+    covers — the mass substring-level dedup would remove. Position-
+    level, so it catches boilerplate that crosses q149's segment
+    boundaries or evades q141's fingerprint sampling. Linear explode of
+    (pos, hash) rows, one combiner groupBy, per-doc windows over
+    duplicated positions only; all-integer output, full DuckDB oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.duplicate_span_coverage(docs, "doc_id", "text", span_tokens=8)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4080,7 +4095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_kcore": q179_kcore,
         "q183_phonetic_match": q183_phonetic_match,
         "q167_mmr_rerank": q167_mmr_rerank,
-        # r6-upgraded oracles (formerly rows-only) — also driver-window:
+        # r6 additions + upgraded oracles — also driver-window:
+        "q189_duplicate_spans": q189_duplicate_spans,
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
         "q30_multimodal_decode": q30_multimodal_decode,
@@ -5259,6 +5275,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 10
+        """,
+        "q189_duplicate_spans": """
+            WITH dtoks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), dwin AS (
+              SELECT doc_id, w.p AS pos,
+                     md5(array_to_string(tk[w.p : w.p + 7], ' ')) AS h
+              FROM dtoks,
+                   unnest([{'p': x} for x in range(1, len(tk) - 8 + 2)]) AS u(w)
+            ), dhot AS (
+              SELECT h FROM dwin GROUP BY h HAVING COUNT(*) >= 2
+            ), ddup AS (
+              SELECT doc_id, pos FROM dwin WHERE h IN (SELECT h FROM dhot)
+            ), dcov AS (
+              SELECT doc_id,
+                     CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                          THEN 8
+                          ELSE LEAST(8, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos))
+                     END AS c
+              FROM ddup
+            ), dper AS (
+              SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(c) AS dup_tokens
+              FROM dcov GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.tk) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+            FROM dtoks t LEFT JOIN dper p USING (doc_id)
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

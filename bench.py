@@ -164,6 +164,7 @@ HEADLINE = [
     "q186_we_run_rules",
     "q187_process_capability",
     "q188_ewma_chart",
+    "q189_duplicate_spans",
 ]
 
 

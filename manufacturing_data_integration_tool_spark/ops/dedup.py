@@ -36,6 +36,7 @@ __all__ = [
     "shingles_from_tokens",
     "ngram_jaccard_pairs",
     "containment_pairs",
+    "duplicate_span_coverage",
     "minhash_signatures",
     "minhash_candidates",
     "simhash_fingerprints",
@@ -476,6 +477,90 @@ def minhash_candidates(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", est_dist.alias("jaccard_dist"))
         .filter(F.col("jaccard_dist") <= max_distance)
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-lite: per-document duplicated-span statistics at fixed
+    token-window granularity — the windowed approximation of suffix-array
+    exact-substring dedup (Lee et al., ACL'22, "Deduplicating Training
+    Data Makes Language Models Better"). A span is every ``span_tokens``-
+    token sliding window (stride 1); a span is DUPLICATED when its text
+    occurs >= ``min_count`` times corpus-wide (same-doc repeats count,
+    as in ExactSubstr). Output per document: total token count, number
+    of duplicated span starts, and ``dup_tokens`` — the number of tokens
+    covered by the UNION of duplicated windows (overlaps merged), i.e.
+    the mass substring-level dedup would remove.
+
+    Where it sits in the family: q149/segment_dedup needs segment
+    boundaries, q141/containment needs fingerprint sampling; this scans
+    EVERY token position, so it catches boilerplate that crosses
+    paragraph boundaries or is shorter than a segment.
+
+    100 TB posture: one explode of |tokens| (pos, md5) rows — linear,
+    hashes not span text — one map-side-combined groupBy on the hash,
+    one equi-join back, and a per-doc window over DUPLICATED positions
+    only (bounded by doc length, never the corpus). Interval union via
+    ``min(span, pos - lag(pos))`` — the gaps-and-islands closed form, no
+    per-row Python anywhere. All-integer output: trivially
+    SQL-oracle-able.
+    """
+    if span_tokens < 2:
+        raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    base = (
+        df.select(F.col(id_col).alias("doc"), toks.alias("__tk"))
+        .select("doc", "__tk", F.size("__tk").alias("n_tokens"))
+    )
+    k = F.col("n_tokens") - F.lit(span_tokens - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("__tk"), i + j) for j in range(span_tokens)]
+            )
+        ),
+    )
+    span_hashes = F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+    win = base.select(
+        "doc", F.posexplode(span_hashes).alias("__p0", "__h")
+    ).select("doc", (F.col("__p0") + 1).alias("pos"), "__h")
+    hot = (
+        win.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("__h")
+    )
+    dup = win.join(hot, "__h")
+    wspec = Window.partitionBy("doc").orderBy("pos")
+    prev = F.lag("pos").over(wspec)
+    cover = F.when(prev.isNull(), F.lit(span_tokens)).otherwise(
+        F.least(F.lit(span_tokens), F.col("pos") - prev)
+    )
+    per_doc = (
+        dup.withColumn("__cov", cover)
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("__cov").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("doc", "n_tokens")
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        )
     )
 
 

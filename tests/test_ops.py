@@ -103,6 +103,47 @@ def test_minhash_candidates_finds_near_dups(spark, docs):
     assert not any((4 in p) or (5 in p) for p in got)
 
 
+def test_duplicate_span_coverage_hand_computed(spark):
+    """ExactSubstr-lite on a fixture where the answer is countable by
+    hand: doc 1 and doc 2 share an 8-token boilerplate prefix; doc 3 is
+    unique; doc 4 repeats its own 8-token phrase twice (same-doc repeats
+    count, as in ExactSubstr)."""
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        duplicate_span_coverage,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy"  # 8 tokens
+    rows = [
+        (1, boiler + " dog one"),
+        (2, boiler + " cat two"),
+        (3, "completely unique text with eight distinct tokens here now"),
+        (4, boiler + " " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_coverage(df, "doc_id", "text").collect()}
+    # docs 1/2: only the window at pos 1 is shared (later windows include
+    # the doc-specific tail tokens) -> 1 dup span covering 8 tokens
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 8
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 8
+    assert out[1]["n_tokens"] == 10
+    # doc 3: nothing duplicated
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+    # doc 4 = boiler twice (16 tokens): windows at pos 1 and pos 9 are the
+    # boiler itself (dup vs docs 1/2 AND each other); pos 2..8 windows wrap
+    # around the seam and are unique. Union of [1,9) ∪ [9,17) covers all 16.
+    assert out[4]["n_tokens"] == 16
+    assert out[4]["n_dup_spans"] == 2 and out[4]["dup_tokens"] == 16
+    # short docs (< 8 tokens) emit a row with zeros, not nothing
+    short = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    srow = duplicate_span_coverage(short, "doc_id", "text").collect()[0]
+    assert srow["n_tokens"] == 2 and srow["n_dup_spans"] == 0
+    # guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="span_tokens"):
+        duplicate_span_coverage(df, "doc_id", "text", span_tokens=1)
+
+
 def test_minhash_md5_family_matches_python_twin(spark, docs):
     """The portable md5_32 family (the oracle-able variant of q27/q71)
     must reproduce a pure-Python twin exactly: 4 lanes of
