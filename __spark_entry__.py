@@ -4013,6 +4013,49 @@ def q189_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_coverage(docs, "doc_id", "text", span_tokens=8)
 
 
+# Fixed probe terms for q190: common tokens, a rare one, and an absent one
+# (CMS may report a small collision mass for it — never an undercount).
+_CMS_PROBE_TERMS = ["data", "the", "filter", "merge", "stream", "quantum", "zzzzz"]
+
+
+def q190_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min frequency sketch (ops.text.countmin_sketch /
+    countmin_estimate): 4 x 2048 counters hashed with md5 lanes — unlike
+    the HLL/GK sketches (q74/q100, engine-private state) this sketch is
+    byte-identical in any engine, so the estimates carry a full DuckDB
+    value oracle. Output pairs each probe term's CMS estimate with its
+    exact corpus count (est >= exact always; est == exact when no bucket
+    collision). The sketch is depth*width cells — the broadcast side of
+    the estimate join — and merges across shards by cell summation."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sketch = countmin_sketch(docs, "text", depth=4, width=2048)
+    est = countmin_estimate(sketch, _CMS_PROBE_TERMS, depth=4, width=2048)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    exact = (
+        docs.select(F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(_CMS_PROBE_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probe_lit = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBE_TERMS], "term string"
+    )
+    return (
+        probe_lit.join(exact, "term", "left")
+        .join(est, "term", "left")
+        .select(
+            "term",
+            F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+            F.coalesce("cm_estimate", F.lit(0)).cast("long").alias("cm_estimate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4097,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_mmr_rerank": q167_mmr_rerank,
         # r6 additions + upgraded oracles — also driver-window:
         "q189_duplicate_spans": q189_duplicate_spans,
+        "q190_countmin_frequency": q190_countmin_frequency,
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
         "q30_multimodal_decode": q30_multimodal_decode,
@@ -4765,6 +4809,25 @@ def oracle_sql() -> dict[str, str]:
     pred_chain = " ".join(
         f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
     )
+
+    # q190: the CMS probe cells come from the SAME driver-side helper the
+    # Spark estimate uses (countmin_probe_table), inlined as literals in
+    # both engines — the planes52 pattern for sketches.
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        countmin_probe_table as _cms_probes,
+    )
+
+    cms_probe_values = ", ".join(
+        f"('{t}', {r}, {c})"
+        for t, r, c in _cms_probes(_CMS_PROBE_TERMS, depth=4, width=2048)
+    )
+    cms_term_values = ", ".join(f"('{t}')" for t in _CMS_PROBE_TERMS)
+    cms_term_in = ", ".join(f"'{t}'" for t in _CMS_PROBE_TERMS)
+    cms_lanes = ", ".join(
+        "{'r': %d, 'c': CAST(CAST(('0x' || substr(md5(tok), %d, 8)) AS UBIGINT)"
+        " %% 2048 AS BIGINT)}" % (r, 1 + 8 * r)
+        for r in range(4)
+    )
     return {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -5307,6 +5370,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
                    CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
             FROM dtoks t LEFT JOIN dper p USING (doc_id)
+        """,
+        "q190_countmin_frequency": f"""
+            WITH ctoks AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS tok
+              FROM documents
+            ), cms AS MATERIALIZED (
+              SELECT c.r AS row, c.c AS col, COUNT(*) AS cnt FROM (
+                SELECT unnest([{cms_lanes}]) AS c FROM ctoks
+              ) GROUP BY 1, 2
+            ), probes(term, row, col) AS (VALUES {cms_probe_values}),
+            est AS (
+              SELECT p.term, MIN(COALESCE(s.cnt, 0)) AS cm_estimate
+              FROM probes p LEFT JOIN cms s ON s.row = p.row AND s.col = p.col
+              GROUP BY p.term
+            ), cexact AS (
+              SELECT tok AS term, COUNT(*) AS exact_count FROM ctoks
+              WHERE tok IN ({cms_term_in}) GROUP BY tok
+            )
+            SELECT t.term,
+                   CAST(COALESCE(e.exact_count, 0) AS BIGINT) AS exact_count,
+                   CAST(COALESCE(s.cm_estimate, 0) AS BIGINT) AS cm_estimate
+            FROM (VALUES {cms_term_values}) t(term)
+            LEFT JOIN cexact e ON e.term = t.term
+            LEFT JOIN est s ON s.term = t.term
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -165,6 +165,7 @@ HEADLINE = [
     "q187_process_capability",
     "q188_ewma_chart",
     "q189_duplicate_spans",
+    "q190_countmin_frequency",
 ]
 
 

@@ -50,6 +50,9 @@ __all__ = [
     "bigram_doc_logprob",
     "token_pmi",
     "inverted_postings",
+    "countmin_sketch",
+    "countmin_probe_table",
+    "countmin_estimate",
 ]
 
 # GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
@@ -1650,4 +1653,107 @@ def inverted_postings(
         agg.orderBy(F.col("df").desc(), F.col("tok").asc())
         .limit(vocab_size)
         .select("tok", "df", "postings")
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) of corpus term
+    frequencies as a ``(row, col, cnt)`` long table — ``depth * width``
+    counters, mergeable across shards/days by plain summation of the
+    (row, col) cells (the property that makes CMS the streaming/rollup
+    counterpart to q154's exact heavy hitters).
+
+    Unlike the HLL/GK sketches (q74/q100, engine-private binary state),
+    this sketch is DETERMINISTIC and engine-portable: row ``r``'s hash is
+    the r-th 32-bit lane of ``md5(token)`` mod ``width`` — the md5-lane
+    trick (`ops/dedup._md5_lane`), byte-identical in any SQL engine, so
+    both the sketch and every estimate carry a full value oracle.
+    ``depth <= 4`` keeps it one md5 per token (4 lanes per digest).
+
+    100 TB posture: one explode to (token, row, col) — ``depth`` rows per
+    token occurrence, hashes not strings after the md5 — and ONE
+    map-side-combined groupBy over at most ``depth * width`` cells; the
+    shuffle carries the sketch size per partition, never the corpus.
+    Estimates are then O(1) lookups (``countmin_estimate``).
+    """
+    if not 1 <= depth <= 4:
+        raise ValueError(f"depth must be in [1, 4] (4 lanes per md5), got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    tok = (
+        df.select(F.explode(toks).alias("__tok"))
+        .select("__tok", F.md5("__tok").alias("__h"))
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    F.conv(F.substring("__h", 1 + 8 * r, 8), 16, 10).cast("long"),
+                    F.lit(width),
+                ).alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        tok.select(F.explode(cells).alias("__c"))
+        .groupBy(F.col("__c.row").alias("row"), F.col("__c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_probe_table(
+    terms: Sequence[str], *, depth: int = 4, width: int = 2048
+) -> list[tuple[str, int, int]]:
+    """Driver-side (term, row, col) probe cells for ``countmin_estimate``
+    — computed with the SAME md5-lane hash the sketch uses, so the probe
+    table can be inlined as literals into both the Spark plan and a SQL
+    oracle (the planes52 pattern: one helper feeds both engines)."""
+    import hashlib
+
+    out = []
+    for t in terms:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for r in range(depth):
+            out.append((t, r, int(h[8 * r : 8 * r + 8], 16) % width))
+    return out
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    terms: Sequence[str],
+    *,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-frequency estimates from a ``countmin_sketch`` table:
+    ``est(t) = min over rows of counter[r][h_r(t)]`` — the classic CMS
+    guarantee ``exact <= est <= exact + eps*N`` with probability
+    ``1 - (1/2)^depth`` (never an undercount). The probe cells enter as a
+    ``depth * |terms|``-row literal table; the SKETCH is the broadcast
+    side of the left join (bounded at ``depth * width`` cells by
+    construction — the one frame in this module that is always
+    broadcast-safe). Empty cells count 0 (left join + coalesce)."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        countmin_probe_table(terms, depth=depth, width=width),
+        "term string, row int, col long",
+    )
+    joined = probes.join(
+        F.broadcast(sketch.withColumnRenamed("cnt", "__cnt")),
+        ["row", "col"],
+        "left",
+    )
+    return (
+        joined.groupBy("term")
+        .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("cm_estimate"))
+        .select("term", F.col("cm_estimate").cast("long").alias("cm_estimate"))
     )

@@ -144,6 +144,61 @@ def test_duplicate_span_coverage_hand_computed(spark):
         duplicate_span_coverage(df, "doc_id", "text", span_tokens=1)
 
 
+def test_countmin_never_undercounts_and_merges(spark, sf_dir):
+    """CMS guarantees: estimate >= exact for EVERY term (checked for all
+    terms of the sf0.001 corpus), and sketches merge by cell summation
+    (sketch(A ++ B) == cellwise sum of sketch(A) and sketch(B))."""
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    exact = {
+        r["term"]: r["n"]
+        for r in docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sketch = countmin_sketch(docs, "text", depth=4, width=512).localCheckpoint()
+    terms = sorted(exact)
+    est = {
+        r["term"]: r["cm_estimate"]
+        for r in countmin_estimate(sketch, terms, depth=4, width=512).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in terms), [
+        (t, exact[t], est[t]) for t in terms if est[t] < exact[t]
+    ][:5]
+    # width large vs vocab -> most estimates exact; sanity that it's not
+    # degenerate (everything massively overcounted)
+    n_exact = sum(1 for t in terms if est[t] == exact[t])
+    assert n_exact > len(terms) * 0.5
+    # mergeability: split the corpus, sum the cell tables, same sketch
+    a = countmin_sketch(docs.filter(F.col("doc_id") % 2 == 0), "text", depth=4, width=512)
+    b = countmin_sketch(docs.filter(F.col("doc_id") % 2 == 1), "text", depth=4, width=512)
+    merged = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {(r["row"], r["col"]): r["cnt"] for r in sketch.collect()}
+    assert merged == whole
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth"):
+        countmin_sketch(docs, "text", depth=5)
+    with _pytest.raises(ValueError, match="width"):
+        countmin_sketch(docs, "text", width=1)
+
+
 def test_minhash_md5_family_matches_python_twin(spark, docs):
     """The portable md5_32 family (the oracle-able variant of q27/q71)
     must reproduce a pure-Python twin exactly: 4 lanes of
