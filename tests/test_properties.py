@@ -84,3 +84,35 @@ def test_config_field_roundtrip(name):
     assert cfg.fields[0].source == name
     assert cfg.fields[0].required is True
     assert cfg.fields[0].rules[0].kind == "not_null"
+
+
+def test_driver_contract_oracle_coverage():
+    """Tripwire: every registered query carries a DuckDB value oracle
+    unless it is on the documented rows-only list (KMeans-, BLAS-, or
+    engine-private-sketch-backed). A new query added without an oracle —
+    or a regression that drops one — fails here before the driver sees
+    it. Also pins the first-50 driver-gate window to fully-oracled
+    entries."""
+    import __spark_entry__ as e
+
+    ROWS_ONLY_ALLOWED = {
+        "q33_ivf_ann",            # KMeans fit (iterative, not SQL-expressible)
+        "q91_semantic_dedup",     # KMeans cells
+        "q156_pca_embeddings",    # BLAS eigendecomposition
+        "q74_hll_distinct",       # engine-private HLL state
+        "q100_approx_quantiles",  # engine-private GK sketch
+        "q108_sketch_rollup",     # engine-private HLL state
+    }
+    q = list(e.queries())
+    o = set(e.oracle_sql())
+    missing = [k for k in q if k not in o and k not in ROWS_ONLY_ALLOWED]
+    assert not missing, f"queries without oracle or allowlist entry: {missing}"
+    stale = ROWS_ONLY_ALLOWED - set(q)
+    assert not stale, f"allowlist entries no longer registered: {stale}"
+    upgraded = ROWS_ONLY_ALLOWED & o
+    assert not upgraded, f"allowlisted queries now have oracles — prune: {upgraded}"
+    first50 = q[:50]
+    gate_rows_only = [k for k in first50 if k not in o]
+    assert not gate_rows_only, (
+        f"rows-only queries inside the driver's first-50 gate window: {gate_rows_only}"
+    )
