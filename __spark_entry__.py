@@ -1749,12 +1749,18 @@ def q90_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q91_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (ops.dedup.semantic_dedup,
-    arXiv:2303.09540): KMeans cells confine the quadratic cosine scoring,
-    higher-id member of every >=0.45 pair dropped (threshold matches the q34 exact baseline). Not SQL-expressible
-    (KMeans) -> rows-only; containment/recall pinned by pytest."""
+    arXiv:2303.09540): cells confine the quadratic cosine scoring, and
+    the higher-id member of every >=0.45 pair is dropped (threshold
+    matches the q34 exact baseline). Runs the DETERMINISTIC
+    cells="hyperplane" partition (one table of 3 seeded sign-LSH planes
+    -> 8 disjoint cells from literal constants), so the whole dedup is
+    value-oracled (upgraded from rows-only in r6); the paper's KMeans
+    cells stay the default mode, pinned by pytest against the exact
+    baseline."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = dd.semantic_dedup(
-        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, threshold=0.45
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8,
+        threshold=0.45, cells="hyperplane", dim=64,
     )
     return out.select("vec_id", "label")
 
@@ -4141,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 additions + upgraded oracles — also driver-window:
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
+        "q91_semantic_dedup": q91_semantic_dedup,
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
         "q30_multimodal_decode": q30_multimodal_decode,
@@ -4286,7 +4293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_quality_vs_dup": q182_quality_vs_dup,
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
-        "q91_semantic_dedup": q91_semantic_dedup,
         "q108_sketch_rollup": q108_sketch_rollup,
         "q33_ivf_ann": q33_ivf_ann,
         "q74_hll_distinct": q74_hll_distinct,
@@ -4828,6 +4834,16 @@ def oracle_sql() -> dict[str, str]:
         " %% 2048 AS BIGINT)}" % (r, 1 + 8 * r)
         for r in range(4)
     )
+
+    # q91: the deterministic SemDeDup cell partition — one table of 3
+    # seeded sign-LSH planes regenerated from the same helper/seed the
+    # Spark query uses (8 disjoint cells).
+    planes91 = sim.hyperplane_planes(64, 1, 3, 42)[0]
+    bucket91 = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_plane_lit(planes91[j])}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(3)
+    )
     return {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -5338,6 +5354,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 10
+        """,
+        "q91_semantic_dedup": f"""
+            WITH sc AS (
+              SELECT vec_id, label, embedding, ({bucket91}) AS cell
+              FROM embeddings
+            ), sdup AS (
+              SELECT DISTINCT b.vec_id AS d
+              FROM sc a JOIN sc b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(
+                      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                      4) >= 0.45
+            )
+            SELECT e.vec_id, e.label FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT d FROM sdup)
         """,
         "q189_duplicate_spans": """
             WITH dtoks AS (

@@ -781,11 +781,25 @@ def semantic_dedup(
     threshold: float = 0.95,
     seed: int = 42,
     round_to: int = 4,
+    cells: str = "kmeans",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
-    cluster embeddings with KMeans, score cosine similarity ONLY within each
-    cluster, and drop the higher-id member of every >= ``threshold`` pair.
-    Returns the surviving rows of ``vectors``.
+    partition embeddings into cells, score cosine similarity ONLY within
+    each cell, and drop the higher-id member of every >= ``threshold``
+    pair. Returns the surviving rows of ``vectors``.
+
+    ``cells`` picks the space partition:
+    - ``"kmeans"`` (default, the paper's choice): Spark-ML KMeans —
+      data-adaptive cells, best pair recall per cell budget, but the fit
+      is iterative and engine-private (rows-only in any SQL oracle).
+    - ``"hyperplane"``: one table of ``ceil(log2 n_clusters)`` seeded
+      sign-LSH planes (``ops.similarity.hyperplane_planes``) — a
+      DETERMINISTIC disjoint partition into 2^p cells from literal
+      constants, so the whole dedup is SQL-expressible and value-
+      oracle-able. Requires ``dim``. Recall per cell budget is lower
+      than fitted KMeans cells (planes ignore data geometry); same
+      confinement of the quadratic term.
 
     100 TB posture: the quadratic term is confined to single cells —
     pair generation is an equi-join on the cell id (shuffle-or-broadcast
@@ -795,16 +809,32 @@ def semantic_dedup(
     fit once (``ops.similarity.fit_ivf``) and reuse the centroids across
     corpus snapshots.
 
-    Not SQL-expressible (KMeans) -> rows-only in the driver gate; the
-    recall/containment properties are pinned by pytest against the exact
-    ``embedding_near_dups`` baseline.
+    Recall/containment properties are pinned by pytest against the exact
+    ``embedding_near_dups`` baseline (both cell modes).
     """
-    from .similarity import fit_ivf
+    if cells not in ("kmeans", "hyperplane"):
+        raise ValueError(f"unknown cells mode {cells!r}")
+    if cells == "hyperplane":
+        if dim is None:
+            raise ValueError("cells='hyperplane' requires dim=")
+        from .similarity import _hyperplane_tagged, _plane_df
 
-    index = fit_ivf(
-        vectors, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, seed=seed
-    )
-    assigned = index.assigned  # id, vec, __cell
+        n_planes = max(1, (int(n_clusters) - 1).bit_length())
+        plane_df = _plane_df(vectors.sparkSession, dim, 1, n_planes, seed)
+        tagged = _hyperplane_tagged(vectors, id_col, vec_col, plane_df)
+        assigned = vectors.join(
+            tagged.select(
+                F.col("__id").alias(id_col), F.col("__bucket").alias("__cell")
+            ),
+            id_col,
+        )
+    else:
+        from .similarity import fit_ivf
+
+        index = fit_ivf(
+            vectors, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+        )
+        assigned = index.assigned  # id, vec, __cell
     a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"))
     b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"))
     cand = a.join(b, "__cell").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")

@@ -227,6 +227,21 @@ def test_semantic_dedup_drops_exact_dupes_keeps_distinct(spark):
     kept = sorted(r["vec_id"] for r in out.collect())
     # exactly the lowest id of each duplicate family survives
     assert kept == [0, 10, 20, 30]
+    # deterministic hyperplane cells: exact duplicates land in the same
+    # cell BY CONSTRUCTION (identical sign bits), so every dupe family
+    # still collapses to its lowest id — regardless of how the seeded
+    # planes partition the distinct directions
+    out_hp = semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", n_clusters=4,
+        threshold=0.99, seed=7, cells="hyperplane", dim=8,
+    )
+    assert sorted(r["vec_id"] for r in out_hp.collect()) == [0, 10, 20, 30]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        semantic_dedup(df, id_col="vec_id", vec_col="embedding", cells="hyperplane")
+    with _pytest.raises(ValueError, match="cells"):
+        semantic_dedup(df, id_col="vec_id", vec_col="embedding", cells="grid")
 
 
 def test_incremental_dedup_admits_only_new_content(spark):

@@ -97,7 +97,6 @@ def test_driver_contract_oracle_coverage():
 
     ROWS_ONLY_ALLOWED = {
         "q33_ivf_ann",            # KMeans fit (iterative, not SQL-expressible)
-        "q91_semantic_dedup",     # KMeans cells
         "q156_pca_embeddings",    # BLAS eigendecomposition
         "q74_hll_distinct",       # engine-private HLL state
         "q100_approx_quantiles",  # engine-private GK sketch
