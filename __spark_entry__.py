@@ -630,13 +630,18 @@ def q32_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q33_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (ops.similarity): KMeans cells +
-    n_probe probing via the split fit/search API — the (iterative) KMeans
-    fit runs once per index, not per query batch — approximate (training is
-    not SQL-expressible); checked rows-only."""
+    """IVF approximate nearest neighbors via the split fit/search API
+    (ops.similarity.fit_ivf_deterministic + ivf_search): the coarse
+    quantizer is DETERMINISTIC — seeded sign-LSH cells + exact
+    integer-grid centroid means — so cell assignment, n_probe centroid
+    ranking, and candidate scoring are all reproducible and q33 carries
+    a full DuckDB value oracle (upgraded from rows-only in r6). The
+    Spark-ML KMeans quantizer (fit_ivf) remains the recall-optimal
+    production option, pytest-covered; search-time plan shape is
+    identical (broadcast centroid table, cell equi-join)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    index = sim.fit_ivf(emb, n_clusters=8)
+    index = sim.fit_ivf_deterministic(emb, dim=64, n_clusters=8, seed=42)
     return sim.ivf_search(index, queries, k=10, n_probe=3)
 
 
@@ -4148,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
         "q91_semantic_dedup": q91_semantic_dedup,
+        "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
         "q29_lsh_ann": q29_lsh_ann,
         "q30_multimodal_decode": q30_multimodal_decode,
@@ -4294,7 +4300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q108_sketch_rollup": q108_sketch_rollup,
-        "q33_ivf_ann": q33_ivf_ann,
         "q74_hll_distinct": q74_hll_distinct,
     }
 
@@ -5353,6 +5358,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
               FROM scored
+            ) WHERE rank <= 10
+        """,
+        "q33_ivf_ann": f"""
+            WITH ia AS (
+              SELECT vec_id, embedding, ({bucket91}) AS cell
+              FROM embeddings
+            ), icent AS MATERIALIZED (
+              SELECT cell, list(c ORDER BY dim) AS cv FROM (
+                SELECT cell, t.i - 1 AS dim,
+                       CAST(SUM(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / (10000000.0 * COUNT(*)) AS c
+                FROM ia, unnest(range(1, len(embedding) + 1)) AS t(i)
+                GROUP BY 1, 2)
+              GROUP BY cell
+            ), iq AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < 5
+            ), iprobe AS (
+              SELECT query_id, cell FROM (
+                SELECT q.query_id, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         (list_dot_product(CAST(q.qv AS DOUBLE[]), c.cv)
+                          / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                             * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                         c.cell) AS rn
+                FROM iq q, icent c
+              ) WHERE rn <= 3
+            ), icand AS (
+              SELECT DISTINCT p.query_id, a.vec_id
+              FROM iprobe p JOIN ia a ON a.cell = p.cell
+              WHERE a.vec_id <> p.query_id
+            ), iscored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(
+                       list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))),
+                       4) AS cosine_sim
+              FROM icand c
+              JOIN embeddings qe ON qe.vec_id = c.query_id
+              JOIN embeddings ce ON ce.vec_id = c.vec_id
+            )
+            SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+              FROM iscored
             ) WHERE rank <= 10
         """,
         "q91_semantic_dedup": f"""

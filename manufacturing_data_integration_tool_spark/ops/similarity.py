@@ -40,6 +40,7 @@ __all__ = [
     "lsh_ann_topk",
     "IvfIndex",
     "fit_ivf",
+    "fit_ivf_deterministic",
     "ivf_search",
     "ivf_topk",
     "pca_fit",
@@ -549,6 +550,67 @@ def fit_ivf(
     cent_rows = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
     centroids = spark.createDataFrame(cent_rows, ["__cell", "__centroid"])
     return IvfIndex(assigned=assigned, centroids=centroids, id_col=id_col, vec_col=vec_col)
+
+
+def fit_ivf_deterministic(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_clusters: int = 16,
+    seed: int = 42,
+    scale: int = 10**7,
+) -> IvfIndex:
+    """Fit an IVF index with a DETERMINISTIC coarse quantizer: cells are
+    one table of ``ceil(log2 n_clusters)`` seeded sign-LSH planes
+    (2^p disjoint cells from literal constants), centroids are the
+    per-cell element-wise means on an exact integer grid
+    (``floor(x*scale+0.5)`` summed as BIGINTs, ONE double division at
+    the end — order-independent, so bit-identical on any engine/
+    partitioning). Returns the same ``IvfIndex`` ``ivf_search`` probes.
+
+    vs ``fit_ivf`` (Spark-ML KMeans): KMeans centroids adapt to data
+    geometry (better recall per probe budget) but the fit is iterative
+    and engine-private — any SQL oracle is rows-only. This quantizer
+    trades some recall for full reproducibility: cells, centroids, probe
+    ranking, and scores are all SQL-expressible (q33 carries a value
+    oracle on it). Same search-time shape either way: the centroid table
+    is <= 2^p rows (always broadcast), candidates are a cell equi-join.
+
+    Caveat at extreme scale: a cell's per-dimension quantized sum must
+    stay under 2^53 for the double division to be exact — at |x|<=1 and
+    scale=1e7 that is ~9e8 vectors per cell; raise ``n_clusters`` (or
+    lower ``scale``) past that."""
+    n_planes = max(1, (int(n_clusters) - 1).bit_length())
+    plane_df = _plane_df(corpus.sparkSession, dim, 1, n_planes, seed)
+    tagged = _hyperplane_tagged(corpus, id_col, vec_col, plane_df)
+    assigned = corpus.select(id_col, vec_col).join(
+        tagged.select(F.col("__id").alias(id_col), F.col("__bucket").alias("__cell")),
+        id_col,
+    )
+    e = assigned.select("__cell", F.posexplode(vec_col).alias("__dim", "__x"))
+    qz = F.floor(F.col("__x").cast("double") * scale + F.lit(0.5)).cast("long")
+    cent_long = (
+        e.withColumn("__q", qz)
+        .groupBy("__cell", "__dim")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__q").alias("__qs"))
+        .withColumn(
+            "__c",
+            F.col("__qs").cast("double") / (F.lit(float(scale)) * F.col("__n")),
+        )
+    )
+    centroids = (
+        cent_long.groupBy("__cell")
+        .agg(F.array_sort(F.collect_list(F.struct("__dim", "__c"))).alias("__dc"))
+        .select(
+            "__cell",
+            F.transform("__dc", lambda s: s["__c"]).alias("__centroid"),
+        )
+    )
+    return IvfIndex(
+        assigned=assigned, centroids=centroids, id_col=id_col, vec_col=vec_col
+    )
 
 
 def ivf_search(

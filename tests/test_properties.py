@@ -96,7 +96,6 @@ def test_driver_contract_oracle_coverage():
     import __spark_entry__ as e
 
     ROWS_ONLY_ALLOWED = {
-        "q33_ivf_ann",            # KMeans fit (iterative, not SQL-expressible)
         "q156_pca_embeddings",    # BLAS eigendecomposition
         "q74_hll_distinct",       # engine-private HLL state
         "q100_approx_quantiles",  # engine-private GK sketch

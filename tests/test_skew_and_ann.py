@@ -82,6 +82,42 @@ def test_ivf_partial_probe_high_recall(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_deterministic_full_probe_equals_exact_and_reruns_identical(spark, sf_dir):
+    """The deterministic quantizer (q33's r6 route) keeps the IVF
+    contracts: probing ALL cells degenerates to exact brute-force top-k,
+    partial probing keeps useful recall, and two independent fits produce
+    bit-identical centroids (no RNG, no partitioning sensitivity)."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        fit_ivf_deterministic,
+        ivf_search,
+    )
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    index = fit_ivf_deterministic(emb, dim=64, n_clusters=4, seed=42)
+    exact = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()}
+    full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_search(index, q, k=5, n_probe=4).collect()
+    }
+    assert full == exact
+    q5 = emb.filter(F.col("vec_id") < 5)
+    index8 = fit_ivf_deterministic(emb, dim=64, n_clusters=8, seed=42)
+    exact10 = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q5, k=10).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_search(index8, q5, k=10, n_probe=3).collect()
+    }
+    recall = len(exact10 & approx) / len(exact10)
+    assert recall >= 0.4, f"deterministic-IVF recall too low: {recall}"
+    # determinism: refit (fresh lineage, repartitioned input) -> same centroids
+    refit = fit_ivf_deterministic(emb.repartition(7), dim=64, n_clusters=8, seed=42)
+    c1 = {r["__cell"]: r["__centroid"] for r in index8.centroids.collect()}
+    c2 = {r["__cell"]: r["__centroid"] for r in refit.centroids.collect()}
+    assert c1 == c2
+
+
 def test_lsh_knn_candidates_agree_with_exact_on_votes(spark, sf_dir):
     """The candidates-routed knn_classify must (a) never silently widen
     beyond its candidate set and (b) agree with exact brute-force kNN on
