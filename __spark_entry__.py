@@ -4067,6 +4067,40 @@ def q190_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q191_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch
+    (ops.stats.kmv_distinct): keep the k smallest distinct 32-bit md5
+    hashes, estimate n ~ (k-1)*2^32 // h_k — exact below k. The
+    DETERMINISTIC counterpart of q74's HLL (engine-private state): md5
+    lanes + one BIGINT floor-division, so both estimates hash-match a
+    DuckDB oracle bit-for-bit. Two metrics: distinct event users and
+    distinct document terms, each paired with its exact count. The
+    k-smallest is TakeOrderedAndProject (each partition ships <= k rows
+    to one heap merge), never a global sort; sketches merge by keeping
+    the k smallest of the union."""
+    from manufacturing_data_integration_tool_spark.ops.stats import kmv_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    terms = docs.select(F.explode(toks).alias("term"))
+
+    def one(df, col, label):
+        sk = kmv_distinct(df, col, k=64)
+        ex = df.agg(F.count_distinct(F.col(col)).cast("long").alias("exact_distinct"))
+        return (
+            sk.crossJoin(ex)
+            .select(
+                F.lit(label).alias("metric"),
+                "exact_distinct",
+                F.col("n_kept").cast("long").alias("n_kept"),
+                "kmv_estimate",
+            )
+        )
+
+    return one(ev, "user_id", "users").unionByName(one(terms, "term", "terms"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4152,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 additions + upgraded oracles — also driver-window:
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
+        "q191_kmv_distinct": q191_kmv_distinct,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -5478,6 +5513,36 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES {cms_term_values}) t(term)
             LEFT JOIN cexact e ON e.term = t.term
             LEFT JOIN est s ON s.term = t.term
+        """,
+        "q191_kmv_distinct": """
+            WITH ktoks AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+              FROM documents
+            ),
+            uh AS (SELECT DISTINCT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) AS BIGINT) AS h FROM events),
+            um AS (SELECT h FROM uh ORDER BY h LIMIT 64),
+            ua AS (SELECT COUNT(*) AS n_kept, MAX(h) AS hk FROM um),
+            ux AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+            th AS (SELECT DISTINCT CAST(CAST(('0x' || substr(md5(term), 1, 8))
+                          AS UBIGINT) AS BIGINT) AS h FROM ktoks),
+            tm AS (SELECT h FROM th ORDER BY h LIMIT 64),
+            ta AS (SELECT COUNT(*) AS n_kept, MAX(h) AS hk FROM tm),
+            tx AS (SELECT COUNT(DISTINCT term) AS exact_distinct FROM ktoks)
+            SELECT 'users' AS metric,
+                   CAST(ux.exact_distinct AS BIGINT) AS exact_distinct,
+                   CAST(ua.n_kept AS BIGINT) AS n_kept,
+                   CAST(CASE WHEN ua.n_kept < 64 THEN ua.n_kept
+                             ELSE 63 * 4294967296 // ua.hk END AS BIGINT) AS kmv_estimate
+            FROM ua, ux
+            UNION ALL
+            SELECT 'terms',
+                   CAST(tx.exact_distinct AS BIGINT),
+                   CAST(ta.n_kept AS BIGINT),
+                   CAST(CASE WHEN ta.n_kept < 64 THEN ta.n_kept
+                             ELSE 63 * 4294967296 // ta.hk END AS BIGINT)
+            FROM ta, tx
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -166,6 +166,7 @@ HEADLINE = [
     "q188_ewma_chart",
     "q189_duplicate_spans",
     "q190_countmin_frequency",
+    "q191_kmv_distinct",
 ]
 
 

@@ -46,6 +46,7 @@ __all__ = [
     "we_run_rules",
     "process_capability",
     "ewma_control_chart",
+    "kmv_distinct",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -794,3 +795,54 @@ def ewma_control_chart(
         "lcl",
         ((z_r > F.col("ucl")) | (z_r < F.col("lcl"))).alias("out_of_control"),
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+    RANDOM'02): hash every value to a 32-bit integer (first md5 lane),
+    keep the k smallest DISTINCT hashes, estimate
+    ``n ~ (k-1) * 2^32 / h_k`` where ``h_k`` is the k-th minimum. With
+    fewer than k distinct hashes the count is exact (the sketch holds
+    everything). Standard error ~ 1/sqrt(k-2).
+
+    This is the DETERMINISTIC, engine-portable counterpart to
+    ``approx_count_distinct`` (q74's HLL, whose binary state is
+    engine-private): md5 is byte-identical everywhere and the estimate is
+    ONE integer division — no float anywhere — so a SQL oracle reproduces
+    it bit-for-bit. Mergeable: the union sketch is the k smallest of the
+    concatenated minima (same rule as each shard).
+
+    100 TB posture: one combiner-friendly distinct on the 32-bit hash
+    (map-side partial dedup), then a global k-smallest —
+    TakeOrderedAndProject, every partition contributes at most k rows to
+    ONE final heap-merge task; never a global sort of the corpus.
+
+    Returns one row: ``(n_kept, kmv_estimate)`` — ``n_kept < k`` means
+    the estimate is exact.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    mins = (
+        df.select(h.alias("__h"))
+        .distinct()
+        .orderBy("__h")
+        .limit(k)
+    )
+    agg = mins.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("__h").alias("__hk")
+    )
+    # integer `div`, never a double->long cast of the ratio: Spark
+    # truncates that cast while DuckDB rounds it (the q70 lesson) —
+    # BIGINT floor-division is exact and identical on both engines.
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("long")
+    ).otherwise(F.expr(f"CAST({(k - 1) * (1 << 32)} AS BIGINT) div __hk"))
+    return agg.select("n_kept", est.cast("long").alias("kmv_estimate"))

@@ -5,7 +5,7 @@ against DuckDB lives in tools/parity_check.py (q169-q172)."""
 import math
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from manufacturing_data_integration_tool_spark.ops.stats import (
     cusum_flags,
@@ -80,6 +80,25 @@ def test_ewma_trailing_raises_loudly_past_decimal18_overflow(spark):
         "k", "ts", "v", tiebreak_col="eid", depth=4,
     ).collect()[0]
     assert out["n_used"] == 2
+
+
+def test_kmv_distinct_exact_below_k_and_bounded_error_above(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import kmv_distinct
+
+    # below k: the sketch holds everything -> exact
+    small = spark.range(40).select((F.col("id") * 7).alias("v"))
+    row = kmv_distinct(small, "v", k=64).collect()[0]
+    assert row["n_kept"] == 40 and row["kmv_estimate"] == 40
+    # well above k: estimate within ~4 standard errors (1/sqrt(k-2))
+    big = spark.range(20_000).select(F.col("id").alias("v"))
+    est = kmv_distinct(big, "v", k=256).collect()[0]["kmv_estimate"]
+    assert abs(est - 20_000) / 20_000 < 4 / (254**0.5), est
+    # duplicates don't inflate: distinct-of-hashes first
+    dup = big.unionByName(big)
+    est2 = kmv_distinct(dup, "v", k=256).collect()[0]["kmv_estimate"]
+    assert est2 == est
+    with pytest.raises(ValueError, match="k must"):
+        kmv_distinct(big, "v", k=1)
 
 
 def test_ewma_weight_table_is_exact_integer(spark):
