@@ -316,6 +316,39 @@ def test_q29_lsh_ann_no_corpus_broadcast(spark):
     )
 
 
+def test_q189_duplicate_spans_no_cartesian_one_scan_pair(spark):
+    """ExactSubstr-lite must stay linear: hash-key equi-joins only, and
+    the per-doc coverage window partitions by doc (never unpartitioned)."""
+    plan = plan_of(entry.q189_duplicate_spans(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q190_countmin_sketch_is_broadcast_side(spark):
+    """The CMS estimate join must broadcast the bounded cell table, never
+    shuffle the probe list against an un-broadcast sketch."""
+    plan = plan_of(entry.q190_countmin_frequency(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q33_ivf_deterministic_no_corpus_broadcast(spark):
+    """Deterministic IVF keeps ivf_search's shape: centroid table (<=2^p
+    rows) broadcasts, candidates come from a cell equi-join — no
+    cartesian, no corpus-sized broadcast."""
+    plan = plan_of(entry.q33_ivf_ann(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop fan-outs allowed are the bounded broadcast
+    # tables: the 3-row plane table (cell tagging — the assigned pipeline
+    # appears twice: centroid build + candidate join) and the <=2^p-row
+    # centroid probe table; formatted explain mentions each node twice
+    assert plan.count("BroadcastNestedLoopJoin") <= 8
+    # candidate scoring itself must be hash joins
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    )
+
+
 def test_q124_exists_is_one_semi_join(spark):
     """Q4 shape: EXISTS must collapse to one left-semi join with the
     quarter filter pushed to the orders scan — never a re-executed
