@@ -380,3 +380,70 @@ def test_windowed_term_counts_emits_closed_windows(spark, tmp_path):
     assert any("11:00:00" in k[0] for k in got)
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_streaming_countmin_accumulates_to_batch_sketch(spark, tmp_path):
+    """Mergeable-sketch streaming: fold each micro-batch's Count-Min
+    sketch into the persisted cell table; after draining, the table must
+    be BIT-IDENTICAL to the one-shot batch sketch of all rows — cell
+    addition is order- and batching-independent. Three source files +
+    maxFilesPerTrigger=1 force three separate merges."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from manufacturing_data_integration_tool_spark.streaming.sketches import (
+        accumulate_countmin_stream,
+    )
+
+    src = tmp_path / "cms_in"
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "beta beta delta"),
+        (3, "gamma alpha epsilon"),
+        (4, "zeta beta alpha"),
+        (5, "epsilon epsilon epsilon"),
+        (6, "alpha"),
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    # three separate files -> three micro-batches under maxFilesPerTrigger=1
+    for i in range(3):
+        base.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sketch_dir = tmp_path / "cms_state"
+    q = accumulate_countmin_stream(
+        stream,
+        str(sketch_dir),
+        depth=4,
+        width=64,
+        checkpoint_dir=str(tmp_path / "cms_ckpt"),
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in spark.read.parquet(str(sketch_dir)).collect()
+    }
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(base, "text", depth=4, width=64).collect()
+    }
+    assert got == want
+    # and estimates off the accumulated table behave (never undercount)
+    est = {
+        r["term"]: r["cm_estimate"]
+        for r in countmin_estimate(
+            spark.read.parquet(str(sketch_dir)),
+            ["alpha", "epsilon", "missing"],
+            depth=4,
+            width=64,
+        ).collect()
+    }
+    assert est["alpha"] >= 5 and est["epsilon"] >= 4 and est["missing"] >= 0
