@@ -392,8 +392,27 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     else:
+        # project each salt's digest ONCE, then aggregate over cheap
+        # substring/conv lane extractions of the bound columns — Spark
+        # does not CSE identical md5 subtrees across separate aggregate
+        # expressions, so inlining _md5_lane in the aggs evaluated every
+        # salt's md5 4x (measured ~25% slower on q27 at sf0.1)
+        n_salts = (num_hashes + 3) // 4
+        inv = inv.select(
+            "doc",
+            *[
+                F.md5(F.concat(F.col("shingle"), F.lit("\x1f" + str(s)))).alias(
+                    f"__d{s}"
+                )
+                for s in range(n_salts)
+            ],
+        )
         aggs = [
-            F.min(_md5_lane(F.col("shingle"), i // 4, i % 4)).alias(f"__mh{i}")
+            F.min(
+                F.conv(
+                    F.substring(F.col(f"__d{i // 4}"), 1 + 8 * (i % 4), 8), 16, 10
+                ).cast("long")
+            ).alias(f"__mh{i}")
             for i in range(num_hashes)
         ]
     sig = inv.groupBy("doc").agg(*aggs)
