@@ -199,6 +199,55 @@ def test_countmin_never_undercounts_and_merges(spark, sf_dir):
         countmin_sketch(docs, "text", width=1)
 
 
+def test_duplicate_span_coverage_matches_twin_random_corpus(spark):
+    """Seeded differential: Spark span coverage == a pure-Python twin on
+    a random corpus built from a tiny vocabulary (so duplicated windows
+    occur organically at many positions, including overlapping runs)."""
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        duplicate_span_coverage,
+    )
+
+    rng = random.Random(20260814)
+    vocab = ["a", "b", "c", "d"]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(40)
+    }
+    L = 4
+
+    def twin():
+        wins: dict[str, int] = {}
+        per_doc: dict[int, list[int]] = {}
+        for i, t in texts.items():
+            tk = t.split()
+            ps = []
+            for p in range(len(tk) - L + 1):
+                key = " ".join(tk[p : p + L])
+                wins[key] = wins.get(key, 0) + 1
+                ps.append((p + 1, key))
+            per_doc[i] = ps
+        out = {}
+        for i, ps in per_doc.items():
+            dup = sorted(p for p, key in ps if wins[key] >= 2)
+            cov, prev = 0, None
+            for p in dup:
+                cov += L if prev is None else min(L, p - prev)
+                prev = p
+            out[i] = (len(texts[i].split()), len(dup), cov)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicate_span_coverage(df, "doc_id", "text", span_tokens=L).collect()
+    }
+    assert got == twin()
+
+
 def test_minhash_md5_family_matches_python_twin(spark, docs):
     """The portable md5_32 family (the oracle-able variant of q27/q71)
     must reproduce a pure-Python twin exactly: 4 lanes of
