@@ -4101,6 +4101,40 @@ def q191_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one(ev, "user_id", "users").unionByName(one(terms, "term", "terms"))
 
 
+def q192_reachable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE graph traversal on Spark 4's native WITH RECURSIVE:
+    hop-bounded BFS over the exact n-gram Jaccard near-dup graph (q26's
+    pair chain) from the smallest connected doc id, returning each
+    reachable node's minimum hop count (<= 3). UNION ALL + explicit hop
+    bound + a final MIN group-by is deliberately engine-neutral: it does
+    not depend on how an engine dedups recursive frontiers, so the
+    DuckDB twin is the same recursion verbatim. Completes the SQL
+    surface next to the DataFrame-side fixed-point ops (q56 connected
+    components, q179 k-core): bounded traversals can now be DECLARED,
+    with Catalyst planning each expansion as an ordinary hash join."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=0.01
+    )
+    pairs.select("doc_a", "doc_b").createOrReplaceTempView("q192_pairs")
+    return spark.sql("""
+        WITH RECURSIVE sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM q192_pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM q192_pairs
+        ),
+        reach(node, hops) AS (
+          SELECT (SELECT MIN(src) FROM sym), 0
+          UNION ALL
+          SELECT sym.dst, reach.hops + 1
+          FROM reach JOIN sym ON sym.src = reach.node
+          WHERE reach.hops < 3
+        )
+        SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY node
+    """)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4187,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
         "q191_kmv_distinct": q191_kmv_distinct,
+        "q192_reachable_docs": q192_reachable_docs,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -5543,6 +5578,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN ta.n_kept < 64 THEN ta.n_kept
                              ELSE 63 * 4294967296 // ta.hk END AS BIGINT)
             FROM ta, tx
+        """,
+        "q192_reachable_docs": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+            rsym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM jpairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM jpairs
+            ),
+            rreach(node, hops) AS (
+              SELECT (SELECT MIN(src) FROM rsym), 0
+              UNION ALL
+              SELECT rsym.dst, rreach.hops + 1
+              FROM rreach JOIN rsym ON rsym.src = rreach.node
+              WHERE rreach.hops < 3
+            )
+            SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+            FROM rreach GROUP BY node
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -167,6 +167,7 @@ HEADLINE = [
     "q189_duplicate_spans",
     "q190_countmin_frequency",
     "q191_kmv_distinct",
+    "q192_reachable_docs",
 ]
 
 

@@ -649,3 +649,33 @@ def test_negative_samples_tiny_corpus(spark):
     assert len(rows) == 2
     with _pytest.raises(ValueError):
         negative_samples(two, "doc_id", k=0)
+
+
+def test_recursive_cte_bfs_matches_python_twin(spark):
+    """Spark 4 WITH RECURSIVE semantics pinned against a plain Python
+    BFS: min-hop counts from the smallest node over a hand-built graph
+    with a cycle and a disconnected component (which must NOT appear)."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (8, 9)]
+    spark.createDataFrame(edges, "doc_a long, doc_b long").createOrReplaceTempView(
+        "bfs_pairs"
+    )
+    got = {
+        r["node"]: r["hops"]
+        for r in spark.sql("""
+            WITH RECURSIVE sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM bfs_pairs
+              UNION ALL SELECT doc_b, doc_a FROM bfs_pairs
+            ),
+            reach(node, hops) AS (
+              SELECT (SELECT MIN(src) FROM sym), 0
+              UNION ALL
+              SELECT sym.dst, reach.hops + 1
+              FROM reach JOIN sym ON sym.src = reach.node
+              WHERE reach.hops < 3
+            )
+            SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+            FROM reach GROUP BY node
+        """).collect()
+    }
+    # BFS from node 1, hop-bounded at 3: 5 is 3 hops via 3->4->5
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
