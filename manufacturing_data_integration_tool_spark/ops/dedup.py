@@ -38,6 +38,7 @@ __all__ = [
     "containment_pairs",
     "duplicate_span_coverage",
     "minhash_signatures",
+    "minhash_band_tags",
     "minhash_candidates",
     "simhash_fingerprints",
     "simhash_near_dups",
@@ -419,6 +420,46 @@ def minhash_signatures(
     return sig.select("doc", F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_band_tags(
+    sigs: DataFrame,
+    *,
+    num_hashes: int = 48,
+    bands: int = 12,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(doc, __band, __bh) banding tags from a ``minhash_signatures``
+    frame — the joinable form of the LSH index. Factored out so the
+    batch self-join (``minhash_candidates``) and the streaming
+    incremental index (``streaming.dedup_index``) bucket with EXACTLY
+    the same keys: with xxhash64 the band key is the slice hash; with
+    md5_32 it is the comma-joined slice itself — exact equality
+    semantics (no band-hash collisions to reconcile) and trivially
+    re-expressible in any SQL engine."""
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if hash_family == "xxhash64":
+        # long keys, not strings: long-key hash joins beat string keys
+        # (see ngram_jaccard_pairs) and each family's key array is
+        # homogeneous on its own
+        band_keys = [
+            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)) for b in range(bands)
+        ]
+    else:
+        band_keys = [
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * r + 1, r), lambda x: x.cast("string")
+                ),
+            )
+            for b in range(bands)
+        ]
+    return sigs.select(
+        "doc", F.posexplode(F.array(*band_keys)).alias("__band", "__bh")
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -452,24 +493,8 @@ def minhash_candidates(
     sigs = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes, hash_family=hash_family
     )
-    if hash_family == "xxhash64":
-        band_keys = [F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)) for b in range(bands)]
-    else:
-        # portable family: the band key is the comma-joined slice itself —
-        # exact equality semantics (no band-hash collisions to reconcile)
-        # and trivially re-expressible in any SQL engine. Key width is
-        # r * ~10 chars; the join stays an ordinary (band, key) equi-join.
-        band_keys = [
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), b * r + 1, r), lambda x: x.cast("string")
-                ),
-            )
-            for b in range(bands)
-        ]
-    tagged = sigs.select(
-        "doc", F.posexplode(F.array(*band_keys)).alias("__band", "__bh")
+    tagged = minhash_band_tags(
+        sigs, num_hashes=num_hashes, bands=bands, hash_family=hash_family
     )
     a = tagged.alias("a")
     b = tagged.alias("b")

@@ -8,12 +8,14 @@ from .file_pipeline import (
 from .stateful import running_ewma, running_user_stats, streaming_dedup, user_value_peaks
 from .cdc import apply_cdc_stream
 from .sketches import accumulate_countmin_stream
+from .dedup_index import accumulate_minhash_index_stream
 
 __all__ = [
     "windowed_term_counts",
     "running_ewma",
     "apply_cdc_stream",
     "accumulate_countmin_stream",
+    "accumulate_minhash_index_stream",
     "corpus_ingest_transform",
     "start_corpus_stream",
     "start_file_stream",

@@ -1,0 +1,141 @@
+"""Streaming incremental MinHash-LSH dedup index.
+
+Greenfield LLM-pipeline capability: production corpora grow by crawl
+batches, and re-running dedup over the WHOLE corpus per batch is an
+O(corpus) scan every time. The LSH index makes dedup incremental: keep
+the (signature, band-tag) tables of everything seen so far at rest;
+for each new micro-batch, compute only the BATCH's signatures, band-join
+them against the at-rest tags (new-vs-old) and against themselves
+(new-vs-new), emit the candidate pairs, and append the batch's rows to
+the index. Per-batch cost is O(batch + collisions) — the corpus is
+never rescanned — and the union of emitted pairs over all batches
+equals exactly what the one-shot batch ``minhash_candidates`` would
+produce on the full corpus (every pair is emitted in the batch where
+its LATER member arrives; both-in-one-batch pairs come from the
+in-batch self-join). Pinned by ``tests/test_streaming.py``.
+
+Idempotence: every sink write goes to a ``batch=<id>`` subdirectory with
+``overwrite`` mode, so a replayed micro-batch (foreachBatch is
+at-least-once) rewrites its own partition instead of duplicating rows —
+the standard plain-parquet exactly-once recipe for idempotent batch ids.
+
+100 TB posture: the at-rest index is (doc, sig) + (doc, band, key) —
+O(corpus) rows but narrow, partitioned by arrival batch; the band join
+is the same shuffled equi-join as the batch path (AQE-skew-splittable),
+with the NEW side always micro-batch-sized. Compact the index
+partitions periodically with ``functions.layout.compact_small_files``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops.dedup import minhash_band_tags, minhash_signatures
+
+__all__ = ["accumulate_minhash_index_stream"]
+
+
+def accumulate_minhash_index_stream(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 12,
+    max_distance: float = 0.4,
+    hash_family: str = "xxhash64",
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start a stream maintaining the LSH index under ``index_path``
+    (``sigs/`` + ``tags/`` parquet tables) and appending candidate pairs
+    (doc_a, doc_b, jaccard_dist) under ``pairs_path``.
+
+    Pair identity: ``doc_a < doc_b`` regardless of arrival order, and
+    the signature-estimated distance is computed from the same
+    signatures the batch operator uses, so streaming output values are
+    identical to ``minhash_candidates`` on the accumulated corpus.
+
+    Returns the StreamingQuery. ``trigger_available_now`` drains pending
+    input then stops; pass False for a continuous stream.
+    """
+    root = Path(index_path)
+    sigs_dir = root / "sigs"
+    tags_dir = root / "tags"
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new_sigs = minhash_signatures(
+            batch, id_col, text_col, n=n, num_hashes=num_hashes,
+            hash_family=hash_family,
+        ).localCheckpoint()
+        new_tags = minhash_band_tags(
+            new_sigs, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+        ).localCheckpoint()
+
+        nn = (
+            new_tags.alias("a")
+            .join(
+                new_tags.alias("b"),
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__bh") == F.col("b.__bh"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        )
+        have_index = sigs_dir.exists()
+        if have_index:
+            old_tags = spark.read.parquet(str(tags_dir)).drop("batch")
+            no = (
+                old_tags.alias("o")
+                .join(
+                    new_tags.alias("n"),
+                    (F.col("o.__band") == F.col("n.__band"))
+                    & (F.col("o.__bh") == F.col("n.__bh")),
+                )
+                .select(
+                    F.least(F.col("o.doc"), F.col("n.doc")).alias("doc_a"),
+                    F.greatest(F.col("o.doc"), F.col("n.doc")).alias("doc_b"),
+                )
+                .filter(F.col("doc_a") != F.col("doc_b"))
+            )
+            cand = nn.unionByName(no).distinct()
+            all_sigs = (
+                spark.read.parquet(str(sigs_dir)).drop("batch").unionByName(new_sigs)
+            )
+        else:
+            cand = nn.distinct()
+            all_sigs = new_sigs
+
+        sa = all_sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("__sa"))
+        sb = all_sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("__sb"))
+        matches = F.aggregate(
+            F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        est_dist = F.lit(1.0) - matches.cast("double") / F.lit(float(num_hashes))
+        pairs = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", est_dist.alias("jaccard_dist"))
+            .filter(F.col("jaccard_dist") <= max_distance)
+        )
+        # idempotent per-batch partitions: a replayed batch overwrites its
+        # own subdirectory instead of appending duplicates
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+        new_sigs.write.mode("overwrite").parquet(f"{sigs_dir}/batch={batch_id}")
+        new_tags.write.mode("overwrite").parquet(f"{tags_dir}/batch={batch_id}")
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -447,3 +447,60 @@ def test_streaming_countmin_accumulates_to_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert est["alpha"] >= 5 and est["epsilon"] >= 4 and est["missing"] >= 0
+
+
+def test_streaming_minhash_index_matches_batch_candidates(spark, tmp_path):
+    """Incremental LSH dedup: stream three micro-batches through the
+    persisted signature index; the union of emitted candidate pairs
+    (with distances) must equal the one-shot batch minhash_candidates
+    over the full corpus. Batches are split so the identical pair (1,2)
+    spans two batches (new-vs-OLD path) and the near pair (2,3) lands in
+    one batch (new-vs-new path)."""
+    from manufacturing_data_integration_tool_spark.ops.dedup import minhash_candidates
+    from manufacturing_data_integration_tool_spark.streaming.dedup_index import (
+        accumulate_minhash_index_stream,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over a lazy dog"),
+        (4, "completely different content here entirely unique"),
+        (5, "el perro y el gato en la casa sobre la mesa"),
+        (6, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "lsh_in"
+    # batch 1: {1, 4}; batch 2: {2, 3}; batch 3: {5, 6}
+    for i, ids in enumerate([(1, 4), (2, 3), (5, 6)]):
+        base.filter(F.col("doc_id").isin(*ids)).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = accumulate_minhash_index_stream(
+        stream,
+        str(tmp_path / "lsh_index"),
+        str(tmp_path / "lsh_pairs"),
+        max_distance=0.5,
+        checkpoint_dir=str(tmp_path / "lsh_ckpt"),
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard_dist"], 6)
+        for r in spark.read.parquet(str(tmp_path / "lsh_pairs")).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard_dist"], 6)
+        for r in minhash_candidates(base, "doc_id", "text", max_distance=0.5).collect()
+    }
+    assert got == want
+    assert (1, 2) in got  # identical pair split across batches (index path)
+    # the persisted index holds every doc's signature exactly once
+    sigs = spark.read.parquet(str(tmp_path / "lsh_index" / "sigs"))
+    assert sigs.select("doc").distinct().count() == sigs.count() == 6
