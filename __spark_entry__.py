@@ -4135,6 +4135,33 @@ def q192_reachable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q193_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split: the split key is the NEAR-DUP
+    CLUSTER id, not the document id, so two near-duplicate documents can
+    never straddle the train/eval boundary — the split-level counterpart
+    of q69's fingerprint decontamination, and the composition evals
+    actually need (a holdout doc whose near-twin is in train is silent
+    leakage). Pipeline: exact n-gram pair graph (q26 chain) ->
+    connected-component clusters (q56) -> md5-threshold split on
+    cluster_id (q58's reproducible-by-construction rule: membership
+    depends only on (key, salt), so appends can't flip rows). All
+    deterministic -> full DuckDB oracle (recursive-CTE clusters + the
+    same hex-threshold literal)."""
+    from manufacturing_data_integration_tool_spark.ops.graph import dedup_clusters
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        train_holdout_split,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=0.01
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    return train_holdout_split(clusters, "cluster_id", 0.25).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4222,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_countmin_frequency": q190_countmin_frequency,
         "q191_kmv_distinct": q191_kmv_distinct,
         "q192_reachable_docs": q192_reachable_docs,
+        "q193_leakage_safe_split": q193_leakage_safe_split,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -5595,6 +5623,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
             FROM rreach GROUP BY node
+        """,
+        "q193_leakage_safe_split": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+            lsym AS (
+              SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION
+              SELECT doc_b, doc_a FROM jpairs
+            ),
+            lreach(node, r) AS (
+              SELECT a, a FROM lsym
+              UNION
+              SELECT s.b, r.r FROM lreach r JOIN lsym s ON s.a = r.node
+            ),
+            lcomp AS (SELECT node, MIN(r) AS cluster_id FROM lreach GROUP BY node),
+            lclusters AS (
+              SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lcomp c ON c.node = d.doc_id
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN {_bucket_sql("cluster_id", "split")} < '{_hft(0.25)}'
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM lclusters
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

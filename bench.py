@@ -168,6 +168,7 @@ HEADLINE = [
     "q190_countmin_frequency",
     "q191_kmv_distinct",
     "q192_reachable_docs",
+    "q193_leakage_safe_split",
 ]
 
 

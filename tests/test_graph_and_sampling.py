@@ -679,3 +679,39 @@ def test_recursive_cte_bfs_matches_python_twin(spark):
     }
     # BFS from node 1, hop-bounded at 3: 5 is 3 hops via 3->4->5
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """The q193 property: every near-dup cluster lands wholly in train or
+    wholly in holdout — keyed on cluster_id, two connected docs cannot
+    disagree; a doc-keyed split on the same fixture DOES straddle
+    (negative control proving the property is not vacuous)."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        train_holdout_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(200)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(100)], ["doc_a", "doc_b"]
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    out = train_holdout_split(clusters, "cluster_id", 0.25).select(
+        "doc_id", "cluster_id", "split"
+    )
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "holdout"}  # both sides populated
+    # negative control: doc-keyed split DOES straddle some pair
+    naive = train_holdout_split(clusters, "doc_id", 0.25)
+    straddled = (
+        naive.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddled > 0
