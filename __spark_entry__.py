@@ -4162,6 +4162,29 @@ def q193_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q194_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-dominance query (functions.skyline.skyline_2d,
+    after Borzsony ICDE'01; Spark-SQL integration EDBT'23): the
+    non-dominated "cheap AND small" part frontier over
+    (retail-price cents, size), both minimized, distinct points with
+    multiplicities. The Spark side runs the scale-honest two-phase
+    prefix-min sweep (no unpartitioned window, no quadratic join); the
+    DuckDB oracle is the NAIVE NOT-EXISTS dominance definition — the
+    optimized plan must reproduce the definitional answer exactly."""
+    from manufacturing_data_integration_tool_spark.functions.skyline import skyline_2d
+
+    part = read_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.floor(F.col("p_retailprice").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return skyline_2d(
+        pts, "price_cents", "size", sub_bucket=F.expr("price_cents div 65536")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4250,6 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_kmv_distinct": q191_kmv_distinct,
         "q192_reachable_docs": q192_reachable_docs,
         "q193_leakage_safe_split": q193_leakage_safe_split,
+        "q194_part_skyline": q194_part_skyline,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -5645,6 +5669,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_bucket_sql("cluster_id", "split")} < '{_hft(0.25)}'
                         THEN 'holdout' ELSE 'train' END AS split
             FROM lclusters
+        """,
+        "q194_part_skyline": """
+            WITH spts AS (
+              SELECT CAST(floor(CAST(p_retailprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS price_cents,
+                     CAST(p_size AS BIGINT) AS size,
+                     COUNT(*) AS n_rows
+              FROM part GROUP BY 1, 2
+            )
+            SELECT price_cents, size, n_rows FROM spts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM spts q
+              WHERE q.price_cents <= p.price_cents AND q.size <= p.size
+                AND (q.price_cents < p.price_cents OR q.size < p.size)
+            )
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -169,6 +169,7 @@ HEADLINE = [
     "q191_kmv_distinct",
     "q192_reachable_docs",
     "q193_leakage_safe_split",
+    "q194_part_skyline",
 ]
 
 

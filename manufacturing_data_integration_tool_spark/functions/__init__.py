@@ -8,6 +8,7 @@ nanosecond payloads, and cross-engine-stable hashing.
 from .layout import interleave_bits_16, write_zordered, zorder_key_2d
 from .merge import merge_upsert
 from .skew import key_skew_profile, salted_join, two_stage_agg
+from .skyline import skyline_2d
 from .scalars import (
     HOUR_NS,
     MICROS_PER_HOUR,
@@ -19,6 +20,7 @@ from .scalars import (
 )
 
 __all__ = [
+    "skyline_2d",
     "interleave_bits_16",
     "write_zordered",
     "zorder_key_2d",

@@ -1,0 +1,83 @@
+"""Skyline (Pareto-dominance) queries — the multi-criteria "best
+tradeoffs" operator (Borzsony/Kossmann/Stocker ICDE'01; integrated into
+Spark SQL by Grasmann et al., EDBT'23). A point p dominates q when p is
+<= q on every dimension and strictly < on at least one; the skyline is
+the non-dominated set ("cheapest AND smallest", no single weighting).
+
+``skyline_2d`` is the exact 2-D form, computed scale-honestly:
+
+1. collapse to DISTINCT points with multiplicity (one combiner groupBy);
+2. per-x champion: only the min-y point at each x can be non-dominated
+   (one more combiner groupBy — everything else at that x is dominated
+   by the champion);
+3. the classic x-ascending sweep — keep a champion iff its y is
+   strictly below every smaller-x champion's y — as a TWO-PHASE prefix
+   min (the q137/q143 sub-bucket pattern): per-bucket minima cumulate
+   over the tiny bucket table, broadcast back as offsets, and the wide
+   window partitions on the sub-bucket — never an unpartitioned
+   ORDER BY x window over the table.
+
+The naive NOT-EXISTS dominance definition is deliberately kept as the
+ORACLE form (q194): the optimized sweep must reproduce the definitional
+quadratic answer exactly, which is the differential evidence that the
+two-phase rewrite is semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["skyline_2d"]
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    sub_bucket: Column,
+    out_count: str = "n_rows",
+) -> DataFrame:
+    """Exact 2-D skyline with BOTH dimensions minimized (negate a column
+    to maximize it). Returns the non-dominated DISTINCT points
+    ``(x_col, y_col, out_count)`` with their input multiplicities —
+    identical points do not dominate each other, so collapsing them to
+    one counted row sidesteps the strictness corner case entirely.
+
+    ``sub_bucket`` must be monotone non-decreasing in ``x_col`` (a
+    value-range prefix such as ``F.expr("x div 65536")``) — same contract
+    as ``two_phase_ntile``; it bounds every window task at one bucket.
+    """
+    pts = df.groupBy(x_col, y_col).agg(F.count(F.lit(1)).alias(out_count))
+    # per-x champion: min (y, mult) struct — y values are distinct per x
+    # after the collapse, so the struct min is the min-y row
+    champ = (
+        pts.groupBy(x_col)
+        .agg(F.min(F.struct(y_col, out_count)).alias("__c"))
+        .select(x_col, F.col(f"__c.{y_col}").alias(y_col), F.col(f"__c.{out_count}").alias(out_count))
+        .withColumn("__xb", sub_bucket)
+    )
+    # phase 1: per-bucket min y; prefix-cumulate over the TINY bucket
+    # table (one task over |buckets| rows, the q137 offset shape)
+    bmin = champ.groupBy("__xb").agg(F.min(y_col).alias("__bmin"))
+    wprev = Window.orderBy("__xb").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bmin.select("__xb", F.min("__bmin").over(wprev).alias("__pmin"))
+    # phase 2: strict-prefix min within the bucket (x distinct -> every
+    # preceding row has strictly smaller x), combined with the broadcast
+    # earlier-bucket minimum
+    wintra = (
+        Window.partitionBy("__xb")
+        .orderBy(F.asc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = champ.join(F.broadcast(prefix), "__xb", "left").withColumn(
+        "__imin", F.min(y_col).over(wintra)
+    )
+    eff = F.least(
+        F.coalesce(F.col("__imin").cast("double"), F.lit(float("inf"))),
+        F.coalesce(F.col("__pmin").cast("double"), F.lit(float("inf"))),
+    )
+    return (
+        joined.filter(F.col(y_col).cast("double") < eff)
+        .select(x_col, y_col, out_count)
+    )

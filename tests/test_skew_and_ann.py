@@ -177,3 +177,36 @@ def test_winnowing_shared_substring_guarantee(spark):
     c = {r["fp"] for r in fp.filter(F.col("doc_id") == 3).collect()}
     assert a & b
     assert not (a & c) and not (b & c)
+
+
+def test_skyline_2d_matches_bruteforce_random_points(spark):
+    """The two-phase sweep must equal the O(n^2) dominance definition on
+    random point sets, including duplicate points (which never dominate
+    each other and must survive with their multiplicity)."""
+    import random
+
+    from manufacturing_data_integration_tool_spark.functions.skyline import skyline_2d
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(0, 50), rng.randrange(0, 50)) for _ in range(300)
+        ]
+        pts = {}
+        for x, y in rows:
+            pts[(x, y)] = pts.get((x, y), 0) + 1
+
+        def dominated(p):
+            return any(
+                q[0] <= p[0] and q[1] <= p[1] and q != p for q in pts
+            )
+
+        want = {p: n for p, n in pts.items() if not dominated(p)}
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["n_rows"]
+            for r in skyline_2d(
+                df, "x", "y", sub_bucket=F.expr("x div 8")
+            ).collect()
+        }
+        assert got == want, f"seed={seed}"
