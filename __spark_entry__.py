@@ -4116,7 +4116,12 @@ def q192_reachable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=0.01
     )
-    pairs.select("doc_a", "doc_b").createOrReplaceTempView("q192_pairs")
+    # materialize the pair graph BEFORE the recursion: the recursive CTE
+    # re-evaluates its referenced plan per expansion step, and the lazy
+    # Jaccard chain re-run 4x measured 11s at sf0.1 vs ~3s materialized
+    pairs.select("doc_a", "doc_b").localCheckpoint().createOrReplaceTempView(
+        "q192_pairs"
+    )
     return spark.sql("""
         WITH RECURSIVE sym AS (
           SELECT doc_a AS src, doc_b AS dst FROM q192_pairs
