@@ -73,11 +73,12 @@ def skyline_2d(
     joined = champ.join(F.broadcast(prefix), "__xb", "left").withColumn(
         "__imin", F.min(y_col).over(wintra)
     )
-    eff = F.least(
-        F.coalesce(F.col("__imin").cast("double"), F.lit(float("inf"))),
-        F.coalesce(F.col("__pmin").cast("double"), F.lit(float("inf"))),
-    )
+    # least() skips NULLs (returns the least NON-null, NULL only if all
+    # are), so no infinity sentinel and no double cast — comparisons stay
+    # in the column's own type (a double sentinel would mis-compare
+    # bigints past 2^53)
+    eff = F.least(F.col("__imin"), F.col("__pmin"))
     return (
-        joined.filter(F.col(y_col).cast("double") < eff)
+        joined.filter(eff.isNull() | (F.col(y_col) < eff))
         .select(x_col, y_col, out_count)
     )
