@@ -830,8 +830,13 @@ def kmv_distinct(
     h = F.conv(
         F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
     ).cast("long")
+    # NULL keys are excluded BEFORE hashing: count_distinct ignores NULL,
+    # and an un-filtered NULL hash would both consume a sketch slot and
+    # sort differently across engines (Spark ASC is NULLS FIRST, DuckDB
+    # defaults NULLS LAST) — a latent parity divergence
     mins = (
-        df.select(h.alias("__h"))
+        df.filter(F.col(col).isNotNull())
+        .select(h.alias("__h"))
         .distinct()
         .orderBy("__h")
         .limit(k)

@@ -97,6 +97,13 @@ def test_kmv_distinct_exact_below_k_and_bounded_error_above(spark):
     dup = big.unionByName(big)
     est2 = kmv_distinct(dup, "v", k=256).collect()[0]["kmv_estimate"]
     assert est2 == est
+    # NULL keys are ignored (count_distinct semantics) — they must not
+    # consume a sketch slot or shift the estimate
+    withnull = small.unionByName(
+        spark.createDataFrame([(None,)], "v long")
+    )
+    rown = kmv_distinct(withnull, "v", k=64).collect()[0]
+    assert rown["n_kept"] == 40 and rown["kmv_estimate"] == 40
     with pytest.raises(ValueError, match="k must"):
         kmv_distinct(big, "v", k=1)
 
