@@ -7,12 +7,21 @@ the (signature, band-tag) tables of everything seen so far at rest;
 for each new micro-batch, compute only the BATCH's signatures, band-join
 them against the at-rest tags (new-vs-old) and against themselves
 (new-vs-new), emit the candidate pairs, and append the batch's rows to
-the index. Per-batch cost is O(batch + collisions) — the corpus is
-never rescanned — and the union of emitted pairs over all batches
-equals exactly what the one-shot batch ``minhash_candidates`` would
-produce on the full corpus (every pair is emitted in the batch where
-its LATER member arrives; both-in-one-batch pairs come from the
-in-batch self-join). Pinned by ``tests/test_streaming.py``.
+the index. The union of emitted pairs over all batches equals exactly
+what the one-shot batch ``minhash_candidates`` would produce on the
+full corpus (every pair is emitted in the batch where its LATER member
+arrives; both-in-one-batch pairs come from the in-batch self-join).
+Pinned by ``tests/test_streaming.py``.
+
+Cost model, stated precisely: the expensive part — tokenizing, shingling
+and hashing the TEXT — runs once per document, on its arrival batch
+only. The at-rest index (narrow (doc, sig) / (doc, band, key) rows) IS
+read on every batch as the probe side of the band join and the
+signature fetch; that read is linear in corpus size, not quadratic, and
+is the part a production layout prunes: write ``tags/`` bucketed by
+band key (``functions.layout.write_bucketed``) so the join touches only
+colliding buckets, and ``sigs/`` bucketed by doc id so the pair-scoring
+fetch is a bucket-pruned lookup rather than a full scan.
 
 Idempotence: every sink write goes to a ``batch=<id>`` subdirectory with
 ``overwrite`` mode, so a replayed micro-batch (foreachBatch is
