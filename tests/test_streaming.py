@@ -504,3 +504,80 @@ def test_streaming_minhash_index_matches_batch_candidates(spark, tmp_path):
     # the persisted index holds every doc's signature exactly once
     sigs = spark.read.parquet(str(tmp_path / "lsh_index" / "sigs"))
     assert sigs.select("doc").distinct().count() == sigs.count() == 6
+
+
+def test_streaming_accumulators_resume_from_checkpoint(spark, tmp_path):
+    """Restart coverage for the r6 at-rest-state streams: drain two
+    files with one query, land a third file, start a SECOND query on the
+    same checkpoint — the source must resume past the consumed offsets
+    (no double-counting into the CMS, no duplicate pairs from the LSH
+    index) and the final state must equal the one-shot batch result."""
+    from manufacturing_data_integration_tool_spark.ops.dedup import minhash_candidates
+    from manufacturing_data_integration_tool_spark.ops.text import countmin_sketch
+    from manufacturing_data_integration_tool_spark.streaming.dedup_index import (
+        accumulate_minhash_index_stream,
+    )
+    from manufacturing_data_integration_tool_spark.streaming.sketches import (
+        accumulate_countmin_stream,
+    )
+
+    rows = [
+        (1, "alpha beta alpha"),
+        (2, "beta beta gamma"),
+        (3, "alpha beta alpha"),
+        (4, "delta epsilon zeta"),
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "resume_in"
+    for ids in [(1,), (2,)]:
+        base.filter(F.col("doc_id").isin(*ids)).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def drain(tag):
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q1 = accumulate_countmin_stream(
+            stream, str(tmp_path / "cms_state"), depth=4, width=64,
+            checkpoint_dir=str(tmp_path / "cms_ck"),
+        )
+        q2 = accumulate_minhash_index_stream(
+            stream, str(tmp_path / "idx"), str(tmp_path / "pairs"),
+            max_distance=0.5, checkpoint_dir=str(tmp_path / "idx_ck"),
+        )
+        for q in (q1, q2):
+            q.awaitTermination(180)
+            if q.isActive:
+                q.stop()
+
+    drain("first")
+    # two more docs arrive, including doc 3 — a near-dup of doc 1 from
+    # the PREVIOUS run (exercises the persisted index across restarts)
+    for ids in [(3, 4)]:
+        base.filter(F.col("doc_id").isin(*ids)).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    drain("second")
+
+    got_cms = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in spark.read.parquet(str(tmp_path / "cms_state")).collect()
+    }
+    want_cms = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(base, "text", depth=4, width=64).collect()
+    }
+    assert got_cms == want_cms  # resumed, not recounted
+    got_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(base, "doc_id", "text", max_distance=0.5).collect()
+    }
+    assert got_pairs == want_pairs
+    assert (1, 3) in got_pairs  # cross-restart pair via the at-rest index
