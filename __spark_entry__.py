@@ -4190,6 +4190,32 @@ def q194_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q195_brand_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED skyline (functions.skyline.skyline_2d with group_cols):
+    the per-BRAND "cheap AND small" part frontier — dominance evaluated
+    within each brand, all brand frontiers computed in one parallel
+    pipeline (every groupBy/window keyed by brand; the bucket-minima
+    table is |brands| x |buckets| rows). Oracle: the naive per-group
+    NOT-EXISTS dominance definition, same differential role as q194."""
+    from manufacturing_data_integration_tool_spark.functions.skyline import skyline_2d
+
+    part = read_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("p_retailprice").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return skyline_2d(
+        pts,
+        "price_cents",
+        "size",
+        sub_bucket=F.expr("price_cents div 65536"),
+        group_cols=["brand"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4279,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_reachable_docs": q192_reachable_docs,
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
+        "q195_brand_skyline": q195_brand_skyline,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -5686,6 +5713,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM spts q
               WHERE q.price_cents <= p.price_cents AND q.size <= p.size
+                AND (q.price_cents < p.price_cents OR q.size < p.size)
+            )
+        """,
+        "q195_brand_skyline": """
+            WITH bpts AS (
+              SELECT p_brand AS brand,
+                     CAST(floor(CAST(p_retailprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS price_cents,
+                     CAST(p_size AS BIGINT) AS size,
+                     COUNT(*) AS n_rows
+              FROM part GROUP BY 1, 2, 3
+            )
+            SELECT brand, price_cents, size, n_rows FROM bpts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM bpts q
+              WHERE q.brand = p.brand
+                AND q.price_cents <= p.price_cents AND q.size <= p.size
                 AND (q.price_cents < p.price_cents OR q.size < p.size)
             )
         """,

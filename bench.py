@@ -170,6 +170,7 @@ HEADLINE = [
     "q192_reachable_docs",
     "q193_leakage_safe_split",
     "q194_part_skyline",
+    "q195_brand_skyline",
 ]
 
 

@@ -210,3 +210,29 @@ def test_skyline_2d_matches_bruteforce_random_points(spark):
             ).collect()
         }
         assert got == want, f"seed={seed}"
+    # grouped mode: per-group dominance — two groups of random points,
+    # each group's frontier must equal its own brute-force skyline
+    rng = random.Random(7)
+    grows = [
+        (f"g{i % 2}", rng.randrange(0, 40), rng.randrange(0, 40))
+        for i in range(400)
+    ]
+    by_group = {}
+    for gname, x, y in grows:
+        by_group.setdefault(gname, {})
+        by_group[gname][(x, y)] = by_group[gname].get((x, y), 0) + 1
+    want_g = {}
+    for gname, pts in by_group.items():
+        for p, cnt in pts.items():
+            if not any(
+                q[0] <= p[0] and q[1] <= p[1] and q != p for q in pts
+            ):
+                want_g[(gname, p[0], p[1])] = cnt
+    gdf = spark.createDataFrame(grows, "grp string, x long, y long")
+    got_g = {
+        (r["grp"], r["x"], r["y"]): r["n_rows"]
+        for r in skyline_2d(
+            gdf, "x", "y", sub_bucket=F.expr("x div 8"), group_cols=["grp"]
+        ).collect()
+    }
+    assert got_g == want_g
