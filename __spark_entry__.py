@@ -4216,6 +4216,124 @@ def q195_brand_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q196_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ROC-AUC (ops.evaluation.roc_auc; Mann-Whitney
+    rank-sum, Hanley-McNeil 1982) of a quality proxy score (n_chars)
+    against the exact-duplicate label (md5-content group size > 1) —
+    "does the corpus's quality signal separate duplicated from unique
+    documents", the evaluation loop every learned quality filter
+    (CCNet/DCLM-style) needs at corpus scale. All rank statistics are
+    exact integers (doubled-rank units for ties, decimal(38,0)
+    accumulation); the distinct-score cumulative count is two-phase, so
+    no unpartitioned window; one floor-published division per group."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import roc_auc
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("score"),
+        F.md5("text").alias("__fp"),
+    )
+    groups = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__c"))
+    labeled = fp.join(groups, "__fp").select(
+        "lang", "score", (F.col("__c") > 1).cast("int").alias("is_dup")
+    )
+    return roc_auc(labeled, "score", "is_dup", group_cols=["lang"])
+
+
+def q197_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (ops.similarity.rrf_fuse; Cormack SIGIR'09)
+    of two retrieval rankings for the same 4-term query: q157's BM25
+    top-20 and a raw term-frequency top-20 — the hybrid-retrieval
+    combiner pattern (lexical + second signal) with scaled-integer
+    reciprocals, so the fused score is an exact BIGINT sum on any
+    engine. Both input lists are bounded top-k (TakeOrderedAndProject);
+    the fusion is a tiny union + groupBy."""
+    docs = read_table(spark, sf_dir, "documents")
+    terms = ["filter", "merge", "stream", "window"]
+    bm = tx.bm25_topk(docs, terms, k=20).select("doc_id", "rank")
+    tf = (
+        docs.select("doc_id", F.explode(tx.tokenize("text")).alias("t"))
+        .filter(F.col("t").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    tfrank = tf.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "rank"
+    )
+    return sim.rrf_fuse([bm, tfrank], "doc_id", "rank", k=60, top=10)
+
+
+def q198_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over order/brand baskets
+    (ops.association.pair_lift; Agrawal SIGMOD'93 pair case): which
+    part brands ship together more often than independence predicts.
+    Baskets are (orderkey, brand) presence sets; the basket-size cap
+    bounds the self-join fan-out; counts are exact BIGINTs with
+    floor-published support/lift ratios."""
+    from manufacturing_data_integration_tool_spark.ops.association import pair_lift
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    baskets = li.join(
+        part.select(F.col("p_partkey"), F.col("p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("brand"))
+    return pair_lift(
+        baskets, "basket", "brand", min_pair_count=2, max_basket_items=20
+    )
+
+
+def q199_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (ops.evaluation.calibration_bins;
+    DeGroot-Fienberg 1983) for q196's quality-vs-duplicate signal: ten
+    equal-width n_chars buckets (edges from one broadcast 1-row min/max
+    aggregate, bin index pure integer arithmetic) vs the empirical
+    duplicate rate — integer sums, one floor-published division per
+    published ratio."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        calibration_bins,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.col("n_chars").cast("bigint").alias("score"), F.md5("text").alias("__fp")
+    )
+    groups = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__c"))
+    labeled = fp.join(groups, "__fp").select(
+        "score", (F.col("__c") > 1).cast("int").alias("is_dup")
+    )
+    return calibration_bins(labeled, "score", "is_dup", n_bins=10)
+
+
+def q200_open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency
+    (ops.temporal.interval_concurrency): how many orders are "open"
+    (order date through last line-item ship date, inclusive) on each day
+    the count changes. The event-sweep formulation collapses the fact
+    table to <= 2 rows per calendar day BEFORE any window (map-side
+    combined), then runs the two-phase running sum over the tiny
+    delta-day axis — never a point-in-interval range join, never an
+    unpartitioned window over raw rows."""
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        interval_concurrency,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    )
+    iv = orders.join(
+        last_ship, orders.o_orderkey == last_ship.l_orderkey
+    ).select(F.col("o_orderdate").cast("date").alias("opened"), "last_ship")
+    return interval_concurrency(iv, "opened", "last_ship")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4306,6 +4424,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
         "q195_brand_skyline": q195_brand_skyline,
+        "q196_quality_auc": q196_quality_auc,
+        "q197_rrf_fusion": q197_rrf_fusion,
+        "q198_brand_basket_lift": q198_brand_basket_lift,
+        "q199_calibration_bins": q199_calibration_bins,
+        "q200_open_order_concurrency": q200_open_order_concurrency,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -5731,6 +5854,136 @@ def oracle_sql() -> dict[str, str]:
                 AND q.price_cents <= p.price_cents AND q.size <= p.size
                 AND (q.price_cents < p.price_cents OR q.size < p.size)
             )
+        """,
+        "q196_quality_auc": """
+            WITH fp AS (SELECT lang, CAST(n_chars AS BIGINT) AS s, md5(text) AS f
+                        FROM documents),
+            lab AS (SELECT lang, s,
+                           CASE WHEN COUNT(*) OVER (PARTITION BY f) > 1
+                                THEN 1 ELSE 0 END AS y
+                    FROM fp),
+            b AS (SELECT lang, s, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(y) AS BIGINT) AS np
+                  FROM lab GROUP BY 1, 2),
+            r AS (SELECT lang, n, np,
+                         CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS BIGINT) AS below
+                  FROM b),
+            a AS (SELECT lang, CAST(SUM(np) AS BIGINT) AS n_pos,
+                         CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+                         SUM(CAST(np AS HUGEINT) * (2 * below + n + 1)) AS r2
+                  FROM r GROUP BY 1)
+            SELECT lang, n_pos, n_neg,
+                   CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                        ELSE floor(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                                        AS DOUBLE)
+                                   / (2.0 * CAST(n_pos AS DOUBLE)
+                                          * CAST(n_neg AS DOUBLE))
+                                   * 1000000.0 + 0.5) / 1000000.0
+                   END AS auc
+            FROM a
+        """,
+        "q197_rrf_fusion": f"""
+            WITH base AS (SELECT doc_id AS doc, {tok} AS tk FROM documents),
+            lens AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl FROM base),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
+            tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc, unnest(tk) AS term FROM base)
+                   WHERE term IN ('filter','merge','stream','window')
+                   GROUP BY 1,2),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            contrib AS (
+              SELECT tf.doc,
+                CAST(round(
+                  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                       + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                , 9) AS DECIMAL(24,12)) AS c
+              FROM tf JOIN lens USING (doc) JOIN dfreq USING (term), stats
+            ),
+            scored AS (SELECT doc, SUM(c) AS sc FROM contrib GROUP BY 1),
+            bmr AS (SELECT doc, rank FROM (
+                      SELECT doc, ROW_NUMBER() OVER (ORDER BY sc DESC, doc ASC)
+                             AS rank FROM scored)
+                    WHERE rank <= 20),
+            tft AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS tfc
+                    FROM tf GROUP BY 1),
+            tfr AS (SELECT doc, rank FROM (
+                      SELECT doc, ROW_NUMBER() OVER (ORDER BY tfc DESC, doc ASC)
+                             AS rank FROM tft)
+                    WHERE rank <= 20),
+            u AS (SELECT doc, 1000000000000 // (60 + rank) AS c FROM bmr
+                  UNION ALL
+                  SELECT doc, 1000000000000 // (60 + rank) AS c FROM tfr),
+            fused AS (SELECT doc, CAST(SUM(c) AS BIGINT) AS rrf_scaled,
+                             CAST(COUNT(*) AS BIGINT) AS n_sources
+                      FROM u GROUP BY 1),
+            topf AS (SELECT doc, rrf_scaled, n_sources,
+                            ROW_NUMBER() OVER (ORDER BY rrf_scaled DESC, doc ASC)
+                              AS fused_rank
+                     FROM fused)
+            SELECT doc AS doc_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+                   rrf_scaled, n_sources
+            FROM topf WHERE fused_rank <= 10
+        """,
+        "q198_brand_basket_lift": """
+            WITH bk AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                        FROM lineitem JOIN part ON p_partkey = l_partkey),
+            sz AS (SELECT b FROM bk GROUP BY b HAVING COUNT(*) <= 20),
+            k AS (SELECT bk.b, bk.i FROM bk JOIN sz USING (b)),
+            tot AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM k),
+            si AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM k GROUP BY 1),
+            pr AS (SELECT a.i AS item_a, c.i AS item_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_pair
+                   FROM k a JOIN k c ON a.b = c.b AND a.i < c.i
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT item_a, item_b, n_pair, sa.ni AS n_a, sb.ni AS n_b,
+                   nb AS n_baskets,
+                   floor(CAST(n_pair AS DOUBLE) / CAST(nb AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS support,
+                   floor(CAST(n_pair * nb AS DOUBLE)
+                         / CAST(sa.ni * sb.ni AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS lift
+            FROM pr JOIN si sa ON sa.i = item_a JOIN si sb ON sb.i = item_b, tot
+        """,
+        "q199_calibration_bins": """
+            WITH fp AS (SELECT CAST(n_chars AS BIGINT) AS s, md5(text) AS f
+                        FROM documents),
+            lab AS (SELECT s,
+                           CASE WHEN COUNT(*) OVER (PARTITION BY f) > 1
+                                THEN 1 ELSE 0 END AS y
+                    FROM fp),
+            st AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM lab),
+            bn AS (SELECT LEAST(9, ((s - lo) * 10) // (hi - lo + 1)) AS bin, s, y
+                   FROM lab, st)
+            SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   floor(CAST(SUM(s) AS DOUBLE) / COUNT(*)
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+                   floor(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                         * 1000000.0 + 0.5) / 1000000.0 AS pos_rate
+            FROM bn GROUP BY 1
+        """,
+        "q200_open_order_concurrency": """
+            WITH iv AS (SELECT CAST(o_orderdate AS DATE) AS s,
+                               MAX(CAST(l_shipdate AS DATE)) AS e
+                        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                        GROUP BY o_orderkey, CAST(o_orderdate AS DATE)),
+            ev AS (SELECT s AS day, 1 AS d FROM iv WHERE e >= s
+                   UNION ALL
+                   SELECT e + 1 AS day, -1 AS d FROM iv WHERE e >= s),
+            de AS (SELECT day, CAST(SUM(d) AS BIGINT) AS delta
+                   FROM ev GROUP BY 1)
+            SELECT day, delta,
+                   CAST(SUM(delta) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS concurrent
+            FROM de
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -38,6 +38,7 @@ __all__ = [
     "hyperplane_candidates",
     "hyperplane_query_candidates",
     "lsh_ann_topk",
+    "rrf_fuse",
     "IvfIndex",
     "fit_ivf",
     "fit_ivf_deterministic",
@@ -1078,4 +1079,53 @@ def centroid_similarity(
             ),
             round_to,
         ).alias("cos_sim"),
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    *,
+    k: int = 60,
+    top: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    merge N retrieval rankings into one by summing ``1 / (k + rank)``
+    per document. The standard hybrid-retrieval combiner (lexical BM25 +
+    dense ANN) in RAG / training-data retrieval stacks — rank-based, so
+    incomparable score scales never need calibrating.
+
+    Determinism: the reciprocal is computed in SCALED INTEGER units,
+    ``scale div (k + rank)`` (BIGINT floor division — identical on any
+    engine), so the fused score is an exact integer sum; no float
+    accumulation, ties broken by id. With the default ``scale=1e12`` and
+    ``k=60`` the integer truncation perturbs a contribution by < 1e-12
+    relative — far below any rank-1 vs rank-2 gap of the 1/(60+r) curve.
+
+    Scale posture: inputs are top-k lists (bounded, typically <= 1000
+    rows per query source), so the union + groupBy is tiny; the final
+    ordering is an ``orderBy().limit()`` — TakeOrderedAndProject, no
+    global sort — and the rank stamp windows over <= ``top`` rows.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    contrib = F.expr(f"CAST({scale} AS BIGINT) div ({k} + CAST({rank_col} AS BIGINT))")
+    tagged = None
+    for r in rankings:
+        part = r.select(F.col(id_col).alias("__id"), contrib.alias("__c"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = (
+        tagged.groupBy("__id")
+        .agg(
+            F.sum("__c").cast("bigint").alias("rrf_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        )
+        .orderBy(F.desc("rrf_scaled"), F.asc("__id"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.desc("rrf_scaled"), F.asc("__id"))
+    return fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint")).select(
+        F.col("__id").alias(id_col), "fused_rank", "rrf_scaled", "n_sources"
     )

@@ -16,9 +16,9 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak"]
+__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak", "interval_concurrency"]
 
 
 def asof_join(
@@ -269,3 +269,52 @@ def longest_daily_streak(
             ),
         )
     )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    sub_bucket: Optional[Column] = None,
+) -> DataFrame:
+    """Sweep-line concurrency: for every day on which the count changes,
+    how many intervals ``[start, end]`` (inclusive of both endpoint
+    days) are simultaneously open — the classic "max concurrent
+    sessions / open orders / in-flight shipments" question, computed as
+    an event sweep (the interval-scheduling folklore algorithm; see
+    also Arge et al.'s distribution sweeping) instead of a point-in-
+    interval range join, which would be |intervals| x |days|.
+
+    Shape: each interval contributes +1 at ``start`` and -1 at
+    ``end + 1 day``; deltas are aggregated per day FIRST (map-side
+    combined — the heavy input collapses to at most two rows per
+    distinct calendar day), then the running sum over the small
+    delta-day table uses :func:`~..ops.sampling.two_phase_running_sum`
+    keyed by a date-monotone ``sub_bucket`` (default: calendar year), so
+    even a centuries-wide axis never serializes through one window
+    task. Intervals with ``end < start`` or NULL endpoints are dropped.
+
+    Output: one row per change day — ``day``, ``delta`` (net opens minus
+    closes that day), ``concurrent`` (open count effective that day).
+    The overall maximum is ``max(concurrent)`` downstream.
+    """
+    from .sampling import two_phase_running_sum
+
+    s, e = F.col(start_col).cast("date"), F.col(end_col).cast("date")
+    iv = df.where(s.isNotNull() & e.isNotNull() & (e >= s)).select(
+        s.alias("__s"), e.alias("__e")
+    )
+    deltas = (
+        iv.select(F.col("__s").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            iv.select(F.date_add("__e", 1).alias("day"), F.lit(-1).alias("d"))
+        )
+        .groupBy("day")
+        .agg(F.sum("d").cast("bigint").alias("delta"))
+    )
+    sub = sub_bucket if sub_bucket is not None else F.year("day")
+    run = two_phase_running_sum(
+        deltas, [], [F.asc("day")], F.col("delta"), sub, out_col="concurrent"
+    )
+    return run.select("day", "delta", F.col("concurrent").cast("bigint").alias("concurrent"))

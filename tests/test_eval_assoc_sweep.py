@@ -1,0 +1,105 @@
+"""Unit tests for the round-6 evaluation / association / sweep-line ops:
+ROC-AUC (Mann-Whitney), calibration bins, RRF fusion, pair lift, and
+interval concurrency — hand-computed fixtures, not oracle round-trips
+(the oracles cover q196-q200 separately)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from manufacturing_data_integration_tool_spark.ops.association import pair_lift
+from manufacturing_data_integration_tool_spark.ops.evaluation import (
+    calibration_bins,
+    roc_auc,
+)
+from manufacturing_data_integration_tool_spark.ops.similarity import rrf_fuse
+from manufacturing_data_integration_tool_spark.ops.temporal import (
+    interval_concurrency,
+)
+
+
+def test_roc_auc_matches_hand_computed_pair_probability(spark):
+    # positives {3, 5, 5, 8}, negatives {1, 5, 7}: of the 12 pos/neg
+    # pairs, 6 wins + 2 half-credit ties -> AUC = 7/12
+    rows = [(3, 1), (5, 1), (5, 1), (8, 1), (1, 0), (5, 0), (7, 0)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = roc_auc(df, "s", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_pos"], r["n_neg"]) == (4, 3)
+    assert r["auc"] == pytest.approx(7 / 12, abs=1e-6)
+
+
+def test_roc_auc_extremes_and_degenerate_groups(spark):
+    rows = [
+        ("sep", 10, 1), ("sep", 11, 1), ("sep", 1, 0), ("sep", 2, 0),
+        ("rev", 1, 1), ("rev", 2, 1), ("rev", 10, 0), ("rev", 11, 0),
+        ("deg", 5, 1), ("deg", 6, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, y int")
+    out = {r["g"]: r for r in roc_auc(df, "s", "y", group_cols=["g"]).collect()}
+    assert out["sep"]["auc"] == 1.0
+    assert out["rev"]["auc"] == 0.0
+    assert out["deg"]["auc"] is None  # no negatives
+
+
+def test_calibration_bins_integer_edges(spark):
+    # scores 1..8, min=1 max=8: bin = least(2, (s-1)*3 div 8) for n_bins=3
+    rows = [(1, 0), (2, 1), (3, 0), (5, 1), (5, 1), (5, 0), (7, 0), (8, 1)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = {r["bin"]: r for r in calibration_bins(df, "s", "y", n_bins=3).collect()}
+    assert out[0]["n"] == 3 and out[0]["n_pos"] == 1          # s in {1,2,3}
+    assert out[1]["n"] == 3 and out[1]["n_pos"] == 2          # the three 5s
+    assert out[2]["n"] == 2 and out[2]["mean_score"] == 7.5   # s in {7,8}
+    assert out[1]["pos_rate"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_rrf_fuse_scaled_integer_sums(spark):
+    r1 = spark.createDataFrame([("d1", 1), ("d2", 2)], "doc_id string, rank long")
+    r2 = spark.createDataFrame([("d2", 1), ("d3", 2)], "doc_id string, rank long")
+    out = rrf_fuse([r1, r2], top=3).collect()
+    c1, c2 = 10**12 // 61, 10**12 // 62
+    got = {r["doc_id"]: r for r in out}
+    assert [r["doc_id"] for r in out] == ["d2", "d1", "d3"]
+    assert got["d2"]["rrf_scaled"] == c1 + c2 and got["d2"]["n_sources"] == 2
+    assert got["d1"]["rrf_scaled"] == c1 and got["d1"]["fused_rank"] == 2
+    assert got["d3"]["rrf_scaled"] == c2
+
+
+def test_pair_lift_counts_support_lift_and_cap(spark):
+    rows = [
+        ("b1", "A"), ("b1", "B"),
+        ("b2", "A"), ("b2", "B"), ("b2", "B"),   # duplicate item collapses
+        ("b3", "A"), ("b3", "C"),
+        # wide basket: dropped entirely by max_basket_items=3
+        ("b4", "A"), ("b4", "B"), ("b4", "C"), ("b4", "D"),
+    ]
+    df = spark.createDataFrame(rows, "b string, i string")
+    out = pair_lift(df, "b", "i", min_pair_count=2, max_basket_items=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_pair"]) == ("A", "B", 2)
+    assert (r["n_a"], r["n_b"], r["n_baskets"]) == (3, 2, 3)
+    assert r["support"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["lift"] == pytest.approx(1.0)
+
+
+def test_interval_concurrency_sweep(spark):
+    d = dt.date
+    rows = [
+        (d(2024, 1, 1), d(2024, 1, 3)),
+        (d(2024, 1, 2), d(2024, 1, 4)),
+        (d(2024, 1, 6), d(2024, 1, 6)),
+        (d(2024, 1, 9), d(2024, 1, 8)),   # end < start: dropped
+        (None, d(2024, 1, 5)),            # NULL endpoint: dropped
+    ]
+    df = spark.createDataFrame(rows, "s date, e date")
+    out = {r["day"]: r["concurrent"] for r in interval_concurrency(df, "s", "e").collect()}
+    assert out[d(2024, 1, 1)] == 1
+    assert out[d(2024, 1, 2)] == 2
+    assert out[d(2024, 1, 4)] == 1   # first interval closed end-of-day 3
+    assert out[d(2024, 1, 5)] == 0
+    assert out[d(2024, 1, 6)] == 1
+    assert out[d(2024, 1, 7)] == 0
+    assert max(out.values()) == 2

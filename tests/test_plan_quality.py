@@ -701,3 +701,64 @@ def test_no_df_rdd_probe_anywhere_in_package():
             ):
                 offenders.append(f"{path.name}:{cur.start[0]}")
     assert not offenders, f".rdd access in package code: {offenders}"
+
+
+def test_q196_auc_rank_window_is_sub_bucketed(spark):
+    """q196: the cumulative below-count must ride the two-phase running
+    sum (window partitioned on the score sub-bucket), never an
+    unpartitioned window over the distinct-score table; and the whole
+    rank pipeline stays JVM-side."""
+    import re
+
+    plan = plan_of(entry.q196_quality_auc(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(.*__tprs_sub#\d+", plan), (
+        "AUC below-count window not sub-bucketed"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q197_rrf_inputs_are_take_ordered(spark):
+    """Both fused rankings must be distributed top-k
+    (TakeOrderedAndProject), and the fusion itself tiny — no global
+    sort, no cartesian."""
+    plan = plan_of(entry.q197_rrf_fusion(spark, "/root/testdata/sf0.001"))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q198_basket_lift_joins_are_keyed(spark):
+    """The pair self-join keys on the basket column; the only
+    nested-loop join allowed is the 1-row basket-total broadcast."""
+    plan = plan_of(entry.q198_brand_basket_lift(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    # formatted explain prints each node twice (tree + detail): one
+    # BNLJ node == 2 mentions, and it must be the 1-row Cross build
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("Join type: Cross") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_q199_calibration_stats_are_one_row_broadcast(spark):
+    """Bin edges come from a broadcast 1-row min/max aggregate (the
+    two-pass stats shape) — no window at all in the plan."""
+    plan = plan_of(entry.q199_calibration_bins(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("Join type: Cross") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q200_concurrency_collapses_before_window(spark):
+    """The sweep must aggregate raw rows to per-day deltas BEFORE any
+    window, and the running sum must be sub-bucketed (two-phase), so no
+    task ever streams the raw fact table through a sort."""
+    import re
+
+    plan = plan_of(entry.q200_open_order_concurrency(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(.*__tprs_sub#\d+", plan), (
+        "concurrency running sum not sub-bucketed"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
