@@ -4334,6 +4334,119 @@ def q200_open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_concurrency(iv, "opened", "last_ship")
 
 
+def q201_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve points (ops.evaluation.pr_curve; Davis &
+    Goadrich ICML'06) for q196's quality-vs-duplicate signal: one row
+    per distinct score threshold with exact confusion counts for
+    "predict duplicate iff n_chars >= t". Distinct-score collapse
+    first; both cumulative counts ride the two-phase running sum; the
+    totals are a broadcast 1-row aggregate."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import pr_curve
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.col("n_chars").cast("bigint").alias("score"), F.md5("text").alias("__fp")
+    )
+    groups = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__c"))
+    labeled = fp.join(groups, "__fp").select(
+        "score", (F.col("__c") > 1).cast("int").alias("is_dup")
+    )
+    return pr_curve(labeled, "score", "is_dup")
+
+
+def q202_event_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day)
+    (ops.temporal.twap): each observation holds until the next, the
+    day's last until midnight — the TWAP aggregation for irregular
+    sensor/market samples, on an exact integer lattice (cent-quantized
+    values x second durations, BIGINT sums, one floor-published
+    division). The lead() window partitions by (event_type, day), so
+    window tasks stay day-sized at any corpus scale."""
+    from manufacturing_data_integration_tool_spark.ops.temporal import twap
+
+    ev = read_table(spark, sf_dir, "events")
+    return twap(ev, ["event_type"], "ts", "value", scale=100)
+
+
+def q203_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter join pre-filtering audit
+    (ops.stats.bloom_build/bloom_probe; Bloom CACM 1970): build a
+    131072-bit / 4-lane md5 filter over the order-side customer keys,
+    probe every customer, and score the filter against exact
+    membership — n_missed MUST be 0 (no false negatives) and the
+    false-positive rate is the filter's design property. The filter
+    state is a ~KB (word, bits) table: engine-portable (full value
+    oracle), mergeable by bit_or, and broadcast to the probe side — the
+    explicit version of the runtime bloom pruning big joins rely on."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    # membership is a PROPER subset (urgent 1995 orders), so the probe
+    # population contains real negatives and the fpr leg is exercised —
+    # an all-members build would make the audit vacuous
+    member_orders = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year(F.col("o_orderdate").cast("date")) == 1995)
+    )
+    bloom = bloom_build(member_orders, "o_custkey", m_words=4096, k=4)
+    probed = bloom_probe(customer, "c_custkey", bloom, m_words=4096, k=4)
+    actual = (
+        customer.join(
+            member_orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_semi",
+        )
+        .select("c_custkey")
+        .withColumn("actual", F.lit(True))
+    )
+    flags = probed.join(actual, "c_custkey", "left").select(
+        "c_custkey",
+        "maybe_member",
+        F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+    )
+    n_neg = F.sum(F.when(~F.col("actual"), 1).otherwise(0))
+    n_fp = F.sum(F.when(F.col("maybe_member") & ~F.col("actual"), 1).otherwise(0))
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_maybe"),
+        F.sum(F.when(F.col("actual") & ~F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed"),
+        n_fp.cast("bigint").alias("n_false_pos"),
+        (
+            F.floor(
+                F.try_divide(n_fp.cast("double"), n_neg.cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("fpr"),
+    )
+
+
+def q204_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between corpus language and source
+    (ops.stats.chisq_independence; Pearson 1900) — the drift/association
+    screen "is language distribution homogeneous across sources".
+    Cell terms are computed from decimal(38,0) products, quantized to a
+    1e-9 integer lattice and summed as integers, so the cross-cell float
+    accumulation order can never change the statistic; marginals are
+    broadcast onto the (bounded) contingency cells."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        chisq_independence,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chisq_independence(docs, "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4429,6 +4542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_brand_basket_lift": q198_brand_basket_lift,
         "q199_calibration_bins": q199_calibration_bins,
         "q200_open_order_concurrency": q200_open_order_concurrency,
+        "q201_pr_curve": q201_pr_curve,
+        "q202_event_twap": q202_event_twap,
+        "q203_bloom_prefilter": q203_bloom_prefilter,
+        "q204_lang_source_chisq": q204_lang_source_chisq,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -5984,6 +6101,132 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS concurrent
             FROM de
+        """,
+        "q201_pr_curve": """
+            WITH fp AS (SELECT CAST(n_chars AS BIGINT) AS s, md5(text) AS f
+                        FROM documents),
+            lab AS (SELECT s,
+                           CASE WHEN COUNT(*) OVER (PARTITION BY f) > 1
+                                THEN 1 ELSE 0 END AS y
+                    FROM fp),
+            b AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(y) AS BIGINT) AS np
+                  FROM lab GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+                         CAST(SUM(np) AS BIGINT) AS tot_np FROM b),
+            r AS (SELECT s, n, np,
+                         CAST(COALESCE(SUM(n) OVER (ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS BIGINT) AS below_n,
+                         CAST(COALESCE(SUM(np) OVER (ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS BIGINT) AS below_np
+                  FROM b)
+            SELECT s AS threshold,
+                   CAST(tot_np - below_np AS BIGINT) AS tp,
+                   CAST((tot_n - below_n) - (tot_np - below_np) AS BIGINT) AS fp,
+                   CAST(below_np AS BIGINT) AS fn,
+                   floor(CAST(tot_np - below_np AS DOUBLE)
+                         / CAST(tot_n - below_n AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS precision,
+                   CASE WHEN tot_np = 0 THEN NULL
+                        ELSE floor(CAST(tot_np - below_np AS DOUBLE)
+                                   / CAST(tot_np AS DOUBLE)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                   END AS recall
+            FROM r, t
+        """,
+        "q202_event_twap": """
+            WITH base AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                 epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+                                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+                          FROM events),
+            d AS (SELECT event_type, day, vq,
+                         COALESCE(LEAD(t) OVER (PARTITION BY event_type, day
+                                                ORDER BY t, vq),
+                                  epoch_us(CAST(day + 1 AS TIMESTAMP)) // 1000000)
+                           - t AS dur
+                  FROM base)
+            SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   floor(CAST(SUM(vq * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE)
+                         / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS twap
+            FROM d GROUP BY 1, 2
+        """,
+        "q203_bloom_prefilter": """
+            WITH morders AS (SELECT o_custkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT'
+                               AND year(CAST(o_orderdate AS DATE)) = 1995
+                               AND o_custkey IS NOT NULL),
+            bkeys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS kstr
+                      FROM morders),
+            blanes AS (SELECT CAST(CAST(('0x' || substr(
+                              md5(kstr || chr(31) || '0'), 1 + 8*u.l, 8))
+                              AS UBIGINT) AS BIGINT) % 131072 AS pos
+                       FROM bkeys, (SELECT unnest([0,1,2,3]) AS l) u),
+            words AS (SELECT pos // 32 AS word_idx,
+                             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                               AS bits
+                      FROM blanes GROUP BY 1),
+            probes AS (SELECT c_custkey,
+                              CAST(CAST(('0x' || substr(
+                                md5(CAST(c_custkey AS VARCHAR) || chr(31) || '0'),
+                                1 + 8*u.l, 8)) AS UBIGINT) AS BIGINT) % 131072 AS pos
+                       FROM customer, (SELECT unnest([0,1,2,3]) AS l) u
+                       WHERE c_custkey IS NOT NULL),
+            pw AS (SELECT c_custkey, pos // 32 AS word_idx,
+                          CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS mask
+                   FROM probes),
+            hits AS (SELECT c_custkey,
+                            CASE WHEN bits IS NOT NULL AND (bits & mask) = mask
+                                 THEN 1 ELSE 0 END AS h
+                     FROM pw LEFT JOIN words USING (word_idx)),
+            mem AS (SELECT c_custkey, (SUM(h) = 4) AS maybe
+                    FROM hits GROUP BY 1),
+            ex AS (SELECT DISTINCT o_custkey AS c_custkey FROM morders),
+            flags AS (SELECT mem.c_custkey, maybe,
+                             (ex.c_custkey IS NOT NULL) AS actual
+                      FROM mem LEFT JOIN ex USING (c_custkey))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+                   CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_members,
+                   CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_maybe,
+                   CAST(SUM(CASE WHEN actual AND NOT maybe THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_missed,
+                   CAST(SUM(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_false_pos,
+                   floor(CAST(SUM(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END)
+                                AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS fpr
+            FROM flags
+        """,
+        "q204_lang_source_chisq": """
+            WITH base AS (SELECT lang AS a, source AS b FROM documents
+                          WHERE lang IS NOT NULL AND source IS NOT NULL),
+            cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS obs
+                      FROM base GROUP BY 1, 2),
+            rm AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS r FROM base GROUP BY 1),
+            cm AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+                         CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+                  FROM base),
+            terms AS (SELECT CAST(floor(
+                        (CAST(CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                              AS DOUBLE)
+                         * CAST(CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                                AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                           * CAST(c AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS HUGEINT) AS tq
+                      FROM cells JOIN rm USING (a) JOIN cm USING (b), t)
+            SELECT n, n_a, n_b,
+                   CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+                   floor(CAST(SUM(tq) AS DOUBLE) / 1000000000.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS chi2
+            FROM terms, t GROUP BY n, n_a, n_b
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

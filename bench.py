@@ -171,6 +171,15 @@ HEADLINE = [
     "q193_leakage_safe_split",
     "q194_part_skyline",
     "q195_brand_skyline",
+    "q196_quality_auc",
+    "q197_rrf_fusion",
+    "q198_brand_basket_lift",
+    "q199_calibration_bins",
+    "q200_open_order_concurrency",
+    "q201_pr_curve",
+    "q202_event_twap",
+    "q203_bloom_prefilter",
+    "q204_lang_source_chisq",
 ]
 
 

@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .sampling import two_phase_running_sum
 
-__all__ = ["roc_auc", "calibration_bins"]
+__all__ = ["roc_auc", "calibration_bins", "pr_curve"]
 
 
 def _floor_pub(col: Column, r: int) -> Column:
@@ -171,5 +171,75 @@ def calibration_bins(
             _floor_pub(
                 F.col("n_pos").cast("double") / F.col("n").cast("double"), round_to
             ).alias("pos_rate"),
+        )
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    sub_bucket: Optional[Column] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Precision-recall curve points: one row per distinct score
+    threshold with the confusion counts of the classifier "predict
+    positive iff score >= threshold" (Davis & Goadrich, ICML 2006 on
+    PR-vs-ROC; the curve itself, not an interpolated area, so every
+    published number is an exact integer ratio).
+
+    Same scale shape as :func:`roc_auc`: collapse to the distinct-score
+    table first, then ONE two-phase running sum computes both cumulative
+    counts (total and positive) below each threshold; ``tp = n_pos_total
+    - pos_below`` etc. are pure column arithmetic on the bucket table.
+    The global (n, n_pos) totals ride a broadcast 1-row aggregate.
+
+    Output: ``threshold, tp, fp, fn, precision, recall`` — precision and
+    recall floor-published; thresholds where ``tp + fp = 0`` cannot occur
+    (every emitted threshold has at least its own bucket at/above it).
+    """
+    s = F.col(score_col).cast("bigint")
+    lab = F.col(label_col).cast("int")
+    buckets = (
+        df.select(s.alias("__s"), lab.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").cast("bigint").alias("__np"),
+        )
+    )
+    sub = sub_bucket if sub_bucket is not None else F.expr("__s div 65536")
+    # one pass stamps the all-rows running count; a second stamps the
+    # positive running count — both over the same tiny bucket table
+    run = two_phase_running_sum(
+        buckets, [], [F.asc("__s")], F.col("__n"), sub, out_col="__cum_n"
+    )
+    run = two_phase_running_sum(
+        run, [], [F.asc("__s")], F.col("__np"), F.expr("__s div 65536"),
+        out_col="__cum_np",
+    )
+    totals = buckets.agg(
+        F.sum("__n").cast("bigint").alias("__tot_n"),
+        F.sum("__np").cast("bigint").alias("__tot_np"),
+    )
+    tp = F.col("__tot_np") - (F.col("__cum_np") - F.col("__np"))
+    predicted_pos = F.col("__tot_n") - (F.col("__cum_n") - F.col("__n"))
+    fp = predicted_pos - tp
+    fn = F.col("__tot_np") - tp
+    return (
+        run.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__s").alias("threshold"),
+            tp.cast("bigint").alias("tp"),
+            fp.cast("bigint").alias("fp"),
+            fn.cast("bigint").alias("fn"),
+            _floor_pub(
+                tp.cast("double") / predicted_pos.cast("double"), round_to
+            ).alias("precision"),
+            _floor_pub(
+                F.try_divide(tp.cast("double"), F.col("__tot_np").cast("double")),
+                round_to,
+            ).alias("recall"),
         )
     )

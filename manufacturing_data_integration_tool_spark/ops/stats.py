@@ -47,6 +47,9 @@ __all__ = [
     "process_capability",
     "ewma_control_chart",
     "kmv_distinct",
+    "bloom_build",
+    "bloom_probe",
+    "chisq_independence",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -851,3 +854,179 @@ def kmv_distinct(
         F.col("n_kept") < k, F.col("n_kept").cast("long")
     ).otherwise(F.expr(f"CAST({(k - 1) * (1 << 32)} AS BIGINT) div __hk"))
     return agg.select("n_kept", est.cast("long").alias("kmv_estimate"))
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    *,
+    m_words: int = 256,
+    k: int = 4,
+    salt: int = 0,
+) -> DataFrame:
+    """Build a deterministic Bloom filter (Bloom, CACM 1970) over a key
+    column: ``k`` md5-derived hash lanes set bits in an ``m_words * 32``
+    bit array stored as one row per 32-bit word (BIGINT-held, so no
+    sign-bit games on any engine).
+
+    Same portability rationale as :func:`kmv_distinct` / the Count-Min
+    sketch: md5 lanes are byte-identical everywhere, the filter state is
+    plain (word_idx, bits) integers, and merging two filters is
+    ``bit_or`` per word — so unlike an engine-private Bloom (or Spark's
+    runtime BloomFilterAggregate state) this one carries a full SQL
+    oracle AND can be persisted/joined like any table.
+
+    The classic use at 100 TB is JOIN PRE-FILTERING: build over the
+    small-but-not-broadcastable side's keys, probe the huge side with
+    :func:`bloom_probe` (a broadcast join against ~KBs of words), and
+    drop the guaranteed-non-members before the real shuffle join —
+    Spark's own runtime row-group filters do exactly this, invisibly;
+    this operator makes the technique an explicit, persistable step.
+
+    Scale: one narrow projection (k lane rows per key), one
+    map-side-combinable ``bit_or`` groupBy over at most ``m_words``
+    groups. With n keys the false-positive rate is ~``(1 - e^(-k*n/m))^k``.
+    """
+    from .dedup import _md5_lane
+
+    m_bits = m_words * 32
+    key = F.col(col).cast("string")
+    lanes = F.array(
+        *[F.pmod(_md5_lane(key, salt, lane), F.lit(m_bits)) for lane in range(k)]
+    )
+    pos = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(lanes).alias("__pos"))
+    )
+    return (
+        pos.select(
+            F.expr("__pos div 32").cast("bigint").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 32) AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    *,
+    m_words: int = 256,
+    k: int = 4,
+    salt: int = 0,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe a :func:`bloom_build` filter: a key "maybe" belongs iff all
+    ``k`` of its lane bits are set (no false negatives; false positives
+    at the filter's design rate). ``m_words``/``k``/``salt`` must match
+    the build call.
+
+    Plan shape: k lane rows per probe key, one BROADCAST join against
+    the tiny word table (the filter is ~KBs), then an all-lanes-hit
+    groupBy — the probe side is touched once, narrowly, and nothing
+    about the huge side shuffles.
+    """
+    from .dedup import _md5_lane
+
+    m_bits = m_words * 32
+    key = F.col(col).cast("string")
+    lanes = F.array(
+        *[F.pmod(_md5_lane(key, salt, lane), F.lit(m_bits)) for lane in range(k)]
+    )
+    probes = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("__key"), F.explode(lanes).alias("__pos"))
+        .select(
+            "__key",
+            F.expr("__pos div 32").cast("bigint").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 32) AS INT))"
+            ).alias("__mask"),
+        )
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("__mask")) == F.col("__mask"))
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select("__key", hit.alias("__hit"))
+        .groupBy("__key")
+        .agg((F.sum("__hit") == F.lit(k)).alias(out_col))
+        .select(F.col("__key").alias(col), out_col)
+    )
+
+
+def chisq_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    grid: int = 10**9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (the contingency-table statistic; Pearson 1900) — the
+    drift/association screen between, e.g., corpus language and source.
+
+    Exactness: observed, row, column and grand totals are BIGINTs; each
+    cell's term ``(obs*N - r*c)^2 / (N*r*c)`` is computed from
+    decimal(38,0) products (r*c reaches ~10^24 at 10^12 rows — past
+    BIGINT, inside 38 digits), quantized to a ``1/grid`` integer lattice
+    per cell, and SUMMED AS INTEGERS — so the cross-cell float-order
+    dependence that makes naive chi-square unhashable never arises. One
+    floor-published division at the end.
+
+    Scale: one groupBy per marginal + the cell table (all map-side
+    combinable); marginals broadcast back onto cells (category
+    dimensions are bounded). Output one row: ``n, n_a, n_b, dof, chi2``.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__obs"))
+    rows = base.groupBy("__a").agg(F.count(F.lit(1)).alias("__r"))
+    cols = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    total = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("__a").cast("bigint").alias("n_a"),
+        F.countDistinct("__b").cast("bigint").alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    joined = (
+        cells.join(F.broadcast(rows), "__a")
+        .join(F.broadcast(cols), "__b")
+        .crossJoin(F.broadcast(total))
+    )
+    diff = (
+        F.col("__obs").cast(dec) * F.col("__n").cast(dec)
+        - F.col("__r").cast(dec) * F.col("__c").cast(dec)
+    )
+    term = (diff.cast("double") * diff.cast("double")) / (
+        F.col("__n").cast("double")
+        * F.col("__r").cast("double")
+        * F.col("__c").cast("double")
+    )
+    term_q = F.floor(term * F.lit(float(grid)) + F.lit(0.5)).cast(dec)
+    agg = joined.agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term_q).alias("__chi_q"),
+    )
+    chi2 = F.col("__chi_q").cast("double") / F.lit(float(grid))
+    return agg.select(
+        "n",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("bigint").alias("dof"),
+        (
+            F.floor(chi2 * F.lit(10.0 ** round_to) + F.lit(0.5))
+            / F.lit(10.0 ** round_to)
+        ).alias("chi2"),
+    )

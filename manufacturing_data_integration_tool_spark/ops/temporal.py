@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak", "interval_concurrency"]
+__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak", "interval_concurrency", "twap"]
 
 
 def asof_join(
@@ -318,3 +318,74 @@ def interval_concurrency(
         deltas, [], [F.asc("day")], F.col("delta"), sub, out_col="concurrent"
     )
     return run.select("day", "delta", F.col("concurrent").cast("bigint").alias("concurrent"))
+
+
+def twap(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-weighted average price/value per (key, day) over irregular
+    samples — the standard TWAP aggregation (each observation holds
+    until the next one; the day's last observation holds until
+    midnight), computed exactly on an integer lattice.
+
+    Semantics: within each (key, day), order samples by timestamp (ties
+    broken deterministically by value); sample i's weight is the number
+    of SECONDS until the next sample (or until the end of the day for
+    the last). ``twap = sum(value_q * dur_s) / sum(dur_s)`` where
+    ``value_q = floor(value*scale + 0.5)`` — BIGINT products and sums
+    (second-counts fit 17 bits/day; quantized values make the product
+    exact), one floor-published division at the end.
+
+    Scale posture: the lead() window partitions by (key, day) — bounded
+    per-key-per-day sample counts keep every window task small, and the
+    final aggregate is map-side combinable. No global window, no
+    cross-day state.
+    """
+    keys = list(key_cols)
+    ts = F.col(ts_col).cast("timestamp")
+    day = ts.cast("date")
+    vq = F.floor(F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = df.select(
+        *keys,
+        day.alias("day"),
+        ts.cast("long").alias("__t"),
+        vq.alias("__vq"),
+    )
+    w = Window.partitionBy(*keys, "day").orderBy(F.asc("__t"), F.asc("__vq"))
+    day_end = F.date_add(F.col("day"), 1).cast("timestamp").cast("long")
+    dur = F.coalesce(F.lead("__t").over(w), day_end) - F.col("__t")
+    weighted = base.withColumn("__dur", dur.cast("bigint"))
+    return (
+        weighted.groupBy(*keys, "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.sum(F.col("__vq") * F.col("__dur")).cast("bigint").alias("__wsum"),
+            F.sum("__dur").cast("bigint").alias("__dtot"),
+        )
+        .select(
+            *keys,
+            "day",
+            "n_samples",
+            F.floor(
+                F.col("__wsum").cast("double")
+                / F.col("__dtot").cast("double")
+                / F.lit(float(scale))
+                * F.lit(10.0 ** round_to)
+                + F.lit(0.5)
+            ).cast("double").alias("__f"),
+        )
+        .select(
+            *keys,
+            "day",
+            "n_samples",
+            (F.col("__f") / F.lit(10.0 ** round_to)).alias("twap"),
+        )
+    )

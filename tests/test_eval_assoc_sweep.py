@@ -103,3 +103,82 @@ def test_interval_concurrency_sweep(spark):
     assert out[d(2024, 1, 6)] == 1
     assert out[d(2024, 1, 7)] == 0
     assert max(out.values()) == 2
+
+
+def test_pr_curve_confusion_counts(spark):
+    # same fixture as the AUC test: pos {3,5,5,8}, neg {1,5,7}
+    rows = [(3, 1), (5, 1), (5, 1), (8, 1), (1, 0), (5, 0), (7, 0)]
+    from manufacturing_data_integration_tool_spark.ops.evaluation import pr_curve
+
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = {r["threshold"]: r for r in pr_curve(df, "s", "y").collect()}
+    assert set(out) == {1, 3, 5, 7, 8}
+    assert (out[1]["tp"], out[1]["fp"], out[1]["fn"]) == (4, 3, 0)
+    assert out[1]["recall"] == 1.0
+    assert (out[5]["tp"], out[5]["fp"], out[5]["fn"]) == (3, 2, 1)
+    assert out[5]["precision"] == pytest.approx(3 / 5, abs=1e-6)
+    assert (out[8]["tp"], out[8]["fp"]) == (1, 0)
+    assert out[8]["precision"] == 1.0 and out[8]["recall"] == 0.25
+
+
+def test_twap_holds_value_until_next_sample(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import twap
+
+    rows = [
+        ("k", "2024-03-01 00:00:00", 1.0),
+        ("k", "2024-03-01 06:00:00", 3.0),
+        ("k", "2024-03-01 18:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double")
+    out = twap(df, ["k"], "ts", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    # 6h @ 1.0 + 12h @ 3.0 + 6h @ 5.0 over 24h = 3.0 exactly
+    assert r["n_samples"] == 3
+    assert r["twap"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    a = spark.createDataFrame([(f"m{i}",) for i in range(25)], "k string")
+    b = spark.createDataFrame([(f"n{i}",) for i in range(25)], "k string")
+    both = a.unionByName(b)
+    # invariant 1: every built key probes positive (no false negatives)
+    bloom = bloom_build(both, "k", m_words=8, k=4)
+    probed = bloom_probe(both, "k", bloom, m_words=8, k=4)
+    assert all(r["maybe_member"] for r in probed.collect())
+    # invariant 2: the union filter equals the bit_or merge of the parts
+    merged = (
+        bloom_build(a, "k", m_words=8, k=4)
+        .unionByName(bloom_build(b, "k", m_words=8, k=4))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert sorted(map(tuple, bloom.collect())) == sorted(map(tuple, merged.collect()))
+    # invariant 3: a near-saturated filter produces false positives
+    # (the probabilistic side of the contract; no-false-negatives above
+    # is the hard side)
+    tiny = bloom_build(both, "k", m_words=1, k=4)
+    others = spark.createDataFrame([(f"z{i}",) for i in range(20)], "k string")
+    sat = sum(r["maybe_member"] for r in bloom_probe(
+        others, "k", tiny, m_words=1, k=4).collect())
+    assert sat >= 10  # 50 keys x 4 lanes over 32 bits: most probes collide
+
+
+def test_chisq_matches_hand_computed_2x2(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        chisq_independence,
+    )
+
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 30 + [("y", "v")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chisq_independence(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_a"], r["n_b"], r["dof"]) == (100, 2, 2, 1)
+    # exp: 12/18/28/42 -> chi2 = 4*(1/12+1/18+1/28+1/42) = 200/252
+    assert r["chi2"] == pytest.approx(200 / 252, abs=1e-6)

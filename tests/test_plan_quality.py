@@ -762,3 +762,45 @@ def test_q200_concurrency_collapses_before_window(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q201_pr_curve_windows_are_sub_bucketed(spark):
+    """Both cumulative counts must ride the two-phase running sum; the
+    totals are the 1-row broadcast cross."""
+    import re
+
+    plan = plan_of(entry.q201_pr_curve(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(.*__tprs_sub#\d+", plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join type: Cross") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_q202_twap_window_is_day_partitioned(spark):
+    """The lead() window partitions by (event_type, day) — window tasks
+    stay day-sized; no global window, no Python."""
+    import re
+
+    plan = plan_of(entry.q202_event_twap(spark, "/root/testdata/sf0.001"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window found"
+    for m in specs:
+        assert "event_type" in m and "day" in m
+    assert "BatchEvalPython" not in plan
+
+
+def test_q203_bloom_words_join_is_broadcast(spark):
+    """The probe joins the ~KB word table by broadcast; nothing about
+    the probe side shuffles for the membership check."""
+    plan = plan_of(entry.q203_bloom_prefilter(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q204_chisq_marginals_broadcast_no_cartesian(spark):
+    plan = plan_of(entry.q204_lang_source_chisq(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join type: Cross") <= 1
+    assert "BatchEvalPython" not in plan
