@@ -4447,6 +4447,42 @@ def q204_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chisq_independence(docs, "lang", "source")
 
 
+def q205_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between document sources from KMV
+    bottom-k sketches (ops.stats.kmv_jaccard; Bar-Yossef RANDOM'02,
+    Beyer SIGMOD'07): each source's token set collapses to its 256
+    smallest md5 hashes, and every source pair's Jaccard similarity is
+    estimated from sketch algebra alone — the raw token sets are never
+    pairwise-joined. The per-source k-smallest is two-phase
+    (hash-prefix sub-buckets before the per-source rank), and the pair
+    stage touches |sources|^2 x k tiny rows."""
+    from manufacturing_data_integration_tool_spark.ops.stats import kmv_jaccard
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tx.tokenize("text")).alias("token"))
+    return kmv_jaccard(toks, "token", "source", k=256)
+
+
+def q206_price_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-relative-error price quantiles from a decimal log-bucket
+    histogram (ops.stats.hdr_quantiles; HdrHistogram-style): extended
+    prices in cents, 3 significant digits (relative error < 1%),
+    median/p90/p99. The engine-portable, MERGEABLE counterpart to
+    q100's Greenwald-Khanna approx_percentile (whose state is
+    engine-private and therefore rows-only) — this variant carries a
+    full value oracle. Histogram groupBy is map-side combined; the
+    cumulative count is two-phase; targets are a broadcast literal."""
+    from manufacturing_data_integration_tool_spark.ops.stats import hdr_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return hdr_quantiles(cents, "cents", (0.5, 0.9, 0.99))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4546,6 +4582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_event_twap": q202_event_twap,
         "q203_bloom_prefilter": q203_bloom_prefilter,
         "q204_lang_source_chisq": q204_lang_source_chisq,
+        "q205_source_vocab_jaccard": q205_source_vocab_jaccard,
+        "q206_price_hdr_quantiles": q206_price_hdr_quantiles,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -6227,6 +6265,69 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(SUM(tq) AS DOUBLE) / 1000000000.0
                          * 1000000.0 + 0.5) / 1000000.0 AS chi2
             FROM terms, t GROUP BY n, n_a, n_b
+        """,
+        "q205_source_vocab_jaccard": f"""
+            WITH hs AS (SELECT DISTINCT g,
+                          CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT)
+                               AS BIGINT) AS h
+                        FROM (SELECT source AS g, unnest({tok}) AS t
+                              FROM documents)
+                        WHERE t IS NOT NULL AND g IS NOT NULL),
+            sk AS (SELECT g, h FROM (
+                     SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h)
+                            AS rn FROM hs)
+                   WHERE rn <= 256),
+            gs AS (SELECT DISTINCT g FROM sk),
+            pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b
+                      WHERE a.g < b.g),
+            u AS (SELECT ga, gb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+                    SELECT ga, gb, h, 1 AS ia, 0 AS ib
+                    FROM pairs JOIN sk ON sk.g = pairs.ga
+                    UNION ALL
+                    SELECT ga, gb, h, 0 AS ia, 1 AS ib
+                    FROM pairs JOIN sk ON sk.g = pairs.gb)
+                  GROUP BY 1, 2, 3),
+            uk AS (SELECT * FROM (
+                     SELECT u.*, ROW_NUMBER() OVER (PARTITION BY ga, gb
+                                                    ORDER BY h) AS ur FROM u)
+                   WHERE ur <= 256)
+            SELECT ga AS group_a, gb AS group_b,
+                   CAST(COUNT(*) AS BIGINT) AS k_used,
+                   CAST(SUM(ia * ib) AS BIGINT) AS n_shared,
+                   floor(CAST(SUM(ia * ib) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS jaccard_est
+            FROM uk GROUP BY 1, 2
+        """,
+        "q206_price_hdr_quantiles": """
+            WITH v AS (SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100
+                                         + 0.5) AS BIGINT) AS val
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+            vp AS (SELECT val,
+                          CAST(power(10, greatest(
+                            length(CAST(val AS VARCHAR)) - 3, 0)) AS BIGINT) AS p
+                   FROM v WHERE val >= 0),
+            b AS (SELECT (val // p) * p AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM vp GROUP BY 1),
+            r AS (SELECT bucket, n,
+                         CAST(SUM(n) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) AS cum
+                  FROM b),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM b),
+            q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                 CAST(0.99 AS DOUBLE)]) AS quantile),
+            tr AS (SELECT quantile,
+                          GREATEST(CAST(1 AS BIGINT),
+                                   CAST(ceil(quantile * CAST(tot AS DOUBLE))
+                                        AS BIGINT)) AS rk,
+                          tot
+                   FROM q, t)
+            SELECT quantile, CAST(rk AS BIGINT) AS target_rank,
+                   CAST(MIN(bucket) AS BIGINT) AS est,
+                   CAST(MAX(tot) AS BIGINT) AS n
+            FROM tr JOIN r ON r.cum >= tr.rk
+            GROUP BY 1, 2
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -180,6 +180,8 @@ HEADLINE = [
     "q202_event_twap",
     "q203_bloom_prefilter",
     "q204_lang_source_chisq",
+    "q205_source_vocab_jaccard",
+    "q206_price_hdr_quantiles",
 ]
 
 

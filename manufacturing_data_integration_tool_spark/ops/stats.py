@@ -50,6 +50,8 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "chisq_independence",
+    "kmv_jaccard",
+    "hdr_quantiles",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -1029,4 +1031,188 @@ def chisq_independence(
             F.floor(chi2 * F.lit(10.0 ** round_to) + F.lit(0.5))
             / F.lit(10.0 ** round_to)
         ).alias("chi2"),
+    )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    k: int = 256,
+    sub_bits: int = 24,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Jaccard similarity between groups' key SETS from KMV
+    (bottom-k) sketches — the sketch-algebra estimator of Bar-Yossef et
+    al. (RANDOM'02) / Beyer et al. (SIGMOD'07): for groups A and B,
+    ``J ~ |S_k(A u B) n S(A) n S(B)| / |S_k(A u B)|`` where ``S_k`` is
+    the k smallest distinct hash values. With fewer than k distinct
+    union hashes the estimate is EXACT (the sketches hold everything).
+
+    Determinism: hashes are the first md5 lane (engine-portable), the
+    estimate is one integer ratio — same contract as
+    :func:`kmv_distinct`, which this generalises from cardinality to
+    set-overlap between every group pair, at sketch cost (each group is
+    k BIGINTs, so the pair stage touches |groups|^2 * k TINY rows, never
+    the raw sets).
+
+    Scale: the per-group k-smallest is TWO-PHASE — rank within (group,
+    hash-prefix sub-bucket) first (bounded partitions), then rank the
+    <= k * 2^(32-sub_bits) survivors per group — no full per-group
+    stream through one window task. ``group_col`` must be a bounded
+    dimension (sources, languages); the pair matrix is |groups|^2.
+
+    Output per pair (group_a < group_b): ``k_used`` (union sketch size),
+    ``n_shared``, floor-published ``jaccard_est``.
+    """
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    hashes = (
+        df.filter(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), h.alias("__h"))
+        .distinct()
+    )
+    pre_w = Window.partitionBy("__g", "__sub").orderBy(F.asc("__h"))
+    pre = (
+        hashes.withColumn("__sub", F.expr(f"__h div {1 << sub_bits}"))
+        .withColumn("__rn", F.row_number().over(pre_w))
+        .filter(F.col("__rn") <= k)
+    )
+    fin_w = Window.partitionBy("__g").orderBy(F.asc("__h"))
+    sketch = (
+        pre.withColumn("__rn2", F.row_number().over(fin_w))
+        .filter(F.col("__rn2") <= k)
+        .select("__g", "__h")
+    )
+    groups = sketch.select("__g").distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("group_a"))
+        .crossJoin(F.broadcast(groups.select(F.col("__g").alias("group_b"))))
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    side_a = pairs.join(
+        sketch.select(F.col("__g").alias("group_a"), "__h"), "group_a"
+    ).select("group_a", "group_b", "__h", F.lit(1).alias("__ia"), F.lit(0).alias("__ib"))
+    side_b = pairs.join(
+        sketch.select(F.col("__g").alias("group_b"), "__h"), "group_b"
+    ).select("group_a", "group_b", "__h", F.lit(0).alias("__ia"), F.lit(1).alias("__ib"))
+    union_rows = (
+        side_a.unionByName(side_b)
+        .groupBy("group_a", "group_b", "__h")
+        .agg(F.max("__ia").alias("__ia"), F.max("__ib").alias("__ib"))
+    )
+    uw = Window.partitionBy("group_a", "group_b").orderBy(F.asc("__h"))
+    union_k = union_rows.withColumn("__ur", F.row_number().over(uw)).filter(
+        F.col("__ur") <= k
+    )
+    agg = union_k.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum((F.col("__ia") * F.col("__ib"))).cast("bigint").alias("n_shared"),
+    )
+    p = float(10**round_to)
+    return agg.select(
+        "group_a",
+        "group_b",
+        "k_used",
+        "n_shared",
+        (
+            F.floor(
+                F.col("n_shared").cast("double")
+                / F.col("k_used").cast("double")
+                * F.lit(p)
+                + F.lit(0.5)
+            )
+            / F.lit(p)
+        ).alias("jaccard_est"),
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    *,
+    sig_digits: int = 3,
+) -> DataFrame:
+    """Bounded-relative-error quantiles from a decimal log-bucket
+    histogram (the HdrHistogram idea, Tene; decimal rather than binary
+    sub-buckets so every boundary is integer-exact in any engine):
+    bucket(v) keeps the top ``sig_digits`` decimal digits of a
+    NON-NEGATIVE integer value and zeroes the rest, so the bucket lower
+    bound under-estimates the true quantile by < 10^(1-sig_digits)
+    relative.
+
+    This is the ENGINE-PORTABLE counterpart to ``approx_percentile``
+    (q100's Greenwald-Khanna, whose state is engine-private and
+    rows-only): the histogram is a plain (bucket, count) table —
+    mergeable by count addition across shards/streams — and the
+    estimate is pure integer arithmetic, so it carries a full SQL
+    oracle. Error is RELATIVE (multiplicative), the right contract for
+    long-tailed size/latency/price distributions.
+
+    Scale: one map-side-combinable groupBy down to at most
+    ``9 * 10^(sig_digits-1)`` buckets per decade; the cumulative count
+    rides :func:`~..ops.sampling.two_phase_running_sum`; the quantile
+    targets are a literal crossed against the tiny bucket table.
+
+    Output per quantile: ``quantile, target_rank, est, n`` where ``est``
+    is the lower bound of the first bucket whose cumulative count
+    reaches ``ceil(q * n)``.
+    """
+    from .sampling import two_phase_running_sum
+
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantile out of (0, 1]: {q}")
+    v = F.col(col).cast("bigint")
+    pw = F.expr(
+        f"CAST(power(10, greatest(length(CAST(__v AS STRING)) - {sig_digits}, 0)) "
+        "AS BIGINT)"
+    )
+    base = df.filter(v.isNotNull() & (v >= 0)).select(v.alias("__v"))
+    buckets = (
+        base.select("__v", pw.alias("__pw"))
+        .select((F.expr("__v div __pw") * F.col("__pw")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    run = two_phase_running_sum(
+        buckets,
+        [],
+        [F.asc("bucket")],
+        F.col("__n"),
+        F.expr("bucket div 1000000"),
+        out_col="__cum",
+    )
+    total = buckets.agg(F.sum("__n").cast("bigint").alias("__tot"))
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(float(q),) for q in quantiles], "quantile double"
+    )
+    ranked = (
+        run.crossJoin(F.broadcast(targets))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__rank",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.col("quantile") * F.col("__tot").cast("double")).cast(
+                    "bigint"
+                ),
+            ),
+        )
+        .filter(F.col("__cum") >= F.col("__rank"))
+    )
+    return (
+        ranked.groupBy("quantile")
+        .agg(
+            F.max("__rank").alias("target_rank"),
+            F.min("bucket").cast("bigint").alias("est"),
+            F.max("__tot").alias("n"),
+        )
+        .select("quantile", "target_rank", "est", "n")
     )

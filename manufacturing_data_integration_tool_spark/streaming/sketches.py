@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..ops.text import countmin_sketch
 
-__all__ = ["accumulate_countmin_stream"]
+__all__ = ["accumulate_countmin_stream", "accumulate_bloom_stream"]
 
 
 def accumulate_countmin_stream(
@@ -81,6 +81,67 @@ def accumulate_countmin_stream(
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def accumulate_bloom_stream(
+    keys: DataFrame,
+    filter_path: str,
+    *,
+    key_col: str = "doc_id",
+    m_words: int = 256,
+    k: int = 4,
+    salt: int = 0,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start a stream folding each micro-batch's Bloom filter
+    (``ops.stats.bloom_build``) into the persisted (word_idx, bits)
+    table at ``filter_path`` — the membership-index sibling of the
+    Count-Min accumulator above: merge is per-word ``bit_or``, which is
+    idempotent AND commutative, so the accumulated filter is
+    bit-identical to the batch filter of every key seen so far however
+    the input was micro-batched — and at-least-once redelivery of a
+    batch is a no-op by construction (OR-ing the same bits twice).
+
+    The standing use: a contamination / already-ingested membership
+    index that each new crawl batch both probes (``bloom_probe``
+    against the persisted table) and extends — KBs of state forever,
+    the same swap-rename crash discipline as the CMS accumulator.
+    """
+    from ..ops.stats import bloom_build
+
+    target = Path(filter_path)
+    staging = target.with_name(target.name + ".staging")
+    backup = target.with_name(target.name + ".previous")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = bloom_build(batch, key_col, m_words=m_words, k=k, salt=salt)
+        if target.exists():
+            current = spark.read.parquet(str(target))
+            merged = (
+                current.unionByName(delta)
+                .groupBy("word_idx")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(staging))
+        if backup.exists():
+            shutil.rmtree(backup)
+        if target.exists():
+            target.rename(backup)
+        staging.rename(target)
+        if backup.exists():
+            shutil.rmtree(backup)
+
+    writer = (
+        keys.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_available_now:

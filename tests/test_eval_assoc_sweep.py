@@ -182,3 +182,41 @@ def test_chisq_matches_hand_computed_2x2(spark):
     assert (r["n"], r["n_a"], r["n_b"], r["dof"]) == (100, 2, 2, 1)
     # exp: 12/18/28/42 -> chi2 = 4*(1/12+1/18+1/28+1/42) = 200/252
     assert r["chi2"] == pytest.approx(200 / 252, abs=1e-6)
+
+
+def test_kmv_jaccard_exact_when_sketch_holds_everything(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import kmv_jaccard
+
+    rows = [("A", "x"), ("A", "y"), ("A", "z"),
+            ("B", "y"), ("B", "z"), ("B", "w"),
+            ("C", "q")]
+    df = spark.createDataFrame(rows, "g string, k string")
+    out = {(r["group_a"], r["group_b"]): r
+           for r in kmv_jaccard(df, "k", "g", k=256).collect()}
+    # k=256 > all distinct hashes: estimates are EXACT Jaccard
+    ab = out[("A", "B")]
+    assert (ab["k_used"], ab["n_shared"]) == (4, 2)
+    assert ab["jaccard_est"] == pytest.approx(0.5)
+    assert out[("A", "C")]["n_shared"] == 0
+    assert out[("A", "C")]["jaccard_est"] == 0.0
+    assert len(out) == 3  # all unordered pairs
+
+
+def test_hdr_quantiles_exact_on_small_values_and_bounded_error(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import hdr_quantiles
+
+    df = spark.createDataFrame([(i,) for i in range(1, 1001)], "v long")
+    out = {r["quantile"]: r for r in
+           hdr_quantiles(df, "v", (0.5, 0.9, 0.99, 1.0)).collect()}
+    # values <= 3 significant digits (except 1000 whose bucket is itself):
+    # bucket lower bounds ARE the exact order statistics
+    assert out[0.5]["est"] == 500 and out[0.5]["target_rank"] == 500
+    assert out[0.9]["est"] == 900
+    assert out[0.99]["est"] == 990
+    assert out[1.0]["est"] == 1000 and out[1.0]["n"] == 1000
+    # long-tailed case: relative error of the bucket bound < 10^(1-3)
+    big = spark.createDataFrame([(123_456_789,), (987_654_321,)], "v long")
+    r99 = {r["quantile"]: r["est"] for r in
+           hdr_quantiles(big, "v", (1.0,)).collect()}[1.0]
+    assert r99 == 987_000_000  # top-3-digit truncation of the max
+    assert abs(r99 - 987_654_321) / 987_654_321 < 10 ** (1 - 3)

@@ -804,3 +804,29 @@ def test_q204_chisq_marginals_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Join type: Cross") <= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_q205_kmv_sketch_rank_is_two_phase(spark):
+    """The per-source k-smallest must pre-rank within (source,
+    hash-prefix sub-bucket) before the per-source rank — two row_number
+    windows, the first keyed by the sub-bucket; no cartesian anywhere
+    (the pair matrix is a broadcast of the tiny group dim)."""
+    import re
+
+    plan = plan_of(entry.q205_source_vocab_jaccard(spark, "/root/testdata/sf0.001"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("__sub" in m for m in specs), "k-smallest not sub-bucketed"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q206_hdr_histogram_collapses_before_window(spark):
+    """The histogram groupBy runs below the cumulative window (bucket
+    table, not raw rows) and the running sum is sub-bucketed."""
+    import re
+
+    plan = plan_of(entry.q206_price_hdr_quantiles(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"hashpartitioning\(.*__tprs_sub#\d+", plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join type: Cross") <= 2  # targets + totals, both 1-row/broadcast literals
+    assert "BatchEvalPython" not in plan

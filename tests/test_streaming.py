@@ -581,3 +581,56 @@ def test_streaming_accumulators_resume_from_checkpoint(spark, tmp_path):
     }
     assert got_pairs == want_pairs
     assert (1, 3) in got_pairs  # cross-restart pair via the at-rest index
+
+
+def test_streaming_bloom_accumulator_matches_batch_filter(spark, tmp_path):
+    """Bloom accumulation over micro-batches: the persisted (word, bits)
+    table must be bit-identical to the one-shot batch filter of all keys
+    — bit_or merging is order-independent AND idempotent, so
+    micro-batching (and at-least-once redelivery) cannot change a bit.
+    Probing the accumulated filter must show no false negatives."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        bloom_build,
+        bloom_probe,
+    )
+    from manufacturing_data_integration_tool_spark.streaming.sketches import (
+        accumulate_bloom_stream,
+    )
+
+    src = tmp_path / "bloom_in"
+    rows = [(i, f"key-{i}") for i in range(30)]
+    base = spark.createDataFrame(rows, "doc_id long, key string")
+    for i in range(3):
+        base.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = tmp_path / "bloom_state"
+    q = accumulate_bloom_stream(
+        stream,
+        str(state),
+        key_col="key",
+        m_words=8,
+        k=4,
+        checkpoint_dir=str(tmp_path / "bloom_ckpt"),
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        (r["word_idx"], r["bits"])
+        for r in spark.read.parquet(str(state)).collect()
+    }
+    want = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_build(base, "key", m_words=8, k=4).collect()
+    }
+    assert got == want
+    probed = bloom_probe(
+        base, "key", spark.read.parquet(str(state)), m_words=8, k=4
+    )
+    assert all(r["maybe_member"] for r in probed.collect())
