@@ -4483,6 +4483,80 @@ def q206_price_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles(cents, "cents", (0.5, 0.9, 0.99))
 
 
+def q207_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution
+    (ops.dedup.sorted_neighborhood_pairs; Hernandez-Stolfo SIGMOD'95)
+    over the distinct part-name vocabulary: candidates are names within
+    5 positions of each other in the global name ordering, verified by
+    levenshtein <= 3 — the complementary blocking pass to q97's
+    prefix-block ER (a sliding window crosses prefix boundaries). The
+    global rank is two-phase (never a single-task ORDER BY window) and
+    the neighborhood join is a rank-bucket EQUI-join."""
+    part = read_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    pairs = dd.sorted_neighborhood_pairs(names, "name", "name", window=5)
+    lev = F.levenshtein(F.col("key_a"), F.col("key_b"))
+    return pairs.filter(lev <= 3).select(
+        F.col("key_a").alias("name_a"),
+        F.col("key_b").alias("name_b"),
+        "rank_gap",
+        lev.cast("bigint").alias("lev"),
+    )
+
+
+def q208_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between daily event value and
+    daily event count per event_type (ops.stats.rolling_corr): the
+    co-movement monitor. Raw events collapse to one (type, day) row of
+    integer-lattice sums before any window; the five rolling sums run
+    over a 7-row frame in decimal(38,0); sqrt is IEEE-correctly-rounded
+    on both engines so the closing double math hashes; degenerate
+    windows publish NULL."""
+    from manufacturing_data_integration_tool_spark.ops.stats import rolling_corr
+
+    ev = read_table(spark, sf_dir, "events").withColumn("one", F.lit(1.0))
+    return rolling_corr(ev, "event_type", "ts", "value", "one", window_days=7)
+
+
+def q209_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote repair for q177's violated functional dependency
+    (o_custkey -> o_orderpriority): for every customer whose orders
+    carry more than one priority, the repaired value is the most
+    frequent one (ties break to the smallest string). The vote is a
+    combiner-friendly (custkey, value) count; the argmax window
+    partitions by custkey over at most |priorities| rows — bounded at
+    any corpus scale."""
+    orders = read_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    part_w = Window.partitionBy("o_custkey")
+    rank_w = part_w.orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+    enriched = counts.select(
+        "o_custkey",
+        "o_orderpriority",
+        "cnt",
+        F.row_number().over(rank_w).alias("__rn"),
+        F.sum("cnt").over(part_w).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).over(part_w).cast("bigint").alias("n_variants"),
+    )
+    return enriched.filter((F.col("__rn") == 1) & (F.col("n_variants") > 1)).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("repaired_priority"),
+        "n_variants",
+        "n_rows",
+        (
+            F.floor(
+                F.col("cnt").cast("double")
+                / F.col("n_rows").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("majority_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4584,6 +4658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_lang_source_chisq": q204_lang_source_chisq,
         "q205_source_vocab_jaccard": q205_source_vocab_jaccard,
         "q206_price_hdr_quantiles": q206_price_hdr_quantiles,
+        "q207_sorted_neighborhood": q207_sorted_neighborhood,
+        "q208_rolling_corr": q208_rolling_corr,
+        "q209_fd_repair": q209_fd_repair,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -6328,6 +6405,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(tot) AS BIGINT) AS n
             FROM tr JOIN r ON r.cum >= tr.rk
             GROUP BY 1, 2
+        """,
+        "q207_sorted_neighborhood": """
+            WITH v AS (SELECT DISTINCT p_name AS k FROM part
+                       WHERE p_name IS NOT NULL),
+            r AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k, k) AS rn FROM v),
+            p AS (SELECT a.k AS name_a, b.k AS name_b,
+                         CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+                  FROM r a JOIN r b
+                    ON b.rn > a.rn AND b.rn - a.rn <= 5)
+            SELECT name_a, name_b, rank_gap,
+                   CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+            FROM p WHERE levenshtein(name_a, name_b) <= 3
+        """,
+        "q208_rolling_corr": """
+            WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                  AS BIGINT) AS dx,
+                             CAST(COUNT(*) * 100 AS BIGINT) AS dy
+                           FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, day,
+                         CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+                         SUM(CAST(dx AS HUGEINT)) OVER w AS sx,
+                         SUM(CAST(dy AS HUGEINT)) OVER w AS sy,
+                         SUM(CAST(dx AS HUGEINT) * dx) OVER w AS sxx,
+                         SUM(CAST(dy AS HUGEINT) * dy) OVER w AS syy,
+                         SUM(CAST(dx AS HUGEINT) * dy) OVER w AS sxy
+                  FROM daily
+                  WINDOW w AS (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            SELECT event_type, day, CAST(n AS BIGINT) AS n_days,
+                   CASE WHEN n >= 2
+                             AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                        THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                                   * 1000000.0 + 0.5) / 1000000.0
+                   END AS corr
+            FROM r
+        """,
+        "q209_fd_repair": """
+            WITH c AS (SELECT o_custkey, o_orderpriority AS v,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM orders GROUP BY 1, 2),
+            w AS (SELECT o_custkey, v, cnt,
+                         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                            ORDER BY cnt DESC, v ASC) AS rn,
+                         CAST(SUM(cnt) OVER (PARTITION BY o_custkey) AS BIGINT)
+                           AS n_rows,
+                         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+                           AS n_variants
+                  FROM c)
+            SELECT o_custkey, v AS repaired_priority, n_variants, n_rows,
+                   floor(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS majority_share
+            FROM w WHERE rn = 1 AND n_variants > 1
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

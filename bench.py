@@ -182,6 +182,9 @@ HEADLINE = [
     "q204_lang_source_chisq",
     "q205_source_vocab_jaccard",
     "q206_price_hdr_quantiles",
+    "q207_sorted_neighborhood",
+    "q208_rolling_corr",
+    "q209_fd_repair",
 ]
 
 

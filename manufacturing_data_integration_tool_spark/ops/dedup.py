@@ -51,6 +51,7 @@ __all__ = [
     "segment_dedup",
     "source_overlap_matrix",
     "prefix_filtered_jaccard",
+    "sorted_neighborhood_pairs",
 ]
 
 
@@ -1327,4 +1328,85 @@ def phonetic_key_pairs(
         .withColumn("dist", F.levenshtein("key_a", "key_b"))
         .filter(F.col("dist") <= max_dist)
         .select("key_a", "key_b", "code", "dist")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    window: int = 5,
+    bucket_size: int = 64,
+    sub_bucket: Optional[Column] = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95):
+    candidate pairs are records within ``window`` positions of each
+    other in the GLOBAL ordering by ``(key, id)`` — the complementary
+    blocking method to :func:`fuzzy_key_pairs`' shared-prefix blocks
+    (a sliding window crosses prefix boundaries; a prefix block crosses
+    sort-distance gaps; classic multi-pass ER runs both).
+
+    Scale shape (the part naive SN gets wrong): the global position is
+    NOT a single-task ``row_number() OVER (ORDER BY key)`` — it rides
+    :func:`~..ops.sampling.two_phase_running_sum` with a key-prefix
+    ``sub_bucket`` (monotone along the sort order), so ranking
+    parallelizes. The neighborhood join is then an EQUI-join: each row
+    probes its rank-bucket and the next (``bucket_size >= window``
+    guarantees a window never spans more than two consecutive buckets),
+    and the pair filter ``0 < rank_b - rank_a <= window`` runs on the
+    bucketed candidates — never a cross join, never a rank-range theta
+    join.
+
+    Returns one row per candidate pair: ``id_a, id_b, key_a, key_b,
+    rank_gap`` (ties in ``key`` order break by id, so ranks — and
+    therefore pairs — are deterministic).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    b = max(int(bucket_size), int(window))
+    from .sampling import two_phase_running_sum
+
+    keys = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(key_col).cast("string").alias("__k"),
+    ).filter(F.col("__k").isNotNull())
+    sub = sub_bucket if sub_bucket is not None else F.substring("__k", 1, 1)
+    ranked = two_phase_running_sum(
+        keys,
+        [],
+        [F.asc("__k"), F.asc("__id")],
+        F.lit(1),
+        sub,
+        out_col="__rank",
+    ).select("__id", "__k", "__rank")
+    # both join sides consume the ranked relation — materialize it once
+    ranked = ranked.localCheckpoint(eager=False)
+    probe = ranked.select(
+        F.col("__id").alias("id_a"),
+        F.col("__k").alias("key_a"),
+        F.col("__rank").alias("__ra"),
+        F.explode(
+            F.array(
+                F.expr(f"__rank div {b}"), F.expr(f"__rank div {b} + 1")
+            )
+        ).alias("__rb"),
+    )
+    build = ranked.select(
+        F.col("__id").alias("id_b"),
+        F.col("__k").alias("key_b"),
+        F.col("__rank").alias("__rbrank"),
+        F.expr(f"__rank div {b}").alias("__rb"),
+    )
+    gap = F.col("__rbrank") - F.col("__ra")
+    return (
+        probe.join(build, "__rb")
+        .filter((gap > 0) & (gap <= window))
+        .select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            gap.cast("bigint").alias("rank_gap"),
+        )
     )

@@ -52,6 +52,7 @@ __all__ = [
     "chisq_independence",
     "kmv_jaccard",
     "hdr_quantiles",
+    "rolling_corr",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -1216,3 +1217,88 @@ def hdr_quantiles(
         )
         .select("quantile", "target_rank", "est", "n")
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    window_days: int = 7,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Trailing Pearson correlation between two DAILY metrics per key —
+    the co-movement monitor (does order count still track revenue?)
+    computed deterministically: raw rows collapse to one (key, day) row
+    of integer-lattice sums FIRST, then the five rolling sums (n, Sx,
+    Sy, Sxx, Syy, Sxy) run over a ``window_days``-row frame and the
+    correlation closes in doubles at the end:
+
+        r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    Determinism notes: per-day products reach (value_sum)^2 — decimal
+    (38,0), not BIGINT; sqrt IS correctly-rounded under IEEE 754 (unlike
+    ln/exp), so both engines return the identical double; degenerate
+    windows (either variance zero, or fewer than 2 days) publish NULL.
+    Floor-published to ``round_to``.
+
+    Scale: the groupBy collapses arbitrary per-day row counts before any
+    window; the rolling frame is ``window_days`` rows per task and the
+    window partitions by key — day-count-sized partitions regardless of
+    raw volume.
+    """
+    dec = "decimal(38,0)"
+    ts = F.col(ts_col).cast("timestamp")
+    xq = F.floor(F.col(x_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    yq = F.floor(F.col(y_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    daily = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            ts.cast("date").alias("day"),
+            xq.alias("__x"),
+            yq.alias("__y"),
+        )
+        .groupBy("__key", "day")
+        .agg(
+            F.sum("__x").cast("bigint").alias("__dx"),
+            F.sum("__y").cast("bigint").alias("__dy"),
+        )
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.asc("day"))
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast(dec)
+    sx = F.sum(F.col("__dx").cast(dec)).over(w)
+    sy = F.sum(F.col("__dy").cast(dec)).over(w)
+    sxx = F.sum((F.col("__dx").cast(dec) * F.col("__dx").cast(dec))).over(w)
+    syy = F.sum((F.col("__dy").cast(dec) * F.col("__dy").cast(dec))).over(w)
+    sxy = F.sum((F.col("__dx").cast(dec) * F.col("__dy").cast(dec))).over(w)
+    stats = daily.select(
+        F.col("__key").alias(key_col),
+        "day",
+        n.cast("bigint").alias("n_days"),
+        (n * sxy - sx * sy).cast("double").alias("__num"),
+        (n * sxx - sx * sx).cast("double").alias("__vx"),
+        (n * syy - sy * sy).cast("double").alias("__vy"),
+    )
+    p = float(10**round_to)
+    corr = F.when(
+        (F.col("n_days") >= 2) & (F.col("__vx") > 0) & (F.col("__vy") > 0),
+        F.floor(
+            F.col("__num")
+            / (F.sqrt(F.col("__vx")) * F.sqrt(F.col("__vy")))
+            * F.lit(p)
+            + F.lit(0.5)
+        )
+        / F.lit(p),
+    )
+    return stats.select(key_col, "day", "n_days", corr.alias("corr"))

