@@ -4557,6 +4557,38 @@ def q209_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q210_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS entity resolution end-to-end (the classic composition
+    Hernandez-Stolfo recommend): three independent blocking passes over
+    the part-name vocabulary — prefix blocks (q97), Soundex phonetic
+    blocks (q183), sorted-neighborhood window (q207) — each verified by
+    levenshtein <= 3, their pair sets unioned, and connected components
+    (q56's star-contraction op) assigning every name an entity cluster.
+    Multi-pass is the point: each blocking scheme misses pairs the
+    others catch, and the union graph clusters transitively. All three
+    passes are equi-join blocked (no cross join anywhere), and the
+    cluster id is the minimum name per component — deterministic, so the
+    whole pipeline carries a recursive-CTE value oracle."""
+    from manufacturing_data_integration_tool_spark.ops.graph import dedup_clusters
+
+    part = read_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    prefix = dd.fuzzy_key_pairs(part, "p_name", max_dist=3, block_chars=3).select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+    phonetic = dd.phonetic_key_pairs(part, "p_name", max_dist=3).select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+    sn = dd.sorted_neighborhood_pairs(names, "name", "name", window=5)
+    sn_pairs = sn.filter(F.levenshtein("key_a", "key_b") <= 3).select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+    pairs = prefix.unionByName(phonetic).unionByName(sn_pairs).distinct()
+    return dedup_clusters(names, pairs, "name").select(
+        "name", "cluster_id", "is_survivor"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4661,6 +4693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_sorted_neighborhood": q207_sorted_neighborhood,
         "q208_rolling_corr": q208_rolling_corr,
         "q209_fd_repair": q209_fd_repair,
+        "q210_entity_clusters": q210_entity_clusters,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -4959,13 +4992,10 @@ def _mmr_oracle_sql(k: int = 10, lam: float = 0.7) -> str:
     """
 
 
-def _phonetic_oracle_sql() -> str:
-    """DuckDB twin of q183: the identical explicit-ops Soundex chain as
-    ops.dedup.soundex_code (translate -> per-digit H/W-transparent run
-    collapse -> marker strip -> first-code drop -> pad), then the
-    blocked levenshtein verify. Every function here has engine-identical
-    semantics; DuckDB regexp_replace needs the explicit 'g' flag where
-    Spark's is global by default."""
+def _soundex_coded_cte() -> str:
+    """CTE chain computing the explicit-ops Soundex code per distinct
+    part name (>= 4 chars) — shared by the q183 oracle and q210's
+    phonetic clustering pass. Ends with ``coded(k, code)``."""
     m = "m0"
     collapses = []
     for i, d in enumerate("123456", start=1):
@@ -4974,8 +5004,7 @@ def _phonetic_oracle_sql() -> str:
             f"'{d}', 'g') AS m FROM m{i - 1})"
         )
         m = f"m{i}"
-    return f"""
-        WITH keys AS (
+    return f"""keys AS (
           SELECT DISTINCT p_name AS k FROM part WHERE len(p_name) >= 4),
         lets AS (SELECT k,
                         regexp_replace(upper(k), '[^A-Z]', '', 'g') AS L
@@ -4995,7 +5024,18 @@ def _phonetic_oracle_sql() -> str:
         coded AS (
           SELECT k,
                  substr(L, 1, 1) || substr(digits || '000', 1, 3) AS code
-          FROM dig2 WHERE L <> '')
+          FROM dig2 WHERE L <> '')"""
+
+
+def _phonetic_oracle_sql() -> str:
+    """DuckDB twin of q183: the identical explicit-ops Soundex chain as
+    ops.dedup.soundex_code (translate -> per-digit H/W-transparent run
+    collapse -> marker strip -> first-code drop -> pad), then the
+    blocked levenshtein verify. Every function here has engine-identical
+    semantics; DuckDB regexp_replace needs the explicit 'g' flag where
+    Spark's is global by default."""
+    return f"""
+        WITH {_soundex_coded_cte()}
         SELECT a.k AS key_a, b.k AS key_b, a.code AS code,
                CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
         FROM coded a JOIN coded b ON a.code = b.code AND a.k < b.k
@@ -6461,6 +6501,43 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)
                          * 1000000.0 + 0.5) / 1000000.0 AS majority_share
             FROM w WHERE rn = 1 AND n_variants > 1
+        """,
+        "q210_entity_clusters": f"""
+            WITH RECURSIVE {_soundex_coded_cte()},
+            vn AS (SELECT DISTINCT p_name AS k FROM part
+                   WHERE p_name IS NOT NULL),
+            pblk AS (SELECT k, lower(substr(k, 1, 3)) AS blk FROM vn),
+            prefix_pairs AS (
+              SELECT a.k AS pa, b.k AS pb
+              FROM pblk a JOIN pblk b ON a.blk = b.blk AND a.k < b.k
+              WHERE levenshtein(a.k, b.k) <= 3),
+            phon_pairs AS (
+              SELECT a.k AS pa, b.k AS pb
+              FROM coded a JOIN coded b ON a.code = b.code AND a.k < b.k
+              WHERE levenshtein(a.k, b.k) <= 3),
+            rnk AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k, k) AS rn FROM vn),
+            sn_pairs AS (
+              SELECT a.k AS pa, b.k AS pb
+              FROM rnk a JOIN rnk b ON b.rn > a.rn AND b.rn - a.rn <= 5
+              WHERE levenshtein(a.k, b.k) <= 3),
+            allp AS MATERIALIZED (
+              SELECT pa, pb FROM prefix_pairs
+              UNION SELECT pa, pb FROM phon_pairs
+              UNION SELECT pa, pb FROM sn_pairs),
+            sym AS MATERIALIZED (
+              SELECT pa AS a, pb AS b FROM allp
+              UNION SELECT pb, pa FROM allp),
+            reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.node
+            ),
+            comp AS (SELECT node, MIN(r) AS cluster_id FROM reach
+                     GROUP BY node)
+            SELECT v.k AS name,
+                   COALESCE(c.cluster_id, v.k) AS cluster_id,
+                   COALESCE(c.cluster_id, v.k) = v.k AS is_survivor
+            FROM vn v LEFT JOIN comp c ON c.node = v.k
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

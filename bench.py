@@ -185,6 +185,7 @@ HEADLINE = [
     "q207_sorted_neighborhood",
     "q208_rolling_corr",
     "q209_fd_repair",
+    "q210_entity_clusters",
 ]
 
 

@@ -266,3 +266,30 @@ def test_rolling_corr_extremes(spark):
     assert out[("flat", last)]["corr"] is None          # zero y-variance
     assert out[("pos", "2024-05-01")]["corr"] is None   # single-day window
     assert out[("pos", last)]["n_days"] == 5
+
+
+def test_multipass_er_union_dominates_single_passes(spark):
+    """q210's union pair graph must contain every single-pass pair set
+    (the rationale for multi-pass blocking)."""
+    import __spark_entry__ as e
+    from manufacturing_data_integration_tool_spark.ops import dedup as dd
+    from manufacturing_data_integration_tool_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    part = read_table(spark, sf, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    prefix = {
+        (r["key_a"], r["key_b"])
+        for r in dd.fuzzy_key_pairs(part, "p_name", max_dist=3, block_chars=3)
+        .select("key_a", "key_b").collect()
+    }
+    sn = {
+        (r["key_a"], r["key_b"])
+        for r in dd.sorted_neighborhood_pairs(names, "name", "name", window=5)
+        .filter(F.levenshtein("key_a", "key_b") <= 3)
+        .select("key_a", "key_b").collect()
+    }
+    clusters = e.q210_entity_clusters(spark, sf).collect()
+    by_name = {r["name"]: r["cluster_id"] for r in clusters}
+    for a, b in prefix | sn:
+        assert by_name[a] == by_name[b], (a, b)

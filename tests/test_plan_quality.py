@@ -880,3 +880,13 @@ def test_q209_repair_windows_are_custkey_partitioned(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("o_custkey" in m for m in specs)
     assert "CartesianProduct" not in plan
+
+
+def test_q210_multipass_er_no_cartesian(spark):
+    """Three blocked pair passes + star-contraction clustering: every
+    join equi-keyed (block key / soundex code / rank bucket / node id),
+    no cross join, no Python."""
+    plan = plan_of(entry.q210_entity_clusters(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
