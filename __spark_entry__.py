@@ -4589,6 +4589,41 @@ def q210_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q211_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff audit (functions.merge.snapshot_diff) closing the
+    loop on q144: diff the customer snapshot against the merged result
+    of the same deterministic change batch — every applied change must
+    come back out, classified (added = the re-keyed inserts, removed =
+    the deletes, changed = the patched rows), unchanged rows dropped.
+    One full-outer join on the key; the shuffle carries (key, md5)
+    pairs computed map-side, never the payload; string compare columns
+    only (doubles render differently across engines, so the op's
+    contract is caller-chosen canonical columns)."""
+    from manufacturing_data_integration_tool_spark.functions.merge import (
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    src = cust.filter(
+        (F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 17 == 3)
+    ).select(
+        F.when(F.col("c_custkey") % 23 == 5, F.col("c_custkey") + 1000000000)
+        .otherwise(F.col("c_custkey"))
+        .alias("c_custkey"),
+        F.concat(F.lit("PATCHED_"), "c_name").alias("c_name"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_custkey") % 17 == 3).alias("is_delete"),
+    )
+    merged = merge_upsert(cust, src, ["c_custkey"], delete_col="is_delete")
+    diff = snapshot_diff(
+        cust, merged, ["c_custkey"], compare_cols=["c_name", "c_mktsegment"]
+    )
+    return diff.filter(F.col("change_type") != "unchanged")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4694,6 +4729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_rolling_corr": q208_rolling_corr,
         "q209_fd_repair": q209_fd_repair,
         "q210_entity_clusters": q210_entity_clusters,
+        "q211_snapshot_diff": q211_snapshot_diff,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -6538,6 +6574,53 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.cluster_id, v.k) AS cluster_id,
                    COALESCE(c.cluster_id, v.k) = v.k AS is_survivor
             FROM vn v LEFT JOIN comp c ON c.node = v.k
+        """,
+        "q211_snapshot_diff": """
+            WITH cust AS (
+              SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+            ), src AS (
+              SELECT CASE WHEN c_custkey % 23 = 5 THEN c_custkey + 1000000000
+                          ELSE c_custkey END AS c_custkey,
+                     'PATCHED_' || c_name AS c_name,
+                     'UPDATED' AS c_mktsegment,
+                     (c_custkey % 17 = 3) AS is_delete
+              FROM cust WHERE c_custkey % 5 = 0 OR c_custkey % 17 = 3
+            ), merged AS (
+              SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+                     CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                          ELSE t.c_name END AS c_name,
+                     CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                          ELSE t.c_mktsegment END AS c_mktsegment
+              FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+              WHERE NOT COALESCE(s.is_delete, FALSE)
+            ), oh AS (
+              SELECT c_custkey,
+                     md5(coalesce(CAST(c_name AS VARCHAR), chr(0)) || chr(31)
+                         || coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))
+                       AS old_hash
+              FROM cust
+            ), nh AS (
+              SELECT c_custkey,
+                     md5(coalesce(CAST(c_name AS VARCHAR), chr(0)) || chr(31)
+                         || coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))
+                       AS new_hash
+              FROM merged
+            ), d AS (
+              SELECT COALESCE(oh.c_custkey, nh.c_custkey) AS c_custkey,
+                     old_hash, new_hash
+              FROM oh FULL OUTER JOIN nh ON oh.c_custkey = nh.c_custkey
+            )
+            SELECT c_custkey,
+                   CASE WHEN old_hash IS NULL THEN 'added'
+                        WHEN new_hash IS NULL THEN 'removed'
+                        WHEN old_hash = new_hash THEN 'unchanged'
+                        ELSE 'changed' END AS change_type,
+                   old_hash, new_hash
+            FROM d
+            WHERE CASE WHEN old_hash IS NULL THEN 'added'
+                       WHEN new_hash IS NULL THEN 'removed'
+                       WHEN old_hash = new_hash THEN 'unchanged'
+                       ELSE 'changed' END <> 'unchanged'
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -186,6 +186,7 @@ HEADLINE = [
     "q208_rolling_corr",
     "q209_fd_repair",
     "q210_entity_clusters",
+    "q211_snapshot_diff",
 ]
 
 

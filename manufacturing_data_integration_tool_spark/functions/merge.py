@@ -13,7 +13,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["merge_upsert"]
+__all__ = ["merge_upsert", "snapshot_diff"]
 
 
 def merge_upsert(
@@ -77,3 +77,57 @@ def merge_upsert(
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))
     return joined.filter(keep).select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    *,
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Classify every key between two snapshots of the same table:
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the audit
+    companion to :func:`merge_upsert` (what DID the nightly apply
+    change?), and the generic CDC-extraction primitive when the upstream
+    system only hands over full snapshots.
+
+    Content equality is a canonical md5 over ``compare_cols`` (default:
+    all shared non-key columns, in ``old``'s column order) with
+    NULL-safe encoding: each value is cast to string and NULL maps to a
+    ``chr(0)`` sentinel, fields joined on a ``chr(31)`` separator — the
+    same engine-portable framing the dedup family uses, so the whole
+    diff carries a SQL oracle.
+
+    Exactly ONE full-outer shuffle join on the keys (the minimum any
+    snapshot diff needs); hashes are computed map-side before the join,
+    so the shuffle carries (key, 32-byte hash), never the payload.
+    Output: key columns + ``change_type`` + ``old_hash`` / ``new_hash``
+    (NULL on the absent side).
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    if not compare_cols:
+        raise ValueError("no compare columns")
+
+    def _hash(df: DataFrame, out: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in compare_cols
+        ]
+        return df.select(
+            *keys, F.md5(F.concat_ws("\x1f", *parts)).alias(out)
+        )
+
+    o = _hash(old, "old_hash")
+    n = _hash(new, "new_hash")
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*keys, change.alias("change_type"), "old_hash", "new_hash")

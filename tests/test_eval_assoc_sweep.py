@@ -293,3 +293,22 @@ def test_multipass_er_union_dominates_single_passes(spark):
     by_name = {r["name"]: r["cluster_id"] for r in clusters}
     for a, b in prefix | sn:
         assert by_name[a] == by_name[b], (a, b)
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    from manufacturing_data_integration_tool_spark.functions.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 99.0), (2, "B", 20.0), (4, "d", 40.0)],
+        "k long, v string, x double",
+    )
+    out = {r["k"]: r["change_type"] for r in
+           snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()}
+    # x excluded from compare_cols -> k=1 counts as unchanged
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -890,3 +890,14 @@ def test_q210_multipass_er_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q211_diff_shuffles_hashes_not_payload(spark):
+    """The full-outer diff join must consume pre-hashed (key, md5)
+    projections — the md5 is computed below the join exchange, and no
+    payload column crosses the shuffle."""
+    plan = plan_of(entry.q211_snapshot_diff(spark, "/root/testdata/sf0.001"))
+    assert "md5" in plan
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
