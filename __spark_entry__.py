@@ -4624,6 +4624,93 @@ def q211_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.filter(F.col("change_type") != "unchanged")
 
 
+def q212_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor disambiguation over the q207 candidate
+    pairs: each name keeps only its single best match (smallest
+    levenshtein, ties to the lexicographically smaller partner), and a
+    pair survives only if BOTH endpoints chose each other — the
+    reciprocal-best-match rule that turns a noisy candidate graph into
+    high-precision 1:1 links (standard in record linkage and
+    bioinformatics ortholog mapping). Per-endpoint argmin is a window
+    over that endpoint's bounded candidate list; the reciprocity check
+    is a self-equi-join on the canonical pair."""
+    part = read_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    sn = dd.sorted_neighborhood_pairs(names, "name", "name", window=5)
+    lev = F.levenshtein("key_a", "key_b")
+    cands = sn.filter(lev <= 3).select(
+        F.col("key_a").alias("a"), F.col("key_b").alias("b"), lev.alias("lev")
+    )
+    # symmetric endpoint view: every candidate from each side's perspective
+    ends = cands.select("a", "b", "lev").unionByName(
+        cands.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("lev")
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.asc("lev"), F.asc("b"))
+    best = ends.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    # reciprocity: (x chose y) joined with (y chose x), canonical a < b
+    left = best.select(F.col("a").alias("x"), F.col("b").alias("y"), "lev")
+    right = best.select(F.col("a").alias("y"), F.col("b").alias("x"))
+    return (
+        left.join(right, ["x", "y"])
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("name_a"),
+            F.col("y").alias("name_b"),
+            F.col("lev").cast("bigint").alias("lev"),
+        )
+    )
+
+
+def q213_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly screen: each (event_type, day)'s value sum
+    versus the mean of the SAME WEEKDAY's previous 4 occurrences — the
+    weekday-seasonal baseline that plain trailing windows (q61) smear.
+    Residual and baseline stay on the cent-integer lattice (the 4-lag
+    mean is one exact division by 4... kept as a x4-scaled integer so no
+    division happens at all: residual_x4 = 4*value - lag-sum). The lag
+    window partitions by (event_type, weekday) — day-count-sized tasks.
+    Flags |residual| > 50% of baseline."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vq"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vq").cast("bigint").alias("dv"))
+    )
+    wd = F.dayofweek(F.col("day"))
+    w = (
+        Window.partitionBy("event_type", "__wd")
+        .orderBy(F.asc("day"))
+        .rowsBetween(-4, -1)
+    )
+    scored = (
+        daily.withColumn("__wd", wd)
+        .withColumn("__lag_n", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("__lag_sum", F.sum("dv").over(w).cast("bigint"))
+    )
+    # x4-scaled integers: residual4 = 4*dv - lag_sum when all 4 lags exist
+    res4 = F.col("dv") * 4 - F.col("__lag_sum")
+    return scored.filter(F.col("__lag_n") == 4).select(
+        "event_type",
+        "day",
+        "dv",
+        F.col("__lag_sum").alias("baseline_sum4"),
+        res4.cast("bigint").alias("residual_x4"),
+        # |4*dv - lagsum| > 0.5 * lagsum  <=>  |8*dv - 2*lagsum| > lagsum
+        (F.abs(F.col("dv") * 8 - F.col("__lag_sum") * 2) > F.col("__lag_sum"))
+        .alias("is_anomaly"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4730,6 +4817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_fd_repair": q209_fd_repair,
         "q210_entity_clusters": q210_entity_clusters,
         "q211_snapshot_diff": q211_snapshot_diff,
+        "q212_mutual_best_match": q212_mutual_best_match,
+        "q213_seasonal_residuals": q213_seasonal_residuals,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
@@ -6621,6 +6710,48 @@ def oracle_sql() -> dict[str, str]:
                        WHEN new_hash IS NULL THEN 'removed'
                        WHEN old_hash = new_hash THEN 'unchanged'
                        ELSE 'changed' END <> 'unchanged'
+        """,
+        "q212_mutual_best_match": """
+            WITH vn AS (SELECT DISTINCT p_name AS k FROM part
+                        WHERE p_name IS NOT NULL),
+            rnk AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k, k) AS rn FROM vn),
+            cands AS (
+              SELECT a.k AS a, b.k AS b,
+                     CAST(levenshtein(a.k, b.k) AS BIGINT) AS lev
+              FROM rnk a JOIN rnk b ON b.rn > a.rn AND b.rn - a.rn <= 5
+              WHERE levenshtein(a.k, b.k) <= 3),
+            ends AS (SELECT a, b, lev FROM cands
+                     UNION ALL SELECT b, a, lev FROM cands),
+            best AS (SELECT a, b, lev FROM (
+                       SELECT a, b, lev,
+                              ROW_NUMBER() OVER (PARTITION BY a
+                                                 ORDER BY lev, b) AS rn
+                       FROM ends)
+                     WHERE rn = 1)
+            SELECT l.x AS name_a, l.y AS name_b, l.lev
+            FROM (SELECT a AS x, b AS y, lev FROM best) l
+            JOIN (SELECT a AS y, b AS x FROM best) r USING (x, y)
+            WHERE l.x < l.y
+        """,
+        "q213_seasonal_residuals": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events GROUP BY 1, 2),
+            lagged AS (
+              SELECT event_type, day, dv,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS lag_n,
+                     CAST(SUM(dv) OVER w AS BIGINT) AS lag_sum
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type, dayofweek(day)
+                           ORDER BY day
+                           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, day, dv,
+                   lag_sum AS baseline_sum4,
+                   CAST(dv * 4 - lag_sum AS BIGINT) AS residual_x4,
+                   (abs(dv * 8 - lag_sum * 2) > lag_sum) AS is_anomaly
+            FROM lagged WHERE lag_n = 4
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -187,6 +187,8 @@ HEADLINE = [
     "q209_fd_repair",
     "q210_entity_clusters",
     "q211_snapshot_diff",
+    "q212_mutual_best_match",
+    "q213_seasonal_residuals",
 ]
 
 

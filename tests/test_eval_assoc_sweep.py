@@ -312,3 +312,37 @@ def test_snapshot_diff_classifies_all_four_states(spark):
            snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()}
     # x excluded from compare_cols -> k=1 counts as unchanged
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_mutual_best_match_requires_reciprocity(spark):
+    """Chain a-b-c where b's best is a: (a,b) survives, (b,c) does not;
+    mutual pairs are 1:1 by construction."""
+    import __spark_entry__  # noqa: F401  (same helpers)
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from pyspark.sql import Window
+
+    # keys sorted: "cat", "cats", "catz", "zebra"; lev(cat,cats)=1,
+    # lev(cats,catz)=1, lev(cat,catz)=1 -> best(cat)=cats(tie->cats),
+    # best(cats)=cat (tie to smaller), best(catz)=cat but cat chose cats
+    names = spark.createDataFrame(
+        [("cat",), ("cats",), ("catz",), ("zebra",)], "name string"
+    )
+    sn = sorted_neighborhood_pairs(names, "name", "name", window=3)
+    lev = F.levenshtein("key_a", "key_b")
+    cands = sn.filter(lev <= 2).select(
+        F.col("key_a").alias("a"), F.col("key_b").alias("b"), lev.alias("lev")
+    )
+    ends = cands.unionByName(
+        cands.select(F.col("b").alias("a"), F.col("a").alias("b"), "lev")
+    )
+    w = Window.partitionBy("a").orderBy(F.asc("lev"), F.asc("b"))
+    best = ends.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    left = best.select(F.col("a").alias("x"), F.col("b").alias("y"), "lev")
+    right = best.select(F.col("a").alias("y"), F.col("b").alias("x"))
+    mutual = {
+        (r["x"], r["y"])
+        for r in left.join(right, ["x", "y"]).filter("x < y").collect()
+    }
+    assert mutual == {("cat", "cats")}

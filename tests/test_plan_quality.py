@@ -901,3 +901,18 @@ def test_q211_diff_shuffles_hashes_not_payload(spark):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q212_and_q213_windows_are_bounded_partitions(spark):
+    """q212's argmin windows partition by the endpoint name (bounded
+    candidate lists); q213's lag windows partition by (event_type,
+    weekday) after the daily collapse."""
+    import re
+
+    plan = plan_of(entry.q212_mutual_best_match(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    plan2 = plan_of(entry.q213_seasonal_residuals(spark, "/root/testdata/sf0.001"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan2)
+    assert specs and all("event_type" in m and "__wd" in m for m in specs)
+    assert "BatchEvalPython" not in plan2
