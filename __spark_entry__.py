@@ -4711,6 +4711,27 @@ def q213_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q214_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's sibling source format through the driver gate: pinned
+    all-string JSONL read (sources/readers.read_source_jsonl) of the
+    golden fixture re-encoded as newline-delimited JSON — the landing
+    format crawl/export pipelines actually deliver. Schema comes from
+    the XML mapping config (no inference pass); lineage off so row
+    values are engine-comparable."""
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        read_source_jsonl,
+    )
+
+    fixtures = Path(__file__).resolve().parent / "tests" / "fixtures"
+    cfg = load_config(str(fixtures / "mapping_config.xml"))
+    return read_source_jsonl(
+        spark,
+        str(fixtures / "production_golden_9rows.jsonl"),
+        cfg,
+        with_lineage=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4818,6 +4839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_entity_clusters": q210_entity_clusters,
         "q211_snapshot_diff": q211_snapshot_diff,
         "q212_mutual_best_match": q212_mutual_best_match,
+        "q214_jsonl_scan": q214_jsonl_scan,
         "q213_seasonal_residuals": q213_seasonal_residuals,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
@@ -6752,6 +6774,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dv * 4 - lag_sum AS BIGINT) AS residual_x4,
                    (abs(dv * 8 - lag_sum * 2) > lag_sum) AS is_anomaly
             FROM lagged WHERE lag_n = 4
+        """,
+        "q214_jsonl_scan": f"""
+            SELECT "timestamp", line_id, batch_number, product_code,
+                   temperature_c, pressure_kpa, humidity_pct, operator_id,
+                   defect_count
+            FROM read_json('{Path(__file__).resolve().parent / "tests" / "fixtures" / "production_golden_9rows.jsonl"}',
+                           format='newline_delimited',
+                           columns={{'timestamp': 'VARCHAR', 'line_id': 'VARCHAR',
+                                     'batch_number': 'VARCHAR',
+                                     'product_code': 'VARCHAR',
+                                     'temperature_c': 'VARCHAR',
+                                     'pressure_kpa': 'VARCHAR',
+                                     'humidity_pct': 'VARCHAR',
+                                     'operator_id': 'VARCHAR',
+                                     'defect_count': 'VARCHAR'}})
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -189,6 +189,7 @@ HEADLINE = [
     "q211_snapshot_diff",
     "q212_mutual_best_match",
     "q213_seasonal_residuals",
+    "q214_jsonl_scan",
 ]
 
 

@@ -1,9 +1,10 @@
-from .readers import read_source_csv, read_tables, TABLE_NAMES
+from .readers import read_source_csv, read_source_jsonl, read_tables, TABLE_NAMES
 from .sinks import write_errors, write_valid, jdbc_writer_options
 from .archive import archive_file
 
 __all__ = [
     "read_source_csv",
+    "read_source_jsonl",
     "read_tables",
     "TABLE_NAMES",
     "write_errors",

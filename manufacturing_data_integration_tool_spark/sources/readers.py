@@ -83,6 +83,37 @@ def read_source_csv(
     return df
 
 
+def read_source_jsonl(
+    spark: SparkSession,
+    path_or_glob: str | Sequence[str],
+    config: Optional[IntegrationConfig] = None,
+    *,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """Read newline-delimited JSON with the same pinned all-string
+    discipline as :func:`read_source_csv`: when ``config`` is given, the
+    schema is the declared source columns (string-typed) — no inference
+    job (at scale, JSON schema inference is a full extra pass over the
+    landing zone) and unexpected fields are simply not materialized
+    (column pruning pushes into the JSON parser). JSONL is the landing
+    format crawl/export pipelines actually hand over; semantics
+    otherwise mirror the CSV source (PERMISSIVE, optional lineage)."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if config:
+        schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in config.source_columns]
+        )
+        reader = reader.schema(schema)
+    df = reader.json(
+        list(path_or_glob)
+        if isinstance(path_or_glob, (list, tuple))
+        else path_or_glob
+    )
+    if with_lineage:
+        df = df.withColumn(FILE_SOURCE_COL, F.input_file_name())
+    return df
+
+
 # Tables whose downstream pipelines are CPU-heavy per row (tokenization,
 # hashing, vector math, rule compilation) — worth fanning out when the scan
 # itself can't parallelize (see _fan_out_small_scan).

@@ -171,3 +171,38 @@ def test_conform_to_contract_handles_drift(spark):
     assert dict(out.dtypes) == {"a": "bigint", "b": "double", "c": "string"}
     with pytest.raises(TypeError):
         conform_to_contract(src, "a BIGINT, b DOUBLE", on_type_mismatch="strict")
+
+
+def test_orc_and_jsonl_roundtrip(spark, tmp_path):
+    """Source/sink format breadth: ORC (columnar interchange) and JSONL
+    (landing format) round-trip the same rows byte-for-byte. ORC rides
+    Spark's native reader/writer (predicate pushdown + column pruning
+    apply exactly as for parquet); JSONL re-enters through the pinned
+    all-string reader."""
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        read_source_jsonl,
+        read_table,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    want = sorted(map(tuple, docs.collect()))
+
+    orc_dir = tmp_path / "docs_orc"
+    docs.write.mode("overwrite").orc(str(orc_dir))
+    got_orc = sorted(map(tuple, spark.read.orc(str(orc_dir)).collect()))
+    assert got_orc == want
+
+    jl_dir = tmp_path / "docs_jsonl"
+    docs.selectExpr(
+        "CAST(doc_id AS STRING) AS doc_id", "lang", "source",
+        "CAST(n_chars AS STRING) AS n_chars"
+    ).write.mode("overwrite").json(str(jl_dir))
+    back = read_source_jsonl(
+        spark, str(jl_dir) + "/*.json", None, with_lineage=False
+    ).selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id", "lang", "source",
+        "CAST(n_chars AS BIGINT) AS n_chars"
+    )
+    assert sorted(map(tuple, back.collect())) == want
