@@ -4732,6 +4732,41 @@ def q214_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q215_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HDR quantiles (ops.stats.hdr_quantiles with group_cols):
+    per-event-type p50/p90/p99 of the cent-quantized event value — all
+    types' histograms, cumulative counts, and target ranks in ONE
+    parallel pipeline (every stage keyed by event_type; totals broadcast
+    back). The per-group generalization of q206's global sketch."""
+    from manufacturing_data_integration_tool_spark.ops.stats import hdr_quantiles
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return hdr_quantiles(
+        cents, "cents", (0.5, 0.9, 0.99), group_cols=["event_type"]
+    )
+
+
+def q216_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 5-fold cross-validation assignment keyed on the
+    document id (ops.sampling.kfold_assign): fold = u52(key, salt) mod
+    5 — append-stable, engine-portable, zero-shuffle. Emits the
+    per-(lang, fold) count matrix so the oracle also checks fold
+    balance, not just membership."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import kfold_assign
+
+    docs = read_table(spark, sf_dir, "documents")
+    folded = kfold_assign(docs, "doc_id", k=5)
+    return folded.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4840,6 +4875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_snapshot_diff": q211_snapshot_diff,
         "q212_mutual_best_match": q212_mutual_best_match,
         "q214_jsonl_scan": q214_jsonl_scan,
+        "q215_value_quantiles_by_type": q215_value_quantiles_by_type,
+        "q216_kfold_assignment": q216_kfold_assignment,
         "q213_seasonal_residuals": q213_seasonal_residuals,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
@@ -6789,6 +6826,46 @@ def oracle_sql() -> dict[str, str]:
                                      'humidity_pct': 'VARCHAR',
                                      'operator_id': 'VARCHAR',
                                      'defect_count': 'VARCHAR'}})
+        """,
+        "q215_value_quantiles_by_type": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS val
+                       FROM events WHERE value IS NOT NULL),
+            vp AS (SELECT event_type, val,
+                          CAST(power(10, greatest(
+                            length(CAST(val AS VARCHAR)) - 3, 0)) AS BIGINT) AS p
+                   FROM v WHERE val >= 0),
+            b AS (SELECT event_type, (val // p) * p AS bucket,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM vp GROUP BY 1, 2),
+            r AS (SELECT event_type, bucket, n,
+                         CAST(SUM(n) OVER (PARTITION BY event_type
+                              ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) AS cum
+                  FROM b),
+            t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+                  FROM b GROUP BY 1),
+            q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                 CAST(0.99 AS DOUBLE)]) AS quantile),
+            tr AS (SELECT event_type, quantile,
+                          GREATEST(CAST(1 AS BIGINT),
+                                   CAST(ceil(quantile * CAST(tot AS DOUBLE))
+                                        AS BIGINT)) AS rk,
+                          tot
+                   FROM q, t)
+            SELECT tr.event_type, quantile, CAST(rk AS BIGINT) AS target_rank,
+                   CAST(MIN(bucket) AS BIGINT) AS est,
+                   CAST(MAX(tot) AS BIGINT) AS n
+            FROM tr JOIN r ON r.event_type = tr.event_type AND r.cum >= tr.rk
+            GROUP BY 1, 2, 3
+        """,
+        "q216_kfold_assignment": f"""
+            SELECT lang,
+                   CAST({_u52_sql("doc_id", "fold")} % 5 AS BIGINT) AS fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY 1, 2
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -190,6 +190,8 @@ HEADLINE = [
     "q212_mutual_best_match",
     "q213_seasonal_residuals",
     "q214_jsonl_scan",
+    "q215_value_quantiles_by_type",
+    "q216_kfold_assignment",
 ]
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "cap_per_group",
     "priority_sample",
     "two_phase_running_sum",
+    "kfold_assign",
     "two_phase_ntile",
     "budget_fill",
     "pack_sequences",
@@ -145,6 +146,32 @@ def _u52(key: Column | str, salt: str) -> Column:
 def u52_sql(key_sql: str, salt: str) -> str:
     """ANSI-ish SQL twin of ``_u52`` (DuckDB-compatible hex cast)."""
     return f"CAST('0x' || {bucket_sql(key_sql, salt)} AS BIGINT)"
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    *,
+    salt: str = "fold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Reproducible k-fold cross-validation assignment: fold =
+    ``u52(key, salt) mod k``. Same contract as
+    :func:`train_holdout_split` — membership depends only on
+    (key, salt), so appends/re-runs can never move a key across folds,
+    and every row of a key lands in the same fold (group-k-fold when
+    keyed on the leakage unit, e.g. the near-dup cluster id from
+    q193's pipeline). Zero shuffle: one narrow projection.
+
+    The mod-k draw is uniform to within 1 part in 2^52/k — negligible
+    fold-size skew for any practical k.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        fold_col, F.pmod(_u52(key_col, salt), F.lit(k)).cast("bigint")
+    )
 
 
 def cap_per_group(

@@ -1136,6 +1136,7 @@ def hdr_quantiles(
     quantiles: Sequence[float] = (0.5, 0.9, 0.99),
     *,
     sig_digits: int = 3,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Bounded-relative-error quantiles from a decimal log-bucket
     histogram (the HdrHistogram idea, Tene; decimal rather than binary
@@ -1158,9 +1159,12 @@ def hdr_quantiles(
     rides :func:`~..ops.sampling.two_phase_running_sum`; the quantile
     targets are a literal crossed against the tiny bucket table.
 
-    Output per quantile: ``quantile, target_rank, est, n`` where ``est``
-    is the lower bound of the first bucket whose cumulative count
-    reaches ``ceil(q * n)``.
+    Output per (group x quantile): ``group_cols + (quantile,
+    target_rank, est, n)`` where ``est`` is the lower bound of the first
+    bucket whose cumulative count reaches ``ceil(q * n)``. With
+    ``group_cols`` the histogram, running sum, and totals all key by the
+    group — one parallel pipeline for every group's quantiles; the
+    group dimension must be bounded (the totals broadcast back).
     """
     from .sampling import two_phase_running_sum
 
@@ -1169,53 +1173,54 @@ def hdr_quantiles(
     for q in quantiles:
         if not (0.0 < q <= 1.0):
             raise ValueError(f"quantile out of (0, 1]: {q}")
+    gcols = list(group_cols)
     v = F.col(col).cast("bigint")
     pw = F.expr(
         f"CAST(power(10, greatest(length(CAST(__v AS STRING)) - {sig_digits}, 0)) "
         "AS BIGINT)"
     )
-    base = df.filter(v.isNotNull() & (v >= 0)).select(v.alias("__v"))
+    base = df.filter(v.isNotNull() & (v >= 0)).select(*gcols, v.alias("__v"))
     buckets = (
-        base.select("__v", pw.alias("__pw"))
-        .select((F.expr("__v div __pw") * F.col("__pw")).alias("bucket"))
-        .groupBy("bucket")
+        base.select(*gcols, "__v", pw.alias("__pw"))
+        .select(*gcols, (F.expr("__v div __pw") * F.col("__pw")).alias("bucket"))
+        .groupBy(*gcols, "bucket")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     run = two_phase_running_sum(
         buckets,
-        [],
+        gcols,
         [F.asc("bucket")],
         F.col("__n"),
         F.expr("bucket div 1000000"),
         out_col="__cum",
     )
-    total = buckets.agg(F.sum("__n").cast("bigint").alias("__tot"))
+    total = buckets.groupBy(*gcols).agg(F.sum("__n").cast("bigint").alias("__tot"))
     spark = df.sparkSession
     targets = spark.createDataFrame(
         [(float(q),) for q in quantiles], "quantile double"
     )
-    ranked = (
-        run.crossJoin(F.broadcast(targets))
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "__rank",
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.ceil(F.col("quantile") * F.col("__tot").cast("double")).cast(
-                    "bigint"
-                ),
+    joined = run.crossJoin(F.broadcast(targets))
+    if gcols:
+        joined = joined.join(F.broadcast(total), gcols)
+    else:
+        joined = joined.crossJoin(F.broadcast(total))
+    ranked = joined.withColumn(
+        "__rank",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("quantile") * F.col("__tot").cast("double")).cast(
+                "bigint"
             ),
-        )
-        .filter(F.col("__cum") >= F.col("__rank"))
-    )
+        ),
+    ).filter(F.col("__cum") >= F.col("__rank"))
     return (
-        ranked.groupBy("quantile")
+        ranked.groupBy(*gcols, "quantile")
         .agg(
             F.max("__rank").alias("target_rank"),
             F.min("bucket").cast("bigint").alias("est"),
             F.max("__tot").alias("n"),
         )
-        .select("quantile", "target_rank", "est", "n")
+        .select(*gcols, "quantile", "target_rank", "est", "n")
     )
 
 

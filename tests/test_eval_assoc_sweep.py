@@ -346,3 +346,39 @@ def test_mutual_best_match_requires_reciprocity(spark):
         for r in left.join(right, ["x", "y"]).filter("x < y").collect()
     }
     assert mutual == {("cat", "cats")}
+
+
+def test_hdr_quantiles_grouped_matches_per_group_global(spark):
+    """Grouped HDR == the global op run per group."""
+    from manufacturing_data_integration_tool_spark.ops.stats import hdr_quantiles
+
+    rows = [("a", i) for i in range(1, 101)] + [("b", i * 10) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    grouped = {
+        (r["g"], r["quantile"]): (r["target_rank"], r["est"], r["n"])
+        for r in hdr_quantiles(df, "v", (0.5, 0.9), group_cols=["g"]).collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            r["quantile"]: (r["target_rank"], r["est"], r["n"])
+            for r in hdr_quantiles(
+                df.filter(F.col("g") == g), "v", (0.5, 0.9)
+            ).collect()
+        }
+        for q, want in solo.items():
+            assert grouped[(g, q)] == want
+
+
+def test_kfold_assignment_stable_and_partitions(spark):
+    from manufacturing_data_integration_tool_spark.ops.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    a = {r["k"]: r["fold"] for r in kfold_assign(df, "k", k=5).collect()}
+    # append stability: a subset re-run assigns identical folds
+    b = {r["k"]: r["fold"] for r in
+         kfold_assign(df.filter("k < 50"), "k", k=5).collect()}
+    assert all(a[k] == b[k] for k in b)
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    # rough balance: no fold takes more than half
+    from collections import Counter
+    assert max(Counter(a.values()).values()) < 100
