@@ -4827,29 +4827,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_lang_stats": q19_lang_stats,
         "q20_doc_quality": q20_doc_quality,
         "q21_language_id": q21_language_id,
-        # round-4 families promoted into the driver's first-50
-        # correctness window (r4 verdict #6) — newest, highest-risk
-        # operators get driver-oracle rows, not only parity rows:
-        "q121_knn_classify_lsh": q121_knn_classify_lsh,
-        "q122_corpus_ingest_batch": q122_corpus_ingest_batch,
-        "q123_csv_scan": q123_csv_scan,
-        "q141_containment_dedup": q141_containment_dedup,
-        "q143_equidepth_deciles": q143_equidepth_deciles,
-        "q149_segment_dedup": q149_segment_dedup,
-        "q163_prefix_jaccard": q163_prefix_jaccard,
-        "q184_xbar_r_chart": q184_xbar_r_chart,
-        "q185_validation_p_chart": q185_validation_p_chart,
-        "q186_we_run_rules": q186_we_run_rules,
-        "q187_process_capability": q187_process_capability,
+        # Driver first-50 window policy: the newest queries that have
+        # NEVER seen a driver correctness run come right after the base
+        # 21 — q189-q216 (registered this round). The r4/r5 promotions
+        # already earned their driver-oracle rows in CORRECTNESS_r04/r05
+        # and move below the fold; q188 stays as the SPC-family
+        # continuity representative.
         "q188_ewma_chart": q188_ewma_chart,
-        # r5-upgraded oracles (formerly rows-only) — also driver-window:
-        "q146_bpe_merges": q146_bpe_merges,
-        "q152_pagerank": q152_pagerank,
-        "q155_bpe_encode": q155_bpe_encode,
-        "q179_kcore": q179_kcore,
-        "q183_phonetic_match": q183_phonetic_match,
-        "q167_mmr_rerank": q167_mmr_rerank,
-        # r6 additions + upgraded oracles — also driver-window:
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
         "q191_kmv_distinct": q191_kmv_distinct,
@@ -4878,6 +4862,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_value_quantiles_by_type": q215_value_quantiles_by_type,
         "q216_kfold_assignment": q216_kfold_assignment,
         "q213_seasonal_residuals": q213_seasonal_residuals,
+        # below the driver 50-entry gate window: previously
+        # driver-checked r4/r5 promotions, then the long tail
+        "q121_knn_classify_lsh": q121_knn_classify_lsh,
+        "q122_corpus_ingest_batch": q122_corpus_ingest_batch,
+        "q123_csv_scan": q123_csv_scan,
+        "q141_containment_dedup": q141_containment_dedup,
+        "q143_equidepth_deciles": q143_equidepth_deciles,
+        "q149_segment_dedup": q149_segment_dedup,
+        "q163_prefix_jaccard": q163_prefix_jaccard,
+        "q184_xbar_r_chart": q184_xbar_r_chart,
+        "q185_validation_p_chart": q185_validation_p_chart,
+        "q186_we_run_rules": q186_we_run_rules,
+        "q187_process_capability": q187_process_capability,
+        "q146_bpe_merges": q146_bpe_merges,
+        "q152_pagerank": q152_pagerank,
+        "q155_bpe_encode": q155_bpe_encode,
+        "q179_kcore": q179_kcore,
+        "q183_phonetic_match": q183_phonetic_match,
+        "q167_mmr_rerank": q167_mmr_rerank,
         "q91_semantic_dedup": q91_semantic_dedup,
         "q33_ivf_ann": q33_ivf_ann,
         "q27_minhash_lsh": q27_minhash_lsh,
