@@ -4767,6 +4767,78 @@ def q216_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q217_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely level-shift day per event_type (ops.stats.
+    changepoint_cusum): binary segmentation's first split via the
+    integer CUSUM statistic |n*S_t - t*S_n| over daily cent sums —
+    every division cross-multiplied away so the argmax is exact on any
+    engine. The point-screen complement to q171's sequential CUSUM
+    flags: q171 says WHEN drift started accumulating, this says WHERE
+    one split explains the series best."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        changepoint_cusum,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return changepoint_cusum(
+        ev.filter(F.col("value").isNotNull()),
+        "event_type",
+        "ts",
+        "value",
+        scale=100,
+    )
+
+
+def q218_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel (ops.temporal.window_funnel,
+    ClickHouse ``windowFunnel`` semantics): users reaching view ->
+    click -> purchase where the WHOLE chain fits in 48 h of the
+    anchoring view — q134's unbounded funnel with the window constraint
+    conversion analyses actually contract on. Greedy-earliest per
+    anchor is exact (taking the earliest valid next step never loses a
+    completable chain); all joins are user-keyed with range residuals,
+    integer nanos both engines."""
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        window_funnel,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return window_funnel(
+        ev,
+        "user_id",
+        "ts_ns",
+        "event_type",
+        ["view", "click", "purchase"],
+        window=48 * HOUR_NS,
+    )
+
+
+def q219_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-quality audit (ops.dedup.blocking_audit; Christen
+    TKDE'12): two candidate blocking schemes over documents — raw
+    16-char prefix vs (lang, length-bucket) — scored on candidate-pair
+    cost, reduction ratio, and coverage of ground-truth near-dup pairs
+    (rows sharing their first 64 chars). Pure counting arithmetic over
+    grouped counts: no pair is ever materialized, so the audit itself
+    is safe at any corpus size (the thing it audits is what's
+    expensive)."""
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        blocking_audit,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return blocking_audit(
+        docs,
+        {
+            "prefix16": F.substring("text", 1, 16),
+            "lang_len50": F.concat_ws(
+                "|", F.col("lang"), F.floor(F.col("n_chars") / 50).cast("string")
+            ),
+        },
+        F.substring("text", 1, 64),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4862,6 +4934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_value_quantiles_by_type": q215_value_quantiles_by_type,
         "q216_kfold_assignment": q216_kfold_assignment,
         "q213_seasonal_residuals": q213_seasonal_residuals,
+        "q217_changepoint": q217_changepoint,
+        "q218_window_funnel": q218_window_funnel,
+        "q219_blocking_audit": q219_blocking_audit,
         # below the driver 50-entry gate window: previously
         # driver-checked r4/r5 promotions, then the long tail
         "q121_knn_classify_lsh": q121_knn_classify_lsh,
@@ -6869,6 +6944,102 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents
             GROUP BY 1, 2
+        """,
+        "q217_changepoint": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            c AS (
+              SELECT event_type, day, dv,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS BIGINT) AS t,
+                     CAST(SUM(dv) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS st
+              FROM daily),
+            tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(dv) AS BIGINT) AS sn
+                    FROM daily GROUP BY 1),
+            scored AS (
+              SELECT c.event_type, c.day, c.t, c.st, tot.n, tot.sn,
+                     abs(tot.n * c.st - c.t * tot.sn) AS stat
+              FROM c JOIN tot USING (event_type)
+              WHERE c.t < tot.n AND tot.n >= 2),
+            pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY stat DESC, day) AS rn
+                     FROM scored)
+            SELECT event_type, n AS n_days, day AS split_day, t AS split_t,
+                   CAST(stat AS BIGINT) AS stat, st AS left_sum,
+                   CAST(sn - st AS BIGINT) AS right_sum
+            FROM pick WHERE rn = 1
+        """,
+        "q218_window_funnel": f"""
+            WITH base AS (SELECT user_id AS u, epoch_ns(ts) AS t,
+                                 event_type AS ty FROM events),
+            a AS (SELECT u, t AS t1 FROM base WHERE ty = 'view'),
+            s2 AS (SELECT a.u, a.t1, MIN(b.t) AS t2
+                   FROM a JOIN base b
+                     ON b.u = a.u AND b.ty = 'click'
+                    AND b.t > a.t1 AND b.t <= a.t1 + {48 * 3_600_000_000_000}
+                   GROUP BY 1, 2),
+            s3 AS (SELECT s2.u, s2.t1, MIN(b.t) AS t3
+                   FROM s2 JOIN base b
+                     ON b.u = s2.u AND b.ty = 'purchase'
+                    AND b.t > s2.t2 AND b.t <= s2.t1 + {48 * 3_600_000_000_000}
+                   GROUP BY 1, 2)
+            SELECT CAST(1 AS BIGINT) AS depth, 'view' AS step_type,
+                   CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users FROM a
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click',
+                   CAST(COUNT(DISTINCT u) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST(COUNT(DISTINCT u) AS BIGINT) FROM s3
+        """,
+        "q219_blocking_audit": """
+            WITH t AS (SELECT substr(text, 1, 64) AS truth,
+                              substr(text, 1, 16) AS k1,
+                              lang || '|' ||
+                                CAST(n_chars // 50 AS VARCHAR) AS k2
+                       FROM documents),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM t),
+            tp AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+                          AS true_pairs
+                   FROM (SELECT COUNT(*) AS c FROM t GROUP BY truth)),
+            b1 AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand,
+                          CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS nbm,
+                          CAST(MAX(c) AS BIGINT) AS mb
+                   FROM (SELECT COUNT(*) AS c FROM t GROUP BY k1)),
+            c1 AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+                          AS cov
+                   FROM (SELECT COUNT(*) AS c FROM t GROUP BY truth, k1)),
+            b2 AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand,
+                          CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS nbm,
+                          CAST(MAX(c) AS BIGINT) AS mb
+                   FROM (SELECT COUNT(*) AS c FROM t GROUP BY k2)),
+            c2 AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+                          AS cov
+                   FROM (SELECT COUNT(*) AS c FROM t GROUP BY truth, k2))
+            SELECT 'prefix16' AS scheme, n_rows, b1.nbm AS n_blocks_multi,
+                   b1.mb AS max_block, b1.cand AS candidate_pairs,
+                   true_pairs, c1.cov AS true_covered,
+                   CAST(floor(1000000.0 * (1.0 -
+                        CAST(b1.cand AS DOUBLE) /
+                        CAST(n_rows * (n_rows - 1) // 2 AS DOUBLE)))
+                        AS BIGINT) AS reduction_x1e6
+            FROM tot, tp, b1, c1
+            UNION ALL
+            SELECT 'lang_len50', n_rows, b2.nbm, b2.mb, b2.cand,
+                   true_pairs, c2.cov,
+                   CAST(floor(1000000.0 * (1.0 -
+                        CAST(b2.cand AS DOUBLE) /
+                        CAST(n_rows * (n_rows - 1) // 2 AS DOUBLE)))
+                        AS BIGINT)
+            FROM tot, tp, b2, c2
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -53,6 +53,7 @@ __all__ = [
     "kmv_jaccard",
     "hdr_quantiles",
     "rolling_corr",
+    "changepoint_cusum",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -1307,3 +1308,91 @@ def rolling_corr(
         / F.lit(p),
     )
     return stats.select(key_col, "day", "n_days", corr.alias("corr"))
+
+
+def changepoint_cusum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Single most-likely changepoint per key: the first step of CUSUM
+    binary segmentation (Page 1954; Scott-Knott style recursive splits
+    run this repeatedly on the halves).
+
+    For a key's daily sums ``x_1..x_n`` with prefix sums ``S_t``, the
+    split statistic at candidate ``t`` (1 <= t < n) is
+
+        D_t = | n * S_t - t * S_n |
+
+    — the between-segment mean gap ``|S_t/t - (S_n-S_t)/(n-t)|`` with
+    every division cross-multiplied away, so it is an EXACT BIGINT on
+    inputs snapped to a ``1/scale`` grid.  The reported split is the
+    argmax of ``D_t`` with the earliest day winning ties (deterministic
+    on any engine).
+
+    Scale posture: the raw stream collapses to one row per (key, day)
+    in a combiner-friendly groupBy FIRST; the prefix-sum window and the
+    argmax window after it run over day-count-sized partitions (time is
+    bounded — a key with 10^9 events has the same ~365 rows/year here).
+    The per-key totals come back via one broadcast join, never an
+    unpartitioned window.
+
+    Output: one row per key with >= 2 days —
+    ``(key_col, n_days, split_day, split_t, stat, left_sum, right_sum)``
+    where ``left_sum``/``right_sum`` are grid-unit segment sums.
+    """
+    vq = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast(
+        "bigint"
+    )
+    daily = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            vq.alias("__vq"),
+        )
+        .groupBy("__key", "day")
+        .agg(F.sum("__vq").cast("bigint").alias("dv"))
+    )
+    wcum = (
+        Window.partitionBy("__key")
+        .orderBy(F.asc("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy("__key").orderBy(F.asc("day"))
+    c = daily.select(
+        "__key",
+        "day",
+        F.row_number().over(wrn).cast("bigint").alias("__t"),
+        F.sum("dv").over(wcum).cast("bigint").alias("__st"),
+    )
+    tot = daily.groupBy("__key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("dv").cast("bigint").alias("__sn"),
+    )
+    scored = (
+        c.join(F.broadcast(tot), "__key")
+        .filter((F.col("__t") < F.col("__n")) & (F.col("__n") >= 2))
+        .withColumn(
+            "__stat",
+            F.abs(F.col("__n") * F.col("__st") - F.col("__t") * F.col("__sn")),
+        )
+    )
+    wpick = Window.partitionBy("__key").orderBy(
+        F.desc("__stat"), F.asc("day")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wpick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__key").alias(key_col),
+            F.col("__n").alias("n_days"),
+            F.col("day").alias("split_day"),
+            F.col("__t").alias("split_t"),
+            F.col("__stat").cast("bigint").alias("stat"),
+            F.col("__st").alias("left_sum"),
+            (F.col("__sn") - F.col("__st")).cast("bigint").alias("right_sum"),
+        )
+    )

@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak", "interval_concurrency", "twap"]
+__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak", "interval_concurrency", "twap", "window_funnel"]
 
 
 def asof_join(
@@ -389,3 +389,79 @@ def twap(
             (F.col("__f") / F.lit(10.0 ** round_to)).alias("twap"),
         )
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    chain: Sequence[str],
+    *,
+    window: int,
+) -> DataFrame:
+    """Time-bounded ordered funnel (ClickHouse ``windowFunnel``
+    semantics, non-strict order): a user reaches depth ``k`` when SOME
+    chain ``t_1 < t_2 < ... < t_k`` of events typed ``chain[0..k-1]``
+    exists with ``t_k - t_1 <= window`` (``window`` in the units of
+    ``ts_col``, e.g. nanos).  Unlike the unbounded funnel (q134), a
+    step-1 anchor only counts if the whole chain fits in the window —
+    the metric marketing/conversion analyses actually want.
+
+    Mechanics: stage 1 keeps every ``chain[0]`` event as an anchor
+    ``(user, t1)``; each later stage joins the NEXT step's per-user
+    events on ``(user)`` with the range predicate ``t_prev < t <= t1 +
+    window`` and takes ``min(t)`` per anchor — greedy-earliest is
+    optimal here (taking the earliest valid next step never shrinks the
+    set of completable chains).  All joins are user-keyed equi-joins
+    with range residuals; fan-out per user is bounded by per-user
+    activity (documented skew: a bot user with 10^6 anchor events costs
+    |anchors|x|steps| pairs inside ONE user partition — cap upstream
+    with ``cap_per_group`` when user skew is real).
+
+    Output: one row per depth ``1..len(chain)`` —
+    ``(depth, step_type, n_users)`` where ``n_users`` counts users whose
+    max reached depth is >= that depth (cumulative funnel counts).
+    """
+    chain = list(chain)
+    if len(chain) < 2:
+        raise ValueError("window_funnel needs a chain of >= 2 steps")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("bigint").alias("t"),
+        F.col(type_col).alias("ty"),
+    )
+    anchors = (
+        base.filter(F.col("ty") == chain[0])
+        .select("u", F.col("t").alias("t1"))
+        .withColumn("t_prev", F.col("t1"))
+    )
+    # users reaching depth >= 1
+    depth_users = [anchors.select("u").distinct()]
+    cur = anchors
+    for step in chain[1:]:
+        nxt = base.filter(F.col("ty") == step).select(
+            "u", F.col("t").alias("__tn")
+        )
+        cur = (
+            cur.join(nxt, "u")
+            .filter(
+                (F.col("__tn") > F.col("t_prev"))
+                & (F.col("__tn") <= F.col("t1") + F.lit(window))
+            )
+            .groupBy("u", "t1")
+            .agg(F.min("__tn").alias("t_prev"))
+        )
+        depth_users.append(cur.select("u").distinct())
+    parts = [
+        d.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(i + 1).cast("bigint").alias("depth"),
+            F.lit(chain[i]).alias("step_type"),
+            "n_users",
+        )
+        for i, d in enumerate(depth_users)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -670,3 +670,172 @@ def test_soundex_code_classic_values(spark):
     df = spark.createDataFrame([Row(k=k) for k in cases])
     got = {r["k"]: r["c"] for r in df.select("k", soundex_code("k").alias("c")).collect()}
     assert got == cases
+
+
+# ---------------------------------------------------------------------------
+# changepoint_cusum / window_funnel / blocking_audit (round-6 wave 4)
+# ---------------------------------------------------------------------------
+
+
+def test_changepoint_cusum_finds_the_level_shift(spark):
+    import datetime as dt
+
+    # 6 days: 10,10,10,50,50,50 — the split must land at t=3 (last day of
+    # the left segment), the exact argmax of |n*S_t - t*S_n|.
+    rows = [
+        Row(k="a", ts=dt.datetime(2024, 1, d + 1), v=float(x))
+        for d, x in enumerate([10, 10, 10, 50, 50, 50])
+    ]
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        changepoint_cusum,
+    )
+
+    out = changepoint_cusum(
+        spark.createDataFrame(rows), "k", "ts", "v", scale=100
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["split_t"] == 3 and r["split_day"] == dt.date(2024, 1, 3)
+    assert r["left_sum"] == 3000 and r["right_sum"] == 15000
+    # stat = |6*3000 - 3*18000| = 36000
+    assert r["stat"] == 36000 and r["n_days"] == 6
+
+
+def test_changepoint_cusum_tie_breaks_earliest_day(spark):
+    import datetime as dt
+
+    # constant series: every split has stat 0 — earliest day must win.
+    rows = [
+        Row(k="a", ts=dt.datetime(2024, 1, d + 1), v=5.0) for d in range(4)
+    ]
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        changepoint_cusum,
+    )
+
+    r = changepoint_cusum(
+        spark.createDataFrame(rows), "k", "ts", "v"
+    ).collect()[0]
+    assert r["split_t"] == 1 and r["split_day"] == dt.date(2024, 1, 1)
+
+
+def test_changepoint_cusum_single_day_key_emits_nothing(spark):
+    import datetime as dt
+
+    rows = [Row(k="solo", ts=dt.datetime(2024, 1, 1), v=1.0)]
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        changepoint_cusum,
+    )
+
+    assert (
+        changepoint_cusum(spark.createDataFrame(rows), "k", "ts", "v").count()
+        == 0
+    )
+
+
+def test_window_funnel_depths_and_window_bound(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        window_funnel,
+    )
+
+    W = 100
+    rows = [
+        # u1 completes a->b->c inside the window
+        Row(u=1, t=0, ty="a"),
+        Row(u=1, t=10, ty="b"),
+        Row(u=1, t=20, ty="c"),
+        # u2: c arrives past t1+W -> depth 2 only
+        Row(u=2, t=0, ty="a"),
+        Row(u=2, t=50, ty="b"),
+        Row(u=2, t=200, ty="c"),
+        # u3: b before the anchor -> depth 1 only
+        Row(u=3, t=100, ty="a"),
+        Row(u=3, t=50, ty="b"),
+        # u4: no anchor at all
+        Row(u=4, t=0, ty="b"),
+        Row(u=4, t=1, ty="c"),
+    ]
+    out = {
+        (r["depth"], r["step_type"]): r["n_users"]
+        for r in window_funnel(
+            spark.createDataFrame(rows), "u", "t", "ty", ["a", "b", "c"], window=W
+        ).collect()
+    }
+    assert out == {(1, "a"): 3, (2, "b"): 2, (3, "c"): 1}
+
+
+def test_window_funnel_greedy_earliest_is_not_lossy(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        window_funnel,
+    )
+
+    # The earliest b (t=5) still leaves room for c at t=8; a later-b-only
+    # strategy would too — greedy must reach depth 3.
+    rows = [
+        Row(u=1, t=0, ty="a"),
+        Row(u=1, t=5, ty="b"),
+        Row(u=1, t=7, ty="b"),
+        Row(u=1, t=8, ty="c"),
+    ]
+    out = {
+        r["depth"]: r["n_users"]
+        for r in window_funnel(
+            spark.createDataFrame(rows), "u", "t", "ty", ["a", "b", "c"], window=10
+        ).collect()
+    }
+    assert out[3] == 1
+
+
+def test_window_funnel_rejects_short_chain(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        window_funnel,
+    )
+
+    with pytest.raises(ValueError, match="chain"):
+        window_funnel(
+            spark.createDataFrame([Row(u=1, t=0, ty="a")]),
+            "u",
+            "t",
+            "ty",
+            ["a"],
+            window=10,
+        )
+
+
+def test_blocking_audit_counts_by_hand(spark):
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        blocking_audit,
+    )
+
+    # truth groups: {1,2,3} share T1 (3 pairs), {4,5} share T2 (1 pair).
+    # scheme "good" blocks exactly on truth; scheme "coarse" puts
+    # everyone in one block (covers all, costs C(5,2)=10);
+    # scheme "bad" splits truth groups (covers only pair (1,2)).
+    rows = [
+        Row(id=1, truth="T1", good="T1", coarse="x", bad="p"),
+        Row(id=2, truth="T1", good="T1", coarse="x", bad="p"),
+        Row(id=3, truth="T1", good="T1", coarse="x", bad="q"),
+        Row(id=4, truth="T2", good="T2", coarse="x", bad="r"),
+        Row(id=5, truth="T2", good="T2", coarse="x", bad="s"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["scheme"]: r
+        for r in blocking_audit(
+            df,
+            {
+                "good": F.col("good"),
+                "coarse": F.col("coarse"),
+                "bad": F.col("bad"),
+            },
+            F.col("truth"),
+        ).collect()
+    }
+    assert all(r["true_pairs"] == 4 and r["n_rows"] == 5 for r in out.values())
+    g, c, b = out["good"], out["coarse"], out["bad"]
+    assert g["candidate_pairs"] == 4 and g["true_covered"] == 4
+    assert g["max_block"] == 3 and g["n_blocks_multi"] == 2
+    assert c["candidate_pairs"] == 10 and c["true_covered"] == 4
+    assert c["reduction_x1e6"] == 0  # one giant block reduces nothing
+    assert b["candidate_pairs"] == 1 and b["true_covered"] == 1
+    # reduction for "good": 1 - 4/10 = 0.6
+    assert g["reduction_x1e6"] == 600000
