@@ -4839,6 +4839,95 @@ def q219_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q220_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-rate monitor with Wilson 95% score intervals
+    (ops.stats.wilson_rate_ci; Wilson JASA 1927): per ship-month, the
+    share of lineitems returned (l_returnflag = 'R') with the interval
+    small-n defect monitoring needs (Wald collapses at k=0). Exact
+    integer (k, n) from one combiner-friendly groupBy; the interval is
+    a fixed IEEE expression tree on those integers, floor-published at
+    1e-9 — bit-identical on any engine."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        wilson_rate_ci,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    monthly = li.select(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias(
+            "ship_month"
+        ),
+        (F.col("l_returnflag") == "R").alias("__ret"),
+    )
+    return wilson_rate_ci(monthly, ["ship_month"], F.col("__ret"))
+
+
+def q221_fifo_costing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO cost-of-goods-sold per part (ops.inventory.fifo_cogs):
+    value a demand of half each part's stocked quantity against its
+    supply lots in ship-date order — the sequential 'walk the lots'
+    allocation collapsed to one prefix-sum window + arithmetic
+    (consumed = clamp(demand - cum_before, 0, qty)). Integer cents and
+    integer floor unit costs throughout; per-part lot counts are
+    fan-in-bounded (~30 at any SF), so no task streams an unbounded
+    partition."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        fifo_cogs,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    lots = li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cost_cents"),
+    )
+    dem = lots.groupBy("l_partkey").agg(
+        F.expr("sum(qty) div 2").cast("bigint").alias("__dem")
+    )
+    return fifo_cogs(
+        lots.join(dem, "l_partkey"),
+        "l_partkey",
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "qty",
+        "cost_cents",
+        F.col("__dem"),
+    )
+
+
+def q222_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ planning matrix over parts (ops.inventory.abc_xyz;
+    Dickie 1951 Pareto classes x demand-variability classes): A/B/C by
+    cumulative discounted-revenue share via the skew-safe two-phase
+    running sum (no single-task global window), X/Y/Z by coefficient
+    of variation of monthly demand decided with cross-multiplied
+    INTEGER comparisons (10000*(n*Q - S^2) vs cut^2 * S^2 — no sqrt, no
+    division). Emits the (abc, xyz) count/revenue matrix."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        abc_xyz,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    per = (
+        li.select(
+            "l_partkey",
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("m"),
+            F.floor(F.col("l_quantity")).cast("bigint").alias("__q"),
+        )
+        .groupBy("l_partkey", "m")
+        .agg(F.sum("__q").alias("q"))
+    )
+    return abc_xyz(rev, "l_partkey", "rev_cents", per, "q")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4937,6 +5026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_changepoint": q217_changepoint,
         "q218_window_funnel": q218_window_funnel,
         "q219_blocking_audit": q219_blocking_audit,
+        "q220_return_rate_wilson": q220_return_rate_wilson,
+        "q221_fifo_costing": q221_fifo_costing,
+        "q222_abc_xyz_matrix": q222_abc_xyz_matrix,
         # below the driver 50-entry gate window: previously
         # driver-checked r4/r5 promotions, then the long tail
         "q121_knn_classify_lsh": q121_knn_classify_lsh,
@@ -7040,6 +7132,110 @@ def oracle_sql() -> dict[str, str]:
                         CAST(n_rows * (n_rows - 1) // 2 AS DOUBLE)))
                         AS BIGINT)
             FROM tot, tp, b2, c2
+        """,
+        "q220_return_rate_wilson": """
+            WITH g AS (
+              SELECT CAST(date_trunc('month', l_shipdate) AS DATE)
+                       AS ship_month,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS k
+              FROM lineitem GROUP BY 1),
+            e AS (
+              SELECT ship_month, n, k,
+                     CAST(n AS DOUBLE) AS nn, CAST(k AS DOUBLE) AS kk,
+                     CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+              FROM g),
+            w AS (
+              SELECT ship_month, n, k,
+                     (kk / nn + z2 / (CAST(2.0 AS DOUBLE) * nn))
+                       / (CAST(1.0 AS DOUBLE) + z2 / nn) AS center,
+                     CAST(1.96 AS DOUBLE)
+                       * sqrt(kk / nn * (CAST(1.0 AS DOUBLE) - kk / nn) / nn
+                              + z2 / (CAST(4.0 AS DOUBLE) * nn * nn))
+                       / (CAST(1.0 AS DOUBLE) + z2 / nn) AS half
+              FROM e)
+            SELECT ship_month, n, k,
+                   floor((center - half) * CAST(1000000000.0 AS DOUBLE))
+                     / CAST(1000000000.0 AS DOUBLE) AS rate_lo,
+                   floor((center + half) * CAST(1000000000.0 AS DOUBLE))
+                     / CAST(1000000000.0 AS DOUBLE) AS rate_hi
+            FROM w
+        """,
+        "q221_fifo_costing": """
+            WITH lots AS (
+              SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                     CAST(floor(l_quantity) AS BIGINT) AS qty,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM lineitem),
+            d AS (SELECT l_partkey, CAST(SUM(qty) // 2 AS BIGINT) AS dem
+                  FROM lots GROUP BY 1),
+            a AS (SELECT l.l_partkey, qty, cents // qty AS unit, dem,
+                         COALESCE(SUM(qty) OVER (
+                             PARTITION BY l.l_partkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cumb
+                  FROM lots l JOIN d USING (l_partkey)),
+            c AS (SELECT l_partkey, qty, dem, unit,
+                         LEAST(qty, GREATEST(dem - cumb, 0)) AS cons
+                  FROM a)
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lots,
+                   CAST(SUM(qty) AS BIGINT) AS total_qty,
+                   CAST(MAX(dem) AS BIGINT) AS demand_qty,
+                   CAST(SUM(cons) AS BIGINT) AS consumed_qty,
+                   CAST(SUM(cons * unit) AS BIGINT) AS fifo_cogs_cents,
+                   CAST(SUM(CASE WHEN cons > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_lots_touched
+            FROM c GROUP BY 1
+        """,
+        "q222_abc_xyz_matrix": """
+            WITH rev AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(floor(l_extendedprice
+                            * (CAST(1.0 AS DOUBLE) - l_discount) * 100 + 0.5)
+                          AS BIGINT)) AS BIGINT) AS rev_cents
+              FROM lineitem GROUP BY 1),
+            ranked AS (
+              SELECT l_partkey, rev_cents,
+                     CAST(SUM(rev_cents) OVER (
+                         ORDER BY rev_cents DESC, l_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM rev),
+            tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM rev),
+            abc AS (
+              SELECT l_partkey, rev_cents,
+                     CASE WHEN cum * 100 <= 80 * t THEN 'A'
+                          WHEN cum * 100 <= 95 * t THEN 'B'
+                          ELSE 'C' END AS abc_class
+              FROM ranked, tot),
+            per AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+              FROM lineitem
+              GROUP BY l_partkey, date_trunc('month', l_shipdate)),
+            v AS (
+              SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(q) AS BIGINT) AS s,
+                     CAST(SUM(q * q) AS BIGINT) AS qq
+              FROM per GROUP BY 1),
+            xyz AS (
+              SELECT l_partkey,
+                     CASE WHEN n <= 1 OR s <= 0 THEN 'Z'
+                          WHEN (n * qq - s * s) * 10000 <= 2500 * s * s
+                            THEN 'X'
+                          WHEN (n * qq - s * s) * 10000 <= 10000 * s * s
+                            THEN 'Y'
+                          ELSE 'Z' END AS xyz_class
+              FROM v)
+            SELECT abc_class, COALESCE(xyz_class, 'Z') AS xyz_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(rev_cents) AS BIGINT) AS class_revenue_cents
+            FROM abc LEFT JOIN xyz USING (l_partkey)
+            GROUP BY 1, 2
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

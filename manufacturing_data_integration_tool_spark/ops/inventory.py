@@ -1,0 +1,207 @@
+"""Inventory / supply-chain analytics as deterministic DataFrame
+compositions: FIFO lot costing and ABC-XYZ classification.
+
+These are the classic manufacturing planning queries a parts/orders
+warehouse runs daily (the reference's domain is production-line ETL;
+SURVEY §2.6 groups the aggregation-shaped analytics):
+
+* FIFO cost-of-goods-sold — value consumed demand against supply lots in
+  first-in-first-out order (standard inventory costing; IAS 2 / US GAAP
+  both admit FIFO).  The sequential "walk the lots" formulation is a
+  pure prefix-sum: a lot contributes ``clamp(demand - cum_before, 0,
+  qty)`` units, so the whole allocation is one per-key cumulative-sum
+  window plus arithmetic — no loop, no UDF.
+* ABC-XYZ — Pareto revenue classes (A/B/C by cumulative share) crossed
+  with demand-variability classes (X/Y/Z by coefficient of variation),
+  the standard planning matrix (Dickie 1951's ABC analysis; XYZ from the
+  German MRP literature).  Cumulative shares use the skew-safe two-phase
+  running sum; CV classes compare ``n*Σq² - S²`` against ``k² * S²`` so
+  the classification is EXACT integer arithmetic (no sqrt, no division).
+
+Determinism: money is snapped to integer cents at the boundary, unit
+costs are integer floor-divisions, every ordering carries a unique
+tiebreak key, and ratios published as floats are single IEEE divisions
+of exact integers — hash-identical on Spark and DuckDB.
+
+Scale posture: FIFO's window partitions by part — per-part lot counts
+are bounded by supplier/order fan-in (TPC-H: ~30 lines/part at every
+SF), so no task streams an unbounded partition.  ABC's global ordering
+never materializes a single-task window (two-phase sub-bucketed on the
+revenue grid); XYZ collapses to per-(part, period) sums map-side first.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .sampling import two_phase_running_sum
+
+__all__ = ["fifo_cogs", "abc_xyz"]
+
+
+def fifo_cogs(
+    lots: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    qty_col: str,
+    cost_cents_col: str,
+    demand: Column,
+) -> DataFrame:
+    """FIFO allocation of ``demand`` units per key against supply lots.
+
+    ``lots`` carries one row per supply lot with an integral quantity
+    and a TOTAL lot cost in integer cents; ``order_cols`` must order
+    lots first-in-first (include a unique tiebreak).  ``demand`` is a
+    per-row Column evaluated against the lots frame (typically a
+    broadcast-joined per-key figure; any expression of the key's own
+    aggregates works — see q221).
+
+    Mechanics: with ``cum_before`` = prefix quantity sum excluding the
+    current lot, the lot's consumed units are
+
+        consumed = LEAST(qty, GREATEST(demand - cum_before, 0))
+
+    and FIFO COGS is ``sum(consumed * unit_cents)`` with ``unit_cents =
+    cost_cents div qty`` (integer floor — the pennies lost to the floor
+    stay lost on both engines, so the figure is exact and portable).
+
+    Output: one row per key — ``(key_col, n_lots, total_qty,
+    demand_qty, consumed_qty, fifo_cogs_cents, n_lots_touched)``.
+    ``consumed_qty < demand_qty`` flags under-supply (demand exceeded
+    stock).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    qty = F.col(qty_col).cast("bigint")
+    unit_cents = F.expr(f"{cost_cents_col} div {qty_col}").cast("bigint")
+    cum_before = F.coalesce(F.sum(qty).over(w), F.lit(0)).cast("bigint")
+    consumed = F.least(
+        qty, F.greatest(demand.cast("bigint") - cum_before, F.lit(0).cast("bigint"))
+    )
+    alloc = lots.select(
+        F.col(key_col),
+        qty.alias("__qty"),
+        demand.cast("bigint").alias("__demand"),
+        consumed.alias("__consumed"),
+        (consumed * unit_cents).cast("bigint").alias("__cost"),
+    )
+    return alloc.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lots"),
+        F.sum("__qty").cast("bigint").alias("total_qty"),
+        F.max("__demand").cast("bigint").alias("demand_qty"),
+        F.sum("__consumed").cast("bigint").alias("consumed_qty"),
+        F.sum("__cost").cast("bigint").alias("fifo_cogs_cents"),
+        F.sum(F.when(F.col("__consumed") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lots_touched"),
+    )
+
+
+def abc_xyz(
+    revenue: DataFrame,
+    key_col: str,
+    revenue_cents_col: str,
+    periods: DataFrame,
+    period_qty_col: str,
+    *,
+    a_cut: int = 80,
+    b_cut: int = 95,
+    x_cut_x100: int = 50,
+    y_cut_x100: int = 100,
+    sub_bucket_width: int = 10_000_000,
+) -> DataFrame:
+    """ABC-XYZ classification matrix.
+
+    ``revenue``: one row per key with exact integer revenue cents.
+    ``periods``: one row per (key, period) with integral demand qty —
+    pre-aggregated by the caller so this op never sees raw rows.
+
+    ABC: keys ordered by revenue DESC (key ASC tiebreak); class A while
+    ``cum_rev * 100 <= a_cut * total_rev`` (cumulative INCLUDING the
+    current key), B to ``b_cut``, C after — all-integer comparisons.
+    The descending global order uses the two-phase running sum
+    sub-bucketed on the negated-revenue grid (``sub_bucket_width``
+    cents per bucket), so no single task streams the whole ranking.
+
+    XYZ: with per-key period sums ``q_1..q_n``, ``S = Σq``, ``Q =
+    Σq²``, the coefficient of variation satisfies ``CV <= k`` iff
+    ``10000 * (n*Q - S²) <= k²x10000 * S²`` — population variance
+    cross-multiplied onto the integer lattice (``x_cut_x100=50`` means
+    CV <= 0.50 for X).  Keys with one period or zero total demand are
+    class Z (variability unknowable).
+
+    Output: one row per (abc_class, xyz_class) —
+    ``(abc_class, xyz_class, n_keys, class_revenue_cents)``.
+    """
+    rev = revenue.select(
+        F.col(key_col).alias("__k"),
+        F.col(revenue_cents_col).cast("bigint").alias("__rev"),
+    )
+    # constant stratum: the ranking is global. Catalyst folds the literal
+    # partition key away, so the OFFSETS window (over the per-sub-bucket
+    # subtotal table, ~|revenue range|/sub_bucket_width rows) runs
+    # single-task — that is the two-phase design: the tiny table is the
+    # thing that may sit in one task, the row-cardinality window below it
+    # stays partitioned by sub-bucket. (The WindowExec warning it logs
+    # refers to those few hundred rows, not the ranking.)
+    ranked = two_phase_running_sum(
+        rev.withColumn("__negrev", -F.col("__rev")).withColumn(
+            "__all", F.lit(0)
+        ),
+        ["__all"],
+        [F.col("__negrev"), F.col("__k")],
+        F.col("__rev"),
+        F.floor(F.col("__negrev") / F.lit(float(sub_bucket_width))).cast("bigint"),
+        out_col="__cum",
+    ).drop("__all")
+    tot = rev.agg(F.sum("__rev").cast("bigint").alias("__tot"))
+    abc = ranked.crossJoin(F.broadcast(tot)).select(
+        "__k",
+        "__rev",
+        F.when(
+            F.col("__cum") * 100 <= F.lit(a_cut) * F.col("__tot"), F.lit("A")
+        )
+        .when(F.col("__cum") * 100 <= F.lit(b_cut) * F.col("__tot"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    per = periods.select(
+        F.col(key_col).alias("__k"),
+        F.col(period_qty_col).cast("bigint").alias("__q"),
+    )
+    var = per.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__q").cast("bigint").alias("__s"),
+        F.sum(F.col("__q") * F.col("__q")).cast("bigint").alias("__qq"),
+    )
+    nvar = F.col("__n") * F.col("__qq") - F.col("__s") * F.col("__s")
+    s2 = F.col("__s") * F.col("__s")
+    xyz = var.select(
+        "__k",
+        F.when(
+            (F.col("__n") <= 1) | (F.col("__s") <= 0), F.lit("Z")
+        )
+        .when(nvar * 10_000 <= F.lit(x_cut_x100 * x_cut_x100) * s2, F.lit("X"))
+        .when(nvar * 10_000 <= F.lit(y_cut_x100 * y_cut_x100) * s2, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    # left join: a key with revenue but no demand periods is Z
+    return (
+        abc.join(xyz, "__k", "left")
+        .select(
+            "abc_class",
+            F.coalesce(F.col("xyz_class"), F.lit("Z")).alias("xyz_class"),
+            "__rev",
+        )
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("__rev").cast("bigint").alias("class_revenue_cents"),
+        )
+    )

@@ -54,6 +54,7 @@ __all__ = [
     "hdr_quantiles",
     "rolling_corr",
     "changepoint_cusum",
+    "wilson_rate_ci",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -1395,4 +1396,57 @@ def changepoint_cusum(
             F.col("__st").alias("left_sum"),
             (F.col("__sn") - F.col("__st")).cast("bigint").alias("right_sum"),
         )
+    )
+
+
+def wilson_rate_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    success: Column,
+    *,
+    z: float = 1.96,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-group event-rate estimate with a Wilson score interval
+    (Wilson, JASA 1927) — the interval defect-rate monitoring wants at
+    small n, where the Wald interval collapses to nonsense (k=0 gives
+    [0,0]).
+
+    ``success`` is a boolean Column; the group's ``k``/``n`` are exact
+    bigint counts from one combiner-friendly groupBy.  The interval
+
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z * sqrt(p(1-p)/n + z²/4n²) / (1 + z²/n)
+
+    is evaluated on doubles derived from the integer (k, n) pair with a
+    FIXED expression tree — every +,*,/ and sqrt is an IEEE-754
+    correctly-rounded op, so identical integers give bit-identical
+    doubles on any engine; publication floors to ``round_to`` decimals.
+
+    Output: one row per group —
+    ``(group_cols..., n, k, rate_lo, rate_hi)``.
+    """
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(success, 1).otherwise(0)).cast("bigint").alias("k"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    z2 = z * z
+    p = kk / nn
+    denom = F.lit(1.0) + F.lit(z2) / nn
+    center = (p + F.lit(z2) / (F.lit(2.0) * nn)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / nn + F.lit(z2) / (F.lit(4.0) * nn * nn))
+        / denom
+    )
+    pw = float(10**round_to)
+    pub = lambda c: (F.floor(c * F.lit(pw)) / F.lit(pw)).alias  # noqa: E731
+    return agg.select(
+        *group_cols,
+        "n",
+        "k",
+        pub(center - half)("rate_lo"),
+        pub(center + half)("rate_hi"),
     )

@@ -1,0 +1,116 @@
+"""Unit tests for ops.inventory (FIFO costing, ABC-XYZ) and
+ops.stats.wilson_rate_ci: hand-computed micro-fixtures pin the
+semantics; driver-scale parity vs DuckDB lives in q220-q222."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from manufacturing_data_integration_tool_spark.ops.inventory import (
+    abc_xyz,
+    fifo_cogs,
+)
+from manufacturing_data_integration_tool_spark.ops.stats import wilson_rate_ci
+
+
+def _lots(spark):
+    rows = [
+        # part A: two lots in ship order — demand 6 of 8 total
+        Row(k="A", d=1, ok=1, ln=1, qty=5, cents=500),   # unit 100
+        Row(k="A", d=2, ok=2, ln=1, qty=3, cents=600),   # unit 200
+        # part B: demand exceeds stock
+        Row(k="B", d=1, ok=3, ln=1, qty=4, cents=400),   # unit 100
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_fifo_cogs_walks_lots_in_order(spark):
+    lots = _lots(spark).withColumn(
+        "__dem", F.when(F.col("k") == "A", 6).otherwise(20).cast("bigint")
+    )
+    out = {
+        r["k"]: r
+        for r in fifo_cogs(
+            lots, "k", ["d", "ok", "ln"], "qty", "cents", F.col("__dem")
+        ).collect()
+    }
+    a = out["A"]
+    # 5 units @100 from lot 1 + 1 unit @200 from lot 2
+    assert a["fifo_cogs_cents"] == 5 * 100 + 1 * 200
+    assert a["consumed_qty"] == 6 and a["n_lots_touched"] == 2
+    assert a["total_qty"] == 8 and a["demand_qty"] == 6
+    b = out["B"]
+    # under-supply: everything consumed, demand recorded as asked
+    assert b["consumed_qty"] == 4 and b["demand_qty"] == 20
+    assert b["fifo_cogs_cents"] == 400
+
+
+def test_fifo_cogs_zero_demand_touches_nothing(spark):
+    lots = _lots(spark).withColumn("__dem", F.lit(0).cast("bigint"))
+    for r in fifo_cogs(
+        lots, "k", ["d", "ok", "ln"], "qty", "cents", F.col("__dem")
+    ).collect():
+        assert r["consumed_qty"] == 0 and r["n_lots_touched"] == 0
+        assert r["fifo_cogs_cents"] == 0
+
+
+def test_abc_xyz_matrix_by_hand(spark):
+    rev = spark.createDataFrame(
+        [
+            Row(k=1, rc=800),
+            Row(k=2, rc=100),
+            Row(k=3, rc=60),
+            Row(k=4, rc=40),
+        ]
+    )
+    per = spark.createDataFrame(
+        [
+            # k=1 steady -> CV 0 -> X
+            Row(k=1, q=10),
+            Row(k=1, q=10),
+            Row(k=1, q=10),
+            # k=2: S=30, Q=500 -> CV = 5/15 = 1/3 -> X
+            Row(k=2, q=10),
+            Row(k=2, q=20),
+            # k=3 one period -> Z; k=4 no periods -> Z via left join
+            Row(k=3, q=7),
+        ]
+    )
+    out = {
+        (r["abc_class"], r["xyz_class"]): (r["n_keys"], r["class_revenue_cents"])
+        for r in abc_xyz(rev, "k", "rc", per, "q").collect()
+    }
+    # cum shares: 800 (80% -> A), 900 (90% -> B), 960/1000 -> C, C
+    assert out == {("A", "X"): (1, 800), ("B", "X"): (1, 100), ("C", "Z"): (2, 100)}
+
+
+def test_abc_xyz_cv_boundary_is_inclusive(spark):
+    # CV exactly 0.5: q = [10, 30] -> S=40, Q=1000, nQ-S^2=400,
+    # 10000*400 == 2500*1600 -> X (<=)
+    rev = spark.createDataFrame([Row(k=1, rc=10)])
+    per = spark.createDataFrame([Row(k=1, q=10), Row(k=1, q=30)])
+    r = abc_xyz(rev, "k", "rc", per, "q").collect()[0]
+    assert r["xyz_class"] == "X"
+
+
+def test_wilson_rate_ci_matches_python_twin(spark):
+    rows = [Row(g="m", ok=i < 3) for i in range(10)]  # k=3, n=10
+    out = wilson_rate_ci(
+        spark.createDataFrame(rows), ["g"], F.col("ok")
+    ).collect()[0]
+    assert out["n"] == 10 and out["k"] == 3
+    z, n, k = 1.96, 10.0, 3.0
+    z2 = z * z
+    p = k / n
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    assert out["rate_lo"] == math.floor((center - half) * 1e9) / 1e9
+    assert out["rate_hi"] == math.floor((center + half) * 1e9) / 1e9
+    # Wilson never collapses to a point at k=0
+    rows0 = [Row(g="z", ok=False) for _ in range(5)]
+    out0 = wilson_rate_ci(
+        spark.createDataFrame(rows0), ["g"], F.col("ok")
+    ).collect()[0]
+    assert out0["rate_hi"] > 0.0
