@@ -4928,6 +4928,112 @@ def q222_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abc_xyz(rev, "l_partkey", "rev_cents", per, "q")
 
 
+def q223_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch Reading Ease profile (ops.text.
+    flesch_reading_ease; Flesch 1948): three regex counts per document
+    (words / sentence marks / vowel-group syllables), one fixed IEEE
+    score expression floor-published x1000, then an exact-integer
+    per-lang rollup. The readability axis the Gopher/C4 quality rules
+    (q150/q158) don't cover. Zero shuffle until the final lang
+    aggregate."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        flesch_reading_ease,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    fl = flesch_reading_ease(docs, "text", id_cols=("doc_id", "lang"))
+    return fl.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("flesch_x1000").cast("bigint").alias("sum_flesch_x1000"),
+        F.floor(
+            F.sum("flesch_x1000").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("avg_flesch_x1000"),
+    )
+
+
+def q224_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM over the corpus (ops.text.
+    kneser_ney_bigrams; Kneser & Ney ICASSP'95, Chen & Goodman '98) —
+    the absolute-discount + continuation-probability smoother that
+    beats q139's raw bigram MLE wherever counts are sparse. One
+    map-side-combinable bigram count, two vocab-sized re-aggregations,
+    one 1-row broadcast for the type total; probabilities are a fixed
+    IEEE tree over exact counts, floor-published x1e9. Publishes
+    bigrams with c >= 5 (statistics computed over the FULL table)."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        kneser_ney_bigrams,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return kneser_ney_bigrams(docs, "text", min_count=5)
+
+
+def q225_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths across sources
+    (Bolstad et al., Bioinformatics 2003 — the microarray method ML
+    pipelines reuse to align per-source score distributions): rank
+    within source via the skew-safe two-phase running count (never a
+    one-task-per-source sort), map ranks to percentile buckets with
+    all-integer math, then the reference distribution is the
+    cross-source mean of bucket means. Emits per (source, bucket) the
+    bucket mean, the reference value, and the correction delta."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        two_phase_running_sum,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    ranked = two_phase_running_sum(
+        docs,
+        ["source"],
+        [F.col("n_chars"), F.col("doc_id")],
+        F.lit(1),
+        F.expr("n_chars div 64"),
+        out_col="__rank",
+    )
+    cnt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    b = ranked.join(F.broadcast(cnt), "source").select(
+        "source",
+        "n_chars",
+        (F.expr("((__rank - 1) * 100) div __cnt") + F.lit(1))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    bm = b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.floor(
+            F.lit(100.0)
+            * F.sum("n_chars").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("bm_x100"),
+    )
+    ref = bm.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.floor(
+            F.sum("bm_x100").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("ref_x100"),
+    )
+    return bm.join(ref, "bucket").select(
+        "source",
+        "bucket",
+        "n_docs",
+        "bm_x100",
+        "n_sources",
+        "ref_x100",
+        (F.col("bm_x100") - F.col("ref_x100")).cast("bigint").alias("delta_x100"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5029,6 +5135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_return_rate_wilson": q220_return_rate_wilson,
         "q221_fifo_costing": q221_fifo_costing,
         "q222_abc_xyz_matrix": q222_abc_xyz_matrix,
+        "q223_readability": q223_readability,
+        "q224_kneser_ney_bigrams": q224_kneser_ney_bigrams,
+        "q225_quantile_normalize": q225_quantile_normalize,
         # below the driver 50-entry gate window: previously
         # driver-checked r4/r5 promotions, then the long tail
         "q121_knn_classify_lsh": q121_knn_classify_lsh,
@@ -7236,6 +7345,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(rev_cents) AS BIGINT) AS class_revenue_cents
             FROM abc LEFT JOIN xyz USING (l_partkey)
             GROUP BY 1, 2
+        """,
+        "q223_readability": """
+            WITH d AS (
+              SELECT lang,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                          AS BIGINT) AS w,
+                     GREATEST(CAST(1 AS BIGINT),
+                       CAST(len(regexp_extract_all(text, '[.!?]+'))
+                            AS BIGINT)) AS s,
+                     CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                          AS BIGINT) AS y
+              FROM documents),
+            f AS (
+              SELECT lang,
+                     CAST(floor((CAST(206.835 AS DOUBLE)
+                       - CAST(1.015 AS DOUBLE)
+                         * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                       - CAST(84.6 AS DOUBLE)
+                         * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))
+                       * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS fx
+              FROM d WHERE w > 0)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(fx) AS BIGINT) AS sum_flesch_x1000,
+                   CAST(floor(CAST(SUM(fx) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                     AS avg_flesch_x1000
+            FROM f GROUP BY 1
+        """,
+        "q224_kneser_ney_bigrams": """
+            WITH docs AS (
+              SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents),
+            big AS (
+              SELECT ws[i] AS w1, ws[i + 1] AS w2
+              FROM docs, unnest(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2),
+            bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM big GROUP BY 1, 2),
+            ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c_w1,
+                           CAST(COUNT(*) AS BIGINT) AS n_follow
+                    FROM bc GROUP BY 1),
+            cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_cont
+                     FROM bc GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM bc)
+            SELECT bc.w1, bc.w2, c, c_w1, n_follow, n_cont, t_types,
+                   CAST(floor(((CAST(c AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                         / CAST(c_w1 AS DOUBLE)
+                       + (CAST(0.75 AS DOUBLE) * CAST(n_follow AS DOUBLE)
+                          / CAST(c_w1 AS DOUBLE))
+                         * (CAST(n_cont AS DOUBLE)
+                            / CAST(t_types AS DOUBLE)))
+                       * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)
+                     AS pkn_x1e9
+            FROM bc JOIN ctx USING (w1) JOIN cont USING (w2), t
+            WHERE c >= 5
+        """,
+        "q225_quantile_normalize": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY source) AS cnt
+              FROM documents),
+            b AS (SELECT source, n_chars,
+                         CAST(((rk - 1) * 100) // cnt + 1 AS BIGINT)
+                           AS bucket
+                  FROM r),
+            bm AS (SELECT source, bucket,
+                          CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(floor(CAST(100.0 AS DOUBLE)
+                               * CAST(SUM(n_chars) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                            AS bm_x100
+                   FROM b GROUP BY 1, 2),
+            ref AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_sources,
+                           CAST(floor(CAST(SUM(bm_x100) AS DOUBLE)
+                                / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                             AS ref_x100
+                    FROM bm GROUP BY 1)
+            SELECT source, bucket, n_docs, bm_x100, n_sources, ref_x100,
+                   CAST(bm_x100 - ref_x100 AS BIGINT) AS delta_x100
+            FROM bm JOIN ref USING (bucket)
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

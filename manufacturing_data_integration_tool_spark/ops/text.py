@@ -49,6 +49,8 @@ __all__ = [
     "unigram_drift",
     "bigram_doc_logprob",
     "token_pmi",
+    "flesch_reading_ease",
+    "kneser_ney_bigrams",
     "inverted_postings",
     "countmin_sketch",
     "countmin_probe_table",
@@ -1756,4 +1758,138 @@ def countmin_estimate(
         joined.groupBy("term")
         .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("cm_estimate"))
         .select("term", F.col("cm_estimate").cast("long").alias("cm_estimate"))
+    )
+
+
+def flesch_reading_ease(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Per-document Flesch Reading Ease (Flesch 1948) from three regex
+    counts — the readability screen corpus-quality pipelines run next
+    to the Gopher/C4 rules:
+
+        score = 206.835 - 1.015 * (words / sentences)
+                        - 84.6  * (syllables / words)
+
+    with words = ``[a-z]+`` runs of the lowercased text, sentences =
+    ``[.!?]+`` runs (floored at 1), and syllables approximated by vowel
+    groups ``[aeiouy]+`` — the standard cheap heuristic; it
+    over/under-counts silent-e words but is deterministic and
+    engine-portable (no dictionary). Documents with zero words are
+    dropped (the score is undefined).
+
+    The three counts are exact integers; the score is one fixed IEEE
+    expression over them, published floor-scaled x1000 (bigint) so any
+    engine hashes identically. Pure column expressions — zero shuffle,
+    zero UDF.
+
+    Output: ``(id_cols..., n_words, n_sentences, n_syllables,
+    flesch_x1000)``.
+    """
+    lower = F.lower(F.col(text_col))
+    words = F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), 0)).cast(
+        "bigint"
+    )
+    sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)).cast(
+            "bigint"
+        ),
+    )
+    syll = F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)).cast(
+        "bigint"
+    )
+    base = df.select(
+        *id_cols,
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    score = (
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)
+    )
+    return base.withColumn(
+        "flesch_x1000", F.floor(score * F.lit(1000.0)).cast("bigint")
+    )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    text_col: str,
+    *,
+    discount: float = 0.75,
+    min_count: int = 5,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman 1998's benchmark smoother) over word
+    bigrams of the corpus:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                 + D * N1+(w1 .) / c(w1 .)  *  N1+(. w2) / T
+
+    where ``N1+(w1 .)`` counts distinct continuations of ``w1``,
+    ``N1+(. w2)`` counts distinct left contexts of ``w2`` (the
+    continuation probability that makes KN the strongest fixed-order
+    smoother), and ``T`` is the total number of distinct bigram types.
+
+    Mechanics: one bigram count aggregate (map-side combinable — THE
+    canonical big-data agg), two vocabulary-sized re-aggregations of the
+    count table for the context/continuation statistics, one 1-row
+    broadcast for ``T``.  Only bigrams with ``c >= min_count`` are
+    PUBLISHED, but every statistic is computed over the full table, so
+    the filter changes the output size, never the probabilities.
+
+    Determinism: all counts exact bigints; the probability is one fixed
+    IEEE tree over them (``discount`` must be exactly representable —
+    0.75 is), floor-published x1e9.
+
+    Output: ``(w1, w2, c, c_w1, n_follow, n_cont, t_types, pkn_x1e9)``.
+    """
+    ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    toks = df.select(ws.alias("__ws")).filter(F.size("__ws") >= 2)
+    big = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__ws"), 1, F.size("__ws") - 1).alias("w1"),
+                F.slice(F.col("__ws"), 2, F.size("__ws") - 1).alias("w2"),
+            )
+        ).alias("__b")
+    ).select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c_w1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_follow"),
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cont")
+    )
+    tt = bc.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    d = float(discount)
+    pub = bc.filter(F.col("c") >= min_count)
+    joined = (
+        pub.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+    )
+    cc = F.col("c").cast("double")
+    cw = F.col("c_w1").cast("double")
+    nf = F.col("n_follow").cast("double")
+    nc = F.col("n_cont").cast("double")
+    t = F.col("t_types").cast("double")
+    pkn = (cc - F.lit(d)) / cw + (F.lit(d) * nf / cw) * (nc / t)
+    return joined.select(
+        "w1",
+        "w2",
+        "c",
+        "c_w1",
+        "n_follow",
+        "n_cont",
+        "t_types",
+        F.floor(pkn * F.lit(1_000_000_000.0)).cast("bigint").alias("pkn_x1e9"),
     )

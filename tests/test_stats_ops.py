@@ -839,3 +839,61 @@ def test_blocking_audit_counts_by_hand(spark):
     assert b["candidate_pairs"] == 1 and b["true_covered"] == 1
     # reduction for "good": 1 - 4/10 = 0.6
     assert g["reduction_x1e6"] == 600000
+
+
+def test_flesch_reading_ease_by_hand(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        flesch_reading_ease,
+    )
+
+    rows = [
+        Row(doc_id=1, text="The cat sat. The dog ran!"),
+        Row(doc_id=2, text="12345 --- !!!"),  # zero words -> dropped
+    ]
+    out = flesch_reading_ease(spark.createDataFrame(rows), "text").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    expect = math.floor(
+        (206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)) * 1000.0
+    )
+    assert r["flesch_x1000"] == expect
+
+
+def test_kneser_ney_bigrams_by_hand(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        kneser_ney_bigrams,
+    )
+
+    rows = [Row(doc_id=1, text="a b a b a c")]
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in kneser_ney_bigrams(
+            spark.createDataFrame(rows), "text", min_count=1
+        ).collect()
+    }
+    # bigrams: ab x2, ba x2, ac x1 -> T=3 types
+    ab = out[("a", "b")]
+    assert ab["c"] == 2 and ab["c_w1"] == 3 and ab["n_follow"] == 2
+    assert ab["n_cont"] == 1 and ab["t_types"] == 3
+    expect = math.floor(
+        ((2.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)) * 1e9
+    )
+    assert ab["pkn_x1e9"] == expect
+    # continuation mass: the three P(.|a) entries (ab, ac + unseen mass)
+    ac = out[("a", "c")]
+    assert ac["c"] == 1 and ac["n_cont"] == 1
+
+
+def test_kneser_ney_min_count_filters_output_not_statistics(spark):
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        kneser_ney_bigrams,
+    )
+
+    rows = [Row(doc_id=1, text="a b a b a c")]
+    out = kneser_ney_bigrams(
+        spark.createDataFrame(rows), "text", min_count=2
+    ).collect()
+    # only ab/ba published, but t_types still counts ac
+    assert sorted((r["w1"], r["w2"]) for r in out) == [("a", "b"), ("b", "a")]
+    assert all(r["t_types"] == 3 for r in out)
