@@ -5034,6 +5034,86 @@ def q225_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FWF_COLSPECS = (
+    ("timestamp", 1, 20),
+    ("line_id", 21, 8),
+    ("batch_number", 29, 18),
+    ("product_code", 47, 12),
+    ("temperature_c", 59, 8),
+    ("pressure_kpa", 67, 8),
+    ("humidity_pct", 75, 8),
+    ("operator_id", 83, 8),
+    ("defect_count", 91, 4),
+)
+
+
+def q226_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's third sibling source format through the driver gate:
+    declared-layout fixed-width read (sources/readers.
+    read_source_fixed_width) of the golden fixture re-encoded as a
+    mainframe/PLC-style export — layout pinned by colspecs, fields
+    trimmed, empty-after-trim mapped to NULL exactly like the CSV
+    source surfaces missing values. Lineage off so row values are
+    engine-comparable."""
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        read_source_fixed_width,
+    )
+
+    fixtures = Path(__file__).resolve().parent / "tests" / "fixtures"
+    return read_source_fixed_width(
+        spark,
+        str(fixtures / "production_golden_9rows.fwf"),
+        _FWF_COLSPECS,
+        with_lineage=False,
+    )
+
+
+def q227_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier reorder point under the normal lead-time-demand
+    model (ops.inventory.reorder_point; Silver-Pyke-Peterson): ROP =
+    L*mu + z*sqrt(L*sigma^2) at L=7 days, 95% service. Daily-demand
+    moments are exact integers from two combiner-friendly groupBys;
+    the ROP is one fixed IEEE tree over them, floor-published x1000
+    (sqrt is correctly rounded by IEEE-754, so identical integers give
+    identical doubles on any engine)."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        reorder_point,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return reorder_point(
+        li.select(
+            "l_suppkey",
+            "l_shipdate",
+            F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+        ),
+        "l_suppkey",
+        "l_shipdate",
+        "qty",
+    )
+
+
+def q228_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event_type (ops.stats.
+    mann_kendall_trend; Mann 1945): exact integer S over day pairs,
+    tie-corrected 18*Var(S) integer, z with continuity correction
+    floor-published x1e6. Quadratic in DAYS, never rows — the series
+    collapses to one row per (type, day) first, so the pair join is
+    calendar-bounded at any data volume."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        mann_kendall_trend,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return mann_kendall_trend(
+        ev.filter(F.col("value").isNotNull()),
+        "event_type",
+        "ts",
+        "value",
+        scale=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5138,6 +5218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_readability": q223_readability,
         "q224_kneser_ney_bigrams": q224_kneser_ney_bigrams,
         "q225_quantile_normalize": q225_quantile_normalize,
+        "q226_fixed_width_scan": q226_fixed_width_scan,
+        "q227_reorder_points": q227_reorder_points,
+        "q228_mann_kendall": q228_mann_kendall,
         # below the driver 50-entry gate window: previously
         # driver-checked r4/r5 promotions, then the long tail
         "q121_knn_classify_lsh": q121_knn_classify_lsh,
@@ -7427,6 +7510,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, bucket, n_docs, bm_x100, n_sources, ref_x100,
                    CAST(bm_x100 - ref_x100 AS BIGINT) AS delta_x100
             FROM bm JOIN ref USING (bucket)
+        """,
+        "q226_fixed_width_scan": f"""
+            WITH raw AS (
+              SELECT column0 AS line
+              FROM read_csv('{Path(__file__).resolve().parent / "tests" / "fixtures" / "production_golden_9rows.fwf"}',
+                            columns={{'column0': 'VARCHAR'}},
+                            delim='\x01', header=false, quote='')
+            )
+            SELECT NULLIF(trim(substr(line, 1, 20)), '')  AS "timestamp",
+                   NULLIF(trim(substr(line, 21, 8)), '')  AS line_id,
+                   NULLIF(trim(substr(line, 29, 18)), '') AS batch_number,
+                   NULLIF(trim(substr(line, 47, 12)), '') AS product_code,
+                   NULLIF(trim(substr(line, 59, 8)), '')  AS temperature_c,
+                   NULLIF(trim(substr(line, 67, 8)), '')  AS pressure_kpa,
+                   NULLIF(trim(substr(line, 75, 8)), '')  AS humidity_pct,
+                   NULLIF(trim(substr(line, 83, 8)), '')  AS operator_id,
+                   NULLIF(trim(substr(line, 91, 4)), '')  AS defect_count
+            FROM raw
+        """,
+        "q227_reorder_points": """
+            WITH daily AS (
+              SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+                     CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+              FROM lineitem GROUP BY 1, 2),
+            m AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_days,
+                         CAST(SUM(q) AS BIGINT) AS sum_qty,
+                         CAST(SUM(q * q) AS BIGINT) AS qq
+                  FROM daily GROUP BY 1)
+            SELECT l_suppkey, n_days, sum_qty,
+                   CAST(n_days * qq - sum_qty * sum_qty AS BIGINT)
+                     AS var_units,
+                   CAST(floor(((CAST(7.0 AS DOUBLE)
+                          * CAST(sum_qty AS DOUBLE)) / CAST(n_days AS DOUBLE)
+                        + CAST(1.645 AS DOUBLE)
+                          * sqrt(CAST(7.0 AS DOUBLE)
+                                 * CAST(n_days * qq - sum_qty * sum_qty
+                                        AS DOUBLE))
+                          / CAST(n_days AS DOUBLE))
+                        * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS rop_x1000
+            FROM m
+        """,
+        "q228_mann_kendall": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            s AS (SELECT a.event_type,
+                         CAST(SUM(CASE WHEN b.dv > a.dv THEN 1
+                                       WHEN b.dv < a.dv THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s_stat
+                  FROM daily a JOIN daily b
+                    ON a.event_type = b.event_type AND a.day < b.day
+                  GROUP BY 1),
+            n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+                  FROM daily GROUP BY 1),
+            t AS (SELECT event_type,
+                         CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT)
+                           AS tsum
+                  FROM (SELECT event_type, dv, COUNT(*) AS c
+                        FROM daily GROUP BY 1, 2)
+                  WHERE c >= 2 GROUP BY 1),
+            base AS (SELECT n.event_type, n_days,
+                            CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat,
+                            CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                                 - COALESCE(tsum, 0) AS BIGINT) AS var18
+                     FROM n LEFT JOIN s USING (event_type)
+                            LEFT JOIN t USING (event_type)),
+            zc AS (SELECT event_type, n_days, s_stat, var18,
+                          CASE WHEN var18 <= 0 OR s_stat = 0
+                                 THEN CAST(0.0 AS DOUBLE)
+                               WHEN s_stat > 0
+                                 THEN (CAST(s_stat AS DOUBLE)
+                                       - CAST(1.0 AS DOUBLE))
+                                      / sqrt(CAST(var18 AS DOUBLE)
+                                             / CAST(18.0 AS DOUBLE))
+                               ELSE (CAST(s_stat AS DOUBLE)
+                                     + CAST(1.0 AS DOUBLE))
+                                    / sqrt(CAST(var18 AS DOUBLE)
+                                           / CAST(18.0 AS DOUBLE)) END AS z
+                   FROM base)
+            SELECT event_type, n_days, s_stat, var18,
+                   CAST(floor(z * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS z_x1e6,
+                   CASE WHEN z > CAST(1.96 AS DOUBLE) THEN 'increasing'
+                        WHEN z < -CAST(1.96 AS DOUBLE) THEN 'decreasing'
+                        ELSE 'no_trend' END AS trend
+            FROM zc
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

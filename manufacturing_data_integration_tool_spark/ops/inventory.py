@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .sampling import two_phase_running_sum
 
-__all__ = ["fifo_cogs", "abc_xyz"]
+__all__ = ["fifo_cogs", "abc_xyz", "reorder_point"]
 
 
 def fifo_cogs(
@@ -204,4 +204,62 @@ def abc_xyz(
             F.count(F.lit(1)).cast("bigint").alias("n_keys"),
             F.sum("__rev").cast("bigint").alias("class_revenue_cents"),
         )
+    )
+
+
+def reorder_point(
+    demand: DataFrame,
+    key_col: str,
+    ts_col: str,
+    qty_col: str,
+    *,
+    lead_days: int = 7,
+    z: float = 1.645,
+) -> DataFrame:
+    """Reorder point per key under the standard normal lead-time-demand
+    model (Silver-Pyke-Peterson inventory texts):
+
+        ROP = L * mu_daily + z * sqrt(L * sigma_daily^2)
+
+    with mu/sigma estimated from the key's daily demand sums.  All
+    moments are exact integers (``S``, ``Q = sum q^2``, ``n`` from one
+    combiner-friendly groupBy pair); only the final expression touches
+    floating point — ``(L*S)/n + z*sqrt(L*(n*Q - S^2))/n`` as one fixed
+    IEEE tree, floor-published x1000.  Note sigma here is the
+    POPULATION sd of observed demand days (zero-demand calendar days
+    are not imputed — document the bias or gap-fill upstream with
+    q110).
+
+    Output: ``(key_col, n_days, sum_qty, var_units, rop_x1000)`` where
+    ``var_units = n*Q - S^2`` (n^2-scaled variance, exact bigint).
+    """
+    daily = (
+        demand.select(
+            F.col(key_col).alias("__key"),
+            F.to_date(F.col(ts_col)).alias("__day"),
+            F.col(qty_col).cast("bigint").alias("__q"),
+        )
+        .groupBy("__key", "__day")
+        .agg(F.sum("__q").cast("bigint").alias("q"))
+    )
+    m = daily.groupBy("__key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("q").cast("bigint").alias("sum_qty"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("__qq"),
+    )
+    var_units = (
+        F.col("n_days") * F.col("__qq") - F.col("sum_qty") * F.col("sum_qty")
+    ).cast("bigint")
+    ss = F.col("sum_qty").cast("double")
+    nn = F.col("n_days").cast("double")
+    vv = F.col("var_units").cast("double")
+    rop = (F.lit(float(lead_days)) * ss) / nn + F.lit(z) * F.sqrt(
+        F.lit(float(lead_days)) * vv
+    ) / nn
+    return m.withColumn("var_units", var_units).select(
+        F.col("__key").alias(key_col),
+        "n_days",
+        "sum_qty",
+        "var_units",
+        F.floor(rop * F.lit(1000.0)).cast("bigint").alias("rop_x1000"),
     )

@@ -55,6 +55,7 @@ __all__ = [
     "rolling_corr",
     "changepoint_cusum",
     "wilson_rate_ci",
+    "mann_kendall_trend",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -1449,4 +1450,126 @@ def wilson_rate_ci(
         "k",
         pub(center - half)("rate_lo"),
         pub(center + half)("rate_hi"),
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per key (Mann 1945, Kendall's
+    tau-b S statistic) over the daily value series — the
+    distribution-free answer to "is this KPI drifting" that q115's OLS
+    slope can't give when the series is non-normal or has outliers.
+
+    ``S = sum over day pairs i<j of sign(x_j - x_i)`` is computed with
+    an exact integer pair aggregation; the tie-corrected variance
+
+        18 * Var(S) = n(n-1)(2n+5) - sum over tie groups t(t-1)(2t+5)
+
+    stays integer too, so only the final z (with the standard +/-1
+    continuity correction) touches floating point — one fixed IEEE tree
+    over integers, floor-published x1e6.
+
+    Scale posture: the raw stream collapses to one row per (key, day)
+    FIRST (combiner-friendly).  The pair self-join is quadratic in the
+    number of DAYS, not rows — time is calendar-bounded (a year is 365
+    rows per key whatever the data volume), so the join is
+    |keys| x O(days^2) inside key-partitioned tasks.  For multi-decade
+    series swap in the O(n log n) inversion-count formulation.
+
+    Output: ``(key_col, n_days, s_stat, var18, z_x1e6, trend)`` with
+    trend in {'increasing','decreasing','no_trend'} at ``z_crit``.
+    """
+    vq = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast(
+        "bigint"
+    )
+    daily = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            vq.alias("__vq"),
+        )
+        .groupBy("__key", "day")
+        .agg(F.sum("__vq").cast("bigint").alias("dv"))
+    )
+    a = daily.select(
+        F.col("__key"), F.col("day").alias("__da"), F.col("dv").alias("__va")
+    )
+    b = daily.select(
+        F.col("__key"), F.col("day").alias("__db"), F.col("dv").alias("__vb")
+    )
+    s = (
+        a.join(b, "__key")
+        .filter(F.col("__da") < F.col("__db"))
+        .groupBy("__key")
+        .agg(
+            F.sum(
+                F.when(F.col("__vb") > F.col("__va"), 1)
+                .when(F.col("__vb") < F.col("__va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n_ = daily.groupBy("__key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("__key", "dv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .groupBy("__key")
+        .agg(
+            F.sum(
+                F.col("__c")
+                * (F.col("__c") - 1)
+                * (2 * F.col("__c") + 5)
+            )
+            .cast("bigint")
+            .alias("__tsum")
+        )
+    )
+    base = (
+        n_.join(s, "__key", "left")
+        .join(ties, "__key", "left")
+        .select(
+            "__key",
+            "n_days",
+            F.coalesce(F.col("s_stat"), F.lit(0).cast("bigint")).alias(
+                "s_stat"
+            ),
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.coalesce(F.col("__tsum"), F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("var18"),
+        )
+    )
+    sd = F.col("s_stat").cast("double")
+    v = F.col("var18").cast("double") / F.lit(18.0)
+    z = (
+        F.when((F.col("var18") <= 0) | (F.col("s_stat") == 0), F.lit(0.0))
+        .when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(v))
+        .otherwise((sd + F.lit(1.0)) / F.sqrt(v))
+    )
+    return base.select(
+        F.col("__key").alias(key_col),
+        "n_days",
+        "s_stat",
+        "var18",
+        F.floor(z * F.lit(1_000_000.0)).cast("bigint").alias("z_x1e6"),
+        F.when(z > F.lit(z_crit), F.lit("increasing"))
+        .when(z < F.lit(-z_crit), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
     )

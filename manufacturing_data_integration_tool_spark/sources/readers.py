@@ -262,3 +262,41 @@ def conform_to_contract(
         else:
             cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def read_source_fixed_width(
+    spark: SparkSession,
+    path_or_glob: str | Sequence[str],
+    colspecs: Sequence[tuple[str, int, int]],
+    *,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """Read fixed-width (mainframe-/PLC-export-style) records with the
+    same pinned all-string discipline as :func:`read_source_csv`.
+
+    ``colspecs`` is ``(name, start, width)`` with 1-based ``start`` —
+    the layout is DECLARED, never inferred (layout drift must fail
+    validation downstream, not silently reshuffle columns). Each field
+    is ``trim(substr(line, start, width))`` with empty-after-trim
+    mapped to NULL, mirroring how the CSV source surfaces missing
+    values to the rule engine.
+
+    Scale posture: ``spark.read.text`` splits by newline like the CSV
+    reader (same partitioning/pushdown behavior); the substrings are
+    pure column expressions — zero UDF, zero shuffle.
+    """
+    paths = (
+        list(path_or_glob)
+        if isinstance(path_or_glob, (list, tuple))
+        else path_or_glob
+    )
+    df = spark.read.text(paths)
+    cols = [
+        F.nullif(
+            F.trim(F.substring(F.col("value"), start, width)), F.lit("")
+        ).alias(name)
+        for name, start, width in colspecs
+    ]
+    if with_lineage:
+        return df.select(*cols, F.input_file_name().alias(FILE_SOURCE_COL))
+    return df.select(*cols)

@@ -114,3 +114,83 @@ def test_wilson_rate_ci_matches_python_twin(spark):
         spark.createDataFrame(rows0), ["g"], F.col("ok")
     ).collect()[0]
     assert out0["rate_hi"] > 0.0
+
+
+def test_reorder_point_matches_python_twin(spark):
+    import datetime as dt
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        reorder_point,
+    )
+
+    # supplier with daily demand 10, 20, 30
+    rows = [
+        Row(k=1, ts=dt.datetime(2024, 1, d + 1), q=q)
+        for d, q in enumerate([10, 20, 30])
+    ]
+    r = reorder_point(
+        spark.createDataFrame(rows), "k", "ts", "q"
+    ).collect()[0]
+    n, s, qq = 3, 60, 100 + 400 + 900
+    assert r["n_days"] == n and r["sum_qty"] == s
+    assert r["var_units"] == n * qq - s * s  # 4200 - 3600 = 600
+    rop = (7.0 * s) / n + 1.645 * math.sqrt(7.0 * (n * qq - s * s)) / n
+    assert r["rop_x1000"] == math.floor(rop * 1000.0)
+
+
+def test_mann_kendall_monotone_and_tied_series(spark):
+    import datetime as dt
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        mann_kendall_trend,
+    )
+
+    rows = []
+    # "up": strictly increasing 6-day series -> S = C(6,2) = 15
+    for d in range(6):
+        rows.append(Row(k="up", ts=dt.datetime(2024, 1, d + 1), v=float(d)))
+    # "flat": all equal -> S = 0, var18 fully tie-corrected to 0
+    for d in range(4):
+        rows.append(Row(k="flat", ts=dt.datetime(2024, 1, d + 1), v=7.0))
+    out = {
+        r["k"]: r
+        for r in mann_kendall_trend(
+            spark.createDataFrame(rows), "k", "ts", "v"
+        ).collect()
+    }
+    up = out["up"]
+    assert up["s_stat"] == 15 and up["n_days"] == 6
+    var18 = 6 * 5 * 17  # no ties
+    assert up["var18"] == var18
+    z = (15.0 - 1.0) / math.sqrt(var18 / 18.0)
+    assert up["z_x1e6"] == math.floor(z * 1e6)
+    assert up["trend"] == ("increasing" if z > 1.96 else "no_trend")
+    flat = out["flat"]
+    assert flat["s_stat"] == 0 and flat["var18"] == 0
+    assert flat["z_x1e6"] == 0 and flat["trend"] == "no_trend"
+
+
+def test_fixed_width_reader_parses_golden_layout(spark):
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        read_source_fixed_width,
+    )
+    import __spark_entry__ as e
+
+    df = read_source_fixed_width(
+        spark,
+        "tests/fixtures/production_golden_9rows.fwf",
+        e._FWF_COLSPECS,
+        with_lineage=False,
+    )
+    rows = df.collect()
+    assert len(rows) == 9
+    assert rows[0]["line_id"] == "LINE001"
+    assert rows[0]["batch_number"] == "BATCH20240215001"
+    assert rows[0]["defect_count"] == "0"
+    # the golden fixture's missing values surface as NULL, like CSV
+    import csv
+
+    with open("tests/fixtures/production_golden_9rows.csv") as f:
+        csv_rows = list(csv.DictReader(f))
+    for spark_row, csv_row in zip(rows, csv_rows):
+        for col in df.columns:
+            expect = (csv_row[col] or "").strip() or None
+            assert spark_row[col] == expect, (col, spark_row, csv_row)
