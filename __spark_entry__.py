@@ -5114,6 +5114,37 @@ def q228_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q229_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption masking statistics per language (ops.text.
+    span_corruption_stats; Raffel et al. JMLR'20): deterministic md5
+    span starts (5% of positions, 3-token spans, overlaps merged) give
+    the per-lang masked-token budget a denoising pretraining mix needs
+    to verify (~14% at the defaults). Lag windows run inside
+    document-sized partitions; counts exact, ratio floor-published
+    x1e6."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        span_corruption_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return span_corruption_stats(docs, "text", "doc_id", group_cols=("lang",))
+
+
+def q230_oee_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Overall Equipment Effectiveness from the event stream
+    (ops.inventory.oee_daily; Nakajima 1988's TPM metric):
+    availability = active hours / 24, performance = good-event rate vs
+    the corpus-wide rate (capped at 1), quality = good / total. One
+    day-grouped aggregate + one 1-row broadcast; A/P/Q/OEE are fixed
+    IEEE trees over exact counts, each floor-published x1e6."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        oee_daily,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return oee_daily(ev, "ts", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5221,6 +5252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_fixed_width_scan": q226_fixed_width_scan,
         "q227_reorder_points": q227_reorder_points,
         "q228_mann_kendall": q228_mann_kendall,
+        "q229_span_corruption": q229_span_corruption,
+        "q230_oee_daily": q230_oee_daily,
         # below the driver 50-entry gate window: previously
         # driver-checked r4/r5 promotions, then the long tail
         "q121_knn_classify_lsh": q121_knn_classify_lsh,
@@ -7599,6 +7632,80 @@ def oracle_sql() -> dict[str, str]:
                         WHEN z < -CAST(1.96 AS DOUBLE) THEN 'decreasing'
                         ELSE 'no_trend' END AS trend
             FROM zc
+        """,
+        "q229_span_corruption": f"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents),
+            pos AS (
+              SELECT doc_id, lang, CAST(i AS BIGINT) AS p,
+                     ({_u52_sql("CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)", "span")}
+                      % 20 = 0) AS s
+              FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)),
+            m AS (
+              SELECT doc_id, lang, p,
+                     (s OR COALESCE(LAG(s, 1) OVER w, false)
+                        OR COALESCE(LAG(s, 2) OVER w, false)) AS mk
+              FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+            m2 AS (
+              SELECT doc_id, lang, mk,
+                     (mk AND NOT COALESCE(LAG(mk, 1) OVER (
+                         PARTITION BY doc_id ORDER BY p), false)) AS sp
+              FROM m),
+            d AS (
+              SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nt,
+                     CAST(SUM(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nm,
+                     CAST(SUM(CASE WHEN sp THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ns
+              FROM m2 GROUP BY 1, 2)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(nm) AS BIGINT) AS n_masked,
+                   CAST(SUM(ns) AS BIGINT) AS n_spans,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(SUM(nm) AS DOUBLE)
+                        / CAST(SUM(nt) AS DOUBLE)) AS BIGINT)
+                     AS mask_ratio_x1e6
+            FROM d GROUP BY 1
+        """,
+        "q230_oee_daily": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_errors,
+                     CAST(COUNT(DISTINCT CASE WHEN event_type <> 'error'
+                                THEN hour(ts) END) AS BIGINT)
+                       AS active_hours
+              FROM events GROUP BY 1),
+            g AS (SELECT CAST(SUM(n_events - n_errors) AS BIGINT) AS g_good,
+                         CAST(SUM(active_hours) AS BIGINT) AS g_hours
+                  FROM daily),
+            e AS (SELECT day, n_events, n_errors, active_hours,
+                         CAST(n_events - n_errors AS DOUBLE) AS good,
+                         CAST(active_hours AS DOUBLE) AS ah,
+                         g_good, g_hours
+                  FROM daily, g),
+            c AS (SELECT day, n_events, n_errors, active_hours,
+                         ah / CAST(24.0 AS DOUBLE) AS a,
+                         CASE WHEN active_hours = 0 THEN CAST(0.0 AS DOUBLE)
+                              ELSE LEAST(CAST(1.0 AS DOUBLE),
+                                   (good * CAST(g_hours AS DOUBLE))
+                                   / (ah * CAST(g_good AS DOUBLE))) END AS p,
+                         good / CAST(n_events AS DOUBLE) AS q
+                  FROM e)
+            SELECT day, n_events, n_errors, active_hours,
+                   CAST(floor(a * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS a_x1e6,
+                   CAST(floor(p * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS p_x1e6,
+                   CAST(floor(q * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS q_x1e6,
+                   CAST(floor(a * p * q * CAST(1000000.0 AS DOUBLE))
+                        AS BIGINT) AS oee_x1e6
+            FROM c
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .sampling import two_phase_running_sum
 
-__all__ = ["fifo_cogs", "abc_xyz", "reorder_point"]
+__all__ = ["fifo_cogs", "abc_xyz", "reorder_point", "oee_daily"]
 
 
 def fifo_cogs(
@@ -262,4 +262,76 @@ def reorder_point(
         "sum_qty",
         "var_units",
         F.floor(rop * F.lit(1000.0)).cast("bigint").alias("rop_x1000"),
+    )
+
+
+def oee_daily(
+    events: DataFrame,
+    ts_col: str,
+    type_col: str,
+    *,
+    error_type: str = "error",
+    hours_per_day: int = 24,
+) -> DataFrame:
+    """Daily OEE (Overall Equipment Effectiveness, Nakajima 1988's TPM
+    metric) from an event stream, treating the stream as the plant's
+    activity log:
+
+    * availability = active hours (hours with >= 1 good event) / 24;
+    * performance  = the day's good-event rate per active hour vs the
+      CORPUS-WIDE rate (capped at 1.0) — the 'ideal cycle time'
+      surrogate when no engineering standard is configured;
+    * quality      = good events / total events.
+
+    All inputs are exact bigint counts (one groupBy day + one 1-row
+    broadcast of the global rate); A/P/Q and OEE = A*P*Q are fixed IEEE
+    trees over them, each floor-published x1e6.
+
+    Output: one row per day — ``(day, n_events, n_errors,
+    active_hours, a_x1e6, p_x1e6, q_x1e6, oee_x1e6)``.
+    """
+    base = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.hour(F.col(ts_col)).alias("__h"),
+        (F.col(type_col) == error_type).alias("__err"),
+    )
+    daily = base.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("__err"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.count_distinct(
+            F.when(~F.col("__err"), F.col("__h"))
+        )
+        .cast("bigint")
+        .alias("active_hours"),
+    )
+    g = daily.agg(
+        F.sum(F.col("n_events") - F.col("n_errors"))
+        .cast("bigint")
+        .alias("__g_good"),
+        F.sum("active_hours").cast("bigint").alias("__g_hours"),
+    )
+    j = daily.crossJoin(F.broadcast(g))
+    good = (F.col("n_events") - F.col("n_errors")).cast("double")
+    ah = F.col("active_hours").cast("double")
+    a = ah / F.lit(float(hours_per_day))
+    p = F.when(F.col("active_hours") == 0, F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            (good * F.col("__g_hours").cast("double"))
+            / (ah * F.col("__g_good").cast("double")),
+        )
+    )
+    q = good / F.col("n_events").cast("double")
+    pub = lambda c, n: F.floor(c * F.lit(1_000_000.0)).cast("bigint").alias(n)  # noqa: E731
+    return j.select(
+        "day",
+        "n_events",
+        "n_errors",
+        "active_hours",
+        pub(a, "a_x1e6"),
+        pub(p, "p_x1e6"),
+        pub(q, "q_x1e6"),
+        pub(a * p * q, "oee_x1e6"),
     )

@@ -51,6 +51,7 @@ __all__ = [
     "token_pmi",
     "flesch_reading_ease",
     "kneser_ney_bigrams",
+    "span_corruption_stats",
     "inverted_postings",
     "countmin_sketch",
     "countmin_probe_table",
@@ -1892,4 +1893,83 @@ def kneser_ney_bigrams(
         "n_cont",
         "t_types",
         F.floor(pkn * F.lit(1_000_000_000.0)).cast("bigint").alias("pkn_x1e9"),
+    )
+
+
+def span_corruption_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+    start_mod: int = 20,
+    span_len: int = 3,
+    salt: str = "span",
+) -> DataFrame:
+    """T5-style span-corruption masking statistics (Raffel et al., JMLR
+    2020): deterministic span starts from the portable md5 lane —
+    position ``p`` of document ``d`` STARTS a corruption span iff
+    ``u52(d || '_' || p, salt) % start_mod == 0`` — each span covering
+    ``span_len`` tokens; overlapping spans merge (union semantics, like
+    the sampled-until-budget procedure they approximate). With the
+    defaults ~5% of positions start a 3-token span => ~14% of tokens
+    masked, T5's working point.
+
+    Mechanics: tokenize, posexplode, then TWO lag windows per document
+    (masked = start OR lag(start,1) OR lag(start,2); a span begins where
+    masked rises) — per-document partitions are token-count-bounded, so
+    the windows never see more than one document per task. Counts are
+    exact bigints; the mask ratio is one IEEE division floor-published
+    x1e6.
+
+    Output: one row per group (or one global row with ``group_cols=()``)
+    — ``(group_cols..., n_docs, n_tokens, n_masked, n_spans,
+    mask_ratio_x1e6)``.
+    """
+    from .sampling import _u52
+
+    ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in group_cols],
+        F.posexplode(ws).alias("__pos0", "__tok"),
+    ).select(
+        "__id",
+        *group_cols,
+        (F.col("__pos0") + 1).cast("bigint").alias("__p"),
+    )
+    key = F.concat(
+        F.col("__id").cast("string"), F.lit("_"), F.col("__p").cast("string")
+    )
+    started = toks.withColumn(
+        "__s", (_u52(key, salt) % start_mod == 0)
+    )
+    w = Window.partitionBy("__id").orderBy(F.asc("__p"))
+    lags = [F.coalesce(F.lag("__s", j).over(w), F.lit(False)) for j in range(1, span_len)]
+    masked = F.col("__s")
+    for lg in lags:
+        masked = masked | lg
+    m = started.withColumn("__m", masked)
+    m2 = m.withColumn(
+        "__sp",
+        F.col("__m")
+        & ~F.coalesce(F.lag("__m", 1).over(w), F.lit(False)),
+    )
+    per_doc = m2.groupBy("__id", *group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt"),
+        F.sum(F.when(F.col("__m"), 1).otherwise(0)).cast("bigint").alias("__nm"),
+        F.sum(F.when(F.col("__sp"), 1).otherwise(0)).cast("bigint").alias("__ns"),
+    )
+    return per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__nt").cast("bigint").alias("n_tokens"),
+        F.sum("__nm").cast("bigint").alias("n_masked"),
+        F.sum("__ns").cast("bigint").alias("n_spans"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.sum("__nm").cast("double")
+            / F.sum("__nt").cast("double")
+        )
+        .cast("bigint")
+        .alias("mask_ratio_x1e6"),
     )

@@ -194,3 +194,90 @@ def test_fixed_width_reader_parses_golden_layout(spark):
         for col in df.columns:
             expect = (csv_row[col] or "").strip() or None
             assert spark_row[col] == expect, (col, spark_row, csv_row)
+
+
+def test_span_corruption_matches_md5_twin(spark):
+    import hashlib
+    import re as _re
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        span_corruption_stats,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "one two three",
+        3: "  12345  ",  # zero words -> dropped entirely
+    }
+    rows = [Row(doc_id=k, text=v) for k, v in texts.items()]
+    out = span_corruption_stats(
+        spark.createDataFrame(rows), "text", "doc_id"
+    ).collect()[0]
+    # python twin with the same md5 lane
+    nt = nm = ns = nd = 0
+    for did, text in texts.items():
+        ws = _re.findall(r"[a-z]+", text.lower())
+        n = len(ws)
+        if n == 0:
+            continue
+        nd += 1
+        s = [
+            int(hashlib.md5(f"{did}_{p}:span".encode()).hexdigest()[:13], 16)
+            % 20
+            == 0
+            for p in range(1, n + 1)
+        ]
+        m = [
+            s[i] or (i >= 1 and s[i - 1]) or (i >= 2 and s[i - 2])
+            for i in range(n)
+        ]
+        nt += n
+        nm += sum(m)
+        ns += sum(
+            1 for i in range(n) if m[i] and (i == 0 or not m[i - 1])
+        )
+    assert (out["n_docs"], out["n_tokens"], out["n_masked"], out["n_spans"]) == (
+        nd,
+        nt,
+        nm,
+        ns,
+    )
+    assert out["mask_ratio_x1e6"] == math.floor(1e6 * nm / nt)
+
+
+def test_oee_daily_by_hand(spark):
+    import datetime as dt
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        oee_daily,
+    )
+
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    rows = [
+        # day 1: 3 good events in 2 distinct hours + 1 error
+        Row(ts=d1.replace(hour=1), ty="view"),
+        Row(ts=d1.replace(hour=1, minute=30), ty="click"),
+        Row(ts=d1.replace(hour=5), ty="view"),
+        Row(ts=d1.replace(hour=7), ty="error"),
+        # day 2: 2 good events in 2 hours, no errors
+        Row(ts=d2.replace(hour=3), ty="view"),
+        Row(ts=d2.replace(hour=9), ty="click"),
+    ]
+    out = {
+        str(r["day"]): r
+        for r in oee_daily(
+            spark.createDataFrame(rows), "ts", "ty"
+        ).collect()
+    }
+    r1 = out["2024-01-01"]
+    assert (r1["n_events"], r1["n_errors"], r1["active_hours"]) == (4, 1, 2)
+    # global: good=5, hours=4 -> rate 1.25/h; day1 rate 1.5 -> perf capped
+    a = 2.0 / 24.0
+    p = min(1.0, (3.0 * 4.0) / (2.0 * 5.0))
+    q = 3.0 / 4.0
+    assert r1["a_x1e6"] == math.floor(a * 1e6)
+    assert r1["p_x1e6"] == math.floor(p * 1e6)
+    assert r1["q_x1e6"] == math.floor(q * 1e6)
+    assert r1["oee_x1e6"] == math.floor(a * p * q * 1e6)
+    r2 = out["2024-01-02"]
+    assert r2["n_errors"] == 0 and r2["q_x1e6"] == 1_000_000
+    # day2 rate 1.0 < global 1.25 -> performance below 1
+    assert r2["p_x1e6"] == math.floor((2.0 * 4.0) / (2.0 * 5.0) * 1e6)
