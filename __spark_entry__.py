@@ -5184,33 +5184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a correctness gate caps how many entries it checks, the hash-checkable
     # ones must never be the casualties.
     return {
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_range_filter": q02_range_filter,
-        "q03_regex_filter": q03_regex_filter,
-        "q04_validation_split": q04_validation_split,
-        "q05_error_report": q05_error_report,
-        "q06_duplicate_check": q06_duplicate_check,
-        "q07_unique_daily": q07_unique_daily,
-        "q08_zscore_outliers": q08_zscore_outliers,
-        "q09_referential_anti_join": q09_referential_anti_join,
-        "q10_lookup_semi_join": q10_lookup_semi_join,
-        "q11_summary_group_agg": q11_summary_group_agg,
-        "q12_top_k": q12_top_k,
-        "q13_preview_truncate": q13_preview_truncate,
-        "q14_projection_cast": q14_projection_cast,
-        "q15_json_extract": q15_json_extract,
-        "q16_dedup_exact_content": q16_dedup_exact_content,
-        "q17_dedup_exact_keys": q17_dedup_exact_keys,
-        "q18_term_counts": q18_term_counts,
-        "q19_lang_stats": q19_lang_stats,
-        "q20_doc_quality": q20_doc_quality,
-        "q21_language_id": q21_language_id,
         # Driver first-50 window policy: the newest queries that have
-        # NEVER seen a driver correctness run come right after the base
-        # 21 — q189-q216 (registered this round). The r4/r5 promotions
-        # already earned their driver-oracle rows in CORRECTNESS_r04/r05
-        # and move below the fold; q188 stays as the SPC-family
-        # continuity representative.
+        # NEVER seen a driver correctness run fill the window — q188-q216
+        # (registered earlier this round) plus q217-q230 (this session's
+        # waves). The base q01-q21 have green driver-oracle rows in
+        # CORRECTNESS_r01..r05 and rotate below the fold, followed by the
+        # r4/r5 promotions and the long tail.
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -5254,6 +5233,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_mann_kendall": q228_mann_kendall,
         "q229_span_corruption": q229_span_corruption,
         "q230_oee_daily": q230_oee_daily,
+        # -- below the driver 50-entry gate window ------------------------
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_range_filter": q02_range_filter,
+        "q03_regex_filter": q03_regex_filter,
+        "q04_validation_split": q04_validation_split,
+        "q05_error_report": q05_error_report,
+        "q06_duplicate_check": q06_duplicate_check,
+        "q07_unique_daily": q07_unique_daily,
+        "q08_zscore_outliers": q08_zscore_outliers,
+        "q09_referential_anti_join": q09_referential_anti_join,
+        "q10_lookup_semi_join": q10_lookup_semi_join,
+        "q11_summary_group_agg": q11_summary_group_agg,
+        "q12_top_k": q12_top_k,
+        "q13_preview_truncate": q13_preview_truncate,
+        "q14_projection_cast": q14_projection_cast,
+        "q15_json_extract": q15_json_extract,
+        "q16_dedup_exact_content": q16_dedup_exact_content,
+        "q17_dedup_exact_keys": q17_dedup_exact_keys,
+        "q18_term_counts": q18_term_counts,
+        "q19_lang_stats": q19_lang_stats,
+        "q20_doc_quality": q20_doc_quality,
+        "q21_language_id": q21_language_id,
         # below the driver 50-entry gate window: previously
         # driver-checked r4/r5 promotions, then the long tail
         "q121_knn_classify_lsh": q121_knn_classify_lsh,
