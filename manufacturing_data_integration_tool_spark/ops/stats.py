@@ -56,6 +56,8 @@ __all__ = [
     "changepoint_cusum",
     "wilson_rate_ci",
     "mann_kendall_trend",
+    "ks_pairwise",
+    "gini_coefficient",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -1572,4 +1574,150 @@ def mann_kendall_trend(
         .when(z < F.lit(-z_crit), F.lit("decreasing"))
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
+    )
+
+
+def ks_pairwise(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance for every pair of groups
+    (Kolmogorov 1933; the distribution-shift screen for "did source X's
+    length/quality profile drift away from source Y's").
+
+    ``D = max_x |F_a(x) - F_b(x)|`` evaluated EXACTLY on integers:
+    with cumulative counts ``c`` and totals ``n``, the max of
+    ``|c_a * n_b - c_b * n_a|`` over the value grid is the cross-
+    multiplied D (one IEEE division publishes it x1e6 at the end).
+
+    Mechanics: value counts collapse map-side to one row per (group,
+    value); the (distinct values x groups) grid is completed with a
+    broadcast cross join so every group has a cumulative count AT EVERY
+    grid point (else F_a would be unsampled where only b has mass);
+    per-group prefix sums run over value-grid-sized partitions; the
+    pair join is grid x groups² — all bounded by the VALUE DOMAIN
+    (lengths, scores), not row counts.
+
+    Output: one row per unordered pair —
+    ``(group_a, group_b, n_a, n_b, d_num, d_x1e6)``.
+    """
+    counts = (
+        df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    vals = counts.select("__v").distinct()
+    grps = counts.select("__g").distinct()
+    grid = vals.crossJoin(F.broadcast(grps))
+    full = grid.join(counts, ["__g", "__v"], "left").select(
+        "__g", "__v", F.coalesce(F.col("__c"), F.lit(0).cast("bigint")).alias("__c")
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = full.select(
+        "__g", "__v", F.sum("__c").over(w).cast("bigint").alias("__cum")
+    )
+    n = counts.groupBy("__g").agg(F.sum("__c").cast("bigint").alias("__n"))
+    cdf = cum.join(F.broadcast(n), "__g")
+    a = cdf.select(
+        F.col("__v"),
+        F.col("__g").alias("group_a"),
+        F.col("__cum").alias("__ca"),
+        F.col("__n").alias("n_a"),
+    )
+    b = cdf.select(
+        F.col("__v"),
+        F.col("__g").alias("group_b"),
+        F.col("__cum").alias("__cb"),
+        F.col("__n").alias("n_b"),
+    )
+    pairs = a.join(b, "__v").filter(F.col("group_a") < F.col("group_b"))
+    return (
+        pairs.groupBy("group_a", "group_b")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.max(
+                F.abs(F.col("__ca") * F.col("n_b") - F.col("__cb") * F.col("n_a"))
+            )
+            .cast("bigint")
+            .alias("d_num"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "d_num",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            )
+            .cast("bigint")
+            .alias("d_x1e6"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    sub_bucket_width: int = 10_000_000,
+) -> DataFrame:
+    """Gini concentration coefficient of a nonnegative integer measure
+    (Gini 1912; the inequality complement to q138's Herfindahl):
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with ``x_1 <= ... <= x_n`` ranked ascending (``key_col`` breaks
+    ties — tie order cannot change the statistic since tied x are
+    equal).  Ranks come from the skew-safe two-phase running count
+    (never a one-task global sort); the moment sums accumulate in
+    decimal(38,0) (exact — rank*x products overflow bigint near 10^18;
+    decimal keeps petabyte-scale sums exact like DuckDB's HUGEINT), and
+    only the final ratio touches floating point, floor-published x1e9.
+
+    Output: one row — ``(n_keys, total, gini_x1e9)``.
+    """
+    from .sampling import two_phase_running_sum
+
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("bigint").alias("__x"),
+    )
+    ranked = two_phase_running_sum(
+        base.withColumn("__all", F.lit(0)),
+        ["__all"],
+        [F.col("__x"), F.col("__k")],
+        F.lit(1),
+        F.floor(F.col("__x") / F.lit(float(sub_bucket_width))).cast("bigint"),
+        out_col="__rank",
+    )
+    dec = "decimal(38,0)"
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum((F.col("__rank") * F.col("__x")).cast(dec)).alias("__six"),
+    )
+    num = (
+        F.lit(2).cast(dec) * F.col("__six")
+        - (F.col("n_keys") + F.lit(1)).cast(dec) * F.col("__sx")
+    )
+    den = F.col("n_keys").cast(dec) * F.col("__sx")
+    return m.select(
+        "n_keys",
+        F.col("__sx").cast("bigint").alias("total"),
+        F.floor(
+            F.lit(1_000_000_000.0)
+            * (num.cast("double") / den.cast("double"))
+        )
+        .cast("bigint")
+        .alias("gini_x1e9"),
     )

@@ -897,3 +897,34 @@ def test_kneser_ney_min_count_filters_output_not_statistics(spark):
     # only ab/ba published, but t_types still counts ac
     assert sorted((r["w1"], r["w2"]) for r in out) == [("a", "b"), ("b", "a")]
     assert all(r["t_types"] == 3 for r in out)
+
+
+def test_ks_pairwise_by_hand(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        ks_pairwise,
+    )
+
+    rows = [Row(g="a", v=x) for x in [1, 2, 3]] + [
+        Row(g="b", v=x) for x in [2, 3, 4]
+    ]
+    r = ks_pairwise(spark.createDataFrame(rows), "g", "v").collect()[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    # F_a - F_b maxes at v in {1,2,3}: |c_a*n_b - c_b*n_a| = 3 -> D = 1/3
+    assert r["d_num"] == 3
+    assert r["d_x1e6"] == math.floor(1e6 * 3 / 9)
+
+
+def test_gini_coefficient_extremes(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        gini_coefficient,
+    )
+
+    eq = spark.createDataFrame([Row(k=i, x=5) for i in range(4)])
+    assert gini_coefficient(eq, "k", "x").collect()[0]["gini_x1e9"] == 0
+    conc = spark.createDataFrame(
+        [Row(k=1, x=0), Row(k=2, x=0), Row(k=3, x=0), Row(k=4, x=10)]
+    )
+    r = gini_coefficient(conc, "k", "x").collect()[0]
+    # all mass on one of 4 keys -> G = (n-1)/n = 0.75
+    assert r["gini_x1e9"] == 750_000_000 and r["total"] == 10
