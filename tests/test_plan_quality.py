@@ -916,3 +916,48 @@ def test_q212_and_q213_windows_are_bounded_partitions(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan2)
     assert specs and all("event_type" in m and "__wd" in m for m in specs)
     assert "BatchEvalPython" not in plan2
+
+
+def test_window_funnel_joins_stay_user_keyed(spark):
+    """q218's stage joins must be hash equi-joins on the user key with
+    range residuals — a cartesian product here means the range predicate
+    swallowed the equi-key."""
+    plan = plan_of(entry.q218_window_funnel(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_blocking_audit_materializes_no_pairs(spark):
+    """q219 is counting arithmetic over grouped counts: its only joins are
+    the documented 1-row broadcast aggregates (BNLJ on a 1-row build side),
+    never a pair join between row-cardinality frames."""
+    plan = plan_of(entry.q219_blocking_audit(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # nothing row-sized joins anything
+
+
+def test_abc_xyz_ranking_is_two_phase(spark):
+    """q222's global revenue ranking must come from the sub-bucketed
+    two-phase running sum: the wide window partitions on the sub-bucket
+    column, and no TakeOrdered/global Sort over the part table appears."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import abc_xyz
+    from pyspark.sql import Row
+
+    rev = spark.createDataFrame([Row(k=i, rc=i * 100) for i in range(1, 200)])
+    per = spark.createDataFrame([Row(k=i, q=10) for i in range(1, 200)])
+    plan = plan_of(abc_xyz(rev, "k", "rc", per, "q"))
+    assert "CartesianProduct" not in plan
+    # the row-cardinality window is keyed by the sub-bucket
+    assert "__tprs_sub" in plan
+
+
+def test_ks_pairwise_grid_join_is_bounded_broadcast(spark):
+    """q231's only cross join completes the (values x groups) grid with a
+    broadcast of the group list — CartesianProduct must never appear."""
+    plan = plan_of(entry.q231_source_ks_drift(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+
+
+def test_fixed_width_scan_has_no_python(spark):
+    plan = plan_of(entry.q226_fixed_width_scan(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
