@@ -5211,6 +5211,174 @@ def q233_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q234_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility comparison per language: BPE-ish pre-token
+    count vs whitespace word count (fertility = tokens/word, the number
+    multilingual tokenizer evaluations report — SentencePiece/BPE
+    papers use it to compare segmentations across languages). Exact
+    integer sums, one floor-published ratio; zero shuffle before the
+    lang rollup."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        tx.token_count("text").cast("bigint").alias("__ws"),
+        tx.bpe_ish_token_count("text").cast("bigint").alias("__bpe"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__ws").cast("bigint").alias("ws_tokens"),
+        F.sum("__bpe").cast("bigint").alias("bpe_tokens"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.sum("__bpe").cast("double")
+            / F.sum("__ws").cast("double")
+        )
+        .cast("bigint")
+        .alias("fertility_x1e6"),
+    )
+
+
+def q235_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction threshold (Vovk et al.; Angelopoulos
+    & Bates 2021 tutorial): hash-split documents into calibration/test,
+    take the ceil((n_cal+1)*(1-alpha))-th smallest calibration score
+    (score = n_chars; alpha = 0.1) as the distribution-free upper
+    bound, then audit empirical test coverage (must be ~>= 90%). The
+    order statistic is an EXACT rank via the two-phase running count —
+    never a one-task global sort; k and q_hat travel as 1-row
+    broadcasts."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        _u52,
+        two_phase_running_sum,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("score")
+    )
+    split = docs.withColumn("__cal", _u52(F.col("doc_id"), "conf") % 2 == 0)
+    cal = split.filter(F.col("__cal")).drop("__cal")
+    test = split.filter(~F.col("__cal")).drop("__cal")
+    ranked = two_phase_running_sum(
+        cal.withColumn("__all", F.lit(0)),
+        ["__all"],
+        [F.col("score"), F.col("doc_id")],
+        F.lit(1),
+        F.expr("score div 64"),
+        out_col="__rank",
+    )
+    kf = cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.least(
+            F.count(F.lit(1)),
+            F.expr("((count(1) + 1) * 9 + 9) div 10"),
+        )
+        .cast("bigint")
+        .alias("__k"),
+    )
+    qhat = (
+        ranked.crossJoin(F.broadcast(kf))
+        .filter(F.col("__rank") == F.col("__k"))
+        .select("n_cal", F.col("score").alias("q_hat"))
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.max("n_cal").cast("bigint").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.max("q_hat").cast("bigint").alias("q_hat"),
+            F.sum(F.when(F.col("score") <= F.col("q_hat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "q_hat",
+            "n_covered",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double")
+            )
+            .cast("bigint")
+            .alias("coverage_x1e6"),
+        )
+    )
+
+
+def q236_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): a
+    deterministic hash arm split; X = each user's pre-period value (days
+    1-15), Y = post-period (days 16+); theta = cov(X,Y)/var(X) from
+    exact decimal moment sums (one 1-row broadcast); per-arm adjusted
+    mean = mean(Y) - theta*(mean(X) - mean_X_global). All published
+    floats are fixed IEEE trees over exact integers, floor-published."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import _u52
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per_user = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.when(F.dayofmonth(F.col("ts")) <= 15, cents)
+            .otherwise(F.lit(0))
+            .alias("__x"),
+            F.when(F.dayofmonth(F.col("ts")) > 15, cents)
+            .otherwise(F.lit(0))
+            .alias("__y"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("__x").cast("bigint").alias("x"),
+            F.sum("__y").cast("bigint").alias("y"),
+        )
+        .withColumn("arm", (_u52(F.col("user_id"), "arm") % 2).cast("bigint"))
+    )
+    dec = "decimal(38,0)"
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("x").cast(dec)).alias("__sx"),
+        F.sum(F.col("y").cast(dec)).alias("__sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("__sxy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("x").cast(dec)).alias("__ax"),
+        F.sum(F.col("y").cast(dec)).alias("__ay"),
+    )
+    j = arms.crossJoin(F.broadcast(g))
+    nd = F.col("__n").cast("double")
+    vden = (
+        F.col("__n").cast(dec) * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    vnum = (
+        F.col("__n").cast(dec) * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ).cast("double")
+    theta = F.when(vden == 0.0, F.lit(0.0)).otherwise(vnum / vden)
+    mean_x_g = F.col("__sx").cast("double") / nd
+    mean_y_a = F.col("__ay").cast("double") / F.col("n_users").cast("double")
+    mean_x_a = F.col("__ax").cast("double") / F.col("n_users").cast("double")
+    adj = mean_y_a - theta * (mean_x_a - mean_x_g)
+    return j.select(
+        "arm",
+        "n_users",
+        F.col("__ay").cast("bigint").alias("sum_y_cents"),
+        F.floor(mean_y_a * F.lit(1_000_000.0)).cast("bigint").alias(
+            "mean_y_x1e6"
+        ),
+        F.floor(theta * F.lit(1_000_000_000.0)).cast("bigint").alias(
+            "theta_x1e9"
+        ),
+        F.floor(adj * F.lit(1_000_000.0)).cast("bigint").alias(
+            "adj_mean_x1e6"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5305,6 +5473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_source_ks_drift": q231_source_ks_drift,
         "q232_customer_gini": q232_customer_gini,
         "q233_mtbf": q233_mtbf,
+        "q234_tokenizer_fertility": q234_tokenizer_fertility,
+        "q235_conformal_threshold": q235_conformal_threshold,
+        "q236_cuped_adjustment": q236_cuped_adjustment,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_range_filter": q02_range_filter,
         "q03_regex_filter": q03_regex_filter,
@@ -7844,6 +8015,93 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_gap_us,
                    CAST(MAX(gap_ns // 1000) AS BIGINT) AS max_gap_us
             FROM g
+        """,
+        "q234_tokenizer_fertility": f"""
+            WITH per AS (
+              SELECT lang,
+                     CAST(len({tok}) AS BIGINT) AS ws,
+                     CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN.replace("'", "''")}')) AS BIGINT) AS bpe
+              FROM documents)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(SUM(bpe) AS DOUBLE)
+                        / CAST(SUM(ws) AS DOUBLE)) AS BIGINT)
+                     AS fertility_x1e6
+            FROM per GROUP BY 1
+        """,
+        "q235_conformal_threshold": f"""
+            WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+                              ({_u52_sql("doc_id", "conf")} % 2 = 0) AS cal
+                       FROM documents),
+            c AS (SELECT doc_id, score FROM s WHERE cal),
+            t AS (SELECT score FROM s WHERE NOT cal),
+            k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+                         LEAST(CAST(COUNT(*) AS BIGINT),
+                               CAST(((COUNT(*) + 1) * 9 + 9) // 10
+                                    AS BIGINT)) AS kk
+                  FROM c),
+            r AS (SELECT score,
+                         ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rk
+                  FROM c),
+            q AS (SELECT n_cal, r.score AS q_hat
+                  FROM r, k WHERE r.rk = k.kk)
+            SELECT MAX(n_cal) AS n_cal,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   MAX(q_hat) AS q_hat,
+                   CAST(SUM(CASE WHEN score <= q_hat THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_covered,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(SUM(CASE WHEN score <= q_hat THEN 1 ELSE 0
+                                   END) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                     AS coverage_x1e6
+            FROM t, q
+        """,
+        "q236_cuped_adjustment": f"""
+            WITH per AS (
+              SELECT user_id,
+                     CAST(SUM(CASE WHEN day(ts) <= 15
+                          THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS x,
+                     CAST(SUM(CASE WHEN day(ts) > 15
+                          THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS y
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            pa AS (SELECT user_id, x, y,
+                          CAST({_u52_sql("user_id", "arm")} % 2 AS BIGINT)
+                            AS arm
+                   FROM per),
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+                  FROM pa),
+            a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                         SUM(x) AS ax, SUM(y) AS ay
+                  FROM pa GROUP BY 1),
+            e AS (SELECT arm, n_users, ay, n, sx,
+                         CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+                                   = CAST(0.0 AS DOUBLE)
+                              THEN CAST(0.0 AS DOUBLE)
+                              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                         END AS theta,
+                         CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+                           AS mean_y_a,
+                         CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
+                           AS mean_x_a,
+                         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_g
+                  FROM a, g)
+            SELECT arm, n_users, CAST(ay AS BIGINT) AS sum_y_cents,
+                   CAST(floor(mean_y_a * CAST(1000000.0 AS DOUBLE))
+                        AS BIGINT) AS mean_y_x1e6,
+                   CAST(floor(theta * CAST(1000000000.0 AS DOUBLE))
+                        AS BIGINT) AS theta_x1e9,
+                   CAST(floor((mean_y_a - theta * (mean_x_a - mean_x_g))
+                        * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS adj_mean_x1e6
+            FROM e
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

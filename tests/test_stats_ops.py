@@ -928,3 +928,29 @@ def test_gini_coefficient_extremes(spark):
     r = gini_coefficient(conc, "k", "x").collect()[0]
     # all mass on one of 4 keys -> G = (n-1)/n = 0.75
     assert r["gini_x1e9"] == 750_000_000 and r["total"] == 10
+
+
+def test_conformal_threshold_coverage_guarantee(spark):
+    """Split conformal's defining property: empirical test coverage is
+    close to (and concentrated above) 1 - alpha = 0.9 on exchangeable
+    data. The hash split is deterministic, so this is a fixed number."""
+    import __spark_entry__ as e
+
+    r = e.q235_conformal_threshold(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_cal"] > 0 and r["n_test"] > 0
+    assert r["n_covered"] <= r["n_test"]
+    # finite-sample wiggle: allow 85% on the small driver slice
+    assert r["coverage_x1e6"] >= 850_000
+
+
+def test_cuped_theta_is_global_and_means_consistent(spark):
+    import __spark_entry__ as e
+
+    rows = e.q236_cuped_adjustment(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 2
+    # theta is a corpus-level constant: identical on both arm rows
+    assert rows[0]["theta_x1e9"] == rows[1]["theta_x1e9"]
+    for r in rows:
+        assert r["mean_y_x1e6"] == math.floor(
+            1e6 * r["sum_y_cents"] / r["n_users"]
+        )
