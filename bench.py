@@ -192,6 +192,26 @@ HEADLINE = [
     "q214_jsonl_scan",
     "q215_value_quantiles_by_type",
     "q216_kfold_assignment",
+    "q217_changepoint",
+    "q218_window_funnel",
+    "q219_blocking_audit",
+    "q220_return_rate_wilson",
+    "q221_fifo_costing",
+    "q222_abc_xyz_matrix",
+    "q223_readability",
+    "q224_kneser_ney_bigrams",
+    "q225_quantile_normalize",
+    "q226_fixed_width_scan",
+    "q227_reorder_points",
+    "q228_mann_kendall",
+    "q229_span_corruption",
+    "q230_oee_daily",
+    "q231_source_ks_drift",
+    "q232_customer_gini",
+    "q233_mtbf",
+    "q234_tokenizer_fertility",
+    "q235_conformal_threshold",
+    "q236_cuped_adjustment",
 ]
 
 
