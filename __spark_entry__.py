@@ -5379,6 +5379,203 @@ def q236_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHAPLEY_CHANNELS = ("click", "signup", "view")
+
+
+def _shapley_lattice() -> list[tuple[str, str, str, int]]:
+    """(channel, set_without, set_with, weight*n!) rows for the exact
+    3-channel Shapley sum: w = |S|!(n-1-|S|)!/n!, published as w*6 so
+    the weights stay integers."""
+    import math as _m
+    from itertools import combinations
+
+    n = len(_SHAPLEY_CHANNELS)
+    rows = []
+    for c in _SHAPLEY_CHANNELS:
+        others = [x for x in _SHAPLEY_CHANNELS if x != c]
+        for r in range(len(others) + 1):
+            for S in combinations(others, r):
+                rows.append(
+                    (
+                        c,
+                        ",".join(sorted(S)),
+                        ",".join(sorted(S + (c,))),
+                        _m.factorial(r) * _m.factorial(n - 1 - r),
+                    )
+                )
+    return rows
+
+
+def q237_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953; Zhao et
+    al. 2018's attribution formulation): coalition value v(S) =
+    empirical conversion rate of users whose pre-purchase touched set
+    is EXACTLY S; each channel's value is the weighted marginal sum
+    over the 2^(n-1) coalitions — a 12-row LITERAL lattice joined onto
+    the (set -> users, conversions) stats table, so the whole game is
+    two tiny broadcast joins. Each marginal term is floor-quantized to
+    the 1e-12 lattice BEFORE the sum (integer addition is associative;
+    a 4-term double sum is not), published as shapley*6e12."""
+    ev = read_table(spark, sf_dir, "events")
+    chans = list(_SHAPLEY_CHANNELS)
+    u1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("__p_ts"))
+    )
+    touches = ev.filter(F.col("event_type").isin(chans)).select(
+        "user_id", "ts_ns", F.col("event_type").alias("__ty")
+    )
+    # pre-purchase touches UNION a null-touch row per converter — the
+    # union (not a full join) keeps converters whose EVERY touch came
+    # after the purchase: the join row would match and then fail the
+    # time filter, silently dropping the user from the empty-set
+    # coalition (found as a Spark-vs-oracle efficiency-axiom violation:
+    # sum of Shapley values must equal v(N) - v(empty)).
+    pre = (
+        touches.join(u1, "user_id", "left")
+        .filter(F.col("__p_ts").isNull() | (F.col("ts_ns") < F.col("__p_ts")))
+        .select("user_id", "__ty", "__p_ts")
+    )
+    base = pre.unionByName(
+        u1.select(
+            "user_id",
+            F.lit(None).cast("string").alias("__ty"),
+            F.col("__p_ts"),
+        )
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("__ty")), ",").alias("s"),
+        F.max("__p_ts").isNotNull().alias("__conv"),
+    )
+    stats = per_user.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users"),
+        F.sum(F.when(F.col("__conv"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    lattice = spark.createDataFrame(
+        _shapley_lattice(), ["channel", "s_wo", "s_w", "w6"]
+    )
+    a = stats.select(
+        F.col("s").alias("s_wo"),
+        F.col("users").alias("__ua"),
+        F.col("conv").alias("__ca"),
+    )
+    b = stats.select(
+        F.col("s").alias("s_w"),
+        F.col("users").alias("__ub"),
+        F.col("conv").alias("__cb"),
+    )
+    j = lattice.join(F.broadcast(a), "s_wo", "left").join(
+        F.broadcast(b), "s_w", "left"
+    )
+    v_wo = F.coalesce(
+        F.col("__ca").cast("double") / F.col("__ua").cast("double"), F.lit(0.0)
+    )
+    v_w = F.coalesce(
+        F.col("__cb").cast("double") / F.col("__ub").cast("double"), F.lit(0.0)
+    )
+    term = F.floor(
+        F.lit(1_000_000_000_000.0) * F.col("w6").cast("double") * (v_w - v_wo)
+    ).cast("bigint")
+    return (
+        j.groupBy("channel")
+        .agg(F.sum(term).cast("bigint").alias("shapley_x6e12"))
+    )
+
+
+def q238_trimmed_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 5% symmetric trimmed mean of the event value
+    (ops.stats.trimmed_mean) — the robust location estimate between
+    q102's mean and q111's median, standard in benchmark/KPI
+    reporting. Exact per-group order statistics via the two-phase
+    running count (value-grid sub-buckets), integer trim boundaries,
+    one floor-published IEEE division."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        trimmed_mean,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return trimmed_mean(
+        ev.filter(F.col("value").isNotNull()),
+        ["event_type"],
+        "value",
+        "event_id",
+        trim_pct=5,
+    )
+
+
+def q239_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly OTIF (on-time-in-full) with Wilson 95% intervals — the
+    order-fulfillment KPI: an order counts only if EVERY lineitem
+    shipped within 30 days of the order date. One orderkey equi-join +
+    per-order all-lines aggregate, then ops.stats.wilson_rate_ci on the
+    order-level flag (q220's interval machinery reused on a composed
+    predicate)."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        wilson_rate_ci,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = orders.select(
+        F.col("o_orderkey"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+            "order_month"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("__due"),
+    )
+    j = li.select(
+        F.col("l_orderkey"), F.col("l_shipdate").cast("date").alias("__ship")
+    ).join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    per_order = j.groupBy("o_orderkey", "order_month").agg(
+        F.sum(F.when(F.col("__ship") > F.col("__due"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__late")
+    )
+    flags = per_order.select("order_month", (F.col("__late") == 0).alias("__otif"))
+    return wilson_rate_ci(flags, ["order_month"], F.col("__otif"))
+
+
+def q240_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-richness profile (type-token ratio + hapax
+    legomena share — the Heaps'-law-adjacent vocabulary health check,
+    log-free so it stays engine-exact): one (source, word) count
+    aggregate, one per-source rollup, ratios floor-published x1e6."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("__w"),
+    )
+    wc = words.groupBy("source", "__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    return wc.groupBy("source").agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("__c").cast("double")
+        )
+        .cast("bigint")
+        .alias("ttr_x1e6"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("hapax_share_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5476,6 +5673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_tokenizer_fertility": q234_tokenizer_fertility,
         "q235_conformal_threshold": q235_conformal_threshold,
         "q236_cuped_adjustment": q236_cuped_adjustment,
+        "q237_shapley_attribution": q237_shapley_attribution,
+        "q238_trimmed_value_mean": q238_trimmed_value_mean,
+        "q239_otif_rate": q239_otif_rate,
+        "q240_lexical_richness": q240_lexical_richness,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_range_filter": q02_range_filter,
         "q03_regex_filter": q03_regex_filter,
@@ -6074,6 +6275,12 @@ def _pagerank_oracle_sql(iterations: int = 6) -> str:
 
 def oracle_sql() -> dict[str, str]:
     tok = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+    # q237's Shapley lattice — the SAME 12 literal rows the Spark query
+    # builds (channel, set-without, set-with, weight*3!).
+    _SHAPLEY_VALUES = ", ".join(
+        f"('{c}', '{wo}', '{w}', {w6})" for c, wo, w, w6 in _shapley_lattice()
+    )
 
     # q169's exact-integer EWMA weight table (depth 16, decay 7/10) —
     # identical literals to ops.stats.ewma_trailing's array.
@@ -8102,6 +8309,122 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
                      AS adj_mean_x1e6
             FROM e
+        """,
+        "q237_shapley_attribution": f"""
+            WITH u1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS p_ts
+                        FROM events WHERE event_type = 'purchase'
+                        GROUP BY 1),
+            t AS (SELECT e.user_id, e.event_type AS ty, epoch_ns(e.ts) AS t,
+                         u1.p_ts
+                  FROM events e LEFT JOIN u1 USING (user_id)
+                  WHERE e.event_type IN ('click', 'signup', 'view')),
+            base AS (
+              SELECT user_id, ty, p_ts FROM t
+              WHERE p_ts IS NULL OR t < p_ts
+              UNION ALL
+              SELECT user_id, NULL AS ty, p_ts FROM u1),
+            pu AS (SELECT user_id,
+                          COALESCE(string_agg(DISTINCT ty, ','
+                                              ORDER BY ty), '') AS s,
+                          (MAX(p_ts) IS NOT NULL) AS conv
+                   FROM base GROUP BY 1),
+            stats AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS users,
+                             CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END)
+                                  AS BIGINT) AS conv
+                      FROM pu GROUP BY 1),
+            lattice(channel, s_wo, s_w, w6) AS (
+              SELECT * FROM (VALUES {_SHAPLEY_VALUES}) )
+            SELECT channel,
+                   CAST(SUM(CAST(floor((CAST(1000000000000.0 AS DOUBLE)
+                         * CAST(w6 AS DOUBLE))
+                         * (COALESCE(CAST(b.conv AS DOUBLE)
+                                     / CAST(b.users AS DOUBLE),
+                                     CAST(0.0 AS DOUBLE))
+                            - COALESCE(CAST(a.conv AS DOUBLE)
+                                       / CAST(a.users AS DOUBLE),
+                                       CAST(0.0 AS DOUBLE))))
+                        AS BIGINT)) AS BIGINT) AS shapley_x6e12
+            FROM lattice l
+            LEFT JOIN stats a ON a.s = l.s_wo
+            LEFT JOIN stats b ON b.s = l.s_w
+            GROUP BY 1
+        """,
+        "q238_trimmed_value_mean": """
+            WITH v AS (SELECT event_type, event_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+                       FROM events WHERE value IS NOT NULL),
+            r AS (SELECT event_type, vq,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY vq, event_id) AS BIGINT) AS rk,
+                         CAST(COUNT(*) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS n
+                  FROM v)
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(SUM(vq) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)
+                        / CAST(100.0 AS DOUBLE)) AS BIGINT) AS mean_x1e6
+            FROM r
+            WHERE rk > n * 5 // 100 AND rk <= n - n * 5 // 100
+            GROUP BY 1
+        """,
+        "q239_otif_rate": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(date_trunc('month', o_orderdate) AS DATE)
+                                AS order_month,
+                              CAST(o_orderdate AS DATE) + 30 AS due
+                       FROM orders),
+            j AS (SELECT o.o_orderkey, o.order_month,
+                         CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) > o.due
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS late
+                  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+                  GROUP BY 1, 2),
+            g AS (SELECT order_month, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS k
+                  FROM j GROUP BY 1),
+            e AS (SELECT order_month, n, k,
+                         CAST(n AS DOUBLE) AS nn, CAST(k AS DOUBLE) AS kk,
+                         CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+                  FROM g),
+            w AS (SELECT order_month, n, k,
+                         (kk / nn + z2 / (CAST(2.0 AS DOUBLE) * nn))
+                           / (CAST(1.0 AS DOUBLE) + z2 / nn) AS center,
+                         CAST(1.96 AS DOUBLE)
+                           * sqrt(kk / nn * (CAST(1.0 AS DOUBLE) - kk / nn)
+                                  / nn
+                                  + z2 / (CAST(4.0 AS DOUBLE) * nn * nn))
+                           / (CAST(1.0 AS DOUBLE) + z2 / nn) AS half
+                  FROM e)
+            SELECT order_month, n, k,
+                   floor((center - half) * CAST(1000000000.0 AS DOUBLE))
+                     / CAST(1000000000.0 AS DOUBLE) AS rate_lo,
+                   floor((center + half) * CAST(1000000000.0 AS DOUBLE))
+                     / CAST(1000000000.0 AS DOUBLE) AS rate_hi
+            FROM w
+        """,
+        "q240_lexical_richness": """
+            WITH words AS (
+              SELECT source, w
+              FROM (SELECT source,
+                           regexp_extract_all(lower(text), '[a-z]+') AS ws
+                    FROM documents), unnest(ws) AS t(w)),
+            wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM words GROUP BY 1, 2)
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(COUNT(*) AS DOUBLE)
+                        / CAST(SUM(c) AS DOUBLE)) AS BIGINT) AS ttr_x1e6,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                               AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                     AS hapax_share_x1e6
+            FROM wc GROUP BY 1
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

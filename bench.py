@@ -212,6 +212,10 @@ HEADLINE = [
     "q234_tokenizer_fertility",
     "q235_conformal_threshold",
     "q236_cuped_adjustment",
+    "q237_shapley_attribution",
+    "q238_trimmed_value_mean",
+    "q239_otif_rate",
+    "q240_lexical_richness",
 ]
 
 

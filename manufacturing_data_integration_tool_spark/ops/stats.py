@@ -58,6 +58,7 @@ __all__ = [
     "mann_kendall_trend",
     "ks_pairwise",
     "gini_coefficient",
+    "trimmed_mean",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -1720,4 +1721,68 @@ def gini_coefficient(
         )
         .cast("bigint")
         .alias("gini_x1e9"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    trim_pct: int = 5,
+    scale: int = 100,
+    sub_bucket_width: int = 1_000,
+) -> DataFrame:
+    """Per-group symmetric trimmed mean (the robust location estimate
+    between mean and median — standard in timing/benchmark reporting):
+    drop the bottom and top ``trim_pct``% by rank, average the rest.
+
+    Ranks are EXACT per-group order statistics via the two-phase
+    running count (sub-bucketed on the value grid), never a
+    one-task-per-group sort window — the hottest group's ranking
+    parallelizes across ``value div sub_bucket_width`` buckets.  The
+    trim boundaries are integers (``k = n * trim_pct div 100``), kept
+    rows are ``k < rank <= n - k``, and the mean is one IEEE division
+    of exact integer sums, floor-published x1e6.
+
+    Output: ``(group_cols..., n, n_kept, mean_x1e6)``.
+    """
+    vq = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        vq.alias("__vq"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).filter(F.col("__vq").isNotNull())
+    from .sampling import two_phase_running_sum
+
+    ranked = two_phase_running_sum(
+        base,
+        list(group_cols),
+        [F.col("__vq"), F.col("__tb")],
+        F.lit(1),
+        F.expr(f"__vq div {int(sub_bucket_width)}"),
+        out_col="__rank",
+    )
+    tot = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    k = F.expr(f"__n * {int(trim_pct)} div 100")
+    kept = (
+        ranked.join(F.broadcast(tot), list(group_cols))
+        .filter((F.col("__rank") > k) & (F.col("__rank") <= F.col("__n") - k))
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.sum("__vq").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(scale))
+        )
+        .cast("bigint")
+        .alias("mean_x1e6"),
     )

@@ -954,3 +954,58 @@ def test_cuped_theta_is_global_and_means_consistent(spark):
         assert r["mean_y_x1e6"] == math.floor(
             1e6 * r["sum_y_cents"] / r["n_users"]
         )
+
+
+def test_trimmed_mean_by_hand(spark):
+    import datetime as dt
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        trimmed_mean,
+    )
+
+    # 20 values 1..19 plus a 1000 outlier; 5% trim drops rank 1 and rank 20
+    rows = [
+        Row(g="a", eid=i, v=float(x))
+        for i, x in enumerate(list(range(1, 20)) + [1000])
+    ]
+    r = trimmed_mean(
+        spark.createDataFrame(rows), ["g"], "v", "eid", trim_pct=5
+    ).collect()[0]
+    assert r["n"] == 20 and r["n_kept"] == 18
+    kept = list(range(2, 20))  # outlier and minimum trimmed away
+    assert r["mean_x1e6"] == math.floor(1e6 * sum(kept) / len(kept))
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Sum of Shapley values must equal v(all channels) - v(empty set) —
+    the efficiency axiom, checked on real driver data (this exact
+    property caught a dropped-coalition bug in the first cut)."""
+    import duckdb
+    import __spark_entry__ as e
+
+    rows = e.q237_shapley_attribution(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["shapley_x6e12"] for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "create view events as select * from "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    vn, ve = con.execute(
+        """WITH u1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS p_ts
+                       FROM events WHERE event_type='purchase' GROUP BY 1),
+        t AS (SELECT e.user_id, e.event_type AS ty, epoch_ns(e.ts) AS t, u1.p_ts
+              FROM events e LEFT JOIN u1 USING (user_id)
+              WHERE e.event_type IN ('click','signup','view')),
+        base AS (SELECT user_id, ty, p_ts FROM t WHERE p_ts IS NULL OR t < p_ts
+                 UNION ALL SELECT user_id, NULL, p_ts FROM u1),
+        pu AS (SELECT user_id,
+                      COALESCE(string_agg(DISTINCT ty, ',' ORDER BY ty), '') AS s,
+                      (MAX(p_ts) IS NOT NULL) AS conv FROM base GROUP BY 1),
+        st AS (SELECT s, COUNT(*) AS u, SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS c
+               FROM pu GROUP BY 1)
+        SELECT COALESCE(MAX(CASE WHEN s = 'click,signup,view'
+                        THEN CAST(c AS DOUBLE)/u END), 0.0),
+               COALESCE(MAX(CASE WHEN s = '' THEN CAST(c AS DOUBLE)/u END), 0.0)
+        FROM st"""
+    ).fetchone()
+    # each of the 12 terms floors at 1e-12, so allow 12 units of slack
+    assert abs(total - round((vn - ve) * 6e12)) <= 12
