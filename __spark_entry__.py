@@ -5576,6 +5576,98 @@ def q240_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q241_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's fourth sibling source format: the golden fixture re-encoded
+    as XML records, read through Spark 4's NATIVE xml datasource with
+    the pinned all-string schema (sources/readers.read_source_xml) —
+    no inference pass, missing elements as NULL. The oracle reads the
+    same rows from the CSV twin, so the check is a real cross-format
+    equivalence, not a snapshot."""
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        read_source_xml,
+    )
+
+    fixtures = Path(__file__).resolve().parent / "tests" / "fixtures"
+    cfg = load_config(str(fixtures / "mapping_config.xml"))
+    return read_source_xml(
+        spark,
+        str(fixtures / "production_golden_9rows.xml"),
+        cfg,
+        with_lineage=False,
+    )
+
+
+def q242_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event_type (Theil 1950, Sen
+    1968): the LOWER MEDIAN of all pairwise day-slopes of the daily
+    value series — the robust point estimate whose significance twin is
+    q228's Mann-Kendall. Pair slopes are exact integer (num, den)
+    rationals; the median is selected by ordering on the deterministic
+    double num/den with exact-integer tie-breaks, ranked inside
+    calendar-bounded per-key partitions (pairs are quadratic in DAYS,
+    never rows). Publishes the chosen slope as the exact rational plus
+    a floor-published x1e6 double."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("dv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("dv").cast("bigint").alias("dv"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("__da"), F.col("dv").alias("__va")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("__db"), F.col("dv").alias("__vb")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            "event_type",
+            (F.col("__vb") - F.col("__va")).cast("bigint").alias("num"),
+            F.datediff(F.col("__db"), F.col("__da")).cast("bigint").alias("den"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc(F.col("num").cast("double") / F.col("den").cast("double")),
+        F.asc("num"),
+        F.asc("den"),
+    )
+    ranked = pairs.withColumn("__rk", F.row_number().over(w))
+    tot = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    med = (
+        ranked.join(F.broadcast(tot), "event_type")
+        .filter(F.col("__rk") == F.expr("(n_pairs + 1) div 2"))
+        .join(F.broadcast(nd), "event_type")
+    )
+    return med.select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        F.col("num").alias("slope_num"),
+        F.col("den").alias("slope_den"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("num").cast("double")
+            / F.col("den").cast("double")
+        )
+        .cast("bigint")
+        .alias("slope_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5677,6 +5769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_trimmed_value_mean": q238_trimmed_value_mean,
         "q239_otif_rate": q239_otif_rate,
         "q240_lexical_richness": q240_lexical_richness,
+        "q241_xml_scan": q241_xml_scan,
+        "q242_theil_sen": q242_theil_sen,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_range_filter": q02_range_filter,
         "q03_regex_filter": q03_regex_filter,
@@ -8425,6 +8519,43 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
                      AS hapax_share_x1e6
             FROM wc GROUP BY 1
+        """,
+        "q241_xml_scan": f"""
+            SELECT "timestamp", line_id, batch_number, product_code,
+                   temperature_c, pressure_kpa, humidity_pct, operator_id,
+                   defect_count
+            FROM read_csv('{Path(__file__).resolve().parent / "tests" / "fixtures" / "production_golden_9rows.csv"}',
+                          header=true, all_varchar=true)
+        """,
+        "q242_theil_sen": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            pairs AS (
+              SELECT a.event_type,
+                     CAST(b.dv - a.dv AS BIGINT) AS num,
+                     CAST(date_diff('day', a.day, b.day) AS BIGINT) AS den
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.day < b.day),
+            r AS (SELECT event_type, num, den,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY CAST(num AS DOUBLE)
+                                       / CAST(den AS DOUBLE), num, den)
+                              AS BIGINT) AS rk
+                  FROM pairs),
+            tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                    FROM pairs GROUP BY 1),
+            nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+                   FROM daily GROUP BY 1)
+            SELECT r.event_type, n_days, n_pairs,
+                   num AS slope_num, den AS slope_den,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                        AS BIGINT) AS slope_x1e6
+            FROM r JOIN tot USING (event_type) JOIN nd USING (event_type)
+            WHERE rk = (n_pairs + 1) // 2
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

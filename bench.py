@@ -216,6 +216,8 @@ HEADLINE = [
     "q238_trimmed_value_mean",
     "q239_otif_rate",
     "q240_lexical_richness",
+    "q241_xml_scan",
+    "q242_theil_sen",
 ]
 
 

@@ -300,3 +300,36 @@ def read_source_fixed_width(
     if with_lineage:
         return df.select(*cols, F.input_file_name().alias(FILE_SOURCE_COL))
     return df.select(*cols)
+
+
+def read_source_xml(
+    spark: SparkSession,
+    path_or_glob: str | Sequence[str],
+    config: Optional[IntegrationConfig] = None,
+    *,
+    row_tag: str = "record",
+    with_lineage: bool = True,
+) -> DataFrame:
+    """Read XML records through Spark 4's NATIVE xml datasource with the
+    same pinned all-string discipline as the CSV/JSONL/fixed-width
+    sources: when ``config`` is given, the schema is the declared source
+    columns (string-typed) — no inference pass (XML inference is a full
+    extra scan of the landing zone), missing elements surface as NULL.
+    The reference's own config format is XML (src/xml_parser.py), so
+    XML *data* interchange belongs in the source matrix too.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if config:
+        schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in config.source_columns]
+        )
+        reader = reader.schema(schema)
+    paths = (
+        list(path_or_glob)
+        if isinstance(path_or_glob, (list, tuple))
+        else path_or_glob
+    )
+    df = reader.load(paths)
+    if with_lineage:
+        df = df.withColumn(FILE_SOURCE_COL, F.input_file_name())
+    return df

