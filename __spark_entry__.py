@@ -5707,17 +5707,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a correctness gate caps how many entries it checks, the hash-checkable
     # ones must never be the casualties.
     return {
-        # Driver first-50 window policy: the newest queries that have
-        # NEVER seen a driver correctness run fill the window — q188-q216
-        # (registered earlier this round) plus q217-q230 (this session's
-        # waves). The base q01-q21 have green driver-oracle rows in
-        # CORRECTNESS_r01..r05 and rotate below the fold, followed by the
-        # r4/r5 promotions and the long tail.
-        "q188_ewma_chart": q188_ewma_chart,
-        "q189_duplicate_spans": q189_duplicate_spans,
-        "q190_countmin_frequency": q190_countmin_frequency,
-        "q191_kmv_distinct": q191_kmv_distinct,
-        "q192_reachable_docs": q192_reachable_docs,
+        # Driver first-50 window policy: the window holds EXACTLY the 50
+        # newest never-driver-checked queries — q193-q216 (earlier this
+        # round) + q217-q242 (this session's waves). q188-q192 rotate
+        # below the fold (fixture-pinned + parity-green; the SPC family's
+        # driver rows live in CORRECTNESS_r05 via q184-q187), as do the
+        # base q01-q21 (driver-green in CORRECTNESS_r01..r05).
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
         "q195_brand_skyline": q195_brand_skyline,
@@ -5756,9 +5751,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_mann_kendall": q228_mann_kendall,
         "q229_span_corruption": q229_span_corruption,
         "q230_oee_daily": q230_oee_daily,
-        # -- below the driver 50-entry gate window ------------------------
-        # (q231+ arrived after the 43 + 7-base window filled; their
-        # evidence is the parity artifact + pytest until the next rotation)
         "q231_source_ks_drift": q231_source_ks_drift,
         "q232_customer_gini": q232_customer_gini,
         "q233_mtbf": q233_mtbf,
@@ -5771,6 +5763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_lexical_richness": q240_lexical_richness,
         "q241_xml_scan": q241_xml_scan,
         "q242_theil_sen": q242_theil_sen,
+        # -- below the driver 50-entry gate window ------------------------
+        "q188_ewma_chart": q188_ewma_chart,
+        "q189_duplicate_spans": q189_duplicate_spans,
+        "q190_countmin_frequency": q190_countmin_frequency,
+        "q191_kmv_distinct": q191_kmv_distinct,
+        "q192_reachable_docs": q192_reachable_docs,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_range_filter": q02_range_filter,
         "q03_regex_filter": q03_regex_filter,
