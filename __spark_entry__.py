@@ -5668,6 +5668,90 @@ def q242_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q243_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding backtest of the seasonal-naive forecaster (the q213
+    baseline evaluated as a FORECASTER, per Hyndman-Koehler 2006's
+    accuracy-measure framing): forecast(day) = value(day - 7), matched
+    by an exact (type, day-7) self equi-join (never lag(7) — rows are
+    not guaranteed day-contiguous). MAE stays on the integer cent
+    lattice; sMAPE quantizes per row to 1e-6 BEFORE the mean so the
+    sum is integer-associative."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("dv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("dv").cast("bigint").alias("dv"))
+    )
+    f = daily.select(
+        "event_type",
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("dv").alias("__fc"),
+    )
+    j = daily.join(f, ["event_type", "day"])
+    abs_err = F.abs(F.col("dv") - F.col("__fc"))
+    denom = F.abs(F.col("dv")) + F.abs(F.col("__fc"))
+    smape_q = F.when(denom == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(
+            F.lit(2_000_000.0) * abs_err.cast("double") / denom.cast("double")
+        ).cast("bigint")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.sum(abs_err).cast("bigint").alias("sum_abs_err"),
+        F.floor(
+            F.lit(100.0)
+            * F.sum(abs_err).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("mae_cents_x100"),
+        F.floor(
+            F.sum(smape_q).cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("smape_x1e6"),
+    )
+
+
+def q244_mix_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of a weighted corpus mix per language (Kish
+    1965's ESS = (Σw)²/Σw², the importance-sampling health diagnostic):
+    with per-document weights (here n_chars as the token-budget proxy),
+    ESS << n means a few huge documents dominate the mix. Exact
+    decimal(38,0) moment sums (DuckDB HUGEINT twin), one IEEE ratio
+    each for ESS and ESS/n, floor-published."""
+    docs = read_table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    w = F.col("n_chars").cast("bigint")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(w.cast(dec)).alias("__sw"),
+        F.sum((w * w).cast(dec)).alias("__sw2"),
+    )
+    ess = (F.col("__sw") * F.col("__sw")).cast("double") / F.col(
+        "__sw2"
+    ).cast("double")
+    return g.select(
+        "lang",
+        "n_docs",
+        F.col("__sw").cast("bigint").alias("sum_w"),
+        F.col("__sw2").cast("bigint").alias("sum_w2"),
+        F.floor(ess * F.lit(1000.0)).cast("bigint").alias("ess_x1000"),
+        F.floor(
+            F.lit(1_000_000.0) * ess / F.col("n_docs").cast("double")
+        )
+        .cast("bigint")
+        .alias("ess_ratio_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5764,6 +5848,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_xml_scan": q241_xml_scan,
         "q242_theil_sen": q242_theil_sen,
         # -- below the driver 50-entry gate window ------------------------
+        # (q243+ arrived after the 50-slot window filled with q193-q242;
+        # their evidence is the parity artifact + pytest until rotation)
+        "q243_forecast_backtest": q243_forecast_backtest,
+        "q244_mix_ess": q244_mix_ess,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -8554,6 +8642,51 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS slope_x1e6
             FROM r JOIN tot USING (event_type) JOIN nd USING (event_type)
             WHERE rk = (n_pairs + 1) // 2
+        """,
+        "q243_forecast_backtest": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            j AS (
+              SELECT a.event_type, a.dv, f.dv AS fc
+              FROM daily a JOIN daily f
+                ON f.event_type = a.event_type
+               AND f.day + 7 = a.day),
+            e AS (
+              SELECT event_type, ABS(dv - fc) AS ae,
+                     CASE WHEN ABS(dv) + ABS(fc) = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(floor(CAST(2000000.0 AS DOUBLE)
+                               * CAST(ABS(dv - fc) AS DOUBLE)
+                               / CAST(ABS(dv) + ABS(fc) AS DOUBLE))
+                               AS BIGINT) END AS sq
+              FROM j)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_evals,
+                   CAST(SUM(ae) AS BIGINT) AS sum_abs_err,
+                   CAST(floor(CAST(100.0 AS DOUBLE)
+                        * CAST(SUM(ae) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                     AS mae_cents_x100,
+                   CAST(floor(CAST(SUM(sq) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                     AS smape_x1e6
+            FROM e GROUP BY 1
+        """,
+        "q244_mix_ess": """
+            WITH g AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     SUM(n_chars) AS sw, SUM(n_chars * n_chars) AS sw2
+              FROM documents GROUP BY 1)
+            SELECT lang, n_docs, CAST(sw AS BIGINT) AS sum_w,
+                   CAST(sw2 AS BIGINT) AS sum_w2,
+                   CAST(floor(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+                        * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS ess_x1000,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * (CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE))
+                        / CAST(n_docs AS DOUBLE)) AS BIGINT)
+                     AS ess_ratio_x1e6
+            FROM g
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -218,6 +218,8 @@ HEADLINE = [
     "q240_lexical_richness",
     "q241_xml_scan",
     "q242_theil_sen",
+    "q243_forecast_backtest",
+    "q244_mix_ess",
 ]
 
 
