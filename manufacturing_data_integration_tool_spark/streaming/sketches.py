@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..ops.text import countmin_sketch
 
-__all__ = ["accumulate_countmin_stream", "accumulate_bloom_stream"]
+__all__ = ["accumulate_countmin_stream", "accumulate_bloom_stream", "accumulate_oee_stream", "oee_from_state"]
 
 
 def accumulate_countmin_stream(
@@ -147,3 +147,133 @@ def accumulate_bloom_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def accumulate_oee_stream(
+    events: DataFrame,
+    state_path: str,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_type: str = "error",
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start a stream folding each micro-batch's per-day OEE inputs into
+    the persisted (day, n_events, n_errors, hour_bits) table at
+    ``state_path`` — the streaming twin of ``ops.inventory.oee_daily``:
+
+    * ``hour_bits`` is a 24-bit active-hour mask merged by ``bit_or``
+      (idempotent — redelivering a batch cannot invent an hour);
+    * event/error counts merge by summation (same at-least-once caveat
+      as the CMS accumulator: exactly-once within Spark's checkpointed
+      offsets, document upstream redelivery).
+
+    ``oee_from_state`` then computes availability/performance/quality
+    from the state table with the SAME arithmetic as the batch op, so
+    stream-then-compute equals batch-compute — pinned by
+    ``tests/test_streaming.py``. State is one row per calendar day,
+    forever — KBs per year of plant history.
+    """
+    target = Path(state_path)
+    staging = target.with_name(target.name + ".staging")
+    backup = target.with_name(target.name + ".previous")
+
+    def day_delta(batch: DataFrame) -> DataFrame:
+        # F.shiftleft takes a LITERAL shift; the column-shift form goes
+        # through the SQL expression (hour() is 0-23, bits fit a bigint)
+        good_hour = F.when(
+            F.col(type_col) != error_type,
+            F.expr(f"shiftleft(cast(1 as bigint), hour({ts_col}))"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        return (
+            batch.select(
+                F.to_date(F.col(ts_col)).alias("day"),
+                (F.col(type_col) == error_type).alias("__err"),
+                good_hour.alias("__hb"),
+            )
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.when(F.col("__err"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_errors"),
+                F.bit_or("__hb").cast("bigint").alias("hour_bits"),
+            )
+        )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = day_delta(batch)
+        if target.exists():
+            current = spark.read.parquet(str(target))
+            merged = (
+                current.unionByName(delta)
+                .groupBy("day")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("n_errors").cast("bigint").alias("n_errors"),
+                    F.bit_or("hour_bits").cast("bigint").alias("hour_bits"),
+                )
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(staging))
+        if backup.exists():
+            shutil.rmtree(backup)
+        if target.exists():
+            target.rename(backup)
+        staging.rename(target)
+        if backup.exists():
+            shutil.rmtree(backup)
+
+    writer = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def oee_from_state(spark, state_path: str, *, hours_per_day: int = 24) -> DataFrame:
+    """Compute the OEE table from the accumulated state — the SAME
+    fixed IEEE arithmetic as ``ops.inventory.oee_daily`` with
+    ``active_hours = bit_count(hour_bits)``, so the streamed state
+    yields byte-identical rows to the batch operator over the same
+    events."""
+    daily = spark.read.parquet(str(state_path)).select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.bit_count("hour_bits").cast("bigint").alias("active_hours"),
+    )
+    g = daily.agg(
+        F.sum(F.col("n_events") - F.col("n_errors"))
+        .cast("bigint")
+        .alias("__g_good"),
+        F.sum("active_hours").cast("bigint").alias("__g_hours"),
+    )
+    j = daily.crossJoin(F.broadcast(g))
+    good = (F.col("n_events") - F.col("n_errors")).cast("double")
+    ah = F.col("active_hours").cast("double")
+    a = ah / F.lit(float(hours_per_day))
+    p = F.when(F.col("active_hours") == 0, F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            (good * F.col("__g_hours").cast("double"))
+            / (ah * F.col("__g_good").cast("double")),
+        )
+    )
+    q = good / F.col("n_events").cast("double")
+    pub = lambda c, n: F.floor(c * F.lit(1_000_000.0)).cast("bigint").alias(n)  # noqa: E731
+    return j.select(
+        "day",
+        "n_events",
+        "n_errors",
+        "active_hours",
+        pub(a, "a_x1e6"),
+        pub(p, "p_x1e6"),
+        pub(q, "q_x1e6"),
+        pub(a * p * q, "oee_x1e6"),
+    )

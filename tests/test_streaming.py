@@ -634,3 +634,55 @@ def test_streaming_bloom_accumulator_matches_batch_filter(spark, tmp_path):
         base, "key", spark.read.parquet(str(state)), m_words=8, k=4
     )
     assert all(r["maybe_member"] for r in probed.collect())
+
+
+def test_oee_stream_accumulation_matches_batch(spark, tmp_path):
+    """Stream the events in three micro-batches, then compute OEE from
+    the accumulated (day, counts, hour_bits) state: rows must be
+    byte-identical to ops.inventory.oee_daily over the same events."""
+    import datetime as dt
+
+    from manufacturing_data_integration_tool_spark.ops.inventory import oee_daily
+    from manufacturing_data_integration_tool_spark.streaming.sketches import (
+        accumulate_oee_stream,
+        oee_from_state,
+    )
+
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    rows = [
+        (1, d1.replace(hour=1), "view"),
+        (2, d1.replace(hour=1, minute=30), "click"),
+        (3, d1.replace(hour=5), "view"),
+        (4, d1.replace(hour=7), "error"),
+        (5, d2.replace(hour=3), "view"),
+        (6, d2.replace(hour=9), "click"),
+        (7, d2.replace(hour=9, minute=5), "error"),
+        (8, d2.replace(hour=22), "purchase"),
+    ]
+    base = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    src = tmp_path / "oee_in"
+    for i in range(3):
+        base.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = tmp_path / "oee_state"
+    q = accumulate_oee_stream(
+        stream, str(state), checkpoint_dir=str(tmp_path / "oee_ckpt")
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = sorted(
+        oee_from_state(spark, str(state)).collect(), key=lambda r: r["day"]
+    )
+    want = sorted(
+        oee_daily(base, "ts", "event_type").collect(), key=lambda r: r["day"]
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # hour_bits merge is idempotent: active_hours survived micro-batching
+    assert got[0]["active_hours"] == 2
