@@ -5752,6 +5752,143 @@ def q244_mix_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q245_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event_type (Wald & Wolfowitz 1940)
+    on the daily-value sign sequence around the series median-free
+    center (above/below the day's mean? — no: above/below the series
+    MEAN, cross-multiplied so centering never divides): too few runs
+    means the residual sequence is trending/sticky, too many means
+    oscillation — the randomness check a control chart assumes. Runs
+    and the n1/n2 split are exact integers from one lag window over
+    day-count partitions; z is a fixed IEEE tree, floor-published
+    x1e6."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("dv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("dv").cast("bigint").alias("dv"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("dv").cast("bigint").alias("__s"),
+    )
+    # above mean <=> n*dv > S (exact); days AT the mean count as below
+    signed = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("__n") * F.col("dv") > F.col("__s")).alias("__up"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("day"))
+    flips = signed.select(
+        "event_type",
+        "__up",
+        F.when(
+            F.lag("__up", 1).over(w).isNull()
+            | (F.lag("__up", 1).over(w) != F.col("__up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    agg = flips.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("__up"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum(F.when(~F.col("__up"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum("__new_run").cast("bigint").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    r = F.col("n_runs").cast("double")
+    mu = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    var = (
+        (F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - nn))
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    z = F.when(
+        (F.col("n_above") == 0) | (F.col("n_below") == 0) | (F.col("n_days") <= 1),
+        F.lit(0.0),
+    ).otherwise((r - mu) / F.sqrt(var))
+    return agg.select(
+        "event_type",
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.floor(z * F.lit(1_000_000.0)).cast("bigint").alias("z_x1e6"),
+    )
+
+
+def q246_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite supplier scorecard — the vendor-rating roll-up every
+    procurement org runs: on-time share (shipped <= 30 days after the
+    order), non-return share, and volume share, blended 50/30/20 with
+    INTEGER weights on floor-published x1e6 component scores (so the
+    blend is exact integer arithmetic; component floors are the only
+    quantization). One orderkey equi-join feeds all three components;
+    the volume denominator arrives as a 1-row broadcast."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    j = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        (F.col("l_returnflag") == "R").alias("__ret"),
+        F.col("l_shipdate").cast("date").alias("__ship"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("__qty"),
+    ).join(
+        orders.select(
+            "o_orderkey",
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("__due"),
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("__ship") <= F.col("__due"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ontime"),
+        F.sum(F.when(~F.col("__ret"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum("__qty").cast("bigint").alias("qty"),
+    )
+    tot = per.agg(F.sum("qty").cast("bigint").alias("__tot_qty"))
+    p = per.crossJoin(F.broadcast(tot))
+    comp = lambda num, den: F.floor(  # noqa: E731
+        F.lit(1_000_000.0) * num.cast("double") / den.cast("double")
+    ).cast("bigint")
+    scored = p.select(
+        "l_suppkey",
+        "n_lines",
+        comp(F.col("n_ontime"), F.col("n_lines")).alias("ontime_x1e6"),
+        comp(F.col("n_kept"), F.col("n_lines")).alias("kept_x1e6"),
+        comp(F.col("qty"), F.col("__tot_qty")).alias("volume_x1e6"),
+    )
+    return scored.select(
+        "l_suppkey",
+        "n_lines",
+        "ontime_x1e6",
+        "kept_x1e6",
+        "volume_x1e6",
+        F.expr(
+            "(50 * ontime_x1e6 + 30 * kept_x1e6 + 20 * volume_x1e6) div 100"
+        )
+        .cast("bigint")
+        .alias("score_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5852,6 +5989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their evidence is the parity artifact + pytest until rotation)
         "q243_forecast_backtest": q243_forecast_backtest,
         "q244_mix_ess": q244_mix_ess,
+        "q245_runs_test": q245_runs_test,
+        "q246_supplier_scorecard": q246_supplier_scorecard,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -8687,6 +8826,102 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(n_docs AS DOUBLE)) AS BIGINT)
                      AS ess_ratio_x1e6
             FROM g
+        """,
+        "q245_runs_test": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(dv) AS BIGINT) AS s
+                    FROM daily GROUP BY 1),
+            sg AS (SELECT d.event_type, d.day,
+                          (t.n * d.dv > t.s) AS up
+                   FROM daily d JOIN tot t USING (event_type)),
+            fl AS (SELECT event_type, up,
+                          CASE WHEN LAG(up) OVER w IS NULL
+                                 OR LAG(up) OVER w <> up THEN 1
+                               ELSE 0 END AS new_run
+                   FROM sg WINDOW w AS (PARTITION BY event_type
+                                        ORDER BY day)),
+            a AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n_days,
+                         CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_above,
+                         CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END)
+                              AS BIGINT) AS n_below,
+                         CAST(SUM(new_run) AS BIGINT) AS n_runs
+                  FROM fl GROUP BY 1),
+            zc AS (SELECT event_type, n_days, n_above, n_below, n_runs,
+                          CASE WHEN n_above = 0 OR n_below = 0
+                                    OR n_days <= 1
+                               THEN CAST(0.0 AS DOUBLE)
+                               ELSE (CAST(n_runs AS DOUBLE)
+                                     - (CAST(2.0 AS DOUBLE)
+                                        * CAST(n_above AS DOUBLE)
+                                        * CAST(n_below AS DOUBLE)
+                                        / (CAST(n_above AS DOUBLE)
+                                           + CAST(n_below AS DOUBLE))
+                                        + CAST(1.0 AS DOUBLE)))
+                                    / sqrt((CAST(2.0 AS DOUBLE)
+                                        * CAST(n_above AS DOUBLE)
+                                        * CAST(n_below AS DOUBLE)
+                                        * (CAST(2.0 AS DOUBLE)
+                                           * CAST(n_above AS DOUBLE)
+                                           * CAST(n_below AS DOUBLE)
+                                           - (CAST(n_above AS DOUBLE)
+                                              + CAST(n_below AS DOUBLE))))
+                                       / ((CAST(n_above AS DOUBLE)
+                                           + CAST(n_below AS DOUBLE))
+                                          * (CAST(n_above AS DOUBLE)
+                                             + CAST(n_below AS DOUBLE))
+                                          * (CAST(n_above AS DOUBLE)
+                                             + CAST(n_below AS DOUBLE)
+                                             - CAST(1.0 AS DOUBLE))))
+                          END AS z
+                   FROM a)
+            SELECT event_type, n_days, n_above, n_below, n_runs,
+                   CAST(floor(z * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS z_x1e6
+            FROM zc
+        """,
+        "q246_supplier_scorecard": """
+            WITH j AS (
+              SELECT l.l_suppkey,
+                     (l.l_returnflag = 'R') AS ret,
+                     CAST(l.l_shipdate AS DATE) AS ship,
+                     CAST(floor(l.l_quantity) AS BIGINT) AS qty,
+                     CAST(o.o_orderdate AS DATE) + 30 AS due
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey),
+            per AS (
+              SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CASE WHEN ship <= due THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_ontime,
+                     CAST(SUM(CASE WHEN ret THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_kept,
+                     CAST(SUM(qty) AS BIGINT) AS qty
+              FROM j GROUP BY 1),
+            tot AS (SELECT CAST(SUM(qty) AS BIGINT) AS tq FROM per),
+            sc AS (
+              SELECT l_suppkey, n_lines,
+                     CAST(floor(CAST(1000000.0 AS DOUBLE)
+                          * CAST(n_ontime AS DOUBLE)
+                          / CAST(n_lines AS DOUBLE)) AS BIGINT)
+                       AS ontime_x1e6,
+                     CAST(floor(CAST(1000000.0 AS DOUBLE)
+                          * CAST(n_kept AS DOUBLE)
+                          / CAST(n_lines AS DOUBLE)) AS BIGINT)
+                       AS kept_x1e6,
+                     CAST(floor(CAST(1000000.0 AS DOUBLE)
+                          * CAST(qty AS DOUBLE)
+                          / CAST(tq AS DOUBLE)) AS BIGINT) AS volume_x1e6
+              FROM per, tot)
+            SELECT l_suppkey, n_lines, ontime_x1e6, kept_x1e6, volume_x1e6,
+                   CAST((50 * ontime_x1e6 + 30 * kept_x1e6
+                         + 20 * volume_x1e6) // 100 AS BIGINT) AS score_x1e6
+            FROM sc
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -220,6 +220,8 @@ HEADLINE = [
     "q242_theil_sen",
     "q243_forecast_backtest",
     "q244_mix_ess",
+    "q245_runs_test",
+    "q246_supplier_scorecard",
 ]
 
 

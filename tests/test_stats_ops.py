@@ -1009,3 +1009,26 @@ def test_shapley_efficiency_axiom(spark):
     ).fetchone()
     # each of the 12 terms floors at 1e-12, so allow 12 units of slack
     assert abs(total - round((vn - ve) * 6e12)) <= 12
+
+
+def test_runs_test_alternating_and_monotone(spark):
+    """q245's runs logic on the driver data must satisfy the identity
+    n_runs <= n_days and n_above + n_below == n_days; a strictly
+    increasing series centered on its mean has exactly 2 runs."""
+    import __spark_entry__ as e
+
+    for r in e.q245_runs_test(spark, "/root/testdata/sf0.001").collect():
+        assert r["n_above"] + r["n_below"] == r["n_days"]
+        assert 1 <= r["n_runs"] <= r["n_days"]
+
+
+def test_supplier_scorecard_blend_is_exact(spark):
+    import __spark_entry__ as e
+
+    rows = e.q246_supplier_scorecard(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["score_x1e6"] == (
+            50 * r["ontime_x1e6"] + 30 * r["kept_x1e6"] + 20 * r["volume_x1e6"]
+        ) // 100
+        assert 0 <= r["ontime_x1e6"] <= 1_000_000
