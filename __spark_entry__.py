@@ -5889,6 +5889,119 @@ def q246_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q247_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard (actuarial life table — Kaplan-Meier's
+    integer-ratio sibling that needs NO products/logs, so it stays
+    engine-exact): time-to-first-failure per user in days from their
+    first event to their first 'error' (right-censored at their last
+    observed event). For each day t with failures, hazard =
+    failures(t) / at_risk(t) where at_risk(t) = users whose follow-up
+    reached t — computed as a suffix count over the (t_end, flag)
+    collapse: one groupBy users, one groupBy days, one cumulative
+    window over day-count rows. Everything integer until the one
+    floor-published division."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_ns").alias("__first"),
+        F.max("ts_ns").alias("__last"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts_ns"))
+        ).alias("__fail"),
+    )
+    day_ns = 86_400_000_000_000
+    t_end = F.when(
+        F.col("__fail").isNotNull(),
+        F.expr(f"(__fail - __first) div {day_ns}"),
+    ).otherwise(F.expr(f"(__last - __first) div {day_ns}"))
+    u = per_user.select(
+        t_end.cast("bigint").alias("t_end"),
+        F.col("__fail").isNotNull().alias("__event"),
+    )
+    days = u.groupBy("t_end").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ending"),
+        F.sum(F.when(F.col("__event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail"),
+    )
+    # at_risk(t) = users with t_end >= t = suffix sum over the day axis
+    w = (
+        Window.orderBy(F.desc("t_end"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the day axis is calendar-bounded (~observation span), so the
+    # unpartitioned window runs over tens-to-hundreds of rows, not data
+    risk = days.withColumn(
+        "at_risk", F.sum("__ending").over(w).cast("bigint")
+    )
+    return (
+        risk.filter(F.col("n_fail") > 0)
+        .select(
+            F.col("t_end").alias("t_days"),
+            "n_fail",
+            "at_risk",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("n_fail").cast("double")
+                / F.col("at_risk").cast("double")
+            )
+            .cast("bigint")
+            .alias("hazard_x1e6"),
+        )
+    )
+
+
+def q248_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (Card-Krueger 1994's
+    two-group/two-period estimator) on the CUPED setup's hash arms and
+    day-15 period split: DiD = (treat_post - treat_pre) -
+    (ctrl_post - ctrl_pre) from four exact per-cell means. All cell
+    sums are integers; the estimator is one fixed IEEE tree over them,
+    floor-published x1e6. The assumption-free companion to q236's
+    variance-reduced estimate."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import _u52
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    cells = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            (_u52(F.col("user_id"), "arm") % 2 == 1).alias("__treat"),
+            (F.dayofmonth(F.col("ts")) > 15).alias("__post"),
+            cents.alias("__c"),
+        )
+        .groupBy("__treat", "__post")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__c").cast("bigint").alias("s"),
+        )
+    )
+    m = lambda tr, po: F.max(  # noqa: E731
+        F.when(
+            (F.col("__treat") == tr) & (F.col("__post") == po),
+            F.col("s").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    g = cells.agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        m(True, True).alias("__tp"),
+        m(True, False).alias("__tb"),
+        m(False, True).alias("__cp"),
+        m(False, False).alias("__cb"),
+    )
+    did = (F.col("__tp") - F.col("__tb")) - (F.col("__cp") - F.col("__cb"))
+    pub = lambda c, nm: F.floor(c * F.lit(1_000_000.0)).cast("bigint").alias(nm)  # noqa: E731
+    return g.select(
+        "n_events",
+        pub(F.col("__tb"), "treat_pre_x1e6"),
+        pub(F.col("__tp"), "treat_post_x1e6"),
+        pub(F.col("__cb"), "ctrl_pre_x1e6"),
+        pub(F.col("__cp"), "ctrl_post_x1e6"),
+        pub(did, "did_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5991,6 +6104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_mix_ess": q244_mix_ess,
         "q245_runs_test": q245_runs_test,
         "q246_supplier_scorecard": q246_supplier_scorecard,
+        "q247_hazard_table": q247_hazard_table,
+        "q248_did_estimator": q248_did_estimator,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -8922,6 +9037,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST((50 * ontime_x1e6 + 30 * kept_x1e6
                          + 20 * volume_x1e6) // 100 AS BIGINT) AS score_x1e6
             FROM sc
+        """,
+        "q247_hazard_table": """
+            WITH pu AS (
+              SELECT user_id, MIN(epoch_ns(ts)) AS first_t,
+                     MAX(epoch_ns(ts)) AS last_t,
+                     MIN(CASE WHEN event_type = 'error'
+                         THEN epoch_ns(ts) END) AS fail_t
+              FROM events GROUP BY 1),
+            u AS (
+              SELECT CAST(CASE WHEN fail_t IS NOT NULL
+                          THEN (fail_t - first_t) // 86400000000000
+                          ELSE (last_t - first_t) // 86400000000000 END
+                          AS BIGINT) AS t_end,
+                     (fail_t IS NOT NULL) AS ev
+              FROM pu),
+            d AS (SELECT t_end, CAST(COUNT(*) AS BIGINT) AS ending,
+                         CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_fail
+                  FROM u GROUP BY 1),
+            r AS (SELECT t_end, n_fail,
+                         CAST(SUM(ending) OVER (ORDER BY t_end DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS at_risk
+                  FROM d)
+            SELECT t_end AS t_days, n_fail, at_risk,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(n_fail AS DOUBLE)
+                        / CAST(at_risk AS DOUBLE)) AS BIGINT)
+                     AS hazard_x1e6
+            FROM r WHERE n_fail > 0
+        """,
+        "q248_did_estimator": f"""
+            WITH cells AS (
+              SELECT ({_u52_sql("user_id", "arm")} % 2 = 1) AS treat,
+                     (day(ts) > 15) AS post,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS s
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            g AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS n_events,
+                     MAX(CASE WHEN treat AND post
+                         THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+                       AS tp,
+                     MAX(CASE WHEN treat AND NOT post
+                         THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+                       AS tb,
+                     MAX(CASE WHEN NOT treat AND post
+                         THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+                       AS cp,
+                     MAX(CASE WHEN NOT treat AND NOT post
+                         THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+                       AS cb
+              FROM cells)
+            SELECT n_events,
+                   CAST(floor(tb * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS treat_pre_x1e6,
+                   CAST(floor(tp * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS treat_post_x1e6,
+                   CAST(floor(cb * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS ctrl_pre_x1e6,
+                   CAST(floor(cp * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS ctrl_post_x1e6,
+                   CAST(floor(((tp - tb) - (cp - cb))
+                        * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS did_x1e6
+            FROM g
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -222,6 +222,8 @@ HEADLINE = [
     "q244_mix_ess",
     "q245_runs_test",
     "q246_supplier_scorecard",
+    "q247_hazard_table",
+    "q248_did_estimator",
 ]
 
 

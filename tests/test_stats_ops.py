@@ -1032,3 +1032,33 @@ def test_supplier_scorecard_blend_is_exact(spark):
             50 * r["ontime_x1e6"] + 30 * r["kept_x1e6"] + 20 * r["volume_x1e6"]
         ) // 100
         assert 0 <= r["ontime_x1e6"] <= 1_000_000
+
+
+def test_hazard_table_invariants(spark):
+    """Life-table identities: at_risk is non-increasing in t, hazard is
+    in [0, 1e6], and failures never exceed the at-risk pool."""
+    import __spark_entry__ as e
+
+    rows = sorted(
+        e.q247_hazard_table(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert rows
+    prev = None
+    for r in rows:
+        assert 0 < r["n_fail"] <= r["at_risk"]
+        assert 0 <= r["hazard_x1e6"] <= 1_000_000
+        if prev is not None:
+            assert r["at_risk"] <= prev
+        prev = r["at_risk"]
+
+
+def test_did_estimator_identity(spark):
+    import __spark_entry__ as e
+
+    r = e.q248_did_estimator(spark, "/root/testdata/sf0.001").collect()[0]
+    # DiD reproduces from its own published cells within quantization
+    approx = (r["treat_post_x1e6"] - r["treat_pre_x1e6"]) - (
+        r["ctrl_post_x1e6"] - r["ctrl_pre_x1e6"]
+    )
+    assert abs(r["did_x1e6"] - approx) <= 4  # 4 floors of 1e-6 slack
