@@ -6002,6 +6002,110 @@ def q248_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q249_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres price index over the part basket (Laspeyres
+    1871 — the fixed-base-weights index cost accounting uses): index(t)
+    = Σ_i p_i(t)·q_i(0) / Σ_i p_i(0)·q_i(0) over parts present in the
+    base month, p = the month's average unit price. Per-part terms are
+    floor-quantized to the 1e-6 lattice BEFORE summation (the q204/q237
+    per-cell pattern — integer sums are associative, double sums are
+    not); the index is one final published ratio."""
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("m"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    pm = base.groupBy("l_partkey", "m").agg(
+        F.sum("qty").cast("bigint").alias("q"),
+        F.sum("cents").cast("bigint").alias("c"),
+    )
+    m0 = pm.agg(F.min("m").alias("__m0"))
+    b0 = (
+        pm.crossJoin(F.broadcast(m0))
+        .filter(F.col("m") == F.col("__m0"))
+        .select(
+            F.col("l_partkey"),
+            F.col("q").alias("__q0"),
+            F.col("c").alias("__c0"),
+        )
+    )
+    j = pm.join(b0, "l_partkey")
+    # per-part term: avg unit price x base qty, on the 1e-6 lattice
+    term = lambda c, q: F.floor(  # noqa: E731
+        F.lit(1_000_000.0)
+        * (c.cast("double") / q.cast("double"))
+        * F.col("__q0").cast("double")
+    ).cast("bigint")
+    agg = j.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(term(F.col("c"), F.col("q"))).cast("bigint").alias("num_q"),
+        F.sum(term(F.col("__c0"), F.col("__q0")))
+        .cast("bigint")
+        .alias("den_q"),
+    )
+    return agg.select(
+        F.col("m").alias("month"),
+        "n_parts",
+        "num_q",
+        "den_q",
+        # divide FIRST: 1e6*num overflows the double mantissa at ~3e14
+        # summed micro-units, and floor(1e6*(num/den)) is the intended
+        # quantization of the ratio
+        F.floor(
+            (F.col("num_q").cast("double") / F.col("den_q").cast("double"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("laspeyres_x1e6"),
+    )
+
+
+def q250_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the variance-to-mean ratio of per-document
+    counts (Church & Gale 1995: content words are bursty — VMR >> 1 —
+    while function words are Poisson-ish): for terms appearing in >= 20
+    documents, VMR from exact integer moments over ALL documents
+    (including the zeros, via the corpus doc count broadcast —
+    Σx²,Σx over non-zero docs are sufficient statistics). VMR =
+    (N·Σx² - (Σx)²) / (N·Σx) cross-multiplied, floor-published x1e6."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__nd"))
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    per_doc = words.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__x")
+    )
+    per_term = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("__x").cast("bigint").alias("sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("sxx"),
+    )
+    j = per_term.filter(F.col("df") >= 20).crossJoin(F.broadcast(n_docs))
+    vmr_num = F.col("__nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vmr_den = F.col("__nd") * F.col("sx")
+    return j.select(
+        "w",
+        "df",
+        "sx",
+        "sxx",
+        F.floor(
+            F.lit(1_000_000.0)
+            * vmr_num.cast("double")
+            / vmr_den.cast("double")
+        )
+        .cast("bigint")
+        .alias("vmr_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6106,6 +6210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_supplier_scorecard": q246_supplier_scorecard,
         "q247_hazard_table": q247_hazard_table,
         "q248_did_estimator": q248_did_estimator,
+        "q249_price_index": q249_price_index,
+        "q250_term_burstiness": q250_term_burstiness,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -9103,6 +9209,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(((tp - tb) - (cp - cb))
                         * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS did_x1e6
             FROM g
+        """,
+        "q249_price_index": """
+            WITH base AS (
+              SELECT l_partkey,
+                     CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+                     CAST(floor(l_quantity) AS BIGINT) AS qty,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM lineitem),
+            pm AS (SELECT l_partkey, m, CAST(SUM(qty) AS BIGINT) AS q,
+                          CAST(SUM(cents) AS BIGINT) AS c
+                   FROM base GROUP BY 1, 2),
+            m0 AS (SELECT MIN(m) AS m0 FROM pm),
+            b0 AS (SELECT l_partkey, q AS q0, c AS c0
+                   FROM pm, m0 WHERE pm.m = m0.m0),
+            j AS (SELECT pm.m, pm.c, pm.q, b0.q0, b0.c0
+                  FROM pm JOIN b0 USING (l_partkey)),
+            t AS (SELECT m,
+                         CAST(floor(CAST(1000000.0 AS DOUBLE)
+                              * (CAST(c AS DOUBLE) / CAST(q AS DOUBLE))
+                              * CAST(q0 AS DOUBLE)) AS BIGINT) AS tn,
+                         CAST(floor(CAST(1000000.0 AS DOUBLE)
+                              * (CAST(c0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                              * CAST(q0 AS DOUBLE)) AS BIGINT) AS td
+                  FROM j),
+            a AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                         CAST(SUM(tn) AS BIGINT) AS num_q,
+                         CAST(SUM(td) AS BIGINT) AS den_q
+                  FROM t GROUP BY 1)
+            SELECT m AS month, n_parts, num_q, den_q,
+                   CAST(floor((CAST(num_q AS DOUBLE)
+                        / CAST(den_q AS DOUBLE))
+                        * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS laspeyres_x1e6
+            FROM a
+        """,
+        "q250_term_burstiness": """
+            WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            words AS (
+              SELECT doc_id, w
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z]+') AS ws
+                    FROM documents), unnest(ws) AS t(w)),
+            pd AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+                   FROM words GROUP BY 1, 2),
+            pt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+                          CAST(SUM(x) AS BIGINT) AS sx,
+                          CAST(SUM(x * x) AS BIGINT) AS sxx
+                   FROM pd GROUP BY 1)
+            SELECT w, df, sx, sxx,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(n * sxx - sx * sx AS DOUBLE)
+                        / CAST(n * sx AS DOUBLE)) AS BIGINT) AS vmr_x1e6
+            FROM pt, nd WHERE df >= 20
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

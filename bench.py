@@ -224,6 +224,8 @@ HEADLINE = [
     "q246_supplier_scorecard",
     "q247_hazard_table",
     "q248_did_estimator",
+    "q249_price_index",
+    "q250_term_burstiness",
 ]
 
 

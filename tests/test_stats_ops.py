@@ -1062,3 +1062,30 @@ def test_did_estimator_identity(spark):
         r["ctrl_post_x1e6"] - r["ctrl_pre_x1e6"]
     )
     assert abs(r["did_x1e6"] - approx) <= 4  # 4 floors of 1e-6 slack
+
+
+def test_price_index_base_month_is_unity(spark):
+    """Laspeyres identity: the base month's index is exactly 1.0 (num
+    and den terms coincide there)."""
+    import __spark_entry__ as e
+
+    rows = sorted(
+        e.q249_price_index(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows[0]["laspeyres_x1e6"] == 1_000_000
+    assert rows[0]["num_q"] == rows[0]["den_q"]
+
+
+def test_term_burstiness_vmr_bounds(spark):
+    """VMR over all docs (zeros included) is >= the Poisson floor minus
+    mean (variance of a nonneg integer var with given mean is minimized
+    by the two-point distribution): concretely VMR >= 1 - mean, and df
+    respects the publish filter."""
+    import __spark_entry__ as e
+
+    rows = e.q250_term_burstiness(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["df"] >= 20
+        assert r["sxx"] >= r["sx"]  # integer counts: x^2 >= x
