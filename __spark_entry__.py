@@ -6106,6 +6106,105 @@ def q250_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q251_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance diagnostics for the hash A/B split (Austin
+    2009's standardized mean difference — the randomization QA run
+    BEFORE reading q236/q248's effects): per pre-period covariate
+    (spend, activity count), SMD = (m1 - m0) / sqrt((v1 + v0)/2) from
+    exact per-arm integer moments. |SMD| < 0.1 is the conventional
+    'balanced' bar. Covariates melt to (covariate, value) rows so one
+    grouped aggregate serves them all."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import _u52
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per_user = (
+        ev.filter(F.dayofmonth(F.col("ts")) <= 15)
+        .select(
+            "user_id",
+            F.coalesce(cents, F.lit(0)).alias("__c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("__c").cast("bigint").alias("pre_spend"),
+            F.count(F.lit(1)).cast("bigint").alias("pre_events"),
+        )
+        .withColumn("arm", (_u52(F.col("user_id"), "arm") % 2).cast("bigint"))
+    )
+    melted = per_user.select(
+        "arm",
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("pre_spend"), F.lit("pre_events")),
+                F.array(F.col("pre_spend"), F.col("pre_events")),
+            )
+        ).alias("covariate", "x"),
+    )
+    g = melted.groupBy("covariate", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("qq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("n").cast("double") * F.col("qq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    arm = lambda a, c: F.max(F.when(F.col("arm") == a, c))  # noqa: E731
+    w = g.groupBy("covariate").agg(
+        arm(0, F.col("n")).cast("bigint").alias("n0"),
+        arm(1, F.col("n")).cast("bigint").alias("n1"),
+        arm(0, mean).alias("__m0"),
+        arm(1, mean).alias("__m1"),
+        arm(0, var).alias("__v0"),
+        arm(1, var).alias("__v1"),
+    )
+    smd = (F.col("__m1") - F.col("__m0")) / F.sqrt(
+        (F.col("__v1") + F.col("__v0")) / F.lit(2.0)
+    )
+    pub = lambda c, nm: F.floor(c * F.lit(1_000_000.0)).cast("bigint").alias(nm)  # noqa: E731
+    return w.select(
+        "covariate",
+        "n0",
+        "n1",
+        pub(F.col("__m0"), "mean0_x1e6"),
+        pub(F.col("__m1"), "mean1_x1e6"),
+        pub(smd, "smd_x1e6"),
+    )
+
+
+def q252_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health norm profile per label: squared L2 norms from a
+    SEQUENTIAL left fold over each vector (Spark `aggregate` and DuckDB
+    `list_reduce` run the identical element order, and a leading +0.0
+    cannot change an IEEE sum), each row's norm² floor-quantized to the
+    1e-6 lattice BEFORE aggregation. Collapsed-norm clusters / zero
+    vectors show up here before they poison cosine pipelines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    q = emb.select(
+        "label",
+        F.floor(norm2 * F.lit(1_000_000.0)).cast("bigint").alias("__n2q"),
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("__n2q").cast("bigint").alias("sum_norm2_x1e6"),
+        F.min("__n2q").cast("bigint").alias("min_norm2_x1e6"),
+        F.max("__n2q").cast("bigint").alias("max_norm2_x1e6"),
+        F.floor(
+            F.sum("__n2q").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("mean_norm2_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6212,6 +6311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_did_estimator": q248_did_estimator,
         "q249_price_index": q249_price_index,
         "q250_term_burstiness": q250_term_burstiness,
+        "q251_covariate_balance": q251_covariate_balance,
+        "q252_embedding_norms": q252_embedding_norms,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -9263,6 +9364,71 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(n * sxx - sx * sx AS DOUBLE)
                         / CAST(n * sx AS DOUBLE)) AS BIGINT) AS vmr_x1e6
             FROM pt, nd WHERE df >= 20
+        """,
+        "q251_covariate_balance": f"""
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(SUM(COALESCE(CAST(floor(value * 100 + 0.5)
+                          AS BIGINT), 0)) AS BIGINT) AS pre_spend,
+                     CAST(COUNT(*) AS BIGINT) AS pre_events
+              FROM events WHERE day(ts) <= 15 GROUP BY 1),
+            pa AS (SELECT CAST({_u52_sql("user_id", "arm")} % 2 AS BIGINT)
+                            AS arm,
+                          pre_spend, pre_events
+                   FROM pu),
+            m AS (SELECT arm, 'pre_spend' AS covariate,
+                         pre_spend AS x FROM pa
+                  UNION ALL
+                  SELECT arm, 'pre_events', pre_events FROM pa),
+            g AS (SELECT covariate, arm, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS s,
+                         CAST(SUM(x * x) AS BIGINT) AS qq
+                  FROM m GROUP BY 1, 2),
+            w AS (SELECT covariate,
+                         MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                         MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE) END) AS m0,
+                         MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE) END) AS m1,
+                         MAX(CASE WHEN arm = 0 THEN
+                             (CAST(n AS DOUBLE) * CAST(qq AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                             END) AS v0,
+                         MAX(CASE WHEN arm = 1 THEN
+                             (CAST(n AS DOUBLE) * CAST(qq AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                             END) AS v1
+                  FROM g GROUP BY 1)
+            SELECT covariate, n0, n1,
+                   CAST(floor(m0 * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS mean0_x1e6,
+                   CAST(floor(m1 * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS mean1_x1e6,
+                   CAST(floor((m1 - m0)
+                        / sqrt((v1 + v0) / CAST(2.0 AS DOUBLE))
+                        * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS smd_x1e6
+            FROM w
+        """,
+        "q252_embedding_norms": """
+            WITH q AS (
+              SELECT label,
+                     CAST(floor(list_reduce(
+                         list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> x * x),
+                         (a, b) -> a + b) * CAST(1000000.0 AS DOUBLE))
+                          AS BIGINT) AS n2q
+              FROM embeddings)
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(n2q) AS BIGINT) AS sum_norm2_x1e6,
+                   CAST(MIN(n2q) AS BIGINT) AS min_norm2_x1e6,
+                   CAST(MAX(n2q) AS BIGINT) AS max_norm2_x1e6,
+                   CAST(floor(CAST(SUM(n2q) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                     AS mean_norm2_x1e6
+            FROM q GROUP BY 1
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

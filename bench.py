@@ -226,6 +226,8 @@ HEADLINE = [
     "q248_did_estimator",
     "q249_price_index",
     "q250_term_burstiness",
+    "q251_covariate_balance",
+    "q252_embedding_norms",
 ]
 
 

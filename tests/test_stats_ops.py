@@ -1089,3 +1089,25 @@ def test_term_burstiness_vmr_bounds(spark):
     for r in rows:
         assert r["df"] >= 20
         assert r["sxx"] >= r["sx"]  # integer counts: x^2 >= x
+
+
+def test_covariate_balance_hash_split_is_balanced(spark):
+    """The md5 arm split is as-good-as-random: |SMD| for pre-period
+    covariates must sit near the conventional 0.1 imbalance bar at
+    sf0.01's user count (sf0.001 has ~15 users — pure sampling noise
+    dominates there, so the balance claim is only testable at scale)."""
+    import __spark_entry__ as e
+
+    rows = e.q251_covariate_balance(spark, "/root/testdata/sf0.01").collect()
+    assert {r["covariate"] for r in rows} == {"pre_spend", "pre_events"}
+    for r in rows:
+        assert abs(r["smd_x1e6"]) < 250_000, r
+
+
+def test_embedding_norms_are_positive_and_bounded(spark):
+    import __spark_entry__ as e
+
+    rows = e.q252_embedding_norms(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["min_norm2_x1e6"] <= r["mean_norm2_x1e6"] <= r["max_norm2_x1e6"]
