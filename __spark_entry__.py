@@ -6205,6 +6205,121 @@ def q252_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q253_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonality strength per event_type (Hyndman's
+    strength-of-seasonality: 1 - SSE/SST, the variance share the
+    weekday profile explains — quantifies what q213 exploits): per-day
+    squared residuals vs the weekday mean and vs the grand mean, each
+    cross-multiplied to integers ((n_w·dv - S_w)²/n_w²) and
+    floor-quantized to the 1e-6 lattice BEFORE summation; the final
+    ratio divides first. One daily collapse + two broadcast moment
+    tables."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("dv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("dv").cast("bigint").alias("dv"))
+        .withColumn("__wd", F.dayofweek("day"))
+    )
+    wk = daily.groupBy("event_type", "__wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nw"),
+        F.sum("dv").cast("bigint").alias("__sw"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("dv").cast("bigint").alias("__s"),
+    )
+    j = daily.join(F.broadcast(wk), ["event_type", "__wd"]).join(
+        F.broadcast(tot), "event_type"
+    )
+    rq = lambda nn, ss: F.floor(  # noqa: E731
+        F.lit(1_000_000.0)
+        * (
+            ((nn * F.col("dv") - ss) * (nn * F.col("dv") - ss)).cast("double")
+            / (nn * nn).cast("double")
+        )
+    ).cast("bigint")
+    agg = j.groupBy("event_type").agg(
+        F.max("__n").cast("bigint").alias("n_days"),
+        F.sum(rq(F.col("__nw"), F.col("__sw"))).cast("bigint").alias("sse_q"),
+        F.sum(rq(F.col("__n"), F.col("__s"))).cast("bigint").alias("sst_q"),
+    )
+    strength = F.lit(1.0) - F.col("sse_q").cast("double") / F.col(
+        "sst_q"
+    ).cast("double")
+    return agg.select(
+        "event_type",
+        "n_days",
+        "sse_q",
+        "sst_q",
+        F.floor(strength * F.lit(1_000_000.0)).cast("bigint").alias(
+            "strength_x1e6"
+        ),
+    )
+
+
+def q254_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test on the hash arms' user conversion
+    rates (the basic A/B significance readout next to q236/q248/q251):
+    z = (p1 - p0) / sqrt(p̂(1-p̂)(1/n1 + 1/n0)) from four exact integer
+    counts, one fixed IEEE tree floor-published x1e6."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import _u52
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("__conv")
+    ).withColumn("__arm", (_u52(F.col("user_id"), "arm") % 2).cast("bigint"))
+    cells = per_user.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__conv").cast("bigint").alias("k"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("__arm") == a, c))  # noqa: E731
+    g = cells.agg(
+        pick(0, F.col("n")).cast("bigint").alias("n0"),
+        pick(0, F.col("k")).cast("bigint").alias("k0"),
+        pick(1, F.col("n")).cast("bigint").alias("n1"),
+        pick(1, F.col("k")).cast("bigint").alias("k1"),
+    )
+    n0 = F.col("n0").cast("double")
+    k0 = F.col("k0").cast("double")
+    n1 = F.col("n1").cast("double")
+    k1 = F.col("k1").cast("double")
+    pp = (k0 + k1) / (n0 + n1)
+    # degenerate pools (all or none converted) have zero variance: the
+    # test is undefined there, publish z = 0 rather than divide by zero
+    z = F.when(
+        (F.col("k0") + F.col("k1") == 0)
+        | (F.col("k0") + F.col("k1") == F.col("n0") + F.col("n1")),
+        F.lit(0.0),
+    ).otherwise(
+        (k1 / n1 - k0 / n0)
+        / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n0))
+    )
+    pub = lambda c, nm: F.floor(c * F.lit(1_000_000.0)).cast("bigint").alias(nm)  # noqa: E731
+    return g.select(
+        "n0",
+        "k0",
+        "n1",
+        "k1",
+        pub(k0 / n0, "rate0_x1e6"),
+        pub(k1 / n1, "rate1_x1e6"),
+        pub(z, "z_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6313,6 +6428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_term_burstiness": q250_term_burstiness,
         "q251_covariate_balance": q251_covariate_balance,
         "q252_embedding_norms": q252_embedding_norms,
+        "q253_seasonality_strength": q253_seasonality_strength,
+        "q254_conversion_ztest": q254_conversion_ztest,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -9429,6 +9546,81 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
                      AS mean_norm2_x1e6
             FROM q GROUP BY 1
+        """,
+        "q253_seasonality_strength": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            dd AS (SELECT event_type, day, dv, dayofweek(day) AS wd
+                   FROM daily),
+            wk AS (SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS nw,
+                          CAST(SUM(dv) AS BIGINT) AS sw
+                   FROM dd GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(dv) AS BIGINT) AS s
+                    FROM dd GROUP BY 1),
+            j AS (SELECT dd.event_type, dd.dv, wk.nw, wk.sw, tot.n, tot.s
+                  FROM dd JOIN wk ON wk.event_type = dd.event_type
+                                 AND wk.wd = dd.wd
+                          JOIN tot ON tot.event_type = dd.event_type),
+            a AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+                         CAST(SUM(CAST(floor(CAST(1000000.0 AS DOUBLE)
+                              * (CAST((nw * dv - sw) * (nw * dv - sw)
+                                      AS DOUBLE)
+                                 / CAST(nw * nw AS DOUBLE))) AS BIGINT))
+                              AS BIGINT) AS sse_q,
+                         CAST(SUM(CAST(floor(CAST(1000000.0 AS DOUBLE)
+                              * (CAST((n * dv - s) * (n * dv - s)
+                                      AS DOUBLE)
+                                 / CAST(n * n AS DOUBLE))) AS BIGINT))
+                              AS BIGINT) AS sst_q
+                  FROM j GROUP BY 1)
+            SELECT event_type, n_days, sse_q, sst_q,
+                   CAST(floor((CAST(1.0 AS DOUBLE)
+                        - CAST(sse_q AS DOUBLE) / CAST(sst_q AS DOUBLE))
+                        * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS strength_x1e6
+            FROM a
+        """,
+        "q254_conversion_ztest": f"""
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END) AS BIGINT) AS conv
+              FROM events GROUP BY 1),
+            pa AS (SELECT CAST({_u52_sql("user_id", "arm")} % 2 AS BIGINT)
+                            AS arm, conv
+                   FROM pu),
+            cells AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(conv) AS BIGINT) AS k
+                      FROM pa GROUP BY 1),
+            g AS (SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                         MAX(CASE WHEN arm = 0 THEN k END) AS k0,
+                         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                         MAX(CASE WHEN arm = 1 THEN k END) AS k1
+                  FROM cells),
+            e AS (SELECT n0, k0, n1, k1,
+                         CAST(n0 AS DOUBLE) AS dn0, CAST(k0 AS DOUBLE) AS dk0,
+                         CAST(n1 AS DOUBLE) AS dn1, CAST(k1 AS DOUBLE) AS dk1,
+                         (CAST(k0 AS DOUBLE) + CAST(k1 AS DOUBLE))
+                           / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pp
+                  FROM g)
+            SELECT n0, k0, n1, k1,
+                   CAST(floor(dk0 / dn0 * CAST(1000000.0 AS DOUBLE))
+                        AS BIGINT) AS rate0_x1e6,
+                   CAST(floor(dk1 / dn1 * CAST(1000000.0 AS DOUBLE))
+                        AS BIGINT) AS rate1_x1e6,
+                   CAST(floor(CASE WHEN k0 + k1 = 0 OR k0 + k1 = n0 + n1
+                              THEN CAST(0.0 AS DOUBLE)
+                              ELSE (dk1 / dn1 - dk0 / dn0)
+                                   / sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+                                          * (CAST(1.0 AS DOUBLE) / dn1
+                                             + CAST(1.0 AS DOUBLE) / dn0))
+                              END
+                        * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS z_x1e6
+            FROM e
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

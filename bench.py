@@ -228,6 +228,8 @@ HEADLINE = [
     "q250_term_burstiness",
     "q251_covariate_balance",
     "q252_embedding_norms",
+    "q253_seasonality_strength",
+    "q254_conversion_ztest",
 ]
 
 

@@ -1111,3 +1111,28 @@ def test_embedding_norms_are_positive_and_bounded(spark):
     assert rows
     for r in rows:
         assert 0 < r["min_norm2_x1e6"] <= r["mean_norm2_x1e6"] <= r["max_norm2_x1e6"]
+
+
+def test_seasonality_strength_bounds(spark):
+    """1 - SSE/SST lies in [0, 1] up to quantization: within-weekday
+    variance can never exceed total variance (SSE <= SST by the ANOVA
+    decomposition)."""
+    import __spark_entry__ as e
+
+    rows = e.q253_seasonality_strength(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["sse_q"] <= r["sst_q"]
+        assert -10 <= r["strength_x1e6"] <= 1_000_000  # floor slack below 0
+
+
+def test_conversion_ztest_degenerate_pool_is_zero(spark):
+    import __spark_entry__ as e
+
+    r = e.q254_conversion_ztest(spark, "/root/testdata/sf0.001").collect()[0]
+    # sf0.001: every user converts -> zero-variance pool -> z pinned to 0
+    if r["k0"] + r["k1"] == r["n0"] + r["n1"]:
+        assert r["z_x1e6"] == 0
+    assert 0 <= r["rate0_x1e6"] <= 1_000_000
