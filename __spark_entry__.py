@@ -6320,6 +6320,98 @@ def q254_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q255_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion audit: evaluate q21's marker heuristic
+    against the labeled lang column — the (true, predicted, n) matrix
+    plus per-true-lang accuracy (the classifier-evaluation loop every
+    quality-filter heuristic needs before it gates a corpus). One
+    doc_id equi-join of the classifier output back onto the labels,
+    one count aggregate; accuracy floor-published x1e6 from exact
+    counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    pred = tx.language_id(docs).select("doc_id", "predicted_lang")
+    j = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    )
+    cm = j.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = j.groupBy("true_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"),
+        F.sum(
+            F.when(F.col("true_lang") == F.col("predicted_lang"), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("__ok"),
+    )
+    return cm.join(F.broadcast(tot), "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("__ok").cast("double")
+            / F.col("__t").cast("double")
+        )
+        .cast("bigint")
+        .alias("true_lang_accuracy_x1e6"),
+    )
+
+
+def q256_cold_start_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal cold-start audit of the day-15 train/test split: how
+    many test-period users (and how much test-period activity) belong
+    to users NEVER seen in the train period — the audit a
+    recommender/personalization eval runs before trusting its metrics
+    (q193 builds leakage-safe splits; this measures the inherent
+    cold-start exposure of a temporal one). One distinct-user anti-join
+    per side, exact counts, shares floor-published x1e6."""
+    ev = read_table(spark, sf_dir, "events")
+    pre = F.dayofmonth(F.col("ts")) <= 15
+    train_users = ev.filter(pre).select("user_id").distinct()
+    test = ev.filter(~pre).select("user_id")
+    test_users = test.distinct()
+    cold_users = test_users.join(train_users, "user_id", "left_anti")
+    cold_events = test.join(F.broadcast(cold_users), "user_id")
+    g = (
+        test_users.agg(F.count(F.lit(1)).cast("bigint").alias("n_test_users"))
+        .crossJoin(
+            F.broadcast(
+                cold_users.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_cold_users")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                test.agg(F.count(F.lit(1)).cast("bigint").alias("n_test_events"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cold_events.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_cold_events")
+                )
+            )
+        )
+    )
+    share = lambda num, den, nm: F.floor(  # noqa: E731
+        F.lit(1_000_000.0) * num.cast("double") / den.cast("double")
+    ).cast("bigint").alias(nm)
+    return g.select(
+        "n_test_users",
+        "n_cold_users",
+        "n_test_events",
+        "n_cold_events",
+        share(F.col("n_cold_users"), F.col("n_test_users"), "cold_user_share_x1e6"),
+        share(
+            F.col("n_cold_events"), F.col("n_test_events"), "cold_event_share_x1e6"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6430,6 +6522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_embedding_norms": q252_embedding_norms,
         "q253_seasonality_strength": q253_seasonality_strength,
         "q254_conversion_ztest": q254_conversion_ztest,
+        "q255_langid_confusion": q255_langid_confusion,
+        "q256_cold_start_audit": q256_cold_start_audit,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -9621,6 +9715,74 @@ def oracle_sql() -> dict[str, str]:
                               END
                         * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS z_x1e6
             FROM e
+        """,
+        "q255_langid_confusion": """
+            WITH pred AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr,
+                                        hits_zh) > 0
+                          THEN (CASE
+                            WHEN hits_de = greatest(hits_de, hits_en,
+                                 hits_es, hits_fr, hits_zh) THEN 'de'
+                            WHEN hits_en = greatest(hits_de, hits_en,
+                                 hits_es, hits_fr, hits_zh) THEN 'en'
+                            WHEN hits_es = greatest(hits_de, hits_en,
+                                 hits_es, hits_fr, hits_zh) THEN 'es'
+                            WHEN hits_fr = greatest(hits_de, hits_en,
+                                 hits_es, hits_fr, hits_zh) THEN 'fr'
+                            WHEN hits_zh = greatest(hits_de, hits_en,
+                                 hits_es, hits_fr, hits_zh) THEN 'zh' END)
+                          ELSE 'unknown' END AS predicted_lang
+              FROM (
+                SELECT doc_id,
+                  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''), t -> t IN ('der', 'die', 'das', 'und', 'ist', 'von'))) AS BIGINT) AS hits_de,
+                  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''), t -> t IN ('the', 'and', 'of', 'a', 'to', 'in'))) AS BIGINT) AS hits_en,
+                  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''), t -> t IN ('el', 'la', 'de', 'y', 'que', 'en'))) AS BIGINT) AS hits_es,
+                  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''), t -> t IN ('le', 'la', 'et', 'les', 'des', 'un'))) AS BIGINT) AS hits_fr,
+                  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''), t -> t IN ('的', '是', '了', '在', '我', '有'))) AS BIGINT) AS hits_zh
+                FROM documents)),
+            j AS (SELECT d.lang AS true_lang, p.predicted_lang
+                  FROM documents d JOIN pred p USING (doc_id)),
+            cm AS (SELECT true_lang, predicted_lang,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM j GROUP BY 1, 2),
+            tot AS (SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS t,
+                           CAST(SUM(CASE WHEN true_lang = predicted_lang
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS ok
+                    FROM j GROUP BY 1)
+            SELECT cm.true_lang, cm.predicted_lang, cm.n,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(ok AS DOUBLE) / CAST(t AS DOUBLE)) AS BIGINT)
+                     AS true_lang_accuracy_x1e6
+            FROM cm JOIN tot USING (true_lang)
+        """,
+        "q256_cold_start_audit": """
+            WITH tr AS (SELECT DISTINCT user_id FROM events
+                        WHERE day(ts) <= 15),
+            te AS (SELECT user_id FROM events WHERE day(ts) > 15),
+            teu AS (SELECT DISTINCT user_id FROM te),
+            cold AS (SELECT user_id FROM teu
+                     WHERE user_id NOT IN (SELECT user_id FROM tr)),
+            g AS (SELECT
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM teu)
+                      AS n_test_users,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM cold)
+                      AS n_cold_users,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM te)
+                      AS n_test_events,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM te
+                     WHERE user_id IN (SELECT user_id FROM cold))
+                      AS n_cold_events)
+            SELECT n_test_users, n_cold_users, n_test_events, n_cold_events,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(n_cold_users AS DOUBLE)
+                        / CAST(n_test_users AS DOUBLE)) AS BIGINT)
+                     AS cold_user_share_x1e6,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(n_cold_events AS DOUBLE)
+                        / CAST(n_test_events AS DOUBLE)) AS BIGINT)
+                     AS cold_event_share_x1e6
+            FROM g
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

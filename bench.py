@@ -230,6 +230,8 @@ HEADLINE = [
     "q252_embedding_norms",
     "q253_seasonality_strength",
     "q254_conversion_ztest",
+    "q255_langid_confusion",
+    "q256_cold_start_audit",
 ]
 
 

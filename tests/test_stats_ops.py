@@ -1136,3 +1136,36 @@ def test_conversion_ztest_degenerate_pool_is_zero(spark):
     if r["k0"] + r["k1"] == r["n0"] + r["n1"]:
         assert r["z_x1e6"] == 0
     assert 0 <= r["rate0_x1e6"] <= 1_000_000
+
+
+def test_langid_confusion_matrix_invariants(spark):
+    """Structural invariants of the confusion audit: per-true-lang
+    accuracy equals the diagonal share of that row's mass, and the
+    published accuracy is constant within a true lang. (The driver
+    corpus is synthetic — its lang LABELS need not match the text, and
+    the audit exists precisely to expose that: on this data 'es' rows
+    classify as 'en' with 0 accuracy, which the matrix reports
+    faithfully.)"""
+    import math
+
+    import __spark_entry__ as e
+
+    rows = e.q255_langid_confusion(spark, "/root/testdata/sf0.01").collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r["true_lang"], []).append(r)
+    for lang, rs in by_true.items():
+        total = sum(r["n"] for r in rs)
+        diag = sum(r["n"] for r in rs if r["predicted_lang"] == lang)
+        accs = {r["true_lang_accuracy_x1e6"] for r in rs}
+        assert len(accs) == 1  # constant within the true lang
+        assert accs.pop() == math.floor(1e6 * diag / total)
+
+
+def test_cold_start_counts_are_consistent(spark):
+    import __spark_entry__ as e
+
+    r = e.q256_cold_start_audit(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= r["n_cold_users"] <= r["n_test_users"]
+    assert 0 <= r["n_cold_events"] <= r["n_test_events"]
+    assert 0 <= r["cold_user_share_x1e6"] <= 1_000_000
