@@ -715,3 +715,104 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
         .count()
     )
     assert straddled > 0
+
+
+# ---------------------------------------------------------------------------
+# randomized differentials for the two-phase ranking primitive and FIFO
+# (seeded, not hypothesis: each case costs a Spark round-trip)
+# ---------------------------------------------------------------------------
+
+
+def test_two_phase_running_sum_equals_plain_window_randomized(spark):
+    """The primitive every global ranking here rides: per-stratum
+    running sums from the sub-bucketed two-phase form must equal the
+    naive single-window form on randomized inputs (sizes, duplicates,
+    negative values, skewed strata)."""
+    import random
+
+    from pyspark.sql import Row, Window, functions as F
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        two_phase_running_sum,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        rows = [
+            Row(
+                g=rng.choice(["a", "b", "c"]),
+                k=i,
+                v=rng.randint(-50, 50),
+            )
+            for i in range(rng.randint(1, 120))
+        ]
+        df = spark.createDataFrame(rows)
+        got = {
+            (r["g"], r["k"]): r["run"]
+            for r in two_phase_running_sum(
+                df,
+                ["g"],
+                [F.col("v"), F.col("k")],
+                F.col("v"),
+                # sub-bucket monotone along (v, k): the value grid
+                F.floor(F.col("v") / F.lit(7.0)).cast("bigint"),
+                out_col="run",
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy(F.asc("v"), F.asc("k"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            (r["g"], r["k"]): r["run"]
+            for r in df.withColumn(
+                "run", F.sum("v").over(w).cast("bigint")
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_fifo_cogs_matches_python_walk_randomized(spark):
+    import random
+
+    from pyspark.sql import Row, functions as F
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        fifo_cogs,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        lots = [
+            Row(
+                k=rng.choice(["x", "y"]),
+                d=i,
+                qty=rng.randint(1, 9),
+                cents=rng.randint(1, 500),
+            )
+            for i in range(rng.randint(1, 40))
+        ]
+        demand = rng.randint(0, 60)
+        df = spark.createDataFrame(lots).withColumn(
+            "__dem", F.lit(demand).cast("bigint")
+        )
+        got = {
+            r["k"]: r
+            for r in fifo_cogs(
+                df, "k", ["d"], "qty", "cents", F.col("__dem")
+            ).collect()
+        }
+        # python walk
+        for key in {l.k for l in lots}:
+            seq = sorted([l for l in lots if l.k == key], key=lambda l: l.d)
+            remaining, cogs, consumed, touched = demand, 0, 0, 0
+            for l in seq:
+                take = min(l.qty, max(remaining, 0))
+                unit = l.cents // l.qty
+                cogs += take * unit
+                consumed += take
+                touched += 1 if take > 0 else 0
+                remaining -= take
+            r = got[key]
+            assert r["fifo_cogs_cents"] == cogs, (trial, key)
+            assert r["consumed_qty"] == consumed
+            assert r["n_lots_touched"] == touched
