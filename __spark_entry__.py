@@ -6412,6 +6412,67 @@ def q256_cold_start_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q257_screen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-screen agreement (Cohen's kappa, 1960) between two corpus
+    quality filters — the Gopher rule pass (q150) and a Flesch
+    readability cut (q223's score >= 50) — answering 'do my screens
+    agree beyond chance, or is one redundant/contradictory'. Exact 2x2
+    integer counts from one doc_id join; po/pe/kappa are a fixed IEEE
+    tree, floor-published x1e6 (pe = 1 guard publishes 0)."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        flesch_reading_ease,
+        gopher_quality_flags,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = gopher_quality_flags(docs, min_words=30, min_stopword_hits=1).select(
+        "doc_id", F.col("passes_gopher").alias("__a")
+    )
+    fl = flesch_reading_ease(docs, "text").select(
+        "doc_id", (F.col("flesch_x1000") >= 50_000).alias("__b")
+    )
+    j = a.join(fl, "doc_id", "left").select(
+        "__a", F.coalesce(F.col("__b"), F.lit(False)).alias("__b")
+    )
+    c = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__a") & F.col("__b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(F.col("__a") & ~F.col("__b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("__a") & F.col("__b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when(~F.col("__a") & ~F.col("__b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    nn = F.col("n").cast("double")
+    po = (F.col("n11").cast("double") + F.col("n00").cast("double")) / nn
+    pe = (
+        (F.col("n11").cast("double") + F.col("n10").cast("double"))
+        * (F.col("n11").cast("double") + F.col("n01").cast("double"))
+        + (F.col("n01").cast("double") + F.col("n00").cast("double"))
+        * (F.col("n10").cast("double") + F.col("n00").cast("double"))
+    ) / (nn * nn)
+    kappa = F.when(pe == F.lit(1.0), F.lit(0.0)).otherwise(
+        (po - pe) / (F.lit(1.0) - pe)
+    )
+    pub = lambda c_, nm: F.floor(c_ * F.lit(1_000_000.0)).cast("bigint").alias(nm)  # noqa: E731
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        pub(po, "po_x1e6"),
+        pub(pe, "pe_x1e6"),
+        pub(kappa, "kappa_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6524,6 +6585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_conversion_ztest": q254_conversion_ztest,
         "q255_langid_confusion": q255_langid_confusion,
         "q256_cold_start_audit": q256_cold_start_audit,
+        "q257_screen_kappa": q257_screen_kappa,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -7279,7 +7341,7 @@ def oracle_sql() -> dict[str, str]:
         f"{_plane_lit(planes91[j])}) >= 0 THEN {1 << j} ELSE 0 END)"
         for j in range(3)
     )
-    return {
+    out = {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
@@ -11958,3 +12020,61 @@ def oracle_sql() -> dict[str, str]:
         # rows-only check. q146_bpe_merges: iterative greedy argmax — not
         # one SQL query; determinism pinned by the pytest pure-Python twin.
     }
+    # q257 reuses q150's full Gopher oracle as a subquery so the two
+    # screens can never drift apart between their own query and the
+    # agreement audit.
+    out["q257_screen_kappa"] = f"""
+        WITH g AS ({out["q150_gopher_quality"]}),
+        fl AS (
+          SELECT doc_id,
+                 CASE WHEN CAST(len(regexp_extract_all(lower(text),
+                            '[a-z]+')) AS BIGINT) > 0
+                      THEN (CAST(floor((CAST(206.835 AS DOUBLE)
+                        - CAST(1.015 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)
+                             / CAST(GREATEST(1,
+                                 len(regexp_extract_all(text, '[.!?]+')))
+                                 AS DOUBLE))
+                        - CAST(84.6 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[aeiouy]+')) AS DOUBLE)
+                             / CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)))
+                        * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+                        >= 50000)
+                      ELSE false END AS b
+          FROM documents),
+        j AS (SELECT g.passes_gopher AS a, fl.b
+              FROM g JOIN fl USING (doc_id)),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n11,
+                     CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n10,
+                     CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n01,
+                     CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n00
+              FROM j),
+        e AS (SELECT n, n11, n10, n01, n00,
+                     (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS po,
+                     ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))
+                      * (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE))
+                      + (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                        * (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+              FROM c)
+        SELECT n, n11, n10, n01, n00,
+               CAST(floor(po * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                 AS po_x1e6,
+               CAST(floor(pe * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                 AS pe_x1e6,
+               CAST(floor(CASE WHEN pe = CAST(1.0 AS DOUBLE)
+                          THEN CAST(0.0 AS DOUBLE)
+                          ELSE (po - pe) / (CAST(1.0 AS DOUBLE) - pe) END
+                    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS kappa_x1e6
+        FROM e
+    """
+    return out

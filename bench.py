@@ -232,6 +232,7 @@ HEADLINE = [
     "q254_conversion_ztest",
     "q255_langid_confusion",
     "q256_cold_start_audit",
+    "q257_screen_kappa",
 ]
 
 

@@ -1169,3 +1169,14 @@ def test_cold_start_counts_are_consistent(spark):
     assert 0 <= r["n_cold_users"] <= r["n_test_users"]
     assert 0 <= r["n_cold_events"] <= r["n_test_events"]
     assert 0 <= r["cold_user_share_x1e6"] <= 1_000_000
+
+
+def test_screen_kappa_identities(spark):
+    """Kappa's defining identities on the published cells: po recomputes
+    from the diagonal, kappa from (po, pe), and cells partition n."""
+    import __spark_entry__ as e
+
+    r = e.q257_screen_kappa(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n"]
+    assert r["po_x1e6"] == math.floor(1e6 * (r["n11"] + r["n00"]) / r["n"])
+    assert -1_000_000 <= r["kappa_x1e6"] <= 1_000_000
