@@ -6473,6 +6473,116 @@ def q257_screen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q258_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table (the campaign-targeting / model-eval classic):
+    rank users by pre-period spend with the skew-safe exact global
+    NTILE (q143's two-phase machinery), then per-decile conversion rate
+    and lift vs the global rate — 'does the score order users by
+    response'. Exact integer counts; rate and lift are fixed IEEE
+    trees, floor-published x1e6 (lift divides rate ratios first)."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        two_phase_ntile,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth(F.col("ts")) <= 15, F.coalesce(cents, F.lit(0)))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.dayofmonth(F.col("ts")) > 15),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv"),
+    )
+    # highest scores in decile 1: rank by (-score, user_id)
+    tiled = two_phase_ntile(
+        per_user.withColumn("__neg", -F.col("score")),
+        10,
+        [F.col("__neg"), F.col("user_id")],
+        F.expr("__neg div 1000"),
+        out_col="decile",
+    )
+    g = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    tot = tiled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("conv").cast("bigint").alias("__k"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    rate = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    grate = F.col("__k").cast("double") / F.col("__n").cast("double")
+    return j.select(
+        "decile",
+        "n_users",
+        "n_conv",
+        F.floor(rate * F.lit(1_000_000.0)).cast("bigint").alias("rate_x1e6"),
+        F.floor((rate / grate) * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("lift_x1e6"),
+    )
+
+
+def q259_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily net value per
+    event_type (the classic peak-to-trough risk metric applied to an
+    operational KPI): with integer cumulative sums C_t and running
+    peaks P_t = max_{i<=t} C_i, the drawdown is max(P_t - C_t) — pure
+    prefix windows over the calendar-bounded day axis, everything
+    bigint. Emits the drawdown, its day, and the peak it fell from
+    (earliest-day tie-breaks)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("dv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("dv").cast("bigint").alias("dv"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.select(
+        "event_type",
+        "day",
+        F.sum("dv").over(wc).cast("bigint").alias("__c"),
+    ).withColumn("__p", F.max("__c").over(wc).cast("bigint"))
+    dd = c.withColumn("__dd", (F.col("__p") - F.col("__c")).cast("bigint"))
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.desc("__dd"), F.asc("day")
+    )
+    return (
+        dd.withColumn("__rn", F.row_number().over(wpick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("trough_day"),
+            F.col("__p").alias("peak_cum"),
+            F.col("__c").alias("trough_cum"),
+            F.col("__dd").alias("max_drawdown"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6586,6 +6696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_langid_confusion": q255_langid_confusion,
         "q256_cold_start_audit": q256_cold_start_audit,
         "q257_screen_kappa": q257_screen_kappa,
+        "q258_decile_lift": q258_decile_lift,
+        "q259_revenue_drawdown": q259_revenue_drawdown,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -9845,6 +9957,64 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(n_test_events AS DOUBLE)) AS BIGINT)
                      AS cold_event_share_x1e6
             FROM g
+        """,
+        "q258_decile_lift": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(SUM(CASE WHEN day(ts) <= 15
+                          THEN COALESCE(CAST(floor(value * 100 + 0.5)
+                               AS BIGINT), 0) ELSE 0 END) AS BIGINT)
+                       AS score,
+                     CAST(MAX(CASE WHEN event_type = 'purchase'
+                              AND day(ts) > 15 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS conv
+              FROM events GROUP BY 1),
+            t AS (SELECT conv,
+                         CAST(NTILE(10) OVER (ORDER BY -score, user_id)
+                              AS BIGINT) AS decile
+                  FROM pu),
+            g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                         CAST(SUM(conv) AS BIGINT) AS n_conv
+                  FROM t GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(conv) AS BIGINT) AS k
+                    FROM pu)
+            SELECT decile, n_users, n_conv,
+                   CAST(floor(CAST(n_conv AS DOUBLE)
+                        / CAST(n_users AS DOUBLE)
+                        * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS rate_x1e6,
+                   CAST(floor((CAST(n_conv AS DOUBLE)
+                         / CAST(n_users AS DOUBLE))
+                        / (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS lift_x1e6
+            FROM g, tot
+        """,
+        "q259_revenue_drawdown": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            c AS (SELECT event_type, day,
+                         CAST(SUM(dv) OVER (PARTITION BY event_type
+                              ORDER BY day ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM daily),
+            p AS (SELECT event_type, day, cum,
+                         CAST(MAX(cum) OVER (PARTITION BY event_type
+                              ORDER BY day ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS BIGINT) AS pk
+                  FROM c),
+            r AS (SELECT event_type, day, cum, pk,
+                         CAST(pk - cum AS BIGINT) AS dd,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY pk - cum DESC, day) AS rn
+                  FROM p)
+            SELECT event_type, day AS trough_day, pk AS peak_cum,
+                   cum AS trough_cum, dd AS max_drawdown
+            FROM r WHERE rn = 1
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -233,6 +233,8 @@ HEADLINE = [
     "q255_langid_confusion",
     "q256_cold_start_audit",
     "q257_screen_kappa",
+    "q258_decile_lift",
+    "q259_revenue_drawdown",
 ]
 
 

@@ -1180,3 +1180,27 @@ def test_screen_kappa_identities(spark):
     assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n"]
     assert r["po_x1e6"] == math.floor(1e6 * (r["n11"] + r["n00"]) / r["n"])
     assert -1_000_000 <= r["kappa_x1e6"] <= 1_000_000
+
+
+def test_decile_lift_partition_and_weighted_mean(spark):
+    """Deciles partition the users, and the lift-weighted user shares
+    recompose the global rate (Σ n_conv == k)."""
+    import __spark_entry__ as e
+
+    rows = e.q258_decile_lift(spark, "/root/testdata/sf0.01").collect()
+    assert sorted(r["decile"] for r in rows) == list(range(1, 11))
+    n = sum(r["n_users"] for r in rows)
+    k = sum(r["n_conv"] for r in rows)
+    assert n > 0 and 0 <= k <= n
+    for r in rows:
+        assert r["rate_x1e6"] == math.floor(1e6 * r["n_conv"] / r["n_users"])
+
+
+def test_revenue_drawdown_invariants(spark):
+    import __spark_entry__ as e
+
+    for r in e.q259_revenue_drawdown(
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        assert r["max_drawdown"] == r["peak_cum"] - r["trough_cum"]
+        assert r["max_drawdown"] >= 0
