@@ -6583,6 +6583,108 @@ def q259_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q260_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand-pattern classification per part (Syntetos-Boylan 2005's
+    forecastability quadrants): ADI = demand days observed-span share
+    inverted (mean inter-demand interval in days) and CV² of the
+    NONZERO demand sizes, cut at the standard 1.32 / 0.49 into smooth /
+    intermittent / erratic / lumpy — the classification that decides
+    Croston-style forecasting vs plain smoothing. Both cuts are
+    cross-multiplied integer comparisons (ADI = span/n vs 1.32 →
+    100·span vs 132·n; CV² = (nQ−S²)/S² vs 0.49 → 100(nQ−S²) vs
+    49·S²) — no division decides a class."""
+    li = read_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            "l_partkey",
+            F.col("l_shipdate").cast("date").alias("day"),
+            F.floor(F.col("l_quantity")).cast("bigint").alias("q"),
+        )
+        .groupBy("l_partkey", "day")
+        .agg(F.sum("q").cast("bigint").alias("q"))
+    )
+    m = daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_demand_days"),
+        (F.datediff(F.max("day"), F.min("day")) + F.lit(1))
+        .cast("bigint")
+        .alias("span_days"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+    )
+    nvar = F.col("n_demand_days") * F.col("qq") - F.col("s") * F.col("s")
+    s2 = F.col("s") * F.col("s")
+    adi_high = F.col("span_days") * 100 > F.col("n_demand_days") * 132
+    cv2_high = nvar * 100 > F.lit(49) * s2
+    cls = (
+        F.when(adi_high & cv2_high, F.lit("lumpy"))
+        .when(adi_high & ~cv2_high, F.lit("intermittent"))
+        .when(~adi_high & cv2_high, F.lit("erratic"))
+        .otherwise(F.lit("smooth"))
+    )
+    per_part = m.select("l_partkey", "n_demand_days", "span_days", cls.alias("demand_class"))
+    return per_part.groupBy("demand_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("n_demand_days").cast("bigint").alias("sum_demand_days"),
+        F.sum("span_days").cast("bigint").alias("sum_span_days"),
+    )
+
+
+def q261_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month ABC class migration (the planning-stability
+    companion to q222): per month, parts rank by that month's
+    discounted revenue via the two-phase running share (strata =
+    month, so every month's ranking parallelizes independently); then
+    consecutive-month classes join into the (from, to) transition
+    matrix — how churny the A-class really is. All-integer class cuts;
+    counting output."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        two_phase_running_sum,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    rev = (
+        li.select(
+            "l_partkey",
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("m"),
+            cents.alias("__c"),
+        )
+        .groupBy("l_partkey", "m")
+        .agg(F.sum("__c").cast("bigint").alias("rev"))
+    )
+    ranked = two_phase_running_sum(
+        rev.withColumn("__neg", -F.col("rev")),
+        ["m"],
+        [F.col("__neg"), F.col("l_partkey")],
+        F.col("rev"),
+        F.floor(F.col("__neg") / F.lit(10_000_000.0)).cast("bigint"),
+        out_col="__cum",
+    )
+    tot = rev.groupBy("m").agg(F.sum("rev").cast("bigint").alias("__tot"))
+    classed = ranked.join(F.broadcast(tot), "m").select(
+        "l_partkey",
+        "m",
+        F.when(F.col("__cum") * 100 <= 80 * F.col("__tot"), F.lit("A"))
+        .when(F.col("__cum") * 100 <= 95 * F.col("__tot"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("cls"),
+    )
+    nxt = classed.select(
+        "l_partkey",
+        F.add_months(F.col("m"), -1).alias("m"),
+        F.col("cls").alias("cls_to"),
+    )
+    trans = classed.join(nxt, ["l_partkey", "m"]).select(
+        F.col("cls").alias("class_from"), F.col("cls_to").alias("class_to")
+    )
+    return trans.groupBy("class_from", "class_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6698,6 +6800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_screen_kappa": q257_screen_kappa,
         "q258_decile_lift": q258_decile_lift,
         "q259_revenue_drawdown": q259_revenue_drawdown,
+        "q260_demand_intermittency": q260_demand_intermittency,
+        "q261_abc_migration": q261_abc_migration,
         "q188_ewma_chart": q188_ewma_chart,
         "q189_duplicate_spans": q189_duplicate_spans,
         "q190_countmin_frequency": q190_countmin_frequency,
@@ -10015,6 +10119,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day AS trough_day, pk AS peak_cum,
                    cum AS trough_cum, dd AS max_drawdown
             FROM r WHERE rn = 1
+        """,
+        "q260_demand_intermittency": """
+            WITH daily AS (
+              SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+                     CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+              FROM lineitem GROUP BY 1, 2),
+            m AS (SELECT l_partkey,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(date_diff('day', MIN(day), MAX(day)) + 1
+                              AS BIGINT) AS span,
+                         CAST(SUM(q) AS BIGINT) AS s,
+                         CAST(SUM(q * q) AS BIGINT) AS qq
+                  FROM daily GROUP BY 1),
+            c AS (SELECT l_partkey, n, span,
+                         (span * 100 > n * 132) AS adi_high,
+                         ((n * qq - s * s) * 100 > 49 * s * s) AS cv2_high
+                  FROM m),
+            cl AS (SELECT l_partkey, n, span,
+                          CASE WHEN adi_high AND cv2_high THEN 'lumpy'
+                               WHEN adi_high AND NOT cv2_high
+                                 THEN 'intermittent'
+                               WHEN NOT adi_high AND cv2_high
+                                 THEN 'erratic'
+                               ELSE 'smooth' END AS demand_class
+                   FROM c)
+            SELECT demand_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(n) AS BIGINT) AS sum_demand_days,
+                   CAST(SUM(span) AS BIGINT) AS sum_span_days
+            FROM cl GROUP BY 1
+        """,
+        "q261_abc_migration": """
+            WITH rev AS (
+              SELECT l_partkey,
+                     CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+                     CAST(SUM(CAST(floor(l_extendedprice
+                          * (CAST(1.0 AS DOUBLE) - l_discount) * 100 + 0.5)
+                          AS BIGINT)) AS BIGINT) AS rev
+              FROM lineitem GROUP BY 1, 2),
+            ranked AS (
+              SELECT l_partkey, m, rev,
+                     CAST(SUM(rev) OVER (PARTITION BY m
+                          ORDER BY rev DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum
+              FROM rev),
+            tot AS (SELECT m, CAST(SUM(rev) AS BIGINT) AS t
+                    FROM rev GROUP BY 1),
+            classed AS (
+              SELECT r.l_partkey, r.m,
+                     CASE WHEN r.cum * 100 <= 80 * t THEN 'A'
+                          WHEN r.cum * 100 <= 95 * t THEN 'B'
+                          ELSE 'C' END AS cls
+              FROM ranked r JOIN tot USING (m)),
+            trans AS (
+              SELECT a.cls AS class_from, b.cls AS class_to
+              FROM classed a JOIN classed b
+                ON b.l_partkey = a.l_partkey
+               AND b.m = a.m + INTERVAL 1 MONTH)
+            SELECT class_from, class_to,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM trans GROUP BY 1, 2
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -235,6 +235,8 @@ HEADLINE = [
     "q257_screen_kappa",
     "q258_decile_lift",
     "q259_revenue_drawdown",
+    "q260_demand_intermittency",
+    "q261_abc_migration",
 ]
 
 

@@ -326,3 +326,31 @@ def test_theil_sen_median_slope_by_hand(spark):
             1e6 * r["slope_num"] / r["slope_den"]
         )
         assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+
+
+def test_demand_intermittency_partitions_parts(spark):
+    import __spark_entry__ as e
+    import duckdb
+
+    rows = e.q260_demand_intermittency(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    classes = {r["demand_class"] for r in rows}
+    assert classes <= {"smooth", "intermittent", "erratic", "lumpy"}
+    n_parts = sum(r["n_parts"] for r in rows)
+    want = duckdb.sql(
+        "select count(distinct l_partkey) from "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchone()[0]
+    assert n_parts == want  # every part classified exactly once
+
+
+def test_abc_migration_classes_are_closed(spark):
+    import __spark_entry__ as e
+
+    rows = e.q261_abc_migration(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["class_from"] in {"A", "B", "C"}
+        assert r["class_to"] in {"A", "B", "C"}
+        assert r["n_transitions"] > 0
