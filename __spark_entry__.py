@@ -3764,7 +3764,7 @@ def q179_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves nothing (r4 verdict #1) — the 2-core is non-empty at sf0.001
     (7 nodes) and sf0.01 (3 nodes). Per round one degree groupBy + two
     semi-joins. Value-oracled (r5): the DuckDB twin reuses q26's exact
-    pair chain and unrolls 24 peel rounds as materialized CTEs —
+    pair chain and unrolls 30 peel rounds as materialized CTEs —
     peeling is idempotent at the fixed point, so over-unrolling is
     harmless; semantics additionally pinned by the pure-Python twin in
     tests."""
@@ -6720,16 +6720,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order: every oracled query first, the approximate /
-    # non-SQL-expressible rows-only entries (q27/q29/q30/q33/q49) last — if
+    # non-SQL-expressible rows-only entries (q74/q100/q108/q156) last — if
     # a correctness gate caps how many entries it checks, the hash-checkable
     # ones must never be the casualties.
     return {
-        # Driver first-50 window policy: the window holds EXACTLY the 50
-        # newest never-driver-checked queries — q193-q216 (earlier this
-        # round) + q217-q242 (this session's waves). q188-q192 rotate
-        # below the fold (fixture-pinned + parity-green; the SPC family's
-        # driver rows live in CORRECTNESS_r05 via q184-q187), as do the
-        # base q01-q21 (driver-green in CORRECTNESS_r01..r05).
+        # Driver first-50 window policy (round 7 rotation): the window
+        # holds EXACTLY the 50 queries that have never had a green row
+        # in any driver CORRECTNESS_r*.json value check — the 19 newest
+        # (q243-q261, added after the r6 window filled), the five whose
+        # only driver record is a stale r2 rows-only row but which are
+        # value-oracled since r6 (q27/q29/q30/q33/q49), and the 26
+        # heaviest never-driver-checked plans. Everything below the fold
+        # is driver-green in CORRECTNESS_r01..r06 and stays parity-
+        # checked at three scales by tools/parity_check.py.
+        "q243_forecast_backtest": q243_forecast_backtest,
+        "q244_mix_ess": q244_mix_ess,
+        "q245_runs_test": q245_runs_test,
+        "q246_supplier_scorecard": q246_supplier_scorecard,
+        "q247_hazard_table": q247_hazard_table,
+        "q248_did_estimator": q248_did_estimator,
+        "q249_price_index": q249_price_index,
+        "q250_term_burstiness": q250_term_burstiness,
+        "q251_covariate_balance": q251_covariate_balance,
+        "q252_embedding_norms": q252_embedding_norms,
+        "q253_seasonality_strength": q253_seasonality_strength,
+        "q254_conversion_ztest": q254_conversion_ztest,
+        "q255_langid_confusion": q255_langid_confusion,
+        "q256_cold_start_audit": q256_cold_start_audit,
+        "q257_screen_kappa": q257_screen_kappa,
+        "q258_decile_lift": q258_decile_lift,
+        "q259_revenue_drawdown": q259_revenue_drawdown,
+        "q260_demand_intermittency": q260_demand_intermittency,
+        "q261_abc_migration": q261_abc_migration,
+        # five queries whose only driver record was a rows-only r2 row;
+        # all carry full value oracles since r6 (md5_32 portable lanes /
+        # deterministic integer-grid IVF / byte-math codecs)
+        "q27_minhash_lsh": q27_minhash_lsh,
+        "q29_lsh_ann": q29_lsh_ann,
+        "q30_multimodal_decode": q30_multimodal_decode,
+        "q33_ivf_ann": q33_ivf_ann,
+        "q49_frame_sample": q49_frame_sample,
+        # the 26 heaviest never-driver-checked plans (dedup clusters,
+        # training mix, BM25, sketches, graph reachability, ...)
+        "q56_dedup_clusters": q56_dedup_clusters,
+        "q62_training_mix": q62_training_mix,
+        "q71_minhash_clusters": q71_minhash_clusters,
+        "q91_semantic_dedup": q91_semantic_dedup,
+        "q97_fuzzy_name_match": q97_fuzzy_name_match,
+        "q98_daily_reconciliation": q98_daily_reconciliation,
+        "q107_token_budget_fill": q107_token_budget_fill,
+        "q110_gap_fill": q110_gap_fill,
+        "q115_value_trend": q115_value_trend,
+        "q140_lsh_recall_audit": q140_lsh_recall_audit,
+        "q144_merge_upsert": q144_merge_upsert,
+        "q145_bpe_pair_counts": q145_bpe_pair_counts,
+        "q154_frequent_terms": q154_frequent_terms,
+        "q157_bm25_retrieval": q157_bm25_retrieval,
+        "q160_source_overlap": q160_source_overlap,
+        "q161_unigram_drift": q161_unigram_drift,
+        "q162_lm_quality_filter": q162_lm_quality_filter,
+        "q164_rfm_segments": q164_rfm_segments,
+        "q165_weighted_median": q165_weighted_median,
+        "q166_triangle_counts": q166_triangle_counts,
+        "q175_inverted_postings": q175_inverted_postings,
+        "q177_fd_violations": q177_fd_violations,
+        "q189_duplicate_spans": q189_duplicate_spans,
+        "q190_countmin_frequency": q190_countmin_frequency,
+        "q191_kmv_distinct": q191_kmv_distinct,
+        "q192_reachable_docs": q192_reachable_docs,
+        # -- below the driver 50-entry gate window ------------------------
+        # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
         "q195_brand_skyline": q195_brand_skyline,
@@ -6780,33 +6840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_lexical_richness": q240_lexical_richness,
         "q241_xml_scan": q241_xml_scan,
         "q242_theil_sen": q242_theil_sen,
-        # -- below the driver 50-entry gate window ------------------------
-        # (q243+ arrived after the 50-slot window filled with q193-q242;
-        # their evidence is the parity artifact + pytest until rotation)
-        "q243_forecast_backtest": q243_forecast_backtest,
-        "q244_mix_ess": q244_mix_ess,
-        "q245_runs_test": q245_runs_test,
-        "q246_supplier_scorecard": q246_supplier_scorecard,
-        "q247_hazard_table": q247_hazard_table,
-        "q248_did_estimator": q248_did_estimator,
-        "q249_price_index": q249_price_index,
-        "q250_term_burstiness": q250_term_burstiness,
-        "q251_covariate_balance": q251_covariate_balance,
-        "q252_embedding_norms": q252_embedding_norms,
-        "q253_seasonality_strength": q253_seasonality_strength,
-        "q254_conversion_ztest": q254_conversion_ztest,
-        "q255_langid_confusion": q255_langid_confusion,
-        "q256_cold_start_audit": q256_cold_start_audit,
-        "q257_screen_kappa": q257_screen_kappa,
-        "q258_decile_lift": q258_decile_lift,
-        "q259_revenue_drawdown": q259_revenue_drawdown,
-        "q260_demand_intermittency": q260_demand_intermittency,
-        "q261_abc_migration": q261_abc_migration,
         "q188_ewma_chart": q188_ewma_chart,
-        "q189_duplicate_spans": q189_duplicate_spans,
-        "q190_countmin_frequency": q190_countmin_frequency,
-        "q191_kmv_distinct": q191_kmv_distinct,
-        "q192_reachable_docs": q192_reachable_docs,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_range_filter": q02_range_filter,
         "q03_regex_filter": q03_regex_filter,
@@ -6828,8 +6862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_lang_stats": q19_lang_stats,
         "q20_doc_quality": q20_doc_quality,
         "q21_language_id": q21_language_id,
-        # below the driver 50-entry gate window: previously
-        # driver-checked r4/r5 promotions, then the long tail
         "q121_knn_classify_lsh": q121_knn_classify_lsh,
         "q122_corpus_ingest_batch": q122_corpus_ingest_batch,
         "q123_csv_scan": q123_csv_scan,
@@ -6847,13 +6879,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_kcore": q179_kcore,
         "q183_phonetic_match": q183_phonetic_match,
         "q167_mmr_rerank": q167_mmr_rerank,
-        "q91_semantic_dedup": q91_semantic_dedup,
-        "q33_ivf_ann": q33_ivf_ann,
-        "q27_minhash_lsh": q27_minhash_lsh,
-        "q29_lsh_ann": q29_lsh_ann,
-        "q30_multimodal_decode": q30_multimodal_decode,
-        "q49_frame_sample": q49_frame_sample,
-        "q71_minhash_clusters": q71_minhash_clusters,
         "q116_media_resize": q116_media_resize,
         "q117_media_features": q117_media_features,
         "q22_similarity_topk": q22_similarity_topk,
@@ -6885,13 +6910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_date_rules": q53_date_rules,
         "q54_composed_validation": q54_composed_validation,
         "q55_simhash_near_dups": q55_simhash_near_dups,
-        "q56_dedup_clusters": q56_dedup_clusters,
         "q57_stratified_sample": q57_stratified_sample,
         "q58_train_split": q58_train_split,
         "q59_tfidf": q59_tfidf,
         "q60_vocab": q60_vocab,
         "q61_rolling_time": q61_rolling_time,
-        "q62_training_mix": q62_training_mix,
         "q63_normalize_text": q63_normalize_text,
         "q64_grouping_sets": q64_grouping_sets,
         "q65_window_suite": q65_window_suite,
@@ -6923,8 +6946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_waiting_suppliers": q94_waiting_suppliers,
         "q95_top_supplier": q95_top_supplier,
         "q96_nation_year_profit": q96_nation_year_profit,
-        "q97_fuzzy_name_match": q97_fuzzy_name_match,
-        "q98_daily_reconciliation": q98_daily_reconciliation,
         "q99_quality_deciles": q99_quality_deciles,
         "q101_variant_json": q101_variant_json,
         "q102_stats_aggs": q102_stats_aggs,
@@ -6932,14 +6953,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_json_key_freq": q104_json_key_freq,
         "q105_sliding_windows": q105_sliding_windows,
         "q106_incremental_dedup": q106_incremental_dedup,
-        "q107_token_budget_fill": q107_token_budget_fill,
         "q109_temperature_mix": q109_temperature_mix,
-        "q110_gap_fill": q110_gap_fill,
         "q111_mad_outliers": q111_mad_outliers,
         "q112_pii_scrub": q112_pii_scrub,
         "q113_vocab_coverage": q113_vocab_coverage,
         "q114_boilerplate_strip": q114_boilerplate_strip,
-        "q115_value_trend": q115_value_trend,
         "q118_benford_digits": q118_benford_digits,
         "q119_column_profile": q119_column_profile,
         "q120_cohort_retention": q120_cohort_retention,
@@ -6959,45 +6977,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_revenue_running_share": q137_revenue_running_share,
         "q138_source_concentration": q138_source_concentration,
         "q139_bigram_lm": q139_bigram_lm,
-        "q140_lsh_recall_audit": q140_lsh_recall_audit,
         "q142_key_skew_profile": q142_key_skew_profile,
-        "q144_merge_upsert": q144_merge_upsert,
-        "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q147_mix_rebalance": q147_mix_rebalance,
         "q148_sequence_packing": q148_sequence_packing,
         "q150_gopher_quality": q150_gopher_quality,
         "q151_char_entropy": q151_char_entropy,
         "q153_dsir_admission": q153_dsir_admission,
-        "q154_frequent_terms": q154_frequent_terms,
-        # --- approximate / non-SQL-expressible: rows-only checks ---
-        "q157_bm25_retrieval": q157_bm25_retrieval,
         "q158_c4_line_filter": q158_c4_line_filter,
         "q159_encoding_screen": q159_encoding_screen,
-        "q160_source_overlap": q160_source_overlap,
-        "q161_unigram_drift": q161_unigram_drift,
-        "q162_lm_quality_filter": q162_lm_quality_filter,
-        "q164_rfm_segments": q164_rfm_segments,
-        "q165_weighted_median": q165_weighted_median,
-        "q166_triangle_counts": q166_triangle_counts,
         "q168_contrastive_negatives": q168_contrastive_negatives,
         "q169_ewma_user_value": q169_ewma_user_value,
         "q170_mad_price_outliers": q170_mad_price_outliers,
         "q171_cusum_drift": q171_cusum_drift,
         "q172_token_pmi": q172_token_pmi,
         "q174_first_touch_attribution": q174_first_touch_attribution,
-        "q175_inverted_postings": q175_inverted_postings,
         "q176_centroid_similarity": q176_centroid_similarity,
-        "q177_fd_violations": q177_fd_violations,
         "q178_longest_streak": q178_longest_streak,
         "q180_decay_attribution": q180_decay_attribution,
         "q181_percentile_trend": q181_percentile_trend,
         "q182_quality_vs_dup": q182_quality_vs_dup,
+        # --- engine-private sketches / BLAS: rows-only checks ---
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q108_sketch_rollup": q108_sketch_rollup,
         "q74_hll_distinct": q74_hll_distinct,
     }
-
 
 def _bpe_merges_oracle_sql(n_merges: int = 6) -> str:
     """DuckDB twin of q146: the greedy Sennrich BPE loop unrolled.
@@ -9994,7 +9998,7 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS z_x1e6
             FROM e
         """,
-        "q255_langid_confusion": """
+        "q255_langid_confusion": r"""
             WITH pred AS (
               SELECT doc_id,
                      CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr,
@@ -12341,7 +12345,7 @@ def oracle_sql() -> dict[str, str]:
         # ops.graph.pagerank — and the publish is floor(r/1000+0.5)/1e9,
         # so the hash must match bit-for-bit at any SF.
         "q152_pagerank": _pagerank_oracle_sql(),
-        # q179: q26's pair chain + 24 unrolled peel rounds (see helper).
+        # q179: q26's pair chain + 30 unrolled peel rounds (see helper).
         "q179_kcore": _kcore_oracle_sql(),
         # q146: the greedy BPE loop unrolled via wrapped-string replace.
         "q146_bpe_merges": _bpe_merges_oracle_sql(),

@@ -31,7 +31,6 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "content_hash",
     "blocking_audit",
-    "blocking_audit",
     "exact_dedup",
     "exact_dedup_by_content",
     "word_shingles",
@@ -1412,100 +1411,6 @@ def sorted_neighborhood_pairs(
             gap.cast("bigint").alias("rank_gap"),
         )
     )
-
-
-def blocking_audit(
-    df: DataFrame,
-    schemes: "dict[str, Column]",
-    truth_key: Column,
-) -> DataFrame:
-    """Blocking-quality audit for entity resolution (Christen, TKDE 2012
-    survey of indexing/blocking): for each candidate blocking scheme,
-    measure what it would COST (candidate pairs to compare, biggest
-    block) and what it would CATCH (coverage of ground-truth duplicate
-    pairs, where truth = rows sharing ``truth_key``).
-
-    Everything is counting arithmetic over grouped counts — no pair is
-    ever materialized:
-
-    * ``candidate_pairs`` = sum over blocks of C(c, 2) (exact bigint —
-      c*(c-1) is always even);
-    * ``true_pairs``      = same sum over ``truth_key`` groups;
-    * ``true_covered``    = same sum over (truth_key, scheme_key) groups
-      — a truth pair is covered iff both rows share the scheme key too;
-    * ``reduction_x1e6``  = floor(1e6 * (1 - candidate_pairs /
-      C(n, 2))), the survey's reduction ratio at fixed 1e-6 resolution.
-
-    Scale posture: per scheme this is two combiner-friendly groupBy
-    passes over the input plus three broadcast 1-row joins — no joins
-    between row-cardinality frames, no windows, so a billion-row audit
-    is a handful of shuffles whose reduce side is block-count sized.
-
-    Output: one row per scheme —
-    ``(scheme, n_rows, n_blocks_multi, max_block, candidate_pairs,
-    true_pairs, true_covered, reduction_x1e6)``.
-    """
-    tagged = df.select(truth_key.alias("__truth"), *[
-        col.alias(f"__k_{name}") for name, col in schemes.items()
-    ])
-    # C(c,2) = c*(c-1) >> 1 — pure bigint (c*(c-1) is always even); a
-    # double division here would silently round past 2^53 pairs.
-    pairs = lambda c: F.shiftright((c * (c - F.lit(1))).cast("bigint"), 1)  # noqa: E731
-    totals = tagged.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows")
-    )
-    truth_tot = (
-        tagged.groupBy("__truth")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(F.sum(pairs(F.col("__c"))).cast("bigint").alias("true_pairs"))
-    )
-    out = None
-    for name in schemes:
-        k = f"__k_{name}"
-        blocks = (
-            tagged.groupBy(k)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .agg(
-                F.sum(pairs(F.col("__c"))).cast("bigint").alias("candidate_pairs"),
-                F.sum(F.when(F.col("__c") >= 2, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_blocks_multi"),
-                F.max("__c").cast("bigint").alias("max_block"),
-            )
-        )
-        covered = (
-            tagged.groupBy("__truth", k)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .agg(F.sum(pairs(F.col("__c"))).cast("bigint").alias("true_covered"))
-        )
-        row = (
-            totals.crossJoin(F.broadcast(blocks))
-            .crossJoin(F.broadcast(covered))
-            .crossJoin(F.broadcast(truth_tot))
-            .select(
-                F.lit(name).alias("scheme"),
-                "n_rows",
-                "n_blocks_multi",
-                "max_block",
-                "candidate_pairs",
-                "true_pairs",
-                F.coalesce(F.col("true_covered"), F.lit(0).cast("bigint")).alias(
-                    "true_covered"
-                ),
-                F.floor(
-                    F.lit(1_000_000.0)
-                    * (
-                        F.lit(1.0)
-                        - F.col("candidate_pairs").cast("double")
-                        / pairs(F.col("n_rows")).cast("double")
-                    )
-                )
-                .cast("bigint")
-                .alias("reduction_x1e6"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
 
 
 def blocking_audit(

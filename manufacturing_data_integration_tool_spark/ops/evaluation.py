@@ -216,7 +216,7 @@ def pr_curve(
         buckets, [], [F.asc("__s")], F.col("__n"), sub, out_col="__cum_n"
     )
     run = two_phase_running_sum(
-        run, [], [F.asc("__s")], F.col("__np"), F.expr("__s div 65536"),
+        run, [], [F.asc("__s")], F.col("__np"), sub,
         out_col="__cum_np",
     )
     totals = buckets.agg(

@@ -27,6 +27,11 @@ Idempotence: every sink write goes to a ``batch=<id>`` subdirectory with
 ``overwrite`` mode, so a replayed micro-batch (foreachBatch is
 at-least-once) rewrites its own partition instead of duplicating rows —
 the standard plain-parquet exactly-once recipe for idempotent batch ids.
+On the READ side, a replayed batch excludes its own ``batch=<id>``
+partition from the at-rest index (it must not band-join against its own
+previous write), and the index gate requires BOTH ``sigs/`` and
+``tags/`` to exist so a crash between the two writes cannot strand a
+half-index that breaks the replay.
 
 100 TB posture: the at-rest index is (doc, sig) + (doc, band, key) —
 O(corpus) rows but narrow, partitioned by arrival batch; the band join
@@ -97,9 +102,19 @@ def accumulate_minhash_index_stream(
             )
             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         )
-        have_index = sigs_dir.exists()
+        # Replay discipline (r7): gate on BOTH tables (a crash between the
+        # sigs and tags writes must not leave a half-index that breaks the
+        # replay's read), and exclude the CURRENT batch_id's partitions
+        # from the "old" side — a replayed batch must never see its own
+        # previous (partial or complete) write as at-rest index, or it
+        # would emit duplicate pairs / duplicate (doc, sig) rows.
+        have_index = sigs_dir.exists() and tags_dir.exists()
         if have_index:
-            old_tags = spark.read.parquet(str(tags_dir)).drop("batch")
+            old_tags = (
+                spark.read.parquet(str(tags_dir))
+                .filter(F.col("batch") != batch_id)
+                .drop("batch")
+            )
             no = (
                 old_tags.alias("o")
                 .join(
@@ -115,7 +130,13 @@ def accumulate_minhash_index_stream(
             )
             cand = nn.unionByName(no).distinct()
             all_sigs = (
-                spark.read.parquet(str(sigs_dir)).drop("batch").unionByName(new_sigs)
+                spark.read.parquet(str(sigs_dir))
+                .filter(F.col("batch") != batch_id)
+                .drop("batch")
+                .unionByName(new_sigs)
+                # signatures are deterministic per doc; dedup is belt-and-
+                # braces against any historical double-write
+                .dropDuplicates(["doc"])
             )
         else:
             cand = nn.distinct()
@@ -136,10 +157,12 @@ def accumulate_minhash_index_stream(
             .filter(F.col("jaccard_dist") <= max_distance)
         )
         # idempotent per-batch partitions: a replayed batch overwrites its
-        # own subdirectory instead of appending duplicates
+        # own subdirectory instead of appending duplicates. tags is written
+        # before sigs so the have_index gate (sigs AND tags) can only pass
+        # once the pair-join inputs are complete.
         pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
-        new_sigs.write.mode("overwrite").parquet(f"{sigs_dir}/batch={batch_id}")
         new_tags.write.mode("overwrite").parquet(f"{tags_dir}/batch={batch_id}")
+        new_sigs.write.mode("overwrite").parquet(f"{sigs_dir}/batch={batch_id}")
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)

@@ -10,6 +10,17 @@ micro-batch's sketch into a persisted cell table and the result is
 EXACTLY the sketch of the full corpus — order-independent, restart-safe
 (checkpointed source offsets + atomic directory swap).
 
+Replay safety (r7): ``foreachBatch`` is at-least-once — a crash after
+the staging->target swap but BEFORE the checkpoint offset commit
+replays the same ``batch_id`` on restart. Summation merges (CMS cells,
+OEE counts) would double-count that batch, so every accumulator
+persists the last-applied ``batch_id`` in a ``_LAST_BATCH_ID`` marker
+INSIDE the swapped directory (atomic with the state it describes) and
+makes ``process_batch`` a no-op when the incoming id has already been
+folded — mirroring the ``batch=<id>`` overwrite idempotence used in
+``dedup_index.py``. Bloom's ``bit_or`` merge is idempotent anyway; it
+carries the marker for uniformity.
+
 100 TB posture: the persisted state is ``depth * width`` cells — KBs —
 so unlike a CDC snapshot merge (rewrite scales with the snapshot) every
 micro-batch does O(batch) scan work plus an O(sketch) rewrite, forever.
@@ -27,6 +38,37 @@ from pyspark.sql import DataFrame, functions as F
 from ..ops.text import countmin_sketch
 
 __all__ = ["accumulate_countmin_stream", "accumulate_bloom_stream", "accumulate_oee_stream", "oee_from_state"]
+
+_MARKER = "_LAST_BATCH_ID"
+
+
+def _already_applied(target: Path, batch_id: int) -> bool:
+    """True iff this batch_id (or a later one) is already folded into the
+    state at ``target``. foreachBatch ids are monotonically increasing and
+    a replay redelivers the SAME id, so ``<=`` covers both the exact-replay
+    window and any marker-ahead-of-checkpoint race."""
+    marker = target / _MARKER
+    if not marker.exists():
+        return False
+    try:
+        return batch_id <= int(marker.read_text().strip())
+    except (ValueError, OSError):
+        return False
+
+
+def _swap_in(target: Path, staging: Path, backup: Path, batch_id: int) -> None:
+    """Write the batch-id marker into staging, then rename-swap staging
+    into place. The marker travels inside the swapped directory, so state
+    and last-applied id are atomic: readers (and the replay guard) see
+    either the old pair or the new pair, never a mix."""
+    (staging / _MARKER).write_text(str(batch_id))
+    if backup.exists():
+        shutil.rmtree(backup)
+    if target.exists():
+        target.rename(backup)
+    staging.rename(target)
+    if backup.exists():
+        shutil.rmtree(backup)
 
 
 def accumulate_countmin_stream(
@@ -58,6 +100,8 @@ def accumulate_countmin_stream(
     backup = target.with_name(target.name + ".previous")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if _already_applied(target, batch_id):
+            return  # at-least-once replay of a batch already folded
         spark = batch.sparkSession
         delta = countmin_sketch(batch, text_col, depth=depth, width=width)
         if target.exists():
@@ -71,13 +115,7 @@ def accumulate_countmin_stream(
             merged = delta
         # materialize BEFORE touching the live dir (the plan reads it)
         merged.write.mode("overwrite").parquet(str(staging))
-        if backup.exists():
-            shutil.rmtree(backup)
-        if target.exists():
-            target.rename(backup)
-        staging.rename(target)
-        if backup.exists():
-            shutil.rmtree(backup)
+        _swap_in(target, staging, backup, batch_id)
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)
@@ -120,6 +158,8 @@ def accumulate_bloom_stream(
     backup = target.with_name(target.name + ".previous")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if _already_applied(target, batch_id):
+            return  # replay no-op (bit_or is idempotent; skip is cheaper)
         spark = batch.sparkSession
         delta = bloom_build(batch, key_col, m_words=m_words, k=k, salt=salt)
         if target.exists():
@@ -132,13 +172,7 @@ def accumulate_bloom_stream(
         else:
             merged = delta
         merged.write.mode("overwrite").parquet(str(staging))
-        if backup.exists():
-            shutil.rmtree(backup)
-        if target.exists():
-            target.rename(backup)
-        staging.rename(target)
-        if backup.exists():
-            shutil.rmtree(backup)
+        _swap_in(target, staging, backup, batch_id)
 
     writer = (
         keys.writeStream.foreachBatch(process_batch)
@@ -165,9 +199,9 @@ def accumulate_oee_stream(
 
     * ``hour_bits`` is a 24-bit active-hour mask merged by ``bit_or``
       (idempotent — redelivering a batch cannot invent an hour);
-    * event/error counts merge by summation (same at-least-once caveat
-      as the CMS accumulator: exactly-once within Spark's checkpointed
-      offsets, document upstream redelivery).
+    * event/error counts merge by summation — replay-safe via the
+      ``_LAST_BATCH_ID`` marker (a redelivered batch_id is a no-op;
+      see module docstring).
 
     ``oee_from_state`` then computes availability/performance/quality
     from the state table with the SAME arithmetic as the batch op, so
@@ -203,6 +237,8 @@ def accumulate_oee_stream(
         )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if _already_applied(target, batch_id):
+            return  # at-least-once replay of a batch already folded
         spark = batch.sparkSession
         delta = day_delta(batch)
         if target.exists():
@@ -219,13 +255,7 @@ def accumulate_oee_stream(
         else:
             merged = delta
         merged.write.mode("overwrite").parquet(str(staging))
-        if backup.exists():
-            shutil.rmtree(backup)
-        if target.exists():
-            target.rename(backup)
-        staging.rename(target)
-        if backup.exists():
-            shutil.rmtree(backup)
+        _swap_in(target, staging, backup, batch_id)
 
     writer = (
         events.writeStream.foreachBatch(process_batch)

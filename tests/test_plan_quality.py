@@ -173,6 +173,18 @@ def test_vocab_id_window_is_bounded_by_limit(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_vocab_coverage_window_is_bounded_by_limit(spark):
+    """q113 (r7 fix): vocab_coverage must take the top-N page with
+    TakeOrderedAndProject BEFORE the rank/cumsum window — the distinct-term
+    table of a web-scale corpus is 1e8-1e9 rows and must never funnel
+    through one unpartitioned-window task. Mirrors build_vocab's pattern."""
+    plan = plan_of(entry.q113_vocab_coverage(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    # the window must sit above the global limit: no full Sort of the
+    # term table outside the TakeOrdered operator
+    assert "CartesianProduct" not in plan
+
+
 def test_rolling_time_window_partitioned_by_key(spark):
     """The trailing-time frame must be keyed on user_id (no unpartitioned
     window — that would be the one-task bottleneck)."""

@@ -449,6 +449,58 @@ def test_streaming_countmin_accumulates_to_batch_sketch(spark, tmp_path):
     assert est["alpha"] >= 5 and est["epsilon"] >= 4 and est["missing"] >= 0
 
 
+def test_streaming_countmin_replay_is_noop(spark, tmp_path):
+    """At-least-once replay safety (r7): a crash after the staging->target
+    swap but before the checkpoint offset commit replays the same batch_id
+    on restart. Simulate the worst case — checkpoint wiped entirely, every
+    batch redelivered with its original id — and assert the summation-merge
+    state is NOT double-counted: the _LAST_BATCH_ID marker makes every
+    replayed batch a no-op."""
+    from manufacturing_data_integration_tool_spark.ops.text import countmin_sketch
+    from manufacturing_data_integration_tool_spark.streaming.sketches import (
+        accumulate_countmin_stream,
+    )
+
+    src = tmp_path / "rp_in"
+    rows = [(1, "alpha beta"), (2, "beta gamma"), (3, "alpha alpha")]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    base.coalesce(1).write.parquet(str(src))
+    sketch_dir = tmp_path / "rp_state"
+
+    def run(ckpt):
+        q = accumulate_countmin_stream(
+            spark.readStream.schema(base.schema).parquet(str(src)),
+            str(sketch_dir),
+            depth=4,
+            width=64,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    run("rp_ckpt1")
+    state1 = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in spark.read.parquet(str(sketch_dir)).collect()
+    }
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(base, "text", depth=4, width=64).collect()
+    }
+    assert state1 == want
+    # fresh checkpoint over the same input = batch 0 redelivered with the
+    # same id; without the marker guard this would double every cell
+    run("rp_ckpt2")
+    state2 = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in spark.read.parquet(str(sketch_dir)).collect()
+    }
+    assert state2 == want
+    marker = sketch_dir / "_LAST_BATCH_ID"
+    assert marker.exists() and marker.read_text().strip() == "0"
+
+
 def test_streaming_minhash_index_matches_batch_candidates(spark, tmp_path):
     """Incremental LSH dedup: stream three micro-batches through the
     persisted signature index; the union of emitted candidate pairs
@@ -504,6 +556,60 @@ def test_streaming_minhash_index_matches_batch_candidates(spark, tmp_path):
     # the persisted index holds every doc's signature exactly once
     sigs = spark.read.parquet(str(tmp_path / "lsh_index" / "sigs"))
     assert sigs.select("doc").distinct().count() == sigs.count() == 6
+
+
+def test_streaming_minhash_index_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay safety for the LSH index (r7): wipe the
+    checkpoint and re-stream the SAME input — every batch_id is
+    redelivered. Each replayed batch must exclude its own batch=<id>
+    partition from the at-rest index (no self-join against its previous
+    write), so the index still holds each doc's signature exactly once
+    and the pair SET still equals the one-shot batch result."""
+    from manufacturing_data_integration_tool_spark.ops.dedup import minhash_candidates
+    from manufacturing_data_integration_tool_spark.streaming.dedup_index import (
+        accumulate_minhash_index_stream,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over a lazy dog"),
+        (4, "completely different content here entirely unique"),
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "rp_lsh_in"
+    for ids in [(1, 4), (2, 3)]:
+        base.filter(F.col("doc_id").isin(*ids)).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run(ckpt):
+        q = accumulate_minhash_index_stream(
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            str(tmp_path / "rp_lsh_index"),
+            str(tmp_path / "rp_lsh_pairs"),
+            max_distance=0.5,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+
+    run("rp_lsh_ckpt1")
+    run("rp_lsh_ckpt2")  # fresh checkpoint: every batch_id redelivered
+    sigs = spark.read.parquet(str(tmp_path / "rp_lsh_index" / "sigs"))
+    assert sigs.select("doc").distinct().count() == sigs.count() == 4
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard_dist"], 6)
+        for r in spark.read.parquet(str(tmp_path / "rp_lsh_pairs")).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard_dist"], 6)
+        for r in minhash_candidates(base, "doc_id", "text", max_distance=0.5).collect()
+    }
+    assert got == want and (1, 2) in got
 
 
 def test_streaming_accumulators_resume_from_checkpoint(spark, tmp_path):
