@@ -6685,6 +6685,136 @@ def q261_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q262_hll_bounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled bounds audit for q74's engine-private HLL estimate
+    (r7, per the r6 verdict): publish the EXACT per-type distinct-user
+    count plus the boolean ``|estimate - exact| <= 5% of exact``. The
+    estimate itself never appears in the output, so DuckDB can recompute
+    every published column from the exact side (the boolean as literal
+    TRUE) — if Spark's sketch ever drifts outside the bound, the value
+    hash goes red instead of the drift hiding behind a rows-only check.
+    5% is ~3x the lgK=12 HLL relative standard error (~1.6%), loose
+    enough to be scale-stable, tight enough to catch a broken sketch.
+    One pass over events; the distinct and sketch aggs share the same
+    key shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    est = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("bigint")
+        .alias("__est"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    within = (
+        F.abs(F.col("__est") - F.col("n_users_exact")) * F.lit(100)
+        <= F.lit(5) * F.col("n_users_exact")
+    )
+    return est.select(
+        "event_type", "n_users_exact", "n_events", within.alias("within_5pct")
+    )
+
+
+def q263_quantile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled bounds audit for q100's approx_percentile estimates
+    (r7): approx_percentile(accuracy=10000) guarantees the returned value
+    is a dataset element whose RANK is within n/accuracy of the target
+    rank. Publish, per return flag, the exact row count plus one boolean
+    per percentile asserting the rank window holds (with 5e-4 slack —
+    5x the contract — so the audit is scale-stable): using integer
+    arithmetic only,
+
+        ok_p  =  cnt_le * 1e6 >= (P - 500) * n
+             AND cnt_lt * 1e6 <= (P + 500) * n
+
+    where P = p * 1e6, cnt_lt/cnt_le = rows strictly-below / at-or-below
+    the estimate. The estimates never reach the output; DuckDB republishes
+    the exact counts + literal TRUE, so a rank violation is a hash
+    mismatch. The groups-sized estimate table broadcasts back onto the
+    scan — two passes, no sort, no estimate-side shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    est = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                F.lit(10000),
+            ).alias("__p"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("__p")[0].alias("__e50"),
+            F.col("__p")[1].alias("__e90"),
+            F.col("__p")[2].alias("__e99"),
+        )
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(est), "l_returnflag"
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = j.groupBy("l_returnflag").agg(
+        F.first("n_rows").alias("n_rows"),
+        cnt(F.col("l_extendedprice") < F.col("__e50")).alias("__lt50"),
+        cnt(F.col("l_extendedprice") <= F.col("__e50")).alias("__le50"),
+        cnt(F.col("l_extendedprice") < F.col("__e90")).alias("__lt90"),
+        cnt(F.col("l_extendedprice") <= F.col("__e90")).alias("__le90"),
+        cnt(F.col("l_extendedprice") < F.col("__e99")).alias("__lt99"),
+        cnt(F.col("l_extendedprice") <= F.col("__e99")).alias("__le99"),
+    )
+
+    def ok(lt: str, le: str, p_x1e6: int):
+        n = F.col("n_rows")
+        return (F.col(le) * F.lit(1_000_000) >= F.lit(p_x1e6 - 500) * n) & (
+            F.col(lt) * F.lit(1_000_000) <= F.lit(p_x1e6 + 500) * n
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        ok("__lt50", "__le50", 500_000).alias("ok_p50"),
+        ok("__lt90", "__le90", 900_000).alias("ok_p90"),
+        ok("__lt99", "__le99", 990_000).alias("ok_p99"),
+    )
+
+
+def q264_rollup_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled bounds audit for q108's two-level HLL rollup (r7):
+    publish per event_type the exact day count and distinct-user count
+    plus TWO booleans — the rolled-up estimate lands within 5% of exact,
+    AND the rollup equals the single-level sketch estimate exactly
+    (register-max merge consistency: union of per-day sketches must be
+    the sketch of the union). Estimates stay internal; DuckDB republishes
+    the exact columns + literal TRUEs, so either a bound violation or a
+    merge inconsistency flips the value hash. Same two-level plan shape
+    as q108 plus the exact twin's single key shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("__roll"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    single = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("bigint")
+        .alias("__single"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"),
+    )
+    return rolled.join(single, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_users_exact",
+        (
+            F.abs(F.col("__roll") - F.col("n_users_exact")) * F.lit(100)
+            <= F.lit(5) * F.col("n_users_exact")
+        ).alias("within_5pct"),
+        (F.col("__roll") == F.col("__single")).alias("merge_consistent"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6789,6 +6919,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_kmv_distinct": q191_kmv_distinct,
         "q192_reachable_docs": q192_reachable_docs,
         # -- below the driver 50-entry gate window ------------------------
+        # r7 additions (sketch bounds audits; rotate into the window next
+        # round along with anything else still never driver-checked)
+        "q262_hll_bounds_audit": q262_hll_bounds_audit,
+        "q263_quantile_rank_audit": q263_quantile_rank_audit,
+        "q264_rollup_consistency_audit": q264_rollup_consistency_audit,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -10185,6 +10320,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT class_from, class_to,
                    CAST(COUNT(*) AS BIGINT) AS n_transitions
             FROM trans GROUP BY 1, 2
+        """,
+        # r7 sketch bounds audits: every published column is recomputable
+        # from the EXACT side (the booleans as literal TRUE) — a sketch
+        # drifting outside its bound is a value-hash mismatch, not a
+        # silent rows-only pass.
+        "q262_hll_bounds_audit": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   TRUE AS within_5pct
+            FROM events GROUP BY event_type
+        """,
+        "q263_quantile_rank_audit": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q264_rollup_consistency_audit": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                   TRUE AS within_5pct,
+                   TRUE AS merge_consistent
+            FROM events GROUP BY event_type
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -243,6 +243,9 @@ HEADLINE = [
     "q259_revenue_drawdown",
     "q260_demand_intermittency",
     "q261_abc_migration",
+    "q262_hll_bounds_audit",
+    "q263_quantile_rank_audit",
+    "q264_rollup_consistency_audit",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
