@@ -9,8 +9,10 @@ from .stateful import running_ewma, running_user_stats, streaming_dedup, user_va
 from .cdc import apply_cdc_stream
 from .sketches import accumulate_countmin_stream
 from .dedup_index import accumulate_minhash_index_stream
+from .joins import interval_join
 
 __all__ = [
+    "interval_join",
     "windowed_term_counts",
     "running_ewma",
     "apply_cdc_stream",

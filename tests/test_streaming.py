@@ -146,6 +146,8 @@ def test_stream_stream_time_bounded_join(spark, tmp_path):
     base.write.parquet(str(src))
     static = spark.read.parquet(str(src))
 
+    from manufacturing_data_integration_tool_spark.streaming.joins import interval_join
+
     def pipeline(df):
         clicks = (
             df.filter(F.col("event_type") == "click")
@@ -153,16 +155,18 @@ def test_stream_stream_time_bounded_join(spark, tmp_path):
         )
         purchases = (
             df.filter(F.col("event_type") == "purchase")
-            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .select("user_id", F.col("ts").alias("p_ts"))
         )
-        if df.isStreaming:
-            clicks = clicks.withWatermark("click_ts", "2 hours")
-            purchases = purchases.withWatermark("p_ts", "2 hours")
-        return clicks.join(
+        # the module op applies both watermarks itself when streaming and
+        # degenerates to the plain equi-join + range filter on batch frames
+        return interval_join(
+            clicks,
             purchases,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") > F.col("click_ts"))
-            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            ["user_id"],
+            left_ts="click_ts",
+            right_ts="p_ts",
+            upper="INTERVAL 1 HOUR",
+            watermark="2 hours",
         ).select("user_id", "click_ts", "p_ts")
 
     stream = spark.readStream.schema(static.schema).parquet(str(src))
