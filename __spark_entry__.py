@@ -6815,6 +6815,134 @@ def q264_rollup_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q265_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    second half of January vs first half, per event type
+    (ops.evaluation.psi_drift) — the standard serving-drift gate run as
+    a corpus statistic. Buckets are the fixed value//50 integer grid;
+    per-bucket ln terms round to 9 decimals then floor-quantize to the
+    1e-9 lattice before the BIGINT sum (q86 + q204 patterns), so the
+    cross-bucket addition is associative on any engine. One map-side
+    groupBy + bucket-table arithmetic; totals ride a broadcast."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import psi_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    return psi_drift(
+        ev,
+        F.floor(F.col("value") / F.lit(50.0)).cast("bigint"),
+        F.col("ts") >= F.expr("TIMESTAMP '2024-01-16 00:00:00'"),
+        group_cols=["event_type"],
+    )
+
+
+def q266_quantity_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of the quantity
+    band against the return outcome (ops.evaluation.woe_iv; Siddiqi's
+    scorecard formulation): buckets = (l_quantity-1) div 10 (five
+    10-unit bands), bad = l_returnflag = 'R'. Exact BIGINT cell counts,
+    broadcast totals, ln rounded to 9 decimals, IV terms floor-quantized
+    before the sum; the feature-level IV rides every row via a broadcast
+    1-row aggregate."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import woe_iv
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return woe_iv(
+        li,
+        F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10").alias("b"),
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q267_customer_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_custkey against the
+    order-total target (ops.evaluation.target_encode_loo;
+    Micci-Barreca 2001): te(row) = (customer's total cents - this
+    order's cents) / (n_orders - 1), NULL for single-order customers —
+    the high-cardinality categorical feature without self-leakage.
+    One keyed groupBy + one keyed equi-join back; cents integer grid,
+    single floor-published division."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        target_encode_loo,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    out = target_encode_loo(
+        orders, ["o_custkey"], cents, out_col="te_loo", round_to=4
+    )
+    return out.select("o_orderkey", "o_custkey", "te_loo")
+
+
+def q268_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival on q247's life table,
+    published in LOG space so it stays engine-exact: S(t) = prod(1 -
+    d_j/n_j) becomes log_surv(t) = sum round(ln(1 - d_j/n_j), 9) — each
+    ln term rounds away libm last-ulp drift (q86 pattern), the running
+    sum is exact decimal, published on the 1e-9 integer lattice. Days
+    where every at-risk user fails (S hits exactly 0) publish NULL from
+    that point on (ln 0 is -inf; NULL is the honest answer). The
+    cumulative windows run over the calendar-bounded day axis like
+    q247 — tens of rows, not data."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_ns").alias("__first"),
+        F.max("ts_ns").alias("__last"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts_ns"))
+        ).alias("__fail"),
+    )
+    day_ns = 86_400_000_000_000
+    t_end = F.when(
+        F.col("__fail").isNotNull(),
+        F.expr(f"(__fail - __first) div {day_ns}"),
+    ).otherwise(F.expr(f"(__last - __first) div {day_ns}"))
+    u = per_user.select(
+        t_end.cast("bigint").alias("t_end"),
+        F.col("__fail").isNotNull().alias("__event"),
+    )
+    days = u.groupBy("t_end").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ending"),
+        F.sum(F.when(F.col("__event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail"),
+    )
+    w_desc = Window.orderBy(F.desc("t_end")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = days.withColumn(
+        "at_risk", F.sum("__ending").over(w_desc).cast("bigint")
+    )
+    frac = F.col("n_fail").cast("double") / F.col("at_risk").cast("double")
+    # dead days (n_fail == at_risk) would be ln(0); they publish NULL via
+    # the __dead cumulative below, so their term never matters — keep it 0
+    term = F.when(
+        (F.col("n_fail") > 0) & (F.col("n_fail") < F.col("at_risk")),
+        F.round(F.log(F.lit(1.0) - frac), 9).cast("decimal(24,12)"),
+    ).otherwise(F.lit(0).cast("decimal(24,12)"))
+    dead = F.when(
+        (F.col("n_fail") > 0) & (F.col("n_fail") == F.col("at_risk")), 1
+    ).otherwise(0)
+    w_asc = Window.orderBy(F.asc("t_end")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = risk.select(
+        "t_end",
+        "n_fail",
+        "at_risk",
+        F.sum(term).over(w_asc).alias("__ls"),
+        F.sum(dead).over(w_asc).alias("__dead"),
+    )
+    return cum.filter(F.col("n_fail") > 0).select(
+        F.col("t_end").alias("t_days"),
+        "n_fail",
+        "at_risk",
+        F.when(
+            F.col("__dead") == 0,
+            (F.col("__ls") * F.lit(1_000_000_000)).cast("bigint"),
+        ).alias("log_surv_x1e9"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6924,6 +7052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_hll_bounds_audit": q262_hll_bounds_audit,
         "q263_quantile_rank_audit": q263_quantile_rank_audit,
         "q264_rollup_consistency_audit": q264_rollup_consistency_audit,
+        "q265_psi_value_drift": q265_psi_value_drift,
+        "q266_quantity_woe": q266_quantity_woe,
+        "q267_customer_target_encoding": q267_customer_target_encoding,
+        "q268_kaplan_meier": q268_kaplan_meier,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -10345,6 +10477,140 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_5pct,
                    TRUE AS merge_consistent
             FROM events GROUP BY event_type
+        """,
+        "q265_psi_value_drift": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(floor(value / CAST(50.0 AS DOUBLE)) AS BIGINT) AS b,
+                     CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 ELSE 0 END AS cur
+              FROM events),
+            cells AS (
+              SELECT event_type, b,
+                     CAST(SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+                     CAST(SUM(cur) AS BIGINT) AS nc
+              FROM base GROUP BY 1, 2),
+            tot AS (
+              SELECT event_type, CAST(SUM(nr) AS BIGINT) AS tr,
+                     CAST(SUM(nc) AS BIGINT) AS tc
+              FROM cells GROUP BY 1),
+            terms AS (
+              SELECT c.event_type,
+                     CASE WHEN c.nr > 0 AND c.nc > 0 THEN
+                       CAST(floor(
+                         (CAST(c.nc AS DOUBLE) / CAST(t.tc AS DOUBLE)
+                          - CAST(c.nr AS DOUBLE) / CAST(t.tr AS DOUBLE))
+                         * round(ln((CAST(c.nc AS DOUBLE) / CAST(t.tc AS DOUBLE))
+                                    / (CAST(c.nr AS DOUBLE) / CAST(t.tr AS DOUBLE))), 9)
+                         * CAST(1000000000.0 AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS tq,
+                     CASE WHEN c.nr > 0 AND c.nc > 0 THEN 1 ELSE 0 END AS both_s
+              FROM cells c JOIN tot t USING (event_type))
+            SELECT event_type,
+                   CAST(SUM(tq) AS BIGINT) AS psi_x1e9,
+                   CAST(SUM(both_s) AS BIGINT) AS n_buckets,
+                   CAST(COUNT(*) - SUM(both_s) AS BIGINT) AS n_one_sided
+            FROM terms GROUP BY event_type
+        """,
+        "q266_quantity_woe": """
+            WITH cells AS (
+              SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS bucket,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n_good,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_bad
+              FROM lineitem GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS G,
+                           CAST(SUM(n_bad) AS BIGINT) AS B FROM cells),
+            per AS (
+              SELECT c.bucket, c.n_good, c.n_bad,
+                     CASE WHEN c.n_good > 0 AND c.n_bad > 0 THEN
+                       CAST(floor(
+                         round(ln((CAST(c.n_bad AS DOUBLE) / CAST(t.B AS DOUBLE))
+                                  / (CAST(c.n_good AS DOUBLE) / CAST(t.G AS DOUBLE))), 9)
+                         * CAST(1000000000.0 AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     END AS woe_x1e9,
+                     CASE WHEN c.n_good > 0 AND c.n_bad > 0 THEN
+                       CAST(floor(
+                         (CAST(c.n_bad AS DOUBLE) / CAST(t.B AS DOUBLE)
+                          - CAST(c.n_good AS DOUBLE) / CAST(t.G AS DOUBLE))
+                         * round(ln((CAST(c.n_bad AS DOUBLE) / CAST(t.B AS DOUBLE))
+                                    / (CAST(c.n_good AS DOUBLE) / CAST(t.G AS DOUBLE))), 9)
+                         * CAST(1000000000.0 AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS iv_term_x1e9
+              FROM cells c, tot t)
+            SELECT bucket, n_good, n_bad, woe_x1e9, iv_term_x1e9,
+                   (SELECT CAST(SUM(iv_term_x1e9) AS BIGINT) FROM per) AS iv_x1e9
+            FROM per
+        """,
+        "q267_customer_target_encoding": """
+            WITH base AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+                          AS BIGINT) AS c
+              FROM orders),
+            stats AS (
+              SELECT o_custkey, CAST(SUM(c) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY 1)
+            SELECT b.o_orderkey, b.o_custkey,
+                   CASE WHEN st.n > 1 THEN
+                     floor(CAST(st.s - b.c AS DOUBLE)
+                           / CAST(st.n - 1 AS DOUBLE)
+                           * CAST(10000.0 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE)
+                   END AS te_loo
+            FROM base b JOIN stats st USING (o_custkey)
+        """,
+        "q268_kaplan_meier": """
+            WITH pu AS (
+              SELECT user_id, MIN(epoch_ns(ts)) AS first_t,
+                     MAX(epoch_ns(ts)) AS last_t,
+                     MIN(CASE WHEN event_type = 'error'
+                         THEN epoch_ns(ts) END) AS fail_t
+              FROM events GROUP BY 1),
+            u AS (
+              SELECT CAST(CASE WHEN fail_t IS NOT NULL
+                          THEN (fail_t - first_t) // 86400000000000
+                          ELSE (last_t - first_t) // 86400000000000 END
+                          AS BIGINT) AS t_end,
+                     (fail_t IS NOT NULL) AS ev
+              FROM pu),
+            d AS (SELECT t_end, CAST(COUNT(*) AS BIGINT) AS ending,
+                         CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_fail
+                  FROM u GROUP BY 1),
+            r AS (SELECT t_end, n_fail,
+                         CAST(SUM(ending) OVER (ORDER BY t_end DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS at_risk
+                  FROM d),
+            t AS (SELECT t_end, n_fail, at_risk,
+                         CASE WHEN n_fail > 0 AND n_fail < at_risk THEN
+                           CAST(round(ln(CAST(1.0 AS DOUBLE)
+                                         - CAST(n_fail AS DOUBLE)
+                                           / CAST(at_risk AS DOUBLE)), 9)
+                                AS DECIMAL(24,12))
+                         ELSE CAST(0 AS DECIMAL(24,12)) END AS term,
+                         CASE WHEN n_fail > 0 AND n_fail = at_risk
+                              THEN 1 ELSE 0 END AS dead
+                  FROM r),
+            c AS (SELECT t_end, n_fail, at_risk,
+                         SUM(term) OVER (ORDER BY t_end ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ls,
+                         SUM(dead) OVER (ORDER BY t_end ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS dd
+                  FROM t)
+            SELECT t_end AS t_days, n_fail, at_risk,
+                   CASE WHEN dd = 0
+                        THEN CAST(ls * 1000000000 AS BIGINT) END
+                     AS log_surv_x1e9
+            FROM c WHERE n_fail > 0
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

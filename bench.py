@@ -246,6 +246,10 @@ HEADLINE = [
     "q262_hll_bounds_audit",
     "q263_quantile_rank_audit",
     "q264_rollup_consistency_audit",
+    "q265_psi_value_drift",
+    "q266_quantity_woe",
+    "q267_customer_target_encoding",
+    "q268_kaplan_meier",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -43,7 +43,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .sampling import two_phase_running_sum
 
-__all__ = ["roc_auc", "calibration_bins", "pr_curve"]
+__all__ = [
+    "roc_auc",
+    "calibration_bins",
+    "pr_curve",
+    "psi_drift",
+    "woe_iv",
+    "target_encode_loo",
+]
 
 
 def _floor_pub(col: Column, r: int) -> Column:
@@ -242,4 +249,186 @@ def pr_curve(
                 round_to,
             ).alias("recall"),
         )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    bucket: Column,
+    is_current: Column,
+    *,
+    group_cols: Sequence[str] = (),
+    ln_round: int = 9,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    population over a declared bucketing — the standard serving-drift
+    gate on model features / corpus statistics (PSI < 0.1 stable,
+    0.1-0.25 watch, > 0.25 shifted; credit-scoring folklore since the
+    1990s, same binned form as Lin 2017's summaries of it):
+
+        PSI = sum_buckets (p_cur - p_ref) * ln(p_cur / p_ref)
+
+    Determinism: p_cur/p_ref are exact count ratios (single IEEE
+    divisions off BIGINT counts and broadcast totals); each bucket's
+    ln(.) rounds to ``ln_round`` decimals (kills libm last-ulp drift —
+    the q86 pattern) before the product; each term then floor-quantizes
+    to the 1e-9 integer lattice BEFORE the sum (the q204 per-term
+    pattern), so the cross-bucket addition is BIGINT-associative.
+
+    Buckets present on only one side are EXCLUDED from the sum (their
+    ln diverges; the standard smoothed-PSI variants are approximations
+    this engine won't fake) but are COUNTED: ``n_one_sided`` > 0 is
+    itself a drift signal the caller must not ignore.
+
+    Scale posture: one groupBy over (group, bucket, side) — map-side
+    combined — then bucket-table arithmetic; group totals ride a
+    broadcast join. Output: group_cols + ``psi_x1e9`` (BIGINT),
+    ``n_buckets``, ``n_one_sided``.
+    """
+    g = list(group_cols)
+    base = df.select(
+        *g,
+        bucket.alias("__b"),
+        F.when(is_current, F.lit(1)).otherwise(F.lit(0)).alias("__cur"),
+    )
+    cells = base.groupBy(*g, "__b").agg(
+        F.sum(F.when(F.col("__cur") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__nr"),
+        F.sum("__cur").cast("bigint").alias("__nc"),
+    )
+    totals = cells.groupBy(*g).agg(
+        F.sum("__nr").cast("bigint").alias("__tr"),
+        F.sum("__nc").cast("bigint").alias("__tc"),
+    )
+    j = (
+        cells.join(F.broadcast(totals), g)
+        if g
+        else cells.crossJoin(F.broadcast(totals))
+    )
+    p_ref = F.col("__nr").cast("double") / F.col("__tr").cast("double")
+    p_cur = F.col("__nc").cast("double") / F.col("__tc").cast("double")
+    both = (F.col("__nr") > 0) & (F.col("__nc") > 0)
+    term = (p_cur - p_ref) * F.round(F.log(p_cur / p_ref), ln_round)
+    term_q = F.when(
+        both, F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        j.select(
+            *g,
+            term_q.alias("__t"),
+            both.cast("int").alias("__both"),
+        )
+        .groupBy(*g)
+        .agg(
+            F.sum("__t").cast("bigint").alias("psi_x1e9"),
+            F.sum("__both").cast("bigint").alias("n_buckets"),
+            (F.count(F.lit(1)) - F.sum("__both")).cast("bigint").alias("n_one_sided"),
+        )
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    bucket: Column,
+    label: Column,
+    *,
+    ln_round: int = 9,
+) -> DataFrame:
+    """Weight-of-evidence / information-value screen of a bucketed
+    feature against a binary outcome (Siddiqi's credit-scorecard
+    formulation; the standard pre-model univariate feature audit):
+
+        WOE_i = ln( (bad_i / B) / (good_i / G) )
+        IV    = sum_i (bad_i/B - good_i/G) * WOE_i
+
+    (IV < 0.02 useless, 0.02-0.3 predictive, > 0.5 suspicious.)
+
+    Determinism: exact BIGINT cell counts + broadcast (G, B) totals;
+    the WOE ln rounds to ``ln_round`` decimals; each IV term
+    floor-quantizes to the 1e-9 lattice before the cross-bucket sum
+    (same recipe as :func:`psi_drift`). Buckets with zero goods or
+    zero bads publish NULL woe and contribute 0 to IV (the exact
+    treatment — smoothing variants are approximations).
+
+    Output: one row per bucket — ``bucket, n_good, n_bad, woe_x1e9,
+    iv_term_x1e9, iv_x1e9`` (the last column is the feature-level IV,
+    identical on every row, attached via a broadcast 1-row aggregate so
+    the per-bucket table stays the single output).
+
+    Scale posture: ONE map-side-combined groupBy over the bucket
+    expression; everything after runs on the bucket-count table.
+    """
+    cells = (
+        df.select(
+            bucket.alias("bucket"),
+            F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("__y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("n_good"),
+            F.sum("__y").cast("bigint").alias("n_bad"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("n_good").cast("bigint").alias("__G"),
+        F.sum("n_bad").cast("bigint").alias("__B"),
+    )
+    j = cells.crossJoin(F.broadcast(totals))
+    rb = F.col("n_bad").cast("double") / F.col("__B").cast("double")
+    rg = F.col("n_good").cast("double") / F.col("__G").cast("double")
+    both = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    woe = F.round(F.log(rb / rg), ln_round)
+    woe_x = F.when(both, F.floor(woe * F.lit(1e9) + F.lit(0.5)).cast("bigint"))
+    term_x = F.when(
+        both, F.floor((rb - rg) * woe * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    per = j.select(
+        "bucket",
+        "n_good",
+        "n_bad",
+        woe_x.alias("woe_x1e9"),
+        term_x.alias("iv_term_x1e9"),
+    )
+    iv = per.agg(F.sum("iv_term_x1e9").cast("bigint").alias("iv_x1e9"))
+    return per.crossJoin(F.broadcast(iv))
+
+
+def target_encode_loo(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    target_int: Column,
+    *,
+    out_col: str = "te_loo",
+    round_to: int = 6,
+) -> DataFrame:
+    """Leave-one-out target encoding of ``key_cols`` against an
+    INTEGER-grid target (Micci-Barreca, SIGKDD Expl. 2001 — the
+    high-cardinality categorical encoder; leave-one-out is the variant
+    that doesn't leak the row's own label into its feature):
+
+        te(row) = (sum(target over key) - target(row)) / (n(key) - 1)
+
+    NULL for singleton keys (n = 1) — the honest answer, not a prior
+    blend (blending variants are approximations callers can layer on).
+
+    Determinism: per-key (sum, n) are exact BIGINT aggregates; the one
+    division is a single IEEE op, floor-published. Scale posture: one
+    map-side-combined groupBy + one keyed equi-join back onto the rows
+    (both hash-partitioned on the key — AQE skew-splittable); no
+    window, no per-row state.
+    """
+    k = list(key_cols)
+    base = df.withColumn("__t", target_int.cast("bigint"))
+    stats = base.groupBy(*k).agg(
+        F.sum("__t").cast("bigint").alias("__sum"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    j = base.join(stats, k)
+    loo = F.try_divide(
+        (F.col("__sum") - F.col("__t")).cast("double"),
+        F.when(F.col("__n") > 1, (F.col("__n") - 1).cast("double")),
+    )
+    return j.withColumn(out_col, _floor_pub(loo, round_to)).drop(
+        "__t", "__sum", "__n"
     )

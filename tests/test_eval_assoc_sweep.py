@@ -382,3 +382,94 @@ def test_kfold_assignment_stable_and_partitions(spark):
     # rough balance: no fold takes more than half
     from collections import Counter
     assert max(Counter(a.values()).values()) < 100
+
+
+def test_psi_drift_identical_populations_is_zero(spark):
+    """PSI of a population against itself is exactly 0 (every p == q, every
+    ln term 0), and a shifted population yields a strictly positive PSI
+    with one-sided buckets counted, not silently summed."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import psi_drift
+
+    rows = [(i % 5, s) for i in range(100) for s in (0, 1)]
+    df = spark.createDataFrame(rows, "b int, cur int")
+    out = psi_drift(df, F.col("b").cast("bigint"), F.col("cur") == 1).collect()[0]
+    assert out["psi_x1e9"] == 0 and out["n_buckets"] == 5 and out["n_one_sided"] == 0
+
+    # shift: ref uniform over {0..4}; cur concentrated on {3,4} with a
+    # heavier share per bucket (0.5 vs 0.2) -> positive PSI over the
+    # overlap, and buckets 0-2 become ref-only one-sided signals
+    rows2 = [(i % 5, 0) for i in range(100)] + [(3 + i % 2, 1) for i in range(100)]
+    df2 = spark.createDataFrame(rows2, "b int, cur int")
+    out2 = psi_drift(df2, F.col("b").cast("bigint"), F.col("cur") == 1).collect()[0]
+    assert out2["psi_x1e9"] > 0 and out2["n_one_sided"] == 3
+
+
+def test_woe_iv_hand_computed_2x2(spark):
+    """Two buckets, hand-computable: bucket 0 = 30 good / 10 bad, bucket
+    1 = 20 good / 40 bad. WOE_0 = ln((10/50)/(30/50)) = ln(1/3); IV =
+    (10/50-30/50)*ln(1/3) + (40/50-20/50)*ln(2) > 0. Zero-bad buckets
+    publish NULL woe and contribute 0."""
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.evaluation import woe_iv
+
+    rows = (
+        [(0, 0)] * 30 + [(0, 1)] * 10 + [(1, 0)] * 20 + [(1, 1)] * 40 + [(2, 0)] * 5
+    )
+    df = spark.createDataFrame(rows, "b int, y int")
+    out = {
+        r["bucket"]: r
+        for r in woe_iv(
+            df, F.col("b").cast("bigint"), F.col("y") == 1
+        ).collect()
+    }
+    woe0 = round(math.log((10 / 50) / (30 / 55)), 9)
+    assert out[0]["woe_x1e9"] == math.floor(woe0 * 1e9 + 0.5)
+    assert out[2]["woe_x1e9"] is None and out[2]["iv_term_x1e9"] == 0
+    iv = out[0]["iv_x1e9"]
+    assert iv == out[1]["iv_x1e9"] == out[2]["iv_x1e9"]  # broadcast, identical
+    assert iv == sum(r["iv_term_x1e9"] for r in out.values())
+    assert iv > 0
+
+
+def test_target_encode_loo_excludes_own_row_and_nulls_singletons(spark):
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        target_encode_loo,
+    )
+
+    rows = [("a", 10), ("a", 20), ("a", 30), ("b", 7)]
+    df = spark.createDataFrame(rows, "k string, t int")
+    out = target_encode_loo(df, ["k"], F.col("t"), round_to=6)
+    got = {(r["k"], r["t"]): r["te_loo"] for r in out.collect()}
+    assert got[("a", 10)] == 25.0  # (20+30)/2
+    assert got[("a", 20)] == 20.0
+    assert got[("a", 30)] == 15.0
+    assert got[("b", 7)] is None  # singleton key: no leave-one-out mean
+
+
+def test_kaplan_meier_log_survival_matches_product(spark, sf_dir):
+    """exp(log_surv) must equal the KM product of (1 - d/n) within the
+    1e-9 lattice, survival is non-increasing, and at_risk is
+    non-increasing in t."""
+    import math
+
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        entry.q268_kaplan_meier(spark, sf_dir).collect(), key=lambda r: r["t_days"]
+    )
+    assert rows, "life table empty"
+    prod = 1.0
+    last_ls = 0
+    last_risk = None
+    for r in rows:
+        assert last_risk is None or r["at_risk"] <= last_risk
+        last_risk = r["at_risk"]
+        if r["log_surv_x1e9"] is None:
+            assert r["n_fail"] == r["at_risk"] or prod == 0.0
+            prod = 0.0
+            continue
+        prod *= 1.0 - r["n_fail"] / r["at_risk"]
+        assert r["log_surv_x1e9"] <= last_ls  # non-increasing log-survival
+        last_ls = r["log_surv_x1e9"]
+        assert abs(math.exp(r["log_surv_x1e9"] / 1e9) - prod) < 1e-6

@@ -4,6 +4,13 @@ join strategies, Python-eval nodes, top-k vs global sort — written to
 PLANS.md so plan quality is a reviewable artifact, not a claim.
 
 Usage: python tools/plan_audit.py [--sf DIR] [--out PLANS.md]
+       python tools/plan_audit.py --sweep DIR1 DIR2 ...   # shape invariance
+
+--sweep audits every query at each listed SF dir and reports queries whose
+plan SHAPE (scan/exchange/join/flag fingerprint) changes with data size —
+the drift a single-SF audit cannot see (e.g. a stats-threshold flip from
+broadcast to shuffle, or an AQE-dependent operator choice leaking into the
+static plan). Exit code 1 if any query drifts, so it can gate CI.
 """
 
 from __future__ import annotations
@@ -50,15 +57,8 @@ def audit_plan(plan: str) -> dict:
     }
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.001")
-    ap.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "PLANS.md"))
-    args = ap.parse_args()
-
+def _session():
     from pyspark.sql import SparkSession
-
-    import __spark_entry__ as entrymod
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -73,6 +73,69 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _audit_one(spark, fn, sf: str) -> dict:
+    df = fn(spark, sf)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return audit_plan(buf.getvalue())
+
+
+def _fingerprint(a: dict) -> tuple:
+    # the shape facets that must not depend on data volume; `reused` is
+    # excluded (subtree reuse can legitimately appear once a side is big
+    # enough to be planned as a real exchange)
+    return (
+        a["scans"],
+        a["exchanges"],
+        tuple(sorted(a["joins"].items())),
+        a["python_eval"],
+        a["arrow_eval"],
+        a["take_ordered"],
+        a["global_sort"],
+    )
+
+
+def sweep(sfs: list[str]) -> int:
+    import __spark_entry__ as entrymod
+
+    spark = _session()
+    drift = []
+    for name, fn in entrymod.queries().items():
+        fps = {}
+        for sf in sfs:
+            try:
+                fps[sf] = _fingerprint(_audit_one(spark, fn, sf))
+            except Exception as exc:  # noqa: BLE001
+                fps[sf] = ("ERROR", str(exc)[:60])
+        if len(set(fps.values())) > 1:
+            drift.append((name, fps))
+            print(f"DRIFT {name}:")
+            for sf, fp in fps.items():
+                print(f"    {sf}: {fp}")
+    print(f"sweep over {len(sfs)} scales: "
+          f"{len(drift)} queries with plan-shape drift")
+    spark.stop()
+    return 1 if drift else 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "PLANS.md"))
+    ap.add_argument("--sweep", nargs="+", metavar="DIR",
+                    help="audit at each DIR and fail on plan-shape drift")
+    args = ap.parse_args()
+
+    if args.sweep:
+        raise SystemExit(sweep(args.sweep))
+
+    import __spark_entry__ as entrymod
+
+    spark = _session()
 
     rows = []
     for name, fn in entrymod.queries().items():
