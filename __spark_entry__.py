@@ -6943,6 +6943,114 @@ def q268_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q269_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve by score decile (Radcliffe 2007's standard
+    incremental-response readout): customers decile-ranked by account
+    balance (the deterministic 'model score'), hash-split into
+    treatment/control arms, outcome = placed at least one order. Per
+    decile k (best score first): qini(k) = cum_conv_treat -
+    cum_conv_ctrl * (cum_n_treat / cum_n_ctrl) — how many conversions
+    the top-k targeting earned beyond the control baseline.
+
+    Deciles ride the exact two-phase NTILE (no one-task global sort);
+    the cumulative window runs over the 10 decile rows only. All counts
+    exact BIGINT; one fixed IEEE tree per decile, floor-published."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        _u52,
+        two_phase_ntile,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    conv = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__conv", F.lit(1).cast("bigint"))
+    )
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    base = (
+        cust.select("c_custkey", cents.alias("__s"))
+        .withColumn(
+            "__arm", (_u52(F.col("c_custkey"), "uplift") % 2).cast("bigint")
+        )
+        .join(conv, "c_custkey", "left")
+        .withColumn("__conv", F.coalesce(F.col("__conv"), F.lit(0)).cast("bigint"))
+    )
+    tiled = two_phase_ntile(
+        base,
+        10,
+        [F.desc("__s"), F.asc("c_custkey")],
+        F.expr("(-__s) div 10000"),
+    )
+    per = tiled.groupBy("tile").agg(
+        F.sum(F.col("__arm")).cast("bigint").alias("n_treat"),
+        F.sum(F.col("__arm") * F.col("__conv")).cast("bigint").alias("conv_treat"),
+        F.sum(F.lit(1) - F.col("__arm")).cast("bigint").alias("n_ctrl"),
+        F.sum((F.lit(1) - F.col("__arm")) * F.col("__conv"))
+        .cast("bigint")
+        .alias("conv_ctrl"),
+    )
+    w = Window.orderBy(F.asc("tile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "tile",
+        "n_treat",
+        "conv_treat",
+        "n_ctrl",
+        "conv_ctrl",
+        F.sum("n_treat").over(w).cast("bigint").alias("__cnt"),
+        F.sum("conv_treat").over(w).cast("bigint").alias("__cct"),
+        F.sum("n_ctrl").over(w).cast("bigint").alias("__cnc"),
+        F.sum("conv_ctrl").over(w).cast("bigint").alias("__ccc"),
+    )
+    qini = F.col("__cct").cast("double") - F.col("__ccc").cast("double") * (
+        F.col("__cnt").cast("double") / F.col("__cnc").cast("double")
+    )
+    return cum.select(
+        "tile",
+        "n_treat",
+        "conv_treat",
+        "n_ctrl",
+        "conv_ctrl",
+        F.floor(qini * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint").alias(
+            "qini_x1e6"
+        ),
+    )
+
+
+def q270_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sample WITHOUT
+    replacement (ops.sampling.weighted_sample_ares): top-100 documents
+    by u^(1/w) with w = whitespace token count — the size-weighted
+    corpus subset draw. Log-space keys from md5-lane uniforms (ln
+    rounded to 9 decimals, one division by the BIGINT weight), top-k
+    via TakeOrderedAndProject; the identical fold on both engines makes
+    the full selection value-oracled."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        weighted_sample_ares,
+    )
+    from manufacturing_data_integration_tool_spark.ops.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("w")
+    )
+    return weighted_sample_ares(base, "doc_id", "w", 100)
+
+
+def q271_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per language
+    (ops.text.chao1_richness; Chao 1984 bias-corrected): D +
+    f1(f1-1)/(2(f2+1)) from exact singleton/doubleton term counts — the
+    'is this corpus still undersampling its domain' saturation check.
+    Two map-side-combined groupBys, one published division."""
+    from manufacturing_data_integration_tool_spark.ops.text import chao1_richness
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chao1_richness(docs, "text", group_cols=["lang"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7056,6 +7164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q266_quantity_woe": q266_quantity_woe,
         "q267_customer_target_encoding": q267_customer_target_encoding,
         "q268_kaplan_meier": q268_kaplan_meier,
+        "q269_qini_uplift": q269_qini_uplift,
+        "q270_weighted_sample": q270_weighted_sample,
+        "q271_chao1_richness": q271_chao1_richness,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -10611,6 +10722,92 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(ls * 1000000000 AS BIGINT) END
                      AS log_surv_x1e9
             FROM c WHERE n_fail > 0
+        """,
+        "q269_qini_uplift": """
+            WITH conv AS (
+              SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+            base AS (
+              SELECT c.c_custkey,
+                     CAST(floor(c.c_acctbal * 100 + CAST(0.5 AS DOUBLE))
+                          AS BIGINT) AS s,
+                     CAST(CAST('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)
+                          || ':uplift'), 1, 13) AS BIGINT) % 2 AS BIGINT) AS arm,
+                     CASE WHEN v.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS cv
+              FROM customer c LEFT JOIN conv v USING (c_custkey)),
+            tiled AS (
+              SELECT arm, cv,
+                     CAST(NTILE(10) OVER (ORDER BY s DESC, c_custkey ASC)
+                          AS BIGINT) AS tile
+              FROM base),
+            per AS (
+              SELECT tile,
+                     CAST(SUM(arm) AS BIGINT) AS n_treat,
+                     CAST(SUM(arm * cv) AS BIGINT) AS conv_treat,
+                     CAST(SUM(1 - arm) AS BIGINT) AS n_ctrl,
+                     CAST(SUM((1 - arm) * cv) AS BIGINT) AS conv_ctrl
+              FROM tiled GROUP BY 1),
+            c AS (
+              SELECT tile, n_treat, conv_treat, n_ctrl, conv_ctrl,
+                     CAST(SUM(n_treat) OVER (ORDER BY tile ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cnt,
+                     CAST(SUM(conv_treat) OVER (ORDER BY tile ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cct,
+                     CAST(SUM(n_ctrl) OVER (ORDER BY tile ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cnc,
+                     CAST(SUM(conv_ctrl) OVER (ORDER BY tile ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS ccc
+              FROM per)
+            SELECT tile, n_treat, conv_treat, n_ctrl, conv_ctrl,
+                   CAST(floor((CAST(cct AS DOUBLE)
+                               - CAST(ccc AS DOUBLE)
+                                 * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)))
+                              * CAST(1000000.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qini_x1e6
+            FROM c
+        """,
+        "q270_weighted_sample": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(lower(text),
+                          '\s+'), x -> x <> '')) AS BIGINT) AS w
+              FROM documents),
+            f AS (
+              SELECT doc_id, w,
+                     round(ln((CAST(CAST('0x' || substr(md5(CAST(doc_id
+                                AS VARCHAR) || ':wres'), 1, 13) AS BIGINT)
+                               AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                              / CAST(4503599627370496.0 AS DOUBLE)), 9)
+                       / CAST(w AS DOUBLE) AS k
+              FROM t WHERE w > 0)
+            SELECT doc_id, w,
+                   CAST(floor(k * CAST(1000000000.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ares_key
+            FROM f ORDER BY k DESC, doc_id ASC LIMIT 100
+        """,
+        "q271_chao1_richness": r"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '\s+'), x -> x <> '')) AS t
+              FROM documents),
+            tc AS (SELECT lang, t, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                   CAST(floor((CAST(COUNT(*) AS DOUBLE)
+                               + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                                      * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                                      AS DOUBLE)
+                                 / CAST(2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                                             + 1) AS DOUBLE))
+                              * CAST(1000000.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chao1_x1e6
+            FROM tc GROUP BY lang
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

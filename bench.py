@@ -250,6 +250,9 @@ HEADLINE = [
     "q266_quantity_woe",
     "q267_customer_target_encoding",
     "q268_kaplan_meier",
+    "q269_qini_uplift",
+    "q270_weighted_sample",
+    "q271_chao1_richness",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

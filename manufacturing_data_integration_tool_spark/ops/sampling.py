@@ -41,6 +41,7 @@ __all__ = [
     "dsir_admission",
     "weighted_percentile",
     "negative_samples",
+    "weighted_sample_ares",
 ]
 
 _HEX_DIGITS = 13  # 13 hex chars = 52 bits: exactly representable in a double
@@ -712,4 +713,56 @@ def negative_samples(
         anchors.join(partners, "__pr")
         .filter(F.col("negative_id") != F.col("anchor_id"))
         .select("anchor_id", "neg_idx", "negative_id")
+    )
+
+
+def weighted_sample_ares(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "wres",
+    ln_round: int = 9,
+    key_out: str = "ares_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via
+    Efraimidis-Spirakis A-Res (IPL 2006): each row draws u ~ U(0,1) and
+    the k largest u^(1/w) win — one pass, fully distributed, and
+    probability-correct for any positive integer weights. This is the
+    standard way to draw a quality- or size-weighted corpus subset
+    without a sequential reservoir.
+
+    Implemented in log space (maximizing ln(u)/w is maximizing u^(1/w))
+    with the repo's portable randomness: u = (md5-lane u52 + 0.5) / 2^52
+    — exact integers into one IEEE division — and ln(u) rounded to
+    ``ln_round`` decimals (q86 pattern) before the division by the
+    BIGINT weight, so the selection ORDER is the same double sequence on
+    any engine; ties broken by ``key_col`` for a total order. Rows with
+    weight <= 0 are excluded (zero-weight rows have zero inclusion
+    probability by definition).
+
+    Scale posture: the top-k is ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, per-partition top-k + driver merge of k-row
+    heaps; no global sort, no shuffle of the corpus.
+
+    Output: ``key_col, weight_col, key_out`` (the selection key,
+    floor-published x1e9 as BIGINT) — the k winners.
+    """
+    u = (
+        _u52(F.col(key_col), salt).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    key = F.round(F.log(u), ln_round) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(key_col, weight_col, key.alias("__k"))
+        .orderBy(F.desc("__k"), F.asc(key_col))
+        .limit(k)
+        .select(
+            key_col,
+            weight_col,
+            F.floor(F.col("__k") * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias(key_out),
+        )
     )

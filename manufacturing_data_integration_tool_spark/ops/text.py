@@ -24,6 +24,7 @@ __all__ = [
     "strip_common_segments",
     "unigram_logprob",
     "vocab_coverage",
+    "chao1_richness",
     "DEFAULT_SCRUB_PATTERNS",
     "repetition_stats",
     "with_repetition_cols",
@@ -1979,4 +1980,57 @@ def span_corruption_stats(
         )
         .cast("bigint")
         .alias("mask_ratio_x1e6"),
+    )
+
+
+def chao1_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    group_cols: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Chao1 species-richness estimate of the vocabulary (Chao 1984;
+    the standard 'how many words exist that I have NOT seen yet'
+    lower-bound estimator, bias-corrected form):
+
+        chao1 = D + f1*(f1-1) / (2*(f2+1))
+
+    where D = observed distinct terms, f1/f2 = singleton/doubleton term
+    counts. The question it answers for a corpus: is the vocabulary
+    curve saturating (f1 small vs D — more data adds little) or still
+    climbing (f1 large — the corpus undersamples its domain)?
+
+    Everything is exact BIGINT counting (two map-side-combined
+    groupBys: term counts, then frequency-of-frequency) until the one
+    IEEE division; published floor-quantized. The bias-corrected form
+    is defined for f2 = 0, so no smoothing caveats.
+
+    Output: ``group_cols + (n_distinct, f1, f2, chao1_x1e6)``.
+    """
+    g = list(group_cols)
+    toks = df.select(*g, F.explode(tokenize(text_col)).alias("__t"))
+    tc = toks.groupBy(*g, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    agg = tc.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    chao = F.col("n_distinct").cast("double") + (
+        (F.col("f1") * (F.col("f1") - 1)).cast("double")
+        / (F.lit(2) * (F.col("f2") + 1)).cast("double")
+    )
+    p = float(10**round_to)
+    return agg.select(
+        *g,
+        "n_distinct",
+        "f1",
+        "f2",
+        F.floor(chao * F.lit(p) + F.lit(0.5)).cast("bigint").alias(
+            f"chao1_x1e{round_to}"
+        ),
     )

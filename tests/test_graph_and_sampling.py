@@ -816,3 +816,49 @@ def test_fifo_cogs_matches_python_walk_randomized(spark):
             assert r["fifo_cogs_cents"] == cogs, (trial, key)
             assert r["consumed_qty"] == consumed
             assert r["n_lots_touched"] == touched
+
+
+def test_weighted_sample_ares_matches_python_twin(spark):
+    """The A-Res selection must equal a brute-force Python recompute of
+    the same md5-lane keys (identical fold), exclude non-positive
+    weights, and return exactly k winners."""
+    import hashlib
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        weighted_sample_ares,
+    )
+
+    rows = [(i, (i * 7) % 13) for i in range(200)]  # weights 0..12, some 0
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["w"], r["ares_key"])
+        for r in weighted_sample_ares(df, "doc_id", "w", 20).collect()
+    ]
+    assert len(got) == 20
+
+    def key(i, w):
+        h = hashlib.md5(f"{i}:wres".encode()).hexdigest()[:13]
+        u = (int(h, 16) + 0.5) / float(1 << 52)
+        return round(math.log(u), 9) / w
+
+    want = sorted(
+        ((i, w) for i, w in rows if w > 0), key=lambda t: (-key(*t), t[0])
+    )[:20]
+    assert [(i, w) for i, w, _ in got] == want
+    for i, w, kx in got:
+        assert kx == math.floor(key(i, w) * 1e9 + 0.5)
+    assert all(w > 0 for _, w, _ in got)
+
+
+def test_chao1_richness_hand_computed(spark):
+    """corpus: 'a' x3, 'b' x2, 'c' x1, 'd' x1 -> D=4, f1=2, f2=1,
+    chao1 = 4 + 2*1/(2*2) = 4.5."""
+    from manufacturing_data_integration_tool_spark.ops.text import chao1_richness
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a")], "doc_id long, text string"
+    )
+    out = chao1_richness(df).collect()[0]
+    assert (out["n_distinct"], out["f1"], out["f2"]) == (4, 2, 1)
+    assert out["chao1_x1e6"] == 4_500_000
