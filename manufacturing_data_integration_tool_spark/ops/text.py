@@ -865,6 +865,15 @@ def bpe_train(
     merges: list[tuple[str, str]] = []
     batch_size = max(1, int(batch_size))
     rounds = 0
+    # Adaptive probe (r7): c_bound is the count of the first conflicting
+    # or unbatched probe row — when the count profile has a flat tail,
+    # the strict-majority truncation collapses batches toward 1 even
+    # with no symbol conflicts. Probing DEEPER lowers the no-conflict
+    # bound (it becomes the k-th row's count), admitting more provably
+    # safe merges per round, at the cost of a slightly larger driver
+    # collect (still <= 64*batch_size rows). The batching invariant is
+    # untouched — only how many candidate rows the driver sees.
+    k_mult = 4
     while len(merges) < n_merges:
         pair_counts = (
             vocab.select(
@@ -885,7 +894,7 @@ def bpe_train(
             .groupBy("p")
             .agg(F.sum("wc").alias("c"))
         )
-        k_probe = batch_size * 4
+        k_probe = batch_size * k_mult
         top = (
             pair_counts.orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
             .limit(k_probe)
@@ -911,6 +920,12 @@ def bpe_train(
         # is unconditionally greedy-correct.
         batch = [batch[0]] + [b for b in batch[1:] if b[2] > c_bound]
         merges.extend((l, r) for l, r, _ in batch)
+        # adapt the probe depth to the realized batch: truncation-starved
+        # rounds probe deeper next time; full batches decay back
+        if len(batch) < max(1, want // 2):
+            k_mult = min(k_mult * 2, 64)
+        elif len(batch) >= want:
+            k_mult = max(4, k_mult // 2)
 
         def _merged(hold: Column, s: Column) -> Column:
             """NULL unless (hold, s) is a batch pair; else the fused symbol."""
