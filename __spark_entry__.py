@@ -7051,6 +7051,130 @@ def q271_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chao1_richness(docs, "text", group_cols=["lang"])
 
 
+def q272_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (ops.text.js_divergence_matrix; Lin 1991) — the
+    symmetric, bounded mix-planner companion to q161's one-vs-corpus
+    KL drift. Add-1 smoothing over the shared corpus vocabulary, ln
+    terms rounded to 9 decimals, exact decimal sum, published on the
+    1e-9 lattice."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        js_divergence_matrix,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return js_divergence_matrix(docs, "source", "text")
+
+
+def q273_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of q91's deterministic sign-LSH cells: per cell, the
+    share held by its majority label (ties -> smallest label) — the
+    standing audit that the semantic-dedup partition respects the label
+    structure it is supposed to confine. Cell assignment reuses the
+    EXACT plane table and fold q91 uses (seed 42, 3 planes, 8 cells),
+    so the oracle recomputes the cells from the same literals. Counting
+    + one floor-published division; the per-cell max resolves by
+    (count desc, label asc) via an exact self-join, no max_by tie
+    nondeterminism."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        _hyperplane_tagged,
+        _plane_df,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plane_df = _plane_df(spark, 64, 1, 3, 42)
+    tagged = _hyperplane_tagged(emb, "vec_id", "embedding", plane_df)
+    assigned = emb.join(
+        tagged.select(
+            F.col("__id").alias("vec_id"), F.col("__bucket").alias("cell")
+        ),
+        "vec_id",
+    )
+    cl = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_cell = cl.groupBy("cell").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.max("n").cast("bigint").alias("n_top"),
+    )
+    top = (
+        cl.join(per_cell, "cell")
+        .filter(F.col("n") == F.col("n_top"))
+        .groupBy("cell")
+        .agg(F.min("label").alias("top_label"))
+    )
+    return per_cell.join(top, "cell").select(
+        "cell",
+        "n_vecs",
+        "top_label",
+        "n_top",
+        F.floor(
+            F.col("n_top").cast("double")
+            / F.col("n_vecs").cast("double")
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("purity_x1e6"),
+    )
+
+
+def q274_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and normalized MI) between document language
+    and source — 'how much does knowing the source tell you about the
+    language', the information-theoretic summary on top of q204's
+    chi-square independence test. MI = sum p_ij ln(p_ij N / (n_i n_j))
+    from exact BIGINT cell counts; each cell's ln rounds to 9 decimals
+    and the term floor-quantizes to the 1e-9 lattice before the sum
+    (q204/q265 recipe); the marginal entropies get the same treatment
+    and NMI = MI / sqrt(H_lang * H_source) is one fixed IEEE tree."""
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    row_m = cells.groupBy("lang").agg(F.sum("nij").cast("bigint").alias("ni"))
+    col_m = cells.groupBy("source").agg(F.sum("nij").cast("bigint").alias("nj"))
+    tot = cells.agg(F.sum("nij").cast("bigint").alias("nn"))
+    j = (
+        cells.join(F.broadcast(row_m), "lang")
+        .join(F.broadcast(col_m), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    pij = F.col("nij").cast("double") / F.col("nn").cast("double")
+    lnr = F.round(
+        F.log(
+            (F.col("nij").cast("double") * F.col("nn").cast("double"))
+            / (F.col("ni").cast("double") * F.col("nj").cast("double"))
+        ),
+        9,
+    )
+    mi_term = F.floor(pij * lnr * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    mi = j.agg(F.sum(mi_term).cast("bigint").alias("mi_x1e9"))
+
+    def entropy(marg: DataFrame, n_col: str):
+        p = F.col(n_col).cast("double") / F.col("nn").cast("double")
+        t = F.floor(-p * F.round(F.log(p), 9) * F.lit(1e9) + F.lit(0.5)).cast(
+            "bigint"
+        )
+        return marg.crossJoin(F.broadcast(tot)).agg(
+            F.sum(t).cast("bigint").alias("h")
+        )
+
+    hl = entropy(row_m, "ni").select(F.col("h").alias("h_lang_x1e9"))
+    hs = entropy(col_m, "nj").select(F.col("h").alias("h_source_x1e9"))
+    out = mi.crossJoin(F.broadcast(hl)).crossJoin(F.broadcast(hs))
+    nmi = F.col("mi_x1e9").cast("double") / F.sqrt(
+        F.col("h_lang_x1e9").cast("double") * F.col("h_source_x1e9").cast("double")
+    )
+    return out.select(
+        "mi_x1e9",
+        "h_lang_x1e9",
+        "h_source_x1e9",
+        F.floor(nmi * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint").alias(
+            "nmi_x1e6"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7167,6 +7291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q269_qini_uplift": q269_qini_uplift,
         "q270_weighted_sample": q270_weighted_sample,
         "q271_chao1_richness": q271_chao1_richness,
+        "q272_source_jsd": q272_source_jsd,
+        "q273_cell_purity": q273_cell_purity,
+        "q274_lang_source_mi": q274_lang_source_mi,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -10808,6 +10935,108 @@ def oracle_sql() -> dict[str, str]:
                               * CAST(1000000.0 AS DOUBLE)
                               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chao1_x1e6
             FROM tc GROUP BY lang
+        """,
+        "q272_source_jsd": r"""
+            WITH toks AS (
+              SELECT source AS grp,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '\s+'), x -> x <> '')) AS term
+              FROM documents),
+            cgt AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT DISTINCT term FROM cgt),
+            nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+            totals AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS t
+                       FROM cgt GROUP BY 1),
+            pairs AS (SELECT a.grp AS ga, a.t AS ta, b.grp AS gb, b.t AS tb
+                      FROM totals a, totals b WHERE a.grp < b.grp),
+            fl AS (
+              SELECT p.ga, p.gb, p.ta, p.tb, nv.v,
+                     COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+              FROM vocab vb CROSS JOIN pairs p CROSS JOIN nv
+              LEFT JOIN cgt a ON a.term = vb.term AND a.grp = p.ga
+              LEFT JOIN cgt b ON b.term = vb.term AND b.grp = p.gb),
+            terms AS (
+              SELECT ga, gb,
+                     CAST(round(
+                       CAST(0.5 AS DOUBLE)
+                         * (CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE))
+                         * ln((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE))
+                              / ((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)
+                                  + CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE))
+                                 * CAST(0.5 AS DOUBLE)))
+                       + CAST(0.5 AS DOUBLE)
+                         * (CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE))
+                         * ln((CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE))
+                              / ((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)
+                                  + CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE))
+                                 * CAST(0.5 AS DOUBLE))), 9)
+                       AS DECIMAL(24,12)) AS contrib
+              FROM fl)
+            SELECT ga AS grp_a, gb AS grp_b,
+                   CAST(SUM(contrib) * 1000000000 AS BIGINT) AS jsd_x1e9
+            FROM terms GROUP BY 1, 2
+        """,
+        "q273_cell_purity": f"""
+            WITH sc AS (
+              SELECT vec_id, label, CAST({bucket91} AS BIGINT) AS cell
+              FROM embeddings),
+            cl AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM sc GROUP BY 1, 2),
+            pc AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs,
+                          CAST(MAX(n) AS BIGINT) AS n_top
+                   FROM cl GROUP BY 1),
+            top AS (SELECT cl.cell, MIN(cl.label) AS top_label
+                    FROM cl JOIN pc ON cl.cell = pc.cell AND cl.n = pc.n_top
+                    GROUP BY 1)
+            SELECT pc.cell, pc.n_vecs, top.top_label, pc.n_top,
+                   CAST(floor(CAST(pc.n_top AS DOUBLE)
+                              / CAST(pc.n_vecs AS DOUBLE)
+                              * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                     AS purity_x1e6
+            FROM pc JOIN top USING (cell)
+        """,
+        "q274_lang_source_mi": """
+            WITH cells AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+              FROM documents GROUP BY 1, 2),
+            rm AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ni
+                   FROM cells GROUP BY 1),
+            cm AS (SELECT source, CAST(SUM(nij) AS BIGINT) AS nj
+                   FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS nn FROM cells),
+            mi AS (
+              SELECT CAST(SUM(CAST(floor(
+                       (CAST(nij AS DOUBLE) / CAST(nn AS DOUBLE))
+                       * round(ln((CAST(nij AS DOUBLE) * CAST(nn AS DOUBLE))
+                                  / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))), 9)
+                       * CAST(1000000000.0 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS mi_x1e9
+              FROM cells JOIN rm USING (lang) JOIN cm USING (source)
+                   CROSS JOIN tot),
+            hl AS (
+              SELECT CAST(SUM(CAST(floor(
+                       -(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE))
+                       * round(ln(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+                       * CAST(1000000000.0 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                       AS h_lang_x1e9
+              FROM rm CROSS JOIN tot),
+            hs AS (
+              SELECT CAST(SUM(CAST(floor(
+                       -(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE))
+                       * round(ln(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+                       * CAST(1000000000.0 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                       AS h_source_x1e9
+              FROM cm CROSS JOIN tot)
+            SELECT mi.mi_x1e9, hl.h_lang_x1e9, hs.h_source_x1e9,
+                   CAST(floor(CAST(mi.mi_x1e9 AS DOUBLE)
+                              / sqrt(CAST(hl.h_lang_x1e9 AS DOUBLE)
+                                     * CAST(hs.h_source_x1e9 AS DOUBLE))
+                              * CAST(1000000.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nmi_x1e6
+            FROM mi, hl, hs
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

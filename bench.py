@@ -253,6 +253,9 @@ HEADLINE = [
     "q269_qini_uplift",
     "q270_weighted_sample",
     "q271_chao1_richness",
+    "q272_source_jsd",
+    "q273_cell_purity",
+    "q274_lang_source_mi",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

