@@ -7175,6 +7175,146 @@ def q274_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q275_histogram_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-binning calibrator, TRAINED on one hash arm and
+    EVALUATED on the other (Zadrozny-Elkan, ICML 2001): per equal-width
+    n_chars bin, the train arm's duplicate rate becomes the predicted
+    probability; the test arm scores it with ECE (expected calibration
+    error) and the Brier score. No libm anywhere — exact integer counts
+    into fixed IEEE trees, each per-bin term floor-quantized to the
+    1e-12 lattice before the BIGINT sum, so both metrics are
+    engine-exact. Bin edges come from ONE broadcast min/max over both
+    arms (shared grid); test rows landing in train-empty bins are
+    counted out loud (``n_test_unscored``), never silently dropped.
+
+    Scale posture: two map-side-combined groupBys over the bin index +
+    broadcast 1-row totals; the md5 fingerprint group join is the same
+    shape q196/q199 already carry."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import _u52
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("__s"),
+        F.md5("text").alias("__fp"),
+    )
+    groups = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__c"))
+    base = (
+        fp.join(groups, "__fp")
+        .select(
+            "__s",
+            (F.col("__c") > 1).cast("bigint").alias("__y"),
+            (_u52(F.col("doc_id"), "calib") % 2).cast("bigint").alias("__arm"),
+        )
+    )
+    stats = base.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    binned = base.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(9).cast("bigint"),
+            F.expr("((__s - __lo) * 10) div (__hi - __lo + 1)"),
+        ).alias("bin"),
+        "__y",
+        "__arm",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tr"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__y")).otherwise(0))
+        .cast("bigint")
+        .alias("k_tr"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_te"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__y")).otherwise(0))
+        .cast("bigint")
+        .alias("k_te"),
+    )
+    tot = cells.agg(
+        F.sum("n_tr").cast("bigint").alias("__ntr"),
+        F.sum(F.when(F.col("n_tr") > 0, F.col("n_te")).otherwise(0))
+        .cast("bigint")
+        .alias("__nte"),
+        F.sum(F.when(F.col("n_tr") == 0, F.col("n_te")).otherwise(0))
+        .cast("bigint")
+        .alias("__nun"),
+    )
+    j = cells.crossJoin(F.broadcast(tot)).filter(
+        (F.col("n_tr") > 0) & (F.col("n_te") > 0)
+    )
+    p = F.col("k_tr").cast("double") / F.col("n_tr").cast("double")
+    q = F.col("k_te").cast("double") / F.col("n_te").cast("double")
+    wt = F.col("n_te").cast("double") / F.col("__nte").cast("double")
+    ece_t = F.floor(F.abs(q - p) * wt * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    brier_t = F.floor(
+        (
+            F.col("k_te").cast("double") * (F.lit(1.0) - p) * (F.lit(1.0) - p)
+            + (F.col("n_te") - F.col("k_te")).cast("double") * p * p
+        )
+        / F.col("__nte").cast("double")
+        * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return j.groupBy().agg(
+        F.max("__ntr").alias("n_train"),
+        F.max("__nte").alias("n_test_scored"),
+        F.max("__nun").alias("n_test_unscored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_scored"),
+        F.sum(ece_t).cast("bigint").alias("ece_x1e12"),
+        F.sum(brier_t).cast("bigint").alias("brier_x1e12"),
+    )
+
+
+# NDCG@10 integer gain weights: w_i = round(1e12 / log2(i+1)) computed ONCE
+# in Python and injected as the same literals into Spark and the oracle, so
+# DCG sums are exact BIGINT arithmetic (no float addition order anywhere).
+import math as _math
+
+_NDCG_W = [round(1e12 / _math.log2(i + 1)) for i in range(1, 11)]
+_NDCG_P = [sum(_NDCG_W[: i + 1]) for i in range(10)]  # prefix sums for IDCG
+
+
+def q276_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of q157's BM25 ranking against an 'en-language' relevance
+    label (Jarvelin-Kekalainen, TOIS 2002) — the listwise ranking-quality
+    readout on top of the retrieval stack. Binary gains with integer
+    weight literals w_i = round(1e12/log2(i+1)) shared between engines:
+    DCG and IDCG are exact BIGINT sums (IDCG = prefix-sum literal
+    indexed by the relevant count), one floor-published division for
+    the ratio. NDCG is NULL when the page holds no relevant doc."""
+    docs = read_table(spark, sf_dir, "documents")
+    page = tx.bm25_topk(docs, ["filter", "merge", "stream", "window"], k=10)
+    rel = page.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "rank", (F.col("lang") == "en").cast("bigint").alias("__rel")
+    )
+    w_arr = F.array(*[F.lit(w).cast("bigint") for w in _NDCG_W])
+    p_arr = F.array(*[F.lit(p).cast("bigint") for p in _NDCG_P])
+    agg = rel.agg(
+        F.sum("__rel").cast("bigint").alias("n_rel"),
+        F.sum(
+            F.col("__rel") * F.element_at(w_arr, F.col("rank").cast("int"))
+        )
+        .cast("bigint")
+        .alias("dcg_x1e12"),
+    )
+    idcg = F.when(
+        F.col("n_rel") > 0, F.element_at(p_arr, F.col("n_rel").cast("int"))
+    ).cast("bigint")
+    return agg.select(
+        "n_rel",
+        "dcg_x1e12",
+        idcg.alias("idcg_x1e12"),
+        F.floor(
+            F.col("dcg_x1e12").cast("double")
+            / idcg.cast("double")
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ndcg_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7294,6 +7434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q272_source_jsd": q272_source_jsd,
         "q273_cell_purity": q273_cell_purity,
         "q274_lang_source_mi": q274_lang_source_mi,
+        "q275_histogram_calibration": q275_histogram_calibration,
+        "q276_ndcg_bm25": q276_ndcg_bm25,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -11037,6 +11179,104 @@ def oracle_sql() -> dict[str, str]:
                               * CAST(1000000.0 AS DOUBLE)
                               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nmi_x1e6
             FROM mi, hl, hs
+        """,
+        "q275_histogram_calibration": """
+            WITH fp AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS s, md5(text) AS f
+              FROM documents),
+            grp AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY 1),
+            base AS (
+              SELECT fp.s,
+                     CASE WHEN grp.c > 1 THEN 1 ELSE 0 END AS y,
+                     CAST(CAST('0x' || substr(md5(CAST(fp.doc_id AS VARCHAR)
+                          || ':calib'), 1, 13) AS BIGINT) % 2 AS BIGINT) AS arm
+              FROM fp JOIN grp USING (f)),
+            st AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM base),
+            binned AS (
+              SELECT least(CAST(9 AS BIGINT),
+                           ((s - lo) * 10) // (hi - lo + 1)) AS bin, y, arm
+              FROM base, st),
+            cells AS (
+              SELECT bin,
+                     CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+                     CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS k_tr,
+                     CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_te,
+                     CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS k_te
+              FROM binned GROUP BY 1),
+            tot AS (
+              SELECT CAST(SUM(n_tr) AS BIGINT) AS ntr,
+                     CAST(SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT) AS nte,
+                     CAST(SUM(CASE WHEN n_tr = 0 THEN n_te ELSE 0 END) AS BIGINT) AS nun
+              FROM cells),
+            terms AS (
+              SELECT ntr, nte, nun,
+                     CAST(floor(abs(CAST(k_te AS DOUBLE) / CAST(n_te AS DOUBLE)
+                                    - CAST(k_tr AS DOUBLE) / CAST(n_tr AS DOUBLE))
+                                * (CAST(n_te AS DOUBLE) / CAST(nte AS DOUBLE))
+                                * CAST(1000000000000.0 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ece_t,
+                     CAST(floor((CAST(k_te AS DOUBLE)
+                                   * (CAST(1.0 AS DOUBLE) - CAST(k_tr AS DOUBLE)
+                                      / CAST(n_tr AS DOUBLE))
+                                   * (CAST(1.0 AS DOUBLE) - CAST(k_tr AS DOUBLE)
+                                      / CAST(n_tr AS DOUBLE))
+                                 + CAST(n_te - k_te AS DOUBLE)
+                                   * (CAST(k_tr AS DOUBLE) / CAST(n_tr AS DOUBLE))
+                                   * (CAST(k_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)))
+                                / CAST(nte AS DOUBLE)
+                                * CAST(1000000000000.0 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS brier_t
+              FROM cells, tot WHERE n_tr > 0 AND n_te > 0)
+            SELECT MAX(ntr) AS n_train, MAX(nte) AS n_test_scored,
+                   MAX(nun) AS n_test_unscored,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins_scored,
+                   CAST(SUM(ece_t) AS BIGINT) AS ece_x1e12,
+                   CAST(SUM(brier_t) AS BIGINT) AS brier_x1e12
+            FROM terms
+        """,
+        "q276_ndcg_bm25": f"""
+            WITH base AS (SELECT doc_id AS doc, {tok} AS tk FROM documents),
+            lens AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl FROM base),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
+            tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc, unnest(tk) AS term FROM base)
+                   WHERE term IN ('filter','merge','stream','window')
+                   GROUP BY 1,2),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            contrib AS (
+              SELECT tf.doc,
+                CAST(round(
+                  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                       + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                , 9) AS DECIMAL(24,12)) AS c
+              FROM tf JOIN lens USING (doc) JOIN dfreq USING (term), stats
+            ),
+            scored AS (SELECT doc, SUM(c) AS sc FROM contrib GROUP BY 1),
+            topk AS (SELECT doc,
+                            ROW_NUMBER() OVER (ORDER BY sc DESC, doc ASC) AS rank
+                     FROM scored),
+            page AS (SELECT t.rank,
+                            CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS rel
+                     FROM topk t JOIN documents d ON d.doc_id = t.doc
+                     WHERE t.rank <= 10),
+            agg AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_rel,
+                           CAST(SUM(rel * ({_NDCG_W})[rank]) AS BIGINT)
+                             AS dcg_x1e12
+                    FROM page)
+            SELECT n_rel, dcg_x1e12,
+                   CASE WHEN n_rel > 0
+                        THEN CAST(({_NDCG_P})[n_rel] AS BIGINT) END AS idcg_x1e12,
+                   CASE WHEN n_rel > 0 THEN
+                     CAST(floor(CAST(dcg_x1e12 AS DOUBLE)
+                                / CAST(({_NDCG_P})[n_rel] AS DOUBLE)
+                                * CAST(1000000.0 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS ndcg_x1e6
+            FROM agg
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -256,6 +256,8 @@ HEADLINE = [
     "q272_source_jsd",
     "q273_cell_purity",
     "q274_lang_source_mi",
+    "q275_histogram_calibration",
+    "q276_ndcg_bm25",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -529,3 +529,31 @@ def test_cell_purity_bounds_and_totals(spark, sf_dir):
     for r in rows:
         assert 0 < r["n_top"] <= r["n_vecs"]
         assert 0 < r["purity_x1e6"] <= 1_000_000
+
+
+def test_histogram_calibration_accounting(spark, sf_dir):
+    """Train/test accounting must add up: scored + unscored test rows =
+    the test arm's size; ECE and Brier live in [0, 1e12]."""
+    import __spark_entry__ as entry
+
+    r = entry.q275_histogram_calibration(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert r["n_train"] + r["n_test_scored"] + r["n_test_unscored"] == docs
+    assert 0 <= r["ece_x1e12"] <= 10**12
+    assert 0 <= r["brier_x1e12"] <= 10**12
+    assert 1 <= r["n_bins_scored"] <= 10
+
+
+def test_ndcg_bounds_and_perfect_ranking(spark, sf_dir):
+    """NDCG@10 is in (0, 1e6]; with every page doc relevant it is
+    exactly 1e6 (DCG == IDCG by construction of the prefix weights)."""
+    import __spark_entry__ as entry
+
+    r = entry.q276_ndcg_bm25(spark, sf_dir).collect()[0]
+    if r["n_rel"] and r["n_rel"] > 0:
+        assert 0 < r["ndcg_x1e6"] <= 1_000_000
+        assert r["dcg_x1e12"] <= r["idcg_x1e12"]
+        if r["n_rel"] == 10:
+            assert r["ndcg_x1e6"] == 1_000_000
+    else:
+        assert r["ndcg_x1e6"] is None
