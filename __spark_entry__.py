@@ -7315,6 +7315,97 @@ def q276_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q277_spearman_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document character length and
+    token count (ops.stats.spearman_rho) — the tie-aware monotone
+    association between the two cheapest size signals. Doubled average
+    ranks ride the two-phase running sum on each metric's distinct-value
+    table; five decimal(38,0) moment sums; one fixed-tree ratio."""
+    from manufacturing_data_integration_tool_spark.ops.stats import spearman_rho
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        tx.token_count("text").cast("bigint").alias("y"),
+    )
+    return spearman_rho(base, "x", "y")
+
+
+def q278_screen_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (1947) on the SAME two quality screens as
+    q257's kappa (Gopher pass vs Flesch >= 50): kappa says how much the
+    screens agree; McNemar says whether their DISAGREEMENTS are
+    one-sided (one screen systematically stricter) — statistic
+    (b-c)^2/(b+c) from the two discordant cells, exact integers into one
+    floor-published division (0 when b+c=0)."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        flesch_reading_ease,
+        gopher_quality_flags,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = gopher_quality_flags(docs, min_words=30, min_stopword_hits=1).select(
+        "doc_id", F.col("passes_gopher").alias("__a")
+    )
+    fl = flesch_reading_ease(docs, "text").select(
+        "doc_id", (F.col("flesch_x1000") >= 50_000).alias("__b")
+    )
+    j = a.join(fl, "doc_id", "left").select(
+        "__a", F.coalesce(F.col("__b"), F.lit(False)).alias("__b")
+    )
+    c = j.agg(
+        F.sum(F.when(F.col("__a") & ~F.col("__b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_only_gopher"),
+        F.sum(F.when(~F.col("__a") & F.col("__b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_only_flesch"),
+    )
+    b_, c_ = F.col("b_only_gopher"), F.col("c_only_flesch")
+    stat = F.when(
+        (b_ + c_) > 0,
+        ((b_ - c_) * (b_ - c_)).cast("double") / (b_ + c_).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return c.select(
+        "b_only_gopher",
+        "c_only_flesch",
+        F.floor(stat * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint").alias(
+            "mcnemar_x1e6"
+        ),
+    )
+
+
+def q279_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size on top of q204's lang-source chi-square —
+    the [0,1]-normalized strength the raw statistic can't give you
+    across differently-sized tables: V = sqrt(chi2 / (n * min(r-1,
+    c-1))). Reuses the integer-lattice chisq_independence op verbatim;
+    sqrt is correctly-rounded IEEE, one fixed tree, NULL for degenerate
+    single-category dimensions."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        chisq_independence,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    c = chisq_independence(docs, "lang", "source")
+    dmin = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    v = F.when(
+        dmin > 0,
+        F.sqrt(
+            F.col("chi2") / (F.col("n").cast("double") * dmin.cast("double"))
+        ),
+    )
+    return c.select(
+        "n",
+        "n_a",
+        "n_b",
+        "chi2",
+        F.floor(v * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint").alias(
+            "cramers_v_x1e6"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7436,6 +7527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_lang_source_mi": q274_lang_source_mi,
         "q275_histogram_calibration": q275_histogram_calibration,
         "q276_ndcg_bm25": q276_ndcg_bm25,
+        "q277_spearman_length_tokens": q277_spearman_length_tokens,
+        "q278_screen_mcnemar": q278_screen_mcnemar,
+        "q279_cramers_v": q279_cramers_v,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -11278,6 +11372,45 @@ def oracle_sql() -> dict[str, str]:
                                 + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS ndcg_x1e6
             FROM agg
         """,
+        "q277_spearman_length_tokens": r"""
+            WITH base AS (
+              SELECT CAST(n_chars AS BIGINT) AS x,
+                     CAST(len(list_filter(string_split_regex(lower(text),
+                          '\s+'), t -> t <> '')) AS BIGINT) AS y
+              FROM documents),
+            rk AS (
+              SELECT x, y,
+                     2 * RANK() OVER (ORDER BY x)
+                       + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+                     2 * RANK() OVER (ORDER BY y)
+                       + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+              FROM base),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     SUM(rx) AS sx, SUM(ry) AS sy,
+                     SUM(rx * ry) AS sxy,
+                     SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+              FROM rk)
+            SELECT n_rows,
+                   CASE WHEN (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN CAST(floor((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                        / sqrt((CAST(n_rows AS DOUBLE)
+                                                  * CAST(sxx AS DOUBLE)
+                                                - CAST(sx AS DOUBLE)
+                                                  * CAST(sx AS DOUBLE))
+                                               * (CAST(n_rows AS DOUBLE)
+                                                  * CAST(syy AS DOUBLE)
+                                                  - CAST(sy AS DOUBLE)
+                                                    * CAST(sy AS DOUBLE)))
+                                        * CAST(1000000.0 AS DOUBLE)
+                                        + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   END AS rho_x1e6
+            FROM s
+        """,
         "q30_multimodal_decode": """
             WITH mmrows AS (
               SELECT d.doc_id, hex(encode(d.text)) AS hx,
@@ -13508,5 +13641,63 @@ def oracle_sql() -> dict[str, str]:
                           ELSE (po - pe) / (CAST(1.0 AS DOUBLE) - pe) END
                     * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS kappa_x1e6
         FROM e
+    """
+
+    # q278 composes the SAME two screens as q257 (Gopher subquery + the
+    # Flesch cut), so the McNemar discordant cells can never drift from
+    # the kappa audit's cells.
+    out["q278_screen_mcnemar"] = f"""
+        WITH g AS ({out["q150_gopher_quality"]}),
+        fl AS (
+          SELECT doc_id,
+                 CASE WHEN CAST(len(regexp_extract_all(lower(text),
+                            '[a-z]+')) AS BIGINT) > 0
+                      THEN (CAST(floor((CAST(206.835 AS DOUBLE)
+                        - CAST(1.015 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)
+                             / CAST(GREATEST(1,
+                                 len(regexp_extract_all(text, '[.!?]+')))
+                                 AS DOUBLE))
+                        - CAST(84.6 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[aeiouy]+')) AS DOUBLE)
+                             / CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)))
+                        * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+                        >= 50000)
+                      ELSE false END AS b
+          FROM documents),
+        j AS (SELECT g.passes_gopher AS a, fl.b
+              FROM g JOIN fl USING (doc_id)),
+        c AS (SELECT CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS b_only_gopher,
+                     CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c_only_flesch
+              FROM j)
+        SELECT b_only_gopher, c_only_flesch,
+               CAST(floor(CASE WHEN b_only_gopher + c_only_flesch > 0
+                    THEN CAST((b_only_gopher - c_only_flesch)
+                              * (b_only_gopher - c_only_flesch) AS DOUBLE)
+                         / CAST(b_only_gopher + c_only_flesch AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END
+                    * CAST(1000000.0 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mcnemar_x1e6
+        FROM c
+    """
+
+    # q279 wraps q204's full chi-square oracle so the statistic and its
+    # effect size are always computed from the same cells.
+    out["q279_cramers_v"] = f"""
+        WITH c AS ({out["q204_lang_source_chisq"]})
+        SELECT n, n_a, n_b, chi2,
+               CASE WHEN least(n_a - 1, n_b - 1) > 0 THEN
+                 CAST(floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+                                         * CAST(least(n_a - 1, n_b - 1)
+                                                AS DOUBLE)))
+                            * CAST(1000000.0 AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) END
+                 AS cramers_v_x1e6
+        FROM c
     """
     return out

@@ -258,6 +258,9 @@ HEADLINE = [
     "q274_lang_source_mi",
     "q275_histogram_calibration",
     "q276_ndcg_bm25",
+    "q277_spearman_length_tokens",
+    "q278_screen_mcnemar",
+    "q279_cramers_v",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

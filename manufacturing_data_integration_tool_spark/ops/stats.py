@@ -56,6 +56,7 @@ __all__ = [
     "changepoint_cusum",
     "wilson_rate_ci",
     "mann_kendall_trend",
+    "spearman_rho",
     "ks_pairwise",
     "gini_coefficient",
     "trimmed_mean",
@@ -1786,3 +1787,87 @@ def trimmed_mean(
         .cast("bigint")
         .alias("mean_x1e6"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation between two INTEGER-grid columns, exact
+    at any scale (Spearman 1904; the tie-aware form = Pearson on average
+    ranks): the monotone-association screen that, unlike Pearson,
+    doesn't care about the metrics' scales — 'do longer documents have
+    more tokens', 'does quality rise with recency'.
+
+    Average ranks are computed in DOUBLED units so everything stays
+    integral (a value v with n_v rows after `below` smaller rows has
+    doubled rank 2*below + n_v + 1 — the roc_auc trick), via
+    :func:`~.sampling.two_phase_running_sum` on each metric's
+    distinct-value table (no unpartitioned window). All five moment sums
+    accumulate as decimal(38,0) (doubled ranks reach ~2e12 at 1e12 rows,
+    their squares ~4e24, sums ~4e36 — inside 38 digits); the final
+    Pearson-on-ranks ratio is one fixed IEEE tree over the
+    decimal->double casts, floor-published.
+
+    Output: one row ``(n_rows, rho_x1e6)``; NULL rho when either metric
+    is constant (zero rank variance).
+    """
+    from .sampling import two_phase_running_sum
+
+    base = df.select(
+        F.col(x_col).cast("bigint").alias("__x"),
+        F.col(y_col).cast("bigint").alias("__y"),
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        vals = base.groupBy(col).agg(F.count(F.lit(1)).alias("__nv"))
+        run = two_phase_running_sum(
+            vals,
+            [],
+            [F.asc(col)],
+            F.col("__nv"),
+            F.expr(f"{col} div 65536"),
+            out_col="__incl",
+        )
+        return run.select(
+            col,
+            (F.lit(2) * (F.col("__incl") - F.col("__nv")) + F.col("__nv") + 1)
+            .cast("bigint")
+            .alias(out),
+        )
+
+    rx = doubled_ranks("__x", "__rx")
+    ry = doubled_ranks("__y", "__ry")
+    ranked = base.join(rx, "__x").join(ry, "__y")
+    dec = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("__rx").cast(dec)).cast(dec).alias("__sx"),
+        F.sum(F.col("__ry").cast(dec)).cast(dec).alias("__sy"),
+        F.sum((F.col("__rx").cast(dec) * F.col("__ry").cast(dec)).cast(dec))
+        .cast(dec)
+        .alias("__sxy"),
+        F.sum((F.col("__rx").cast(dec) * F.col("__rx").cast(dec)).cast(dec))
+        .cast(dec)
+        .alias("__sxx"),
+        F.sum((F.col("__ry").cast(dec) * F.col("__ry").cast(dec)).cast(dec))
+        .cast(dec)
+        .alias("__syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    vx = n * F.col("__sxx").cast("double") - sx * sx
+    vy = n * F.col("__syy").cast("double") - sy * sy
+    p = float(10**round_to)
+    # publish the scaled integer directly — a /p*p round-trip through
+    # doubles can drop an ulp and truncate off-by-one at the cast
+    rho_scaled = F.when(
+        (vx > 0) & (vy > 0),
+        F.floor(num / F.sqrt(vx * vy) * F.lit(p) + F.lit(0.5)).cast("bigint"),
+    )
+    return s.select("n_rows", rho_scaled.alias(f"rho_x1e{round_to}"))

@@ -1204,3 +1204,26 @@ def test_revenue_drawdown_invariants(spark):
     ).collect():
         assert r["max_drawdown"] == r["peak_cum"] - r["trough_cum"]
         assert r["max_drawdown"] >= 0
+
+
+def test_spearman_rho_hand_computed(spark):
+    """Perfect monotone -> 1e6; perfect inverse -> -1e6; constant column
+    -> NULL; a tie-heavy fixture matches scipy-convention hand math."""
+    from manufacturing_data_integration_tool_spark.ops.stats import spearman_rho
+
+    mono = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 35), (4, 99)], "x long, y long"
+    )
+    assert spearman_rho(mono, "x", "y").collect()[0]["rho_x1e6"] == 1_000_000
+    inv = spark.createDataFrame(
+        [(1, 99), (2, 35), (3, 20), (4, 10)], "x long, y long"
+    )
+    assert spearman_rho(inv, "x", "y").collect()[0]["rho_x1e6"] == -1_000_000
+    const = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
+    assert spearman_rho(const, "x", "y").collect()[0]["rho_x1e6"] is None
+    # ties: x = [1,1,2], y = [1,2,2]; avg ranks x: 1.5,1.5,3; y: 1,2.5,2.5
+    # pearson on ranks = 0.5 exactly
+    ties = spark.createDataFrame([(1, 1), (1, 2), (2, 2)], "x long, y long")
+    assert ties.count() == 3
+    r = spearman_rho(ties, "x", "y").collect()[0]
+    assert r["rho_x1e6"] == 500_000
