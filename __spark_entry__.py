@@ -7406,6 +7406,78 @@ def q279_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q280_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean order value
+    (ops.stats.poisson_bootstrap_mean; Chamandy et al. 2012): 32
+    replicate means in ONE distributed pass — each (order, replicate)
+    draws its resample count by inverse-CDF over a md5-lane uniform
+    against shared Poisson(1) cumulative literals; replicate means are
+    exact BIGINT sums with one floor-published division. The replicate
+    table IS the output, so every draw is oracle-checked; sorting it
+    gives the CI."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        poisson_bootstrap_mean,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return poisson_bootstrap_mean(orders, "o_orderkey", cents, n_replicates=32)
+
+
+def q281_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily order-revenue series — the
+    'does today predict tomorrow / is there a weekly echo' screen
+    feeding q253's seasonality strength. Per lag: Pearson over the
+    aligned (day, day+lag) pairs present on BOTH sides (the
+    lagged-pairs sample ACF, not the fixed-mean classical estimator —
+    documented choice, exact on any engine). One day-axis collapse,
+    one literal-lag explode, one self equi-join on the shifted day;
+    decimal(38,0) moments, one fixed tree per lag."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"), cents.alias("__c")
+        )
+        .groupBy("d")
+        .agg(F.sum("__c").cast("bigint").alias("r"))
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag")
+    left = daily.select("d", F.col("r").alias("x"), lags).withColumn(
+        "__d2", F.date_add(F.col("d"), F.col("lag"))
+    )
+    right = daily.select(F.col("d").alias("__d2"), F.col("r").alias("y"))
+    pairs = left.join(right, "__d2")
+    dec = "decimal(38,0)"
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("__sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("__sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec))
+        .cast(dec)
+        .alias("__sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec))
+        .cast(dec)
+        .alias("__sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y").cast(dec)).cast(dec))
+        .cast(dec)
+        .alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    vx = n * F.col("__sxx").cast("double") - sx * sx
+    vy = n * F.col("__syy").cast("double") - sy * sy
+    acf = F.when(
+        (vx > 0) & (vy > 0),
+        F.floor(num / F.sqrt(vx * vy) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    return s.select("lag", "n_pairs", acf.alias("acf_x1e6"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7530,6 +7602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q277_spearman_length_tokens": q277_spearman_length_tokens,
         "q278_screen_mcnemar": q278_screen_mcnemar,
         "q279_cramers_v": q279_cramers_v,
+        "q280_poisson_bootstrap": q280_poisson_bootstrap,
+        "q281_revenue_acf": q281_revenue_acf,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -11409,6 +11483,79 @@ def oracle_sql() -> dict[str, str]:
                                         * CAST(1000000.0 AS DOUBLE)
                                         + CAST(0.5 AS DOUBLE)) AS BIGINT)
                    END AS rho_x1e6
+            FROM s
+        """,
+        "q280_poisson_bootstrap": """
+            WITH reps AS (SELECT unnest(generate_series(0, 31)) AS replicate),
+            base AS (
+              SELECT r.replicate,
+                     CAST(floor(o.o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+                          AS BIGINT) AS v,
+                     (CAST(CAST('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                          || ':boot:' || CAST(r.replicate AS VARCHAR)), 1, 13)
+                          AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       / CAST(4503599627370496.0 AS DOUBLE) AS u
+              FROM orders o CROSS JOIN reps r),
+            wts AS (
+              SELECT replicate, v,
+                     CAST((CASE WHEN u > CAST(0.36787944117144233 AS DOUBLE) THEN 1 ELSE 0 END)
+                     + (CASE WHEN u > CAST(0.7357588823428847 AS DOUBLE) THEN 1 ELSE 0 END)
+                     + (CASE WHEN u > CAST(0.9196986029286058 AS DOUBLE) THEN 1 ELSE 0 END)
+                     + (CASE WHEN u > CAST(0.9810118431238463 AS DOUBLE) THEN 1 ELSE 0 END)
+                     + (CASE WHEN u > CAST(0.9963401531726563 AS DOUBLE) THEN 1 ELSE 0 END)
+                     + (CASE WHEN u > CAST(0.9994058151824183 AS DOUBLE) THEN 1 ELSE 0 END)
+                     + (CASE WHEN u > CAST(0.999916758850712 AS DOUBLE) THEN 1 ELSE 0 END)
+                     + (CASE WHEN u > CAST(0.9999897508033253 AS DOUBLE) THEN 1 ELSE 0 END)
+                          AS BIGINT) AS w
+              FROM base),
+            agg AS (
+              SELECT replicate,
+                     CAST(SUM(w) AS BIGINT) AS n_rows_weighted,
+                     CAST(SUM(w * v) AS BIGINT) AS swv
+              FROM wts GROUP BY 1)
+            SELECT CAST(replicate AS INTEGER) AS replicate, n_rows_weighted,
+                   CASE WHEN n_rows_weighted > 0 THEN
+                     CAST(floor(CAST(swv AS DOUBLE)
+                                / CAST(n_rows_weighted AS DOUBLE)
+                                * CAST(10000.0 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) END
+                     AS mean_x1e4
+            FROM agg
+        """,
+        "q281_revenue_acf": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(SUM(CAST(floor(o_totalprice * 100
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS r
+              FROM orders GROUP BY 1),
+            lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+            pairs AS (
+              SELECT l.lag, a.r AS x, b.r AS y
+              FROM daily a CROSS JOIN lags l
+              JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)),
+            s AS (
+              SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM pairs GROUP BY 1)
+            SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+                   CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN CAST(floor((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                        / sqrt((CAST(n_pairs AS DOUBLE)
+                                                  * CAST(sxx AS DOUBLE)
+                                                - CAST(sx AS DOUBLE)
+                                                  * CAST(sx AS DOUBLE))
+                                               * (CAST(n_pairs AS DOUBLE)
+                                                  * CAST(syy AS DOUBLE)
+                                                  - CAST(sy AS DOUBLE)
+                                                    * CAST(sy AS DOUBLE)))
+                                        * CAST(1000000.0 AS DOUBLE)
+                                        + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   END AS acf_x1e6
             FROM s
         """,
         "q30_multimodal_decode": """

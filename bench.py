@@ -261,6 +261,8 @@ HEADLINE = [
     "q277_spearman_length_tokens",
     "q278_screen_mcnemar",
     "q279_cramers_v",
+    "q280_poisson_bootstrap",
+    "q281_revenue_acf",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

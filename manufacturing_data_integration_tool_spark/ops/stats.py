@@ -57,6 +57,8 @@ __all__ = [
     "wilson_rate_ci",
     "mann_kendall_trend",
     "spearman_rho",
+    "poisson_bootstrap_mean",
+    "POISSON1_CUM",
     "ks_pairwise",
     "gini_coefficient",
     "trimmed_mean",
@@ -1871,3 +1873,87 @@ def spearman_rho(
         F.floor(num / F.sqrt(vx * vy) * F.lit(p) + F.lit(0.5)).cast("bigint"),
     )
     return s.select("n_rows", rho_scaled.alias(f"rho_x1e{round_to}"))
+
+
+# Cumulative Poisson(1) probabilities, k = 0..7 — computed once in Python
+# and injected as the SAME literals into Spark and any SQL oracle, so the
+# inverse-CDF draw is engine-identical. P(K > 7) ~ 1e-5 truncates to 8.
+import math as _math
+
+POISSON1_CUM: tuple[float, ...] = tuple(
+    sum(_math.exp(-1.0) / _math.factorial(j) for j in range(k + 1))
+    for k in range(8)
+)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    key_col: str,
+    value_int: Column,
+    *,
+    n_replicates: int = 32,
+    salt: str = "boot",
+    round_to: int = 4,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap of a mean (Chamandy et al.,
+    Google 2012: resample-counts ~ Poisson(1) make the bootstrap a
+    SINGLE distributed pass — no resample shuffles, no driver loop):
+    every (row, replicate) draws its multiplicity by inverse-CDF over a
+    md5-lane uniform against the shared ``POISSON1_CUM`` literals, and
+    each replicate's weighted mean is two exact BIGINT sums and one
+    floor-published division. Sorting the replicate means gives the CI;
+    the published table IS the replicate set, so the oracle can check
+    every draw.
+
+    Scale posture: one explode by ``n_replicates`` (a literal array —
+    no shuffle), one map-side-combined groupBy over the replicate id.
+    Cost is n_replicates x the scan, the textbook trade for a
+    shuffle-free bootstrap.
+
+    Output: ``(replicate, n_rows_weighted, mean_x1e{round_to})``,
+    ``n_replicates`` rows.
+    """
+    reps = F.explode(
+        F.array(*[F.lit(b).cast("int") for b in range(n_replicates)])
+    ).alias("replicate")
+    base = df.select(
+        F.col(key_col).cast("string").alias("__k"),
+        value_int.cast("bigint").alias("__v"),
+    ).select("__k", "__v", reps)
+    u52 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("__k"),
+                    F.lit(":" + salt + ":"),
+                    F.col("replicate").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    w = sum(
+        (u > F.lit(c)).cast("int") for c in POISSON1_CUM
+    ).cast("bigint")
+    p = float(10**round_to)
+    agg = base.select("replicate", w.alias("__w"), (w * F.col("__v")).alias("__wv"))
+    out = agg.groupBy("replicate").agg(
+        F.sum("__w").cast("bigint").alias("n_rows_weighted"),
+        F.sum("__wv").cast("bigint").alias("__sum_wv"),
+    )
+    mean = F.when(
+        F.col("n_rows_weighted") > 0,
+        F.floor(
+            F.col("__sum_wv").cast("double")
+            / F.col("n_rows_weighted").cast("double")
+            * F.lit(p)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    return out.select(
+        "replicate", "n_rows_weighted", mean.alias(f"mean_x1e{round_to}")
+    )

