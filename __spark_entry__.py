@@ -7478,6 +7478,108 @@ def q281_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("lag", "n_pairs", acf.alias("acf_x1e6"))
 
 
+_PERCOLATOR_RULES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("data", "stream")),
+    (2, ("window", "filter")),
+    (3, ("model", "training")),
+    (4, ("merge",)),
+)
+
+
+def q282_keyword_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator-style keyword routing (the reverse-search primitive:
+    rules stand still, documents stream past — Elasticsearch's
+    percolate query shape): a document matches a rule when ALL the
+    rule's terms appear in its token set. One distinct (doc, term)
+    explode semi-joined against the broadcast literal rule-term table;
+    a doc-rule pair matches when its hit count equals the rule's term
+    count — pure counting, no per-rule scans. Output: per rule, how
+    many documents it routes."""
+    docs = read_table(spark, sf_dir, "documents")
+    rule_rows = [
+        (rid, term, len(terms))
+        for rid, terms in _PERCOLATOR_RULES
+        for term in terms
+    ]
+    rules = spark.createDataFrame(
+        rule_rows, "rule_id int, term string, n_terms int"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokenize("text")).alias("term")
+    ).distinct()
+    hits = toks.join(F.broadcast(rules), "term").groupBy(
+        "doc_id", "rule_id", "n_terms"
+    ).agg(F.count(F.lit(1)).alias("__hits"))
+    matched = hits.filter(F.col("__hits") == F.col("n_terms"))
+    return matched.groupBy("rule_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+def q283_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (ops.graph.hits_scores; Kleinberg
+    1999) over the directed part -> supplier trade graph: which parts
+    are the best hubs (trade with the most central suppliers) and which
+    suppliers the best authorities. Exact integer 1e-12-unit scores
+    with L1 normalization in DECIMAL(38,0) `div` arithmetic — the
+    pagerank determinism contract; 4 fixed iterations unrolled as
+    materialized CTEs in the oracle. Top-20 per role via
+    TakeOrderedAndProject."""
+    from manufacturing_data_integration_tool_spark.ops.graph import hits_scores
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    h, a = hits_scores(edges, iterations=4)
+    top_h = (
+        h.orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+        .select(F.lit("hub").alias("role"), "node", "score")
+    )
+    top_a = (
+        a.orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+        .select(F.lit("authority").alias("role"), "node", "score")
+    )
+    return top_h.unionByName(top_a)
+
+
+def q284_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event predictability: conditional Shannon entropy of the
+    next event type given the current one, from q75's per-user lagged
+    transition counts — low entropy after a state means the journey is
+    deterministic there (a funnel), high means a branching point. Per
+    current state: H = -sum (n_cn/n_c) ln(n_cn/n_c), each term's ln
+    rounded to 9 decimals and floor-quantized to the 1e-9 lattice
+    before the BIGINT sum (q265 recipe). One keyed lag window + two
+    bounded aggregates."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    base = ev.select(
+        F.coalesce(F.lag("event_type", 1).over(w), F.lit("(start)")).alias(
+            "prev_type"
+        ),
+        "event_type",
+    )
+    cells = base.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cn")
+    )
+    marg = cells.groupBy("prev_type").agg(
+        F.sum("n_cn").cast("bigint").alias("n_c")
+    )
+    j = cells.join(F.broadcast(marg), "prev_type")
+    p = F.col("n_cn").cast("double") / F.col("n_c").cast("double")
+    term = F.floor(-p * F.round(F.log(p), 9) * F.lit(1e9) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return j.groupBy("prev_type").agg(
+        F.max("n_c").alias("n_transitions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_next_states"),
+        F.sum(term).cast("bigint").alias("h_next_x1e9"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7604,6 +7706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q279_cramers_v": q279_cramers_v,
         "q280_poisson_bootstrap": q280_poisson_bootstrap,
         "q281_revenue_acf": q281_revenue_acf,
+        "q282_keyword_routing": q282_keyword_routing,
+        "q283_hits_scores": q283_hits_scores,
+        "q284_transition_entropy": q284_transition_entropy,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -8219,6 +8324,48 @@ def _pagerank_oracle_sql(iterations: int = 6) -> str:
         FROM {prev}
         ORDER BY rank DESC, node
         LIMIT 50
+    """
+
+
+def _hits_oracle_sql(iterations: int = 4, scale: int = 10**12) -> str:
+    """DuckDB twin of q283: the 4 fixed HITS iterations unrolled as
+    materialized CTEs. Every normalization is HUGEINT
+    ``(raw * scale) // total`` — the exact mirror of the Spark op's
+    DECIMAL(38,0) ``div`` (quotient <= scale so both fit BIGINT)."""
+    its = []
+    prev_h = "h0"
+    for k in range(1, iterations + 1):
+        its.append(f"""
+        ar{k} AS MATERIALIZED (
+          SELECT e.dst AS node, SUM(h.score) AS raw
+          FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY 1),
+        at{k} AS (SELECT SUM(CAST(raw AS HUGEINT)) AS t FROM ar{k}),
+        a{k} AS MATERIALIZED (
+          SELECT node, CAST((CAST(raw AS HUGEINT) * {scale}) // t AS BIGINT)
+                   AS score
+          FROM ar{k}, at{k}),
+        hr{k} AS MATERIALIZED (
+          SELECT e.src AS node, SUM(a.score) AS raw
+          FROM e JOIN a{k} a ON a.node = e.dst GROUP BY 1),
+        ht{k} AS (SELECT SUM(CAST(raw AS HUGEINT)) AS t FROM hr{k}),
+        h{k} AS MATERIALIZED (
+          SELECT node, CAST((CAST(raw AS HUGEINT) * {scale}) // t AS BIGINT)
+                   AS score
+          FROM hr{k}, ht{k})""")
+        prev_h = f"h{k}"
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        nh AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM e),
+        h0 AS MATERIALIZED (
+          SELECT src AS node, CAST({scale} // n AS BIGINT) AS score
+          FROM (SELECT DISTINCT src FROM e), nh),
+        {",".join(its)}
+        (SELECT 'hub' AS role, node, score FROM h{iterations}
+         ORDER BY score DESC, node ASC LIMIT 20)
+        UNION ALL
+        (SELECT 'authority' AS role, node, score FROM a{iterations}
+         ORDER BY score DESC, node ASC LIMIT 20)
     """
 
 
@@ -11557,6 +11704,54 @@ def oracle_sql() -> dict[str, str]:
                                         + CAST(0.5 AS DOUBLE)) AS BIGINT)
                    END AS acf_x1e6
             FROM s
+        """,
+        "q282_keyword_routing": r"""
+            WITH rules AS (
+              SELECT * FROM (VALUES
+                (1, 'data', 2), (1, 'stream', 2),
+                (2, 'window', 2), (2, 'filter', 2),
+                (3, 'model', 2), (3, 'training', 2),
+                (4, 'merge', 1)) AS t(rule_id, term, n_terms)),
+            toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '\s+'), x -> x <> '')) AS term
+              FROM documents),
+            hits AS (
+              SELECT t.doc_id, r.rule_id, r.n_terms,
+                     CAST(COUNT(*) AS BIGINT) AS h
+              FROM toks t JOIN rules r USING (term)
+              GROUP BY 1, 2, 3)
+            SELECT CAST(rule_id AS INTEGER) AS rule_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM hits WHERE h = n_terms GROUP BY 1
+        """,
+        "q283_hits_scores": _hits_oracle_sql(),
+        "q284_transition_entropy": """
+            WITH base AS (
+              SELECT COALESCE(LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id), '(start)')
+                       AS prev_type,
+                     event_type
+              FROM events),
+            cells AS (SELECT prev_type, event_type,
+                             CAST(COUNT(*) AS BIGINT) AS n_cn
+                      FROM base GROUP BY 1, 2),
+            marg AS (SELECT prev_type, CAST(SUM(n_cn) AS BIGINT) AS n_c
+                     FROM cells GROUP BY 1)
+            SELECT c.prev_type,
+                   MAX(m.n_c) AS n_transitions,
+                   CAST(COUNT(*) AS BIGINT) AS n_next_states,
+                   CAST(SUM(CAST(floor(
+                     -(CAST(c.n_cn AS DOUBLE) / CAST(m.n_c AS DOUBLE))
+                     * round(ln(CAST(c.n_cn AS DOUBLE)
+                                / CAST(m.n_c AS DOUBLE)), 9)
+                     * CAST(1000000000.0 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                     AS h_next_x1e9
+            FROM cells c JOIN marg m USING (prev_type)
+            GROUP BY c.prev_type
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -263,6 +263,9 @@ HEADLINE = [
     "q279_cramers_v",
     "q280_poisson_bootstrap",
     "q281_revenue_acf",
+    "q282_keyword_routing",
+    "q283_hits_scores",
+    "q284_transition_entropy",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -862,3 +862,23 @@ def test_chao1_richness_hand_computed(spark):
     out = chao1_richness(df).collect()[0]
     assert (out["n_distinct"], out["f1"], out["f2"]) == (4, 2, 1)
     assert out["chao1_x1e6"] == 4_500_000
+
+
+def test_hits_scores_star_graph(spark):
+    """On a star (hubs 1..4 all pointing at authority 10, hub 1 also at
+    11): authority 10 must dominate 11, all scores sum to ~scale per
+    side, and a second run is bit-identical."""
+    from manufacturing_data_integration_tool_spark.ops.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 10), (1, 11)], "src long, dst long"
+    )
+    h, a = hits_scores(edges, iterations=3)
+    auth = {r["node"]: r["score"] for r in a.collect()}
+    hub = {r["node"]: r["score"] for r in h.collect()}
+    assert auth[10] > auth[11]
+    assert hub[1] >= hub[2] == hub[3] == hub[4]  # hub 1 touches both
+    for scores in (auth, hub):
+        assert abs(sum(scores.values()) - 10**12) <= len(scores)  # L1 ~ scale
+    h2, a2 = hits_scores(edges, iterations=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, a2.collect()))
