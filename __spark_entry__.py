@@ -7580,6 +7580,65 @@ def q284_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q285_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check on the experiment hash arms (the
+    A/B-test hygiene gate that must run BEFORE q236/q248/q254 are read:
+    a biased split invalidates them all): 1-df chi-square of the
+    observed arm sizes against 50/50, (n0-n1)^2/(n0+n1) — exact
+    integers into one floor-published division. SRM fires at chi2 >
+    3.84 (p<0.05); the boolean is published too."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import _u52
+
+    ev = read_table(spark, sf_dir, "events")
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .select((_u52(F.col("user_id"), "arm") % 2).cast("bigint").alias("__a"))
+        .agg(
+            F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("n0"),
+            F.sum("__a").cast("bigint").alias("n1"),
+        )
+    )
+    d = F.col("n0") - F.col("n1")
+    chi2 = (d * d).cast("double") / (F.col("n0") + F.col("n1")).cast("double")
+    return arms.select(
+        "n0",
+        "n1",
+        F.floor(chi2 * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint").alias(
+            "chi2_x1e6"
+        ),
+        (chi2 > F.lit(3.84)).alias("srm_flag"),
+    )
+
+
+def q286_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective number of sources — the inverse Simpson index N_eff =
+    N^2 / sum n_i^2 over the corpus's source mix (Laakso-Taagepera
+    1979's 'effective number of parties', the interpretable twin of
+    q138's HHI: 'this corpus behaves as if it had K equal sources').
+    Exact BIGINT counts and squares into one fixed IEEE tree,
+    floor-published; one map-side-combined groupBy."""
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("__ss"),
+    )
+    neff = (F.col("n_docs") * F.col("n_docs")).cast("double") / F.col(
+        "__ss"
+    ).cast("double")
+    return agg.select(
+        "n_sources",
+        "n_docs",
+        F.floor(neff * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint").alias(
+            "n_eff_x1e6"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7709,6 +7768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q282_keyword_routing": q282_keyword_routing,
         "q283_hits_scores": q283_hits_scores,
         "q284_transition_entropy": q284_transition_entropy,
+        "q285_srm_check": q285_srm_check,
+        "q286_source_diversity": q286_source_diversity,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -11752,6 +11813,39 @@ def oracle_sql() -> dict[str, str]:
                      AS h_next_x1e9
             FROM cells c JOIN marg m USING (prev_type)
             GROUP BY c.prev_type
+        """,
+        "q285_srm_check": """
+            WITH arms AS (
+              SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                     || ':arm'), 1, 13) AS BIGINT) % 2 AS BIGINT) AS a
+              FROM (SELECT DISTINCT user_id FROM events)),
+            c AS (SELECT CAST(SUM(1 - a) AS BIGINT) AS n0,
+                         CAST(SUM(a) AS BIGINT) AS n1
+                  FROM arms)
+            SELECT n0, n1,
+                   CAST(floor(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                              / CAST(n0 + n1 AS DOUBLE)
+                              * CAST(1000000.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chi2_x1e6,
+                   (CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                    / CAST(n0 + n1 AS DOUBLE)) > CAST(3.84 AS DOUBLE)
+                     AS srm_flag
+            FROM c
+        """,
+        "q286_source_diversity": """
+            WITH cells AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                           CAST(SUM(n) AS BIGINT) AS n_docs,
+                           CAST(SUM(n * n) AS BIGINT) AS ss
+                    FROM cells)
+            SELECT n_sources, n_docs,
+                   CAST(floor(CAST(n_docs * n_docs AS DOUBLE)
+                              / CAST(ss AS DOUBLE)
+                              * CAST(1000000.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS n_eff_x1e6
+            FROM agg
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -266,6 +266,8 @@ HEADLINE = [
     "q282_keyword_routing",
     "q283_hits_scores",
     "q284_transition_entropy",
+    "q285_srm_check",
+    "q286_source_diversity",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
