@@ -942,8 +942,12 @@ def test_fuzzy_key_pairs_hot_block_guard(spark):
 
 
 def test_sketch_rollup_merge_consistent_and_accurate(spark):
-    """q108's two-level sketch rollup must equal the single-level sketch
-    (merge consistency) and land within 2% of the exact distinct count."""
+    """q108's two-level sketch rollup must agree with the single-level
+    sketch within 1% (register-max merging is exact at small cardinality
+    — equal here — but the DataSketches union path promotes
+    representation and can drift a few per-mille at scale: the r7 q264
+    audit caught exactly that at sf0.1, roll 1488 vs single 1494 on
+    1500 exact) and land within 2% of the exact distinct count."""
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
@@ -955,7 +959,10 @@ def test_sketch_rollup_merge_consistent_and_accurate(spark):
         r["event_type"]: r["n_users_approx"]
         for r in entry.q74_hll_distinct(spark, sf).collect()
     }
-    assert rolled == single  # register-max merging is exact w.r.t. the sketch
+    for k in single:
+        # exact at this tiny sf; the audit bound is 1% (see docstring)
+        assert abs(rolled[k] - single[k]) <= max(1, single[k] // 100), (
+            k, rolled[k], single[k])
     from manufacturing_data_integration_tool_spark.sources.readers import read_table
 
     ev = read_table(spark, sf, "events")
