@@ -114,3 +114,21 @@ def test_driver_contract_oracle_coverage():
     assert not gate_rows_only, (
         f"rows-only queries inside the driver's first-50 gate window: {gate_rows_only}"
     )
+
+
+def test_bench_ledger_covers_every_registered_query():
+    """bench.py's no-silent-caps ledger: every queries() entry is either
+    timed (HEADLINE) or excluded with a written reason — and nothing
+    stale or double-listed. Mirrors the runtime tripwire in bench.main()
+    so drift fails fast in CI, not only at bench time."""
+    import bench
+    import __spark_entry__ as entry
+
+    qs = set(entry.queries())
+    h, x = set(bench.HEADLINE), set(bench.EXCLUDED)
+    assert not (qs - h - x), f"neither benched nor excluded: {sorted(qs - h - x)}"
+    assert not ((h | x) - qs), f"stale ledger entries: {sorted((h | x) - qs)}"
+    assert not (h & x), f"both benched and excluded: {sorted(h & x)}"
+    assert len(bench.HEADLINE) == len(h), "duplicate HEADLINE entries"
+    for name, reason in bench.EXCLUDED.items():
+        assert isinstance(reason, str) and len(reason) > 10, name
