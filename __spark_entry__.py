@@ -7646,6 +7646,35 @@ def q286_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q287_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit over lineitem's
+    (l_partkey, ship-day) plane (ops.sampling.zorder_blocks; the layout
+    step behind Delta/Iceberg ZORDER BY). Both dimensions are
+    range-bucketized onto a 64x64 integer grid from one broadcast 1-row
+    min/max aggregate, bucket bits interleave into a Morton key via pure
+    ``(b div 2^i) % 2`` BIGINT probes, and each 16-cell run of the curve
+    publishes the bounding box (``bbox_cells``) a clustered writer's
+    per-file min/max stats would expose for data skipping — tight boxes
+    = a predicate on EITHER dimension prunes ~sqrt(files). No floats
+    anywhere, no window, no sort: one broadcast + one map-side-combined
+    groupBy, the key itself being what ``repartitionByRange`` would
+    cluster on at 100 TB."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        zorder_blocks,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_partkey").alias("x"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    return zorder_blocks(base, "x", "y", bits=6, block_cells=16)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7777,6 +7806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q284_transition_entropy": q284_transition_entropy,
         "q285_srm_check": q285_srm_check,
         "q286_source_diversity": q286_source_diversity,
+        "q287_zorder_layout": q287_zorder_layout,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -8510,6 +8540,7 @@ def oracle_sql() -> dict[str, str]:
         bucket_sql as _bucket_sql,
         hash_fraction_threshold as _hft,
         u52_sql as _u52_sql,
+        zorder_interleave_duckdb as _zorder_duckdb,
     )
 
     mix_bucket = _bucket_sql("doc_id", "mix1")
@@ -11853,6 +11884,30 @@ def oracle_sql() -> dict[str, str]:
                               * CAST(1000000.0 AS DOUBLE)
                               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS n_eff_x1e6
             FROM agg
+        """,
+        "q287_zorder_layout": f"""
+            WITH base AS (
+              SELECT l_partkey AS x,
+                     CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01'
+                          AS BIGINT) AS y
+              FROM lineitem),
+            mm AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                          MIN(y) AS ymin, MAX(y) AS ymax FROM base),
+            b AS (SELECT ((x - xmin) * 64) // (xmax - xmin + 1) AS xb,
+                         ((y - ymin) * 64) // (ymax - ymin + 1) AS yb
+                  FROM base, mm),
+            z AS (SELECT xb, yb,
+                         {_zorder_duckdb("xb", "yb", 6)} AS zv
+                  FROM b),
+            blk AS (SELECT zv // 16 AS z_block,
+                           CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           MIN(xb) AS x_lo, MAX(xb) AS x_hi,
+                           MIN(yb) AS y_lo, MAX(yb) AS y_hi
+                    FROM z GROUP BY 1)
+            SELECT z_block, n_rows, x_lo, x_hi, y_lo, y_hi,
+                   CAST((x_hi - x_lo + 1) * (y_hi - y_lo + 1) AS BIGINT)
+                     AS bbox_cells
+            FROM blk
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -268,6 +268,7 @@ HEADLINE = [
     "q284_transition_entropy",
     "q285_srm_check",
     "q286_source_diversity",
+    "q287_zorder_layout",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

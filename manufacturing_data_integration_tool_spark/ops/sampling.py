@@ -42,6 +42,7 @@ __all__ = [
     "weighted_percentile",
     "negative_samples",
     "weighted_sample_ares",
+    "zorder_blocks",
 ]
 
 _HEX_DIGITS = 13  # 13 hex chars = 52 bits: exactly representable in a double
@@ -764,5 +765,119 @@ def weighted_sample_ares(
             F.floor(F.col("__k") * F.lit(1e9) + F.lit(0.5))
             .cast("bigint")
             .alias(key_out),
+        )
+    )
+
+
+def zorder_interleave_sql(xb: str, yb: str, bits: int) -> str:
+    """SQL expression interleaving the low ``bits`` bits of ``xb``
+    (even positions) and ``yb`` (odd positions) into a Morton/Z value.
+
+    Pure BIGINT arithmetic — ``(v div 2^i) % 2`` bit probes and
+    power-of-two multipliers — so the SAME string evaluates identically
+    as a Spark ``F.expr`` and inside a DuckDB oracle (``div`` spelled
+    ``//`` there via :func:`zorder_interleave_duckdb`)."""
+    return " + ".join(
+        f"(({xb} div {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + (({yb} div {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(bits)
+    )
+
+
+def zorder_interleave_duckdb(xb: str, yb: str, bits: int) -> str:
+    """DuckDB twin of :func:`zorder_interleave_sql` (``//`` for ``div``)."""
+    return " + ".join(
+        f"(({xb} // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + (({yb} // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(bits)
+    )
+
+
+def zorder_blocks(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    *,
+    bits: int = 6,
+    block_cells: int = 16,
+) -> DataFrame:
+    """Z-order (Morton-curve) data-layout audit: range-bucketize two
+    integer dimensions into a ``2^bits x 2^bits`` grid, interleave the
+    bucket bits into a Morton key, and report each ``block_cells``-cell
+    run of the curve with its bounding box — the min/max file statistics
+    a writer clustering on this key would publish for data skipping.
+
+    This is the layout step behind Delta/Iceberg ``ZORDER BY``: rows
+    sorted by the Morton key land in files whose per-file (x, y) ranges
+    are small SQUARES instead of full-width stripes, so a predicate on
+    EITHER dimension prunes ~sqrt(files) instead of none. The z-key
+    assignment here is what you'd feed ``repartitionByRange`` before the
+    write at 100 TB; the block aggregate is the audit that the resulting
+    bounding boxes are tight (``bbox_cells`` near ``block_cells``, not
+    near the full grid).
+
+    Everything is exact BIGINT arithmetic: bucket =
+    ``((v - vmin) * 2^bits) div (vmax - vmin + 1)`` (in [0, 2^bits) by
+    construction), Morton key = sum of ``(bucket div 2^i) % 2`` bit
+    probes — no floats anywhere, so any SQL engine reproduces the keys
+    bit-for-bit.
+
+    Scale posture: one 1-row min/max aggregate broadcast back over the
+    scan, then a single map-side-combinable groupBy on ``z_block``
+    (at most ``4^bits / block_cells`` groups). No window, no sort.
+
+    Output: ``z_block, n_rows, x_lo, x_hi, y_lo, y_hi, bbox_cells``.
+    """
+    if bits < 1 or bits > 15:
+        raise ValueError("bits must be in [1, 15]")
+    if block_cells < 1:
+        raise ValueError("block_cells must be >= 1")
+    side = 1 << bits
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("bigint")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("bigint")
+    base = df.select(x.alias("__x"), y.alias("__y"))
+    mm = base.agg(
+        F.min("__x").alias("__xmin"),
+        F.max("__x").alias("__xmax"),
+        F.min("__y").alias("__ymin"),
+        F.max("__y").alias("__ymax"),
+    )
+    b = base.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"((__x - __xmin) * {side}) div (__xmax - __xmin + 1)")
+        .cast("bigint")
+        .alias("__xb"),
+        F.expr(f"((__y - __ymin) * {side}) div (__ymax - __ymin + 1)")
+        .cast("bigint")
+        .alias("__yb"),
+    )
+    z = b.select(
+        "__xb",
+        "__yb",
+        F.expr(zorder_interleave_sql("__xb", "__yb", bits))
+        .cast("bigint")
+        .alias("__z"),
+    )
+    return (
+        z.groupBy(F.expr(f"__z div {block_cells}").cast("bigint").alias("z_block"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("__xb").alias("x_lo"),
+            F.max("__xb").alias("x_hi"),
+            F.min("__yb").alias("y_lo"),
+            F.max("__yb").alias("y_hi"),
+        )
+        .select(
+            "z_block",
+            "n_rows",
+            "x_lo",
+            "x_hi",
+            "y_lo",
+            "y_hi",
+            (
+                (F.col("x_hi") - F.col("x_lo") + 1)
+                * (F.col("y_hi") - F.col("y_lo") + 1)
+            )
+            .cast("bigint")
+            .alias("bbox_cells"),
         )
     )

@@ -882,3 +882,27 @@ def test_hits_scores_star_graph(spark):
         assert abs(sum(scores.values()) - 10**12) <= len(scores)  # L1 ~ scale
     h2, a2 = hits_scores(edges, iterations=3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_zorder_blocks_exact_grid(spark):
+    """On a 4x4 integer plane with bits=2 the Morton keys are the
+    textbook interleave: bucket == value (range 0..3 maps 1:1), so
+    (x=1, y=0) -> z=1, (x=0, y=1) -> z=2, (x=3, y=3) -> z=15. With
+    block_cells=4 each quadrant is one block whose bbox is the 2x2
+    quadrant square (bbox_cells=4), never a full-width stripe."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        zorder_blocks,
+    )
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {r["z_block"]: r for r in zorder_blocks(
+        df, "x", "y", bits=2, block_cells=4
+    ).collect()}
+    assert sorted(out) == [0, 1, 2, 3]  # 16 cells / 4 per block
+    for blk, r in out.items():
+        assert r["n_rows"] == 4
+        assert r["bbox_cells"] == 4  # tight 2x2 quadrant boxes
+    # quadrant 0 is the low-left square, quadrant 3 the high-right
+    assert (out[0]["x_lo"], out[0]["x_hi"], out[0]["y_lo"], out[0]["y_hi"]) == (0, 1, 0, 1)
+    assert (out[3]["x_lo"], out[3]["x_hi"], out[3]["y_lo"], out[3]["y_hi"]) == (2, 3, 2, 3)
