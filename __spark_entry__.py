@@ -7675,6 +7675,93 @@ def q287_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_blocks(base, "x", "y", bits=6, block_cells=16)
 
 
+def q288_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction per source (ops.text.rake_keywords; Rose
+    et al. 2010): phrases = maximal token runs between stopword/punct
+    delimiters (token-wise gaps-and-islands — NO regex \\b, which drifts
+    between Java regex and RE2), word score = degree/freq, phrase score
+    = per-word INTEGER floors ``(degree * 1e6) div freq`` summed — a
+    BIGINT on both engines, no float anywhere. Per-doc windows only;
+    per-source top-12 runs the two-phase sub-bucket rank."""
+    from manufacturing_data_integration_tool_spark.ops.text import rake_keywords
+
+    docs = read_table(spark, sf_dir, "documents")
+    return rake_keywords(docs, "doc_id", "text", group_cols=["source"], top_k=12)
+
+
+def q289_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts table per language over BIGRAM types
+    (ops.text.good_turing_counts; Good 1953): N_r for r <= 10 plus the
+    adjusted count r* = (r+1) N_{r+1} / N_r — the Katz-backoff smoothing
+    table and the LM-side twin of q271's Chao1 unseen-mass check.
+    Bigrams, not unigrams: the synthetic corpus's unigram vocabulary
+    saturates by sf0.1 (every word count > 11 -> empty table), while the
+    squared type space keeps the low-r tail populated at every scale —
+    the non-vacuous-evidence rule. Two map-side-combined groupBys, a
+    <= 10-row self-join, pure BIGINT ``div`` arithmetic end-to-end."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        good_turing_counts,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return good_turing_counts(
+        docs, "text", group_cols=["lang"], max_r=10, ngram=2
+    )
+
+
+def q290_eb_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-supplier return rates
+    (ops.stats.eb_shrunk_rates; Efron-Morris 1975 beta-binomial MoM):
+    suppliers with few lineitems are pulled toward the pooled 'R' rate,
+    high-volume suppliers keep their own — the ranking-stabilizer behind
+    every small-sample scorecard (q246's blend without the noise). Raw
+    rates snap to the 1e-9 grid before the variance pass, grid sums run
+    in decimal, and the surviving float math is ONE fixed IEEE tree the
+    oracle mirrors verbatim; floor-published x1e6. One broadcast 1-row
+    aggregate, no window."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        eb_shrunk_rates,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return eb_shrunk_rates(counts, ["l_suppkey"], "k", "n")
+
+
+def q291_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston/SBA intermittent-demand forecast per part
+    (ops.inventory.croston_sba; Croston 1972, Syntetos-Boylan 2005):
+    demand SIZES and inter-demand INTERVALS smoothed as two separate
+    depth-16 exact-integer-weight EWMAs (the q169 machinery, inherited
+    wholesale), forecast = sizes/intervals, SBA = 0.85 x that — the
+    actual forecast behind q260's intermittency quadrants. Per-part
+    histories are calendar-bounded (monthly), the ratio is one fixed
+    IEEE tree over the two published 6-dp averages, floor-published
+    x1e6 with CROSTON_SBA_FACTOR embedded as the same literal on both
+    engines."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        croston_sba,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    dm = li.groupBy(
+        "l_partkey",
+        (
+            (F.year("l_shipdate") - F.lit(1992)) * F.lit(12)
+            + F.month("l_shipdate")
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("month_idx"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    return croston_sba(dm, "l_partkey", "month_idx", "qty", depth=16)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7807,6 +7894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q285_srm_check": q285_srm_check,
         "q286_source_diversity": q286_source_diversity,
         "q287_zorder_layout": q287_zorder_layout,
+        "q288_rake_keywords": q288_rake_keywords,
+        "q289_good_turing": q289_good_turing,
+        "q290_eb_return_rates": q290_eb_return_rates,
+        "q291_croston_forecast": q291_croston_forecast,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -8541,6 +8632,30 @@ def oracle_sql() -> dict[str, str]:
         hash_fraction_threshold as _hft,
         u52_sql as _u52_sql,
         zorder_interleave_duckdb as _zorder_duckdb,
+    )
+
+    # q288: the RAKE stopword delimiters — the SAME module literals the
+    # Spark filter ships (the planes52 pattern for word lists).
+    _rake_stops = ", ".join(f"'{w}'" for w in tx.RAKE_STOPWORDS)
+
+    # q290: ops.stats.eb_shrunk_rates's ONE canonical IEEE tree, mirrored
+    # verbatim (scalar names g/sk/sn/s1/s2 instead of the op's __-prefixed
+    # columns; identical op order and literals).
+    _eb_m = "CAST(sk AS DOUBLE) / CAST(sn AS DOUBLE)"
+    _eb_vr = (
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(g AS DOUBLE))"
+        " / ((CAST(g AS DOUBLE) - 1.0) * 1000000000000000000.0)"
+    )
+    _eb_kappa = (
+        f"CASE WHEN g <= 1 THEN 10000.0 "
+        f"WHEN {_eb_vr} <= 0.0 THEN 10000.0 "
+        f"ELSE least(10000.0, greatest(1.0, "
+        f"{_eb_m} * (1.0 - {_eb_m}) / ({_eb_vr}) - 1.0)) END"
+    )
+    _eb_shrunk = (
+        f"(CAST(k AS DOUBLE) + ({_eb_kappa}) * ({_eb_m}))"
+        f" / (CAST(n AS DOUBLE) + ({_eb_kappa}))"
     )
 
     mix_bucket = _bucket_sql("doc_id", "mix1")
@@ -11908,6 +12023,149 @@ def oracle_sql() -> dict[str, str]:
                    CAST((x_hi - x_lo + 1) * (y_hi - y_lo + 1) AS BIGINT)
                      AS bbox_cells
             FROM blk
+        """,
+        "q288_rake_keywords": rf"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     string_split_regex(lower(text), '\s+') AS tk
+              FROM documents),
+            toks AS (
+              SELECT doc_id, source, wi.i AS pos,
+                     regexp_replace(tk[wi.i], '[^a-z0-9]', '', 'g') AS w
+              FROM base,
+                   unnest([{{'i': x}} for x in range(1, len(tk)+1)]) AS t(wi)),
+            tagged AS (
+              SELECT doc_id, source, pos, w,
+                     (w = '' OR w IN ({_rake_stops})) AS d,
+                     SUM(CASE WHEN w = '' OR w IN ({_rake_stops})
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+              FROM toks),
+            phr AS (
+              SELECT doc_id, source, pid,
+                     array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+                     CAST(COUNT(*) AS BIGINT) AS n_words
+              FROM tagged WHERE NOT d
+              GROUP BY 1, 2, 3
+              HAVING COUNT(*) <= 6),
+            wstats AS (
+              SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq,
+                     CAST(SUM(n_words) AS BIGINT) AS deg
+              FROM (SELECT source, n_words,
+                           unnest(string_split(phrase, ' ')) AS w
+                    FROM phr)
+              GROUP BY 1, 2),
+            dphr AS (
+              SELECT source, phrase, n_words,
+                     CAST(COUNT(*) AS BIGINT) AS occurrences
+              FROM phr GROUP BY 1, 2, 3),
+            memb AS (
+              SELECT source, phrase, n_words, occurrences,
+                     unnest(string_split(phrase, ' ')) AS w
+              FROM dphr),
+            scored AS (
+              SELECT m.source, m.phrase, m.n_words, m.occurrences,
+                     CAST(SUM((s.deg * 1000000) // s.freq) AS BIGINT)
+                       AS score_x1e6
+              FROM memb m
+              JOIN wstats s ON s.source = m.source AND s.w = m.w
+              GROUP BY 1, 2, 3, 4),
+            rk AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY score_x1e6 DESC, phrase ASC) AS rk
+              FROM scored)
+            SELECT source, phrase, n_words, occurrences, score_x1e6
+            FROM rk WHERE rk <= 12
+        """,
+        "q289_good_turing": f"""
+            WITH tk0 AS (SELECT lang, {tok} AS tk FROM documents),
+            toks AS (
+              SELECT lang, unnest([tk[i] || ' ' || tk[i+1]
+                                   for i in range(1, len(tk))]) AS t
+              FROM tk0 WHERE len(tk) >= 2),
+            tc AS (SELECT lang, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+            foff AS (SELECT lang, c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+                     FROM tc GROUP BY 1, 2),
+            cur AS (SELECT * FROM foff WHERE r <= 10),
+            nxt AS (SELECT lang, r - 1 AS r, n_r AS n_r_next
+                    FROM foff WHERE r <= 11)
+            SELECT cur.lang, CAST(cur.r AS BIGINT) AS r, cur.n_r,
+                   CAST(COALESCE(n.n_r_next, 0) AS BIGINT) AS n_r_next,
+                   CAST(((cur.r + 1) * COALESCE(n.n_r_next, 0) * 1000000)
+                        // cur.n_r AS BIGINT) AS r_star_x1e6
+            FROM cur LEFT JOIN nxt n
+              ON n.lang = cur.lang AND n.r = cur.r
+        """,
+        "q290_eb_return_rates": f"""
+            WITH counts AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS k,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY 1),
+            base AS (
+              SELECT l_suppkey, k, n, (k * 1000000000) // n AS rq
+              FROM counts),
+            sc AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS g,
+                     CAST(SUM(k) AS BIGINT) AS sk,
+                     CAST(SUM(n) AS BIGINT) AS sn,
+                     SUM(CAST(rq AS HUGEINT)) AS s1,
+                     SUM(CAST(rq AS HUGEINT) * CAST(rq AS HUGEINT)) AS s2
+              FROM base)
+            SELECT l_suppkey, k, n,
+                   CAST((k * 1000000) // n AS BIGINT) AS raw_x1e6,
+                   CAST(floor(({_eb_kappa}) * 1000000.0 + 0.5) AS BIGINT)
+                     AS kappa_x1e6,
+                   CAST(floor(({_eb_shrunk}) * 1000000.0 + 0.5) AS BIGINT)
+                     AS shrunk_x1e6
+            FROM base, sc
+        """,
+        "q291_croston_forecast": f"""
+            WITH dm AS (
+              SELECT l_partkey AS k,
+                     CAST((EXTRACT(year FROM l_shipdate) - 1992) * 12
+                          + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT)
+                       AS per,
+                     SUM(l_quantity) AS q
+              FROM lineitem GROUP BY 1, 2),
+            rz AS (SELECT k, q, ROW_NUMBER() OVER (
+                     PARTITION BY k ORDER BY per DESC) AS rn FROM dm),
+            tz AS (SELECT k,
+                          CAST([{_EWMA_WEIGHTS_SQL}][rn] AS HUGEINT) AS w,
+                          CAST(CAST(floor(q*10000 + 0.5) AS BIGINT)
+                               AS HUGEINT) AS xq
+                   FROM rz WHERE rn <= 16),
+            z AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_sizes,
+                         round(CAST(SUM(w*xq) AS DOUBLE)
+                               / CAST(SUM(w) AS DOUBLE) / 10000, 6)
+                           AS size_ewma
+                  FROM tz GROUP BY 1),
+            iv AS (SELECT k, per,
+                          per - lag(per) OVER (
+                            PARTITION BY k ORDER BY per) AS ivl
+                   FROM dm),
+            iv2 AS (SELECT k, per, ivl FROM iv WHERE ivl IS NOT NULL),
+            rp AS (SELECT k, ivl, ROW_NUMBER() OVER (
+                     PARTITION BY k ORDER BY per DESC) AS rn FROM iv2),
+            tp AS (SELECT k,
+                          CAST([{_EWMA_WEIGHTS_SQL}][rn] AS HUGEINT) AS w,
+                          CAST(CAST(floor(ivl*10000 + 0.5) AS BIGINT)
+                               AS HUGEINT) AS xq
+                   FROM rp WHERE rn <= 16),
+            p AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                         round(CAST(SUM(w*xq) AS DOUBLE)
+                               / CAST(SUM(w) AS DOUBLE) / 10000, 6)
+                           AS interval_ewma
+                  FROM tp GROUP BY 1)
+            SELECT z.k AS l_partkey, n_sizes, size_ewma,
+                   n_intervals, interval_ewma,
+                   CAST(floor(size_ewma / interval_ewma * 1000000.0 + 0.5)
+                        AS BIGINT) AS croston_x1e6,
+                   CAST(floor(0.85 * (size_ewma / interval_ewma)
+                              * 1000000.0 + 0.5) AS BIGINT) AS sba_x1e6
+            FROM z JOIN p ON p.k = z.k
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

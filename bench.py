@@ -269,6 +269,10 @@ HEADLINE = [
     "q285_srm_check",
     "q286_source_diversity",
     "q287_zorder_layout",
+    "q288_rake_keywords",
+    "q289_good_turing",
+    "q290_eb_return_rates",
+    "q291_croston_forecast",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -38,7 +38,20 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .sampling import two_phase_running_sum
 
-__all__ = ["fifo_cogs", "abc_xyz", "reorder_point", "oee_daily"]
+__all__ = [
+    "fifo_cogs",
+    "abc_xyz",
+    "reorder_point",
+    "oee_daily",
+    "croston_sba",
+    "CROSTON_SBA_FACTOR",
+]
+
+# SBA bias correction 1 - alpha/2 for the default decay 7/10 (alpha =
+# 0.3): the EXACT double literal both the Spark op and any SQL oracle
+# embed — computed once here, never re-derived at runtime (a re-derived
+# 1.0 - 0.3/2.0 can differ in the last ulp from a literal).
+CROSTON_SBA_FACTOR = 0.85
 
 
 def fifo_cogs(
@@ -334,4 +347,110 @@ def oee_daily(
         pub(p, "p_x1e6"),
         pub(q, "q_x1e6"),
         pub(a * p * q, "oee_x1e6"),
+    )
+
+
+def croston_sba(
+    demand: DataFrame,
+    key_col: str,
+    period_col: str,
+    qty_col: str,
+    *,
+    depth: int = 16,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972) with the
+    Syntetos-Boylan bias correction (SBA; Syntetos & Boylan 2005) — the
+    standard forecast for the 'lumpy'/'intermittent' quadrants q260
+    classifies: smooth demand SIZES and inter-demand INTERVALS as two
+    separate exponential averages, forecast = sizes / intervals per
+    period, SBA = (1 - alpha/2) * that.
+
+    ``demand`` carries one row per (key, period) WITH demand (zero
+    periods absent — that is what makes the interval series meaningful);
+    ``period_col`` is an integer period index (e.g. months since epoch).
+
+    Both smoothings reuse :func:`~.stats.ewma_trailing` (depth-16
+    trailing window, decay 7/10 => alpha = 0.3, exact integer weight
+    table, one float division) — so the determinism contract is
+    inherited wholesale. The interval series is ``period - lag(period)``
+    per key (first observation has no interval and drops; keys with a
+    single demand period yield no forecast row, deterministically).
+    The final ratio/scaling is one fixed IEEE tree over the two
+    published 6-dp averages, floor-published x1e6;
+    :data:`CROSTON_SBA_FACTOR` is embedded as a literal on both engines.
+
+    Scale posture: the lag window and the smoothing windows partition
+    per key and the history is CALENDAR-bounded (one row per demand
+    period, <= months-of-history rows per key) — no unbounded per-key
+    sort; everything else is groupBy/join.
+
+    Output: ``key_col, n_sizes, size_ewma, n_intervals, interval_ewma,
+    croston_x1e6, sba_x1e6``.
+    """
+    from .stats import ewma_trailing
+
+    d = demand.select(
+        F.col(key_col).alias("__k"),
+        F.col(period_col).cast("bigint").alias("__per"),
+        F.col(qty_col).alias("__q"),
+    )
+    sizes = d.select(
+        "__k",
+        F.col("__per").alias("__ts"),
+        F.col("__per").alias("__tb2"),
+        "__q",
+    )
+    z = ewma_trailing(
+        sizes, "__k", "__ts", "__q", tiebreak_col="__tb2", depth=depth
+    ).select(
+        F.col("__k").alias("__kz"),
+        F.col("n_used").alias("n_sizes"),
+        F.col("ewma").alias("size_ewma"),
+    )
+    w = Window.partitionBy("__k").orderBy("__per")
+    iv = (
+        d.select("__k", "__per")
+        .withColumn("__iv", F.col("__per") - F.lag("__per").over(w))
+        .filter(F.col("__iv").isNotNull())
+    )
+    p = ewma_trailing(
+        iv.select(
+            "__k",
+            F.col("__per").alias("__ts"),
+            F.col("__per").alias("__tb2"),
+            "__iv",
+        ),
+        "__k",
+        "__ts",
+        "__iv",
+        tiebreak_col="__tb2",
+        depth=depth,
+    ).select(
+        F.col("__k").alias("__kp"),
+        F.col("n_used").alias("n_intervals"),
+        F.col("ewma").alias("interval_ewma"),
+    )
+    s = float(scale)
+    joined = z.join(p, F.col("__kz") == F.col("__kp"), "inner")
+    return joined.select(
+        F.col("__kz").alias(key_col),
+        "n_sizes",
+        "size_ewma",
+        "n_intervals",
+        "interval_ewma",
+        F.floor(
+            (F.col("size_ewma") / F.col("interval_ewma")) * F.lit(s)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("croston_x1e6"),
+        F.floor(
+            F.lit(CROSTON_SBA_FACTOR)
+            * (F.col("size_ewma") / F.col("interval_ewma"))
+            * F.lit(s)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("sba_x1e6"),
     )

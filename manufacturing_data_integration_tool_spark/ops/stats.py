@@ -62,6 +62,7 @@ __all__ = [
     "ks_pairwise",
     "gini_coefficient",
     "trimmed_mean",
+    "eb_shrunk_rates",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -1956,4 +1957,87 @@ def poisson_bootstrap_mean(
     )
     return out.select(
         "replicate", "n_rows_weighted", mean.alias(f"mean_x1e{round_to}")
+    )
+
+
+def eb_shrunk_rates(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    k_col: str = "k",
+    n_col: str = "n",
+    *,
+    max_kappa: float = 10000.0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-entity rates
+    (Efron & Morris 1975; the small-sample defect-rate stabilizer):
+    entities with few trials are pulled toward the pooled rate, entities
+    with many keep their own.
+
+    ``counts`` carries one row per entity with exact BIGINT successes
+    ``k_col`` and trials ``n_col``. Method-of-moments prior: mean
+    ``m = sum(k)/sum(n)``; strength ``kappa = m(1-m)/var - 1`` from the
+    across-entity variance of the raw rates, clamped to
+    ``[1, max_kappa]`` (degenerate variance -> max_kappa: full pooling).
+    Posterior mean per entity: ``(k + kappa*m) / (n + kappa)``.
+
+    Determinism: raw rates snap to the 1e-9 integer grid BEFORE the
+    variance pass (``(k * 1e9) div n`` — BIGINT), the grid sums run in
+    decimal(38,0) (exact), and the handful of float ops that remain are
+    ONE fixed expression tree over those exact scalars, so any engine
+    reproduces the same doubles bit-for-bit; outputs floor-publish on
+    the 1e-6 grid. Guards: a single entity or non-positive variance
+    takes the max_kappa branch via CASE, never a NaN comparison.
+
+    Scale posture: one map-side-combined 1-row aggregate broadcast back
+    over the entity table — no shuffle beyond the aggregate, no window.
+
+    Output: ``key_cols + (k, n, raw_x1e6, kappa_x1e6, shrunk_x1e6)``.
+    """
+    g = list(key_cols)
+    base = counts.select(
+        *g,
+        F.col(k_col).cast("bigint").alias("k"),
+        F.col(n_col).cast("bigint").alias("n"),
+        F.expr(f"(CAST({k_col} AS BIGINT) * 1000000000) div "
+               f"CAST({n_col} AS BIGINT)").alias("__rq"),
+    )
+    scalars = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__g"),
+        F.sum("k").cast("bigint").alias("__sk"),
+        F.sum("n").cast("bigint").alias("__sn"),
+        F.sum(F.col("__rq").cast("decimal(38,0)")).alias("__s1"),
+        F.sum(
+            (F.col("__rq") * F.col("__rq")).cast("decimal(38,0)")
+        ).alias("__s2"),
+    )
+    # ONE canonical IEEE tree — mirrored verbatim by the SQL oracle.
+    m_sql = "CAST(__sk AS DOUBLE) / CAST(__sn AS DOUBLE)"
+    vr_sql = (
+        "(CAST(__s2 AS DOUBLE) - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)"
+        " / CAST(__g AS DOUBLE))"
+        " / ((CAST(__g AS DOUBLE) - 1.0) * 1000000000000000000.0)"
+    )
+    kappa_sql = (
+        f"CASE WHEN __g <= 1 THEN {max_kappa!r} "
+        f"WHEN {vr_sql} <= 0.0 THEN {max_kappa!r} "
+        f"ELSE least({max_kappa!r}, greatest(1.0, "
+        f"{m_sql} * (1.0 - {m_sql}) / ({vr_sql}) - 1.0)) END"
+    )
+    shrunk_sql = (
+        f"(CAST(k AS DOUBLE) + ({kappa_sql}) * ({m_sql}))"
+        f" / (CAST(n AS DOUBLE) + ({kappa_sql}))"
+    )
+    s = float(scale)
+    return base.crossJoin(F.broadcast(scalars)).select(
+        *g,
+        "k",
+        "n",
+        F.expr(f"(k * {int(scale)}) div n").cast("bigint").alias("raw_x1e6"),
+        F.floor(F.expr(kappa_sql) * F.lit(s) + F.lit(0.5))
+        .cast("bigint")
+        .alias("kappa_x1e6"),
+        F.floor(F.expr(shrunk_sql) * F.lit(s) + F.lit(0.5))
+        .cast("bigint")
+        .alias("shrunk_x1e6"),
     )

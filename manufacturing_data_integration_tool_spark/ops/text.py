@@ -25,6 +25,9 @@ __all__ = [
     "unigram_logprob",
     "vocab_coverage",
     "chao1_richness",
+    "good_turing_counts",
+    "rake_keywords",
+    "RAKE_STOPWORDS",
     "js_divergence_matrix",
     "DEFAULT_SCRUB_PATTERNS",
     "repetition_stats",
@@ -2119,4 +2122,203 @@ def js_divergence_matrix(
         .agg(
             (F.sum(contrib) * F.lit(1_000_000_000)).cast("bigint").alias("jsd_x1e9")
         )
+    )
+
+
+# RAKE's phrase delimiters: a small closed-class English stopword set.
+# Module-level so the DuckDB oracle builds its IN (...) list from the SAME
+# literals the Spark filter ships (the planes52 pattern for word lists).
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "been", "but", "by", "can",
+    "did", "do", "does", "for", "from", "had", "has", "have", "he", "i",
+    "in", "is", "it", "its", "no", "not", "of", "on", "or", "she", "that",
+    "the", "their", "these", "they", "this", "those", "to", "was", "we",
+    "were", "will", "with", "you",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    group_cols: Sequence[str] = ("source",),
+    top_k: int = 12,
+    max_phrase_len: int = 6,
+    scale: int = 1_000_000,
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal token runs between stopwords/punctuation; each word scores
+    ``degree/freq`` (degree = summed length of phrases containing it,
+    freq = occurrence count) and a phrase scores the sum over its words.
+
+    Determinism contract: NO regex word boundaries (``\\b`` differs
+    between Java regex and RE2 on edge cases) — tokens come from the
+    plain whitespace split, are normalized by stripping ``[^a-z0-9]``
+    (identical char-class semantics in both engines), and a token is a
+    delimiter iff it normalizes empty or hits :data:`RAKE_STOPWORDS`.
+    Phrase ids are a running delimiter count per document (gaps-and-
+    islands). Scores stay integer end-to-end: each word contributes
+    ``(degree * scale) div freq`` — the PER-TERM floor that makes the
+    phrase sum order-free — so both engines publish identical BIGINTs.
+
+    Scale posture: per-document windows only (bounded by doc length),
+    word stats are one map-side-combined groupBy, and the per-group
+    top-k runs TWO-PHASE (rank within (group, hash-bucket) first, then
+    a final window over <= top_k * sub_buckets rows) — no task ever
+    sorts a group's full phrase vocabulary.
+
+    Output: ``group_cols + (phrase, n_words, occurrences, score_x1e6)``,
+    the top ``top_k`` phrases per group by (score desc, phrase asc).
+    """
+    g = list(group_cols)
+    toks = df.select(
+        *g,
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "__pos", "__raw"
+        ),
+    ).select(
+        *g,
+        "__doc",
+        "__pos",
+        F.regexp_replace(F.col("__raw"), "[^a-z0-9]", "").alias("__w"),
+    )
+    delim = (F.col("__w") == "") | F.col("__w").isin(*RAKE_STOPWORDS)
+    run = Window.partitionBy("__doc").orderBy("__pos")
+    tagged = toks.withColumn(
+        "__pid",
+        F.sum(F.when(delim, 1).otherwise(0)).over(
+            run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(~delim)
+    phrases = (
+        tagged.groupBy(*g, "__doc", "__pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                    lambda s: s["__w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_phrase_len)
+    )
+    # word stats over every phrase OCCURRENCE (classic RAKE counting)
+    words = phrases.select(
+        *g, "n_words", F.explode(F.split("phrase", " ")).alias("__w")
+    )
+    stats = words.groupBy(*g, "__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__freq"),
+        F.sum("n_words").cast("bigint").alias("__deg"),
+    )
+    distinct = phrases.groupBy(*g, "phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occurrences")
+    )
+    members = distinct.select(
+        *g, "phrase", "n_words", "occurrences",
+        F.explode(F.split("phrase", " ")).alias("__w"),
+    )
+    scored = (
+        members.join(stats, on=[*g, "__w"])
+        .groupBy(*g, "phrase", "n_words", "occurrences")
+        .agg(
+            F.sum(F.expr(f"(__deg * {int(scale)}) div __freq"))
+            .cast("bigint")
+            .alias("score_x1e6")
+        )
+    )
+    order = [F.desc("score_x1e6"), F.asc("phrase")]
+    if sub_buckets > 1:
+        pre = F.row_number().over(
+            Window.partitionBy(
+                *g, F.pmod(F.xxhash64(F.col("phrase")), F.lit(sub_buckets))
+            ).orderBy(*order)
+        )
+        scored = (
+            scored.withColumn("__pre", pre)
+            .filter(F.col("__pre") <= top_k)
+            .drop("__pre")
+        )
+    rk = F.row_number().over(Window.partitionBy(*g).orderBy(*order))
+    return (
+        scored.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= top_k)
+        .select(*g, "phrase", "n_words", "occurrences", "score_x1e6")
+    )
+
+
+def good_turing_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    group_cols: Sequence[str] = ("lang",),
+    max_r: int = 10,
+    scale: int = 1_000_000,
+    ngram: int = 1,
+) -> DataFrame:
+    """Good-Turing frequency re-estimation table (Good 1953; the
+    count-of-counts smoothing behind Katz backoff): for each observed
+    term count ``r`` up to ``max_r``, publish ``N_r`` (how many distinct
+    terms occur exactly r times) and the adjusted count
+    ``r* = (r+1) * N_{r+1} / N_r``. Small r* / r ratios mean the corpus
+    still has heavy unseen mass (the LM cousin of q271's Chao1 richness).
+
+    Everything is exact BIGINT: two map-side-combined groupBys (term
+    counts, then frequency-of-frequencies), a self-join on ``r+1`` over
+    the <= max_r-row table, and ``(r+1) * N_{r+1} * scale div N_r``
+    integer division — no floats anywhere.
+
+    Output: ``group_cols + (r, n_r, n_r_next, r_star_x1e6)`` for
+    ``1 <= r <= max_r`` (rows where ``N_r > 0``; ``n_r_next``/``r_star``
+    are 0 when no term occurs exactly r+1 times).
+    """
+    if ngram not in (1, 2):
+        raise ValueError("ngram must be 1 or 2")
+    g = list(group_cols)
+    if ngram == 1:
+        toks = df.select(*g, F.explode(tokenize(text_col)).alias("__t"))
+    else:
+        # bigram TYPES — the larger type space keeps the low-r tail
+        # populated on corpora whose unigram vocabulary saturates
+        base = df.select(*g, tokenize(text_col).alias("__ws")).filter(
+            F.size("__ws") >= 2
+        )
+        toks = base.select(
+            *g,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__ws"), 1, F.size("__ws") - 1).alias("a"),
+                    F.slice(F.col("__ws"), 2, F.size("__ws") - 1).alias("b"),
+                )
+            ).alias("__p"),
+        ).select(
+            *g,
+            F.concat(F.col("__p.a"), F.lit(" "), F.col("__p.b")).alias("__t"),
+        )
+    tc = toks.groupBy(*g, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    foff = (
+        tc.groupBy(*g, F.col("__c").alias("r"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+        .filter(F.col("r") <= max_r + 1)
+    )
+    cur = foff.filter(F.col("r") <= max_r)
+    nxt = foff.select(
+        *g, (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    joined = cur.join(nxt, on=[*g, "r"], how="left").na.fill(
+        {"n_r_next": 0}
+    )
+    return joined.select(
+        *g,
+        F.col("r").cast("bigint").alias("r"),
+        "n_r",
+        F.col("n_r_next").cast("bigint").alias("n_r_next"),
+        F.expr(f"((r + 1) * n_r_next * {int(scale)}) div n_r")
+        .cast("bigint")
+        .alias("r_star_x1e6"),
     )

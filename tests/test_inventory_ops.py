@@ -354,3 +354,25 @@ def test_abc_migration_classes_are_closed(spark):
         assert r["class_from"] in {"A", "B", "C"}
         assert r["class_to"] in {"A", "B", "C"}
         assert r["n_transitions"] > 0
+
+
+def test_croston_sba_steady_vs_intermittent(spark):
+    """Steady demand (every period, qty 10) forecasts ~10/period; the
+    same sizes every 5 periods forecast ~2/period; SBA = 0.85x Croston;
+    single-demand keys yield no row (no interval history)."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        croston_sba,
+    )
+
+    rows = (
+        [("steady", p, 10.0) for p in range(20)]
+        + [("lumpy", p, 10.0) for p in range(0, 20, 5)]
+        + [("once", 7, 10.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, per long, qty double")
+    out = {r["k"]: r for r in croston_sba(df, "k", "per", "qty").collect()}
+    assert "once" not in out
+    assert out["steady"]["croston_x1e6"] == 10_000_000  # 10 / 1
+    assert abs(out["lumpy"]["croston_x1e6"] - 2_000_000) <= 1  # 10 / 5
+    for r in out.values():
+        assert abs(r["sba_x1e6"] - 0.85 * r["croston_x1e6"]) <= 1

@@ -1776,3 +1776,56 @@ def test_write_range_sorted_files_are_disjoint_and_ordered(spark, tmp_path):
         pq.read_table(p, columns=["doc_id"]).num_rows for p in parts
     )
     assert total == 5000
+
+
+def test_rake_keywords_textbook_scoring(spark):
+    """'deep learning' phrases beat lone words: degree/freq favors words
+    that co-occur in long phrases. Integer scores: with phrases
+    {'deep learning', 'deep learning systems', 'linear'} x1 each,
+    deep: freq 2 deg 5; learning: freq 2 deg 5; systems: freq 1 deg 3;
+    linear: freq 1 deg 1 -> score('deep learning systems') =
+    2*floor(2.5e6) + 3e6 = 8e6."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        rake_keywords,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "deep learning, and the deep learning systems."),
+            (2, "s", "linear!"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["phrase"]: r for r in rake_keywords(
+        df, "doc_id", "text", group_cols=["source"], top_k=10
+    ).collect()}
+    assert out["deep learning systems"]["score_x1e6"] == 8_000_000
+    assert out["deep learning"]["score_x1e6"] == 5_000_000
+    assert out["linear"]["score_x1e6"] == 1_000_000
+    assert out["deep learning"]["occurrences"] == 1
+
+
+def test_good_turing_counts_exact(spark):
+    """Terms {a:3, b:1, c:1, d:2} -> N_1=2, N_2=1, N_3=1:
+    r*=1: 2*1*1e6//2 = 1e6; r*=2: 3*1*1e6//1 = 3e6; r=3 has no N_4."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        good_turing_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "a a a b"), (2, "x", "c d d")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["r"]: r for r in good_turing_counts(
+        df, "text", group_cols=["lang"]
+    ).collect()}
+    assert (out[1]["n_r"], out[1]["n_r_next"], out[1]["r_star_x1e6"]) == (2, 1, 1_000_000)
+    assert (out[2]["n_r"], out[2]["n_r_next"], out[2]["r_star_x1e6"]) == (1, 1, 3_000_000)
+    assert (out[3]["n_r"], out[3]["n_r_next"], out[3]["r_star_x1e6"]) == (1, 0, 0)
+    # bigram mode: doc1 bigrams {a a: 2, a b: 1}, doc2 {c d: 1, d d: 1}
+    # -> N_1 = 3, N_2 = 1; r*=1: 2*1*1e6 // 3
+    out2 = {r["r"]: r for r in good_turing_counts(
+        df, "text", group_cols=["lang"], ngram=2
+    ).collect()}
+    assert (out2[1]["n_r"], out2[1]["r_star_x1e6"]) == (3, 666_666)
+    assert (out2[2]["n_r"], out2[2]["n_r_next"]) == (1, 0)

@@ -1269,3 +1269,43 @@ def test_revenue_acf_bounds(spark, sf_dir):
         if r["acf_x1e6"] is not None:
             assert -1_000_000 <= r["acf_x1e6"] <= 1_000_000
         assert r["n_pairs"] > 0
+
+
+def test_eb_shrunk_rates_pulls_small_samples(spark):
+    """A 1-of-2 entity (raw 50%) must shrink far toward the pooled mean;
+    a 500-of-5000 entity (raw 10%) barely moves. Shrunk estimates stay
+    between the raw rate and the pooled mean, and kappa >= 1."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        eb_shrunk_rates,
+    )
+
+    rows = [("tiny", 1, 2), ("big", 500, 5000), ("mid", 30, 300),
+            ("low", 5, 100), ("hi", 40, 200)]
+    df = spark.createDataFrame(rows, "s string, k long, n long")
+    out = {r["s"]: r for r in eb_shrunk_rates(df, ["s"], "k", "n").collect()}
+    pooled = sum(k for _, k, _ in rows) / sum(n for _, _, n in rows)
+    tiny_raw, tiny_shr = 0.5, out["tiny"]["shrunk_x1e6"] / 1e6
+    big_raw, big_shr = 0.1, out["big"]["shrunk_x1e6"] / 1e6
+    # the 2-trial entity moves a LARGER FRACTION of its gap to the pooled
+    # mean than the 5000-trial entity (the defining EB property)
+    tiny_pull = 1 - abs(tiny_shr - pooled) / abs(tiny_raw - pooled)
+    big_pull = 1 - abs(big_shr - pooled) / abs(big_raw - pooled)
+    assert tiny_pull > big_pull * 10
+    assert abs(big_shr - big_raw) < 0.002  # high-volume barely moves
+    for r in out.values():
+        lo, hi = sorted([r["raw_x1e6"] / 1e6, pooled])
+        assert lo - 1e-6 <= r["shrunk_x1e6"] / 1e6 <= hi + 1e-6
+        assert r["kappa_x1e6"] >= 1_000_000
+
+
+def test_eb_shrunk_rates_single_entity_full_pool(spark):
+    """One entity -> the g<=1 guard: kappa = max_kappa, no NaN."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        eb_shrunk_rates,
+    )
+
+    df = spark.createDataFrame([("only", 3, 10)], "s string, k long, n long")
+    r = eb_shrunk_rates(df, ["s"], "k", "n").collect()[0]
+    assert r["kappa_x1e6"] == 10_000_000_000
+    # pooled mean == own rate, so shrinkage is a fixed point at 0.3
+    assert abs(r["shrunk_x1e6"] - 300_000) <= 1
