@@ -7762,6 +7762,85 @@ def q291_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return croston_sba(dm, "l_partkey", "month_idx", "qty", depth=16)
 
 
+def q292_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part-supplier bipartite graph
+    (ops.graph.link_prediction_scores; Liben-Nowell & Kleinberg 2003):
+    Jaccard common-neighbors and Adamic-Adar scores for supplier pairs
+    sharing parts — 'which suppliers are structurally interchangeable',
+    the graph-side companion to q212's reciprocal best match. Hot parts
+    (> 256 suppliers) are excluded before the item-keyed self-join (the
+    q26 cap), Jaccard is pure BIGINT div, each AA term floors
+    ``1e9 / round(ln(deg), 9)`` onto the integer lattice before the
+    exact sum, and the top-100 is TakeOrderedAndProject."""
+    from manufacturing_data_integration_tool_spark.ops.graph import (
+        link_prediction_scores,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return link_prediction_scores(
+        li, "l_partkey", "l_suppkey", hot_item_cap=256, min_common=2,
+        top_k=100,
+    )
+
+
+def q293_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources
+    (ops.text.burrows_delta; Burrows 2002): mean |z_a - z_b| over the
+    top-30 corpus words' per-source relative frequencies — the
+    authorship/style-drift matrix (q272's JSD asks 'same topics?', this
+    asks 'same FUNCTION-WORD profile?'). Frequencies snap to the 1e-9
+    grid on the full source x word lattice (absent words count 0), std
+    is one fixed tree ending in IEEE-correctly-rounded sqrt, per-word
+    terms floor to the lattice pre-sum, and zero-variance words drop
+    via the EXACT integer check g*s2 == s1^2."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        burrows_delta,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return burrows_delta(docs, "source", "text", top_n=30)
+
+
+def q294_economic_order_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EOQ / Wilson lot size per part (ops.inventory.economic_order_qty;
+    Harris 1913): sqrt(2DS/H) with D = 1995 shipped units, S = a $5,000
+    fixed order cost, H = 20% of retail in integer cents — the planning
+    constant q227's reorder point triggers against. Publishes the EXACT
+    integer square (2DS div H, zero float) alongside the sqrt form
+    (IEEE-correctly-rounded, floor x1e6). One groupBy + one broadcast
+    join + a per-row projection."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        economic_order_qty,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    d = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("d_units")
+        )
+    )
+    base = d.join(
+        F.broadcast(
+            part.select(
+                F.col("p_partkey"),
+                F.expr(
+                    "(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 20)"
+                    " div 100"
+                ).alias("hold_cents"),
+            )
+        ),
+        d.l_partkey == F.col("p_partkey"),
+    ).select("l_partkey", "d_units", "hold_cents")
+    return economic_order_qty(
+        base, "l_partkey", "d_units", "hold_cents", order_cost_cents=500_000
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7898,6 +7977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q289_good_turing": q289_good_turing,
         "q290_eb_return_rates": q290_eb_return_rates,
         "q291_croston_forecast": q291_croston_forecast,
+        "q292_link_prediction": q292_link_prediction,
+        "q293_burrows_delta": q293_burrows_delta,
+        "q294_economic_order_qty": q294_economic_order_qty,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -12166,6 +12248,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(0.85 * (size_ewma / interval_ewma)
                               * 1000000.0 + 0.5) AS BIGINT) AS sba_x1e6
             FROM z JOIN p ON p.k = z.k
+        """,
+        "q292_link_prediction": """
+            WITH inv AS (
+              SELECT DISTINCT l_partkey AS i, l_suppkey AS n FROM lineitem),
+            ideg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ideg
+                     FROM inv GROUP BY 1),
+            ndeg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS ndeg
+                     FROM inv GROUP BY 1),
+            terms AS (
+              SELECT inv.i, inv.n,
+                     CAST(floor(1000000000.0
+                                / round(ln(CAST(ideg AS DOUBLE)), 9)
+                                + 0.5) AS BIGINT) AS aat
+              FROM inv JOIN ideg ON ideg.i = inv.i
+              WHERE ideg <= 256),
+            cand AS (
+              SELECT a.n AS na, b.n AS nb,
+                     CAST(COUNT(*) AS BIGINT) AS n_common,
+                     CAST(SUM(a.aat) AS BIGINT) AS aa_x1e9
+              FROM terms a JOIN terms b ON a.i = b.i AND a.n < b.n
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            sc AS (
+              SELECT na AS node_a, nb AS node_b, n_common,
+                     da.ndeg AS deg_a, db.ndeg AS deg_b,
+                     CAST((n_common * 1000000)
+                          // (da.ndeg + db.ndeg - n_common) AS BIGINT)
+                       AS jaccard_x1e6,
+                     aa_x1e9
+              FROM cand
+              JOIN ndeg da ON da.n = na
+              JOIN ndeg db ON db.n = nb)
+            SELECT node_a, node_b, n_common, deg_a, deg_b,
+                   jaccard_x1e6, aa_x1e9
+            FROM sc ORDER BY jaccard_x1e6 DESC, node_a, node_b LIMIT 100
+        """,
+        "q293_burrows_delta": f"""
+            WITH toks AS (
+              SELECT source AS g, unnest({tok}) AS t FROM documents),
+            counts AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM toks GROUP BY 1, 2),
+            totals AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS tot
+                       FROM toks GROUP BY 1),
+            topw AS (SELECT t FROM (
+                       SELECT t, COUNT(*) AS gc FROM toks GROUP BY 1)
+                     ORDER BY gc DESC, t ASC LIMIT 30),
+            lattice AS (
+              SELECT totals.g, topw.t,
+                     (COALESCE(counts.c, 0) * 1000000000) // totals.tot AS f
+              FROM totals CROSS JOIN topw
+              LEFT JOIN counts ON counts.g = totals.g AND counts.t = topw.t),
+            wstats AS (
+              SELECT t, CAST(COUNT(*) AS BIGINT) AS gn,
+                     CAST(SUM(f) AS BIGINT) AS s1,
+                     SUM(CAST(f AS HUGEINT) * CAST(f AS HUGEINT)) AS s2
+              FROM lattice GROUP BY 1),
+            terms AS (
+              SELECT a.g AS group_a, b.g AS group_b,
+                     CASE WHEN CAST(gn AS HUGEINT) * s2 =
+                               CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+                          THEN 0
+                          ELSE CAST(floor(abs(CAST(a.f - b.f AS DOUBLE))
+                            / (sqrt((CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                       / CAST(gn AS DOUBLE))
+                                    / (CAST(gn AS DOUBLE) - 1.0)))
+                            * 1000000000.0 + 0.5) AS BIGINT) END AS term
+              FROM lattice a
+              JOIN lattice b ON a.t = b.t AND a.g < b.g
+              JOIN wstats w ON w.t = a.t)
+            SELECT group_a, group_b, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(term) // COUNT(*) AS BIGINT) AS delta_x1e9
+            FROM terms GROUP BY 1, 2
+        """,
+        "q294_economic_order_qty": """
+            WITH d AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS d_units
+              FROM lineitem
+              WHERE EXTRACT(year FROM l_shipdate) = 1995
+              GROUP BY 1),
+            h AS (
+              SELECT p_partkey,
+                     (CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 20)
+                       // 100 AS hold_cents
+              FROM part)
+            SELECT l_partkey, d_units AS demand_units, hold_cents,
+                   CAST((2 * d_units * 500000) // hold_cents AS BIGINT)
+                     AS eoq2_units,
+                   CAST(floor(sqrt(CAST(2 * d_units * 500000 AS DOUBLE)
+                                   / CAST(hold_cents AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS eoq_x1e6
+            FROM d JOIN h ON h.p_partkey = d.l_partkey
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

@@ -273,6 +273,9 @@ HEADLINE = [
     "q289_good_turing",
     "q290_eb_return_rates",
     "q291_croston_forecast",
+    "q292_link_prediction",
+    "q293_burrows_delta",
+    "q294_economic_order_qty",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

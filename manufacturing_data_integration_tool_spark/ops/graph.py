@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "dedup_clusters", "kcore", "pagerank",
-    "hits_scores", "triangle_counts"]
+    "hits_scores", "triangle_counts", "link_prediction_scores"]
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
@@ -530,3 +530,97 @@ def hits_scores(
             h = h.localCheckpoint(eager=False)
             a = a.localCheckpoint(eager=False)
     return h, a
+
+
+def link_prediction_scores(
+    inv: DataFrame,
+    item_col: str,
+    node_col: str,
+    *,
+    hot_item_cap: int = 256,
+    min_common: int = 2,
+    top_k: int = 100,
+    ln_round: int = 9,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Link prediction over a bipartite incidence list (Liben-Nowell &
+    Kleinberg, CIKM 2003): for node pairs sharing items, the Jaccard
+    common-neighbors score ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` and the
+    Adamic-Adar score ``Σ_{item ∈ common} 1 / ln(deg(item))`` — which
+    rare shared items predict a real relationship, with ubiquitous
+    items discounted (AA) or merely normalized away (Jaccard).
+
+    ``inv`` carries distinct (item, node) incidences. Candidate pairs
+    come from an item-keyed self-join — the q26 shape — with items
+    touching more than ``hot_item_cap`` nodes EXCLUDED first (a hot
+    item contributes ~cap² pair instances and near-zero AA weight; the
+    cap is the documented no-all-pairs guard, loudly parameterized).
+
+    Determinism: Jaccard publishes as ``(inter * scale) div union``
+    (pure BIGINT); each AA term is ``floor(1e9 / round(ln(deg), 9)
+    + 0.5)`` — ln rounded onto the 1e-9 lattice first (the one libm op
+    that may differ between engines), then ONE fixed float tree per
+    term, floored to an exact BIGINT, summed exactly. ``deg >= 2`` for
+    every item that generates a pair, so ln never sees 1.
+
+    Scale posture: distinct → groupBy degrees → capped equi-self-join →
+    groupBy pairs; the final top-k is ``orderBy().limit()``
+    (TakeOrderedAndProject) — no global sort materializes.
+
+    Output: top ``top_k`` pairs by (jaccard desc, node_a, node_b) —
+    ``node_a, node_b, n_common, deg_a, deg_b, jaccard_x1e6, aa_x1e9``.
+    """
+    pairs_src = inv.select(
+        F.col(item_col).alias("__i"), F.col(node_col).alias("__n")
+    ).distinct()
+    ideg = pairs_src.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ideg")
+    )
+    ndeg = pairs_src.groupBy("__n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ndeg")
+    )
+    cool = pairs_src.join(
+        ideg.filter(F.col("__ideg") <= hot_item_cap), "__i"
+    )
+    aa_term = (
+        F.floor(
+            F.lit(1e9)
+            / F.round(F.log(F.col("__ideg").cast("double")), ln_round)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("__aat")
+    )
+    a = cool.select("__i", F.col("__n").alias("__a"), aa_term)
+    b = cool.select("__i", F.col("__n").alias("__b"))
+    cand = (
+        a.join(b, "__i")
+        .filter(F.col("__a") < F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("__aat").cast("bigint").alias("aa_x1e9"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    scored = (
+        cand.join(ndeg.select(F.col("__n").alias("__a"),
+                              F.col("__ndeg").alias("deg_a")), "__a")
+        .join(ndeg.select(F.col("__n").alias("__b"),
+                          F.col("__ndeg").alias("deg_b")), "__b")
+        .select(
+            F.col("__a").alias("node_a"),
+            F.col("__b").alias("node_b"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr(f"(n_common * {int(scale)}) div "
+                   "(deg_a + deg_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_x1e6"),
+            "aa_x1e9",
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_x1e6"), F.asc("node_a"), F.asc("node_b")
+    ).limit(top_k)

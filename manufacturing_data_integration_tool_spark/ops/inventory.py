@@ -45,6 +45,7 @@ __all__ = [
     "oee_daily",
     "croston_sba",
     "CROSTON_SBA_FACTOR",
+    "economic_order_qty",
 ]
 
 # SBA bias correction 1 - alpha/2 for the default decay 7/10 (alpha =
@@ -453,4 +454,53 @@ def croston_sba(
         )
         .cast("bigint")
         .alias("sba_x1e6"),
+    )
+
+
+def economic_order_qty(
+    df: DataFrame,
+    key_col: str,
+    demand_col: str,
+    hold_cents_col: str,
+    *,
+    order_cost_cents: int = 500_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Economic order quantity (Harris 1913; the Wilson lot-size
+    formula): ``EOQ = sqrt(2 D S / H)`` — the order size balancing
+    fixed ordering cost against holding cost, the planning constant
+    q227's reorder point triggers AGAINST.
+
+    ``df`` carries one row per key with integral annual demand
+    ``demand_col`` (units) and integral holding cost ``hold_cents_col``
+    (cents per unit-year); ``order_cost_cents`` is the fixed cost per
+    order. Publishes BOTH ``eoq2_units`` = ``(2 D S) div H`` (the EXACT
+    integer square — engine-portable with no float at all) and
+    ``eoq_x1e6`` = ``floor(sqrt(2DS/H) * 1e6 + 0.5)`` — safe because
+    IEEE-754 requires sqrt correctly rounded (unlike ln/exp), so both
+    engines see identical doubles from identical exact integers.
+
+    Pure per-row projection: no shuffle, no window, no state.
+
+    Output: ``key_col, demand_units, hold_cents, eoq2_units, eoq_x1e6``.
+    """
+    s = int(order_cost_cents)
+    return df.select(
+        F.col(key_col),
+        F.col(demand_col).cast("bigint").alias("demand_units"),
+        F.col(hold_cents_col).cast("bigint").alias("hold_cents"),
+        F.expr(f"(2 * CAST({demand_col} AS BIGINT) * {s}) div "
+               f"CAST({hold_cents_col} AS BIGINT)")
+        .cast("bigint")
+        .alias("eoq2_units"),
+        F.floor(
+            F.sqrt(
+                F.expr(f"CAST(2 * CAST({demand_col} AS BIGINT) * {s} "
+                       f"AS DOUBLE) / CAST({hold_cents_col} AS DOUBLE)")
+            )
+            * F.lit(float(scale))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("eoq_x1e6"),
     )

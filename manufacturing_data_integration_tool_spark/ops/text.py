@@ -27,6 +27,7 @@ __all__ = [
     "chao1_richness",
     "good_turing_counts",
     "rake_keywords",
+    "burrows_delta",
     "RAKE_STOPWORDS",
     "js_divergence_matrix",
     "DEFAULT_SCRUB_PATTERNS",
@@ -2321,4 +2322,96 @@ def good_turing_counts(
         F.expr(f"((r + 1) * n_r_next * {int(scale)}) div n_r")
         .cast("bigint")
         .alias("r_star_x1e6"),
+    )
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    top_n: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between groups (Burrows 2002,
+    "'Delta': a Measure of Stylistic Difference"): over the corpus's
+    ``top_n`` most frequent words, z-score each group's relative word
+    frequency across groups, and Delta(a, b) = mean |z_a - z_b| — the
+    standard authorship/style-drift distance (two sources with the same
+    function-word profile write alike, whatever they write about).
+
+    Determinism: relative frequencies snap to the 1e-9 integer grid
+    (``(count * 1e9) div total``) on the FULL group x top-word lattice
+    (missing words count 0 — required, or absent words silently shrink
+    a pair's distance). Per-word std uses exact decimal moments and one
+    fixed IEEE tree ending in sqrt (correctly rounded by IEEE-754 —
+    safe, unlike ln/exp). Each pair-word term
+    ``|f_a - f_b| / std`` floors onto the 1e-9 lattice BEFORE the sum
+    (order-free), and zero-variance words contribute 0 via the EXACT
+    integer check ``g * s2 == s1^2`` — never a float-zero division.
+
+    Scale posture: the top-n selection is ``orderBy().limit()``
+    (TakeOrderedAndProject); everything after runs on the tiny
+    (groups x top_n) lattice — broadcast joins end to end.
+
+    Output: one row per unordered group pair —
+    ``(group_a, group_b, n_words, delta_x1e9)`` where delta is the mean
+    per-word term, floor-published x1e9.
+    """
+    g = group_col
+    toks = df.select(F.col(g).alias("__g"), F.explode(tokenize(text_col)).alias("__t"))
+    counts = toks.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    totals = toks.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tot")
+    )
+    topw = (
+        toks.groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__gc"))
+        .orderBy(F.desc("__gc"), F.asc("__t"))
+        .limit(top_n)
+        .select("__t")
+    )
+    lattice = (
+        totals.crossJoin(F.broadcast(topw))
+        .join(counts, ["__g", "__t"], "left")
+        .na.fill({"__c": 0})
+        .select(
+            "__g",
+            "__t",
+            F.expr("(__c * 1000000000) div __tot").cast("bigint").alias("__f"),
+        )
+    )
+    wstats = lattice.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__gn"),
+        F.sum("__f").cast("bigint").alias("__s1"),
+        F.sum(F.col("__f").cast("decimal(38,0)") * F.col("__f")).alias("__s2"),
+    )
+    a = lattice.select(
+        F.col("__g").alias("group_a"), "__t", F.col("__f").alias("__fa")
+    )
+    b = lattice.select(
+        F.col("__g").alias("group_b"), "__t", F.col("__f").alias("__fb")
+    )
+    std_sql = (
+        "sqrt((CAST(__s2 AS DOUBLE) - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)"
+        " / CAST(__gn AS DOUBLE)) / (CAST(__gn AS DOUBLE) - 1.0))"
+    )
+    term_sql = (
+        "CASE WHEN CAST(__gn AS DECIMAL(38,0)) * __s2 = "
+        "CAST(__s1 AS DECIMAL(38,0)) * CAST(__s1 AS DECIMAL(38,0)) THEN 0 "
+        f"ELSE CAST(floor(abs(CAST(__fa - __fb AS DOUBLE)) / ({std_sql})"
+        " * 1000000000.0 + 0.5) AS BIGINT) END"
+    )
+    pairs = (
+        a.join(b, "__t")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .join(F.broadcast(wstats), "__t")
+        .select("group_a", "group_b", F.expr(term_sql).alias("__term"))
+    )
+    return pairs.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.expr("CAST(sum(__term) div count(1) AS BIGINT)").alias(
+            "delta_x1e9"
+        ),
     )

@@ -906,3 +906,29 @@ def test_zorder_blocks_exact_grid(spark):
     # quadrant 0 is the low-left square, quadrant 3 the high-right
     assert (out[0]["x_lo"], out[0]["x_hi"], out[0]["y_lo"], out[0]["y_hi"]) == (0, 1, 0, 1)
     assert (out[3]["x_lo"], out[3]["x_hi"], out[3]["y_lo"], out[3]["y_hi"]) == (2, 3, 2, 3)
+
+
+def test_link_prediction_scores_exact(spark):
+    """Items {i1: (a,b), i2: (a,b), i3: (a,c), i4: (c,)}: pair (a,b)
+    shares 2 items, deg_a=3, deg_b=2 -> jaccard = 2/3; (a,c) shares only
+    1 item and drops below min_common=2. AA term for deg-2 items is
+    floor(1e9/round(ln 2, 9) + 0.5) each."""
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.graph import (
+        link_prediction_scores,
+    )
+
+    rows = [("i1", "a"), ("i1", "b"), ("i2", "a"), ("i2", "b"),
+            ("i3", "a"), ("i3", "c"), ("i4", "c")]
+    df = spark.createDataFrame(rows, "item string, node string")
+    out = link_prediction_scores(
+        df, "item", "node", min_common=2, top_k=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["node_a"], r["node_b"], r["n_common"]) == ("a", "b", 2)
+    assert (r["deg_a"], r["deg_b"]) == (3, 2)
+    assert r["jaccard_x1e6"] == 2 * 1_000_000 // 3
+    term = math.floor(1e9 / round(math.log(2.0), 9) + 0.5)
+    assert r["aa_x1e9"] == 2 * term

@@ -376,3 +376,17 @@ def test_croston_sba_steady_vs_intermittent(spark):
     assert abs(out["lumpy"]["croston_x1e6"] - 2_000_000) <= 1  # 10 / 5
     for r in out.values():
         assert abs(r["sba_x1e6"] - 0.85 * r["croston_x1e6"]) <= 1
+
+
+def test_economic_order_qty_exact(spark):
+    """D=1000, S=500000 cents, H=2000 cents -> EOQ^2 = 2*1000*500000/2000
+    = 500000 exactly; EOQ = sqrt(500000) ~ 707.106781."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        economic_order_qty,
+    )
+
+    df = spark.createDataFrame([("p1", 1000, 2000)],
+                               "k string, d long, h long")
+    r = economic_order_qty(df, "k", "d", "h").collect()[0]
+    assert r["eoq2_units"] == 500_000
+    assert r["eoq_x1e6"] == 707_106_781  # floor(sqrt(5e5)*1e6 + 0.5)

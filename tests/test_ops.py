@@ -1829,3 +1829,28 @@ def test_good_turing_counts_exact(spark):
     ).collect()}
     assert (out2[1]["n_r"], out2[1]["r_star_x1e6"]) == (3, 666_666)
     assert (out2[2]["n_r"], out2[2]["n_r_next"]) == (1, 0)
+
+
+def test_burrows_delta_zero_and_positive(spark):
+    """Two sources with IDENTICAL word profiles have delta 0 against
+    each other's copy; a third with a shifted profile is farther from
+    both, symmetric, and the full lattice (absent words = 0) is used."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        burrows_delta,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "alpha alpha beta"),
+            (2, "s2", "alpha alpha beta"),
+            (3, "s3", "gamma gamma gamma delta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r["group_a"], r["group_b"]): r for r in burrows_delta(
+        df, "source", "text", top_n=10
+    ).collect()}
+    assert out[("s1", "s2")]["delta_x1e9"] == 0
+    assert out[("s1", "s3")]["delta_x1e9"] > 0
+    assert out[("s1", "s3")]["delta_x1e9"] == out[("s2", "s3")]["delta_x1e9"]
+    assert out[("s1", "s2")]["n_words"] == 4  # full lattice: 4 distinct words
