@@ -7841,6 +7841,84 @@ def q294_economic_order_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q295_simpson_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen over orders
+    (ops.evaluation.simpson_screen; Simpson 1951): does the
+    urgent-priority -> finished-status association reverse inside order
+    years vs the pooled table? The aggregation-trap audit for every
+    pooled-rate dashboard (q248's DiD and q236's CUPED assume NO such
+    confounding — this is their hygiene gate). Exact BIGINT 2x2
+    cross-products, sign comparisons only, zero float."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        simpson_screen,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return simpson_screen(
+        orders,
+        F.col("o_orderpriority").startswith("1"),
+        F.col("o_orderstatus") == "F",
+        F.year("o_orderdate").cast("bigint"),
+        strata_name="order_year",
+    )
+
+
+def q296_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand
+    (ops.stats.loglog_slope): OLS slope of ln(quantity) on ln(unit
+    price) over lineitems joined to part brands — the econ-textbook
+    elasticity regression. Each ln snaps to the 1e-9 lattice first
+    (libm drift guard), all five moments are exact decimal sums, the
+    slope numerator/denominator stay exact decimal until ONE float
+    division, and degenerate groups NULL out via the exact integer
+    variance check."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        loglog_slope,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    base = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return loglog_slope(
+        base, "unit_price", "qty", group_cols=["p_brand"]
+    )
+
+
+def q297_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level per part at the 4/5 critical ratio
+    (ops.inventory.newsvendor_stock; Arrow-Harris-Marschak 1951): the
+    exact 80th-percentile order statistic of monthly demand — what to
+    stock so 4 of 5 months are fully served, the service-level
+    companion to q227's reorder point and q294's EOQ. Integer
+    rank*den >= n*num comparison, per-part calendar-bounded windows,
+    no interpolation, no float."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        newsvendor_stock,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    dm = li.groupBy(
+        "l_partkey",
+        (
+            (F.year("l_shipdate") - F.lit(1992)) * F.lit(12)
+            + F.month("l_shipdate")
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("month_idx"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    return newsvendor_stock(
+        dm, "l_partkey", "month_idx", "qty", cr_num=4, cr_den=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7980,6 +8058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q292_link_prediction": q292_link_prediction,
         "q293_burrows_delta": q293_burrows_delta,
         "q294_economic_order_qty": q294_economic_order_qty,
+        "q295_simpson_screen": q295_simpson_screen,
+        "q296_price_elasticity": q296_price_elasticity,
+        "q297_newsvendor_stock": q297_newsvendor_stock,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -12341,6 +12422,84 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(hold_cents AS DOUBLE))
                               * 1000000.0 + 0.5) AS BIGINT) AS eoq_x1e6
             FROM d JOIN h ON h.p_partkey = d.l_partkey
+        """,
+        "q295_simpson_screen": """
+            WITH base AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS order_year,
+                     (o_orderpriority LIKE '1%') AS x,
+                     (o_orderstatus = 'F') AS y
+              FROM orders),
+            cells AS (
+              SELECT order_year,
+                     CAST(SUM(CASE WHEN x AND y THEN 1 ELSE 0 END)
+                          AS BIGINT) AS a,
+                     CAST(SUM(CASE WHEN x AND NOT y THEN 1 ELSE 0 END)
+                          AS BIGINT) AS b,
+                     CAST(SUM(CASE WHEN NOT x AND y THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c,
+                     CAST(SUM(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END)
+                          AS BIGINT) AS d
+              FROM base GROUP BY 1),
+            pooled AS (SELECT CAST(SUM(a) AS BIGINT) AS pa,
+                              CAST(SUM(b) AS BIGINT) AS pb,
+                              CAST(SUM(c) AS BIGINT) AS pc,
+                              CAST(SUM(d) AS BIGINT) AS pd
+                       FROM cells)
+            SELECT order_year, a, b, c, d,
+                   CAST(sign(CAST(a*d - b*c AS DOUBLE)) AS INTEGER)
+                     AS stratum_sign,
+                   CAST(sign(CAST(pa*pd - pb*pc AS DOUBLE)) AS INTEGER)
+                     AS pooled_sign,
+                   (sign(CAST(a*d - b*c AS DOUBLE))
+                    * sign(CAST(pa*pd - pb*pc AS DOUBLE)) < 0) AS flipped
+            FROM cells, pooled
+        """,
+        "q296_price_elasticity": """
+            WITH base AS (
+              SELECT p_brand,
+                     CAST(floor(round(ln(l_extendedprice / l_quantity), 9)
+                                * 1000000000.0 + 0.5) AS BIGINT) AS lx,
+                     CAST(floor(round(ln(CAST(l_quantity AS DOUBLE)), 9)
+                                * 1000000000.0 + 0.5) AS BIGINT) AS ly
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_extendedprice / l_quantity > 0 AND l_quantity > 0),
+            agg AS (
+              SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_used,
+                     SUM(CAST(lx AS HUGEINT)) AS sx,
+                     SUM(CAST(ly AS HUGEINT)) AS sy,
+                     SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+                     SUM(CAST(lx AS HUGEINT) * lx) AS sxx
+              FROM base GROUP BY 1)
+            SELECT p_brand, n_used,
+                   CASE WHEN n_used < 2
+                             OR CAST(n_used AS HUGEINT) * sxx = sx * sx
+                        THEN NULL
+                        ELSE CAST(floor(
+                          CAST(CAST(n_used AS HUGEINT) * sxy - sx * sy
+                               AS DOUBLE)
+                          / CAST(CAST(n_used AS HUGEINT) * sxx - sx * sx
+                                 AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS slope_x1e6
+            FROM agg
+        """,
+        "q297_newsvendor_stock": """
+            WITH dm AS (
+              SELECT l_partkey AS k,
+                     CAST((EXTRACT(year FROM l_shipdate) - 1992) * 12
+                          + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT)
+                       AS per,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+              FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT k, q,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY k ORDER BY q ASC, per ASC) AS rk,
+                    CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n
+                  FROM dm)
+            SELECT k AS l_partkey,
+                   CAST(MAX(n) AS BIGINT) AS n_periods,
+                   MIN(q) AS stock_units
+            FROM r WHERE rk * 5 >= n * 4 GROUP BY 1
         """,
         "q30_multimodal_decode": """
             WITH mmrows AS (

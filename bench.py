@@ -276,6 +276,9 @@ HEADLINE = [
     "q292_link_prediction",
     "q293_burrows_delta",
     "q294_economic_order_qty",
+    "q295_simpson_screen",
+    "q296_price_elasticity",
+    "q297_newsvendor_stock",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

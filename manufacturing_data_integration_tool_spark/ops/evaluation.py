@@ -50,6 +50,7 @@ __all__ = [
     "psi_drift",
     "woe_iv",
     "target_encode_loo",
+    "simpson_screen",
 ]
 
 
@@ -431,4 +432,78 @@ def target_encode_loo(
     )
     return j.withColumn(out_col, _floor_pub(loo, round_to)).drop(
         "__t", "__sum", "__n"
+    )
+
+
+def simpson_screen(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    strata_col: Column | str,
+    *,
+    strata_name: str = "stratum",
+) -> DataFrame:
+    """Simpson's-paradox screen (Simpson, JRSS-B 1951): does the
+    treatment-outcome association REVERSE inside every stratum relative
+    to the pooled table? The classic aggregation trap every dashboard
+    comparing pooled rates eventually hits — this publishes the per-
+    stratum 2x2 cells, both association signs, and a ``flipped`` flag.
+
+    ``x_col`` / ``y_col`` are boolean Columns (treatment, outcome);
+    ``strata_col`` the confounder. Association sign per table is the
+    sign of the odds-ratio numerator ``a*d - b*c`` — EXACT BIGINT
+    cross-products, never a rate division, so the screen is
+    float-free end to end.
+
+    Scale posture: one map-side-combined groupBy to the stratum cells,
+    a 1-row pooled aggregate broadcast back — two shuffles of a
+    |strata|-row table.
+
+    Output: one row per stratum —
+    ``(stratum, a, b, c, d, stratum_sign, pooled_sign, flipped)``
+    with cells a = (x,y), b = (x,!y), c = (!x,y), d = (!x,!y).
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("boolean")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("boolean")
+    s = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    base = df.select(
+        s.alias(strata_name), x.alias("__x"), y.alias("__y")
+    )
+    cells = base.groupBy(strata_name).agg(
+        F.sum(F.when(F.col("__x") & F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("__x") & ~F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("__x") & F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~F.col("__x") & ~F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    pooled = cells.agg(
+        F.sum("a").cast("bigint").alias("__pa"),
+        F.sum("b").cast("bigint").alias("__pb"),
+        F.sum("c").cast("bigint").alias("__pc"),
+        F.sum("d").cast("bigint").alias("__pd"),
+    )
+    sgn = F.signum(
+        (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    ).cast("int")
+    psgn = F.signum(
+        (F.col("__pa") * F.col("__pd") - F.col("__pb") * F.col("__pc")).cast(
+            "double"
+        )
+    ).cast("int")
+    return cells.crossJoin(F.broadcast(pooled)).select(
+        strata_name,
+        "a",
+        "b",
+        "c",
+        "d",
+        sgn.alias("stratum_sign"),
+        psgn.alias("pooled_sign"),
+        ((sgn * psgn) < 0).alias("flipped"),
     )

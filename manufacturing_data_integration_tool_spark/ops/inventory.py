@@ -46,6 +46,7 @@ __all__ = [
     "croston_sba",
     "CROSTON_SBA_FACTOR",
     "economic_order_qty",
+    "newsvendor_stock",
 ]
 
 # SBA bias correction 1 - alpha/2 for the default decay 7/10 (alpha =
@@ -503,4 +504,54 @@ def economic_order_qty(
         )
         .cast("bigint")
         .alias("eoq_x1e6"),
+    )
+
+
+def newsvendor_stock(
+    demand: DataFrame,
+    key_col: str,
+    period_col: str,
+    qty_col: str,
+    *,
+    cr_num: int = 4,
+    cr_den: int = 5,
+) -> DataFrame:
+    """Newsvendor stocking level (Arrow-Harris-Marschak 1951): per key,
+    the smallest historical demand quantile covering the critical ratio
+    ``Cu / (Cu + Co) = cr_num/cr_den`` — stock so that the fraction of
+    periods fully served is at least the critical ratio (underage cost
+    Cu vs overage cost Co; 4/5 = the 80% service point).
+
+    The quantile is the EXACT order statistic: rank periods by
+    (qty asc, period asc) per key and take the first rank with
+    ``rank * cr_den >= n * cr_num`` — pure integer comparison, no
+    interpolation, no float. Per-key windows over CALENDAR-bounded
+    histories (one row per period), so no unbounded single-task sort.
+
+    Output: ``key_col, n_periods, stock_units`` (the order-statistic
+    demand, exact).
+    """
+    if not (0 < cr_num < cr_den):
+        raise ValueError("critical ratio must satisfy 0 < cr_num < cr_den")
+    d = demand.select(
+        F.col(key_col).alias("__k"),
+        F.col(period_col).cast("bigint").alias("__per"),
+        F.col(qty_col).cast("bigint").alias("__q"),
+    )
+    w = Window.partitionBy("__k").orderBy(F.asc("__q"), F.asc("__per"))
+    wn = Window.partitionBy("__k")
+    ranked = d.select(
+        "__k",
+        "__q",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("__n"),
+    )
+    hit = ranked.filter(
+        F.col("__rk") * F.lit(int(cr_den)) >= F.col("__n") * F.lit(int(cr_num))
+    )
+    return hit.groupBy("__k").agg(
+        F.max("__n").alias("n_periods"),
+        F.min("__q").alias("stock_units"),
+    ).select(
+        F.col("__k").alias(key_col), "n_periods", "stock_units"
     )

@@ -63,6 +63,7 @@ __all__ = [
     "gini_coefficient",
     "trimmed_mean",
     "eb_shrunk_rates",
+    "loglog_slope",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -2040,4 +2041,75 @@ def eb_shrunk_rates(
         F.floor(F.expr(shrunk_sql) * F.lit(s) + F.lit(0.5))
         .cast("bigint")
         .alias("shrunk_x1e6"),
+    )
+
+
+def loglog_slope(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    *,
+    group_cols: Sequence[str] = (),
+    ln_round: int = 9,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """OLS slope of ``ln(y)`` on ``ln(x)`` per group — the log-log
+    elasticity estimator (a 1% change in x associates with slope% in y;
+    the standard price-elasticity / Zipf-exponent regression shape).
+
+    Determinism: each ln lands on the 1e-9 integer lattice FIRST
+    (``floor(round(ln(v), 9) * 1e9 + 0.5)`` — ln is the one libm op
+    that may differ between engines past ~15 significant digits, so it
+    is rounded to 9 before any arithmetic), then every moment
+    (n, Σx, Σy, Σxy, Σx²) is an EXACT decimal(38,0) sum of BIGINTs, and
+    the closed-form slope ``(nΣxy - ΣxΣy) / (nΣx² - (Σx)²)`` is ONE
+    fixed IEEE tree over those exact scalars, floor-published. Rows
+    with x <= 0 or y <= 0 are excluded (ln undefined) — counted in
+    ``n_used`` vs nothing hidden. Degenerate groups (n < 2 or zero
+    x-variance by the EXACT integer check) publish NULL.
+
+    Scale posture: one map-side-combined groupBy — five sums — per
+    group; no window, no join.
+
+    Output: ``group_cols + (n_used, slope_x1e6)``.
+    """
+    g = list(group_cols)
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+
+    def lat(c: Column) -> Column:
+        return (
+            F.floor(F.round(F.log(c), ln_round) * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+        )
+
+    base = df.filter((x > 0) & (y > 0)).select(
+        *g, lat(x).alias("__lx"), lat(y).alias("__ly")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    agg = base.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(dec("__lx")).alias("__sx"),
+        F.sum(dec("__ly")).alias("__sy"),
+        F.sum(dec("__lx") * F.col("__ly")).alias("__sxy"),
+        F.sum(dec("__lx") * F.col("__lx")).alias("__sxx"),
+    )
+    # exact zero-variance check: n*Σx² == (Σx)² in decimal
+    degenerate = (F.col("n_used") < 2) | (
+        F.col("n_used").cast("decimal(38,0)") * F.col("__sxx")
+        == F.col("__sx") * F.col("__sx")
+    )
+    # numerator/denominator stay EXACT decimal until the one division
+    n_dec = F.col("n_used").cast("decimal(38,0)")
+    num = n_dec * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = n_dec * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = num.cast("double") / den.cast("double")
+    return agg.select(
+        *g,
+        "n_used",
+        F.when(degenerate, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(slope * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("slope_x1e6"),
     )

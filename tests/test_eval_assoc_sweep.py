@@ -557,3 +557,28 @@ def test_ndcg_bounds_and_perfect_ranking(spark, sf_dir):
             assert r["ndcg_x1e6"] == 1_000_000
     else:
         assert r["ndcg_x1e6"] is None
+
+
+def test_simpson_screen_textbook_reversal(spark):
+    """The classic reversal: treatment better WITHIN each stratum but
+    worse pooled (stratum sizes confound). Each stratum sign is +1,
+    pooled sign -1, flipped True everywhere."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        simpson_screen,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    # stratum s1: treated 81/87 (93%) vs control 234/270 (87%)
+    rows += [("s1", True, True)] * 81 + [("s1", True, False)] * 6
+    rows += [("s1", False, True)] * 234 + [("s1", False, False)] * 36
+    # stratum s2: treated 192/263 (73%) vs control 55/80 (69%)
+    rows += [("s2", True, True)] * 192 + [("s2", True, False)] * 71
+    rows += [("s2", False, True)] * 55 + [("s2", False, False)] * 25
+    df = spark.createDataFrame(rows, "g string, x boolean, y boolean")
+    out = {r["stratum"]: r for r in simpson_screen(
+        df, F.col("x"), F.col("y"), F.col("g")
+    ).collect()}
+    assert all(r["stratum_sign"] == 1 for r in out.values())
+    assert all(r["pooled_sign"] == -1 for r in out.values())
+    assert all(r["flipped"] for r in out.values())

@@ -390,3 +390,20 @@ def test_economic_order_qty_exact(spark):
     r = economic_order_qty(df, "k", "d", "h").collect()[0]
     assert r["eoq2_units"] == 500_000
     assert r["eoq_x1e6"] == 707_106_781  # floor(sqrt(5e5)*1e6 + 0.5)
+
+
+def test_newsvendor_stock_order_statistic(spark):
+    """Demands 10,20,30,40,50 at cr=4/5: first rank with rk*5 >= n*4 is
+    rank 4 -> stock 40. Two periods at cr=4/5: rank 2 -> the max."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        newsvendor_stock,
+    )
+
+    rows = [("p1", i, q) for i, q in enumerate([30, 10, 50, 20, 40])]
+    rows += [("p2", 0, 7), ("p2", 1, 9)]
+    df = spark.createDataFrame(rows, "k string, per long, qty long")
+    out = {r["k"]: r for r in newsvendor_stock(
+        df, "k", "per", "qty"
+    ).collect()}
+    assert (out["p1"]["n_periods"], out["p1"]["stock_units"]) == (5, 40)
+    assert (out["p2"]["n_periods"], out["p2"]["stock_units"]) == (2, 9)

@@ -1309,3 +1309,20 @@ def test_eb_shrunk_rates_single_entity_full_pool(spark):
     assert r["kappa_x1e6"] == 10_000_000_000
     # pooled mean == own rate, so shrinkage is a fixed point at 0.3
     assert abs(r["shrunk_x1e6"] - 300_000) <= 1
+
+
+def test_loglog_slope_recovers_exponent(spark):
+    """y = x^-2 exactly -> slope -2 on the ln lattice; a constant-x
+    group is degenerate -> NULL."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        loglog_slope,
+    )
+
+    rows = [("pow", float(x), float(x) ** -2.0) for x in (2, 3, 5, 7, 11)]
+    rows += [("flat", 4.0, float(y)) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in loglog_slope(
+        df, "x", "y", group_cols=["g"]
+    ).collect()}
+    assert abs(out["pow"]["slope_x1e6"] - (-2_000_000)) <= 5  # lattice noise
+    assert out["flat"]["slope_x1e6"] is None
