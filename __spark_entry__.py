@@ -7919,6 +7919,78 @@ def q297_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q298_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (1950) across THREE document-quality screens —
+    Gopher pass, Flesch >= 50, char-entropy >= 3.0 nats: do the k
+    screens pass the same fraction of documents, or is one
+    systematically stricter? The k-screen generalization of q278's
+    McNemar (k=2), over the SAME screen subqueries as q257/q278 so the
+    agreement audits can never drift apart. The cross-multiplied form
+    Q = (k-1)(k ΣC_j² - T²) / (kT - ΣR_i²) is EXACT BIGINT end to end —
+    one floor-published division, NULL when every document passes all
+    or none (denominator 0, Q undefined)."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        char_entropy,
+        flesch_reading_ease,
+        gopher_quality_flags,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = gopher_quality_flags(docs, min_words=30, min_stopword_hits=1).select(
+        "doc_id", F.col("passes_gopher").alias("__a")
+    )
+    b = flesch_reading_ease(docs, "text").select(
+        "doc_id", (F.col("flesch_x1000") >= 50_000).alias("__b")
+    )
+    c = char_entropy(docs).select(
+        "doc_id", (F.col("char_entropy") >= 3.0).alias("__c")
+    )
+    j = (
+        a.join(b, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("__a"), F.lit(False)).cast("int").alias("__a"),
+            F.coalesce(F.col("__b"), F.lit(False)).cast("int").alias("__b"),
+            F.coalesce(F.col("__c"), F.lit(False)).cast("int").alias("__c"),
+        )
+        .withColumn("__r", F.col("__a") + F.col("__b") + F.col("__c"))
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__a").cast("bigint").alias("c_gopher"),
+        F.sum("__b").cast("bigint").alias("c_flesch"),
+        F.sum("__c").cast("bigint").alias("c_entropy"),
+        F.sum("__r").cast("bigint").alias("t"),
+        F.sum(F.col("__r") * F.col("__r")).cast("bigint").alias("sum_r2"),
+    )
+    num = F.lit(2) * (
+        F.lit(3)
+        * (
+            F.col("c_gopher") * F.col("c_gopher")
+            + F.col("c_flesch") * F.col("c_flesch")
+            + F.col("c_entropy") * F.col("c_entropy")
+        )
+        - F.col("t") * F.col("t")
+    )
+    den = F.lit(3) * F.col("t") - F.col("sum_r2")
+    return agg.select(
+        "n_docs",
+        "c_gopher",
+        "c_flesch",
+        "c_entropy",
+        "t",
+        "sum_r2",
+        F.when(den == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("cochran_q_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8061,6 +8133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q295_simpson_screen": q295_simpson_screen,
         "q296_price_elasticity": q296_price_elasticity,
         "q297_newsvendor_stock": q297_newsvendor_stock,
+        "q298_cochran_q": q298_cochran_q,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -14774,6 +14847,60 @@ def oracle_sql() -> dict[str, str]:
                     * CAST(1000000.0 AS DOUBLE)
                     + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mcnemar_x1e6
         FROM c
+    """
+
+    # q298 composes the SAME three screen subqueries (q150 gopher, q278's
+    # inline flesch CTE, q151 entropy) so the k-screen Q and the pairwise
+    # McNemar/kappa audits can never drift apart.
+    out["q298_cochran_q"] = f"""
+        WITH g AS ({out["q150_gopher_quality"]}),
+        fl AS (
+          SELECT doc_id,
+                 CASE WHEN CAST(len(regexp_extract_all(lower(text),
+                            '[a-z]+')) AS BIGINT) > 0
+                      THEN (CAST(floor((CAST(206.835 AS DOUBLE)
+                        - CAST(1.015 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)
+                             / CAST(GREATEST(1,
+                                 len(regexp_extract_all(text, '[.!?]+')))
+                                 AS DOUBLE))
+                        - CAST(84.6 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[aeiouy]+')) AS DOUBLE)
+                             / CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)))
+                        * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+                        >= 50000)
+                      ELSE false END AS b
+          FROM documents),
+        en AS (SELECT doc_id, (char_entropy >= 3.0) AS c
+               FROM ({out["q151_char_entropy"]})),
+        j AS (SELECT CAST(g.passes_gopher AS INTEGER) AS a,
+                     CAST(COALESCE(fl.b, false) AS INTEGER) AS b,
+                     CAST(COALESCE(en.c, false) AS INTEGER) AS c
+              FROM g
+              LEFT JOIN fl USING (doc_id)
+              LEFT JOIN en USING (doc_id)),
+        r AS (SELECT a, b, c, a + b + c AS ri FROM j),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(a) AS BIGINT) AS c_gopher,
+                 CAST(SUM(b) AS BIGINT) AS c_flesch,
+                 CAST(SUM(c) AS BIGINT) AS c_entropy,
+                 CAST(SUM(ri) AS BIGINT) AS t,
+                 CAST(SUM(ri * ri) AS BIGINT) AS sum_r2
+          FROM r)
+        SELECT n_docs, c_gopher, c_flesch, c_entropy, t, sum_r2,
+               CASE WHEN 3 * t - sum_r2 = 0 THEN NULL
+                    ELSE CAST(floor(
+                      CAST(2 * (3 * (c_gopher * c_gopher
+                                     + c_flesch * c_flesch
+                                     + c_entropy * c_entropy)
+                                - t * t) AS DOUBLE)
+                      / CAST(3 * t - sum_r2 AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS cochran_q_x1e6
+        FROM agg
     """
 
     # q279 wraps q204's full chi-square oracle so the statistic and its

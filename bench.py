@@ -279,6 +279,7 @@ HEADLINE = [
     "q295_simpson_screen",
     "q296_price_elasticity",
     "q297_newsvendor_stock",
+    "q298_cochran_q",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

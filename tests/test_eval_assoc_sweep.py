@@ -582,3 +582,22 @@ def test_simpson_screen_textbook_reversal(spark):
     assert all(r["stratum_sign"] == 1 for r in out.values())
     assert all(r["pooled_sign"] == -1 for r in out.values())
     assert all(r["flipped"] for r in out.values())
+
+
+def test_cochran_q_exact_small_table(spark, sf_dir):
+    """Driver-shape check on real testdata plus an exact hand check of
+    the cross-multiplied form on the published cells: Q = 2(3*SumCj^2 -
+    T^2)/(3T - SumRi^2) recomputed in Python ints must match."""
+    import __spark_entry__ as entry
+
+    r = entry.q298_cochran_q(spark, sf_dir).collect()[0]
+    cj2 = r["c_gopher"] ** 2 + r["c_flesch"] ** 2 + r["c_entropy"] ** 2
+    den = 3 * r["t"] - r["sum_r2"]
+    if den == 0:
+        assert r["cochran_q_x1e6"] is None
+    else:
+        import math
+
+        expect = math.floor(2 * (3 * cj2 - r["t"] ** 2) / den * 1e6 + 0.5)
+        assert r["cochran_q_x1e6"] == expect
+        assert r["cochran_q_x1e6"] >= 0
