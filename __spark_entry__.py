@@ -12416,7 +12416,7 @@ def oracle_sql() -> dict[str, str]:
                                 / round(ln(CAST(ideg AS DOUBLE)), 9)
                                 + 0.5) AS BIGINT) AS aat
               FROM inv JOIN ideg ON ideg.i = inv.i
-              WHERE ideg <= 256),
+              WHERE ideg >= 2 AND ideg <= 256),
             cand AS (
               SELECT a.n AS na, b.n AS nb,
                      CAST(COUNT(*) AS BIGINT) AS n_common,

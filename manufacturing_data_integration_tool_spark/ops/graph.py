@@ -255,16 +255,28 @@ def pagerank(
 
     Output: ``(node, rank)`` with rank as DOUBLE summing to ~1.0.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # lazy-checkpoint the iteration-invariant tables: e feeds one join
+    # per iteration, nodes/outdeg one each — without the checkpoints
+    # every iteration re-runs the scan + distinct chains (measured
+    # ~16 s -> ~7 s at sf0.1). The n_nodes count materializes e+nodes;
+    # outdeg materializes on its first iteration use.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(eager=False)
     # damping as an exact rational: damp_num / damp_den
     damp_num = int(round(damping * 1_000_000))
     damp_den = 1_000_000
@@ -490,7 +502,15 @@ def hits_scores(
     Returns ``(hubs, authorities)`` DataFrames, each ``(node, score)``
     with score BIGINT in 1/scale units.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # lazy-checkpoint the deduped edge list: it feeds TWO joins per
+    # iteration (8 references at the default 4), and without the
+    # checkpoint every reference re-runs the scan + distinct — measured
+    # 22 s -> ~8 s at sf0.1. The n_hubs count below materializes it.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hubs = e.select(F.col("src").alias("node")).distinct()
     n_hubs = hubs.count()
     if n_hubs == 0:
@@ -499,6 +519,10 @@ def hits_scores(
     h = hubs.withColumn("score", F.lit(int(scale // n_hubs)).cast("bigint"))
 
     def _l1_norm(df: DataFrame) -> DataFrame:
+        # the raw-score table is referenced TWICE (the 1-row total and
+        # the normalizing projection) — checkpoint so the half-iteration
+        # aggregation runs once, not once per reference
+        df = df.localCheckpoint(eager=False)
         tot = df.agg(F.sum(F.col("score").cast("decimal(38,0)")).alias("__t"))
         return df.crossJoin(F.broadcast(tot)).select(
             "node",
@@ -579,8 +603,16 @@ def link_prediction_scores(
     ndeg = pairs_src.groupBy("__n").agg(
         F.count(F.lit(1)).cast("bigint").alias("__ndeg")
     )
+    # deg >= 2 is structural, not just documented: a 1-node item can't
+    # form a pair, and its AA term would be 1/ln(1) — an ANSI
+    # divide-by-zero whenever the optimizer evaluates the term before
+    # the pair join filters the row out (plan-dependent, so it MUST be
+    # excluded here, not relied on downstream)
     cool = pairs_src.join(
-        ideg.filter(F.col("__ideg") <= hot_item_cap), "__i"
+        ideg.filter(
+            (F.col("__ideg") >= 2) & (F.col("__ideg") <= hot_item_cap)
+        ),
+        "__i",
     )
     aa_term = (
         F.floor(
