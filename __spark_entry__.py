@@ -7991,6 +7991,206 @@ def q298_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q299_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978) on
+    q247's life table — the nonparametric H(t) = sum d_j/n_j companion
+    to q268's Kaplan-Meier (NA needs no products/logs at all, so unlike
+    KM it never hits the ln-0 NULL edge). Each per-day increment is the
+    pure-integer lattice term ``(d * 1e9) div n`` and the cumulative sum
+    is exact BIGINT over the calendar-bounded day axis — float-free end
+    to end, same composition discipline as q278/q279 (the life table is
+    computed ONCE, by q247's exact chain)."""
+    base = q247_hazard_table(spark, sf_dir)
+    w = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = base.select(
+        "t_days",
+        "n_fail",
+        "at_risk",
+        F.expr("(n_fail * 1000000000) div at_risk").alias("__term"),
+    )
+    return t.select(
+        "t_days",
+        "n_fail",
+        "at_risk",
+        F.sum("__term").over(w).cast("bigint").alias("na_cumhaz_x1e9"),
+    )
+
+
+def q300_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of q275's test-arm Brier score (Murphy
+    1973): reliability (calibration gap), resolution (how much the bins
+    separate outcomes), and uncertainty (outcome base-rate variance) —
+    REL - RES + UNC must reproduce q275's Brier, which the pytest pins
+    to within per-term lattice rounding. Rebuilds the IDENTICAL
+    train/test bin chain as q275 (same hash arm, same shared-grid bins)
+    so the decomposition can never drift from the score it explains;
+    every per-bin term floor-quantizes to the 1e-12 lattice before the
+    exact BIGINT sum."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import _u52
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("__s"),
+        F.md5("text").alias("__fp"),
+    )
+    groups = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__c"))
+    base = fp.join(groups, "__fp").select(
+        "__s",
+        (F.col("__c") > 1).cast("bigint").alias("__y"),
+        (_u52(F.col("doc_id"), "calib") % 2).cast("bigint").alias("__arm"),
+    )
+    stats = base.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    binned = base.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(9).cast("bigint"),
+            F.expr("((__s - __lo) * 10) div (__hi - __lo + 1)"),
+        ).alias("bin"),
+        "__y",
+        "__arm",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tr"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__y")).otherwise(0))
+        .cast("bigint")
+        .alias("k_tr"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_te"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__y")).otherwise(0))
+        .cast("bigint")
+        .alias("k_te"),
+    )
+    tot = cells.agg(
+        F.sum(F.when(F.col("n_tr") > 0, F.col("n_te")).otherwise(0))
+        .cast("bigint")
+        .alias("__nte"),
+        F.sum(F.when(F.col("n_tr") > 0, F.col("k_te")).otherwise(0))
+        .cast("bigint")
+        .alias("__kte"),
+    )
+    j = cells.crossJoin(F.broadcast(tot)).filter(
+        (F.col("n_tr") > 0) & (F.col("n_te") > 0)
+    )
+    p = F.col("k_tr").cast("double") / F.col("n_tr").cast("double")
+    q = F.col("k_te").cast("double") / F.col("n_te").cast("double")
+    ob = F.col("__kte").cast("double") / F.col("__nte").cast("double")
+    wt = F.col("n_te").cast("double") / F.col("__nte").cast("double")
+    rel_t = F.floor(
+        (p - q) * (p - q) * wt * F.lit(1e12) + F.lit(0.5)
+    ).cast("bigint")
+    res_t = F.floor(
+        (q - ob) * (q - ob) * wt * F.lit(1e12) + F.lit(0.5)
+    ).cast("bigint")
+    out = j.groupBy().agg(
+        F.max("__nte").alias("n_test_scored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_scored"),
+        F.sum(rel_t).cast("bigint").alias("rel_x1e12"),
+        F.sum(res_t).cast("bigint").alias("res_x1e12"),
+        F.max("__kte").alias("__kte2"),
+    )
+    obf = F.col("__kte2").cast("double") / F.col("n_test_scored").cast(
+        "double"
+    )
+    return out.select(
+        "n_test_scored",
+        "n_bins_scored",
+        "rel_x1e12",
+        "res_x1e12",
+        F.floor(obf * (F.lit(1.0) - obf) * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint")
+        .alias("unc_x1e12"),
+        (
+            F.col("rel_x1e12")
+            - F.col("res_x1e12")
+            + F.floor(obf * (F.lit(1.0) - obf) * F.lit(1e12) + F.lit(0.5))
+            .cast("bigint")
+        ).alias("brier_decomp_x1e12"),
+    )
+
+
+def q301_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights (Fellegi & Sunter, JASA
+    1969) learned over q183's phonetic candidate pairs: for each
+    comparison field (brand equal / type equal / size within 2),
+    m = P(agree | match) and u = P(agree | non-match) from exact pair
+    counts (match proxy: levenshtein <= 1), and the log-likelihood
+    agreement weight ln(m/u) — the calibrated score an ER pipeline sums
+    per field instead of q183's raw distance cut. Laplace-smoothed
+    ((a+1)/(n+2)) so no zero cell; the single ln runs on ONE exact
+    integer ratio and rounds to the 1e-9 lattice (the q292 discipline).
+    Per-name representative attributes come from the min-partkey row
+    (unique key -> deterministic on both engines)."""
+    part = read_table(spark, sf_dir, "part")
+    pairs = dd.phonetic_key_pairs(part, "p_name", max_dist=3, min_len=4)
+    w = Window.partitionBy("p_name").orderBy("p_partkey")
+    rep = (
+        part.select("p_name", "p_partkey", "p_brand", "p_type", "p_size")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    a = rep.select(
+        F.col("p_name").alias("key_a"),
+        F.col("p_brand").alias("__ba"),
+        F.col("p_type").alias("__ca"),
+        F.col("p_size").alias("__sa"),
+    )
+    b = rep.select(
+        F.col("p_name").alias("key_b"),
+        F.col("p_brand").alias("__bb"),
+        F.col("p_type").alias("__cb"),
+        F.col("p_size").alias("__sb"),
+    )
+    j = (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .select(
+            (F.col("dist") <= 1).cast("int").alias("__m"),
+            (F.col("__ba") == F.col("__bb")).cast("int").alias("__agb"),
+            (F.col("__ca") == F.col("__cb")).cast("int").alias("__agc"),
+            (F.abs(F.col("__sa") - F.col("__sb")) <= 2)
+            .cast("int")
+            .alias("__ags"),
+        )
+    )
+    lng = j.select(
+        "__m",
+        F.expr(
+            "stack(3, 'brand', __agb, 'type', __agc, 'size', __ags)"
+        ).alias("field", "__agree"),
+    )
+    counts = lng.groupBy("field").agg(
+        F.sum("__m").cast("bigint").alias("n_match"),
+        F.sum(F.col("__m") * F.col("__agree")).cast("bigint").alias(
+            "a_match"
+        ),
+        F.sum(F.lit(1) - F.col("__m")).cast("bigint").alias("n_nonmatch"),
+        F.sum((F.lit(1) - F.col("__m")) * F.col("__agree"))
+        .cast("bigint")
+        .alias("a_nonmatch"),
+    )
+    num = (F.col("a_match") + 1) * (F.col("n_nonmatch") + 2)
+    den = (F.col("n_match") + 2) * (F.col("a_nonmatch") + 1)
+    return counts.select(
+        "field",
+        "n_match",
+        "a_match",
+        "n_nonmatch",
+        "a_nonmatch",
+        F.floor(
+            F.round(F.log(num.cast("double") / den.cast("double")), 9)
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("weight_x1e9"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8134,6 +8334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q296_price_elasticity": q296_price_elasticity,
         "q297_newsvendor_stock": q297_newsvendor_stock,
         "q298_cochran_q": q298_cochran_q,
+        "q299_nelson_aalen": q299_nelson_aalen,
+        "q300_brier_decomposition": q300_brier_decomposition,
+        "q301_fs_weights": q301_fs_weights,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -11945,6 +12148,75 @@ def oracle_sql() -> dict[str, str]:
                               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nmi_x1e6
             FROM mi, hl, hs
         """,
+        "q300_brier_decomposition": """
+            WITH fp AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS s, md5(text) AS f
+              FROM documents),
+            grp AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY 1),
+            base AS (
+              SELECT fp.s,
+                     CASE WHEN grp.c > 1 THEN 1 ELSE 0 END AS y,
+                     CAST(CAST('0x' || substr(md5(CAST(fp.doc_id AS VARCHAR)
+                          || ':calib'), 1, 13) AS BIGINT) % 2 AS BIGINT) AS arm
+              FROM fp JOIN grp USING (f)),
+            st AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM base),
+            binned AS (
+              SELECT least(CAST(9 AS BIGINT),
+                           ((s - lo) * 10) // (hi - lo + 1)) AS bin, y, arm
+              FROM base, st),
+            cells AS (
+              SELECT bin,
+                     CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+                     CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS k_tr,
+                     CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_te,
+                     CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS k_te
+              FROM binned GROUP BY 1),
+            tot AS (
+              SELECT CAST(SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT) AS nte,
+                     CAST(SUM(CASE WHEN n_tr > 0 THEN k_te ELSE 0 END) AS BIGINT) AS kte
+              FROM cells),
+            terms AS (
+              SELECT nte, kte,
+                     CAST(floor((CAST(k_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)
+                                 - CAST(k_te AS DOUBLE) / CAST(n_te AS DOUBLE))
+                                * (CAST(k_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)
+                                   - CAST(k_te AS DOUBLE) / CAST(n_te AS DOUBLE))
+                                * (CAST(n_te AS DOUBLE) / CAST(nte AS DOUBLE))
+                                * CAST(1000000000000.0 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rel_t,
+                     CAST(floor((CAST(k_te AS DOUBLE) / CAST(n_te AS DOUBLE)
+                                 - CAST(kte AS DOUBLE) / CAST(nte AS DOUBLE))
+                                * (CAST(k_te AS DOUBLE) / CAST(n_te AS DOUBLE)
+                                   - CAST(kte AS DOUBLE) / CAST(nte AS DOUBLE))
+                                * (CAST(n_te AS DOUBLE) / CAST(nte AS DOUBLE))
+                                * CAST(1000000000000.0 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS res_t
+              FROM cells, tot WHERE n_tr > 0 AND n_te > 0),
+            agg AS (
+              SELECT MAX(nte) AS n_test_scored,
+                     CAST(COUNT(*) AS BIGINT) AS n_bins_scored,
+                     CAST(SUM(rel_t) AS BIGINT) AS rel_x1e12,
+                     CAST(SUM(res_t) AS BIGINT) AS res_x1e12,
+                     MAX(kte) AS kte2
+              FROM terms)
+            SELECT n_test_scored, n_bins_scored, rel_x1e12, res_x1e12,
+                   CAST(floor(CAST(kte2 AS DOUBLE) / CAST(n_test_scored AS DOUBLE)
+                              * (CAST(1.0 AS DOUBLE)
+                                 - CAST(kte2 AS DOUBLE)
+                                   / CAST(n_test_scored AS DOUBLE))
+                              * CAST(1000000000000.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS unc_x1e12,
+                   rel_x1e12 - res_x1e12
+                     + CAST(floor(CAST(kte2 AS DOUBLE)
+                                  / CAST(n_test_scored AS DOUBLE)
+                              * (CAST(1.0 AS DOUBLE)
+                                 - CAST(kte2 AS DOUBLE)
+                                   / CAST(n_test_scored AS DOUBLE))
+                              * CAST(1000000000000.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     AS brier_decomp_x1e12
+            FROM agg
+        """,
         "q275_histogram_calibration": """
             WITH fp AS (
               SELECT doc_id, CAST(n_chars AS BIGINT) AS s, md5(text) AS f
@@ -14901,6 +15173,61 @@ def oracle_sql() -> dict[str, str]:
                       / CAST(3 * t - sum_r2 AS DOUBLE)
                       * 1000000.0 + 0.5) AS BIGINT) END AS cochran_q_x1e6
         FROM agg
+    """
+
+    # q299 wraps q247's full life-table oracle so the cumulative hazard
+    # and the per-day hazard always come from the same exact chain.
+    out["q299_nelson_aalen"] = f"""
+        WITH lt AS ({out["q247_hazard_table"]})
+        SELECT t_days, n_fail, at_risk,
+               CAST(SUM((n_fail * 1000000000) // at_risk)
+                    OVER (ORDER BY t_days ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS na_cumhaz_x1e9
+        FROM lt
+    """
+
+    # q301 shares q183's soundex-coded CTE chain so the FS weights are
+    # learned over exactly the candidate pairs q183 publishes.
+    out["q301_fs_weights"] = f"""
+        WITH {_soundex_coded_cte()},
+        pairs AS (
+          SELECT a.k AS key_a, b.k AS key_b,
+                 CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+          FROM coded a JOIN coded b ON a.code = b.code AND a.k < b.k
+          WHERE levenshtein(a.k, b.k) <= 3),
+        rep AS (
+          SELECT p_name, p_brand, p_type, p_size
+          FROM (SELECT p_name, p_brand, p_type, p_size,
+                       ROW_NUMBER() OVER (PARTITION BY p_name
+                                          ORDER BY p_partkey) AS rn
+                FROM part) WHERE rn = 1),
+        j AS (
+          SELECT CASE WHEN dist <= 1 THEN 1 ELSE 0 END AS m,
+                 CASE WHEN ra.p_brand = rb.p_brand THEN 1 ELSE 0 END AS agb,
+                 CASE WHEN ra.p_type = rb.p_type
+                      THEN 1 ELSE 0 END AS agc,
+                 CASE WHEN abs(ra.p_size - rb.p_size) <= 2
+                      THEN 1 ELSE 0 END AS ags
+          FROM pairs
+          JOIN rep ra ON ra.p_name = key_a
+          JOIN rep rb ON rb.p_name = key_b),
+        lng AS (
+          SELECT 'brand' AS field, m, agb AS agree FROM j
+          UNION ALL SELECT 'type', m, agc FROM j
+          UNION ALL SELECT 'size', m, ags FROM j),
+        counts AS (
+          SELECT field, CAST(SUM(m) AS BIGINT) AS n_match,
+                 CAST(SUM(m * agree) AS BIGINT) AS a_match,
+                 CAST(SUM(1 - m) AS BIGINT) AS n_nonmatch,
+                 CAST(SUM((1 - m) * agree) AS BIGINT) AS a_nonmatch
+          FROM lng GROUP BY 1)
+        SELECT field, n_match, a_match, n_nonmatch, a_nonmatch,
+               CAST(floor(round(ln(
+                      CAST((a_match + 1) * (n_nonmatch + 2) AS DOUBLE)
+                      / CAST((n_match + 2) * (a_nonmatch + 1) AS DOUBLE)), 9)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS weight_x1e9
+        FROM counts
     """
 
     # q279 wraps q204's full chi-square oracle so the statistic and its

@@ -280,6 +280,9 @@ HEADLINE = [
     "q296_price_elasticity",
     "q297_newsvendor_stock",
     "q298_cochran_q",
+    "q299_nelson_aalen",
+    "q300_brier_decomposition",
+    "q301_fs_weights",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

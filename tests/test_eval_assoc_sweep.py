@@ -601,3 +601,36 @@ def test_cochran_q_exact_small_table(spark, sf_dir):
         expect = math.floor(2 * (3 * cj2 - r["t"] ** 2) / den * 1e6 + 0.5)
         assert r["cochran_q_x1e6"] == expect
         assert r["cochran_q_x1e6"] >= 0
+
+
+def test_brier_decomposition_murphy_identity(spark, sf_dir):
+    """REL - RES + UNC must reproduce q275's Brier score up to the
+    per-bin 1e-12 lattice rounding (<= 1 ulp per scored bin per
+    component), and all three components are non-negative."""
+    import __spark_entry__ as entry
+
+    d = entry.q300_brier_decomposition(spark, sf_dir).collect()[0]
+    b = entry.q275_histogram_calibration(spark, sf_dir).collect()[0]
+    assert d["rel_x1e12"] >= 0 and d["res_x1e12"] >= 0 and d["unc_x1e12"] >= 0
+    tol = 3 * d["n_bins_scored"] + 3  # lattice rounding headroom
+    assert abs(d["brier_decomp_x1e12"] - b["brier_x1e12"]) <= tol
+    assert d["n_test_scored"] == b["n_test_scored"]
+
+
+def test_fs_weights_field_separation(spark, sf_dir):
+    """On real pairs: weights exist for all three fields, counts are
+    consistent (a <= n), and the published weight equals the Laplace
+    log-ratio recomputed in Python on the published integer cells."""
+    import math
+
+    import __spark_entry__ as entry
+
+    rows = entry.q301_fs_weights(spark, sf_dir).collect()
+    assert {r["field"] for r in rows} == {"brand", "type", "size"}
+    for r in rows:
+        assert 0 <= r["a_match"] <= r["n_match"]
+        assert 0 <= r["a_nonmatch"] <= r["n_nonmatch"]
+        m_ratio = (r["a_match"] + 1) * (r["n_nonmatch"] + 2)
+        u_ratio = (r["n_match"] + 2) * (r["a_nonmatch"] + 1)
+        expect = math.floor(round(math.log(m_ratio / u_ratio), 9) * 1e9 + 0.5)
+        assert r["weight_x1e9"] == expect

