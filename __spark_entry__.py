@@ -7733,6 +7733,24 @@ def q290_eb_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eb_shrunk_rates(counts, ["l_suppkey"], "k", "n")
 
 
+def _part_monthly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-(part, month) demand axis for q291 (Croston) and q297
+    (newsvendor) — ONE definition so the forecast and the stocking level
+    can never silently disagree about what a month's demand was. Sums
+    are exact (integral l_quantity); q297 casts the published sum."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_partkey",
+        (
+            (F.year("l_shipdate") - F.lit(1992)) * F.lit(12)
+            + F.month("l_shipdate")
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("month_idx"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+
+
 def q291_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Croston/SBA intermittent-demand forecast per part
     (ops.inventory.croston_sba; Croston 1972, Syntetos-Boylan 2005):
@@ -7748,17 +7766,7 @@ def q291_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         croston_sba,
     )
 
-    li = read_table(spark, sf_dir, "lineitem")
-    dm = li.groupBy(
-        "l_partkey",
-        (
-            (F.year("l_shipdate") - F.lit(1992)) * F.lit(12)
-            + F.month("l_shipdate")
-            - F.lit(1)
-        )
-        .cast("bigint")
-        .alias("month_idx"),
-    ).agg(F.sum("l_quantity").alias("qty"))
+    dm = _part_monthly_demand(spark, sf_dir)
     return croston_sba(dm, "l_partkey", "month_idx", "qty", depth=16)
 
 
@@ -7903,17 +7911,9 @@ def q297_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         newsvendor_stock,
     )
 
-    li = read_table(spark, sf_dir, "lineitem")
-    dm = li.groupBy(
-        "l_partkey",
-        (
-            (F.year("l_shipdate") - F.lit(1992)) * F.lit(12)
-            + F.month("l_shipdate")
-            - F.lit(1)
-        )
-        .cast("bigint")
-        .alias("month_idx"),
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    dm = _part_monthly_demand(spark, sf_dir).select(
+        "l_partkey", "month_idx", F.col("qty").cast("bigint").alias("qty")
+    )
     return newsvendor_stock(
         dm, "l_partkey", "month_idx", "qty", cr_num=4, cr_den=5
     )
@@ -12680,8 +12680,6 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT l_partkey AS i, l_suppkey AS n FROM lineitem),
             ideg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ideg
                      FROM inv GROUP BY 1),
-            ndeg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS ndeg
-                     FROM inv GROUP BY 1),
             terms AS (
               SELECT inv.i, inv.n,
                      CAST(floor(1000000000.0
@@ -12689,6 +12687,8 @@ def oracle_sql() -> dict[str, str]:
                                 + 0.5) AS BIGINT) AS aat
               FROM inv JOIN ideg ON ideg.i = inv.i
               WHERE ideg >= 2 AND ideg <= 256),
+            ndeg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS ndeg
+                     FROM terms GROUP BY 1),
             cand AS (
               SELECT a.n AS na, b.n AS nb,
                      CAST(COUNT(*) AS BIGINT) AS n_common,
@@ -12731,18 +12731,17 @@ def oracle_sql() -> dict[str, str]:
               FROM lattice GROUP BY 1),
             terms AS (
               SELECT a.g AS group_a, b.g AS group_b,
-                     CASE WHEN CAST(gn AS HUGEINT) * s2 =
-                               CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
-                          THEN 0
-                          ELSE CAST(floor(abs(CAST(a.f - b.f AS DOUBLE))
+                     CAST(floor(abs(CAST(a.f - b.f AS DOUBLE))
                             / (sqrt((CAST(s2 AS DOUBLE)
                                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                                        / CAST(gn AS DOUBLE))
                                     / (CAST(gn AS DOUBLE) - 1.0)))
-                            * 1000000000.0 + 0.5) AS BIGINT) END AS term
+                            * 1000000000.0 + 0.5) AS BIGINT) AS term
               FROM lattice a
               JOIN lattice b ON a.t = b.t AND a.g < b.g
-              JOIN wstats w ON w.t = a.t)
+              JOIN wstats w ON w.t = a.t
+              WHERE NOT (CAST(gn AS HUGEINT) * s2 =
+                         CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)))
             SELECT group_a, group_b, CAST(COUNT(*) AS BIGINT) AS n_words,
                    CAST(SUM(term) // COUNT(*) AS BIGINT) AS delta_x1e9
             FROM terms GROUP BY 1, 2
@@ -12834,7 +12833,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST((EXTRACT(year FROM l_shipdate) - 1992) * 12
                           + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT)
                        AS per,
-                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                     CAST(SUM(l_quantity) AS BIGINT) AS q
               FROM lineitem GROUP BY 1, 2),
             r AS (SELECT k, q,
                     ROW_NUMBER() OVER (

@@ -593,15 +593,15 @@ def link_prediction_scores(
 
     Output: top ``top_k`` pairs by (jaccard desc, node_a, node_b) —
     ``node_a, node_b, n_common, deg_a, deg_b, jaccard_x1e6, aa_x1e9``.
+    ``deg_a``/``deg_b`` count SCORING-ELIGIBLE items only (deg in
+    [2, hot_item_cap]) so Jaccard's union never double-counts a shared
+    excluded item.
     """
     pairs_src = inv.select(
         F.col(item_col).alias("__i"), F.col(node_col).alias("__n")
     ).distinct()
     ideg = pairs_src.groupBy("__i").agg(
         F.count(F.lit(1)).cast("bigint").alias("__ideg")
-    )
-    ndeg = pairs_src.groupBy("__n").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__ndeg")
     )
     # deg >= 2 is structural, not just documented: a 1-node item can't
     # form a pair, and its AA term would be 1/ln(1) — an ANSI
@@ -613,6 +613,13 @@ def link_prediction_scores(
             (F.col("__ideg") >= 2) & (F.col("__ideg") <= hot_item_cap)
         ),
         "__i",
+    )
+    # node degrees count SCORING-ELIGIBLE items only (post-cap, post
+    # deg>=2) so the Jaccard union |N(a)| + |N(b)| - |N(a) ∩ N(b)| is
+    # computed over ONE consistent universe — degrees over the raw list
+    # would double-count a shared-but-excluded item in the union
+    ndeg = cool.groupBy("__n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ndeg")
     )
     aa_term = (
         F.floor(

@@ -519,8 +519,13 @@ def newsvendor_stock(
     """Newsvendor stocking level (Arrow-Harris-Marschak 1951): per key,
     the smallest historical demand quantile covering the critical ratio
     ``Cu / (Cu + Co) = cr_num/cr_den`` — stock so that the fraction of
-    periods fully served is at least the critical ratio (underage cost
-    Cu vs overage cost Co; 4/5 = the 80% service point).
+    DEMAND periods fully served is at least the critical ratio (underage
+    cost Cu vs overage cost Co; 4/5 = the 80% service point). The
+    quantile is CONDITIONAL on demand occurring: ``demand`` carries only
+    periods with demand (the q291 Croston convention), so for
+    intermittent SKUs this is the per-demand-event service level, not a
+    calendar-month guarantee — callers wanting the unconditional
+    quantile must densify zero periods first.
 
     The quantile is the EXACT order statistic: rank periods by
     (qty asc, period asc) per key and take the first rank with

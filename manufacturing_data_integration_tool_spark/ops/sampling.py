@@ -769,28 +769,27 @@ def weighted_sample_ares(
     )
 
 
-def zorder_interleave_sql(xb: str, yb: str, bits: int) -> str:
+def zorder_interleave_sql(
+    xb: str, yb: str, bits: int, *, int_div: str = "div"
+) -> str:
     """SQL expression interleaving the low ``bits`` bits of ``xb``
     (even positions) and ``yb`` (odd positions) into a Morton/Z value.
 
     Pure BIGINT arithmetic — ``(v div 2^i) % 2`` bit probes and
-    power-of-two multipliers — so the SAME string evaluates identically
-    as a Spark ``F.expr`` and inside a DuckDB oracle (``div`` spelled
-    ``//`` there via :func:`zorder_interleave_duckdb`)."""
+    power-of-two multipliers. ONE generator for both engines (only the
+    integer-division token differs), so the Spark expression and the
+    DuckDB oracle can never drift: ``int_div='div'`` for Spark,
+    :func:`zorder_interleave_duckdb` passes ``'//'``."""
     return " + ".join(
-        f"(({xb} div {1 << i}) % 2) * {1 << (2 * i)}"
-        f" + (({yb} div {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f"(({xb} {int_div} {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + (({yb} {int_div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
         for i in range(bits)
     )
 
 
 def zorder_interleave_duckdb(xb: str, yb: str, bits: int) -> str:
-    """DuckDB twin of :func:`zorder_interleave_sql` (``//`` for ``div``)."""
-    return " + ".join(
-        f"(({xb} // {1 << i}) % 2) * {1 << (2 * i)}"
-        f" + (({yb} // {1 << i}) % 2) * {1 << (2 * i + 1)}"
-        for i in range(bits)
-    )
+    """DuckDB spelling of :func:`zorder_interleave_sql` (same generator)."""
+    return zorder_interleave_sql(xb, yb, bits, int_div="//")
 
 
 def zorder_blocks(

@@ -2355,7 +2355,8 @@ def burrows_delta(
 
     Output: one row per unordered group pair —
     ``(group_a, group_b, n_words, delta_x1e9)`` where delta is the mean
-    per-word term, floor-published x1e9.
+    per-NON-DEGENERATE-word term, floor-published x1e9 (``n_words``
+    counts the words actually averaged).
     """
     g = group_col
     toks = df.select(F.col(g).alias("__g"), F.explode(tokenize(text_col)).alias("__t"))
@@ -2398,15 +2399,21 @@ def burrows_delta(
         " / CAST(__gn AS DOUBLE)) / (CAST(__gn AS DOUBLE) - 1.0))"
     )
     term_sql = (
-        "CASE WHEN CAST(__gn AS DECIMAL(38,0)) * __s2 = "
-        "CAST(__s1 AS DECIMAL(38,0)) * CAST(__s1 AS DECIMAL(38,0)) THEN 0 "
-        f"ELSE CAST(floor(abs(CAST(__fa - __fb AS DOUBLE)) / ({std_sql})"
-        " * 1000000000.0 + 0.5) AS BIGINT) END"
+        f"CAST(floor(abs(CAST(__fa - __fb AS DOUBLE)) / ({std_sql})"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    # zero-variance words are EXCLUDED (their z is undefined), matching
+    # the documented 'mean over non-degenerate words' — the exact
+    # integer check, never a float-zero comparison
+    nondeg = (
+        "NOT (CAST(__gn AS DECIMAL(38,0)) * __s2 = "
+        "CAST(__s1 AS DECIMAL(38,0)) * CAST(__s1 AS DECIMAL(38,0)))"
     )
     pairs = (
         a.join(b, "__t")
         .filter(F.col("group_a") < F.col("group_b"))
         .join(F.broadcast(wstats), "__t")
+        .filter(F.expr(nondeg))
         .select("group_a", "group_b", F.expr(term_sql).alias("__term"))
     )
     return pairs.groupBy("group_a", "group_b").agg(
