@@ -932,3 +932,26 @@ def test_link_prediction_scores_exact(spark):
     assert r["jaccard_x1e6"] == 2 * 1_000_000 // 3
     term = math.floor(1e9 / round(math.log(2.0), 9) + 0.5)
     assert r["aa_x1e9"] == 2 * term
+
+
+def test_link_prediction_hot_item_consistent_universe(spark):
+    """A shared item ABOVE the cap must drop out of BOTH the
+    intersection AND the degrees (the review-caught double-count):
+    nodes a,b share cool items i1,i2 plus hot item h (3 nodes > cap=2).
+    With the consistent universe deg_a = deg_b = n_common = 2 and
+    jaccard = 1.0 exactly."""
+    from manufacturing_data_integration_tool_spark.ops.graph import (
+        link_prediction_scores,
+    )
+
+    rows = [("i1", "a"), ("i1", "b"), ("i2", "a"), ("i2", "b"),
+            ("h", "a"), ("h", "b"), ("h", "c")]
+    df = spark.createDataFrame(rows, "item string, node string")
+    out = link_prediction_scores(
+        df, "item", "node", hot_item_cap=2, min_common=2, top_k=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["node_a"], r["node_b"], r["n_common"]) == ("a", "b", 2)
+    assert (r["deg_a"], r["deg_b"]) == (2, 2)  # hot item excluded from degrees
+    assert r["jaccard_x1e6"] == 1_000_000  # identical eligible neighborhoods
