@@ -13277,8 +13277,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q129_late_priority_matrix": """
             SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
             GROUP BY 1
@@ -13407,7 +13407,7 @@ def oracle_sql() -> dict[str, str]:
                      SUM(cents) OVER (PARTITION BY o_year) AS tot_cents
               FROM base
             )
-            SELECT o_orderkey, o_year, run_cents,
+            SELECT o_orderkey, o_year, CAST(run_cents AS BIGINT) AS run_cents,
                    round(CAST(run_cents AS DOUBLE) / tot_cents, 6) AS rev_cdf
             FROM r
         """,
@@ -13420,7 +13420,7 @@ def oracle_sql() -> dict[str, str]:
                      SUM(t * t) AS sq
               FROM per_ls GROUP BY 1
             )
-            SELECT lang, n_sources, total_tokens,
+            SELECT lang, n_sources, CAST(total_tokens AS BIGINT) AS total_tokens,
                    round(CAST(sq AS DOUBLE)
                          / (CAST(total_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE)),
                          6) AS hhi
@@ -13849,7 +13849,7 @@ def oracle_sql() -> dict[str, str]:
         "q101_variant_json": """
             SELECT event_type,
                    COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events
             GROUP BY event_type
@@ -14216,7 +14216,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair, wc
               FROM wc WHERE length(w) >= 2
             )
-            SELECT pair, SUM(wc) AS pair_count
+            SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
             FROM pairs GROUP BY 1 HAVING SUM(wc) >= 2
         """,
         "q147_mix_rebalance": """
@@ -14240,10 +14240,12 @@ def oracle_sql() -> dict[str, str]:
                     / 4503599627370496.0 < rate
               GROUP BY 1
             )
-            SELECT rates.source, total_tokens, target_tokens,
+            SELECT rates.source,
+                   CAST(total_tokens AS BIGINT) AS total_tokens,
+                   CAST(target_tokens AS BIGINT) AS target_tokens,
                    round(rate, 6) AS rate,
                    COALESCE(admitted_docs, 0) AS admitted_docs,
-                   COALESCE(admitted_tokens, 0) AS admitted_tokens
+                   CAST(COALESCE(admitted_tokens, 0) AS BIGINT) AS admitted_tokens
             FROM rates LEFT JOIN adm ON rates.source = adm.source
         """,
         "q148_sequence_packing": f"""
@@ -14258,8 +14260,8 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
               FROM base)
             SELECT doc_id, lang, n_tokens,
-                   (running - n_tokens) // 4096 AS seq_id,
-                   (running - n_tokens) % 4096 AS seq_offset
+                   CAST((running - n_tokens) // 4096 AS BIGINT) AS seq_id,
+                   CAST((running - n_tokens) % 4096 AS BIGINT) AS seq_offset
             FROM c
         """,
         "q149_segment_dedup": f"""

@@ -116,6 +116,62 @@ def test_driver_contract_oracle_coverage():
     )
 
 
+def test_oracle_published_types_are_hash_portable():
+    """Tripwire for the r7 driver red (q145): DuckDB renders HUGEINT sums
+    as float64 in pandas while Spark's bigint stays int64, so any
+    type-sensitive hash mismatches even when values are identical.
+    DESCRIBE every oracle (binds only, no execution — ~1s for all 300)
+    and assert each published column is from the known-portable set.
+    A bare SUM(bigint) in a final SELECT lands here as HUGEINT and fails."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    ALLOWED = {"VARCHAR", "DOUBLE", "BIGINT", "INTEGER", "BOOLEAN", "DATE"}
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in e.oracle_sql().items():
+        for col, ty, *_ in con.execute(f"DESCRIBE ({sql})").fetchall():
+            if ty.split("(")[0] not in ALLOWED:
+                offenders.append((name, col, ty))
+    assert not offenders, (
+        "oracles publishing hash-unportable column types (CAST the final "
+        f"SELECT, e.g. CAST(SUM(x) AS BIGINT)): {offenders}"
+    )
+
+
+def test_parity_comparator_rejects_int_vs_float():
+    """The builder's gate must be at least as strict as the driver's
+    (r7 verdict #1): value-identical frames that differ int64-vs-float64
+    must FAIL, not be silently coerced."""
+    import importlib.util
+    from pathlib import Path
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_check", Path(__file__).resolve().parents[1] / "tools" / "parity_check.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    a = pd.DataFrame({"k": ["x", "y"], "v": pd.array([5, 7], dtype="int64")})
+    b = pd.DataFrame({"k": ["x", "y"], "v": pd.array([5.0, 7.0], dtype="float64")})
+    ok, why = mod.values_equal(mod.canon(a), mod.canon(b))
+    assert not ok and "dtype mismatch" in why
+    # and identical-dtype frames still pass
+    ok2, _ = mod.values_equal(mod.canon(a), mod.canon(a.copy()))
+    assert ok2
+
+
 def test_bench_ledger_covers_every_registered_query():
     """bench.py's no-silent-caps ledger: every queries() entry is either
     timed (HEADLINE) or excluded with a written reason — and nothing

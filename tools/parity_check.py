@@ -43,7 +43,19 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         return False, f"row counts differ: {len(a)} vs {len(b)}"
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+        a_float = np.issubdtype(av.dtype, np.floating)
+        b_float = np.issubdtype(bv.dtype, np.floating)
+        a_int = np.issubdtype(av.dtype, np.integer)
+        b_int = np.issubdtype(bv.dtype, np.integer)
+        # The driver's hash is type-sensitive: a Spark bigint vs a DuckDB
+        # HUGEINT-rendered-as-float64 mismatch must FAIL here too, or this
+        # gate is weaker than the one it stands in for (r7 verdict #1).
+        if (a_float and b_int) or (a_int and b_float):
+            return False, (
+                f"col {col} dtype mismatch: {av.dtype} vs {bv.dtype}"
+                " (int-vs-float; CAST the oracle's published column)"
+            )
+        if a_float or b_float:
             af = av.astype("float64")
             bf = bv.astype("float64")
             same = (af == bf) | (np.isnan(af) & np.isnan(bf))
