@@ -8230,76 +8230,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a correctness gate caps how many entries it checks, the hash-checkable
     # ones must never be the casualties.
     return {
-        # Driver first-50 window policy (round 7 rotation): the window
-        # holds EXACTLY the 50 queries that have never had a green row
-        # in any driver CORRECTNESS_r*.json value check — the 19 newest
-        # (q243-q261, added after the r6 window filled), the five whose
-        # only driver record is a stale r2 rows-only row but which are
-        # value-oracled since r6 (q27/q29/q30/q33/q49), and the 26
-        # heaviest never-driver-checked plans. Everything below the fold
-        # is driver-green in CORRECTNESS_r01..r06 and stays parity-
-        # checked at three scales by tools/parity_check.py.
-        "q243_forecast_backtest": q243_forecast_backtest,
-        "q244_mix_ess": q244_mix_ess,
-        "q245_runs_test": q245_runs_test,
-        "q246_supplier_scorecard": q246_supplier_scorecard,
-        "q247_hazard_table": q247_hazard_table,
-        "q248_did_estimator": q248_did_estimator,
-        "q249_price_index": q249_price_index,
-        "q250_term_burstiness": q250_term_burstiness,
-        "q251_covariate_balance": q251_covariate_balance,
-        "q252_embedding_norms": q252_embedding_norms,
-        "q253_seasonality_strength": q253_seasonality_strength,
-        "q254_conversion_ztest": q254_conversion_ztest,
-        "q255_langid_confusion": q255_langid_confusion,
-        "q256_cold_start_audit": q256_cold_start_audit,
-        "q257_screen_kappa": q257_screen_kappa,
-        "q258_decile_lift": q258_decile_lift,
-        "q259_revenue_drawdown": q259_revenue_drawdown,
-        "q260_demand_intermittency": q260_demand_intermittency,
-        "q261_abc_migration": q261_abc_migration,
-        # five queries whose only driver record was a rows-only r2 row;
-        # all carry full value oracles since r6 (md5_32 portable lanes /
-        # deterministic integer-grid IVF / byte-math codecs)
-        "q27_minhash_lsh": q27_minhash_lsh,
-        "q29_lsh_ann": q29_lsh_ann,
-        "q30_multimodal_decode": q30_multimodal_decode,
-        "q33_ivf_ann": q33_ivf_ann,
-        "q49_frame_sample": q49_frame_sample,
-        # the 26 heaviest never-driver-checked plans (dedup clusters,
-        # training mix, BM25, sketches, graph reachability, ...)
-        "q56_dedup_clusters": q56_dedup_clusters,
-        "q62_training_mix": q62_training_mix,
-        "q71_minhash_clusters": q71_minhash_clusters,
-        "q91_semantic_dedup": q91_semantic_dedup,
-        "q97_fuzzy_name_match": q97_fuzzy_name_match,
-        "q98_daily_reconciliation": q98_daily_reconciliation,
-        "q107_token_budget_fill": q107_token_budget_fill,
-        "q110_gap_fill": q110_gap_fill,
-        "q115_value_trend": q115_value_trend,
-        "q140_lsh_recall_audit": q140_lsh_recall_audit,
-        "q144_merge_upsert": q144_merge_upsert,
+        # Driver first-50 window policy (round 8 rotation): the window
+        # holds EXACTLY 50 queries that have never had a green value row
+        # in any driver CORRECTNESS_r*.json, highest risk first — q145
+        # (the r7 red: Spark values were identical, the oracle published
+        # HUGEINT; re-check after the BIGINT cast), its six ex-HUGEINT
+        # latent twins fixed the same way (q101/q129/q137/q138/q147/
+        # q148), the three sketch bounds audits (q262-q264), the
+        # closing-wave q287-q301, the r7 additions q265-q286, and the
+        # heaviest remaining backlog. Everything below the fold is
+        # driver-green in CORRECTNESS_r01..r07 or queued for the next
+        # rotation; all 300 stay parity-checked at three scales by
+        # tools/parity_check.py.
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
-        "q154_frequent_terms": q154_frequent_terms,
-        "q157_bm25_retrieval": q157_bm25_retrieval,
-        "q160_source_overlap": q160_source_overlap,
-        "q161_unigram_drift": q161_unigram_drift,
-        "q162_lm_quality_filter": q162_lm_quality_filter,
-        "q164_rfm_segments": q164_rfm_segments,
-        "q165_weighted_median": q165_weighted_median,
-        "q166_triangle_counts": q166_triangle_counts,
-        "q175_inverted_postings": q175_inverted_postings,
-        "q177_fd_violations": q177_fd_violations,
-        "q189_duplicate_spans": q189_duplicate_spans,
-        "q190_countmin_frequency": q190_countmin_frequency,
-        "q191_kmv_distinct": q191_kmv_distinct,
-        "q192_reachable_docs": q192_reachable_docs,
-        # -- below the driver 50-entry gate window ------------------------
-        # r7 additions (sketch bounds audits; rotate into the window next
-        # round along with anything else still never driver-checked)
+        "q101_variant_json": q101_variant_json,
+        "q129_late_priority_matrix": q129_late_priority_matrix,
+        "q137_revenue_running_share": q137_revenue_running_share,
+        "q138_source_concentration": q138_source_concentration,
+        "q147_mix_rebalance": q147_mix_rebalance,
+        "q148_sequence_packing": q148_sequence_packing,
         "q262_hll_bounds_audit": q262_hll_bounds_audit,
         "q263_quantile_rank_audit": q263_quantile_rank_audit,
         "q264_rollup_consistency_audit": q264_rollup_consistency_audit,
+        "q287_zorder_layout": q287_zorder_layout,
+        "q288_rake_keywords": q288_rake_keywords,
+        "q289_good_turing": q289_good_turing,
+        "q290_eb_return_rates": q290_eb_return_rates,
+        "q291_croston_forecast": q291_croston_forecast,
+        "q292_link_prediction": q292_link_prediction,
+        "q293_burrows_delta": q293_burrows_delta,
+        "q294_economic_order_qty": q294_economic_order_qty,
+        "q295_simpson_screen": q295_simpson_screen,
+        "q296_price_elasticity": q296_price_elasticity,
+        "q297_newsvendor_stock": q297_newsvendor_stock,
+        "q298_cochran_q": q298_cochran_q,
+        "q299_nelson_aalen": q299_nelson_aalen,
+        "q300_brier_decomposition": q300_brier_decomposition,
+        "q301_fs_weights": q301_fs_weights,
         "q265_psi_value_drift": q265_psi_value_drift,
         "q266_quantity_woe": q266_quantity_woe,
         "q267_customer_target_encoding": q267_customer_target_encoding,
@@ -8322,21 +8289,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q284_transition_entropy": q284_transition_entropy,
         "q285_srm_check": q285_srm_check,
         "q286_source_diversity": q286_source_diversity,
-        "q287_zorder_layout": q287_zorder_layout,
-        "q288_rake_keywords": q288_rake_keywords,
-        "q289_good_turing": q289_good_turing,
-        "q290_eb_return_rates": q290_eb_return_rates,
-        "q291_croston_forecast": q291_croston_forecast,
-        "q292_link_prediction": q292_link_prediction,
-        "q293_burrows_delta": q293_burrows_delta,
-        "q294_economic_order_qty": q294_economic_order_qty,
-        "q295_simpson_screen": q295_simpson_screen,
-        "q296_price_elasticity": q296_price_elasticity,
-        "q297_newsvendor_stock": q297_newsvendor_stock,
-        "q298_cochran_q": q298_cochran_q,
-        "q299_nelson_aalen": q299_nelson_aalen,
-        "q300_brier_decomposition": q300_brier_decomposition,
-        "q301_fs_weights": q301_fs_weights,
+        "q59_tfidf": q59_tfidf,
+        "q64_grouping_sets": q64_grouping_sets,
+        "q69_contamination": q69_contamination,
+        # -- below the driver 50-entry gate window ------------------------
+        # rotated out after going green in CORRECTNESS_r07 (q243-q261,
+        # the five ex-rows-only r2 entries, and the r7 heavy set)
+        "q243_forecast_backtest": q243_forecast_backtest,
+        "q244_mix_ess": q244_mix_ess,
+        "q245_runs_test": q245_runs_test,
+        "q246_supplier_scorecard": q246_supplier_scorecard,
+        "q247_hazard_table": q247_hazard_table,
+        "q248_did_estimator": q248_did_estimator,
+        "q249_price_index": q249_price_index,
+        "q250_term_burstiness": q250_term_burstiness,
+        "q251_covariate_balance": q251_covariate_balance,
+        "q252_embedding_norms": q252_embedding_norms,
+        "q253_seasonality_strength": q253_seasonality_strength,
+        "q254_conversion_ztest": q254_conversion_ztest,
+        "q255_langid_confusion": q255_langid_confusion,
+        "q256_cold_start_audit": q256_cold_start_audit,
+        "q257_screen_kappa": q257_screen_kappa,
+        "q258_decile_lift": q258_decile_lift,
+        "q259_revenue_drawdown": q259_revenue_drawdown,
+        "q260_demand_intermittency": q260_demand_intermittency,
+        "q261_abc_migration": q261_abc_migration,
+        "q27_minhash_lsh": q27_minhash_lsh,
+        "q29_lsh_ann": q29_lsh_ann,
+        "q30_multimodal_decode": q30_multimodal_decode,
+        "q33_ivf_ann": q33_ivf_ann,
+        "q49_frame_sample": q49_frame_sample,
+        "q56_dedup_clusters": q56_dedup_clusters,
+        "q62_training_mix": q62_training_mix,
+        "q71_minhash_clusters": q71_minhash_clusters,
+        "q91_semantic_dedup": q91_semantic_dedup,
+        "q97_fuzzy_name_match": q97_fuzzy_name_match,
+        "q98_daily_reconciliation": q98_daily_reconciliation,
+        "q107_token_budget_fill": q107_token_budget_fill,
+        "q110_gap_fill": q110_gap_fill,
+        "q115_value_trend": q115_value_trend,
+        "q140_lsh_recall_audit": q140_lsh_recall_audit,
+        "q144_merge_upsert": q144_merge_upsert,
+        "q154_frequent_terms": q154_frequent_terms,
+        "q157_bm25_retrieval": q157_bm25_retrieval,
+        "q160_source_overlap": q160_source_overlap,
+        "q161_unigram_drift": q161_unigram_drift,
+        "q162_lm_quality_filter": q162_lm_quality_filter,
+        "q164_rfm_segments": q164_rfm_segments,
+        "q165_weighted_median": q165_weighted_median,
+        "q166_triangle_counts": q166_triangle_counts,
+        "q175_inverted_postings": q175_inverted_postings,
+        "q177_fd_violations": q177_fd_violations,
+        "q189_duplicate_spans": q189_duplicate_spans,
+        "q190_countmin_frequency": q190_countmin_frequency,
+        "q191_kmv_distinct": q191_kmv_distinct,
+        "q192_reachable_docs": q192_reachable_docs,
         # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
@@ -8460,16 +8467,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_simhash_near_dups": q55_simhash_near_dups,
         "q57_stratified_sample": q57_stratified_sample,
         "q58_train_split": q58_train_split,
-        "q59_tfidf": q59_tfidf,
         "q60_vocab": q60_vocab,
         "q61_rolling_time": q61_rolling_time,
         "q63_normalize_text": q63_normalize_text,
-        "q64_grouping_sets": q64_grouping_sets,
         "q65_window_suite": q65_window_suite,
         "q66_correlated_subquery": q66_correlated_subquery,
         "q67_unpivot": q67_unpivot,
         "q68_repetition_stats": q68_repetition_stats,
-        "q69_contamination": q69_contamination,
         "q70_shard_pack": q70_shard_pack,
         "q72_quality_cutoff": q72_quality_cutoff,
         "q73_asof_tolerance": q73_asof_tolerance,
@@ -8495,7 +8499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_top_supplier": q95_top_supplier,
         "q96_nation_year_profit": q96_nation_year_profit,
         "q99_quality_deciles": q99_quality_deciles,
-        "q101_variant_json": q101_variant_json,
         "q102_stats_aggs": q102_stats_aggs,
         "q103_latest_per_key": q103_latest_per_key,
         "q104_json_key_freq": q104_json_key_freq,
@@ -8514,7 +8517,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_market_share": q126_market_share,
         "q127_returned_items": q127_returned_items,
         "q128_important_parts": q128_important_parts,
-        "q129_late_priority_matrix": q129_late_priority_matrix,
         "q130_parts_supplier_counts": q130_parts_supplier_counts,
         "q131_dominant_suppliers": q131_dominant_suppliers,
         "q132_min_cost_supplier": q132_min_cost_supplier,
@@ -8522,12 +8524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_funnel_conversion": q134_funnel_conversion,
         "q135_price_histogram": q135_price_histogram,
         "q136_pair_degree_histogram": q136_pair_degree_histogram,
-        "q137_revenue_running_share": q137_revenue_running_share,
-        "q138_source_concentration": q138_source_concentration,
         "q139_bigram_lm": q139_bigram_lm,
         "q142_key_skew_profile": q142_key_skew_profile,
-        "q147_mix_rebalance": q147_mix_rebalance,
-        "q148_sequence_packing": q148_sequence_packing,
         "q150_gopher_quality": q150_gopher_quality,
         "q151_char_entropy": q151_char_entropy,
         "q153_dsir_admission": q153_dsir_admission,
