@@ -8191,6 +8191,48 @@ def q301_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q302_streaming_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible STREAMING run (r7 verdict #5): land the corpus ids
+    as four parquet files, drive them through the replay-safe
+    ``accumulate_bloom_stream`` foreachBatch accumulator
+    (streaming/sketches.py) one file per micro-batch, and return the
+    PERSISTED (word_idx, bits) filter state. Because the md5-lane Bloom
+    merge is per-word bit_or — idempotent and commutative — the
+    accumulated state is bit-identical to the batch filter over every
+    key, however the input was micro-batched; the oracle recomputes the
+    same filter from the raw rows in SQL, so the stream==batch guarantee
+    that was previously pytest-only gets a driver value-hash row. State
+    is m_words=256 BIGINT words (~KBs) regardless of corpus size — the
+    100 TB membership-index posture documented in the module."""
+    import tempfile
+
+    from manufacturing_data_integration_tool_spark.streaming.sketches import (
+        accumulate_bloom_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="mdi_q302_")
+    landing, state, ckpt = f"{base}/in", f"{base}/bloom_state", f"{base}/ckpt"
+    # four landing files -> four real micro-batches under availableNow +
+    # maxFilesPerTrigger=1 (a single batch would never exercise the merge)
+    read_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        4
+    ).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = accumulate_bloom_stream(
+        stream, state, key_col="doc_id", m_words=256, k=4, salt=0,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state).select(
+        F.col("word_idx").cast("bigint").alias("word_idx"),
+        F.col("bits").cast("bigint").alias("bits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8289,10 +8331,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q284_transition_entropy": q284_transition_entropy,
         "q285_srm_check": q285_srm_check,
         "q286_source_diversity": q286_source_diversity,
+        "q302_streaming_bloom_state": q302_streaming_bloom_state,
         "q59_tfidf": q59_tfidf,
         "q64_grouping_sets": q64_grouping_sets,
-        "q69_contamination": q69_contamination,
         # -- below the driver 50-entry gate window ------------------------
+        # next-rotation backlog head
+        "q69_contamination": q69_contamination,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -10082,6 +10126,21 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(SUM(vq * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE)
                          / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS twap
             FROM d GROUP BY 1, 2
+        """,
+        # same md5-lane bloom arithmetic as q203's oracle, published as
+        # the raw (word_idx, bits) state the streaming accumulator
+        # persists: m_words=256 -> 8192 bits, k=4 lanes, salt=0
+        "q302_streaming_bloom_state": """
+            WITH keys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS kstr
+                          FROM documents WHERE doc_id IS NOT NULL),
+            lanes AS (SELECT CAST(CAST(('0x' || substr(
+                             md5(kstr || chr(31) || '0'), 1 + 8*u.l, 8))
+                             AS UBIGINT) AS BIGINT) % 8192 AS pos
+                      FROM keys, (SELECT unnest([0,1,2,3]) AS l) u)
+            SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+                   CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                        AS BIGINT) AS bits
+            FROM lanes GROUP BY 1
         """,
         "q203_bloom_prefilter": """
             WITH morders AS (SELECT o_custkey FROM orders

@@ -335,6 +335,10 @@ EXCLUDED = {
     "wall time is fixed per-round latency, pinned by pytest not bench",
     "q155_bpe_encode": "same driver-round loop family as q146",
     "q183_phonetic_match": _VARIANT + " — q97/q207 bench blocking joins",
+    "q302_streaming_bloom_state": "real foreachBatch streaming run; wall "
+    "time is micro-batch startup latency, not plan cost — the bloom "
+    "arithmetic it accumulates is benched via q203 and the stream==batch "
+    "merge is pinned by tests/test_streaming.py",
 }
 
 
