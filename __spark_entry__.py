@@ -8233,6 +8233,138 @@ def q302_streaming_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r8 wave: multiple-testing control + rank/fit corpus diagnostics ------
+
+_BH_ALPHA = 0.05
+_BH_M = 100  # 5 langs x 20 sources: the structurally fixed cell family
+
+
+def _bh_thresholds_x1e6() -> tuple[int, ...]:
+    """BH step-up cut points on the |z| lattice: Phi^-1(1 - i*alpha/(2m))
+    for rank i = 1..m, floor-published at 1e6. Computed ONCE driver-side
+    (Python statistics.NormalDist) and injected as the SAME integer
+    literals into both engines — neither Spark nor DuckDB has a probit,
+    and p-values are monotone in |z|, so comparing the statistic against
+    per-rank literals IS the BH p-value comparison."""
+    import math
+    import statistics
+
+    nd = statistics.NormalDist()
+    return tuple(
+        int(math.floor(nd.inv_cdf(1.0 - i * _BH_ALPHA / (2 * _BH_M)) * 1e6 + 0.5))
+        for i in range(1, _BH_M + 1)
+    )
+
+
+def _bh_z_pub_sql(s: str, n: str, s2: str, n2: str, S: str, N: str) -> str:
+    """Two-proportion pooled z, |.|-floor-published at 1e6 — ONE SQL tree
+    string used verbatim by the Spark entry (F.expr) and the DuckDB
+    oracle (renamed scalars), so transcription drift is impossible
+    (the q290 verbatim-mirror pattern). sqrt is IEEE-correctly-rounded,
+    divisions are a fixed tree over exact integers."""
+    z = (
+        f"(CAST({s} AS DOUBLE)/CAST({n} AS DOUBLE)"
+        f" - CAST({s2} AS DOUBLE)/CAST({n2} AS DOUBLE))"
+        f" / sqrt((CAST({S} AS DOUBLE)/CAST({N} AS DOUBLE))"
+        f" * (1.0 - CAST({S} AS DOUBLE)/CAST({N} AS DOUBLE))"
+        f" * (1.0/CAST({n} AS DOUBLE) + 1.0/CAST({n2} AS DOUBLE)))"
+    )
+    return (
+        f"CASE WHEN {S} = 0 OR {S} = {N} OR {n} = 0 OR {n2} = 0 THEN NULL"
+        f" ELSE CAST(floor(abs({z}) * 1000000.0 + 0.5) AS BIGINT) END"
+    )
+
+
+def q303_bh_fdr_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (ops.evaluation.bh_step_up;
+    Benjamini & Hochberg, JRSS-B 1995) over the fixed 100-cell
+    (lang x source) family: each cell's share of long documents
+    (>= 56 tokens) is z-tested against its complement, and BH's step-up
+    rule marks which cells survive at FDR alpha=0.05 — the governance
+    layer that keeps a 100-cell drift dashboard from alerting ~5 cells
+    by chance every run. Portability: no probit in either engine, so
+    the per-rank cut points are shared Python-computed literals and the
+    z tree is verbatim-mirrored (q290 pattern)."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        bh_step_up,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cells = (
+        docs.filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum(
+                F.when(F.size(tx.tokenize("text")) >= 56, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__s"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("__n").cast("bigint").alias("__tn"),
+        F.sum("__s").cast("bigint").alias("__ts"),
+    )
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.expr(
+            _bh_z_pub_sql(
+                s="__s", n="__n", s2="(__ts - __s)", n2="(__tn - __n)",
+                S="__ts", N="__tn",
+            )
+        ).alias("abs_z_x1e6"),
+    )
+    return bh_step_up(
+        scored, ["lang", "source"], "abs_z_x1e6", _bh_thresholds_x1e6()
+    )
+
+
+def q304_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (ops.stats.kruskal_wallis; Kruskal & Wallis
+    JASA 1952) of document length (n_chars) across the 20 sources — the
+    rank-based one-way ANOVA, k-group sibling of q196's Mann-Whitney
+    machinery: doubled midranks keep every rank integral, per-group
+    rank-sums accumulate in decimal(38,0), R_j^2/n_j terms are exact
+    integer divisions, and H plus its tie correction are one mirrored
+    IEEE tree. Below-counts run two-phase — no single-task rank
+    window."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        kruskal_wallis,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return kruskal_wallis(docs, "source", "n_chars")
+
+
+def q305_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per language (ops.text.zipf_fit; Zipf
+    1949): ln(freq)-on-ln(rank) OLS slope over the top-200 vocabulary —
+    natural language sits near -1; template floods flatten it. Ranks are
+    exact with deterministic ties (freq desc, word asc) and computed
+    two-phase (bucket pre-rank, then a window over <= 200*16 rows); the
+    fit reuses loglog_slope's 1e-9 ln lattice + exact decimal moments."""
+    from manufacturing_data_integration_tool_spark.ops.text import zipf_fit
+
+    docs = read_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", group_cols=["lang"], top_n=200, min_count=2)
+
+
+def q306_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent per language
+    (ops.text.heaps_fit; Heaps 1978): slope of ln(cumulative vocab) on
+    ln(cumulative tokens) along the doc_id axis — beta near 0.5 for
+    natural text, ~0 for a saturated/templated corpus. Both cumulative
+    axes run through two_phase_running_sum (no one-task-per-lang
+    window); the fit is loglog_slope, so the whole chain keeps the
+    repo's lattice/exact-decimal discipline."""
+    from manufacturing_data_integration_tool_spark.ops.text import heaps_fit
+
+    docs = read_table(spark, sf_dir, "documents")
+    return heaps_fit(docs, "doc_id", "text", group_cols=["lang"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8335,8 +8467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_tfidf": q59_tfidf,
         "q64_grouping_sets": q64_grouping_sets,
         # -- below the driver 50-entry gate window ------------------------
-        # next-rotation backlog head
+        # next-rotation backlog head (q69 + the r8 wave)
         "q69_contamination": q69_contamination,
+        "q303_bh_fdr_cells": q303_bh_fdr_cells,
+        "q304_kruskal_wallis": q304_kruskal_wallis,
+        "q305_zipf_fit": q305_zipf_fit,
+        "q306_heaps_fit": q306_heaps_fit,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -10141,6 +10277,191 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
                         AS BIGINT) AS bits
             FROM lanes GROUP BY 1
+        """,
+        # BH cut points and the z tree are the SAME Python-built literals
+        # and expression string the Spark entry uses (verbatim mirror)
+        "q303_bh_fdr_cells": f"""
+            WITH d AS (
+              SELECT lang, source,
+                     CASE WHEN len({tok}) >= 56 THEN 1 ELSE 0 END AS is_long
+              FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+            ), cells AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(is_long) AS BIGINT) AS s
+              FROM d GROUP BY 1, 2
+            ), tot AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss
+              FROM cells
+            ), scored AS (
+              SELECT lang, source,
+                     {_bh_z_pub_sql(s="s", n="n", s2="(ss - s)",
+                                    n2="(nn - n)", S="ss", N="nn")}
+                       AS abs_z_x1e6
+              FROM cells CROSS JOIN tot
+            ), ranked AS (
+              SELECT lang, source, abs_z_x1e6,
+                     CASE WHEN abs_z_x1e6 IS NOT NULL THEN
+                       CAST(row_number() OVER (
+                         ORDER BY abs_z_x1e6 DESC NULLS LAST, lang, source
+                       ) AS BIGINT) END AS bh_rank
+              FROM scored
+            ), thr (bh_rank, bh_threshold) AS (
+              VALUES {", ".join(f"({i + 1}, {t})"
+                                for i, t in enumerate(_bh_thresholds_x1e6()))}
+            ), j AS (
+              SELECT r.lang, r.source, r.abs_z_x1e6, r.bh_rank,
+                     CAST(t.bh_threshold AS BIGINT) AS bh_threshold
+              FROM ranked r LEFT JOIN thr t ON r.bh_rank = t.bh_rank
+            ), k AS (
+              SELECT COALESCE(MAX(CASE WHEN abs_z_x1e6 >= bh_threshold
+                                       THEN bh_rank END), 0) AS kk
+              FROM j
+            )
+            SELECT lang, source, abs_z_x1e6, bh_rank, bh_threshold,
+                   (bh_rank IS NOT NULL AND bh_rank <= kk) AS rejected
+            FROM j CROSS JOIN k
+        """,
+        "q304_kruskal_wallis": """
+            WITH base AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ), vals AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1
+            ), run AS (
+              SELECT v, t,
+                     SUM(t) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS below_incl
+              FROM vals
+            ), ranked AS (
+              SELECT v, CAST(2 * (below_incl - t) + t + 1 AS HUGEINT) AS dmid
+              FROM run
+            ), gv AS (
+              SELECT g, v, CAST(COUNT(*) AS BIGINT) AS ngv
+              FROM base GROUP BY 1, 2
+            ), pg AS (
+              SELECT g, CAST(SUM(ngv) AS BIGINT) AS nj,
+                     SUM(CAST(ngv AS HUGEINT) * dmid) AS r2j
+              FROM gv JOIN ranked USING (v) GROUP BY 1
+            ), ties AS (
+              SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM vals
+            ), agg AS (
+              SELECT CAST(SUM(nj) AS BIGINT) AS n_total,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     SUM((r2j * r2j) // CAST(4 * nj AS HUGEINT)) AS s
+              FROM pg
+            )
+            SELECT n_total, n_groups,
+                   CAST(floor((12.0 * CAST(s AS DOUBLE)
+                               / (CAST(n_total AS DOUBLE)
+                                  * (CAST(n_total AS DOUBLE) + 1.0))
+                               - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+                              * 1000000.0 + 0.5) AS BIGINT) AS h_x1e6,
+                   CASE WHEN (1.0 - CAST(tie3 AS DOUBLE)
+                                    / (CAST(n_total AS DOUBLE)
+                                       * CAST(n_total AS DOUBLE)
+                                       * CAST(n_total AS DOUBLE)
+                                       - CAST(n_total AS DOUBLE))) <= 0.0
+                        THEN NULL
+                        ELSE CAST(floor((12.0 * CAST(s AS DOUBLE)
+                               / (CAST(n_total AS DOUBLE)
+                                  * (CAST(n_total AS DOUBLE) + 1.0))
+                               - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+                              / (1.0 - CAST(tie3 AS DOUBLE)
+                                       / (CAST(n_total AS DOUBLE)
+                                          * CAST(n_total AS DOUBLE)
+                                          * CAST(n_total AS DOUBLE)
+                                          - CAST(n_total AS DOUBLE)))
+                              * 1000000.0 + 0.5) AS BIGINT) END AS h_adj_x1e6
+            FROM agg CROSS JOIN ties
+        """,
+        "q305_zipf_fit": f"""
+            WITH vocab AS (
+              SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT lang, unnest({tok}) AS w FROM documents)
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), head AS (
+              SELECT lang, freq,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY freq DESC, w ASC) AS rnk
+              FROM vocab QUALIFY rnk <= 200
+            ), base AS (
+              SELECT lang,
+                     CAST(floor(round(ln(CAST(rnk AS DOUBLE)), 9)
+                                * 1000000000.0 + 0.5) AS BIGINT) AS lx,
+                     CAST(floor(round(ln(CAST(freq AS DOUBLE)), 9)
+                                * 1000000000.0 + 0.5) AS BIGINT) AS ly
+              FROM head WHERE rnk > 0 AND freq > 0
+            ), agg AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_used,
+                     SUM(CAST(lx AS HUGEINT)) AS sx,
+                     SUM(CAST(ly AS HUGEINT)) AS sy,
+                     SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+                     SUM(CAST(lx AS HUGEINT) * lx) AS sxx
+              FROM base GROUP BY 1
+            )
+            SELECT lang, n_used,
+                   CASE WHEN n_used < 2
+                             OR CAST(n_used AS HUGEINT) * sxx = sx * sx
+                        THEN NULL
+                        ELSE CAST(floor(
+                          CAST(CAST(n_used AS HUGEINT) * sxy - sx * sy
+                               AS DOUBLE)
+                          / CAST(CAST(n_used AS HUGEINT) * sxx - sx * sx
+                                 AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS slope_x1e6
+            FROM agg
+        """,
+        "q306_heaps_fit": f"""
+            WITH toks AS (
+              SELECT lang, doc_id, unnest({tok}) AS w FROM documents
+            ), per_doc AS (
+              SELECT lang, doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+              FROM toks GROUP BY 1, 2
+            ), first_seen AS (
+              SELECT lang, w, MIN(doc_id) AS doc_id FROM toks GROUP BY 1, 2
+            ), new_words AS (
+              SELECT lang, doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+              FROM first_seen GROUP BY 1, 2
+            ), j AS (
+              SELECT p.lang, p.doc_id, p.nt, COALESCE(n.nv, 0) AS nv
+              FROM per_doc p LEFT JOIN new_words n USING (lang, doc_id)
+            ), cum AS (
+              SELECT lang,
+                     SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_t,
+                     SUM(nv) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_v
+              FROM j
+            ), base AS (
+              SELECT lang,
+                     CAST(floor(round(ln(CAST(cum_t AS DOUBLE)), 9)
+                                * 1000000000.0 + 0.5) AS BIGINT) AS lx,
+                     CAST(floor(round(ln(CAST(cum_v AS DOUBLE)), 9)
+                                * 1000000000.0 + 0.5) AS BIGINT) AS ly
+              FROM cum WHERE cum_t > 0 AND cum_v > 0
+            ), agg AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_used,
+                     SUM(CAST(lx AS HUGEINT)) AS sx,
+                     SUM(CAST(ly AS HUGEINT)) AS sy,
+                     SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+                     SUM(CAST(lx AS HUGEINT) * lx) AS sxx
+              FROM base GROUP BY 1
+            )
+            SELECT lang, n_used,
+                   CASE WHEN n_used < 2
+                             OR CAST(n_used AS HUGEINT) * sxx = sx * sx
+                        THEN NULL
+                        ELSE CAST(floor(
+                          CAST(CAST(n_used AS HUGEINT) * sxy - sx * sy
+                               AS DOUBLE)
+                          / CAST(CAST(n_used AS HUGEINT) * sxx - sx * sx
+                                 AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS slope_x1e6
+            FROM agg
         """,
         "q203_bloom_prefilter": """
             WITH morders AS (SELECT o_custkey FROM orders

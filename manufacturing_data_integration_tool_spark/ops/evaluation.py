@@ -51,6 +51,7 @@ __all__ = [
     "woe_iv",
     "target_encode_loo",
     "simpson_screen",
+    "bh_step_up",
 ]
 
 
@@ -506,4 +507,85 @@ def simpson_screen(
         sgn.alias("stratum_sign"),
         psgn.alias("pooled_sign"),
         ((sgn * psgn) < 0).alias("flipped"),
+    )
+
+
+def bh_step_up(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    stat_col: str,
+    thresholds: Sequence[int],
+) -> DataFrame:
+    """Benjamini-Hochberg step-up multiple-testing control (Benjamini &
+    Hochberg, JRSS-B 1995) over a BOUNDED test family — the governance
+    layer for the repo's per-group screens (chi-square cells, z-tests,
+    McNemar): without it, scanning m groups at alpha yields ~m*alpha
+    false alarms; BH caps the FALSE DISCOVERY RATE at alpha.
+
+    Engine-portability is the design problem: BH needs p-values, but
+    neither Spark nor DuckDB exposes an inverse normal/chi-square CDF.
+    Solution: p is MONOTONE in the test statistic, so "p_(i) <= i*alpha/m"
+    is equivalently "|z|_(i) >= Phi^-1(1 - i*alpha/(2m))" — and those m
+    per-rank cut points are compile-time constants the caller precomputes
+    once (Python ``statistics.NormalDist``) and injects as the SAME
+    integer-lattice literals into both engines. ``thresholds[i-1]`` is
+    the cut for rank i on the lattice of ``stat_col``.
+
+    ``stat_col`` is a BIGINT lattice statistic (e.g. ``|z| * 1e6``
+    floor-published from a verbatim-mirrored IEEE tree). NULL statistics
+    (degenerate cells) stay in the output, are never rejected, and do
+    not consume a rank — but the family size m stays ``len(thresholds)``
+    by construction (missing tests are conservatively never-rejected,
+    never a smaller m).
+
+    Scale posture: the family is bounded (m literals), so the rank
+    window and the step-up max run over <= m rows — broadcast-sized by
+    contract, like q60's vocab window. The heavy work is whatever
+    aggregation PRODUCED the per-test rows, upstream.
+
+    Output: ``key_cols + (stat_col, bh_rank, bh_threshold, rejected)``.
+    """
+    from pyspark.sql import Window
+
+    g = list(key_cols)
+    m = len(thresholds)
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(i + 1, int(t)) for i, t in enumerate(thresholds)],
+        "bh_rank bigint, bh_threshold bigint",
+    )
+    ranked = df.withColumn(
+        "bh_rank",
+        F.when(
+            F.col(stat_col).isNotNull(),
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.desc_nulls_last(stat_col), *[F.asc(c) for c in g]
+                )
+            ),
+        ).cast("bigint"),
+    ).join(F.broadcast(thr), "bh_rank", "left")
+    flagged = ranked.withColumn(
+        "__hit",
+        F.col(stat_col).isNotNull()
+        & (F.col("bh_rank") <= m)
+        & (F.col(stat_col) >= F.col("bh_threshold")),
+    )
+    kmax = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__hit"), F.col("bh_rank"))), F.lit(0)
+        ).alias("__k")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kmax))
+        .select(
+            *g,
+            stat_col,
+            "bh_rank",
+            "bh_threshold",
+            (
+                F.col("bh_rank").isNotNull()
+                & (F.col("bh_rank") <= F.col("__k"))
+            ).alias("rejected"),
+        )
     )

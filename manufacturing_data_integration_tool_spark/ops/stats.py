@@ -64,6 +64,7 @@ __all__ = [
     "trimmed_mean",
     "eb_shrunk_rates",
     "loglog_slope",
+    "kruskal_wallis",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -2112,4 +2113,103 @@ def loglog_slope(
             F.floor(slope * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
         )
         .alias("slope_x1e6"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis, JASA 1952): does a value's
+    distribution differ across k groups — the rank-based (distribution-free)
+    one-way ANOVA, the k-group generalization of the Mann-Whitney machinery
+    in :func:`~..ops.evaluation.roc_auc`.
+
+    Determinism contract: values are ranked with textbook average ranks
+    but in DOUBLED units so everything stays integral — a value bucket of
+    ``n`` rows after ``below`` smaller rows has doubled midrank
+    ``2*below + n + 1``. Per-group doubled rank-sums ``R2_j`` accumulate
+    in decimal(38,0); each group's ``R_j^2 / n_j`` term is the exact
+    integer division ``R2_j^2 div (4*n_j)`` (truncation error < 1 per
+    group against an N^3-scale sum — and identical on both engines, so
+    hash-safe). H and its tie correction
+    ``C = 1 - sum(t^3 - t)/(N^3 - N)`` are ONE fixed IEEE tree over those
+    exact scalars, floor-published.
+
+    Scale posture: raw rows collapse to the distinct-value table first
+    (map-side combined); the cumulative below-count runs over value
+    buckets via :func:`~.sampling.two_phase_running_sum` (no single-task
+    window); per-(group, value) counts are a second map-side groupBy.
+
+    Output: one row — ``n_total, n_groups, h_x1e6, h_adj_x1e6`` (NULL
+    when every value is tied: C = 0).
+    """
+    from .sampling import two_phase_running_sum
+
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    vals = base.groupBy("__v").agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    sub = sub_bucket if sub_bucket is not None else F.expr("__v div 65536")
+    run = two_phase_running_sum(
+        vals, [], [F.asc("__v")], F.col("__t"), sub, out_col="__below_incl"
+    )
+    dmid = (
+        F.lit(2) * (F.col("__below_incl") - F.col("__t"))
+        + F.col("__t")
+        + F.lit(1)
+    ).cast("decimal(38,0)")
+    ranked = run.select("__v", "__t", dmid.alias("__dmid"))
+    gv = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ngv")
+    )
+    per_group = (
+        gv.join(ranked.select("__v", "__dmid"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__ngv").cast("bigint").alias("__nj"),
+            F.sum(F.col("__ngv").cast("decimal(38,0)") * F.col("__dmid"))
+            .cast("decimal(38,0)")
+            .alias("__r2j"),
+        )
+    )
+    # exact integer term R_j^2/n_j = R2_j^2 div (4 n_j); decimal div is
+    # integer division on decimal(38,0) operands on both engines
+    term = F.expr("CAST(__r2j * __r2j AS DECIMAL(38,0)) div CAST(4 * __nj AS DECIMAL(38,0))")
+    ties = vals.agg(
+        F.sum(
+            F.col("__t").cast("decimal(38,0)")
+            * F.col("__t").cast("decimal(38,0)")
+            * F.col("__t").cast("decimal(38,0)")
+            - F.col("__t").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__tie3")
+    )
+    g = per_group.agg(
+        F.sum("__nj").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(term).cast("decimal(38,0)").alias("__s"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    h = (
+        F.lit(12.0) * F.col("__s").cast("double") / (n * (n + F.lit(1.0)))
+        - F.lit(3.0) * (n + F.lit(1.0))
+    )
+    c = F.lit(1.0) - F.col("__tie3").cast("double") / (n * n * n - n)
+    pub = lambda col: F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return g.select(
+        "n_total",
+        "n_groups",
+        pub(h).alias("h_x1e6"),
+        F.when(c <= F.lit(0.0), F.lit(None).cast("bigint"))
+        .otherwise(pub(h / c))
+        .alias("h_adj_x1e6"),
     )

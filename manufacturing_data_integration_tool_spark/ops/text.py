@@ -62,6 +62,8 @@ __all__ = [
     "countmin_sketch",
     "countmin_probe_table",
     "countmin_estimate",
+    "zipf_fit",
+    "heaps_fit",
 ]
 
 # GPT-2-flavored pre-tokenizer shape: contraction suffixes, space-prefixed
@@ -2421,4 +2423,115 @@ def burrows_delta(
         F.expr("CAST(sum(__term) div count(1) AS BIGINT)").alias(
             "delta_x1e9"
         ),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    group_cols: Sequence[str] = ("lang",),
+    top_n: int = 200,
+    min_count: int = 2,
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group (Zipf 1949): OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` over the top-``top_n`` vocabulary — the
+    standard corpus-health check that word frequencies decay ~1/rank
+    (slope near -1 for natural language; a flat or cliff-shaped profile
+    flags boilerplate floods or template spam).
+
+    The fit uses the vocabulary HEAD by design: the Zipf law holds in the
+    head while the tail is censored by corpus size, and fitting the head
+    keeps the rank assignment a BOUNDED top-n problem — candidates are
+    pre-ranked within (group, hash-bucket) and only ``top_n *
+    sub_buckets`` rows reach the final window (the rake_keywords two-phase
+    discipline), so no task ever sorts a group's full vocabulary.
+    Ranks are exact (freq desc, word asc — deterministic tie-break); the
+    slope comes from :func:`~.stats.loglog_slope`, so every ln lands on
+    the 1e-9 lattice and all moments are exact decimal.
+
+    Output: ``group_cols + (n_used, slope_x1e6)``.
+    """
+    from .stats import loglog_slope
+
+    g = list(group_cols)
+    vocab = (
+        df.select(*g, F.explode(tokenize(text_col)).alias("__w"))
+        .groupBy(*g, "__w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__freq"))
+        .filter(F.col("__freq") >= min_count)
+    )
+    order = [F.desc("__freq"), F.asc("__w")]
+    if sub_buckets > 1:
+        pre = F.row_number().over(
+            Window.partitionBy(
+                *g, F.pmod(F.xxhash64(F.col("__w")), F.lit(sub_buckets))
+            ).orderBy(*order)
+        )
+        vocab = vocab.withColumn("__pre", pre).filter(
+            F.col("__pre") <= top_n
+        ).drop("__pre")
+    rk = F.row_number().over(Window.partitionBy(*g).orderBy(*order))
+    head = vocab.withColumn("__rank", rk).filter(F.col("__rank") <= top_n)
+    return loglog_slope(
+        head, F.col("__rank").cast("double"), F.col("__freq").cast("double"),
+        group_cols=g,
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    group_cols: Sequence[str] = ("lang",),
+    sub_bucket_div: int = 1024,
+) -> DataFrame:
+    """Heaps'-law fit per group (Heaps 1978; Herdan 1960): OLS slope of
+    ``ln(cumulative distinct vocabulary)`` on ``ln(cumulative tokens)``
+    over the corpus in ``id_col`` order — the vocabulary-growth exponent
+    beta in ``V(n) ~ k * n^beta`` (natural text sits near 0.5; beta -> 0
+    flags a saturated/templated corpus, beta -> 1 flags token soup).
+
+    Construction is exact and shuffle-lean: per-(group, doc) token
+    counts and per-(group, word) FIRST-occurrence docs are two map-side
+    groupBys; both cumulative axes (tokens seen, new words introduced)
+    run through :func:`~.sampling.two_phase_running_sum` on the shared
+    doc axis (sub-bucketed — no one-task-per-group window); the fit is
+    :func:`~.stats.loglog_slope` on the (V(d), n(d)) points, one per
+    document, all lattice/exact-decimal discipline inherited.
+
+    Output: ``group_cols + (n_used, slope_x1e6)`` — slope is beta.
+    """
+    from .sampling import two_phase_running_sum
+    from .stats import loglog_slope
+
+    g = list(group_cols)
+    toks = df.select(
+        *g, F.col(id_col).cast("bigint").alias("__doc"),
+        F.explode(tokenize(text_col)).alias("__w"),
+    )
+    per_doc = toks.groupBy(*g, "__doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt")
+    )
+    first_seen = toks.groupBy(*g, "__w").agg(F.min("__doc").alias("__doc"))
+    new_words = first_seen.groupBy(*g, "__doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nv")
+    )
+    both = per_doc.join(new_words, [*g, "__doc"], "left").na.fill(
+        {"__nv": 0}
+    )
+    sub = F.expr(f"__doc div {int(sub_bucket_div)}")
+    cum_t = two_phase_running_sum(
+        both, g, [F.asc("__doc")], F.col("__nt"), sub, out_col="__cum_t"
+    )
+    cum_v = two_phase_running_sum(
+        cum_t, g, [F.asc("__doc")], F.col("__nv"), sub, out_col="__cum_v"
+    )
+    return loglog_slope(
+        cum_v,
+        F.col("__cum_t").cast("double"),
+        F.col("__cum_v").cast("double"),
+        group_cols=g,
     )

@@ -1854,3 +1854,52 @@ def test_burrows_delta_zero_and_positive(spark):
     assert out[("s1", "s3")]["delta_x1e9"] > 0
     assert out[("s1", "s3")]["delta_x1e9"] == out[("s2", "s3")]["delta_x1e9"]
     assert out[("s1", "s2")]["n_words"] == 4  # full lattice: 4 distinct words
+
+
+def test_zipf_fit_exact_inverse_rank_corpus(spark):
+    """freq exactly proportional to 1/rank -> slope -1 (lattice noise
+    only); deterministic tie-break pins the rank order."""
+    from manufacturing_data_integration_tool_spark.ops.text import zipf_fit
+
+    words = {"aa": 60, "bb": 30, "cc": 20, "dd": 15, "ee": 12}  # 60/rank
+    text = " ".join(w for w, c in words.items() for _ in range(c))
+    df = spark.createDataFrame([("en", 1, text)], "lang string, doc_id long, text string")
+    out = zipf_fit(df, "text", group_cols=["lang"], top_n=5, min_count=1).collect()
+    assert len(out) == 1 and out[0]["n_used"] == 5
+    assert abs(out[0]["slope_x1e6"] - (-1_000_000)) <= 5
+
+
+def test_heaps_fit_matches_python_twin(spark):
+    """beta from the operator equals a pure-Python recompute of the
+    same lattice-ln OLS over the cumulative (tokens, vocab) series."""
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.text import heaps_fit
+
+    docs = [
+        (1, "a b c d"),
+        (2, "a b e f g"),
+        (3, "a h i"),
+        (4, "b c j k l m"),
+        (5, "a b c"),
+    ]
+    df = spark.createDataFrame(
+        [("en", i, t) for i, t in docs], "lang string, doc_id long, text string"
+    )
+    out = heaps_fit(df, "doc_id", "text", group_cols=["lang"]).collect()[0]
+
+    seen, cum_t, pts = set(), 0, []
+    for _, text in docs:
+        toks = text.split()
+        cum_t += len(toks)
+        seen |= set(toks)
+        pts.append((cum_t, len(seen)))
+    lat = lambda v: math.floor(round(math.log(v), 9) * 1e9 + 0.5)  # noqa: E731
+    xs = [lat(x) for x, _ in pts]
+    ys = [lat(y) for _, y in pts]
+    n = len(pts)
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(a * a for a in xs) - sum(xs) ** 2
+    expected = math.floor(num / den * 1e6 + 0.5)
+    assert out["n_used"] == n and out["slope_x1e6"] == expected
+    assert 0 < out["slope_x1e6"] < 1_000_000  # 0 < beta < 1

@@ -1344,3 +1344,93 @@ def test_nelson_aalen_monotone_and_exact(spark, sf_dir):
         assert r["na_cumhaz_x1e9"] == prev + inc
         prev = r["na_cumhaz_x1e9"]
     assert prev > 0
+
+
+def test_kruskal_wallis_matches_textbook(spark):
+    """Three groups with ties: H recomputed in pure Python with average
+    ranks must match the operator's doubled-rank integer pipeline."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        kruskal_wallis,
+    )
+
+    data = {"a": [1, 2, 2, 5], "b": [2, 3, 7, 7], "c": [4, 7, 8, 9]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = kruskal_wallis(df, "g", "v").collect()[0]
+
+    # pure-Python twin with textbook average ranks
+    allv = sorted(v for vs in data.values() for v in vs)
+    n = len(allv)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and allv[j] == allv[i]:
+            j += 1
+        rank[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    s = sum(
+        (sum(rank[v] for v in vs)) ** 2 / len(vs) for vs in data.values()
+    )
+    h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+    from collections import Counter
+
+    cnt = Counter(allv)
+    c = 1.0 - sum(t**3 - t for t in cnt.values()) / (n**3 - n)
+    assert out["n_total"] == n and out["n_groups"] == 3
+    # operator's term uses an exact integer div (truncation < 1 per
+    # group against an N^3-scale sum) -> tiny, bounded disagreement
+    assert abs(out["h_x1e6"] - round(h * 1e6)) <= 25
+    assert abs(out["h_adj_x1e6"] - round(h / c * 1e6)) <= 25
+
+
+def test_kruskal_wallis_all_tied_is_null(spark):
+    """Every value identical -> tie correction C = 0 -> adjusted H NULL."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, v long"
+    )
+    out = kruskal_wallis(df, "g", "v").collect()[0]
+    assert out["h_adj_x1e6"] is None
+
+
+def test_bh_step_up_textbook_stepup(spark):
+    """BH's defining behavior: the max rank k whose statistic clears its
+    cut is found, and EVERY rank <= k is rejected — including a rank
+    whose own statistic missed its cut (the step-up, not step-down,
+    rule). NULL statistics are never ranked or rejected."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        bh_step_up,
+    )
+
+    # thresholds for ranks 1..4; stats: rank1=90(>=80 hit), rank2=55
+    # (<60 miss), rank3=50(>=40 hit -> k=3), rank4=10(<20 miss)
+    df = spark.createDataFrame(
+        [("t1", 90), ("t2", 55), ("t3", 50), ("t4", 10), ("t5", None)],
+        "test_id string, stat long",
+    )
+    out = {
+        r["test_id"]: r
+        for r in bh_step_up(df, ["test_id"], "stat", [80, 60, 40, 20]).collect()
+    }
+    assert [out[f"t{i}"]["bh_rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert out["t1"]["rejected"] and out["t3"]["rejected"]
+    assert out["t2"]["rejected"]  # step-up: below k, rejected despite miss
+    assert not out["t4"]["rejected"]
+    assert out["t5"]["bh_rank"] is None and not out["t5"]["rejected"]
+
+
+def test_bh_step_up_nothing_clears(spark):
+    """No statistic clears any cut -> k = 0 -> nothing rejected."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        bh_step_up,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "test_id string, stat long"
+    )
+    out = bh_step_up(df, ["test_id"], "stat", [100, 90]).collect()
+    assert all(not r["rejected"] for r in out)
