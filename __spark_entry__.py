@@ -8239,7 +8239,7 @@ _BH_ALPHA = 0.05
 _BH_M = 100  # 5 langs x 20 sources: the structurally fixed cell family
 
 
-def _bh_thresholds_x1e6() -> tuple[int, ...]:
+def _bh_thresholds_x1e6(m: int = _BH_M, alpha: float = _BH_ALPHA) -> tuple[int, ...]:
     """BH step-up cut points on the |z| lattice: Phi^-1(1 - i*alpha/(2m))
     for rank i = 1..m, floor-published at 1e6. Computed ONCE driver-side
     (Python statistics.NormalDist) and injected as the SAME integer
@@ -8251,8 +8251,8 @@ def _bh_thresholds_x1e6() -> tuple[int, ...]:
 
     nd = statistics.NormalDist()
     return tuple(
-        int(math.floor(nd.inv_cdf(1.0 - i * _BH_ALPHA / (2 * _BH_M)) * 1e6 + 0.5))
-        for i in range(1, _BH_M + 1)
+        int(math.floor(nd.inv_cdf(1.0 - i * alpha / (2 * m)) * 1e6 + 0.5))
+        for i in range(1, m + 1)
     )
 
 
@@ -8349,6 +8349,34 @@ def q305_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return zipf_fit(docs, "text", group_cols=["lang"], top_n=200, min_count=2)
+
+
+_DUNN_M = 190  # C(20, 2): the fixed 20-source pairwise family
+
+
+def q307_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise rank comparison (ops.stats.dunn_pairwise;
+    Dunn, Technometrics 1964) after q304's Kruskal-Wallis: which of the
+    190 source pairs differ in document-length distribution, with
+    BH step-up control (ops.evaluation.bh_step_up) at FDR 0.05 over the
+    fixed C(20,2) family — the full compose-the-primitives chain: shared
+    doubled-midrank core, verbatim-mirrored tie-corrected z tree, shared
+    probit cut-point literals."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        bh_step_up,
+    )
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        dunn_pairwise,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = dunn_pairwise(docs, "source", "n_chars")
+    return bh_step_up(
+        scored,
+        ["group_a", "group_b"],
+        "abs_z_x1e6",
+        _bh_thresholds_x1e6(m=_DUNN_M),
+    )
 
 
 def q306_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8473,6 +8501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q304_kruskal_wallis": q304_kruskal_wallis,
         "q305_zipf_fit": q305_zipf_fit,
         "q306_heaps_fit": q306_heaps_fit,
+        "q307_dunn_posthoc": q307_dunn_posthoc,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -9197,6 +9226,7 @@ def oracle_sql() -> dict[str, str]:
     # literal the Spark operator embeds (no runtime sqrt on either side).
     from manufacturing_data_integration_tool_spark.ops.stats import (
         EWMA_CHART_FACTOR as _EWMA_CHART_FACTOR,
+        dunn_z_pub_sql as _dunn_z_pub_sql,
     )
 
     def _xbar_chart_cte(r: int) -> str:
@@ -10375,6 +10405,69 @@ def oracle_sql() -> dict[str, str]:
                                           - CAST(n_total AS DOUBLE)))
                               * 1000000.0 + 0.5) AS BIGINT) END AS h_adj_x1e6
             FROM agg CROSS JOIN ties
+        """,
+        # Dunn z tree and the 190 BH cut points are the SAME Python-built
+        # strings/literals the Spark entry uses (verbatim mirror)
+        "q307_dunn_posthoc": f"""
+            WITH base AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ), vals AS MATERIALIZED (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1
+            ), run AS (
+              SELECT v, t,
+                     SUM(t) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS below_incl
+              FROM vals
+            ), rankedv AS (
+              SELECT v, CAST(2 * (below_incl - t) + t + 1 AS HUGEINT) AS dmid
+              FROM run
+            ), gv AS (
+              SELECT g, v, CAST(COUNT(*) AS BIGINT) AS ngv
+              FROM base GROUP BY 1, 2
+            ), pg AS MATERIALIZED (
+              SELECT g, CAST(SUM(ngv) AS BIGINT) AS nj,
+                     SUM(CAST(ngv AS HUGEINT) * dmid) AS r2j
+              FROM gv JOIN rankedv USING (v) GROUP BY 1
+            ), ties AS (
+              SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM vals
+            ), tot AS (
+              SELECT CAST(SUM(nj) AS BIGINT) AS nt FROM pg
+            ), pairs AS (
+              SELECT a.g AS group_a, b.g AS group_b,
+                     a.nj AS na, a.r2j AS r2a, b.nj AS nb, b.r2j AS r2b
+              FROM pg a JOIN pg b ON a.g < b.g
+            ), scored AS (
+              SELECT group_a, group_b,
+                     {_dunn_z_pub_sql(r2a="r2a", na="na", r2b="r2b",
+                                      nb="nb", N="nt", tie3="tie3")}
+                       AS abs_z_x1e6
+              FROM pairs CROSS JOIN tot CROSS JOIN ties
+            ), ranked AS (
+              SELECT group_a, group_b, abs_z_x1e6,
+                     CASE WHEN abs_z_x1e6 IS NOT NULL THEN
+                       CAST(row_number() OVER (
+                         ORDER BY abs_z_x1e6 DESC NULLS LAST,
+                                  group_a, group_b
+                       ) AS BIGINT) END AS bh_rank
+              FROM scored
+            ), thr (bh_rank, bh_threshold) AS (
+              VALUES {", ".join(f"({i + 1}, {t})" for i, t in
+                                enumerate(_bh_thresholds_x1e6(m=_DUNN_M)))}
+            ), j AS (
+              SELECT r.group_a, r.group_b, r.abs_z_x1e6, r.bh_rank,
+                     CAST(t.bh_threshold AS BIGINT) AS bh_threshold
+              FROM ranked r LEFT JOIN thr t ON r.bh_rank = t.bh_rank
+            ), k AS (
+              SELECT COALESCE(MAX(CASE WHEN abs_z_x1e6 >= bh_threshold
+                                       THEN bh_rank END), 0) AS kk
+              FROM j
+            )
+            SELECT group_a, group_b, abs_z_x1e6, bh_rank, bh_threshold,
+                   (bh_rank IS NOT NULL AND bh_rank <= kk) AS rejected
+            FROM j CROSS JOIN k
         """,
         "q305_zipf_fit": f"""
             WITH vocab AS (

@@ -287,6 +287,7 @@ HEADLINE = [
     "q304_kruskal_wallis",
     "q305_zipf_fit",
     "q306_heaps_fit",
+    "q307_dunn_posthoc",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -65,6 +65,8 @@ __all__ = [
     "eb_shrunk_rates",
     "loglog_slope",
     "kruskal_wallis",
+    "dunn_pairwise",
+    "dunn_z_pub_sql",
     "EWMA_CHART_LAMBDA",
     "EWMA_CHART_FACTOR",
     "XBAR_R_CONSTANTS",
@@ -2116,38 +2118,18 @@ def loglog_slope(
     )
 
 
-def kruskal_wallis(
+def _kw_rank_sums(
     df: DataFrame,
     group_col: str,
     value_col: Column | str,
-    *,
-    sub_bucket: Column | None = None,
-    scale: int = 1_000_000,
-) -> DataFrame:
-    """Kruskal-Wallis H test (Kruskal & Wallis, JASA 1952): does a value's
-    distribution differ across k groups — the rank-based (distribution-free)
-    one-way ANOVA, the k-group generalization of the Mann-Whitney machinery
-    in :func:`~..ops.evaluation.roc_auc`.
-
-    Determinism contract: values are ranked with textbook average ranks
-    but in DOUBLED units so everything stays integral — a value bucket of
-    ``n`` rows after ``below`` smaller rows has doubled midrank
-    ``2*below + n + 1``. Per-group doubled rank-sums ``R2_j`` accumulate
-    in decimal(38,0); each group's ``R_j^2 / n_j`` term is the exact
-    integer division ``R2_j^2 div (4*n_j)`` (truncation error < 1 per
-    group against an N^3-scale sum — and identical on both engines, so
-    hash-safe). H and its tie correction
-    ``C = 1 - sum(t^3 - t)/(N^3 - N)`` are ONE fixed IEEE tree over those
-    exact scalars, floor-published.
-
-    Scale posture: raw rows collapse to the distinct-value table first
-    (map-side combined); the cumulative below-count runs over value
-    buckets via :func:`~.sampling.two_phase_running_sum` (no single-task
-    window); per-(group, value) counts are a second map-side groupBy.
-
-    Output: one row — ``n_total, n_groups, h_x1e6, h_adj_x1e6`` (NULL
-    when every value is tied: C = 0).
-    """
+    sub_bucket: Column | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared rank-sum core for :func:`kruskal_wallis` and
+    :func:`dunn_pairwise`: per-group ``(__g, __nj, __r2j)`` — ``__r2j``
+    the DOUBLED rank-sum in decimal(38,0) — plus the 1-row tie table
+    ``(__tie3,)`` = sum(t^3 - t) over value multiplicities. Below-counts
+    run through :func:`~.sampling.two_phase_running_sum`, so the distinct-
+    value cumulative never serializes through one window task."""
     from .sampling import two_phase_running_sum
 
     v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
@@ -2180,9 +2162,6 @@ def kruskal_wallis(
             .alias("__r2j"),
         )
     )
-    # exact integer term R_j^2/n_j = R2_j^2 div (4 n_j); decimal div is
-    # integer division on decimal(38,0) operands on both engines
-    term = F.expr("CAST(__r2j * __r2j AS DECIMAL(38,0)) div CAST(4 * __nj AS DECIMAL(38,0))")
     ties = vals.agg(
         F.sum(
             F.col("__t").cast("decimal(38,0)")
@@ -2193,6 +2172,45 @@ def kruskal_wallis(
         .cast("decimal(38,0)")
         .alias("__tie3")
     )
+    return per_group, ties
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis, JASA 1952): does a value's
+    distribution differ across k groups — the rank-based (distribution-free)
+    one-way ANOVA, the k-group generalization of the Mann-Whitney machinery
+    in :func:`~..ops.evaluation.roc_auc`.
+
+    Determinism contract: values are ranked with textbook average ranks
+    but in DOUBLED units so everything stays integral — a value bucket of
+    ``n`` rows after ``below`` smaller rows has doubled midrank
+    ``2*below + n + 1``. Per-group doubled rank-sums ``R2_j`` accumulate
+    in decimal(38,0); each group's ``R_j^2 / n_j`` term is the exact
+    integer division ``R2_j^2 div (4*n_j)`` (truncation error < 1 per
+    group against an N^3-scale sum — and identical on both engines, so
+    hash-safe). H and its tie correction
+    ``C = 1 - sum(t^3 - t)/(N^3 - N)`` are ONE fixed IEEE tree over those
+    exact scalars, floor-published.
+
+    Scale posture: raw rows collapse to the distinct-value table first
+    (map-side combined); the cumulative below-count runs over value
+    buckets via :func:`~.sampling.two_phase_running_sum` (no single-task
+    window); per-(group, value) counts are a second map-side groupBy.
+
+    Output: one row — ``n_total, n_groups, h_x1e6, h_adj_x1e6`` (NULL
+    when every value is tied: C = 0).
+    """
+    per_group, ties = _kw_rank_sums(df, group_col, value_col, sub_bucket)
+    # exact integer term R_j^2/n_j = R2_j^2 div (4 n_j); decimal div is
+    # integer division on decimal(38,0) operands on both engines
+    term = F.expr("CAST(__r2j * __r2j AS DECIMAL(38,0)) div CAST(4 * __nj AS DECIMAL(38,0))")
     g = per_group.agg(
         F.sum("__nj").cast("bigint").alias("n_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
@@ -2212,4 +2230,86 @@ def kruskal_wallis(
         F.when(c <= F.lit(0.0), F.lit(None).cast("bigint"))
         .otherwise(pub(h / c))
         .alias("h_adj_x1e6"),
+    )
+
+
+def dunn_z_pub_sql(
+    r2a: str, na: str, r2b: str, nb: str, N: str, tie3: str
+) -> str:
+    """Dunn (1964) pairwise post-hoc z after Kruskal-Wallis,
+    |.|-floor-published at 1e6 — ONE SQL tree string used verbatim by
+    the Spark operator (F.expr) and the DuckDB oracle (renamed scalars),
+    the q290 verbatim-mirror pattern. Mean ranks come from DOUBLED
+    rank-sums (``r2/(2n)``); the variance uses the tie-corrected
+    ``N(N+1)/12 - sum(t^3-t)/(12(N-1))``. sqrt is IEEE-correctly
+    rounded; every input is an exact integer/decimal scalar."""
+    rb_a = f"(CAST({r2a} AS DOUBLE) / (2.0 * CAST({na} AS DOUBLE)))"
+    rb_b = f"(CAST({r2b} AS DOUBLE) / (2.0 * CAST({nb} AS DOUBLE)))"
+    var = (
+        f"((CAST({N} AS DOUBLE) * (CAST({N} AS DOUBLE) + 1.0) / 12.0"
+        f" - CAST({tie3} AS DOUBLE) / (12.0 * (CAST({N} AS DOUBLE) - 1.0)))"
+        f" * (1.0/CAST({na} AS DOUBLE) + 1.0/CAST({nb} AS DOUBLE)))"
+    )
+    z = f"(({rb_a} - {rb_b}) / sqrt({var}))"
+    return (
+        f"CASE WHEN {N} < 2 OR {var} <= 0.0 THEN NULL"
+        f" ELSE CAST(floor(abs({z}) * 1000000.0 + 0.5) AS BIGINT) END"
+    )
+
+
+def dunn_pairwise(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons (Dunn, Technometrics 1964)
+    after :func:`kruskal_wallis`: for every group pair, the tie-corrected
+    z of the mean-rank difference — WHICH groups differ, once the global
+    H says SOME do. Feed the result to
+    :func:`~.evaluation.bh_step_up` for the multiple-comparison control
+    Dunn's procedure requires (k groups -> k(k-1)/2 tests).
+
+    Shares :func:`_kw_rank_sums` (doubled integer midranks, two-phase
+    below-counts, decimal rank-sums); the z is one verbatim-mirrored
+    IEEE tree (:func:`dunn_z_pub_sql`). The pairwise join runs on a
+    constant-key BROADCAST equi-join of the per-group table — bounded
+    by the group cardinality k (an analysis parameter, not data volume),
+    so k(k-1)/2 stays a driver-sized result at any corpus size.
+
+    Output: ``(group_a, group_b, n_a, n_b, abs_z_x1e6)`` for a < b.
+    """
+    per_group, ties = _kw_rank_sums(df, group_col, value_col, sub_bucket)
+    tot = per_group.agg(
+        F.sum("__nj").cast("bigint").alias("__nt")
+    ).crossJoin(F.broadcast(ties))
+    a = per_group.select(
+        F.col("__g").alias("group_a"),
+        F.col("__nj").alias("__na"),
+        F.col("__r2j").alias("__r2a"),
+        F.lit(1).alias("__one"),
+    )
+    b = per_group.select(
+        F.col("__g").alias("group_b"),
+        F.col("__nj").alias("__nb"),
+        F.col("__r2j").alias("__r2b"),
+        F.lit(1).alias("__one"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), "__one")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.expr(
+            dunn_z_pub_sql(
+                r2a="__r2a", na="__na", r2b="__r2b", nb="__nb",
+                N="__nt", tie3="__tie3",
+            )
+        ).alias("abs_z_x1e6"),
     )

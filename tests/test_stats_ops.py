@@ -1434,3 +1434,58 @@ def test_bh_step_up_nothing_clears(spark):
     )
     out = bh_step_up(df, ["test_id"], "stat", [100, 90]).collect()
     assert all(not r["rejected"] for r in out)
+
+
+def test_dunn_pairwise_matches_python_twin(spark):
+    """Pairwise tie-corrected Dunn z recomputed with textbook average
+    ranks must match the doubled-rank integer pipeline on the lattice."""
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        dunn_pairwise,
+    )
+
+    data = {"a": [1, 2, 2, 5], "b": [2, 3, 7, 7], "c": [4, 7, 8, 9]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in dunn_pairwise(df, "g", "v").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    allv = sorted(v for vs in data.values() for v in vs)
+    n = len(allv)
+    rank, i = {}, 0
+    while i < n:
+        j = i
+        while j < n and allv[j] == allv[i]:
+            j += 1
+        rank[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    from collections import Counter
+
+    cnt = Counter(allv)
+    tie = sum(t**3 - t for t in cnt.values())
+    var0 = n * (n + 1) / 12.0 - tie / (12.0 * (n - 1))
+    for (ga, gb), r in out.items():
+        ra = sum(rank[v] for v in data[ga]) / len(data[ga])
+        rb = sum(rank[v] for v in data[gb]) / len(data[gb])
+        z = (ra - rb) / math.sqrt(
+            var0 * (1.0 / len(data[ga]) + 1.0 / len(data[gb]))
+        )
+        assert abs(r["abs_z_x1e6"] - round(abs(z) * 1e6)) <= 2, (ga, gb)
+        assert r["n_a"] == len(data[ga]) and r["n_b"] == len(data[gb])
+
+
+def test_dunn_all_tied_is_null(spark):
+    """Every value identical -> tie-corrected variance 0 -> z NULL."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        dunn_pairwise,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, v long"
+    )
+    out = dunn_pairwise(df, "g", "v").collect()
+    assert len(out) == 1 and out[0]["abs_z_x1e6"] is None
