@@ -8379,6 +8379,37 @@ def q307_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q308_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test
+    (ops.stats.brown_forsythe; Brown & Forsythe, JASA 1974) of document
+    length across the 20 sources — the SPREAD companion to q304's
+    location test (KW's similar-shapes assumption is exactly what this
+    checks). Centers are exact lower medians (2*cum >= n, no
+    interpolation), deviations are integers, per-group s1^2 div n terms
+    are exact, and F is one division of exact decimals."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        brown_forsythe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return brown_forsythe(docs, "source", "n_chars")
+
+
+def q309_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect sizes for all 190 source pairs
+    (ops.stats.cliffs_delta_pairwise; Cliff 1993, magnitude labels
+    Romano et al. 2006) on document length — the magnitude companion to
+    q307's Dunn significance: dominance counts from per-group cumulative
+    counts on the shared value axis (one decimal-exact sum of integer
+    products per pair), ONE division, floor-published, labeled."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        cliffs_delta_pairwise,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cliffs_delta_pairwise(docs, "source", "n_chars")
+
+
 def q306_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth exponent per language
     (ops.text.heaps_fit; Heaps 1978): slope of ln(cumulative vocab) on
@@ -8502,6 +8533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q305_zipf_fit": q305_zipf_fit,
         "q306_heaps_fit": q306_heaps_fit,
         "q307_dunn_posthoc": q307_dunn_posthoc,
+        "q308_brown_forsythe": q308_brown_forsythe,
+        "q309_cliffs_delta": q309_cliffs_delta,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -10468,6 +10501,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT group_a, group_b, abs_z_x1e6, bh_rank, bh_threshold,
                    (bh_rank IS NOT NULL AND bh_rank <= kk) AS rejected
             FROM j CROSS JOIN k
+        """,
+        "q308_brown_forsythe": """
+            WITH base AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ), gv AS (
+              SELECT g, v, CAST(COUNT(*) AS BIGINT) AS ngv
+              FROM base GROUP BY 1, 2
+            ), run AS (
+              SELECT g, v, ngv,
+                     SUM(ngv) OVER (PARTITION BY g ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS ci
+              FROM gv
+            ), totals AS MATERIALIZED (
+              SELECT g, CAST(SUM(ngv) AS BIGINT) AS ng FROM gv GROUP BY 1
+            ), med AS (
+              SELECT run.g, MIN(v) AS med
+              FROM run JOIN totals ON run.g = totals.g
+              WHERE 2 * ci >= ng GROUP BY 1
+            ), z AS (
+              SELECT base.g, CAST(abs(base.v - med) AS BIGINT) AS z
+              FROM base JOIN med ON base.g = med.g
+            ), pg AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                     SUM(CAST(z AS HUGEINT)) AS s1,
+                     SUM(CAST(z AS HUGEINT) * z) AS s2
+              FROM z GROUP BY 1
+            ), agg AS (
+              SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     SUM((s1 * s1) // CAST(ng AS HUGEINT)) AS t,
+                     SUM(s1) AS g1, SUM(s2) AS g2
+              FROM pg
+            )
+            SELECT n_total, n_groups,
+                   CASE WHEN n_groups < 2
+                             OR (g2 - t) <= 0
+                        THEN NULL
+                        ELSE CAST(floor(
+                          CAST((CAST(n_total AS HUGEINT) - n_groups)
+                               * (t - (g1 * g1) // CAST(n_total AS HUGEINT))
+                               AS DOUBLE)
+                          / CAST((CAST(n_groups AS HUGEINT) - 1) * (g2 - t)
+                                 AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS bf_f_x1e6
+            FROM agg
+        """,
+        "q309_cliffs_delta": """
+            WITH base AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ), gv AS MATERIALIZED (
+              SELECT g, v, CAST(COUNT(*) AS BIGINT) AS ngv
+              FROM base GROUP BY 1, 2
+            ), lattice AS (
+              SELECT gs.g, vs.v, COALESCE(gv.ngv, 0) AS ngv
+              FROM (SELECT DISTINCT v FROM gv) vs
+              CROSS JOIN (SELECT DISTINCT g FROM gv) gs
+              LEFT JOIN gv ON gv.g = gs.g AND gv.v = vs.v
+            ), run AS MATERIALIZED (
+              SELECT g, v, ngv,
+                     SUM(ngv) OVER (PARTITION BY g ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS ci
+              FROM lattice
+            ), totals AS MATERIALIZED (
+              SELECT g, CAST(SUM(ngv) AS BIGINT) AS ng FROM gv GROUP BY 1
+            ), pairs AS (
+              SELECT a.g AS group_a, b.g AS group_b,
+                     ta.ng AS n_a, tb.ng AS n_b,
+                     SUM(CAST(a.ngv AS HUGEINT)
+                         * CAST(2 * b.ci - b.ngv - tb.ng AS HUGEINT)) AS num
+              FROM run a
+              JOIN run b ON a.v = b.v AND a.g < b.g
+              JOIN totals ta ON ta.g = a.g
+              JOIN totals tb ON tb.g = b.g
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT group_a, group_b, n_a, n_b,
+                   CAST(floor(CAST(num AS DOUBLE)
+                              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS delta_x1e6,
+                   CASE WHEN abs(CAST(floor(CAST(num AS DOUBLE)
+                              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)) < 147000
+                          THEN 'negligible'
+                        WHEN abs(CAST(floor(CAST(num AS DOUBLE)
+                              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)) < 330000
+                          THEN 'small'
+                        WHEN abs(CAST(floor(CAST(num AS DOUBLE)
+                              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)) < 474000
+                          THEN 'medium'
+                        ELSE 'large' END AS magnitude
+            FROM pairs
         """,
         "q305_zipf_fit": f"""
             WITH vocab AS (

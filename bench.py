@@ -288,6 +288,8 @@ HEADLINE = [
     "q305_zipf_fit",
     "q306_heaps_fit",
     "q307_dunn_posthoc",
+    "q308_brown_forsythe",
+    "q309_cliffs_delta",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -1489,3 +1489,90 @@ def test_dunn_all_tied_is_null(spark):
     )
     out = dunn_pairwise(df, "g", "v").collect()
     assert len(out) == 1 and out[0]["abs_z_x1e6"] is None
+
+
+def test_brown_forsythe_matches_python_twin(spark):
+    """F recomputed in pure Python with lower medians and the same
+    per-group integer-div terms must match exactly; equal-spread NULL
+    guard on a degenerate case."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        brown_forsythe,
+    )
+
+    data = {"a": [1, 2, 3, 9, 10], "b": [4, 5, 5, 6], "c": [1, 1, 8, 8, 8]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = brown_forsythe(df, "g", "v").collect()[0]
+
+    def lower_median(vs):
+        s = sorted(vs)
+        n = len(s)
+        # smallest v with 2*cum >= n
+        cum = 0
+        from collections import Counter
+
+        for val in sorted(set(s)):
+            cum += Counter(s)[val]
+            if 2 * cum >= n:
+                return val
+
+    t = g1 = g2 = 0
+    n_total = sum(len(vs) for vs in data.values())
+    k = len(data)
+    for vs in data.values():
+        med = lower_median(vs)
+        zs = [abs(v - med) for v in vs]
+        s1, s2 = sum(zs), sum(z * z for z in zs)
+        t += (s1 * s1) // len(zs)
+        g1 += s1
+        g2 += s2
+    ssb = t - (g1 * g1) // n_total
+    ssw = g2 - t
+    import math
+
+    expected = math.floor(
+        ((n_total - k) * ssb) / ((k - 1) * ssw) * 1e6 + 0.5
+    )
+    assert out["n_total"] == n_total and out["n_groups"] == k
+    assert out["bf_f_x1e6"] == expected
+
+
+def test_brown_forsythe_zero_within_spread_is_null(spark):
+    """Every deviation identical within groups -> SSW* = 0 -> NULL."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        brown_forsythe,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 7), ("b", 7)], "g string, v long"
+    )
+    assert brown_forsythe(df, "g", "v").collect()[0]["bf_f_x1e6"] is None
+
+
+def test_cliffs_delta_textbook(spark):
+    """Full dominance -> delta +/-1; overlapping groups match the brute
+    pairwise count; ties count in neither direction."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        cliffs_delta_pairwise,
+    )
+
+    data = {"lo": [1, 2, 3], "hi": [10, 11], "mid": [2, 3, 10]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in cliffs_delta_pairwise(df, "g", "v").collect()
+    }
+
+    import math
+
+    def brute(xs, ys):
+        gt = sum(1 for x in xs for y in ys if x > y)
+        lt = sum(1 for x in xs for y in ys if x < y)
+        return math.floor((gt - lt) / (len(xs) * len(ys)) * 1e6 + 0.5)
+
+    for (ga, gb), r in out.items():
+        assert r["delta_x1e6"] == brute(data[ga], data[gb]), (ga, gb)
+    assert out[("hi", "lo")]["delta_x1e6"] == 1_000_000
+    assert out[("hi", "lo")]["magnitude"] == "large"
+    assert out[("hi", "mid")]["magnitude"] != "negligible"
