@@ -8424,6 +8424,162 @@ def q306_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_fit(docs, "doc_id", "text", group_cols=["lang"])
 
 
+def q310_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (ops.ranktests.wilcoxon_signed_rank;
+    Wilcoxon, Biometrics Bulletin 1945) of per-part shipped-quantity
+    shift between the first and second half of the shipdate range —
+    the PAIRED location test (each part is its own control), where
+    q304's Kruskal-Wallis compares independent groups. Zeros dropped,
+    |d| ranked with doubled midranks, W2+ exact in decimal(38,0),
+    tie-corrected z one mirrored IEEE tree."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        wilcoxon_signed_rank,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cut = F.to_timestamp(F.lit("1998-07-01"))
+    pairs = li.groupBy("l_partkey").agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_shipdate") < cut,
+                        F.col("l_quantity").cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            )
+            - F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_shipdate") >= cut,
+                        F.col("l_quantity").cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    return wilcoxon_signed_rank(pairs, "d")
+
+
+def q311_friedman_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (ops.ranktests.friedman; Friedman, JASA 1937)
+    of daily event-type counts, blocking by day: does the event MIX
+    differ across the five event types once day-level traffic volume is
+    ranked away — the randomized-block rank ANOVA. Within-block doubled
+    midranks from a block-keyed self-join (blocks have exactly k rows),
+    tie-general Q = (k-1)*S'/(A1'-C1') with every term an exact
+    integer."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        friedman,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return friedman(cell, "day", "event_type", "n_events")
+
+
+def q312_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test
+    (ops.ranktests.jonckheere_terpstra; Terpstra 1952, Jonckheere
+    Biometrika 1954) of order value across the 1-URGENT..5-LOW priority
+    ladder — the ordered-alternative sibling of q304 (more powerful when
+    the hypothesis IS the ordering). Pairwise dominance counts off the
+    shared densified value lattice (the q309 machinery pointed at the
+    lower triangle), Hollander-Wolfe tie-corrected variance from six
+    exact integer sums, z one mirrored IEEE tree."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        jonckheere_terpstra,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    src = orders.filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    gk = F.substring("o_orderpriority", 1, 1).cast("bigint")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return jonckheere_terpstra(src, gk, cents)
+
+
+def q313_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (ops.ranktests.mood_median; Mood 1950) of
+    document length across the 20 sources: above/not-above the exact
+    grand LOWER median (the q308 2*cum >= N convention), then the k x 2
+    chi-square via ops.stats.chisq_independence unchanged (per-cell
+    integer-lattice quantization, integer sum) — the assumption-free
+    blunt companion to q304's Kruskal-Wallis."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        mood_median,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return mood_median(docs, "source", "n_chars")
+
+
+def q314_cvm_quantity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises ECDF distance
+    (ops.ranktests.cvm_two_sample; Anderson, Ann. Math. Stat. 1962)
+    between returned (R) and accepted (A) line-item quantity
+    distributions — the whole-body drift test where q231's KS sees only
+    the largest single gap. T = [sum_v t*X^2] / (n*m*N^2) with
+    X = m*cum_a - n*cum_b exact per pooled value; ONE division,
+    floor-published."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        cvm_two_sample,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return cvm_two_sample(li, "l_returnflag", "R", "A", "l_quantity")
+
+
+def q315_ad_lang_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling test (ops.ranktests.ad_two_sample;
+    Pettitt, Biometrika 1976; tie handling per Scholz-Stephens, JASA
+    1987) of en-vs-zh document-length distributions — the TAIL-weighted
+    companion to q314 (the 1/(H(N-H)) weight catches tail-only
+    contamination CvM smooths over). Each term is the exact integer
+    (t*X^2*1e6) div (H*(N-H)); the sum is integer; A2 is ONE published
+    division."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        ad_two_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ad_two_sample(docs, "lang", "en", "zh", "n_chars")
+
+
+def q316_kendall_tau_qty_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall tau-b + Goodman-Kruskal gamma
+    (ops.ranktests.kendall_tau_b_binned; Kendall, Biometrika 1945;
+    Goodman & Kruskal, JASA 1954) between line-item quantity (1..50)
+    and discount points (0..10) — ordinal association on a bounded grid,
+    the concordance-probability companion to q277's Spearman.
+    Concordant/discordant counts from exact 2-D inclusive prefix sums by
+    inclusion-exclusion on the densified grid (never a pairwise cell
+    join); tau-b and gamma each one mirrored IEEE tree."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        kendall_tau_b_binned,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    y = F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return kendall_tau_b_binned(
+        li, F.col("l_quantity").cast("bigint"), y
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8535,6 +8691,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q307_dunn_posthoc": q307_dunn_posthoc,
         "q308_brown_forsythe": q308_brown_forsythe,
         "q309_cliffs_delta": q309_cliffs_delta,
+        "q310_wilcoxon_signed_rank": q310_wilcoxon_signed_rank,
+        "q311_friedman_event_mix": q311_friedman_event_mix,
+        "q312_jonckheere_trend": q312_jonckheere_trend,
+        "q313_mood_median": q313_mood_median,
+        "q314_cvm_quantity_drift": q314_cvm_quantity_drift,
+        "q315_ad_lang_tails": q315_ad_lang_tails,
+        "q316_kendall_tau_qty_discount": q316_kendall_tau_qty_discount,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -10737,6 +10900,364 @@ def oracle_sql() -> dict[str, str]:
                                 AS DOUBLE)
                          * 1000000.0 + 0.5) / 1000000.0 AS fpr
             FROM flags
+        """,
+        "q310_wilcoxon_signed_rank": """
+            WITH pairsrc AS (
+              SELECT l_partkey,
+                     CAST(COALESCE(SUM(CASE WHEN l_shipdate
+                                              < TIMESTAMP '1998-07-01'
+                                            THEN CAST(l_quantity AS BIGINT)
+                                            END), 0)
+                        - COALESCE(SUM(CASE WHEN l_shipdate
+                                              >= TIMESTAMP '1998-07-01'
+                                            THEN CAST(l_quantity AS BIGINT)
+                                            END), 0)
+                          AS BIGINT) AS d
+              FROM lineitem GROUP BY 1
+            ), base AS (SELECT d FROM pairsrc WHERE d IS NOT NULL AND d <> 0),
+            absd AS (
+              SELECT abs(d) AS a, CAST(COUNT(*) AS BIGINT) AS t,
+                     CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tp
+              FROM base GROUP BY 1
+            ), run AS (
+              SELECT a, t, tp,
+                     SUM(t) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS ci
+              FROM absd
+            ), agg AS (
+              SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_pairs,
+                     CAST(COALESCE(SUM(tp), 0) AS BIGINT) AS n_pos,
+                     COALESCE(SUM(CAST(tp AS HUGEINT) * (2*(ci - t) + t + 1)),
+                              0) AS w2p,
+                     COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tie3
+              FROM run
+            )
+            SELECT n_pairs, n_pos,
+                   CAST(n_pairs - n_pos AS BIGINT) AS n_neg,
+                   CAST(w2p AS BIGINT) AS w2_plus,
+                   CASE WHEN n_pairs < 1
+                          OR CAST(2*CAST(n_pairs AS HUGEINT)*(n_pairs+1)
+                                  *(2*n_pairs+1) - tie3 AS DOUBLE) <= 0.0
+                        THEN NULL
+                        ELSE CAST(floor(
+                          CAST(2*w2p - CAST(n_pairs AS HUGEINT)*(n_pairs+1)
+                               AS DOUBLE)
+                          / sqrt(CAST(2*CAST(n_pairs AS HUGEINT)*(n_pairs+1)
+                                      *(2*n_pairs+1) - tie3 AS DOUBLE) / 3.0)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS z_x1e6
+            FROM agg
+        """,
+        "q311_friedman_event_mix": """
+            WITH cell AS (
+              SELECT CAST(ts AS DATE) AS b, event_type AS j,
+                     CAST(COUNT(*) AS BIGINT) AS v
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2
+            ), kg AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS k FROM cell),
+            complete AS (
+              SELECT b FROM cell GROUP BY b
+              HAVING COUNT(*) = (SELECT k FROM kg)
+            ), rws AS MATERIALIZED (
+              SELECT cell.* FROM cell JOIN complete USING (b)
+            ), ranked AS MATERIALIZED (
+              SELECT a.b, a.j,
+                     CAST(2*SUM(CASE WHEN x.v < a.v THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN x.v = a.v THEN 1 ELSE 0 END)
+                        + 1 AS BIGINT) AS dmid
+              FROM rws a JOIN rws x ON a.b = x.b
+              GROUP BY 1, 2
+            ), nrow AS (
+              SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM ranked
+            ), perj AS (
+              SELECT j, SUM(CAST(dmid AS HUGEINT)) AS r2j
+              FROM ranked GROUP BY 1
+            ), s AS (
+              SELECT SUM((r2j - CAST(n AS HUGEINT)*(k+1))
+                         * (r2j - CAST(n AS HUGEINT)*(k+1))) AS s2
+              FROM perj CROSS JOIN nrow CROSS JOIN kg
+            ), a1 AS (
+              SELECT SUM(CAST(dmid AS HUGEINT) * dmid) AS a1v FROM ranked
+            )
+            SELECT n AS n_blocks, k AS k_treatments,
+                   CASE WHEN n < 1
+                          OR CAST(a1v - CAST(n AS HUGEINT)*k*(k+1)*(k+1)
+                                  AS DOUBLE) <= 0.0
+                        THEN NULL
+                        ELSE CAST(floor(
+                          (CAST(k AS DOUBLE) - 1.0) * CAST(s2 AS DOUBLE)
+                          / CAST(a1v - CAST(n AS HUGEINT)*k*(k+1)*(k+1)
+                                 AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS q_x1e6
+            FROM nrow CROSS JOIN kg CROSS JOIN s CROSS JOIN a1
+        """,
+        "q312_jonckheere_trend": """
+            WITH base AS (
+              SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+                     CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+            ), gv AS MATERIALIZED (
+              SELECT g, v, CAST(COUNT(*) AS BIGINT) AS ngv
+              FROM base GROUP BY 1, 2
+            ), lattice AS (
+              SELECT gg.g, vv.v, COALESCE(gv.ngv, 0) AS ngv
+              FROM (SELECT DISTINCT v FROM gv) vv
+              CROSS JOIN (SELECT DISTINCT g FROM gv) gg
+              LEFT JOIN gv ON gv.g = gg.g AND gv.v = vv.v
+            ), run AS MATERIALIZED (
+              SELECT g, v, ngv,
+                     SUM(ngv) OVER (PARTITION BY g ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS ci
+              FROM lattice
+            ), j2t AS (
+              SELECT COALESCE(SUM(CAST(b.ngv AS HUGEINT)
+                                  * (2*a.ci - a.ngv)), 0) AS j2
+              FROM run a JOIN gv b ON a.v = b.v AND a.g < b.g
+            ), ng AS (
+              SELECT g, CAST(SUM(ngv) AS BIGINT) AS nj FROM gv GROUP BY 1
+            ), gsum AS (
+              SELECT CAST(SUM(nj) AS BIGINT) AS n_total,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     SUM(CAST(nj AS HUGEINT) * nj) AS sn2,
+                     SUM(CAST(nj AS HUGEINT) * (nj-1) * (2*nj+5)) AS e1,
+                     SUM(CAST(nj AS HUGEINT) * (nj-1) * (nj-2)) AS e2,
+                     SUM(CAST(nj AS HUGEINT) * (nj-1)) AS e3
+              FROM ng
+            ), vt AS (
+              SELECT v, CAST(SUM(ngv) AS BIGINT) AS t FROM gv GROUP BY 1
+            ), tsum AS (
+              SELECT SUM(CAST(t AS HUGEINT) * (t-1) * (2*t+5)) AS u1,
+                     SUM(CAST(t AS HUGEINT) * (t-1) * (t-2)) AS u2,
+                     SUM(CAST(t AS HUGEINT) * (t-1)) AS u3
+              FROM vt
+            )
+            SELECT n_total, n_groups, CAST(j2 AS BIGINT) AS j2,
+                   CASE WHEN n_groups < 2 OR (
+                          CAST(CAST(n_total AS HUGEINT)*(n_total-1)
+                               *(2*n_total+5) - e1 - u1 AS DOUBLE) / 72.0
+                          + (CAST(e2 AS DOUBLE) * CAST(u2 AS DOUBLE))
+                            / (36.0 * CAST(n_total AS DOUBLE)
+                               * (CAST(n_total AS DOUBLE) - 1.0)
+                               * (CAST(n_total AS DOUBLE) - 2.0))
+                          + (CAST(e3 AS DOUBLE) * CAST(u3 AS DOUBLE))
+                            / (8.0 * CAST(n_total AS DOUBLE)
+                               * (CAST(n_total AS DOUBLE) - 1.0))) <= 0.0
+                        THEN NULL
+                        ELSE CAST(floor(
+                          CAST(2*j2 - (CAST(n_total AS HUGEINT)*n_total - sn2)
+                               AS DOUBLE)
+                          / (4.0 * sqrt(
+                              CAST(CAST(n_total AS HUGEINT)*(n_total-1)
+                                   *(2*n_total+5) - e1 - u1 AS DOUBLE) / 72.0
+                              + (CAST(e2 AS DOUBLE) * CAST(u2 AS DOUBLE))
+                                / (36.0 * CAST(n_total AS DOUBLE)
+                                   * (CAST(n_total AS DOUBLE) - 1.0)
+                                   * (CAST(n_total AS DOUBLE) - 2.0))
+                              + (CAST(e3 AS DOUBLE) * CAST(u3 AS DOUBLE))
+                                / (8.0 * CAST(n_total AS DOUBLE)
+                                   * (CAST(n_total AS DOUBLE) - 1.0))))
+                          * 1000000.0 + 0.5) AS BIGINT) END AS z_x1e6
+            FROM gsum CROSS JOIN tsum CROSS JOIN j2t
+        """,
+        "q313_mood_median": """
+            WITH vsrc AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ), vals AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM vsrc GROUP BY 1
+            ), run AS (
+              SELECT v, SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS ci
+              FROM vals
+            ), tot0 AS (SELECT CAST(SUM(t) AS BIGINT) AS nn FROM vals),
+            med AS (
+              SELECT MIN(v) AS m FROM run CROSS JOIN tot0 WHERE 2*ci >= nn
+            ), base AS (
+              SELECT g AS a,
+                     CASE WHEN v > (SELECT m FROM med)
+                          THEN 'above' ELSE 'not_above' END AS b
+              FROM vsrc
+            ), cells AS (
+              SELECT a, b, CAST(COUNT(*) AS BIGINT) AS obs
+              FROM base GROUP BY 1, 2
+            ), rm AS (
+              SELECT a, CAST(COUNT(*) AS BIGINT) AS r FROM base GROUP BY 1
+            ), cm AS (
+              SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1
+            ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+                            CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+                     FROM base),
+            terms AS (SELECT CAST(floor(
+                        (CAST(CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                              AS DOUBLE)
+                         * CAST(CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                                AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                           * CAST(c AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS HUGEINT) AS tq
+                      FROM cells JOIN rm USING (a) JOIN cm USING (b), t)
+            SELECT CAST((SELECT m FROM med) AS BIGINT) AS grand_median,
+                   n, n_a AS n_groups,
+                   CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+                   floor(CAST(SUM(tq) AS DOUBLE) / 1000000000.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS chi2
+            FROM terms, t GROUP BY 1, n, n_a, n_b
+        """,
+        "q314_cvm_quantity_drift": """
+            WITH base AS (
+              SELECT CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS s,
+                     CAST(l_quantity AS BIGINT) AS v
+              FROM lineitem
+              WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+            ), vals AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                     CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ta
+              FROM base GROUP BY 1
+            ), run AS (
+              SELECT v, t, ta, SUM(t) OVER w AS h, SUM(ta) OVER w AS ca
+              FROM vals WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW)
+            ), tot AS (
+              SELECT CAST(SUM(ta) AS BIGINT) AS n,
+                     CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
+              FROM vals
+            ), s AS (
+              SELECT n AS n_a, m AS n_b,
+                     COALESCE(SUM(CAST(t AS HUGEINT)
+                       * (CAST(m AS HUGEINT)*ca - CAST(n AS HUGEINT)*(h - ca))
+                       * (CAST(m AS HUGEINT)*ca
+                          - CAST(n AS HUGEINT)*(h - ca))),
+                       0) AS sq
+              FROM run CROSS JOIN tot GROUP BY 1, 2
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CASE WHEN n_a < 1 OR n_b < 1 THEN NULL
+                        ELSE CAST(floor(CAST(sq AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                             * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                             * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                          * 1000000.0 + 0.5) AS BIGINT) END AS t_x1e6
+            FROM s
+        """,
+        "q315_ad_lang_tails": """
+            WITH base AS (
+              SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s,
+                     CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+            ), vals AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                     CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ta
+              FROM base GROUP BY 1
+            ), run AS (
+              SELECT v, t, ta, SUM(t) OVER w AS h, SUM(ta) OVER w AS ca
+              FROM vals WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW)
+            ), tot AS (
+              SELECT CAST(SUM(ta) AS BIGINT) AS n,
+                     CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
+              FROM vals
+            ), s AS (
+              SELECT n AS n_a, m AS n_b,
+                     COALESCE(SUM(
+                       (CAST(t AS HUGEINT)
+                        * (CAST(m AS HUGEINT)*ca
+                           - CAST(n AS HUGEINT)*(h - ca))
+                        * (CAST(m AS HUGEINT)*ca
+                           - CAST(n AS HUGEINT)*(h - ca))
+                        * 1000000)
+                       // CAST(h * ((n + m) - h) AS HUGEINT)), 0) AS sq
+              FROM run CROSS JOIN tot WHERE h < n + m GROUP BY 1, 2
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CASE WHEN n_a < 1 OR n_b < 1 THEN NULL
+                        ELSE CAST(floor(CAST(sq AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                             * 1000000.0)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS a2_x1e6
+            FROM s
+        """,
+        "q316_kendall_tau_qty_discount": """
+            WITH base AS (
+              SELECT CAST(l_quantity AS BIGINT) AS x,
+                     CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            ), cells AS MATERIALIZED (
+              SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2
+            ), grid AS (
+              SELECT xs.x, ys.y, COALESCE(cl.c, 0) AS c
+              FROM (SELECT DISTINCT x FROM cells) xs
+              CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+              LEFT JOIN cells cl ON cl.x = xs.x AND cl.y = ys.y
+            ), g2 AS (
+              SELECT x, y, c,
+                     SUM(c) OVER (PARTITION BY x ORDER BY y
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cy
+              FROM grid
+            ), g3 AS MATERIALIZED (
+              SELECT x, y, c, cy,
+                     SUM(cy) OVER wx AS p,
+                     SUM(c) OVER wx AS cxy
+              FROM g2 WINDOW wx AS (PARTITION BY y ORDER BY x
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            ), rmarg0 AS (
+              SELECT x, CAST(SUM(c) AS BIGINT) AS rt FROM cells GROUP BY 1
+            ), rmarg AS MATERIALIZED (
+              SELECT x, rt, SUM(rt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                                          PRECEDING AND CURRENT ROW) AS rcum
+              FROM rmarg0
+            ), cmarg0 AS (
+              SELECT y, CAST(SUM(c) AS BIGINT) AS ct FROM cells GROUP BY 1
+            ), cmarg AS MATERIALIZED (
+              SELECT y, ct, SUM(ct) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                                          PRECEDING AND CURRENT ROW) AS ccum
+              FROM cmarg0
+            ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM cells),
+            agg AS (
+              SELECT MAX(nt) AS n,
+                     COALESCE(SUM(CAST(c AS HUGEINT)
+                                  * (nt - rcum - ccum + p)), 0) AS cc,
+                     COALESCE(SUM(CAST(c AS HUGEINT)
+                                  * ((ccum - ct) - (p - cxy))), 0) AS dd
+              FROM g3 JOIN rmarg USING (x) JOIN cmarg USING (y)
+              CROSS JOIN tot
+            ), tx AS (
+              SELECT SUM(CAST(rt AS HUGEINT) * (rt - 1)) AS t1 FROM rmarg0
+            ), ty AS (
+              SELECT SUM(CAST(ct AS HUGEINT) * (ct - 1)) AS t2 FROM cmarg0
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(cc AS BIGINT) AS n_conc,
+                   CAST(dd AS BIGINT) AS n_disc,
+                   CASE WHEN CAST(CAST(n AS HUGEINT)*(n-1) - t1 AS DOUBLE)
+                             <= 0.0
+                          OR CAST(CAST(n AS HUGEINT)*(n-1) - t2 AS DOUBLE)
+                             <= 0.0
+                        THEN NULL
+                        ELSE CAST(floor(
+                          2.0 * CAST(cc - dd AS DOUBLE)
+                          / (sqrt(CAST(CAST(n AS HUGEINT)*(n-1) - t1
+                                       AS DOUBLE))
+                             * sqrt(CAST(CAST(n AS HUGEINT)*(n-1) - t2
+                                         AS DOUBLE)))
+                          * 1000000.0 + 0.5) AS BIGINT) END AS tau_b_x1e6,
+                   CASE WHEN cc + dd <= 0 THEN NULL
+                        ELSE CAST(floor(CAST(cc - dd AS DOUBLE)
+                                        / CAST(cc + dd AS DOUBLE)
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                        END AS gamma_x1e6
+            FROM agg CROSS JOIN tx CROSS JOIN ty
         """,
         "q204_lang_source_chisq": """
             WITH base AS (SELECT lang AS a, source AS b FROM documents

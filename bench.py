@@ -290,6 +290,13 @@ HEADLINE = [
     "q307_dunn_posthoc",
     "q308_brown_forsythe",
     "q309_cliffs_delta",
+    "q310_wilcoxon_signed_rank",
+    "q311_friedman_event_mix",
+    "q312_jonckheere_trend",
+    "q313_mood_median",
+    "q314_cvm_quantity_drift",
+    "q315_ad_lang_tails",
+    "q316_kendall_tau_qty_discount",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

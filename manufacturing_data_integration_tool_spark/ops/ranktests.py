@@ -1,0 +1,798 @@
+"""Nonparametric rank tests and ECDF-distance statistics.
+
+The round-8 corpus-governance wave (Kruskal-Wallis q304, Dunn q307,
+Brown-Forsythe q308, Cliff's delta q309) covered the k-group location /
+spread / effect-size story.  This module completes the classical
+nonparametric toolbox a data-quality team actually reaches for:
+
+- :func:`wilcoxon_signed_rank` — paired before/after shift (Wilcoxon 1945)
+- :func:`friedman` — k treatments x n blocks rank ANOVA (Friedman 1937)
+- :func:`jonckheere_terpstra` — ordered-alternative trend across ordered
+  groups (Jonckheere 1954; Terpstra 1952)
+- :func:`mood_median` — k-group median test (Mood 1950), composed from the
+  exact global lower median and :func:`~.stats.chisq_independence`
+- :func:`cvm_two_sample` — two-sample Cramér-von Mises ECDF distance
+  (Anderson, Ann. Math. Stat. 1962)
+- :func:`ad_two_sample` — two-sample Anderson-Darling (Pettitt,
+  Biometrika 1976; tie handling per Scholz & Stephens, JASA 1987)
+- :func:`kendall_tau_b_binned` — Kendall tau-b + Goodman-Kruskal gamma
+  over a bounded categorical grid (Kendall 1945; Goodman & Kruskal 1954)
+
+Determinism contract (the repo-wide discipline): every count, rank-sum and
+dominance/concordance count is an exact BIGINT/DECIMAL(38,0) (midranks in
+DOUBLED units stay integral under ties); each published statistic is ONE
+fixed IEEE tree over those exact scalars, floor-published on the 1e6
+lattice and mirrored verbatim by the DuckDB oracles.  Where a statistic
+needs per-point division inside a sum (Anderson-Darling's 1/(H(N-H))
+weight), each term is an exact integer division on a declared lattice and
+the SUM is integer — float summation order never matters.
+
+Scale posture: raw rows always collapse to distinct-value (or bounded
+grid) tables first; cumulative counts run through
+:func:`~.sampling.two_phase_running_sum`; group axes densify over the
+shared value axis via constant-key broadcast equi-joins (never a
+cartesian); pairwise group combines join ON THE VALUE KEY and reduce
+map-side, so k(k-1)/2 outputs stay driver-sized at any corpus size.
+
+Reference parity note: the reference tool (kshres31/
+Manufacturing-Data-Integration-Tool, src/data_validator.py) stops at
+per-rule row screens; these operators are the statistical-governance layer
+above it (does a source/lang/priority segment DIFFER), same role as the
+round-8 q303-q309 family they extend.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .sampling import two_phase_running_sum
+
+__all__ = [
+    "wilcoxon_signed_rank",
+    "friedman",
+    "jonckheere_terpstra",
+    "mood_median",
+    "cvm_two_sample",
+    "ad_two_sample",
+    "kendall_tau_b_binned",
+]
+
+
+def _as_bigint(value_col: Column | str) -> Column:
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return c.cast("bigint")
+
+
+_DEC = "decimal(38,0)"
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    diff_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon, Biometrics Bulletin 1945) on a
+    column of PAIRED integer differences: did the location shift between
+    the two halves of each pair — the paired sibling of q196's
+    Mann-Whitney and q304's Kruskal-Wallis.
+
+    Zeros are dropped (the standard Wilcoxon reduction); |d| is ranked
+    with DOUBLED midranks (a |d| bucket of ``t`` rows after ``below``
+    smaller rows has doubled midrank ``2*below + t + 1``), so the
+    positive-rank sum ``W2+ = sum of doubled midranks over d > 0`` is an
+    exact DECIMAL(38,0).  Under H0, ``E[W2+] = n(n+1)/2`` exactly and
+    ``Var(W2+) = (2n(n+1)(2n+1) - sum(t^3 - t)) / 12`` (tie-corrected,
+    Pratt's zero-drop convention) — so
+
+        ``z = (2*W2+ - n(n+1)) / sqrt((2n(n+1)(2n+1) - tie3) / 3)``
+
+    is ONE IEEE tree over exact integers (numerator doubled once more to
+    stay integral), floor-published at 1e6, sign preserved.
+
+    Scale posture: rows collapse to the distinct-|d| table (map-side);
+    the cumulative below-count runs two-phase; no all-pairs work.
+
+    Output: one row — ``n_pairs, n_pos, n_neg, w2_plus, z_x1e6`` (z NULL
+    when n < 1 or the variance is zero: all differences tied at one |d|
+    cannot happen after the zero drop unless n is 0 or every |d| equal
+    and... variance is still positive for n >= 1; the guard is for n = 0).
+    """
+    d = _as_bigint(diff_col)
+    base = df.select(d.alias("__d")).filter(
+        F.col("__d").isNotNull() & (F.col("__d") != 0)
+    )
+    absd = base.groupBy(F.abs(F.col("__d")).alias("__a")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"),
+        F.sum(F.when(F.col("__d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__tp"),
+    )
+    sub = sub_bucket if sub_bucket is not None else F.expr("__a div 65536")
+    run = two_phase_running_sum(
+        absd, [], [F.asc("__a")], F.col("__t"), sub, out_col="__ci"
+    )
+    dmid = (
+        F.lit(2) * (F.col("__ci") - F.col("__t")) + F.col("__t") + F.lit(1)
+    ).cast(_DEC)
+    agg = run.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("__tp"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.sum(F.col("__tp").cast(_DEC) * dmid), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__w2p"),
+        F.coalesce(
+            F.sum(
+                F.col("__t").cast(_DEC) * F.col("__t") * F.col("__t")
+                - F.col("__t")
+            ),
+            F.lit(0).cast(_DEC),
+        )
+        .cast(_DEC)
+        .alias("__tie3"),
+    )
+    n = F.col("n_pairs").cast(_DEC)
+    num = (F.lit(2).cast(_DEC) * F.col("__w2p") - n * (n + F.lit(1))).cast(
+        "double"
+    )
+    varnum = (
+        F.lit(2).cast(_DEC) * n * (n + F.lit(1)) * (F.lit(2) * n + F.lit(1))
+        - F.col("__tie3")
+    ).cast("double")
+    z = num / F.sqrt(varnum / F.lit(3.0))
+    return agg.select(
+        "n_pairs",
+        "n_pos",
+        (F.col("n_pairs") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        F.col("__w2p").cast("bigint").alias("w2_plus"),
+        F.when(
+            (F.col("n_pairs") < 1) | (varnum <= F.lit(0.0)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(z * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("z_x1e6"),
+    )
+
+
+def friedman(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Friedman rank test (Friedman, JASA 1937): do k treatments differ
+    when measured once per block — the rank ANOVA for randomized blocks
+    (here: does the event mix differ across event types, blocking by day,
+    so day-level traffic level cancels out).
+
+    Contract: one value per (block, treatment) — duplicates are SUMMED
+    (the natural semantics for count metrics); only COMPLETE blocks
+    (all k treatments present, k = the global distinct-treatment count)
+    enter the test, the textbook requirement.
+
+    Within-block DOUBLED midranks come from a block-keyed self-join
+    (``dmid = 2*#{smaller in block} + #{equal in block} + 1``) — blocks
+    have exactly k rows, an analysis constant, so the join fans out k-fold
+    only on the tiny per-block table.  With ``R2_j`` the per-treatment
+    doubled rank-sum, ``A1' = sum dmid^2``, ``C1' = n*k*(k+1)^2`` (all
+    exact integers; the doubled units absorb the /4), the tie-general
+    statistic (Conover, Practical Nonparametric Statistics, eq. 5.8.8)
+
+        ``Q = (k-1) * sum_j (R2_j - n*(k+1))^2 / (A1' - C1')``
+
+    is ONE division of exact decimals, floor-published at 1e6 (NULL when
+    every block is fully tied: A1' = C1').
+
+    Output: one row — ``n_blocks, k_treatments, q_x1e6``.
+    """
+    v = _as_bigint(value_col)
+    base0 = df.filter(
+        v.isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__j"),
+        v.alias("__v"),
+    )
+    cell = base0.groupBy("__b", "__j").agg(
+        F.sum("__v").cast("bigint").alias("__v")
+    )
+    # k as a 1-row broadcast (stays lazy — no driver action at plan time)
+    kg = cell.agg(F.countDistinct("__j").cast("bigint").alias("__k"))
+    complete = (
+        cell.groupBy("__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__kb"))
+        .crossJoin(F.broadcast(kg))
+        .filter(F.col("__kb") == F.col("__k"))
+        .select("__b")
+    )
+    rows = cell.join(complete, "__b")
+    other = rows.select(
+        F.col("__b").alias("__ob"), F.col("__v").alias("__ov")
+    )
+    ranked = (
+        rows.join(other, rows["__b"] == other["__ob"])
+        .groupBy("__b", "__j")
+        .agg(
+            (
+                F.lit(2) * F.sum(F.when(F.col("__ov") < F.col("__v"), 1).otherwise(0))
+                + F.sum(F.when(F.col("__ov") == F.col("__v"), 1).otherwise(0))
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("__dmid")
+        )
+    )
+    nrow = ranked.select("__b").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    per_j = (
+        ranked.groupBy("__j")
+        .agg(F.sum(F.col("__dmid").cast(_DEC)).cast(_DEC).alias("__r2j"))
+        .crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(kg))
+    )
+    dev = F.col("__r2j") - F.col("__n").cast(_DEC) * (
+        F.col("__k").cast(_DEC) + F.lit(1).cast(_DEC)
+    )
+    s = per_j.agg(
+        F.max("__n").alias("n_blocks"),
+        F.max("__k").alias("k_treatments"),
+        F.sum(dev * dev).cast(_DEC).alias("__s"),
+    )
+    a1 = ranked.agg(
+        F.sum(F.col("__dmid").cast(_DEC) * F.col("__dmid"))
+        .cast(_DEC)
+        .alias("__a1")
+    )
+    g = s.crossJoin(F.broadcast(a1))
+    kd = F.col("k_treatments").cast(_DEC)
+    c1 = (
+        F.col("n_blocks").cast(_DEC)
+        * kd
+        * (kd + F.lit(1)) * (kd + F.lit(1))
+    )
+    den = (F.col("__a1") - c1).cast("double")
+    q = (
+        (F.col("k_treatments").cast("double") - F.lit(1.0))
+        * F.col("__s").cast("double")
+        / den
+    )
+    return g.select(
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.col("k_treatments").cast("bigint").alias("k_treatments"),
+        F.when(
+            (F.col("n_blocks") < 1) | (den <= F.lit(0.0)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(q * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("q_x1e6"),
+    )
+
+
+def _group_value_cumulatives(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    sub_bucket: Column | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared densified-lattice core for the dominance-count family
+    (:func:`jonckheere_terpstra` here; same construction as
+    :func:`~.stats.cliffs_delta_pairwise`): every group crossed with the
+    SHARED distinct-value axis via a constant-key broadcast equi-join
+    (k rows broadcast — a BroadcastHashJoin, never a cartesian), zero
+    counts filled, per-group inclusive cumulative counts two-phase.
+
+    Returns ``(full, gv)``: ``full`` = (__g, __v, __ngv, __ci, __ng) on
+    the dense lattice; ``gv`` = the sparse (__g, __v, __ngv) table.
+    """
+    v = _as_bigint(value_col)
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    gv = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ngv")
+    )
+    vals = gv.select("__v").distinct().withColumn("__one", F.lit(1))
+    groups = gv.select("__g").distinct().withColumn("__one", F.lit(1))
+    lattice = (
+        vals.join(F.broadcast(groups), "__one")
+        .drop("__one")
+        .join(gv, ["__g", "__v"], "left")
+        .na.fill({"__ngv": 0})
+    )
+    sub = sub_bucket if sub_bucket is not None else F.expr("__v div 65536")
+    run = two_phase_running_sum(
+        lattice, ["__g"], [F.asc("__v")], F.col("__ngv"), sub, out_col="__ci"
+    )
+    totals = gv.groupBy("__g").agg(F.sum("__ngv").cast("bigint").alias("__ng"))
+    full = run.join(F.broadcast(totals), "__g")
+    return full, gv
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_order_col: Column | str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test (Terpstra 1952;
+    Jonckheere, Biometrika 1954): is a value's distribution
+    monotonically shifted across k ORDERED groups (e.g. does order value
+    trend across the 1-URGENT..5-LOW priority ladder) — strictly more
+    powerful than Kruskal-Wallis when the alternative is ordered.
+
+    ``J = sum over ordered group pairs a<b of U_ab`` with
+    ``U_ab = #{x_a < y_b} + #{x_a = y_b}/2``.  In DOUBLED units each
+    pair's dominance count comes off the shared densified value lattice:
+    ``2*U_ab = sum_v n_b(v) * (2*cum_a(v) - n_a(v))`` (``cum_a``
+    inclusive), one decimal(38,0) sum — the :func:`~.stats
+    .cliffs_delta_pairwise` machinery pointed at the LOWER triangle.
+    Under H0, ``E[2J] = (N^2 - sum n_j^2)/2`` and the tie-corrected
+    variance (Hollander & Wolfe, Nonparametric Statistical Methods,
+    eq. 6.19) assembles from six exact integer sums:
+
+        ``72*Var(J) = A + 2*B/(N(N-1)(N-2)) + 9*E3*U3/(N(N-1))`` with
+        ``A  = N(N-1)(2N+5) - sum n(n-1)(2n+5) - sum t(t-1)(2t+5)``,
+        ``B  = [sum n(n-1)(n-2)] * [sum t(t-1)(t-2)]``,
+        ``E3*U3 = [sum n(n-1)] * [sum t(t-1)]``
+
+    (group sums over n_j, tie sums over pooled value multiplicities t);
+    ``z = (2*(2J) - (N^2 - sum n_j^2)) / (4*sqrt(Var))`` is ONE IEEE
+    tree, floor-published at 1e6, sign preserved (positive = value grows
+    with the group order).
+
+    Output: one row — ``n_total, n_groups, j2, z_x1e6`` (z NULL when
+    k < 2 or Var <= 0).
+    """
+    g = (
+        F.col(group_order_col)
+        if isinstance(group_order_col, str)
+        else group_order_col
+    ).cast("bigint")
+    src = df.select(g.alias("__gk"), (_as_bigint(value_col)).alias("__val"))
+    full, gv = _group_value_cumulatives(src, "__gk", F.col("__val"), sub_bucket)
+    a = full.select(
+        F.col("__v").alias("__va"),
+        F.col("__g").alias("__ga"),
+        F.col("__ngv").alias("__na_v"),
+        F.col("__ci").alias("__ca"),
+    )
+    b = gv.select(
+        F.col("__v").alias("__vb"),
+        F.col("__g").alias("__gb"),
+        F.col("__ngv").alias("__nb_v"),
+    )
+    contrib = F.col("__nb_v").cast(_DEC) * (
+        F.lit(2) * F.col("__ca") - F.col("__na_v")
+    ).cast(_DEC)
+    j2 = (
+        a.join(b, a["__va"] == b["__vb"])
+        .filter(F.col("__ga") < F.col("__gb"))
+        .agg(F.coalesce(F.sum(contrib), F.lit(0).cast(_DEC)).alias("__j2"))
+    )
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    ng = gv.groupBy("__g").agg(F.sum("__ngv").cast("bigint").alias("__nj"))
+    gsum = ng.agg(
+        F.sum("__nj").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(dec(F.col("__nj")) * F.col("__nj")).cast(_DEC).alias("__sn2"),
+        F.sum(
+            dec(F.col("__nj"))
+            * (F.col("__nj") - 1)
+            * (F.lit(2) * F.col("__nj") + 5)
+        )
+        .cast(_DEC)
+        .alias("__e1"),
+        F.sum(dec(F.col("__nj")) * (F.col("__nj") - 1) * (F.col("__nj") - 2))
+        .cast(_DEC)
+        .alias("__e2"),
+        F.sum(dec(F.col("__nj")) * (F.col("__nj") - 1))
+        .cast(_DEC)
+        .alias("__e3"),
+    )
+    vt = gv.groupBy("__v").agg(F.sum("__ngv").cast("bigint").alias("__t"))
+    tsum = vt.agg(
+        F.sum(
+            dec(F.col("__t")) * (F.col("__t") - 1) * (F.lit(2) * F.col("__t") + 5)
+        )
+        .cast(_DEC)
+        .alias("__u1"),
+        F.sum(dec(F.col("__t")) * (F.col("__t") - 1) * (F.col("__t") - 2))
+        .cast(_DEC)
+        .alias("__u2"),
+        F.sum(dec(F.col("__t")) * (F.col("__t") - 1)).cast(_DEC).alias("__u3"),
+    )
+    out = gsum.crossJoin(F.broadcast(tsum)).crossJoin(F.broadcast(j2))
+    nn = F.col("n_total").cast(_DEC)
+    a_term = (
+        nn * (nn - F.lit(1)) * (F.lit(2) * nn + F.lit(5))
+        - F.col("__e1")
+        - F.col("__u1")
+    ).cast("double")
+    nd = F.col("n_total").cast("double")
+    var = (
+        a_term / F.lit(72.0)
+        + (F.col("__e2").cast("double") * F.col("__u2").cast("double"))
+        / (F.lit(36.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0)))
+        + (F.col("__e3").cast("double") * F.col("__u3").cast("double"))
+        / (F.lit(8.0) * nd * (nd - F.lit(1.0)))
+    )
+    num = (
+        F.lit(2).cast(_DEC) * F.col("__j2") - (nn * nn - F.col("__sn2"))
+    ).cast("double")
+    z = num / (F.lit(4.0) * F.sqrt(var))
+    return out.select(
+        "n_total",
+        "n_groups",
+        F.col("__j2").cast("bigint").alias("j2"),
+        F.when(
+            (F.col("n_groups") < 2) | (var <= F.lit(0.0)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(z * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("z_x1e6"),
+    )
+
+
+def mood_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+) -> DataFrame:
+    """Mood's median test (Mood, Introduction to the Theory of Statistics
+    1950): classify every row as above / not-above the GRAND median and
+    chi-square the k x 2 contingency — the blunt-but-assumption-free
+    k-group location screen (less powerful than Kruskal-Wallis, immune
+    to shape differences).
+
+    The grand median is the exact LOWER median (smallest v with
+    ``2*cum >= N``, two-phase cumulative — the q308 convention); the
+    contingency test composes :func:`~.stats.chisq_independence`
+    unchanged (per-cell integer-lattice quantization, integer sum, one
+    published division).
+
+    Output: one row — ``grand_median, n, n_groups, dof, chi2``
+    (``dof = (k-1)`` since the flag axis is binary; chi2 is the
+    floor-published 6-decimal double from chisq_independence).
+    """
+    from .stats import chisq_independence
+
+    v = _as_bigint(value_col)
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    vals = base.groupBy("__v").agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    sub = sub_bucket if sub_bucket is not None else F.expr("__v div 65536")
+    run = two_phase_running_sum(
+        vals, [], [F.asc("__v")], F.col("__t"), sub, out_col="__ci"
+    )
+    tot = vals.agg(F.sum("__t").cast("bigint").alias("__n"))
+    med = (
+        run.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("__ci") >= F.col("__n"))
+        .agg(F.min("__v").alias("__med"))
+    )
+    flagged = base.crossJoin(F.broadcast(med)).select(
+        "__g",
+        F.when(F.col("__v") > F.col("__med"), F.lit("above"))
+        .otherwise(F.lit("not_above"))
+        .alias("__side"),
+    )
+    chi = chisq_independence(flagged, "__g", "__side")
+    return chi.crossJoin(F.broadcast(med)).select(
+        F.col("__med").cast("bigint").alias("grand_median"),
+        "n",
+        F.col("n_a").alias("n_groups"),
+        "dof",
+        "chi2",
+    )
+
+
+def _two_sample_x(df, group_col, value_col, label_a, label_b, sub_bucket):
+    """Shared two-sample ECDF core: per pooled distinct value v, the
+    exact integer ``X(v) = m*cum_a(v) - n*cum_b(v)`` (n = |a|, m = |b|,
+    cumulatives inclusive) whose square drives both CvM and AD, plus the
+    pooled multiplicity ``t(v)`` and pooled cumulative ``H(v)``.
+
+    Returns the per-value frame with columns
+    ``(__t, __h, __x, __n, __m)`` — |values| rows, group axis densified
+    by construction (both cumulatives are evaluated at every pooled v).
+    """
+    g = F.col(group_col)
+    v = _as_bigint(value_col)
+    base = df.filter(
+        v.isNotNull() & g.isin([label_a, label_b])
+    ).select(
+        F.when(g == F.lit(label_a), F.lit(0)).otherwise(F.lit(1)).alias("__s"),
+        v.alias("__v"),
+    )
+    vals = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"),
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ta"),
+    )
+    sub = sub_bucket if sub_bucket is not None else F.expr("__v div 65536")
+    run = two_phase_running_sum(
+        vals, [], [F.asc("__v")], F.col("__t"), sub, out_col="__h"
+    )
+    run = two_phase_running_sum(
+        run, [], [F.asc("__v")], F.col("__ta"), sub, out_col="__cza"
+    )
+    tot = vals.agg(
+        F.sum("__ta").cast("bigint").alias("__n"),
+        (F.sum("__t") - F.sum("__ta")).cast("bigint").alias("__m"),
+    )
+    full = run.crossJoin(F.broadcast(tot))
+    x = (
+        F.col("__m").cast(_DEC) * F.col("__cza")
+        - F.col("__n").cast(_DEC) * (F.col("__h") - F.col("__cza"))
+    ).cast(_DEC)
+    return full.select("__t", "__h", x.alias("__x"), "__n", "__m")
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises ECDF distance (Anderson, Ann. Math.
+    Stat. 1962): ``T = nm/(n+m)^2 * sum over pooled points of
+    (F_n - G_m)^2`` — the whole-distribution drift test that weights the
+    body where KS (q231) only sees the single largest gap.
+
+    With per-value exact ``X(v) = m*cum_a - n*cum_b`` (so
+    ``F_n - G_m = X/(nm)`` at v) and pooled multiplicity t(v),
+    ``T = [sum_v t*X^2] / (n*m*(n+m)^2)`` — the numerator is one exact
+    DECIMAL(38,0) sum, T is ONE division, floor-published at 1e6.
+
+    Output: one row — ``n_a, n_b, t_x1e6`` (NULL when either sample is
+    empty).
+    """
+    per_v = _two_sample_x(df, group_col, value_col, label_a, label_b, sub_bucket)
+    s = per_v.agg(
+        F.max("__n").alias("n_a"),
+        F.max("__m").alias("n_b"),
+        F.coalesce(
+            F.sum(F.col("__t").cast(_DEC) * F.col("__x") * F.col("__x")),
+            F.lit(0).cast(_DEC),
+        ).alias("__s"),
+    )
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    t = F.col("__s").cast("double") / (n * m * (n + m) * (n + m))
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.when(
+            F.col("n_a").isNull()
+            | F.col("n_b").isNull()
+            | (F.col("n_a") < 1)
+            | (F.col("n_b") < 1),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(t * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("t_x1e6"),
+    )
+
+
+_AD_GRID = 1_000_000
+
+
+def ad_two_sample(
+    df: DataFrame,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Pettitt, Biometrika 1976;
+    discrete/tied form per Scholz & Stephens, JASA 1987, k = 2, without
+    continuity adjustment): the tail-sensitive companion to
+    :func:`cvm_two_sample` — the 1/(H(N-H)) weight makes it the screen
+    that catches tail-only contamination CvM's body weighting smooths
+    over.
+
+    For k = 2 the Scholz-Stephens inner sum collapses (since
+    ``N*M_a - n*H = -(N*M_b - m*H) = X``, the same exact integer as
+    CvM's): ``A2 = [sum over pooled v with H < N of
+    t * X^2 / (H*(N-H))] / (n*m)``.  Each term's division is the exact
+    integer ``(t * X^2 * GRID) div (H*(N-H))`` on the declared 1e6
+    lattice (truncation < 1/GRID per term, identical on both engines),
+    the sum is a DECIMAL(38,0) integer sum — float order never enters —
+    and A2 is ONE published division.
+
+    Output: one row — ``n_a, n_b, a2_x1e6`` (NULL when either sample is
+    empty).
+    """
+    per_v = _two_sample_x(df, group_col, value_col, label_a, label_b, sub_bucket)
+    nn = F.col("__n") + F.col("__m")
+    term = F.expr(
+        f"CAST(__t * __x * __x * {_AD_GRID} AS DECIMAL(38,0)) "
+        "div CAST(__h * ((__n + __m) - __h) AS DECIMAL(38,0))"
+    )
+    s = per_v.filter(F.col("__h") < nn).agg(
+        F.max("__n").alias("n_a"),
+        F.max("__m").alias("n_b"),
+        F.coalesce(F.sum(term), F.lit(0).cast(_DEC)).alias("__sq"),
+    )
+    a2 = F.col("__sq").cast("double") / (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * F.lit(float(_AD_GRID))
+    )
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.when(
+            F.col("n_a").isNull()
+            | F.col("n_b").isNull()
+            | (F.col("n_a") < 1)
+            | (F.col("n_b") < 1),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(a2 * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("a2_x1e6"),
+    )
+
+
+def kendall_tau_b_binned(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kendall tau-b rank correlation + Goodman-Kruskal gamma over a
+    BOUNDED categorical grid (Kendall, Biometrika 1945 for the tie-aware
+    tau-b; Goodman & Kruskal, JASA 1954): the ordinal-association
+    companion to q277's Spearman — tau-b reads directly as a probability
+    difference of concordance vs discordance.
+
+    Module contract: x and y are integers with BOUNDED distinct counts
+    (grid axes are analysis parameters — quantity 1..50, discount points
+    0..10; callers bin continuous columns first, as with Cliff's delta).
+    Rows collapse to the |x|*|y| cell table; the grid densifies by a
+    constant-key broadcast equi-join; concordant/discordant pair counts
+    come from exact 2-D inclusive prefix sums by inclusion-exclusion —
+    ``#{x'>x, y'>y} = T - R(x) - C(y) + P(x,y)`` — never a pairwise
+    cell join, so the shuffle is one groupBy plus bounded-partition
+    windows (each window partition holds one grid row/column).
+
+    With ``2*n0 = N(N-1)``, ``2*n1 = sum_x t_x(t_x-1)``,
+    ``2*n2 = sum_y t_y(t_y-1)`` (exact BIGINTs),
+
+        ``tau_b = 2*(C - D) / (sqrt(2n0 - 2n1) * sqrt(2n0 - 2n2))``
+        ``gamma = (C - D) / (C + D)``
+
+    each ONE IEEE tree, floor-published at 1e6.
+
+    Output: one row — ``n, n_conc, n_disc, tau_b_x1e6, gamma_x1e6``
+    (tau NULL when either axis is constant; gamma NULL when C + D = 0).
+    """
+    from pyspark.sql import Window
+
+    x = _as_bigint(x_col)
+    y = _as_bigint(y_col)
+    base = df.select(x.alias("__x"), y.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    cells = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    xs = cells.select("__x").distinct().withColumn("__one", F.lit(1))
+    ys = cells.select("__y").distinct().withColumn("__one", F.lit(1))
+    grid = (
+        xs.join(F.broadcast(ys), "__one")
+        .drop("__one")
+        .join(cells, ["__x", "__y"], "left")
+        .na.fill({"__c": 0})
+    )
+    # 2-D inclusive prefix P(x,y) via two chained bounded-partition
+    # windows: per-x running over y, then per-y running over x of that.
+    w_y = (
+        Window.partitionBy("__x")
+        .orderBy(F.asc("__y"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_x = (
+        Window.partitionBy("__y")
+        .orderBy(F.asc("__x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g2 = grid.withColumn("__cy", F.sum("__c").over(w_y))
+    g2 = g2.withColumn("__p", F.sum("__cy").over(w_x))
+    g2 = g2.withColumn("__cxy", F.sum("__c").over(w_x))
+    rmarg = cells.groupBy("__x").agg(F.sum("__c").cast("bigint").alias("__rt"))
+    w_r = Window.orderBy(F.asc("__x")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rmarg = rmarg.withColumn("__rcum", F.sum("__rt").over(w_r))
+    cmarg = cells.groupBy("__y").agg(F.sum("__c").cast("bigint").alias("__ct"))
+    w_c = Window.orderBy(F.asc("__y")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cmarg = cmarg.withColumn("__ccum", F.sum("__ct").over(w_c))
+    tot = cells.agg(F.sum("__c").cast("bigint").alias("__nt"))
+    full = (
+        g2.join(F.broadcast(rmarg), "__x")
+        .join(F.broadcast(cmarg), "__y")
+        .crossJoin(F.broadcast(tot))
+    )
+    se = (
+        F.col("__nt") - F.col("__rcum") - F.col("__ccum") + F.col("__p")
+    )
+    sw = (F.col("__ccum") - F.col("__ct")) - (F.col("__p") - F.col("__cxy"))
+    agg = full.agg(
+        F.max("__nt").cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(F.col("__c").cast(_DEC) * se.cast(_DEC)), F.lit(0).cast(_DEC)
+        ).alias("__cc"),
+        F.coalesce(
+            F.sum(F.col("__c").cast(_DEC) * sw.cast(_DEC)), F.lit(0).cast(_DEC)
+        ).alias("__dd"),
+    )
+    tx = rmarg.agg(
+        F.sum(F.col("__rt").cast(_DEC) * (F.col("__rt") - 1))
+        .cast(_DEC)
+        .alias("__t1")
+    )
+    ty = cmarg.agg(
+        F.sum(F.col("__ct").cast(_DEC) * (F.col("__ct") - 1))
+        .cast(_DEC)
+        .alias("__t2")
+    )
+    out = agg.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("n").cast(_DEC)
+    two_n0 = n * (n - F.lit(1))
+    dx = (two_n0 - F.col("__t1")).cast("double")
+    dy = (two_n0 - F.col("__t2")).cast("double")
+    cd = (F.col("__cc") - F.col("__dd")).cast("double")
+    tau = F.lit(2.0) * cd / (F.sqrt(dx) * F.sqrt(dy))
+    gamma = cd / (F.col("__cc") + F.col("__dd")).cast("double")
+    pub = lambda col: F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    return out.select(
+        "n",
+        F.col("__cc").cast("bigint").alias("n_conc"),
+        F.col("__dd").cast("bigint").alias("n_disc"),
+        F.when(
+            (dx <= F.lit(0.0)) | (dy <= F.lit(0.0)), F.lit(None).cast("bigint")
+        )
+        .otherwise(pub(tau))
+        .alias("tau_b_x1e6"),
+        F.when(
+            (F.col("__cc") + F.col("__dd")) <= F.lit(0).cast(_DEC),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(pub(gamma))
+        .alias("gamma_x1e6"),
+    )

@@ -1,0 +1,290 @@
+"""Unit tests for ops.ranktests (Wilcoxon signed-rank, Friedman,
+Jonckheere-Terpstra, Mood's median, CvM, Anderson-Darling, Kendall
+tau-b): pure-Python / brute-force twins on micro-fixtures pin the
+semantics; driver-scale parity against DuckDB lives in
+tools/parity_check.py (q310-q316)."""
+
+import itertools
+import math
+from collections import Counter
+
+from pyspark.sql import Row
+
+from manufacturing_data_integration_tool_spark.ops.ranktests import (
+    ad_two_sample,
+    cvm_two_sample,
+    friedman,
+    jonckheere_terpstra,
+    kendall_tau_b_binned,
+    mood_median,
+    wilcoxon_signed_rank,
+)
+
+
+def _avg_ranks(vals):
+    sv = sorted(vals)
+    rank = {}
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        rank[sv[i]] = (i + 1 + j) / 2.0
+        i = j
+    return rank
+
+
+def test_wilcoxon_matches_textbook_twin(spark):
+    """Paired diffs with ties and zeros: z recomputed with average ranks
+    and the tie-corrected normal approximation must match the doubled-
+    rank integer pipeline exactly (one shared IEEE tree)."""
+    diffs = [3, -1, 2, 2, 0, -4, 5, 2, -2, 6, 1, 0, -3, 7]
+    df = spark.createDataFrame([Row(d=d) for d in diffs])
+    out = wilcoxon_signed_rank(df, "d").collect()[0]
+
+    nz = [d for d in diffs if d != 0]
+    n = len(nz)
+    rank = _avg_ranks([abs(d) for d in nz])
+    wp = sum(rank[abs(d)] for d in nz if d > 0)
+    cnt = Counter(abs(d) for d in nz)
+    tie3 = sum(t**3 - t for t in cnt.values())
+    sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0)
+    z = (wp - n * (n + 1) / 4.0) / sigma
+    assert out["n_pairs"] == n
+    assert out["n_pos"] == sum(1 for d in nz if d > 0)
+    assert out["n_neg"] == sum(1 for d in nz if d < 0)
+    assert out["w2_plus"] == round(2 * wp)
+    assert abs(out["z_x1e6"] - math.floor(z * 1e6 + 0.5)) <= 1
+
+
+def test_wilcoxon_empty_after_zero_drop_is_null(spark):
+    df = spark.createDataFrame([Row(d=0), Row(d=0)])
+    out = wilcoxon_signed_rank(df, "d").collect()[0]
+    assert out["n_pairs"] == 0 and out["z_x1e6"] is None
+
+
+def test_friedman_matches_conover_twin(spark):
+    """3 treatments x 5 blocks with within-block ties, plus one
+    INCOMPLETE block that must be excluded: Q recomputed with the
+    tie-general Conover formula on average ranks must match."""
+    data = {  # block -> {treatment: value}
+        1: {"a": 10, "b": 12, "c": 15},
+        2: {"a": 7, "b": 7, "c": 9},
+        3: {"a": 20, "b": 18, "c": 18},
+        4: {"a": 5, "b": 6, "c": 8},
+        5: {"a": 11, "b": 11, "c": 11},
+        6: {"a": 99},  # incomplete -> dropped
+    }
+    rows = [
+        Row(b=b, j=j, v=v) for b, tv in data.items() for j, v in tv.items()
+    ]
+    out = friedman(
+        spark.createDataFrame(rows), "b", "j", "v"
+    ).collect()[0]
+
+    k = 3
+    blocks = {b: tv for b, tv in data.items() if len(tv) == k}
+    nb = len(blocks)
+    a1 = 0.0
+    rj = Counter()
+    for tv in blocks.values():
+        rank = _avg_ranks(list(tv.values()))
+        for j, v in tv.items():
+            r = rank[v]
+            rj[j] += r
+            a1 += r * r
+    c1 = nb * k * (k + 1) ** 2 / 4.0
+    s = sum((r - nb * (k + 1) / 2.0) ** 2 for r in rj.values())
+    q = (k - 1) * s / (a1 - c1)
+    assert out["n_blocks"] == nb and out["k_treatments"] == k
+    assert abs(out["q_x1e6"] - math.floor(q * 1e6 + 0.5)) <= 1
+
+
+def test_friedman_all_blocks_fully_tied_is_null(spark):
+    rows = [
+        Row(b=b, j=j, v=5) for b in (1, 2, 3) for j in ("a", "b", "c")
+    ]
+    out = friedman(
+        spark.createDataFrame(rows), "b", "j", "v"
+    ).collect()[0]
+    assert out["q_x1e6"] is None
+
+
+def _jt_brute(groups):
+    """Brute-force J (ties count half) + H&W tie-corrected z."""
+    keys = sorted(groups)
+    j_stat = 0.0
+    for a, b in itertools.combinations(keys, 2):
+        for x in groups[a]:
+            for y in groups[b]:
+                j_stat += 1.0 if x < y else (0.5 if x == y else 0.0)
+    allv = [v for k in keys for v in groups[k]]
+    n = len(allv)
+    njs = [len(groups[k]) for k in keys]
+    cnt = Counter(allv)
+    ej = (n * n - sum(m * m for m in njs)) / 4.0
+    a_t = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(m * (m - 1) * (2 * m + 5) for m in njs)
+        - sum(t * (t - 1) * (2 * t + 5) for t in cnt.values())
+    )
+    b_t = sum(m * (m - 1) * (m - 2) for m in njs) * sum(
+        t * (t - 1) * (t - 2) for t in cnt.values()
+    )
+    c_t = sum(m * (m - 1) for m in njs) * sum(
+        t * (t - 1) for t in cnt.values()
+    )
+    var = (
+        a_t / 72.0
+        + b_t / (36.0 * n * (n - 1) * (n - 2))
+        + c_t / (8.0 * n * (n - 1))
+    )
+    z = (j_stat - ej) / math.sqrt(var)
+    return j_stat, z
+
+
+def test_jonckheere_matches_brute_force(spark):
+    """Ordered groups with cross-group ties: J (doubled) and the
+    tie-corrected z must match an O(n^2) pair-counting twin. The
+    variance formula itself is pinned by a permutation test in the
+    module's development history (mean exact, var within MC error)."""
+    groups = {
+        1: [40, 35, 38, 43, 44, 41],
+        2: [38, 40, 47, 44, 40, 42],
+        3: [48, 40, 45, 43, 46, 44],
+    }
+    rows = [Row(g=g, v=v) for g, vs in groups.items() for v in vs]
+    out = jonckheere_terpstra(
+        spark.createDataFrame(rows), "g", "v"
+    ).collect()[0]
+    j_stat, z = _jt_brute(groups)
+    assert out["n_total"] == 18 and out["n_groups"] == 3
+    assert out["j2"] == round(2 * j_stat)
+    assert abs(out["z_x1e6"] - math.floor(z * 1e6 + 0.5)) <= 1
+
+
+def test_jonckheere_single_group_is_null(spark):
+    rows = [Row(g=1, v=v) for v in (1, 2, 3)]
+    out = jonckheere_terpstra(
+        spark.createDataFrame(rows), "g", "v"
+    ).collect()[0]
+    assert out["n_groups"] == 1 and out["z_x1e6"] is None
+
+
+def test_mood_median_matches_contingency_twin(spark):
+    """Grand LOWER median (2*cum >= N) and the k x 2 chi-square must
+    match a direct contingency computation."""
+    data = {"a": [1, 2, 3, 4, 10], "b": [5, 6, 7, 8, 9]}
+    rows = [Row(g=g, v=v) for g, vs in data.items() for v in vs]
+    out = mood_median(spark.createDataFrame(rows), "g", "v").collect()[0]
+
+    allv = sorted(v for vs in data.values() for v in vs)
+    n = len(allv)
+    med = allv[(n + 1) // 2 - 1]  # lower median: rank ceil(n/2)
+    assert out["grand_median"] == med
+    obs = {}
+    for g, vs in data.items():
+        above = sum(1 for v in vs if v > med)
+        obs[(g, "above")] = above
+        obs[(g, "not_above")] = len(vs) - above
+    rtot = {g: len(vs) for g, vs in data.items()}
+    ctot = Counter()
+    for (g, side), o in obs.items():
+        ctot[side] += o
+    chi2 = sum(
+        (o * n - rtot[g] * ctot[side]) ** 2 / (n * rtot[g] * ctot[side])
+        for (g, side), o in obs.items()
+        if ctot[side] > 0
+    )
+    assert out["n"] == n and out["n_groups"] == 2 and out["dof"] == 1
+    assert abs(out["chi2"] - round(chi2, 6)) <= 2e-6
+
+
+def test_cvm_matches_ecdf_twin_and_rank_identity(spark):
+    """No-ties fixture: the ECDF-sum form must equal Anderson's rank
+    identity T = U/(nm*N) - (4nm-1)/(6N); with ties, the ECDF twin."""
+    a = [1, 4, 6, 9, 12]
+    b = [2, 3, 7, 11, 15, 18]
+    rows = [Row(g="A", v=v) for v in a] + [Row(g="B", v=v) for v in b]
+    out = cvm_two_sample(
+        spark.createDataFrame(rows), "g", "A", "B", "v"
+    ).collect()[0]
+    n, m = len(a), len(b)
+    pooled = sorted(a + b)
+    fa = [sum(1 for x in a if x <= z) / n for z in pooled]
+    gb = [sum(1 for x in b if x <= z) / m for z in pooled]
+    t_ecdf = n * m / (n + m) ** 2 * sum((f - g) ** 2 for f, g in zip(fa, gb))
+    assert out["n_a"] == n and out["n_b"] == m
+    assert abs(out["t_x1e6"] - math.floor(t_ecdf * 1e6 + 0.5)) <= 1
+    # Anderson (1962) rank identity (valid without ties)
+    ranks_a = [pooled.index(x) + 1 for x in sorted(a)]
+    ranks_b = [pooled.index(x) + 1 for x in sorted(b)]
+    u = n * sum((r - i - 1) ** 2 for i, r in enumerate(ranks_a)) + m * sum(
+        (r - i - 1) ** 2 for i, r in enumerate(ranks_b)
+    )
+    t_rank = u / (n * m * (n + m)) - (4 * n * m - 1) / (6 * (n + m))
+    assert abs(t_ecdf - t_rank) < 1e-12
+
+
+def test_ad_matches_pettitt_rank_form(spark):
+    """No-ties fixture: the distinct-value lattice form must equal
+    Pettitt's order-statistic form A2 = (1/nm) sum_i (N*M_i - n*i)^2
+    / (i*(N-i)); the operator's per-term 1e6-lattice floors keep it
+    within the declared truncation bound."""
+    a = [3, 8, 14, 21, 27]
+    b = [1, 6, 11, 17, 24, 30, 33]
+    rows = [Row(g="A", v=v) for v in a] + [Row(g="B", v=v) for v in b]
+    out = ad_two_sample(
+        spark.createDataFrame(rows), "g", "A", "B", "v"
+    ).collect()[0]
+    n, m = len(a), len(b)
+    nn = n + m
+    pooled = sorted(a + b)
+    a2 = 0.0
+    for i in range(1, nn):  # i = 1..N-1
+        mi = sum(1 for x in a if x <= pooled[i - 1])
+        a2 += (nn * mi - n * i) ** 2 / (i * (nn - i))
+    a2 /= n * m
+    assert out["n_a"] == n and out["n_b"] == m
+    # 11 pooled terms, each floored on the 1e6 lattice -> bounded drift
+    assert abs(out["a2_x1e6"] - math.floor(a2 * 1e6 + 0.5)) <= 12
+
+
+def test_kendall_tau_b_matches_pairwise_brute(spark):
+    """Grid data with heavy ties on both axes: C, D, tau-b and gamma
+    must match the O(n^2) sign-pair twin."""
+    xy = [
+        (1, 1), (1, 2), (2, 1), (2, 2), (2, 3), (3, 1),
+        (3, 3), (3, 3), (4, 2), (4, 4), (5, 4), (5, 5), (1, 5),
+    ]
+    rows = [Row(x=x, y=y) for x, y in xy]
+    out = kendall_tau_b_binned(
+        spark.createDataFrame(rows), "x", "y"
+    ).collect()[0]
+    c = d = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(xy, 2):
+        s = (x1 - x2) * (y1 - y2)
+        if s > 0:
+            c += 1
+        elif s < 0:
+            d += 1
+    n = len(xy)
+    tx = Counter(x for x, _ in xy)
+    ty = Counter(y for _, y in xy)
+    n0 = n * (n - 1) / 2.0
+    n1 = sum(t * (t - 1) / 2.0 for t in tx.values())
+    n2 = sum(t * (t - 1) / 2.0 for t in ty.values())
+    tau = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    gamma = (c - d) / (c + d)
+    assert out["n"] == n
+    assert out["n_conc"] == c and out["n_disc"] == d
+    assert abs(out["tau_b_x1e6"] - math.floor(tau * 1e6 + 0.5)) <= 1
+    assert abs(out["gamma_x1e6"] - math.floor(gamma * 1e6 + 0.5)) <= 1
+
+
+def test_kendall_constant_axis_is_null_tau(spark):
+    rows = [Row(x=1, y=i) for i in range(5)]
+    out = kendall_tau_b_binned(
+        spark.createDataFrame(rows), "x", "y"
+    ).collect()[0]
+    assert out["tau_b_x1e6"] is None and out["gamma_x1e6"] is None
