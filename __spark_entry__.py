@@ -8580,6 +8580,173 @@ def q316_kendall_tau_qty_discount(
     )
 
 
+def q317_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting / raking (ops.sampling.ipf_raking;
+    Deming & Stephan 1940) of per-(lang, source) corpus weights toward
+    UNIFORM marginals on BOTH axes simultaneously — the 2-D
+    generalization of q62/q147's single-axis training-mix rebalancing
+    (scaling langs alone distorts the source mix; raking alternates).
+    Weights live on the 1e9 integer lattice; each of the 8 scale steps
+    is an exact integer division, so the oracle unrolls the identical
+    trajectory as chained CTEs (the q283 fixed-iteration pattern)."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        ipf_raking,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ipf_raking(docs, "lang", "source", iterations=4)
+
+
+def _ipf_unrolled_sql(iterations: int = 4, grid: int = 10**9) -> str:
+    """DuckDB twin of ops.sampling.ipf_raking on documents(lang, source):
+    the same 2*iterations exact-integer scale steps unrolled as chained
+    CTEs (HUGEINT // mirrors Spark's positive decimal div)."""
+    parts = [
+        """
+            WITH base AS (
+              SELECT lang AS r, source AS c FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+            ), cells AS MATERIALIZED (
+              SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY 1, 2
+            ), tot AS (
+              SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+                     CAST(COUNT(DISTINCT r) AS HUGEINT) AS kr,
+                     CAST(COUNT(DISTINCT c) AS HUGEINT) AS kc
+              FROM cells
+            ), w0 AS (
+              SELECT r, c, n, CAST(%d AS HUGEINT) AS w FROM cells
+            )""" % grid
+    ]
+    prev = "w0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", rs{i} AS (
+              SELECT r, SUM(CAST(n AS HUGEINT) * w) AS rs
+              FROM {prev} GROUP BY 1
+            ), a{i} AS MATERIALIZED (
+              SELECT {prev}.r, {prev}.c, {prev}.n,
+                     (w * nn * {grid}) // (kr * rs) AS w
+              FROM {prev} JOIN rs{i} USING (r) CROSS JOIN tot
+            ), cs{i} AS (
+              SELECT c, SUM(CAST(n AS HUGEINT) * w) AS cs
+              FROM a{i} GROUP BY 1
+            ), b{i} AS MATERIALIZED (
+              SELECT a{i}.r, a{i}.c, a{i}.n,
+                     (w * nn * {grid}) // (kc * cs) AS w
+              FROM a{i} JOIN cs{i} USING (c) CROSS JOIN tot
+            )"""
+        )
+        prev = f"b{i}"
+    parts.append(
+        f"""
+            SELECT r AS lang, c AS source, n,
+                   CAST(w AS BIGINT) AS weight_x1e9
+            FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+def q318_forecast_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast scorecard for the seasonal-naive forecaster against the
+    persistence (naive-1) baseline per event type (Hyndman & Koehler,
+    IJF 2006 for MASE; Theil 1966 for U2): MASE < 1 / U2 < 1 mean
+    week-ago beats yesterday — the 'is seasonality real enough to use'
+    gate behind q243's raw backtest. Both forecasts come from exact
+    (type, day-k) self equi-joins on the integer cent lattice; U2's
+    per-row relative-error squares quantize to the 1e12 lattice BEFORE
+    the sum (integer-associative), one sqrt at the end."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("dv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("dv").cast("bigint").alias("dv"))
+    )
+    f7 = daily.select(
+        "event_type",
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("dv").alias("__f7"),
+    )
+    f1 = daily.select(
+        "event_type",
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("dv").alias("__f1"),
+    )
+    j = daily.join(f7, ["event_type", "day"]).join(f1, ["event_type", "day"])
+    dec = "decimal(38,0)"
+    e7 = F.abs(F.col("dv") - F.col("__f7")).cast(dec)
+    e1 = F.abs(F.col("dv") - F.col("__f1")).cast(dec)
+    # U2 terms: ((f-y)/y_prev)^2 on the 1e12 lattice, y_prev = f1 != 0
+    un = F.when(
+        F.col("__f1") != 0,
+        F.expr(
+            "CAST((dv - __f7) * (dv - __f7) AS DECIMAL(38,0))"
+            " * 1000000000000 div CAST(__f1 * __f1 AS DECIMAL(38,0))"
+        ),
+    ).otherwise(F.lit(0).cast(dec))
+    ud = F.when(
+        F.col("__f1") != 0,
+        F.expr(
+            "CAST((dv - __f1) * (dv - __f1) AS DECIMAL(38,0))"
+            " * 1000000000000 div CAST(__f1 * __f1 AS DECIMAL(38,0))"
+        ),
+    ).otherwise(F.lit(0).cast(dec))
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(e7).cast(dec).alias("__m7"),
+        F.sum(e1).cast(dec).alias("__m1"),
+        F.sum(un).cast(dec).alias("__un"),
+        F.sum(ud).cast(dec).alias("__ud"),
+    )
+    mase = F.col("__m7").cast("double") / F.col("__m1").cast("double")
+    u2 = F.sqrt(F.col("__un").cast("double") / F.col("__ud").cast("double"))
+    pub = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.when(
+            F.col("__m1") <= F.lit(0).cast(dec), F.lit(None).cast("bigint")
+        )
+        .otherwise(pub(mase))
+        .alias("mase_x1e6"),
+        F.when(
+            F.col("__ud") <= F.lit(0).cast(dec), F.lit(None).cast("bigint")
+        )
+        .otherwise(pub(u2))
+        .alias("theil_u2_x1e6"),
+    )
+
+
+def q319_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's fifth sibling source format: the golden fixture re-encoded as
+    ORC, read through Spark's native columnar ORC reader and pinned to
+    the declared source columns cast to string
+    (sources/readers.read_source_orc) — extra file columns dropped,
+    missing declared columns NULL. The oracle reads the same rows from
+    the CSV twin, so the check is a real cross-format equivalence."""
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        read_source_orc,
+    )
+
+    fixtures = Path(__file__).resolve().parent / "tests" / "fixtures"
+    cfg = load_config(str(fixtures / "mapping_config.xml"))
+    return read_source_orc(
+        spark,
+        str(fixtures / "production_golden_9rows.orc"),
+        cfg,
+        with_lineage=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8698,6 +8865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q314_cvm_quantity_drift": q314_cvm_quantity_drift,
         "q315_ad_lang_tails": q315_ad_lang_tails,
         "q316_kendall_tau_qty_discount": q316_kendall_tau_qty_discount,
+        "q317_ipf_raking": q317_ipf_raking,
+        "q318_forecast_scorecard": q318_forecast_scorecard,
+        "q319_orc_scan": q319_orc_scan,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -11258,6 +11428,58 @@ def oracle_sql() -> dict[str, str]:
                                         * 1000000.0 + 0.5) AS BIGINT)
                         END AS gamma_x1e6
             FROM agg CROSS JOIN tx CROSS JOIN ty
+        """,
+        "q317_ipf_raking": _ipf_unrolled_sql(iterations=4),
+        "q318_forecast_scorecard": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ), j AS (
+              SELECT y.event_type, y.dv,
+                     f7.dv AS f7, f1.dv AS f1
+              FROM daily y
+              JOIN daily f7 ON f7.event_type = y.event_type
+                           AND f7.day + 7 = y.day
+              JOIN daily f1 ON f1.event_type = y.event_type
+                           AND f1.day + 1 = y.day
+            ), agg AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_days,
+                     SUM(CAST(abs(dv - f7) AS HUGEINT)) AS m7,
+                     SUM(CAST(abs(dv - f1) AS HUGEINT)) AS m1,
+                     SUM(CASE WHEN f1 <> 0 THEN
+                           (CAST((dv - f7) AS HUGEINT) * (dv - f7)
+                            * 1000000000000)
+                           // (CAST(f1 AS HUGEINT) * f1)
+                         ELSE 0 END) AS un,
+                     SUM(CASE WHEN f1 <> 0 THEN
+                           (CAST((dv - f1) AS HUGEINT) * (dv - f1)
+                            * 1000000000000)
+                           // (CAST(f1 AS HUGEINT) * f1)
+                         ELSE 0 END) AS ud
+              FROM j GROUP BY 1
+            )
+            SELECT event_type, n_days,
+                   CASE WHEN m1 <= 0 THEN NULL
+                        ELSE CAST(floor(CAST(m7 AS DOUBLE)
+                                        / CAST(m1 AS DOUBLE)
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                        END AS mase_x1e6,
+                   CASE WHEN ud <= 0 THEN NULL
+                        ELSE CAST(floor(sqrt(CAST(un AS DOUBLE)
+                                             / CAST(ud AS DOUBLE))
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                        END AS theil_u2_x1e6
+            FROM agg
+        """,
+        "q319_orc_scan": f"""
+            SELECT "timestamp", line_id, batch_number, product_code,
+                   temperature_c, pressure_kpa, humidity_pct, operator_id,
+                   defect_count
+            FROM read_csv('{Path(__file__).resolve().parent / "tests" / "fixtures" / "production_golden_9rows.csv"}',
+                          header=true, all_varchar=true)
         """,
         "q204_lang_source_chisq": """
             WITH base AS (SELECT lang AS a, source AS b FROM documents

@@ -297,6 +297,9 @@ HEADLINE = [
     "q314_cvm_quantity_drift",
     "q315_ad_lang_tails",
     "q316_kendall_tau_qty_discount",
+    "q317_ipf_raking",
+    "q318_forecast_scorecard",
+    "q319_orc_scan",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

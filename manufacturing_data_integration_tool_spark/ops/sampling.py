@@ -43,6 +43,7 @@ __all__ = [
     "negative_samples",
     "weighted_sample_ares",
     "zorder_blocks",
+    "ipf_raking",
 ]
 
 _HEX_DIGITS = 13  # 13 hex chars = 52 bits: exactly representable in a double
@@ -879,4 +880,88 @@ def zorder_blocks(
             .cast("bigint")
             .alias("bbox_cells"),
         )
+    )
+
+
+def ipf_raking(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    *,
+    iterations: int = 4,
+    grid: int = 10**9,
+) -> DataFrame:
+    """Iterative proportional fitting / raking (Deming & Stephan, Ann.
+    Math. Stat. 1940) of per-cell weights so the WEIGHTED corpus matches
+    UNIFORM target marginals on both axes — the 2-D generalization of
+    q62/q147's single-axis training-mix rebalancing: reweight documents
+    so every language gets an equal share AND every source gets an equal
+    share simultaneously (one axis alone distorts the other; raking
+    alternates row and column scalings until both hold).
+
+    Determinism contract: weights live on an integer ``1/grid`` lattice
+    (start = ``grid`` == weight 1.0); each half-iteration's scale factor
+    application is the exact integer division
+    ``w' = (w * N * grid) div (k_axis * axis_sum)`` with ``axis_sum`` the
+    current weighted axis total in decimal(38,0) — both engines truncate
+    identically, so the full 2*iterations-step trajectory is
+    reproducible bit-for-bit and the oracle simply unrolls the same
+    chain as chained CTEs (the q283 fixed-iteration pattern).
+
+    Scale posture: the corpus collapses to the bounded ``|rows| x |cols|``
+    cell table FIRST (one map-side groupBy — the only pass over data);
+    every iteration then works on the tiny cell table with broadcast
+    1-row/axis aggregates. ``iterations`` is an analysis constant;
+    raking on a 100-cell grid is ~converged at 4.
+
+    Output: one row per observed cell —
+    ``(row_col, col_col, n, weight_x1e9)``.
+    """
+    r, c = F.col(row_col), F.col(col_col)
+    base = df.filter(r.isNotNull() & c.isNotNull()).select(
+        r.alias("__r"), c.alias("__c")
+    )
+    dec = "decimal(38,0)"
+    cells = base.groupBy("__r", "__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    tot = cells.agg(
+        F.sum("__n").cast(dec).alias("__nt"),
+        F.countDistinct("__r").cast(dec).alias("__kr"),
+        F.countDistinct("__c").cast(dec).alias("__kc"),
+    )
+    cur = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "__w", F.lit(grid).cast(dec)
+    )
+    for _ in range(iterations):
+        rs = cur.groupBy("__r").agg(
+            F.sum(F.col("__n").cast(dec) * F.col("__w")).cast(dec).alias("__rs")
+        )
+        cur = cur.join(F.broadcast(rs), "__r").withColumn(
+            "__w",
+            F.expr(
+                f"CAST(__w * __nt * {grid} AS DECIMAL(38,0))"
+                " div CAST(__kr * __rs AS DECIMAL(38,0))"
+            ),
+        ).drop("__rs")
+        cs = cur.groupBy("__c").agg(
+            F.sum(F.col("__n").cast(dec) * F.col("__w")).cast(dec).alias("__cs")
+        )
+        cur = cur.join(F.broadcast(cs), "__c").withColumn(
+            "__w",
+            F.expr(
+                f"CAST(__w * __nt * {grid} AS DECIMAL(38,0))"
+                " div CAST(__kc * __cs AS DECIMAL(38,0))"
+            ),
+        ).drop("__cs")
+        # cur is referenced twice per half-step (axis aggregate + join
+        # back), so the lazy plan quadruples per iteration — checkpoint
+        # the tiny cell table each round (the pagerank/HITS rule) to keep
+        # analysis linear in `iterations`.
+        cur = cur.localCheckpoint(eager=False)
+    return cur.select(
+        F.col("__r").alias(row_col),
+        F.col("__c").alias(col_col),
+        F.col("__n").alias("n"),
+        F.col("__w").cast("bigint").alias("weight_x1e9"),
     )

@@ -333,3 +333,46 @@ def read_source_xml(
     if with_lineage:
         df = df.withColumn(FILE_SOURCE_COL, F.input_file_name())
     return df
+
+
+def read_source_orc(
+    spark: SparkSession,
+    path_or_glob: str | Sequence[str],
+    config: Optional[IntegrationConfig] = None,
+    *,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """Read ORC landing files with the same pinned discipline as the
+    CSV/JSONL/fixed-width/XML sources: when ``config`` is given, the
+    output is exactly the declared source columns cast to string —
+    columns the file happens to carry beyond the contract are dropped,
+    declared columns the file lacks surface as NULL (layout drift must
+    fail validation downstream, never silently reshape).
+
+    Unlike text formats, ORC is self-describing and columnar — Spark's
+    native reader prunes to the selected columns and pushes filters into
+    stripe/row-group skipping, so at landing-zone scale this source is
+    strictly cheaper than the text siblings; the string casts keep rule
+    semantics (NUMERIC-on-cast-failure etc.) byte-identical across
+    formats.
+    """
+    paths = (
+        list(path_or_glob)
+        if isinstance(path_or_glob, (list, tuple))
+        else path_or_glob
+    )
+    df = spark.read.orc(paths)
+    if config:
+        present = set(df.columns)
+        cols = [
+            (
+                F.col(c).cast("string")
+                if c in present
+                else F.lit(None).cast("string")
+            ).alias(c)
+            for c in config.source_columns
+        ]
+        df = df.select(*cols)
+    if with_lineage:
+        df = df.withColumn(FILE_SOURCE_COL, F.input_file_name())
+    return df

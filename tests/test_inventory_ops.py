@@ -407,3 +407,36 @@ def test_newsvendor_stock_order_statistic(spark):
     ).collect()}
     assert (out["p1"]["n_periods"], out["p1"]["stock_units"]) == (5, 40)
     assert (out["p2"]["n_periods"], out["p2"]["stock_units"]) == (2, 9)
+
+
+def test_orc_reader_matches_csv_golden(spark):
+    """Cross-format equivalence: the ORC re-encoding of the golden
+    fixture must read back as the same 9 all-string rows as the CSV
+    source, pinned to the declared column set."""
+    import csv
+    from manufacturing_data_integration_tool_spark import load_config
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        read_source_orc,
+    )
+
+    cfg = load_config("tests/fixtures/mapping_config.xml")
+    df = read_source_orc(
+        spark,
+        "tests/fixtures/production_golden_9rows.orc",
+        cfg,
+        with_lineage=False,
+    )
+    assert df.columns == list(cfg.source_columns)
+    assert all(f.dataType.simpleString() == "string" for f in df.schema)
+    key = lambda r: (r["line_id"] or "", r["timestamp"] or "")  # noqa: E731
+    rows = sorted(df.collect(), key=key)
+    with open("tests/fixtures/production_golden_9rows.csv") as f:
+        csv_rows = sorted(
+            list(csv.DictReader(f)),
+            key=lambda r: (r["line_id"] or "", r["timestamp"] or ""),
+        )
+    assert len(rows) == 9
+    for spark_row, csv_row in zip(rows, csv_rows):
+        for col in df.columns:
+            expect = csv_row[col] if csv_row[col] not in (None, "") else None
+            assert spark_row[col] == expect, (col, spark_row, csv_row)
