@@ -8747,6 +8747,47 @@ def q319_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q320_streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second driver-visible STREAMING run (q302's additive sibling):
+    land the corpus as four parquet files, drive them one-per-micro-batch
+    through the replay-safe ``accumulate_countmin_stream`` foreachBatch
+    accumulator (streaming/sketches.py), and return the PERSISTED
+    (row, col, cnt) Count-Min cell table. Where q302's Bloom merge is
+    idempotent bit_or, CMS merge is CELL ADDITION — the other algebraic
+    class of streaming accumulator (duplicates would corrupt it, so this
+    run also exercises the _LAST_BATCH_ID replay guard for real). The
+    oracle recomputes the identical md5-lane sketch from the raw rows in
+    SQL, so batching-invariance gets a driver value-hash row. State is
+    depth*width = 8192 BIGINT cells regardless of corpus size — the
+    100 TB frequency-index posture."""
+    import tempfile
+
+    from manufacturing_data_integration_tool_spark.streaming.sketches import (
+        accumulate_countmin_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="mdi_q320_")
+    landing, state, ckpt = f"{base}/in", f"{base}/cms_state", f"{base}/ckpt"
+    read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = accumulate_countmin_stream(
+        stream, state, text_col="text", depth=4, width=2048,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state).select(
+        F.col("row").cast("bigint").alias("row"),
+        F.col("col").cast("bigint").alias("col"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8868,6 +8909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q317_ipf_raking": q317_ipf_raking,
         "q318_forecast_scorecard": q318_forecast_scorecard,
         "q319_orc_scan": q319_orc_scan,
+        "q320_streaming_cms_state": q320_streaming_cms_state,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -11430,6 +11472,16 @@ def oracle_sql() -> dict[str, str]:
             FROM agg CROSS JOIN tx CROSS JOIN ty
         """,
         "q317_ipf_raking": _ipf_unrolled_sql(iterations=4),
+        "q320_streaming_cms_state": f"""
+            WITH ctoks AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text),
+                            '\\s+'), t -> t <> '')) AS tok
+              FROM documents
+            )
+            SELECT c.r AS row, c.c AS col, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest([{cms_lanes}]) AS c FROM ctoks)
+            GROUP BY 1, 2
+        """,
         "q318_forecast_scorecard": """
             WITH daily AS (
               SELECT event_type, CAST(ts AS DATE) AS day,

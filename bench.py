@@ -356,6 +356,9 @@ EXCLUDED = {
     "time is micro-batch startup latency, not plan cost — the bloom "
     "arithmetic it accumulates is benched via q203 and the stream==batch "
     "merge is pinned by tests/test_streaming.py",
+    "q320_streaming_cms_state": "same foreachBatch streaming-run family "
+    "as q302 (additive CMS merge); the sketch arithmetic is benched via "
+    "q190 and the stream==batch merge is pinned by tests/test_streaming.py",
 }
 
 
