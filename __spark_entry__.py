@@ -8788,6 +8788,106 @@ def q320_streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q321_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test (ops.ranktests.page_trend; Page, JASA 1963)
+    for a monotone day-of-week trend in event volume, blocking by
+    calendar week — Friedman's (q311) ordered-alternative sibling
+    exactly as Jonckheere (q312) is Kruskal-Wallis's. Blocks are
+    epoch-weeks from the fixed Monday anchor 2024-01-01 (floor(days/7) —
+    identical on both engines); treatments are dayofweek with the Page
+    coefficient c_j as the DENSE RANK of the weekday label, so Spark's
+    1..7 and DuckDB's 0..6 Sunday-first encodings rank identically."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        page_trend,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.floor(
+                F.datediff(F.col("day"), F.lit("2024-01-01")) / F.lit(7.0)
+            )
+            .cast("bigint")
+            .alias("week"),
+            F.dayofweek("day").alias("weekday"),
+            "n_events",
+        )
+    )
+    return page_trend(daily, "week", "weekday", "n_events")
+
+
+def q322_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic (Durbin &
+    Watson, Biometrika 1950) of the seasonal-naive forecast errors per
+    event type — the residual-independence check behind q243's backtest
+    and q281's full ACF (DW ~ 2 means the week-ago model left no
+    day-to-day structure; DW << 2 means momentum the model misses).
+    Errors e_t = dv(day) - dv(day-7) stay on the integer cent lattice
+    via exact (type, day-k) self equi-joins; DW = sum (e_t - e_{t-1})^2
+    over adjacent error days / sum e_t^2 over ALL error days is ONE
+    division of exact decimals, floor-published."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("dv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("dv").cast("bigint").alias("dv"))
+    )
+    f7 = daily.select(
+        "event_type",
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("dv").alias("__fc"),
+    )
+    err = daily.join(f7, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        (F.col("dv") - F.col("__fc")).cast("bigint").alias("e"),
+    )
+    prev = err.select(
+        "event_type",
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("e").alias("__ep"),
+    )
+    dec = "decimal(38,0)"
+    diffs = err.join(prev, ["event_type", "day"]).select(
+        "event_type",
+        ((F.col("e") - F.col("__ep")) * (F.col("e") - F.col("__ep")))
+        .cast(dec)
+        .alias("__d2"),
+    )
+    num = diffs.groupBy("event_type").agg(
+        F.sum("__d2").cast(dec).alias("__num")
+    )
+    den = err.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_resid"),
+        F.sum(F.col("e").cast(dec) * F.col("e")).cast(dec).alias("__den"),
+    )
+    out = den.join(F.broadcast(num), "event_type", "left")
+    dw = F.col("__num").cast("double") / F.col("__den").cast("double")
+    return out.select(
+        "event_type",
+        "n_resid",
+        F.when(
+            F.col("__num").isNull()
+            | (F.col("__den") <= F.lit(0).cast(dec)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(dw * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("dw_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8910,6 +9010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q318_forecast_scorecard": q318_forecast_scorecard,
         "q319_orc_scan": q319_orc_scan,
         "q320_streaming_cms_state": q320_streaming_cms_state,
+        "q321_page_trend": q321_page_trend,
+        "q322_durbin_watson": q322_durbin_watson,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -11472,6 +11574,85 @@ def oracle_sql() -> dict[str, str]:
             FROM agg CROSS JOIN tx CROSS JOIN ty
         """,
         "q317_ipf_raking": _ipf_unrolled_sql(iterations=4),
+        "q321_page_trend": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS v
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), cellsrc AS (
+              SELECT CAST(floor(datediff('day', DATE '2024-01-01', day)
+                                / 7.0) AS BIGINT) AS b,
+                     dayofweek(day) AS j, v
+              FROM daily
+            ), cell AS (
+              SELECT b, j, CAST(SUM(v) AS BIGINT) AS v
+              FROM cellsrc GROUP BY 1, 2
+            ), kg AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS k FROM cell),
+            complete AS (
+              SELECT b FROM cell GROUP BY b
+              HAVING COUNT(*) = (SELECT k FROM kg)
+            ), rws AS MATERIALIZED (
+              SELECT cell.* FROM cell JOIN complete USING (b)
+            ), ranked AS MATERIALIZED (
+              SELECT a.b, a.j,
+                     CAST(2*SUM(CASE WHEN x.v < a.v THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN x.v = a.v THEN 1 ELSE 0 END)
+                        + 1 AS BIGINT) AS dmid
+              FROM rws a JOIN rws x ON a.b = x.b
+              GROUP BY 1, 2
+            ), cj AS (
+              SELECT j, CAST(dense_rank() OVER (ORDER BY j) AS BIGINT) AS cj
+              FROM (SELECT DISTINCT j FROM ranked)
+            ), nrow AS (
+              SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM ranked
+            ), agg AS (
+              SELECT SUM(CAST(cj AS HUGEINT) * dmid) AS l2
+              FROM ranked JOIN cj USING (j)
+            )
+            SELECT n AS n_blocks, k AS k_treatments,
+                   CAST(l2 AS BIGINT) AS l2,
+                   CASE WHEN n < 1
+                          OR CAST(CAST(n AS HUGEINT)*k*k*(k+1)*(k*k-1)
+                                  AS DOUBLE) <= 0.0
+                        THEN NULL
+                        ELSE CAST(floor(
+                          CAST(2*l2 - CAST(n AS HUGEINT)*k*(k+1)*(k+1)
+                               AS DOUBLE)
+                          / (2.0 * sqrt(
+                              CAST(CAST(n AS HUGEINT)*k*k*(k+1)*(k*k-1)
+                                   AS DOUBLE) / 36.0))
+                          * 1000000.0 + 0.5) AS BIGINT) END AS z_x1e6
+            FROM nrow CROSS JOIN kg CROSS JOIN agg
+        """,
+        "q322_durbin_watson": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ), err AS MATERIALIZED (
+              SELECT a.event_type, a.day, CAST(a.dv - f.dv AS BIGINT) AS e
+              FROM daily a JOIN daily f
+                ON f.event_type = a.event_type AND f.day + 7 = a.day
+            ), num AS (
+              SELECT a.event_type,
+                     SUM(CAST((a.e - p.e) AS HUGEINT) * (a.e - p.e)) AS num
+              FROM err a JOIN err p
+                ON p.event_type = a.event_type AND p.day + 1 = a.day
+              GROUP BY 1
+            ), den AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_resid,
+                     SUM(CAST(e AS HUGEINT) * e) AS den
+              FROM err GROUP BY 1
+            )
+            SELECT d.event_type, d.n_resid,
+                   CASE WHEN n.num IS NULL OR d.den <= 0 THEN NULL
+                        ELSE CAST(floor(CAST(n.num AS DOUBLE)
+                                        / CAST(d.den AS DOUBLE)
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                        END AS dw_x1e6
+            FROM den d LEFT JOIN num n USING (event_type)
+        """,
         "q320_streaming_cms_state": f"""
             WITH ctoks AS (
               SELECT unnest(list_filter(string_split_regex(lower(text),

@@ -300,6 +300,8 @@ HEADLINE = [
     "q317_ipf_raking",
     "q318_forecast_scorecard",
     "q319_orc_scan",
+    "q321_page_trend",
+    "q322_durbin_watson",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -7,6 +7,8 @@ nonparametric toolbox a data-quality team actually reaches for:
 
 - :func:`wilcoxon_signed_rank` — paired before/after shift (Wilcoxon 1945)
 - :func:`friedman` — k treatments x n blocks rank ANOVA (Friedman 1937)
+- :func:`page_trend` — ordered-treatment trend across blocks (Page, JASA
+  1963), Friedman's ordered-alternative sibling
 - :func:`jonckheere_terpstra` — ordered-alternative trend across ordered
   groups (Jonckheere 1954; Terpstra 1952)
 - :func:`mood_median` — k-group median test (Mood 1950), composed from the
@@ -50,6 +52,7 @@ from .sampling import two_phase_running_sum
 __all__ = [
     "wilcoxon_signed_rank",
     "friedman",
+    "page_trend",
     "jonckheere_terpstra",
     "mood_median",
     "cvm_two_sample",
@@ -157,6 +160,61 @@ def wilcoxon_signed_rank(
     )
 
 
+def _block_doubled_midranks(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: Column | str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared randomized-block rank core for :func:`friedman` and
+    :func:`page_trend`: one summed value per (block, treatment),
+    COMPLETE blocks only (all k treatments present; k is the 1-row
+    broadcast ``kg`` — stays lazy, no driver action at plan time), and
+    within-block DOUBLED midranks ``dmid = 2*#{smaller} + #{equal} + 1``
+    from a block-keyed self-join (blocks have exactly k rows, an
+    analysis constant, so the fan-out is k-fold on the tiny cell
+    table). Returns ``(ranked(__b, __j, __dmid), kg(__k))``."""
+    v = _as_bigint(value_col)
+    base0 = df.filter(
+        v.isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__j"),
+        v.alias("__v"),
+    )
+    cell = base0.groupBy("__b", "__j").agg(
+        F.sum("__v").cast("bigint").alias("__v")
+    )
+    kg = cell.agg(F.countDistinct("__j").cast("bigint").alias("__k"))
+    complete = (
+        cell.groupBy("__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__kb"))
+        .crossJoin(F.broadcast(kg))
+        .filter(F.col("__kb") == F.col("__k"))
+        .select("__b")
+    )
+    rows = cell.join(complete, "__b")
+    other = rows.select(
+        F.col("__b").alias("__ob"), F.col("__v").alias("__ov")
+    )
+    ranked = (
+        rows.join(other, rows["__b"] == other["__ob"])
+        .groupBy("__b", "__j")
+        .agg(
+            (
+                F.lit(2) * F.sum(F.when(F.col("__ov") < F.col("__v"), 1).otherwise(0))
+                + F.sum(F.when(F.col("__ov") == F.col("__v"), 1).otherwise(0))
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("__dmid")
+        )
+    )
+    return ranked, kg
+
+
 def friedman(
     df: DataFrame,
     block_col: str,
@@ -190,44 +248,8 @@ def friedman(
 
     Output: one row — ``n_blocks, k_treatments, q_x1e6``.
     """
-    v = _as_bigint(value_col)
-    base0 = df.filter(
-        v.isNotNull()
-        & F.col(block_col).isNotNull()
-        & F.col(treatment_col).isNotNull()
-    ).select(
-        F.col(block_col).alias("__b"),
-        F.col(treatment_col).alias("__j"),
-        v.alias("__v"),
-    )
-    cell = base0.groupBy("__b", "__j").agg(
-        F.sum("__v").cast("bigint").alias("__v")
-    )
-    # k as a 1-row broadcast (stays lazy — no driver action at plan time)
-    kg = cell.agg(F.countDistinct("__j").cast("bigint").alias("__k"))
-    complete = (
-        cell.groupBy("__b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__kb"))
-        .crossJoin(F.broadcast(kg))
-        .filter(F.col("__kb") == F.col("__k"))
-        .select("__b")
-    )
-    rows = cell.join(complete, "__b")
-    other = rows.select(
-        F.col("__b").alias("__ob"), F.col("__v").alias("__ov")
-    )
-    ranked = (
-        rows.join(other, rows["__b"] == other["__ob"])
-        .groupBy("__b", "__j")
-        .agg(
-            (
-                F.lit(2) * F.sum(F.when(F.col("__ov") < F.col("__v"), 1).otherwise(0))
-                + F.sum(F.when(F.col("__ov") == F.col("__v"), 1).otherwise(0))
-                + F.lit(1)
-            )
-            .cast("bigint")
-            .alias("__dmid")
-        )
+    ranked, kg = _block_doubled_midranks(
+        df, block_col, treatment_col, value_col
     )
     nrow = ranked.select("__b").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
@@ -275,6 +297,87 @@ def friedman(
             F.floor(q * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
         )
         .alias("q_x1e6"),
+    )
+
+
+def page_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Page's L trend test (Page, JASA 1963): is there a MONOTONE trend
+    across the k ordered treatments, blocking nuisance variation — the
+    ordered-alternative sibling of :func:`friedman` exactly as
+    :func:`jonckheere_terpstra` is Kruskal-Wallis's (e.g. does daily
+    traffic trend across the week, blocking by week).
+
+    Treatments are ordered by their column value; the Page coefficient
+    ``c_j = 1..k`` is the treatment's dense rank (a tiny broadcast
+    table), so any dense/sparse integer or orderable labels work.
+    ``L2 = sum_j c_j * R2_j`` over DOUBLED within-block midranks (shared
+    :func:`_block_doubled_midranks` core) is an exact integer;
+    ``E[L2] = n*k*(k+1)^2 / 2`` and ``Var(L2) = n*k^2*(k+1)*(k^2-1)/36``
+    are the classical Page moments (the test's standard no-tie form —
+    midranks make L well-defined under ties; fully-tied blocks
+    contribute exactly E[L2]/n each, biasing z toward 0, never away),
+    and z is ONE mirrored IEEE tree, sign = trend direction along the
+    treatment order.
+
+    Output: one row — ``n_blocks, k_treatments, l2, z_x1e6`` (z NULL
+    when n < 1 or k < 2).
+    """
+    ranked, kg = _block_doubled_midranks(
+        df, block_col, treatment_col, value_col
+    )
+    # c_j = dense rank of the treatment label (k rows — broadcast)
+    from pyspark.sql import Window
+
+    cj = (
+        ranked.select("__j")
+        .distinct()
+        .withColumn(
+            "__cj",
+            F.dense_rank().over(Window.orderBy(F.asc("__j"))).cast("bigint"),
+        )
+    )
+    nrow = ranked.select("__b").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    agg = (
+        ranked.join(F.broadcast(cj), "__j")
+        .agg(
+            F.sum(F.col("__cj").cast(_DEC) * F.col("__dmid"))
+            .cast(_DEC)
+            .alias("__l2")
+        )
+        .crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(kg))
+    )
+    n = F.col("__n").cast(_DEC)
+    k = F.col("__k").cast(_DEC)
+    e_l2 = n * k * (k + F.lit(1)) * (k + F.lit(1))
+    var36 = (
+        n * k * k * (k + F.lit(1)) * (k * k - F.lit(1))
+    ).cast("double")
+    z = (
+        (F.lit(2).cast(_DEC) * F.col("__l2") - e_l2).cast("double")
+        / (F.lit(2.0) * F.sqrt(var36 / F.lit(36.0)))
+    )
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n_blocks"),
+        F.col("__k").cast("bigint").alias("k_treatments"),
+        F.col("__l2").cast("bigint").alias("l2"),
+        F.when(
+            (F.col("__n") < 1) | (var36 <= F.lit(0.0)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(z * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("z_x1e6"),
     )
 
 

@@ -288,3 +288,59 @@ def test_kendall_constant_axis_is_null_tau(spark):
         spark.createDataFrame(rows), "x", "y"
     ).collect()[0]
     assert out["tau_b_x1e6"] is None and out["gamma_x1e6"] is None
+
+
+def test_page_trend_matches_textbook_twin(spark):
+    """4 blocks x 3 ordered treatments with one tie and one incomplete
+    block: L and z recomputed with average ranks and the classical Page
+    moments must match the doubled-rank integer pipeline."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        page_trend,
+    )
+
+    data = {  # block -> {treatment(int-ordered): value}
+        1: {1: 3, 2: 5, 3: 9},
+        2: {1: 4, 2: 4, 3: 7},   # tie within block
+        3: {1: 10, 2: 12, 3: 11},
+        4: {1: 1, 2: 6, 3: 8},
+        5: {1: 99},              # incomplete -> dropped
+    }
+    rows = [
+        Row(b=b, j=j, v=v) for b, tv in data.items() for j, v in tv.items()
+    ]
+    out = page_trend(
+        spark.createDataFrame(rows), "b", "j", "v"
+    ).collect()[0]
+
+    k = 3
+    blocks = {b: tv for b, tv in data.items() if len(tv) == k}
+    n = len(blocks)
+    l_stat = 0.0
+    for tv in blocks.values():
+        rank = _avg_ranks(list(tv.values()))
+        for j, v in tv.items():
+            l_stat += j * rank[v]  # c_j = dense rank of j = j here
+    e_l = n * k * (k + 1) ** 2 / 4.0
+    var_l = n * k * k * (k + 1) * (k * k - 1) / 144.0
+    z = (l_stat - e_l) / math.sqrt(var_l)
+    assert out["n_blocks"] == n and out["k_treatments"] == k
+    assert out["l2"] == round(2 * l_stat)
+    assert abs(out["z_x1e6"] - math.floor(z * 1e6 + 0.5)) <= 1
+
+
+def test_page_trend_perfect_monotone_is_max(spark):
+    """Perfectly increasing treatments in every block: L hits its
+    maximum n*sum(j*j) and z is positive."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        page_trend,
+    )
+
+    rows = [
+        Row(b=b, j=j, v=10 * j) for b in (1, 2, 3) for j in (1, 2, 3, 4)
+    ]
+    out = page_trend(
+        spark.createDataFrame(rows), "b", "j", "v"
+    ).collect()[0]
+    # max L = n * sum j*j = 3 * 30 = 90 -> L2 = 180
+    assert out["l2"] == 180
+    assert out["z_x1e6"] > 0
