@@ -8888,6 +8888,57 @@ def q322_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q323_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per event type
+    (ops.stats.seasonal_mann_kendall; Hirsch & Slack 1984): q228's MK
+    computed WITHIN each weekday and summed, so the weekly cycle can
+    neither fake nor mask a monotone drift. Per-season S and tie-
+    corrected 18*Var(S) stay exact BIGINTs; the weekday season key
+    partitions pair comparisons and is never published (the repo's
+    dayofweek encoding rule); z carries MK's continuity correction."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        seasonal_mann_kendall,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return seasonal_mann_kendall(
+        ev.filter(F.col("value").isNotNull()),
+        "event_type",
+        F.dayofweek(F.to_date("ts")),
+        "ts",
+        "value",
+    )
+
+
+def q324_oneway_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic one-way ANOVA F (ops.stats.oneway_anova_f; Fisher 1925)
+    of document length across the 20 sources — completing the k-group
+    trio with q304 (Kruskal-Wallis, rank) and q308 (Brown-Forsythe,
+    spread): the parametric mean comparison, exact per-group moments,
+    s1^2 div n exact integer terms, ONE division."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        oneway_anova_f,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return oneway_anova_f(docs, "source", "n_chars")
+
+
+def q325_welch_t_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t test (ops.stats.welch_t_test; Welch,
+    Biometrika 1947) of mean line-item quantity, returned (R) vs
+    accepted (A) — the significance companion to q314's CvM distance on
+    the same pair, usable when q308-style spread homogeneity fails.
+    Exact decimal moments; t and the Welch-Satterthwaite df are each
+    ONE mirrored IEEE tree."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        welch_t_test,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return welch_t_test(li, "l_returnflag", "R", "A", "l_quantity")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9012,6 +9063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q320_streaming_cms_state": q320_streaming_cms_state,
         "q321_page_trend": q321_page_trend,
         "q322_durbin_watson": q322_durbin_watson,
+        "q323_seasonal_mann_kendall": q323_seasonal_mann_kendall,
+        "q324_oneway_anova_f": q324_oneway_anova_f,
+        "q325_welch_t_quantity": q325_welch_t_quantity,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -11574,6 +11628,137 @@ def oracle_sql() -> dict[str, str]:
             FROM agg CROSS JOIN tx CROSS JOIN ty
         """,
         "q317_ipf_raking": _ipf_unrolled_sql(iterations=4),
+        "q323_seasonal_mann_kendall": """
+            WITH daily AS (
+              SELECT event_type, dayofweek(CAST(ts AS DATE)) AS sea,
+                     CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS dv
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+            s AS (SELECT a.event_type, a.sea,
+                         CAST(SUM(CASE WHEN b.dv > a.dv THEN 1
+                                       WHEN b.dv < a.dv THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s_sea
+                  FROM daily a JOIN daily b
+                    ON a.event_type = b.event_type AND a.sea = b.sea
+                   AND a.day < b.day
+                  GROUP BY 1, 2),
+            n AS (SELECT event_type, sea, CAST(COUNT(*) AS BIGINT) AS n_sea
+                  FROM daily GROUP BY 1, 2),
+            t AS (SELECT event_type, sea,
+                         CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT)
+                           AS tsum
+                  FROM (SELECT event_type, sea, dv, COUNT(*) AS c
+                        FROM daily GROUP BY 1, 2, 3)
+                  WHERE c >= 2 GROUP BY 1, 2),
+            per_season AS (
+              SELECT n.event_type, n_sea,
+                     CAST(COALESCE(s_sea, 0) AS BIGINT) AS s_sea,
+                     CAST(n_sea * (n_sea - 1) * (2 * n_sea + 5)
+                          - COALESCE(tsum, 0) AS BIGINT) AS v18
+              FROM n LEFT JOIN s USING (event_type, sea)
+                     LEFT JOIN t USING (event_type, sea)),
+            base AS (
+              SELECT event_type,
+                     CAST(SUM(n_sea) AS BIGINT) AS n_days,
+                     CAST(COUNT(*) AS BIGINT) AS n_seasons,
+                     CAST(SUM(s_sea) AS BIGINT) AS s_stat,
+                     CAST(SUM(v18) AS BIGINT) AS var18
+              FROM per_season GROUP BY 1),
+            zc AS (SELECT event_type, n_days, n_seasons, s_stat, var18,
+                          CASE WHEN var18 <= 0 OR s_stat = 0
+                                 THEN CAST(0.0 AS DOUBLE)
+                               WHEN s_stat > 0
+                                 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                                      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                               ELSE (CAST(s_stat AS DOUBLE) + 1.0)
+                                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                          END AS z
+                   FROM base)
+            SELECT event_type, n_days, n_seasons, s_stat, var18,
+                   CAST(floor(z * 1000000.0) AS BIGINT) AS z_x1e6,
+                   CASE WHEN CAST(floor(z * 1000000.0) AS BIGINT) > 1960000
+                          THEN 'increasing'
+                        WHEN CAST(floor(z * 1000000.0) AS BIGINT) < -1960000
+                          THEN 'decreasing'
+                        ELSE 'no_trend' END AS trend
+            FROM zc
+        """,
+        "q324_oneway_anova_f": """
+            WITH base AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ), pg AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                     SUM(CAST(v AS HUGEINT)) AS s1,
+                     SUM(CAST(v AS HUGEINT) * v) AS s2
+              FROM base GROUP BY 1
+            ), agg AS (
+              SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     SUM((s1 * s1) // CAST(ng AS HUGEINT)) AS t,
+                     SUM(s1) AS g1, SUM(s2) AS g2
+              FROM pg
+            )
+            SELECT n_total, n_groups,
+                   CASE WHEN n_groups < 2
+                          OR g2 - t <= 0 THEN NULL
+                        ELSE CAST(floor(
+                          CAST((CAST(n_total AS HUGEINT) - n_groups)
+                               * (t - (g1 * g1) // CAST(n_total AS HUGEINT))
+                               AS DOUBLE)
+                          / CAST((CAST(n_groups AS HUGEINT) - 1) * (g2 - t)
+                                 AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS f_x1e6
+            FROM agg
+        """,
+        "q325_welch_t_quantity": """
+            WITH base AS (
+              SELECT CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS s,
+                     CAST(l_quantity AS BIGINT) AS v
+              FROM lineitem
+              WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+            ), agg AS (
+              SELECT CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                     CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b,
+                     SUM(CASE WHEN s = 0 THEN CAST(v AS HUGEINT)
+                              ELSE 0 END) AS sa,
+                     SUM(CASE WHEN s = 1 THEN CAST(v AS HUGEINT)
+                              ELSE 0 END) AS sb,
+                     SUM(CASE WHEN s = 0 THEN CAST(v AS HUGEINT) * v
+                              ELSE 0 END) AS qa,
+                     SUM(CASE WHEN s = 1 THEN CAST(v AS HUGEINT) * v
+                              ELSE 0 END) AS qb
+              FROM base
+            ), d AS (
+              SELECT n_a, n_b,
+                     CAST(CAST(n_a AS HUGEINT) * qa - sa * sa AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
+                          * (CAST(n_a AS DOUBLE) - 1.0)) AS va,
+                     CAST(CAST(n_b AS HUGEINT) * qb - sb * sb AS DOUBLE)
+                       / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+                          * (CAST(n_b AS DOUBLE) - 1.0)) AS vb,
+                     CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mdiff
+              FROM agg
+            )
+            SELECT n_a, n_b,
+                   CASE WHEN n_a < 2 OR n_b < 2 OR va + vb <= 0.0 THEN NULL
+                        ELSE CAST(floor(mdiff / sqrt(va + vb)
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                        END AS t_x1e6,
+                   CASE WHEN n_a < 2 OR n_b < 2 OR va + vb <= 0.0 THEN NULL
+                        ELSE CAST(floor(
+                          ((va + vb) * (va + vb))
+                          / (va * va / (CAST(n_a AS DOUBLE) - 1.0)
+                             + vb * vb / (CAST(n_b AS DOUBLE) - 1.0))
+                          * 1000000.0 + 0.5) AS BIGINT)
+                        END AS df_x1e6
+            FROM d
+        """,
         "q321_page_trend": """
             WITH daily AS (
               SELECT CAST(ts AS DATE) AS day,

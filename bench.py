@@ -302,6 +302,9 @@ HEADLINE = [
     "q319_orc_scan",
     "q321_page_trend",
     "q322_durbin_watson",
+    "q323_seasonal_mann_kendall",
+    "q324_oneway_anova_f",
+    "q325_welch_t_quantity",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

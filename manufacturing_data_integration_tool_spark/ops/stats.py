@@ -39,6 +39,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "ewma_trailing",
+    "oneway_anova_f",
+    "welch_t_test",
+    "seasonal_mann_kendall",
     "mad_outliers",
     "cusum_flags",
     "xbar_r_chart",
@@ -2512,4 +2515,299 @@ def cliffs_delta_pairwise(
     return pairs.select(
         "group_a", "group_b", "n_a", "n_b",
         dx.alias("delta_x1e6"), mag.alias("magnitude"),
+    )
+
+
+def oneway_anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Classic one-way ANOVA F (Fisher 1925) on raw integer values — the
+    parametric location test completing the k-group trio: q304's
+    Kruskal-Wallis (rank), q308's Brown-Forsythe (spread), and this
+    (means under equal-variance normality).
+
+    Shares :func:`brown_forsythe`'s exact-moment machinery minus the
+    median-deviation step: per-group ``(n_g, s1_g, s2_g)`` in
+    decimal(38,0), the per-group ``s1_g^2 div n_g`` exact integer terms
+    (truncation < 1 per group — identical on both engines), grand term
+    the same, and ``F = ((N-k) * SSB*) / ((k-1) * SSW*)`` is ONE
+    division of exact decimals, floor-published at 1e6.
+
+    Scale posture: one map-side-combined groupBy over the corpus, then
+    a k-row aggregate — no windows, no joins.
+
+    Output: one row — ``n_total, n_groups, f_x1e6`` (NULL when k < 2 or
+    SSW* <= 0).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s1"),
+        F.sum(dec(F.col("__v")) * F.col("__v"))
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+    )
+    term = F.expr(
+        "CAST(__s1 * __s1 AS DECIMAL(38,0)) div CAST(__ng AS DECIMAL(38,0))"
+    )
+    agg = pg.agg(
+        F.sum("__ng").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(term).cast("decimal(38,0)").alias("__t"),
+        F.sum("__s1").cast("decimal(38,0)").alias("__g1"),
+        F.sum("__s2").cast("decimal(38,0)").alias("__g2"),
+    )
+    grand = F.expr(
+        "CAST(__g1 * __g1 AS DECIMAL(38,0)) div CAST(n_total AS DECIMAL(38,0))"
+    )
+    ssb = F.col("__t") - grand
+    ssw = F.col("__g2") - F.col("__t")
+    n = F.col("n_total").cast("decimal(38,0)")
+    k = F.col("n_groups").cast("decimal(38,0)")
+    f_num = ((n - k) * ssb).cast("double")
+    f_den = ((k - F.lit(1).cast("decimal(38,0)")) * ssw).cast("double")
+    return agg.select(
+        "n_total",
+        "n_groups",
+        F.when(
+            (F.col("n_groups") < 2)
+            | (ssw <= F.lit(0).cast("decimal(38,0)")),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(f_num / f_den * F.lit(float(scale)) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .alias("f_x1e6"),
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test (Welch, Biometrika
+    1947) with the Welch-Satterthwaite df — the parametric mean
+    comparison that does NOT assume equal spread (q308 tests exactly
+    that assumption; when it fails, this is the test to use instead of
+    pooled t).
+
+    Exactness: per-group counts and first/second moments are exact
+    decimal(38,0); the mean difference, per-group variance terms
+    ``v_g = s2_g/n_g - (s1_g/n_g)^2`` (computed in the equivalent exact
+    cross-multiplied form ``(n*s2 - s1^2) / (n^2 * (n-1)) * n`` — one
+    IEEE tree over exact scalars), t and df are each ONE mirrored tree,
+    floor-published at 1e6.
+
+    Output: one row — ``n_a, n_b, t_x1e6, df_x1e6`` (NULL when either
+    n < 2 or both sample variances are zero).
+    """
+    g = F.col(group_col)
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    base = df.filter(v.isNotNull() & g.isin([label_a, label_b])).select(
+        F.when(g == F.lit(label_a), F.lit(0)).otherwise(F.lit(1)).alias("__s"),
+        v.alias("__v"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = base.agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__s") == 0, dec(F.col("__v"))).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )).cast("decimal(38,0)").alias("__sa"),
+        F.sum(F.when(F.col("__s") == 1, dec(F.col("__v"))).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )).cast("decimal(38,0)").alias("__sb"),
+        F.sum(F.when(F.col("__s") == 0, dec(F.col("__v")) * F.col("__v"))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").alias("__qa"),
+        F.sum(F.when(F.col("__s") == 1, dec(F.col("__v")) * F.col("__v"))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").alias("__qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # sample variance s^2 = (n*q - s^2) / (n*(n-1)); var-of-mean = s^2/n
+    va = (
+        F.col("n_a").cast("decimal(38,0)") * F.col("__qa")
+        - F.col("__sa") * F.col("__sa")
+    ).cast("double") / (na * na * (na - F.lit(1.0)))
+    vb = (
+        F.col("n_b").cast("decimal(38,0)") * F.col("__qb")
+        - F.col("__sb") * F.col("__sb")
+    ).cast("double") / (nb * nb * (nb - F.lit(1.0)))
+    mdiff = (
+        F.col("__sa").cast("double") / na
+        - F.col("__sb").cast("double") / nb
+    )
+    se2 = va + vb
+    t = mdiff / F.sqrt(se2)
+    dfree = (se2 * se2) / (
+        va * va / (na - F.lit(1.0)) + vb * vb / (nb - F.lit(1.0))
+    )
+    pub = lambda col: F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    bad = (
+        (F.col("n_a") < 2) | (F.col("n_b") < 2) | (se2 <= F.lit(0.0))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(bad, F.lit(None).cast("bigint")).otherwise(pub(t)).alias(
+            "t_x1e6"
+        ),
+        F.when(bad, F.lit(None).cast("bigint")).otherwise(pub(dfree)).alias(
+            "df_x1e6"
+        ),
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    season_col: Column | str,
+    ts_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per key (Hirsch & Slack, Water
+    Resour. Res. 1984): the :func:`mann_kendall_trend` S statistic
+    computed WITHIN each season (e.g. each weekday) and summed — so a
+    strong weekly cycle can neither fake nor mask a real monotone
+    drift, the failure mode of running plain MK on seasonal data.
+
+    ``S = sum_seasons S_season`` and ``18*Var(S) = sum_seasons
+    [n(n-1)(2n+5) - sum t(t-1)(2t+5)]`` stay exact BIGINTs (the
+    independent-seasons form; serial-correlation adjustment out of
+    scope, as in the original); z applies the same +/-1 continuity
+    correction as plain MK — ONE mirrored IEEE tree.
+
+    ``season_col`` must be constant within a day (e.g.
+    ``F.dayofweek(ts)``); it partitions pair comparisons and is never
+    published, so Spark's and an oracle engine's different weekday
+    ENCODINGS cannot leak into the result (the repo's dayofweek rule).
+
+    Scale posture: identical to plain MK with seasons folded into the
+    pair-join key — |keys| x |seasons| x O(days-per-season^2) inside
+    key-partitioned tasks, calendar-bounded.
+
+    Output: ``(key_col, n_days, n_seasons, s_stat, var18, z_x1e6,
+    trend)``.
+    """
+    season = F.col(season_col) if isinstance(season_col, str) else season_col
+    vq = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast(
+        "bigint"
+    )
+    daily = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            season.alias("__sea"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            vq.alias("__vq"),
+        )
+        .groupBy("__key", "__sea", "day")
+        .agg(F.sum("__vq").cast("bigint").alias("dv"))
+    )
+    a = daily.select(
+        "__key", "__sea", F.col("day").alias("__da"), F.col("dv").alias("__va")
+    )
+    b = daily.select(
+        "__key", "__sea", F.col("day").alias("__db"), F.col("dv").alias("__vb")
+    )
+    s = (
+        a.join(b, ["__key", "__sea"])
+        .filter(F.col("__da") < F.col("__db"))
+        .groupBy("__key", "__sea")
+        .agg(
+            F.sum(
+                F.when(F.col("__vb") > F.col("__va"), 1)
+                .when(F.col("__vb") < F.col("__va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__s")
+        )
+    )
+    n_ = daily.groupBy("__key", "__sea").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    ties = (
+        daily.groupBy("__key", "__sea", "dv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .groupBy("__key", "__sea")
+        .agg(
+            F.sum(
+                F.col("__c") * (F.col("__c") - 1) * (2 * F.col("__c") + 5)
+            )
+            .cast("bigint")
+            .alias("__tsum")
+        )
+    )
+    per_season = (
+        n_.join(s, ["__key", "__sea"], "left")
+        .join(ties, ["__key", "__sea"], "left")
+        .select(
+            "__key",
+            "__n",
+            F.coalesce(F.col("__s"), F.lit(0).cast("bigint")).alias("__s"),
+            (
+                F.col("__n") * (F.col("__n") - 1) * (2 * F.col("__n") + 5)
+                - F.coalesce(F.col("__tsum"), F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("__v18"),
+        )
+    )
+    base = per_season.groupBy("__key").agg(
+        F.sum("__n").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        F.sum("__s").cast("bigint").alias("s_stat"),
+        F.sum("__v18").cast("bigint").alias("var18"),
+    )
+    sd = F.col("s_stat").cast("double")
+    v = F.col("var18").cast("double") / F.lit(18.0)
+    z = (
+        F.when((F.col("var18") <= 0) | (F.col("s_stat") == 0), F.lit(0.0))
+        .when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(v))
+        .otherwise((sd + F.lit(1.0)) / F.sqrt(v))
+    )
+    zq = F.floor(z * F.lit(1_000_000.0)).cast("bigint")
+    crit = int(z_crit * 1_000_000)
+    return base.select(
+        F.col("__key").alias(key_col),
+        "n_days",
+        "n_seasons",
+        "s_stat",
+        "var18",
+        zq.alias("z_x1e6"),
+        F.when(zq > F.lit(crit), F.lit("increasing"))
+        .when(zq < F.lit(-crit), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
     )

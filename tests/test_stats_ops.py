@@ -1576,3 +1576,110 @@ def test_cliffs_delta_textbook(spark):
     assert out[("hi", "lo")]["delta_x1e6"] == 1_000_000
     assert out[("hi", "lo")]["magnitude"] == "large"
     assert out[("hi", "mid")]["magnitude"] != "negligible"
+
+
+def test_oneway_anova_f_matches_numpy_twin(spark):
+    """Three unequal groups: F recomputed from numpy group means must
+    match within the documented per-group integer-div truncation."""
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        oneway_anova_f,
+    )
+
+    # values live on the caller's integer lattice — scale up so the
+    # documented <1-per-group term truncation is negligible vs SS scale
+    data = {
+        "a": [1000, 2000, 3000, 4000],
+        "b": [4000, 5000, 7000],
+        "c": [8000, 9000, 12000, 15000, 11000],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = oneway_anova_f(df, "g", "v").collect()[0]
+    allv = [v for vs in data.values() for v in vs]
+    n, k = len(allv), len(data)
+    gm = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in data.values())
+    ssw = sum(
+        sum((v - sum(vs) / len(vs)) ** 2 for v in vs)
+        for vs in data.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["n_total"] == n and out["n_groups"] == k
+    assert abs(out["f_x1e6"] - math.floor(f * 1e6 + 0.5)) <= 25
+
+
+def test_oneway_anova_f_zero_within_is_null(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        oneway_anova_f,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 9), ("b", 9)], "g string, v long"
+    )
+    assert oneway_anova_f(df, "g", "v").collect()[0]["f_x1e6"] is None
+
+
+def test_welch_t_matches_python_twin(spark):
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        welch_t_test,
+    )
+
+    a = [12, 15, 9, 20, 14, 13]
+    b = [22, 19, 25, 28]
+    rows = [("x", v) for v in a] + [("y", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = welch_t_test(df, "g", "x", "y", "v").collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((v - ma) ** 2 for v in a) / (na - 1) / na
+    vb = sum((v - mb) ** 2 for v in b) / (nb - 1) / nb
+    t = (ma - mb) / math.sqrt(va + vb)
+    dfree = (va + vb) ** 2 / (va**2 / (na - 1) + vb**2 / (nb - 1))
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert abs(out["t_x1e6"] - math.floor(t * 1e6 + 0.5)) <= 1
+    assert abs(out["df_x1e6"] - math.floor(dfree * 1e6 + 0.5)) <= 1
+
+
+def test_seasonal_mann_kendall_cycle_blind(spark):
+    """A pure weekly cycle with NO drift: plain MK on the raw series is
+    fooled into a big |S|, seasonal MK sums within-weekday comparisons
+    and reports S = 0; adding a real monotone drift flips it to a
+    significant increase."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        seasonal_mann_kendall,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    cycle = [10, 20, 30, 40, 50, 60, 70]  # repeats exactly per weekday
+    rows = [
+        Row(k="a", ts=base + datetime.timedelta(days=i),
+            v=float(cycle[i % 7]))
+        for i in range(28)
+    ]
+    out = seasonal_mann_kendall(
+        spark.createDataFrame(rows), "k", F.dayofweek(F.to_date("ts")),
+        "ts", "v",
+    ).collect()[0]
+    assert out["n_seasons"] == 7 and out["s_stat"] == 0
+    assert out["trend"] == "no_trend"
+
+    rows2 = [
+        Row(k="a", ts=base + datetime.timedelta(days=i),
+            v=float(cycle[i % 7] + i))
+        for i in range(28)
+    ]
+    out2 = seasonal_mann_kendall(
+        spark.createDataFrame(rows2), "k", F.dayofweek(F.to_date("ts")),
+        "ts", "v",
+    ).collect()[0]
+    # within every weekday the series is strictly increasing: S = 7 * C(4,2)
+    assert out2["s_stat"] == 7 * 6
+    assert out2["trend"] == "increasing"
