@@ -8939,6 +8939,59 @@ def q325_welch_t_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_t_test(li, "l_returnflag", "R", "A", "l_quantity")
 
 
+def q326_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip at corpus scale: write the documents
+    table through the ORC sink (sources/sinks.write_orc — Spark's
+    native distributed columnar writer), read it back through the
+    native ORC reader, and aggregate per language. The oracle computes
+    the identical aggregate from the original parquet, so the value
+    hash proves the round-trip is LOSSLESS — the sink-side complement
+    to q319's fixture-scan source check."""
+    import tempfile
+
+    from manufacturing_data_integration_tool_spark.sources.sinks import (
+        write_orc,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="mdi_q326_") + "/docs_orc"
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_orc(docs, out_dir)
+    back = spark.read.orc(out_dir)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
+
+
+def q327_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-drift pre-flight (sources/readers.schema_drift_report) on
+    a drifted landing file: the golden CSV with ``humidity_pct`` renamed
+    to ``humidity`` and an ``extra_note`` column appended. The report
+    must show the rename as one ``missing_in_file`` (the declared name)
+    plus one ``undeclared`` (the new name), the appended column as
+    ``undeclared``, and everything else ``ok`` — the failure the
+    reference's row loop hits as an obscure KeyError, surfaced as data.
+    File columns are header METADATA (driver-sized); the oracle derives
+    them from the same file via DESCRIBE."""
+    fixtures = Path(__file__).resolve().parent / "tests" / "fixtures"
+    cfg = load_config(str(fixtures / "mapping_config.xml"))
+    file_cols = spark.read.option("header", True).csv(
+        str(fixtures / "production_drift_9rows.csv")
+    ).columns
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        schema_drift_report,
+    )
+
+    return schema_drift_report(spark, file_cols, cfg)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9066,6 +9119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q323_seasonal_mann_kendall": q323_seasonal_mann_kendall,
         "q324_oneway_anova_f": q324_oneway_anova_f,
         "q325_welch_t_quantity": q325_welch_t_quantity,
+        "q326_orc_roundtrip": q326_orc_roundtrip,
+        "q327_schema_drift": q327_schema_drift,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -11628,6 +11683,35 @@ def oracle_sql() -> dict[str, str]:
             FROM agg CROSS JOIN tx CROSS JOIN ty
         """,
         "q317_ipf_raking": _ipf_unrolled_sql(iterations=4),
+        "q326_orc_roundtrip": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "q327_schema_drift": f"""
+            WITH file_cols AS (
+              SELECT column_name AS col
+              FROM (DESCRIBE SELECT * FROM read_csv(
+                '{Path(__file__).resolve().parent / "tests" / "fixtures" / "production_drift_9rows.csv"}',
+                header=true, all_varchar=true))
+            ), cfg(col) AS (
+              VALUES {", ".join(f"('{c}')" for c in load_config(str(Path(__file__).resolve().parent / "tests" / "fixtures" / "mapping_config.xml")).source_columns)}
+            ), u AS (
+              SELECT col FROM file_cols UNION SELECT col FROM cfg
+            )
+            SELECT u.col AS column_name,
+                   (c.col IS NOT NULL) AS in_config,
+                   (f.col IS NOT NULL) AS in_file,
+                   CASE WHEN c.col IS NOT NULL AND f.col IS NOT NULL
+                          THEN 'ok'
+                        WHEN c.col IS NOT NULL THEN 'missing_in_file'
+                        ELSE 'undeclared' END AS status
+            FROM u LEFT JOIN cfg c ON c.col = u.col
+                   LEFT JOIN file_cols f ON f.col = u.col
+        """,
         "q323_seasonal_mann_kendall": """
             WITH daily AS (
               SELECT event_type, dayofweek(CAST(ts AS DATE)) AS sea,

@@ -305,6 +305,7 @@ HEADLINE = [
     "q323_seasonal_mann_kendall",
     "q324_oneway_anova_f",
     "q325_welch_t_quantity",
+    "q326_orc_roundtrip",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
@@ -353,6 +354,8 @@ EXCLUDED = {
     "q116_media_resize": _STUB,
     "q117_media_features": _STUB,
     "q123_csv_scan": "pinned-schema CSV scan; I/O-bound read, benched via pytest",
+    "q327_schema_drift": "driver-side metadata pre-flight over a 9-row "
+    "fixture header; timing would measure Spark session overhead, not a plan",
     "q146_bpe_merges": "iterative driver-round loop (documented residual); "
     "wall time is fixed per-round latency, pinned by pytest not bench",
     "q155_bpe_encode": "same driver-round loop family as q146",

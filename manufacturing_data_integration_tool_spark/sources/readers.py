@@ -376,3 +376,40 @@ def read_source_orc(
     if with_lineage:
         df = df.withColumn(FILE_SOURCE_COL, F.input_file_name())
     return df
+
+
+def schema_drift_report(
+    spark: SparkSession,
+    file_columns: Sequence[str],
+    config: IntegrationConfig,
+) -> DataFrame:
+    """Layout-drift audit: compare a landing file's ACTUAL columns
+    against the config-declared source columns and report every column's
+    status — ``ok`` (declared and present), ``missing_in_file``
+    (declared, absent: downstream rules would see all-NULL), or
+    ``undeclared`` (present, not mapped: silently dropped by the pinned
+    readers). The reference's row loop fails obscurely on layout drift;
+    this surfaces it as a first-class pre-flight table (the check
+    `plans/validator.py` runs driver-side, as data).
+
+    ``file_columns`` is file METADATA (a header read / parquet-ORC
+    footer), inherently driver-sized — the report is a tiny
+    createDataFrame, never a scan.
+    """
+    declared = list(config.source_columns)
+    everything = list(
+        dict.fromkeys(list(file_columns) + declared)
+    )  # stable union
+    fset, dset = set(file_columns), set(declared)
+    rows = []
+    for c in everything:
+        in_cfg, in_file = c in dset, c in fset
+        status = (
+            "ok"
+            if in_cfg and in_file
+            else ("missing_in_file" if in_cfg else "undeclared")
+        )
+        rows.append((c, in_cfg, in_file, status))
+    return spark.createDataFrame(
+        rows, "column_name string, in_config boolean, in_file boolean, status string"
+    )

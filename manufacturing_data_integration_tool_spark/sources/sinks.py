@@ -103,3 +103,18 @@ def write_errors(
             writer.format(fmt).save(path_or_table)
 
     return _write_counted(shaped, write)
+
+
+def write_orc(df, path: str, *, mode: str = "overwrite", partition_by=None):
+    """ORC sink twin of the parquet writers: columnar, footer-typed,
+    stripe-indexed — the interchange format for Hive-era consumers the
+    parquet sinks don't reach. Pure pass-through to Spark's native ORC
+    writer (same distributed write path, no driver materialization);
+    ``partition_by`` maps to directory partitioning for downstream
+    partition pruning."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(
+            *([partition_by] if isinstance(partition_by, str) else partition_by)
+        )
+    w.orc(path)

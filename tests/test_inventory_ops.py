@@ -440,3 +440,33 @@ def test_orc_reader_matches_csv_golden(spark):
         for col in df.columns:
             expect = csv_row[col] if csv_row[col] not in (None, "") else None
             assert spark_row[col] == expect, (col, spark_row, csv_row)
+
+
+def test_schema_drift_report_flags_rename_and_extra(spark):
+    """Drift fixture = golden CSV with humidity_pct renamed to humidity
+    plus an appended extra_note: the report must show exactly one
+    missing_in_file (the declared name), two undeclared (the new name
+    and the extra), and every other declared column ok."""
+    from manufacturing_data_integration_tool_spark import load_config
+    from manufacturing_data_integration_tool_spark.sources.readers import (
+        schema_drift_report,
+    )
+
+    cfg = load_config("tests/fixtures/mapping_config.xml")
+    file_cols = (
+        spark.read.option("header", True)
+        .csv("tests/fixtures/production_drift_9rows.csv")
+        .columns
+    )
+    rows = {
+        r["column_name"]: r
+        for r in schema_drift_report(spark, file_cols, cfg).collect()
+    }
+    assert rows["humidity_pct"]["status"] == "missing_in_file"
+    assert rows["humidity"]["status"] == "undeclared"
+    assert rows["extra_note"]["status"] == "undeclared"
+    ok = [c for c, r in rows.items() if r["status"] == "ok"]
+    assert sorted(ok) == sorted(
+        c for c in cfg.source_columns if c != "humidity_pct"
+    )
+    assert len(rows) == len(set(file_cols) | set(cfg.source_columns))
