@@ -8992,6 +8992,37 @@ def q327_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_drift_report(spark, file_cols, cfg)
 
 
+def q328_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity test (ops.stats.bartlett_test;
+    Proc. R. Soc. 1937) of document length across the 20 sources — the
+    PARAMETRIC spread test whose robust sibling is q308's
+    Brown-Forsythe (run both; disagreement means heavy tails, trust
+    BF). Per-group variances are mirrored IEEE trees over exact
+    moments, their lns land on the 1e-9 lattice, the weighted sums are
+    exact integers, B is one final tree."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        bartlett_test,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bartlett_test(docs, "source", "n_chars")
+
+
+def q329_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of lang x source independence
+    (ops.stats.g_test_independence; log-likelihood ratio, Sokal-Rohlf)
+    — q204's chi-square likelihood twin on the same marginals, additive
+    across table partitions and better behaved at small expected
+    counts. Per-cell likelihood ratios on the 1e-9 ln lattice, exact
+    integer cell terms, one published division."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        g_test_independence,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return g_test_independence(docs, "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9121,6 +9152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q325_welch_t_quantity": q325_welch_t_quantity,
         "q326_orc_roundtrip": q326_orc_roundtrip,
         "q327_schema_drift": q327_schema_drift,
+        "q328_bartlett": q328_bartlett,
+        "q329_g_test": q329_g_test,
         # rotated out after going green in CORRECTNESS_r07 (q243-q261,
         # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
@@ -11683,6 +11716,86 @@ def oracle_sql() -> dict[str, str]:
             FROM agg CROSS JOIN tx CROSS JOIN ty
         """,
         "q317_ipf_raking": _ipf_unrolled_sql(iterations=4),
+        "q328_bartlett": """
+            WITH base AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ), pg AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                     SUM(CAST(v AS HUGEINT)) AS s1,
+                     SUM(CAST(v AS HUGEINT) * v) AS s2
+              FROM base GROUP BY 1 HAVING COUNT(*) >= 2
+            ), terms AS (
+              SELECT ng,
+                     CAST(ng AS HUGEINT)*s2 - s1*s1 AS vn,
+                     CASE WHEN CAST(ng AS HUGEINT)*s2 - s1*s1 > 0 THEN
+                       CAST(floor(round(ln(
+                         CASE WHEN CAST(ng AS HUGEINT)*s2 - s1*s1 > 0
+                           THEN CAST(CAST(ng AS HUGEINT)*s2 - s1*s1
+                                     AS DOUBLE)
+                                / (CAST(ng AS DOUBLE)
+                                   * (CAST(ng AS DOUBLE) - 1.0))
+                           ELSE 1.0 END), 9)
+                         * 1000000000.0 + 0.5) AS BIGINT)
+                     END AS ll,
+                     1000000000000 // CAST(ng - 1 AS HUGEINT) AS inv,
+                     ((CAST(ng AS HUGEINT)*s2 - s1*s1) * 1000000)
+                       // CAST(ng AS HUGEINT) AS sswq
+              FROM pg
+            ), agg AS (
+              SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     MIN(vn) AS minvn,
+                     SUM(CAST(ng - 1 AS HUGEINT) * ll) AS wln,
+                     SUM(inv) AS sinv,
+                     SUM(sswq) AS sswq
+              FROM terms
+            )
+            SELECT n_total, n_groups,
+                   CASE WHEN n_groups < 2 OR minvn <= 0 THEN NULL
+                        ELSE CAST(floor(
+                          ((CAST(n_total AS DOUBLE)
+                            - CAST(n_groups AS DOUBLE))
+                           * floor(round(ln(
+                               CASE WHEN sswq > 0 THEN
+                                 CAST(sswq AS DOUBLE)
+                                 / (1000000.0 * (CAST(n_total AS DOUBLE)
+                                    - CAST(n_groups AS DOUBLE)))
+                               ELSE 1.0 END), 9)
+                             * 1000000000.0 + 0.5)
+                           - CAST(wln AS DOUBLE)) / 1000000000.0
+                          / (1.0 + (CAST(sinv AS DOUBLE) / 1000000000000.0
+                                    - 1.0 / (CAST(n_total AS DOUBLE)
+                                             - CAST(n_groups AS DOUBLE)))
+                                   / (3.0 * (CAST(n_groups AS DOUBLE)
+                                             - 1.0)))
+                          * 1000000.0 + 0.5) AS BIGINT) END AS b_x1e6
+            FROM agg
+        """,
+        "q329_g_test": """
+            WITH base AS (SELECT lang AS a, source AS b FROM documents
+                          WHERE lang IS NOT NULL AND source IS NOT NULL),
+            cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS obs
+                      FROM base GROUP BY 1, 2),
+            rm AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS r FROM base GROUP BY 1),
+            cm AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+                         CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+                  FROM base),
+            terms AS (SELECT CAST(obs AS HUGEINT)
+                        * CAST(floor(round(ln(
+                            CAST(CAST(obs AS HUGEINT) * n AS DOUBLE)
+                            / CAST(CAST(r AS HUGEINT) * c AS DOUBLE)), 9)
+                            * 1000000000.0 + 0.5) AS BIGINT) AS tq
+                      FROM cells JOIN rm USING (a) JOIN cm USING (b), t)
+            SELECT n, n_a, n_b,
+                   CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+                   CAST(floor(2.0 * CAST(SUM(tq) AS DOUBLE) / 1000000000.0
+                              * 1000000.0 + 0.5) AS BIGINT) AS g_x1e6
+            FROM terms, t GROUP BY n, n_a, n_b
+        """,
         "q326_orc_roundtrip": """
             SELECT lang,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -306,6 +306,8 @@ HEADLINE = [
     "q324_oneway_anova_f",
     "q325_welch_t_quantity",
     "q326_orc_roundtrip",
+    "q328_bartlett",
+    "q329_g_test",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

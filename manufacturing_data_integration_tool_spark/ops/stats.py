@@ -41,6 +41,8 @@ __all__ = [
     "ewma_trailing",
     "oneway_anova_f",
     "welch_t_test",
+    "bartlett_test",
+    "g_test_independence",
     "seasonal_mann_kendall",
     "mad_outliers",
     "cusum_flags",
@@ -2810,4 +2812,183 @@ def seasonal_mann_kendall(
         .when(zq < F.lit(-crit), F.lit("decreasing"))
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bartlett's variance-homogeneity test (Bartlett, Proc. R. Soc.
+    1937) — the PARAMETRIC spread test (chi-square under normality)
+    whose robust sibling is q308's Brown-Forsythe: more powerful when
+    normality holds, famously fragile when it doesn't (run both; if
+    they disagree, trust Brown-Forsythe and suspect the tails).
+
+    Determinism: per-group sample variances are ONE mirrored IEEE tree
+    each over exact decimal moments (``(n*q - s^2) / (n*(n-1))``), then
+    land on the 1e-9 ln lattice (the loglog_slope discipline — ln is
+    the one libm op that may differ across engines); the weighted sums
+    ``sum (n_j-1)*ln_lat(s_j^2)`` and the correction's
+    ``sum 1e12 div (n_j-1)`` are exact BIGINT/decimal sums (float
+    summation order never enters); the statistic
+
+        ``B = [(N-k)*ln(s_p^2) - sum (n_j-1)*ln(s_j^2)] / C``,
+        ``C = 1 + (sum 1/(n_j-1) - 1/(N-k)) / (3(k-1))``
+
+    is ONE final IEEE tree, floor-published at 1e6.
+
+    Groups with n_j < 2 are excluded (variance undefined — the
+    textbook requirement); any zero-variance group publishes NULL.
+
+    Output: one row — ``n_total, n_groups, b_x1e6``.
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pg = (
+        base.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__ng"),
+            F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s1"),
+            F.sum(dec(F.col("__v")) * F.col("__v"))
+            .cast("decimal(38,0)")
+            .alias("__s2"),
+        )
+        .filter(F.col("__ng") >= 2)
+    )
+    nd = F.col("__ng").cast("double")
+    varnum = (
+        F.col("__ng").cast("decimal(38,0)") * F.col("__s2")
+        - F.col("__s1") * F.col("__s1")
+    )
+    s2 = varnum.cast("double") / (nd * (nd - F.lit(1.0)))
+    ln_lat = F.floor(F.round(F.log(s2), 9) * F.lit(1e9) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    inv_lat = F.expr(
+        "CAST(1000000000000 AS DECIMAL(38,0))"
+        " div CAST(__ng - 1 AS DECIMAL(38,0))"
+    )
+    terms = pg.select(
+        "__ng",
+        varnum.alias("__vn"),
+        F.when(varnum > F.lit(0).cast("decimal(38,0)"), ln_lat).alias("__ll"),
+        inv_lat.cast("bigint").alias("__inv"),
+        # SSW accumulates exactly: (n-1)*s^2 = varnum/n, per-term floor
+        # on the 1e-6 lattice for the pooled variance numerator
+        F.expr(
+            "CAST((__ng * __s2 - __s1 * __s1) * 1000000 AS DECIMAL(38,0))"
+            " div CAST(__ng AS DECIMAL(38,0))"
+        ).alias("__ssw_q"),
+    )
+    agg = terms.agg(
+        F.sum("__ng").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min(F.col("__vn")).alias("__minvn"),
+        F.sum((F.col("__ng") - 1).cast("decimal(38,0)") * F.col("__ll"))
+        .cast("decimal(38,0)")
+        .alias("__wln"),
+        F.sum("__inv").cast("decimal(38,0)").alias("__sinv"),
+        F.sum("__ssw_q").cast("decimal(38,0)").alias("__sswq"),
+    )
+    n = F.col("n_total").cast("double")
+    k = F.col("n_groups").cast("double")
+    sp2 = F.col("__sswq").cast("double") / (
+        F.lit(1e6) * (n - k)
+    )
+    ln_sp = F.floor(F.round(F.log(sp2), 9) * F.lit(1e9) + F.lit(0.5))
+    num = ((n - k) * ln_sp - F.col("__wln").cast("double")) / F.lit(1e9)
+    c_corr = F.lit(1.0) + (
+        F.col("__sinv").cast("double") / F.lit(1e12)
+        - F.lit(1.0) / (n - k)
+    ) / (F.lit(3.0) * (k - F.lit(1.0)))
+    b = num / c_corr
+    return agg.select(
+        "n_total",
+        "n_groups",
+        F.when(
+            (F.col("n_groups") < 2)
+            | (F.col("__minvn") <= F.lit(0).cast("decimal(38,0)")),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(b * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("b_x1e6"),
+    )
+
+
+def g_test_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """G-test of independence (log-likelihood ratio; Sokal & Rohlf,
+    Biometry): ``G = 2 * sum obs * ln(obs*N / (r*c))`` over the
+    contingency cells — chi-square's likelihood twin (additive across
+    table partitions, better behaved for small expected counts), on the
+    SAME marginal machinery as :func:`chisq_independence`.
+
+    Determinism: each cell's likelihood ratio ``obs*N/(r*c)`` is one
+    IEEE tree over exact BIGINT/decimal products, its ln lands on the
+    1e-9 lattice, the per-cell term ``obs * ln_lat`` is an exact BIGINT
+    product summed as DECIMAL(38,0) — float summation order never
+    enters — and G is one published division.
+
+    Output: one row — ``n, n_a, n_b, dof, g_x1e6``.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    cells = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__obs")
+    )
+    rows = base.groupBy("__a").agg(F.count(F.lit(1)).cast("bigint").alias("__r"))
+    cols = base.groupBy("__b").agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    total = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.countDistinct("__a").cast("bigint").alias("n_a"),
+        F.countDistinct("__b").cast("bigint").alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    joined = (
+        cells.join(F.broadcast(rows), "__a")
+        .join(F.broadcast(cols), "__b")
+        .crossJoin(F.broadcast(total))
+    )
+    ratio = (
+        F.col("__obs").cast(dec) * F.col("__n").cast(dec)
+    ).cast("double") / (
+        F.col("__r").cast(dec) * F.col("__c").cast(dec)
+    ).cast("double")
+    ln_lat = F.floor(F.round(F.log(ratio), 9) * F.lit(1e9) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    term = F.col("__obs").cast(dec) * ln_lat
+    agg = joined.agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term).cast(dec).alias("__gq"),
+    )
+    g = F.lit(2.0) * F.col("__gq").cast("double") / F.lit(1e9)
+    return agg.select(
+        "n",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("bigint").alias("dof"),
+        F.floor(g * F.lit(float(scale)) + F.lit(0.5)).cast("bigint").alias(
+            "g_x1e6"
+        ),
     )

@@ -1683,3 +1683,75 @@ def test_seasonal_mann_kendall_cycle_blind(spark):
     # within every weekday the series is strictly increasing: S = 7 * C(4,2)
     assert out2["s_stat"] == 7 * 6
     assert out2["trend"] == "increasing"
+
+
+def test_bartlett_matches_python_twin(spark):
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        bartlett_test,
+    )
+
+    data = {
+        "a": [1200, 1500, 900, 2000, 1400],
+        "b": [2200, 1900, 2500, 2800],
+        "c": [500, 5200, 3100, 4400, 100, 2600],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    out = bartlett_test(
+        spark.createDataFrame(rows, "g string, v long"), "g", "v"
+    ).collect()[0]
+    n = sum(len(vs) for vs in data.values())
+    k = len(data)
+
+    def var(vs):
+        m = sum(vs) / len(vs)
+        return sum((v - m) ** 2 for v in vs) / (len(vs) - 1)
+
+    sp2 = sum((len(vs) - 1) * var(vs) for vs in data.values()) / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (len(vs) - 1) * math.log(var(vs)) for vs in data.values()
+    )
+    c = 1 + (sum(1 / (len(vs) - 1) for vs in data.values()) - 1 / (n - k)) / (
+        3 * (k - 1)
+    )
+    assert out["n_total"] == n and out["n_groups"] == k
+    # ln-lattice + per-term floors -> tiny bounded drift
+    assert abs(out["b_x1e6"] - math.floor(num / c * 1e6 + 0.5)) <= 50
+
+
+def test_bartlett_zero_variance_group_is_null(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        bartlett_test,
+    )
+
+    rows = [("a", 5), ("a", 5), ("b", 1), ("b", 9)]
+    out = bartlett_test(
+        spark.createDataFrame(rows, "g string, v long"), "g", "v"
+    ).collect()[0]
+    assert out["b_x1e6"] is None
+
+
+def test_g_test_matches_python_twin(spark):
+    import math
+    from collections import Counter
+
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        g_test_independence,
+    )
+
+    pairs = [
+        ("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"),
+        ("y", "q"), ("y", "q"), ("y", "q"), ("z", "p"), ("z", "q"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    out = g_test_independence(df, "a", "b").collect()[0]
+    n = len(pairs)
+    ct = Counter(pairs)
+    rm = Counter(a for a, _ in pairs)
+    cm = Counter(b for _, b in pairs)
+    g = 2 * sum(
+        o * math.log(o * n / (rm[a] * cm[b])) for (a, b), o in ct.items()
+    )
+    assert out["n"] == n and out["dof"] == (3 - 1) * (2 - 1)
+    assert abs(out["g_x1e6"] - math.floor(g * 1e6 + 0.5)) <= 25
