@@ -344,3 +344,58 @@ def test_page_trend_perfect_monotone_is_max(spark):
     # max L = n * sum j*j = 3 * 30 = 90 -> L2 = 180
     assert out["l2"] == 180
     assert out["z_x1e6"] > 0
+
+
+def test_randomized_differential_rank_tests(spark):
+    """Randomized (fixed-seed) differential check: Wilcoxon, JT, and
+    tau-b against their O(n^2) brute twins over several draws with
+    heavy ties — the property-style net under the single-fixture
+    tests."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        # Wilcoxon
+        diffs = [rng.randint(-4, 4) for _ in range(25)]
+        nz = [d for d in diffs if d != 0]
+        if nz:
+            out = wilcoxon_signed_rank(
+                spark.createDataFrame([Row(d=d) for d in diffs]), "d"
+            ).collect()[0]
+            rank = _avg_ranks([abs(d) for d in nz])
+            wp = sum(rank[abs(d)] for d in nz if d > 0)
+            cnt = Counter(abs(d) for d in nz)
+            n = len(nz)
+            tie3 = sum(t**3 - t for t in cnt.values())
+            var = n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0
+            assert out["w2_plus"] == round(2 * wp), (trial, diffs)
+            if var > 0:
+                z = (wp - n * (n + 1) / 4.0) / math.sqrt(var)
+                assert abs(out["z_x1e6"] - math.floor(z * 1e6 + 0.5)) <= 1
+
+        # Jonckheere-Terpstra
+        groups = {
+            g: [rng.randint(0, 9) for _ in range(rng.randint(3, 7))]
+            for g in (1, 2, 3, 4)
+        }
+        rows = [Row(g=g, v=v) for g, vs in groups.items() for v in vs]
+        out = jonckheere_terpstra(
+            spark.createDataFrame(rows), "g", "v"
+        ).collect()[0]
+        j_stat, z = _jt_brute(groups)
+        assert out["j2"] == round(2 * j_stat), (trial, groups)
+        assert abs(out["z_x1e6"] - math.floor(z * 1e6 + 0.5)) <= 1
+
+        # Kendall tau-b on a tight tied grid
+        xy = [
+            (rng.randint(1, 4), rng.randint(1, 3)) for _ in range(30)
+        ]
+        out = kendall_tau_b_binned(
+            spark.createDataFrame([Row(x=x, y=y) for x, y in xy]), "x", "y"
+        ).collect()[0]
+        c = d = 0
+        for (x1, y1), (x2, y2) in itertools.combinations(xy, 2):
+            s = (x1 - x2) * (y1 - y2)
+            c += 1 if s > 0 else 0
+            d += 1 if s < 0 else 0
+        assert out["n_conc"] == c and out["n_disc"] == d, (trial, xy)
