@@ -9062,18 +9062,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a correctness gate caps how many entries it checks, the hash-checkable
     # ones must never be the casualties.
     return {
-        # Driver first-50 window policy (round 8 rotation): the window
+        # Driver first-50 window policy (round 9 rotation): the window
         # holds EXACTLY 50 queries that have never had a green value row
-        # in any driver CORRECTNESS_r*.json, highest risk first — q145
-        # (the r7 red: Spark values were identical, the oracle published
-        # HUGEINT; re-check after the BIGINT cast), its six ex-HUGEINT
-        # latent twins fixed the same way (q101/q129/q137/q138/q147/
-        # q148), the three sketch bounds audits (q262-q264), the
-        # closing-wave q287-q301, the r7 additions q265-q286, and the
-        # heaviest remaining backlog. Everything below the fold is
-        # driver-green in CORRECTNESS_r01..r07 or queued for the next
-        # rotation; all 300 stay parity-checked at three scales by
-        # tools/parity_check.py.
+        # in any driver CORRECTNESS_r*.json — the entire r8 wave
+        # q303-q329 (the ops/ranktests.py module, IPF raking, ORC scan/
+        # round-trip/schema-drift, the q320 streaming Count-Min state,
+        # the stats additions), then the heaviest never-checked
+        # residents (q69 contamination, q113 vocab coverage, q169 EWMA,
+        # q168 negatives, q150/q151 Gopher+entropy, q158/q159 C4+
+        # encoding screens) and the q57-q77 straggler block. Everything
+        # below the fold is driver-green in CORRECTNESS_r01..r08 or
+        # queued for the next rotation; all registered queries stay
+        # parity-checked at three scales by tools/parity_check.py.
+        "q303_bh_fdr_cells": q303_bh_fdr_cells,
+        "q304_kruskal_wallis": q304_kruskal_wallis,
+        "q305_zipf_fit": q305_zipf_fit,
+        "q306_heaps_fit": q306_heaps_fit,
+        "q307_dunn_posthoc": q307_dunn_posthoc,
+        "q308_brown_forsythe": q308_brown_forsythe,
+        "q309_cliffs_delta": q309_cliffs_delta,
+        "q310_wilcoxon_signed_rank": q310_wilcoxon_signed_rank,
+        "q311_friedman_event_mix": q311_friedman_event_mix,
+        "q312_jonckheere_trend": q312_jonckheere_trend,
+        "q313_mood_median": q313_mood_median,
+        "q314_cvm_quantity_drift": q314_cvm_quantity_drift,
+        "q315_ad_lang_tails": q315_ad_lang_tails,
+        "q316_kendall_tau_qty_discount": q316_kendall_tau_qty_discount,
+        "q317_ipf_raking": q317_ipf_raking,
+        "q318_forecast_scorecard": q318_forecast_scorecard,
+        "q319_orc_scan": q319_orc_scan,
+        "q320_streaming_cms_state": q320_streaming_cms_state,
+        "q321_page_trend": q321_page_trend,
+        "q322_durbin_watson": q322_durbin_watson,
+        "q323_seasonal_mann_kendall": q323_seasonal_mann_kendall,
+        "q324_oneway_anova_f": q324_oneway_anova_f,
+        "q325_welch_t_quantity": q325_welch_t_quantity,
+        "q326_orc_roundtrip": q326_orc_roundtrip,
+        "q327_schema_drift": q327_schema_drift,
+        "q328_bartlett": q328_bartlett,
+        "q329_g_test": q329_g_test,
+        "q69_contamination": q69_contamination,
+        "q113_vocab_coverage": q113_vocab_coverage,
+        "q169_ewma_user_value": q169_ewma_user_value,
+        "q168_contrastive_negatives": q168_contrastive_negatives,
+        "q150_gopher_quality": q150_gopher_quality,
+        "q151_char_entropy": q151_char_entropy,
+        "q158_c4_line_filter": q158_c4_line_filter,
+        "q159_encoding_screen": q159_encoding_screen,
+        "q57_stratified_sample": q57_stratified_sample,
+        "q58_train_split": q58_train_split,
+        "q60_vocab": q60_vocab,
+        "q61_rolling_time": q61_rolling_time,
+        "q63_normalize_text": q63_normalize_text,
+        "q65_window_suite": q65_window_suite,
+        "q66_correlated_subquery": q66_correlated_subquery,
+        "q67_unpivot": q67_unpivot,
+        "q68_repetition_stats": q68_repetition_stats,
+        "q70_shard_pack": q70_shard_pack,
+        "q72_quality_cutoff": q72_quality_cutoff,
+        "q73_asof_tolerance": q73_asof_tolerance,
+        "q75_event_transitions": q75_event_transitions,
+        "q76_top_terms_per_lang": q76_top_terms_per_lang,
+        "q77_chunk_documents": q77_chunk_documents,
+        # -- below the driver 50-entry gate window ------------------------
+        # driver-green in CORRECTNESS_r01..r08, plus the next-rotation
+        # backlog (remaining never-checked queries, heaviest first next
+        # round).
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -9124,38 +9178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q302_streaming_bloom_state": q302_streaming_bloom_state,
         "q59_tfidf": q59_tfidf,
         "q64_grouping_sets": q64_grouping_sets,
-        # -- below the driver 50-entry gate window ------------------------
-        # next-rotation backlog head (q69 + the r8 wave)
-        "q69_contamination": q69_contamination,
-        "q303_bh_fdr_cells": q303_bh_fdr_cells,
-        "q304_kruskal_wallis": q304_kruskal_wallis,
-        "q305_zipf_fit": q305_zipf_fit,
-        "q306_heaps_fit": q306_heaps_fit,
-        "q307_dunn_posthoc": q307_dunn_posthoc,
-        "q308_brown_forsythe": q308_brown_forsythe,
-        "q309_cliffs_delta": q309_cliffs_delta,
-        "q310_wilcoxon_signed_rank": q310_wilcoxon_signed_rank,
-        "q311_friedman_event_mix": q311_friedman_event_mix,
-        "q312_jonckheere_trend": q312_jonckheere_trend,
-        "q313_mood_median": q313_mood_median,
-        "q314_cvm_quantity_drift": q314_cvm_quantity_drift,
-        "q315_ad_lang_tails": q315_ad_lang_tails,
-        "q316_kendall_tau_qty_discount": q316_kendall_tau_qty_discount,
-        "q317_ipf_raking": q317_ipf_raking,
-        "q318_forecast_scorecard": q318_forecast_scorecard,
-        "q319_orc_scan": q319_orc_scan,
-        "q320_streaming_cms_state": q320_streaming_cms_state,
-        "q321_page_trend": q321_page_trend,
-        "q322_durbin_watson": q322_durbin_watson,
-        "q323_seasonal_mann_kendall": q323_seasonal_mann_kendall,
-        "q324_oneway_anova_f": q324_oneway_anova_f,
-        "q325_welch_t_quantity": q325_welch_t_quantity,
-        "q326_orc_roundtrip": q326_orc_roundtrip,
-        "q327_schema_drift": q327_schema_drift,
-        "q328_bartlett": q328_bartlett,
-        "q329_g_test": q329_g_test,
-        # rotated out after going green in CORRECTNESS_r07 (q243-q261,
-        # the five ex-rows-only r2 entries, and the r7 heavy set)
         "q243_forecast_backtest": q243_forecast_backtest,
         "q244_mix_ess": q244_mix_ess,
         "q245_runs_test": q245_runs_test,
@@ -9205,7 +9227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_countmin_frequency": q190_countmin_frequency,
         "q191_kmv_distinct": q191_kmv_distinct,
         "q192_reachable_docs": q192_reachable_docs,
-        # driver-green in earlier rounds (r1-r6); ordering preserved
         "q193_leakage_safe_split": q193_leakage_safe_split,
         "q194_part_skyline": q194_part_skyline,
         "q195_brand_skyline": q195_brand_skyline,
@@ -9326,21 +9347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_date_rules": q53_date_rules,
         "q54_composed_validation": q54_composed_validation,
         "q55_simhash_near_dups": q55_simhash_near_dups,
-        "q57_stratified_sample": q57_stratified_sample,
-        "q58_train_split": q58_train_split,
-        "q60_vocab": q60_vocab,
-        "q61_rolling_time": q61_rolling_time,
-        "q63_normalize_text": q63_normalize_text,
-        "q65_window_suite": q65_window_suite,
-        "q66_correlated_subquery": q66_correlated_subquery,
-        "q67_unpivot": q67_unpivot,
-        "q68_repetition_stats": q68_repetition_stats,
-        "q70_shard_pack": q70_shard_pack,
-        "q72_quality_cutoff": q72_quality_cutoff,
-        "q73_asof_tolerance": q73_asof_tolerance,
-        "q75_event_transitions": q75_event_transitions,
-        "q76_top_terms_per_lang": q76_top_terms_per_lang,
-        "q77_chunk_documents": q77_chunk_documents,
         "q78_chunk_dedup": q78_chunk_dedup,
         "q79_quantize_embeddings": q79_quantize_embeddings,
         "q80_knn_classify": q80_knn_classify,
@@ -9368,7 +9374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_temperature_mix": q109_temperature_mix,
         "q111_mad_outliers": q111_mad_outliers,
         "q112_pii_scrub": q112_pii_scrub,
-        "q113_vocab_coverage": q113_vocab_coverage,
         "q114_boilerplate_strip": q114_boilerplate_strip,
         "q118_benford_digits": q118_benford_digits,
         "q119_column_profile": q119_column_profile,
@@ -9387,13 +9392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_pair_degree_histogram": q136_pair_degree_histogram,
         "q139_bigram_lm": q139_bigram_lm,
         "q142_key_skew_profile": q142_key_skew_profile,
-        "q150_gopher_quality": q150_gopher_quality,
-        "q151_char_entropy": q151_char_entropy,
         "q153_dsir_admission": q153_dsir_admission,
-        "q158_c4_line_filter": q158_c4_line_filter,
-        "q159_encoding_screen": q159_encoding_screen,
-        "q168_contrastive_negatives": q168_contrastive_negatives,
-        "q169_ewma_user_value": q169_ewma_user_value,
         "q170_mad_price_outliers": q170_mad_price_outliers,
         "q171_cusum_drift": q171_cusum_drift,
         "q172_token_pmi": q172_token_pmi,
@@ -9403,7 +9402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_decay_attribution": q180_decay_attribution,
         "q181_percentile_trend": q181_percentile_trend,
         "q182_quality_vs_dup": q182_quality_vs_dup,
-        # --- engine-private sketches / BLAS: rows-only checks ---
+        # Rows-only entries (engine-private sketches / BLAS) stay LAST by
+        # policy; each is audited by a value-oracled bounds query
+        # (q262/q263/q264, and q330 for PCA once registered).
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q108_sketch_rollup": q108_sketch_rollup,
@@ -11584,16 +11585,20 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
               FROM vals
             ), s AS (
-              SELECT n AS n_a, m AS n_b,
+              -- global aggregate (no GROUP BY): exactly one row even on
+              -- empty/degenerate input, mirroring the Spark side's .agg()
+              -- (MAX over an empty set is NULL, the sum coalesces to 0)
+              SELECT MAX(n) AS n_a, MAX(m) AS n_b,
                      COALESCE(SUM(CAST(t AS HUGEINT)
                        * (CAST(m AS HUGEINT)*ca - CAST(n AS HUGEINT)*(h - ca))
                        * (CAST(m AS HUGEINT)*ca
                           - CAST(n AS HUGEINT)*(h - ca))),
                        0) AS sq
-              FROM run CROSS JOIN tot GROUP BY 1, 2
+              FROM run CROSS JOIN tot
             )
             SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-                   CASE WHEN n_a < 1 OR n_b < 1 THEN NULL
+                   CASE WHEN n_a IS NULL OR n_b IS NULL
+                          OR n_a < 1 OR n_b < 1 THEN NULL
                         ELSE CAST(floor(CAST(sq AS DOUBLE)
                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
                              * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
@@ -11621,7 +11626,11 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
               FROM vals
             ), s AS (
-              SELECT n AS n_a, m AS n_b,
+              -- global aggregate (no GROUP BY): exactly one row even when
+              -- the H < N filter leaves nothing (single pooled distinct
+              -- value) or the input is empty, mirroring the Spark side's
+              -- filtered .agg() (MAX -> NULL, sum coalesces to 0)
+              SELECT MAX(n) AS n_a, MAX(m) AS n_b,
                      COALESCE(SUM(
                        (CAST(t AS HUGEINT)
                         * (CAST(m AS HUGEINT)*ca
@@ -11630,10 +11639,11 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(n AS HUGEINT)*(h - ca))
                         * 1000000)
                        // CAST(h * ((n + m) - h) AS HUGEINT)), 0) AS sq
-              FROM run CROSS JOIN tot WHERE h < n + m GROUP BY 1, 2
+              FROM run CROSS JOIN tot WHERE h < n + m
             )
             SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-                   CASE WHEN n_a < 1 OR n_b < 1 THEN NULL
+                   CASE WHEN n_a IS NULL OR n_b IS NULL
+                          OR n_a < 1 OR n_b < 1 THEN NULL
                         ELSE CAST(floor(CAST(sq AS DOUBLE)
                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
                              * 1000000.0)

@@ -299,7 +299,6 @@ HEADLINE = [
     "q316_kendall_tau_qty_discount",
     "q317_ipf_raking",
     "q318_forecast_scorecard",
-    "q319_orc_scan",
     "q321_page_trend",
     "q322_durbin_watson",
     "q323_seasonal_mann_kendall",
@@ -356,6 +355,9 @@ EXCLUDED = {
     "q116_media_resize": _STUB,
     "q117_media_features": _STUB,
     "q123_csv_scan": "pinned-schema CSV scan; I/O-bound read, benched via pytest",
+    "q319_orc_scan": "pinned-schema ORC scan of a 9-row golden fixture; same "
+    "class as q123_csv_scan — timing measures fixture-read overhead, not "
+    "plan cost (r8 advisor note)",
     "q327_schema_drift": "driver-side metadata pre-flight over a 9-row "
     "fixture header; timing would measure Spark session overhead, not a plan",
     "q146_bpe_merges": "iterative driver-round loop (documented residual); "
@@ -434,9 +436,15 @@ def main() -> None:
     # the crowded numbers so a round-over-round regression can be
     # adjudicated (crowding vs real) from BENCH_DETAIL alone, without the
     # manual isolated re-run ritual of rounds 5-8.
+    # The fixed members: the graph family (checkpoint-heavy, most
+    # crowding-sensitive) plus the recurring sub-second watch list the
+    # r8 verdict asked to adjudicate mechanically (q207's benign
+    # broadcast->SMJ size flip and the q175-q177 trio).
     tail = set(
         q for q in ("q152_pagerank", "q179_kcore", "q283_hits_scores",
-                    "q292_link_prediction") if q in timings
+                    "q292_link_prediction", "q207_sorted_neighborhood",
+                    "q175_inverted_postings", "q176_centroid_similarity",
+                    "q177_fd_violations") if q in timings
     ) | {n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:5]}
     isolated: dict[str, float] = {}
     for name in sorted(tail):

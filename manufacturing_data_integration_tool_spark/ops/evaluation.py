@@ -538,6 +538,13 @@ def bh_step_up(
     by construction (missing tests are conservatively never-rejected,
     never a smaller m).
 
+    Family-size tripwire: the per-rank cuts are only valid while the
+    REALIZED family fits the compile-time m. If any non-NULL statistic
+    ranks beyond m (e.g. a category cardinality grew at a larger scale
+    factor), ranks <= m would silently become anticonservative — so the
+    plan ``raise_error``s at runtime instead of weakening FDR control
+    quietly.
+
     Scale posture: the family is bounded (m literals), so the rank
     window and the step-up max run over <= m rows — broadcast-sized by
     contract, like q60's vocab window. The heavy work is whatever
@@ -583,9 +590,21 @@ def bh_step_up(
             stat_col,
             "bh_rank",
             "bh_threshold",
-            (
+            F.when(
+                F.col(stat_col).isNotNull() & (F.col("bh_rank") > m),
+                F.raise_error(
+                    F.lit(
+                        "bh_step_up: realized test family exceeds the "
+                        f"compile-time family size m={m}; the per-rank "
+                        "cut points are anticonservative — recompute "
+                        "thresholds for the true family size"
+                    )
+                ).cast("boolean"),
+            )
+            .otherwise(
                 F.col("bh_rank").isNotNull()
                 & (F.col("bh_rank") <= F.col("__k"))
-            ).alias("rejected"),
+            )
+            .alias("rejected"),
         )
     )

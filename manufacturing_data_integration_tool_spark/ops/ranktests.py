@@ -97,10 +97,11 @@ def wilcoxon_signed_rank(
     Scale posture: rows collapse to the distinct-|d| table (map-side);
     the cumulative below-count runs two-phase; no all-pairs work.
 
-    Output: one row — ``n_pairs, n_pos, n_neg, w2_plus, z_x1e6`` (z NULL
-    when n < 1 or the variance is zero: all differences tied at one |d|
-    cannot happen after the zero drop unless n is 0 or every |d| equal
-    and... variance is still positive for n >= 1; the guard is for n = 0).
+    Output: one row — ``n_pairs, n_pos, n_neg, w2_plus, z_x1e6``. z is
+    NULL only when ``n_pairs = 0`` (after the zero drop the tie-corrected
+    variance ``2n(n+1)(2n+1) - tie3`` is strictly positive for any
+    n >= 1, even when every |d| is equal, so the ``varnum <= 0`` branch
+    of the guard is unreachable and exists only as belt-and-braces).
     """
     d = _as_bigint(diff_col)
     base = df.select(d.alias("__d")).filter(

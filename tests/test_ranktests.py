@@ -9,6 +9,7 @@ import math
 from collections import Counter
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from manufacturing_data_integration_tool_spark.ops.ranktests import (
     ad_two_sample,
@@ -399,3 +400,89 @@ def test_randomized_differential_rank_tests(spark):
             c += 1 if s > 0 else 0
             d += 1 if s < 0 else 0
         assert out["n_conc"] == c and out["n_disc"] == d, (trial, xy)
+
+
+def test_cvm_ad_degenerate_inputs_match_oracle_row_shape(spark):
+    """r8 advisor note: the q314/q315 oracles used to aggregate with
+    GROUP BY, which returns 0 rows on empty/degenerate input while the
+    Spark side's global .agg() always emits 1 row. Both engines must now
+    emit exactly one row and identical values on (a) empty input and
+    (b) a single pooled distinct value (the AD H < N filter removes
+    every row)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+
+    def duck(sql, lineitem_rows, documents_rows):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE lineitem (l_returnflag VARCHAR, l_quantity DOUBLE)"
+        )
+        con.executemany(
+            "INSERT INTO lineitem VALUES (?, ?)", lineitem_rows
+        ) if lineitem_rows else None
+        con.execute("CREATE TABLE documents (lang VARCHAR, n_chars BIGINT)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", documents_rows
+        ) if documents_rows else None
+        return con.execute(sql).fetchall()
+
+    # (a) empty input
+    empty_li = spark.createDataFrame(
+        [], "l_returnflag string, l_quantity double"
+    )
+    empty_doc = spark.createDataFrame([], "lang string, n_chars bigint")
+    s_cvm = cvm_two_sample(
+        empty_li.select(
+            F.when(F.col("l_returnflag") == "R", "a").otherwise("b").alias("g"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        ),
+        "g", "a", "b", "v",
+    ).collect()
+    d_cvm = duck(oracles["q314_cvm_quantity_drift"], [], [])
+    assert len(s_cvm) == 1 and len(d_cvm) == 1
+    assert tuple(s_cvm[0]) == d_cvm[0] == (None, None, None)
+
+    s_ad = ad_two_sample(
+        empty_doc.select(
+            F.when(F.col("lang") == "en", "a").otherwise("b").alias("g"),
+            F.col("n_chars").alias("v"),
+        ),
+        "g", "a", "b", "v",
+    ).collect()
+    d_ad = duck(oracles["q315_ad_lang_tails"], [], [])
+    assert len(s_ad) == 1 and len(d_ad) == 1
+    assert tuple(s_ad[0]) == d_ad[0] == (None, None, None)
+
+    # (b) single pooled distinct value: AD's H < N filter drops every
+    # row -> n_a/n_b NULL on both engines; CvM keeps the row (X = 0
+    # everywhere -> t = 0)
+    li_rows = [("R", 5.0)] * 3 + [("A", 5.0)] * 2
+    doc_rows = [("en", 7)] * 3 + [("zh", 7)] * 2
+    one_li = spark.createDataFrame(
+        li_rows, "l_returnflag string, l_quantity double"
+    )
+    one_doc = spark.createDataFrame(doc_rows, "lang string, n_chars bigint")
+    s_cvm = cvm_two_sample(
+        one_li.select(
+            F.when(F.col("l_returnflag") == "R", "a").otherwise("b").alias("g"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        ),
+        "g", "a", "b", "v",
+    ).collect()
+    d_cvm = duck(oracles["q314_cvm_quantity_drift"], li_rows, [])
+    assert len(s_cvm) == 1 and len(d_cvm) == 1
+    assert tuple(s_cvm[0]) == d_cvm[0]
+
+    s_ad = ad_two_sample(
+        one_doc.select(
+            F.when(F.col("lang") == "en", "a").otherwise("b").alias("g"),
+            F.col("n_chars").alias("v"),
+        ),
+        "g", "a", "b", "v",
+    ).collect()
+    d_ad = duck(oracles["q315_ad_lang_tails"], doc_rows, [])
+    assert len(s_ad) == 1 and len(d_ad) == 1
+    assert tuple(s_ad[0]) == d_ad[0] == (None, None, None)

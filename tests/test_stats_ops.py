@@ -1436,6 +1436,25 @@ def test_bh_step_up_nothing_clears(spark):
     assert all(not r["rejected"] for r in out)
 
 
+def test_bh_step_up_family_overflow_raises(spark):
+    """r8 advisor note: if the realized test family exceeds the
+    compile-time m (category cardinality grew at a larger SF), the
+    per-rank cuts for ranks <= m become anticonservative — the plan
+    must fail loudly (raise_error) instead of silently treating the
+    overflow rows as never-rejectable."""
+    import pytest
+
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        bh_step_up,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 90), ("b", 70), ("c", 50)], "test_id string, stat long"
+    )
+    with pytest.raises(Exception, match="exceeds the compile-time family"):
+        bh_step_up(df, ["test_id"], "stat", [80, 60]).collect()
+
+
 def test_dunn_pairwise_matches_python_twin(spark):
     """Pairwise tie-corrected Dunn z recomputed with textbook average
     ranks must match the doubled-rank integer pipeline on the lattice."""
