@@ -6822,6 +6822,84 @@ def q264_rollup_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q330_pca_bounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled bounds audit for q156's rows-only PCA (r9, per the
+    r8 verdict — the last rows-only op without one; model: q262-q264).
+    The BLAS eigendecomposition can never be bit-matched by SQL, but its
+    MATHEMATICAL CONTRACT can be published as booleans DuckDB republishes
+    as literal TRUE, so a drifting numpy/BLAS build flips the value hash
+    instead of hiding behind a rows-only row-count:
+
+    - ``n_vecs``/``dim`` come from the distributed moments row itself,
+      so a mapInPandas fan-in that drops a partition mismatches the
+      oracle's exact COUNT(*)/len(embedding);
+    - ``orthonormal_ok``: max |C C^T - I| over the FULL d x d basis
+      <= 1e-9 (eigh returns an orthonormal basis or it is broken);
+    - ``evals_sorted_ok``: published spectrum non-increasing;
+    - ``psd_ok``: smallest eigenvalue >= -1e-9 * largest (covariance is
+      PSD up to roundoff);
+    - ``trace_ok``: |sum(evals) - trace(cov)| <= 1e-9 * trace(cov) —
+      eigensum must reproduce the moment-side total variance;
+    - ``bessel_ok``: per-row ||proj||^2 <= ||centered||^2 + 1e-6 for the
+      top-4 projection (Bessel's inequality), checked DISTRIBUTED over
+      every row with zip_with/aggregate Column math — one scan, no
+      shuffle, one MAX agg.
+
+    Two corpus passes total (moments + projection audit), same scale
+    posture as q156."""
+    import numpy as np  # noqa: PLC0415
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        pca_moments,
+        pca_project,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    parts = pca_moments(emb, "embedding").collect()
+    if not parts:
+        raise ValueError("q330: empty embeddings input")
+    n = int(parts[0]["n"])
+    s = np.asarray(parts[0]["s"], dtype="float64")
+    d = len(s)
+    g = np.asarray(parts[0]["g"], dtype="float64").reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    basis = evecs[:, order].T  # rows = components, full d x d
+    orthonormal_ok = bool(
+        np.max(np.abs(basis @ basis.T - np.eye(d))) <= 1e-9
+    )
+    evals_sorted_ok = bool(np.all(np.diff(evals) <= 1e-15))
+    psd_ok = bool(evals[-1] >= -1e-9 * max(evals[0], 1e-30))
+    trace = float(np.trace(cov))
+    trace_ok = bool(abs(float(evals.sum()) - trace) <= 1e-9 * abs(trace))
+    proj = pca_project(
+        emb, mean.tolist(), basis[:4].tolist(), "embedding", round_to=9
+    )
+    cent = F.zip_with(
+        F.col("embedding"),
+        F.array(*[F.lit(float(m)) for m in mean.tolist()]),
+        lambda x, m: x.cast("double") - m,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    audit = proj.select(
+        (sq(F.col("pca")) - sq(cent)).alias("__excess")
+    ).agg(F.max("__excess").alias("__max_excess"))
+    return audit.select(
+        F.lit(n).cast("bigint").alias("n_vecs"),
+        F.lit(d).cast("bigint").alias("dim"),
+        F.lit(orthonormal_ok).alias("orthonormal_ok"),
+        F.lit(evals_sorted_ok).alias("evals_sorted_ok"),
+        F.lit(psd_ok).alias("psd_ok"),
+        F.lit(trace_ok).alias("trace_ok"),
+        (F.col("__max_excess") <= F.lit(1e-6)).alias("bessel_ok"),
+    )
+
+
 def q265_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the event-value distribution,
     second half of January vs first half, per event type
@@ -8788,6 +8866,61 @@ def q320_streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q331_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third driver-visible STREAMING run (r9, per the r8 verdict — the
+    incremental MinHash-LSH dedup index was the last replay-safe
+    streaming surface with pytest-only evidence): land the corpus as
+    four parquet files, drive them one-per-micro-batch through
+    ``accumulate_minhash_index_stream`` (streaming/dedup_index.py),
+    which maintains the at-rest (sigs, band-tags) index and emits each
+    candidate pair exactly once — in the micro-batch where its LATER
+    member arrives (new-vs-new from the in-batch self-join, new-vs-old
+    from the band join against the accumulated index) — then return the
+    UNION of the persisted per-batch pair partitions. Run with the
+    portable md5_32 hash family and q27's exact parameters, so the
+    accumulated output must equal the one-shot batch
+    ``minhash_candidates`` over the full corpus: the oracle IS q27's
+    full SQL recompute, giving batching-invariance a driver value-hash
+    row. Unlike q302 (idempotent bit_or) and q320 (additive cells),
+    this accumulator's state is an APPEND-ONLY partitioned table with
+    replay safety via per-batch overwrite partitions + own-batch
+    exclusion on the read side — the third algebraic class."""
+    import tempfile
+
+    from manufacturing_data_integration_tool_spark.streaming.dedup_index import (
+        accumulate_minhash_index_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="mdi_q331_")
+    landing = f"{base}/in"
+    read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = accumulate_minhash_index_stream(
+        stream,
+        f"{base}/index",
+        f"{base}/pairs",
+        n=3,
+        num_hashes=48,
+        bands=12,
+        max_distance=0.5,
+        hash_family="md5_32",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    pub = F.floor(F.col("jaccard_dist") * 1e4 + F.lit(0.5)) / F.lit(1e4)
+    return spark.read.parquet(f"{base}/pairs").select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        pub.alias("jaccard_dist"),
+    )
+
+
 def q321_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's L trend test (ops.ranktests.page_trend; Page, JASA 1963)
     for a monotone day-of-week trend in event volume, blocking by
@@ -9122,12 +9255,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_quality_cutoff": q72_quality_cutoff,
         "q73_asof_tolerance": q73_asof_tolerance,
         "q75_event_transitions": q75_event_transitions,
-        "q76_top_terms_per_lang": q76_top_terms_per_lang,
-        "q77_chunk_documents": q77_chunk_documents,
+        # the two r9 additions take the last window slots: the PCA
+        # bounds audit (q156's value-oracled twin) and the streaming
+        # MinHash-LSH index run — both brand-new, highest-risk first
+        "q330_pca_bounds_audit": q330_pca_bounds_audit,
+        "q331_streaming_minhash_index": q331_streaming_minhash_index,
         # -- below the driver 50-entry gate window ------------------------
         # driver-green in CORRECTNESS_r01..r08, plus the next-rotation
         # backlog (remaining never-checked queries, heaviest first next
         # round).
+        "q76_top_terms_per_lang": q76_top_terms_per_lang,
+        "q77_chunk_documents": q77_chunk_documents,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -13797,6 +13935,20 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS merge_within_1pct
             FROM events GROUP BY event_type
         """,
+        "q330_pca_bounds_audit": """
+            -- PCA contract audit (q156's value-oracled twin): the exact
+            -- side recomputes the corpus count and dimension; every
+            -- BLAS-dependent contract check is republished as literal
+            -- TRUE, so a violated bound on the Spark side is a hash red.
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(MAX(len(embedding)) AS BIGINT) AS dim,
+                   TRUE AS orthonormal_ok,
+                   TRUE AS evals_sorted_ok,
+                   TRUE AS psd_ok,
+                   TRUE AS trace_ok,
+                   TRUE AS bessel_ok
+            FROM embeddings
+        """,
         "q265_psi_value_drift": """
             WITH base AS (
               SELECT event_type,
@@ -17216,4 +17368,11 @@ def oracle_sql() -> dict[str, str]:
                  AS cramers_v_x1e6
         FROM c
     """
+
+    # q331 is the STREAMING MinHash-LSH index run with q27's exact
+    # parameters and portable md5_32 family: the accumulated per-batch
+    # pair partitions must equal the one-shot batch recompute over the
+    # full corpus, so the oracle is q27's SQL verbatim — a hash mismatch
+    # means batching-invariance (or the replay discipline) broke.
+    out["q331_streaming_minhash_index"] = out["q27_minhash_lsh"]
     return out

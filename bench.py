@@ -307,6 +307,7 @@ HEADLINE = [
     "q326_orc_roundtrip",
     "q328_bartlett",
     "q329_g_test",
+    "q330_pca_bounds_audit",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
@@ -371,6 +372,10 @@ EXCLUDED = {
     "q320_streaming_cms_state": "same foreachBatch streaming-run family "
     "as q302 (additive CMS merge); the sketch arithmetic is benched via "
     "q190 and the stream==batch merge is pinned by tests/test_streaming.py",
+    "q331_streaming_minhash_index": "same foreachBatch streaming-run "
+    "family as q302/q320 (append-only index accumulator); the MinHash "
+    "pipeline it runs per batch is benched via q27 and stream==batch is "
+    "pinned by tests/test_streaming.py",
 }
 
 
