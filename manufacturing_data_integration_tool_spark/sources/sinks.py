@@ -48,6 +48,28 @@ def _write_counted(df: DataFrame, write) -> int:
     return int(obs.get["n"])
 
 
+def _pre_coalesce_for_jdbc(
+    df: DataFrame, jdbc_options: Optional[Mapping[str, str]]
+) -> tuple[DataFrame, Optional[Mapping[str, str]]]:
+    """Take over the JDBC ``numPartitions`` cap BELOW the observe node.
+
+    When the ``numPartitions`` option reaches Spark's V1 JDBC writer, the
+    writer probes/derives the Dataset JVM-side and the execution that
+    actually moves rows no longer reports the plan's ``CollectMetrics``
+    node — ``Observation.get`` deterministically returns 0 while every
+    row lands (verified against embedded Derby in
+    tests/test_jdbc_sink.py: ANY write with the option set reports 0;
+    without it the count is always right). So the option never reaches
+    the writer: we apply the identical semantics ourselves with
+    ``coalesce`` (which, like the option, only ever REDUCES partition
+    count) under the observe node, and strip it from the option map."""
+    if jdbc_options and "numPartitions" in jdbc_options:
+        opts = dict(jdbc_options)
+        n = int(opts.pop("numPartitions"))
+        return df.coalesce(n), opts
+    return df, jdbc_options
+
+
 def write_valid(
     df: DataFrame,
     path_or_table: str,
@@ -58,6 +80,8 @@ def write_valid(
     partition_by: Optional[list[str]] = None,
 ) -> int:
     """Append valid rows to the target sink; returns the row count."""
+    if fmt == "jdbc":
+        df, jdbc_options = _pre_coalesce_for_jdbc(df, jdbc_options)
 
     def write(observed: DataFrame) -> None:
         writer = observed.write.mode(mode)
@@ -94,6 +118,8 @@ def write_errors(
     jdbc_options: Optional[Mapping[str, str]] = None,
 ) -> int:
     shaped = shape_errors_for_sink(errors, file_source)
+    if fmt == "jdbc":
+        shaped, jdbc_options = _pre_coalesce_for_jdbc(shaped, jdbc_options)
 
     def write(observed: DataFrame) -> None:
         writer = observed.write.mode(mode)
