@@ -9156,6 +9156,116 @@ def q329_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g_test_independence(docs, "lang", "source")
 
 
+def q332_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test (ops.stats.jarque_bera; Econ. Lett.
+    1980) of l_quantity per return flag — the gate behind the
+    parametric branch: q328 Bartlett / q324 ANOVA / q325 Welch assume
+    normality, and JB quantifies the skew/kurtosis violation on the
+    same data. Raw power sums S1..S4 in exact decimal; the scaled
+    central moments M2/M3/M4 are exact integer polynomials whose
+    n-powers cancel in g1 = M3/M2^1.5 and g2 = M4/M2^2 - 3, so each
+    published stat is one mirrored IEEE tree (sqrt is IEEE-exact)."""
+    from manufacturing_data_integration_tool_spark.ops.stats import jarque_bera
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return jarque_bera(li, "l_returnflag", "l_quantity")
+
+
+def q333_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's two-sample SCALE test (ops.ranktests.mood_scale_test;
+    Mood 1954) of document length dispersion, en vs de — the rank-based
+    companion to q308/q328's variance-homogeneity F tests (and the
+    dispersion sibling of q313's Mood MEDIAN test): quadratic distance-
+    from-center rank scores on the x4 integer lattice via the shared
+    two-sample ECDF core, null moments tie-exact, z one mirrored
+    tree."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        mood_scale_test,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return mood_scale_test(docs, "lang", "en", "de", "n_chars")
+
+
+def q334_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W
+    (ops.ranktests.kendall_w; Kendall & Babington Smith 1939) over
+    daily event-VALUE totals per event type, blocking by day — the
+    standardized [0,1] effect size behind q311's Friedman significance
+    (no-ties identity Q = m(k-1)W pinned by pytest): do the days agree
+    on which event types carry the most value? Cell values on the exact
+    cent lattice; tie-corrected denominator from the per-(block, dmid)
+    multiplicities; ONE division."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        kendall_w,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cell = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return kendall_w(cell, "day", "event_type", "cents")
+
+
+def q335_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (ops.graph.degree_assortativity; Newman,
+    PRL 2002) of the part-supplier trade graph (q152's edge set:
+    distinct lineitem (part, supplier) pairs, parts and suppliers in
+    disjoint numeric namespaces) — bipartite trade graphs are expected
+    strongly DISassortative, and this one-row profile is the check you
+    run before trusting hot-item degree caps (q292) on a new graph.
+    Symmetric edge list makes r ONE exact-integer division."""
+    from manufacturing_data_integration_tool_spark.ops.graph import (
+        degree_assortativity,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey").cast("bigint") * 2).alias("src"),
+        (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
+    ).distinct()
+    return degree_assortativity(edges)
+
+
+def q336_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect measurement (ops.inventory.bullwhip_ratio; Lee
+    et al. 1997 / Chen et al. 2000) per supplier: variance of the daily
+    ORDERED quantity (by o_orderdate, the upstream order signal) over
+    the variance of the daily SHIPPED quantity (by l_shipdate, the
+    downstream fulfillment signal). Quantities are integral; both
+    variances cross-multiply into one exact-decimal division."""
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        bullwhip_ratio,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    placed = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy(
+            "l_suppkey", F.col("o_orderdate").cast("date").alias("day")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    shipped = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    out = bullwhip_ratio(placed, shipped, "l_suppkey", "qty")
+    return out.orderBy("l_suppkey")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9266,6 +9376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round).
         "q76_top_terms_per_lang": q76_top_terms_per_lang,
         "q77_chunk_documents": q77_chunk_documents,
+        # r9 wave (never driver-checked yet — queue for the r10 window)
+        "q332_jarque_bera": q332_jarque_bera,
+        "q333_mood_scale": q333_mood_scale,
+        "q334_kendall_w": q334_kendall_w,
+        "q335_degree_assortativity": q335_degree_assortativity,
+        "q336_bullwhip_ratio": q336_bullwhip_ratio,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -11920,6 +12036,221 @@ def oracle_sql() -> dict[str, str]:
                                              - 1.0)))
                           * 1000000.0 + 0.5) AS BIGINT) END AS b_x1e6
             FROM agg
+        """,
+        "q332_jarque_bera": """
+            WITH base AS (
+              SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+            ), pg AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(v AS HUGEINT)) AS s1,
+                     SUM(CAST(v AS HUGEINT) * v) AS s2,
+                     SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+                     SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+              FROM base GROUP BY 1
+            ), m AS (
+              SELECT g, n,
+                     CAST(n AS HUGEINT) * s2 - s1 * s1 AS m2,
+                     CAST(n AS HUGEINT) * n * s3
+                       - 3 * CAST(n AS HUGEINT) * s1 * s2
+                       + 2 * s1 * s1 * s1 AS m3,
+                     CAST(n AS HUGEINT) * n * n * s4
+                       - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+                       + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+                       - 3 * s1 * s1 * s1 * s1 AS m4
+              FROM pg
+            )
+            SELECT g AS l_returnflag, n,
+                   CASE WHEN n < 2 OR m2 <= 0 THEN NULL ELSE
+                     CAST(floor(CAST(m3 AS DOUBLE)
+                       / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))
+                       * 1000000000.0 + 0.5) AS BIGINT) END AS skew_x1e9,
+                   CASE WHEN n < 2 OR m2 <= 0 THEN NULL ELSE
+                     CAST(floor((CAST(m4 AS DOUBLE)
+                       / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0)
+                       * 1000000000.0 + 0.5) AS BIGINT) END AS exkurt_x1e9,
+                   CASE WHEN n < 2 OR m2 <= 0 THEN NULL ELSE
+                     CAST(floor(CAST(n AS DOUBLE) * (
+                       (CAST(m3 AS DOUBLE)
+                        / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))))
+                       * (CAST(m3 AS DOUBLE)
+                          / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))))
+                       / 6.0
+                       + (CAST(m4 AS DOUBLE)
+                          / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0)
+                       * (CAST(m4 AS DOUBLE)
+                          / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0)
+                       / 24.0)
+                       * 1000000.0 + 0.5) AS BIGINT) END AS jb_x1e6
+            FROM m
+        """,
+        "q336_bullwhip_ratio": """
+            WITH placed AS (
+              SELECT l_suppkey AS k, CAST(o_orderdate AS DATE) AS day,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2
+            ), shipped AS (
+              SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS day,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem GROUP BY 1, 2
+            ), up AS (
+              SELECT k, CAST(COUNT(*) AS BIGINT) AS nu,
+                     SUM(CAST(qty AS HUGEINT)) AS s1u,
+                     SUM(CAST(qty AS HUGEINT) * qty) AS s2u
+              FROM placed WHERE qty IS NOT NULL AND k IS NOT NULL GROUP BY 1
+            ), down AS (
+              SELECT k, CAST(COUNT(*) AS BIGINT) AS nd,
+                     SUM(CAST(qty AS HUGEINT)) AS s1d,
+                     SUM(CAST(qty AS HUGEINT) * qty) AS s2d
+              FROM shipped WHERE qty IS NOT NULL AND k IS NOT NULL GROUP BY 1
+            )
+            SELECT k AS l_suppkey, nu AS n_up_days, nd AS n_down_days,
+                   CASE WHEN nu < 2 OR nd < 2
+                          OR (CAST(nd AS HUGEINT) * s2d - s1d * s1d) <= 0
+                        THEN NULL
+                        ELSE CAST(floor(
+                          CAST((CAST(nu AS HUGEINT) * s2u - s1u * s1u)
+                               * nd * nd AS DOUBLE)
+                          / CAST((CAST(nd AS HUGEINT) * s2d - s1d * s1d)
+                                 * nu * nu AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS bw_x1e6
+            FROM up JOIN down USING (k)
+            ORDER BY l_suppkey
+        """,
+        "q335_degree_assortativity": """
+            WITH e AS (
+              SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+                              CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+              FROM lineitem
+              WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+            ), sym AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+              ) WHERE u <> v
+            ), deg AS MATERIALIZED (
+              SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1
+            ), stamped AS (
+              SELECT du.d AS xu, dv.d AS xv
+              FROM sym
+              JOIN deg du ON du.u = sym.u
+              JOIN deg dv ON dv.u = sym.v
+            ), agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS m_directed,
+                     SUM(CAST(xu AS HUGEINT)) AS sx,
+                     SUM(CAST(xu AS HUGEINT) * xv) AS sxy,
+                     SUM(CAST(xu AS HUGEINT) * xu) AS sx2
+              FROM stamped
+            ), nodes AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+            )
+            SELECT n_nodes, m_directed,
+                   CASE WHEN m_directed < 1
+                          OR CAST(m_directed AS HUGEINT) * sx2 - sx * sx = 0
+                        THEN NULL
+                        ELSE CAST(floor(
+                          CAST(CAST(m_directed AS HUGEINT) * sxy - sx * sx
+                               AS DOUBLE)
+                          / CAST(CAST(m_directed AS HUGEINT) * sx2 - sx * sx
+                                 AS DOUBLE)
+                          * 1000000000.0 + 0.5) AS BIGINT) END AS r_x1e9
+            FROM agg CROSS JOIN nodes
+        """,
+        "q334_kendall_w": """
+            WITH cell AS (
+              SELECT CAST(ts AS DATE) AS b, event_type AS j,
+                     CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS v
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL
+              GROUP BY 1, 2
+            ), kg AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS k FROM cell),
+            complete AS (
+              SELECT b FROM cell GROUP BY b
+              HAVING COUNT(*) = (SELECT k FROM kg)
+            ), rws AS MATERIALIZED (
+              SELECT cell.* FROM cell JOIN complete USING (b)
+            ), ranked AS MATERIALIZED (
+              SELECT a.b, a.j,
+                     CAST(2*SUM(CASE WHEN x.v < a.v THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN x.v = a.v THEN 1 ELSE 0 END)
+                        + 1 AS BIGINT) AS dmid
+              FROM rws a JOIN rws x ON a.b = x.b
+              GROUP BY 1, 2
+            ), nrow AS (
+              SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM ranked
+            ), perj AS (
+              SELECT j, SUM(CAST(dmid AS HUGEINT)) AS r2j
+              FROM ranked GROUP BY 1
+            ), s AS (
+              SELECT SUM((r2j - CAST(n AS HUGEINT)*(k+1))
+                         * (r2j - CAST(n AS HUGEINT)*(k+1))) AS s4
+              FROM perj CROSS JOIN nrow CROSS JOIN kg
+            ), ties AS (
+              SELECT COALESCE(SUM(CAST(t AS HUGEINT)*t*t - t), 0) AS tt
+              FROM (SELECT b, dmid, CAST(COUNT(*) AS BIGINT) AS t
+                    FROM ranked GROUP BY 1, 2)
+            )
+            SELECT n AS n_blocks, k AS k_treatments,
+                   CASE WHEN n < 1
+                          OR CAST(CAST(n AS HUGEINT)*n*(k*k*k - k)
+                                  - CAST(n AS HUGEINT)*tt AS DOUBLE) <= 0.0
+                        THEN NULL
+                        ELSE CAST(floor(
+                          3.0 * CAST(s4 AS DOUBLE)
+                          / CAST(CAST(n AS HUGEINT)*n*(k*k*k - k)
+                                 - CAST(n AS HUGEINT)*tt AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) END AS w_x1e6
+            FROM nrow CROSS JOIN kg CROSS JOIN s CROSS JOIN ties
+        """,
+        "q333_mood_scale": """
+            WITH base AS (
+              SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s,
+                     CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+            ), vals AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                     CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ta
+              FROM base GROUP BY 1
+            ), run AS (
+              SELECT v, t, ta, SUM(t) OVER (ORDER BY v ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+              FROM vals
+            ), tot AS (
+              SELECT CAST(SUM(ta) AS BIGINT) AS n,
+                     CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
+              FROM vals
+            ), dd AS (
+              SELECT ta, t, n, m,
+                     (2 * CAST(h AS HUGEINT) - t - (n + m)) AS d
+              FROM run CROSS JOIN tot
+            ), s AS (
+              SELECT MAX(n) AS n_a, MAX(m) AS n_b,
+                     COALESCE(SUM(CAST(ta AS HUGEINT) * d * d), 0) AS t4,
+                     COALESCE(SUM(CAST(t AS HUGEINT) * d * d), 0) AS st,
+                     COALESCE(SUM(CAST(t AS HUGEINT) * d * d * d * d), 0)
+                       AS s4t
+              FROM dd
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(t4 AS BIGINT) AS t4_stat,
+                   CASE WHEN n_a IS NULL OR n_b IS NULL
+                          OR n_a < 1 OR n_b < 1
+                          OR (CAST(n_a + n_b AS HUGEINT) * s4t - st * st)
+                             <= 0 THEN NULL
+                        ELSE CAST(floor(
+                          CAST(CAST(n_a + n_b AS HUGEINT) * t4
+                               - CAST(n_a AS HUGEINT) * st AS DOUBLE)
+                          * sqrt(CAST(n_a + n_b - 1 AS DOUBLE))
+                          / (sqrt(CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE))
+                             * sqrt(CAST(CAST(n_a + n_b AS HUGEINT) * s4t
+                                         - st * st AS DOUBLE)))
+                          * 1000000.0 + 0.5) AS BIGINT) END AS z_x1e6
+            FROM s
         """,
         "q329_g_test": """
             WITH base AS (SELECT lang AS a, source AS b FROM documents

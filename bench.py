@@ -308,6 +308,11 @@ HEADLINE = [
     "q328_bartlett",
     "q329_g_test",
     "q330_pca_bounds_audit",
+    "q332_jarque_bera",
+    "q333_mood_scale",
+    "q334_kendall_w",
+    "q335_degree_assortativity",
+    "q336_bullwhip_ratio",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -34,7 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "dedup_clusters", "kcore", "pagerank",
-    "hits_scores", "triangle_counts", "link_prediction_scores"]
+    "hits_scores", "triangle_counts", "link_prediction_scores",
+    "degree_assortativity"]
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
@@ -663,3 +664,82 @@ def link_prediction_scores(
     return scored.orderBy(
         F.desc("jaccard_x1e6"), F.asc("node_a"), F.asc("node_b")
     ).limit(top_k)
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    correlation of the degrees at the two ends of an edge — positive
+    means hubs attach to hubs (social-network shape), negative means
+    hubs attach to leaves (hub-and-spoke / bipartite shape). The one-row
+    structural profile you read BEFORE trusting degree-based caps
+    (hot-shingle, hot-item) on a new graph.
+
+    Exactness: symmetrize the edge list (each undirected edge counted in
+    both directions, M directed rows). Then the edge-end degree sums
+    obey Sy = Sx and Sy2 = Sx2 by symmetry, so
+
+        ``r = (M*Sxy - Sx^2) / (M*Sx2 - Sx^2)``
+
+    with ``Sx = sum deg(u)``, ``Sxy = sum deg(u)*deg(v)``,
+    ``Sx2 = sum deg(u)^2`` over directed edges — numerator and
+    denominator EXACT decimal(38,0) integers, ONE division,
+    floor-published at 1e9 (NULL when the denominator is 0: the graph is
+    degree-regular, r undefined).
+
+    Scale posture: one groupBy for degrees, two hash equi-joins to stamp
+    them on the edge ends, one aggregate — no windows, no iteration.
+
+    Output: one row — ``n_nodes, m_directed, r_x1e9``.
+    """
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("__u"),
+        F.col(dst_col).cast("bigint").alias("__v"),
+    ).filter(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+    sym = (
+        e.unionByName(
+            e.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
+        )
+        .filter(F.col("__u") != F.col("__v"))
+        .distinct()
+    )
+    deg = sym.groupBy("__u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__d")
+    )
+    du = deg.select(F.col("__u"), F.col("__d").alias("__du"))
+    dv = deg.select(
+        F.col("__u").alias("__v"), F.col("__d").alias("__dv")
+    )
+    stamped = sym.join(du, "__u").join(dv, "__v")
+    dec = "decimal(38,0)"
+    agg = stamped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_directed"),
+        F.sum(F.col("__du").cast(dec)).cast(dec).alias("__sx"),
+        F.sum(F.col("__du").cast(dec) * F.col("__dv")).cast(dec).alias("__sxy"),
+        F.sum(F.col("__du").cast(dec) * F.col("__du")).cast(dec).alias("__sx2"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    g = agg.crossJoin(F.broadcast(nodes))
+    m = F.col("m_directed").cast(dec)
+    num = (m * F.col("__sxy") - F.col("__sx") * F.col("__sx")).cast(dec)
+    den = (m * F.col("__sx2") - F.col("__sx") * F.col("__sx")).cast(dec)
+    return g.select(
+        "n_nodes",
+        "m_directed",
+        F.when(
+            (F.col("m_directed") < 1) | (den == F.lit(0).cast(dec)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("r_x1e9"),
+    )

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from .sampling import two_phase_running_sum
 
 __all__ = [
+    "bullwhip_ratio",
     "fifo_cogs",
     "abc_xyz",
     "reorder_point",
@@ -559,4 +560,79 @@ def newsvendor_stock(
         F.min("__q").alias("stock_units"),
     ).select(
         F.col("__k").alias(key_col), "n_periods", "stock_units"
+    )
+
+
+def bullwhip_ratio(
+    upstream_daily: DataFrame,
+    downstream_daily: DataFrame,
+    key_col: str,
+    qty_col: str = "qty",
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bullwhip-effect measurement (Lee, Padmanabhan & Whang, Mgmt. Sci.
+    1997; ratio form per Chen et al., Mgmt. Sci. 2000): per key, the
+    variance of the UPSTREAM daily order signal over the variance of the
+    DOWNSTREAM daily demand signal — BW > 1 means orders amplify demand
+    noise up the chain (batching/forecast-chasing), the planning
+    pathology every inventory op in this module exists to damp.
+
+    Inputs are the two (key, day, qty) daily series (qty on an integer
+    lattice); variance is over each series' ACTIVE days (documented
+    contract — zero-fill upstream if calendar variance is wanted).
+    With per-series exact sums, the ratio cross-multiplies into ONE
+    division of exact decimals:
+
+        ``BW = ((nU*S2U - S1U^2) * nD^2) / ((nD*S2D - S1D^2) * nU^2)``
+
+    floor-published at 1e6 (NULL when either side has < 2 days or the
+    downstream variance is 0).
+
+    Scale posture: two map-side-combined groupBys + one key equi-join on
+    the bounded key table.
+
+    Output: per key — ``<key_col>, n_up_days, n_down_days, bw_x1e6``.
+    """
+    dec = "decimal(38,0)"
+
+    def _sums(daily: DataFrame, prefix: str) -> DataFrame:
+        q = F.col(qty_col).cast("bigint")
+        return (
+            daily.filter(q.isNotNull() & F.col(key_col).isNotNull())
+            .select(F.col(key_col).alias("__k"), q.alias("__q"))
+            .groupBy("__k")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"__n{prefix}"),
+                F.sum(F.col("__q").cast(dec)).cast(dec).alias(f"__s1{prefix}"),
+                F.sum(F.col("__q").cast(dec) * F.col("__q"))
+                .cast(dec)
+                .alias(f"__s2{prefix}"),
+            )
+        )
+    up = _sums(upstream_daily, "u")
+    down = _sums(downstream_daily, "d")
+    j = up.join(down, "__k")
+    nu, nd = F.col("__nu").cast(dec), F.col("__nd").cast(dec)
+    varu = (nu * F.col("__s2u") - F.col("__s1u") * F.col("__s1u")).cast(dec)
+    vard = (nd * F.col("__s2d") - F.col("__s1d") * F.col("__s1d")).cast(dec)
+    num = (varu * nd * nd).cast(dec)
+    den = (vard * nu * nu).cast(dec)
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__nu").alias("n_up_days"),
+        F.col("__nd").alias("n_down_days"),
+        F.when(
+            (F.col("__nu") < 2)
+            | (F.col("__nd") < 2)
+            | (vard <= F.lit(0).cast(dec)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("bw_x1e6"),
     )

@@ -53,6 +53,8 @@ __all__ = [
     "wilcoxon_signed_rank",
     "friedman",
     "page_trend",
+    "mood_scale_test",
+    "kendall_w",
     "jonckheere_terpstra",
     "mood_median",
     "cvm_two_sample",
@@ -614,8 +616,10 @@ def _two_sample_x(df, group_col, value_col, label_a, label_b, sub_bucket):
     pooled multiplicity ``t(v)`` and pooled cumulative ``H(v)``.
 
     Returns the per-value frame with columns
-    ``(__t, __h, __x, __n, __m)`` — |values| rows, group axis densified
-    by construction (both cumulatives are evaluated at every pooled v).
+    ``(__t, __ta, __h, __x, __n, __m)`` — |values| rows, group axis
+    densified by construction (both cumulatives are evaluated at every
+    pooled v); ``__ta`` is the per-value sample-a multiplicity (used by
+    the rank-score tests, e.g. Mood's scale test).
     """
     g = F.col(group_col)
     v = _as_bigint(value_col)
@@ -647,7 +651,7 @@ def _two_sample_x(df, group_col, value_col, label_a, label_b, sub_bucket):
         F.col("__m").cast(_DEC) * F.col("__cza")
         - F.col("__n").cast(_DEC) * (F.col("__h") - F.col("__cza"))
     ).cast(_DEC)
-    return full.select("__t", "__h", x.alias("__x"), "__n", "__m")
+    return full.select("__t", "__ta", "__h", x.alias("__x"), "__n", "__m")
 
 
 def cvm_two_sample(
@@ -899,4 +903,189 @@ def kendall_tau_b_binned(
         )
         .otherwise(pub(gamma))
         .alias("gamma_x1e6"),
+    )
+
+
+def mood_scale_test(
+    df: DataFrame,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mood's two-sample SCALE (dispersion) test (Mood, Ann. Math. Stat.
+    1954) — the rank-based companion to q308/q328's variance-homogeneity
+    F tests: scores grow quadratically with distance from the center of
+    the pooled ranking, so a dispersion difference shifts the sample-a
+    score sum even when the medians agree. (Distinct from Mood's MEDIAN
+    test, q313, which is a location screen.)
+
+    Tie handling keeps everything integral on the x4 lattice: with
+    doubled midranks ``2*rbar = 2H - t + 1``, the per-observation score
+    ``(rbar - (N+1)/2)^2`` is ``D^2/4`` with the exact integer
+    ``D = 2H - t - N``. Then
+
+        ``T4    = sum_v ta * D^2``          (4x the Mood statistic)
+        ``St    = sum_v t * D^2``           (4x the total score sum)
+        ``S4t   = sum_v t * D^4``           (16x the total score-square sum)
+        ``num1  = N*T4 - n*St``             (4N x the centered statistic)
+        ``K     = N*S4t - St^2``            (16N x the score variance sum)
+        ``z = num1 * sqrt(N-1) / (sqrt(n*m) * sqrt(K))``
+
+    — every pre-sqrt quantity an exact decimal(38,0) integer (== DuckDB
+    HUGEINT), the z a single mirrored IEEE tree (sqrt is correctly
+    rounded by IEEE-754). Magnitude contract: ``N*S4t <= N^6 < 1e38``
+    holds to N ~ 2e6 pooled rows; beyond that the decimal cast fails
+    loudly (ANSI), never silently — coarsen the value lattice upstream.
+
+    Scale posture: rows collapse to the pooled distinct-value table
+    map-side; cumulatives ride two_phase_running_sum; no all-pairs work.
+
+    Output: one row — ``n_a, n_b, t4_stat, z_x1e6`` (z NULL when either
+    sample is empty or K <= 0, i.e. a single pooled distinct value).
+    """
+    per_v = _two_sample_x(df, group_col, value_col, label_a, label_b, sub_bucket)
+    nn = F.col("__n") + F.col("__m")
+    d = (F.lit(2).cast(_DEC) * F.col("__h") - F.col("__t") - nn).cast(_DEC)
+    s4 = (d * d).cast(_DEC)
+    agg = per_v.agg(
+        F.max("__n").alias("n_a"),
+        F.max("__m").alias("n_b"),
+        F.coalesce(F.sum(F.col("__ta").cast(_DEC) * s4), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__t4"),
+        F.coalesce(F.sum(F.col("__t").cast(_DEC) * s4), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__st"),
+        F.coalesce(
+            F.sum(F.col("__t").cast(_DEC) * s4 * s4), F.lit(0).cast(_DEC)
+        )
+        .cast(_DEC)
+        .alias("__s4t"),
+    )
+    nb = (F.col("n_a") + F.col("n_b")).cast(_DEC)
+    num1 = (nb * F.col("__t4") - F.col("n_a").cast(_DEC) * F.col("__st")).cast(
+        _DEC
+    )
+    k = (nb * F.col("__s4t") - F.col("__st") * F.col("__st")).cast(_DEC)
+    z = (
+        num1.cast("double")
+        * F.sqrt((nb - F.lit(1).cast(_DEC)).cast("double"))
+        / (
+            F.sqrt((F.col("n_a").cast(_DEC) * F.col("n_b")).cast("double"))
+            * F.sqrt(k.cast("double"))
+        )
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("__t4").cast("bigint").alias("t4_stat"),
+        F.when(
+            F.col("n_a").isNull()
+            | F.col("n_b").isNull()
+            | (F.col("n_a") < 1)
+            | (F.col("n_b") < 1)
+            | (k <= F.lit(0).cast(_DEC)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(z * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("z_x1e6"),
+    )
+
+
+def kendall_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith, Ann. Math. Stat. 1939) — the STANDARDIZED effect size for the
+    randomized-block rank design :func:`friedman` tests: W in [0, 1]
+    says HOW strongly the blocks (judges) agree on the treatment
+    ordering, where Friedman's Q only says whether they agree at all
+    (no-ties identity: Q = m(k-1)W — pinned by pytest).
+
+    Tie-corrected form (Siegel & Castellan): with per-treatment doubled
+    rank-sums ``R2_j`` (so ``dev2 = R2_j - m(k+1)`` is exact),
+    ``S4 = sum_j dev2^2 = 4S``, and the per-block tie term
+    ``T = sum_b sum_{tied groups} (t^3 - t)``,
+
+        ``W = 12S / (m^2(k^3-k) - m*T)  =  3*S4 / (m^2(k^3-k) - m*T)``
+
+    — numerator and denominator exact decimal(38,0) integers, ONE
+    division, floor-published at 1e6 (NULL when the denominator <= 0:
+    every block fully tied). Tied rows share a within-block dmid, so the
+    tie groups are exactly the (block, dmid) multiplicities.
+
+    Scale posture: identical to :func:`friedman` — the self-join fans
+    out k-fold on the (block, treatment) cell table only.
+
+    Output: one row — ``n_blocks, k_treatments, w_x1e6``.
+    """
+    ranked, kg = _block_doubled_midranks(
+        df, block_col, treatment_col, value_col
+    )
+    ranked = ranked.localCheckpoint(eager=False)
+    nrow = ranked.select("__b").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    per_j = (
+        ranked.groupBy("__j")
+        .agg(F.sum(F.col("__dmid").cast(_DEC)).cast(_DEC).alias("__r2j"))
+        .crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(kg))
+    )
+    dev = F.col("__r2j") - F.col("__n").cast(_DEC) * (
+        F.col("__k").cast(_DEC) + F.lit(1).cast(_DEC)
+    )
+    s = per_j.agg(
+        F.max("__n").alias("n_blocks"),
+        F.max("__k").alias("k_treatments"),
+        F.sum(dev * dev).cast(_DEC).alias("__s4"),
+    )
+    ties = (
+        ranked.groupBy("__b", "__dmid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__t").cast(_DEC) * F.col("__t") * F.col("__t")
+                    - F.col("__t")
+                ),
+                F.lit(0).cast(_DEC),
+            )
+            .cast(_DEC)
+            .alias("__tt")
+        )
+    )
+    g = s.crossJoin(F.broadcast(ties))
+    m = F.col("n_blocks").cast(_DEC)
+    kd = F.col("k_treatments").cast(_DEC)
+    den = (
+        m * m * (kd * kd * kd - kd) - m * F.col("__tt")
+    ).cast(_DEC)
+    w = (
+        F.lit(3.0)
+        * F.col("__s4").cast("double")
+        / den.cast("double")
+    )
+    return g.select(
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.col("k_treatments").cast("bigint").alias("k_treatments"),
+        F.when(
+            (F.col("n_blocks") < 1) | (den.cast("double") <= F.lit(0.0)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(w * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("w_x1e6"),
     )

@@ -43,6 +43,7 @@ __all__ = [
     "welch_t_test",
     "bartlett_test",
     "g_test_independence",
+    "jarque_bera",
     "seasonal_mann_kendall",
     "mad_outliers",
     "cusum_flags",
@@ -2991,4 +2992,97 @@ def g_test_independence(
         F.floor(g * F.lit(float(scale)) + F.lit(0.5)).cast("bigint").alias(
             "g_x1e6"
         ),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera, Econ. Lett. 1980) per
+    group — the gate behind the parametric branch of the k-group suite:
+    q328's Bartlett and q325's Welch assume normality; JB quantifies how
+    wrong that is from the skewness/kurtosis the data actually has.
+
+    Engine-exactness: the scaled central moments
+
+        ``M2 = n*S2 - S1^2``
+        ``M3 = n^2*S3 - 3n*S1*S2 + 2*S1^3``
+        ``M4 = n^3*S4 - 4n^2*S1*S3 + 6n*S1^2*S2 - 3*S1^4``
+
+    are exact integer polynomials in the raw power sums (decimal(38,0)
+    here == HUGEINT in DuckDB), and the n-powers CANCEL in the
+    standardized ratios: ``g1 = M3 / M2^1.5`` and ``g2 = M4/M2^2 - 3``
+    (since m_k = M_k / n^(k+1) with the same n exponent top and bottom).
+    So skewness, excess kurtosis, and ``JB = n*(g1^2/6 + g2^2/24)`` are
+    each ONE mirrored IEEE tree over exact integers — sqrt is correctly
+    rounded by IEEE-754, no libm dependence — floor-published on the
+    declared lattices.
+
+    Magnitude bound (documented contract): M4 grows as ``n^4 * m4``, so
+    the exact path needs ``n^4 * spread^4 < 1e38`` — for a bounded value
+    lattice like l_quantity (spread <= 50) that is n up to ~2e7 rows PER
+    GROUP; beyond it the decimal(38,0) cast fails LOUDLY (ANSI), never
+    silently wrongly. For wider lattices, pre-shift the values by an
+    integer pivot (central moments are shift-invariant) or coarsen the
+    lattice at the call site.
+
+    Scale posture: one map-side-combined groupBy over the corpus, then
+    per-group column math — no windows, no joins.
+
+    Output: per group — ``<group_col>, n, skew_x1e9, exkurt_x1e9,
+    jb_x1e6`` (stats NULL when n < 2 or M2 <= 0, i.e. all values equal).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vd = dec(F.col("__v"))
+    pg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vd).cast("decimal(38,0)").alias("__s1"),
+        F.sum(vd * F.col("__v")).cast("decimal(38,0)").alias("__s2"),
+        F.sum(vd * F.col("__v") * F.col("__v"))
+        .cast("decimal(38,0)")
+        .alias("__s3"),
+        F.sum(vd * F.col("__v") * F.col("__v") * F.col("__v"))
+        .cast("decimal(38,0)")
+        .alias("__s4"),
+    )
+    nn = dec(F.col("n"))
+    s1, s2, s3, s4 = (F.col(f"__s{i}") for i in (1, 2, 3, 4))
+    m2 = (nn * s2 - s1 * s1).cast("decimal(38,0)")
+    m3 = (nn * nn * s3 - F.lit(3).cast("decimal(38,0)") * nn * s1 * s2
+          + F.lit(2).cast("decimal(38,0)") * s1 * s1 * s1).cast("decimal(38,0)")
+    m4 = (
+        nn * nn * nn * s4
+        - F.lit(4).cast("decimal(38,0)") * nn * nn * s1 * s3
+        + F.lit(6).cast("decimal(38,0)") * nn * s1 * s1 * s2
+        - F.lit(3).cast("decimal(38,0)") * s1 * s1 * s1 * s1
+    ).cast("decimal(38,0)")
+    staged = pg.select(
+        "__g", "n", m2.alias("__m2"), m3.alias("__m3"), m4.alias("__m4")
+    )
+    m2d = F.col("__m2").cast("double")
+    skew = F.col("__m3").cast("double") / (m2d * F.sqrt(m2d))
+    exk = F.col("__m4").cast("double") / (m2d * m2d) - F.lit(3.0)
+    jb = F.col("n").cast("double") * (
+        skew * skew / F.lit(6.0) + exk * exk / F.lit(24.0)
+    )
+    bad = (F.col("n") < 2) | (F.col("__m2") <= F.lit(0).cast("decimal(38,0)"))
+    pub = lambda expr, s: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(expr * F.lit(float(s)) + F.lit(0.5)).cast("bigint"))
+    return staged.select(
+        F.col("__g").alias(group_col),
+        "n",
+        pub(skew, 1_000_000_000).alias("skew_x1e9"),
+        pub(exk, 1_000_000_000).alias("exkurt_x1e9"),
+        pub(jb, scale).alias("jb_x1e6"),
     )

@@ -1028,3 +1028,45 @@ def test_ipf_raking_matches_integer_twin_and_converges(spark):
         for r in {r for r, _ in counts}
     )
     assert row_gap8 < row_gap / 4
+
+
+def test_degree_assortativity_matches_numpy_pearson(spark):
+    """r recomputed as the numpy Pearson correlation of edge-end degrees
+    over the symmetrized edge list must match the exact-integer
+    pipeline; a star graph is perfectly disassortative (r = -1)."""
+    import math
+
+    import numpy as np
+
+    from manufacturing_data_integration_tool_spark.ops.graph import (
+        degree_assortativity,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = degree_assortativity(df).collect()[0]
+    sym = set()
+    for u, v in edges:
+        sym.add((u, v))
+        sym.add((v, u))
+    deg = {}
+    for u, _ in sym:
+        deg[u] = deg.get(u, 0) + 1
+    xs = np.array([deg[u] for u, v in sorted(sym)], dtype=float)
+    ys = np.array([deg[v] for u, v in sorted(sym)], dtype=float)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert out["n_nodes"] == len(deg)
+    assert out["m_directed"] == len(sym)
+    assert abs(out["r_x1e9"] - math.floor(r * 1e9 + 0.5)) <= 2
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    st = degree_assortativity(star).collect()[0]
+    assert st["r_x1e9"] == -1_000_000_000
+
+    # degree-regular graph (a 4-cycle): r undefined -> NULL
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert degree_assortativity(cyc).collect()[0]["r_x1e9"] is None

@@ -470,3 +470,31 @@ def test_schema_drift_report_flags_rename_and_extra(spark):
         c for c in cfg.source_columns if c != "humidity_pct"
     )
     assert len(rows) == len(set(file_cols) | set(cfg.source_columns))
+
+
+def test_bullwhip_ratio_matches_numpy_variance_ratio(spark):
+    """BW recomputed as the numpy population-variance ratio must match
+    the cross-multiplied exact-integer division; amplified upstream
+    noise gives BW > 1, a constant downstream gives NULL."""
+    import math
+
+    import numpy as np
+
+    from manufacturing_data_integration_tool_spark.ops.inventory import (
+        bullwhip_ratio,
+    )
+
+    up = [("s1", f"2024-01-0{i}", q) for i, q in enumerate([10, 50, 5, 80, 2], 1)]
+    down = [("s1", f"2024-01-0{i}", q) for i, q in enumerate([25, 30, 28, 31, 27], 1)]
+    up += [("s2", f"2024-01-0{i}", 7) for i in range(1, 4)]
+    down += [("s2", f"2024-01-0{i}", 7) for i in range(1, 4)]
+    u = spark.createDataFrame(up, "k string, day string, qty long")
+    d = spark.createDataFrame(down, "k string, day string, qty long")
+    out = {r["k"]: r for r in bullwhip_ratio(u, d, "k", "qty").collect()}
+
+    bw = np.var([10, 50, 5, 80, 2]) / np.var([25, 30, 28, 31, 27])
+    assert out["s1"]["n_up_days"] == 5 and out["s1"]["n_down_days"] == 5
+    assert abs(out["s1"]["bw_x1e6"] - math.floor(bw * 1e6 + 0.5)) <= 1
+    assert out["s1"]["bw_x1e6"] > 1_000_000
+    # constant downstream -> zero variance -> NULL (never inf)
+    assert out["s2"]["bw_x1e6"] is None

@@ -486,3 +486,96 @@ def test_cvm_ad_degenerate_inputs_match_oracle_row_shape(spark):
     d_ad = duck(oracles["q315_ad_lang_tails"], doc_rows, [])
     assert len(s_ad) == 1 and len(d_ad) == 1
     assert tuple(s_ad[0]) == d_ad[0] == (None, None, None)
+
+
+def test_mood_scale_matches_score_twin(spark):
+    """Mood scale z recomputed from textbook per-observation scores
+    (r - (N+1)/2)^2 with average midranks must match the x4-lattice
+    two-phase pipeline."""
+    a = [1, 4, 4, 9, 12, 30, 2]
+    b = [5, 5, 6, 7, 8, 8]
+    rows = [Row(g="A", v=v) for v in a] + [Row(g="B", v=v) for v in b]
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        mood_scale_test,
+    )
+
+    out = mood_scale_test(
+        spark.createDataFrame(rows), "g", "A", "B", "v"
+    ).collect()[0]
+    n, m = len(a), len(b)
+    nn = n + m
+    pooled = sorted(a + b)
+    rank = _avg_ranks(pooled)
+    score = lambda v: (rank[v] - (nn + 1) / 2.0) ** 2
+    t_stat = sum(score(v) for v in a)
+    all_scores = [score(v) for v in pooled]
+    abar = sum(all_scores) / nn
+    var = (
+        n * m / (nn * (nn - 1.0)) * sum((s - abar) ** 2 for s in all_scores)
+    )
+    z = (t_stat - n * abar) / math.sqrt(var)
+    assert out["n_a"] == n and out["n_b"] == m
+    assert out["t4_stat"] == round(4 * t_stat)
+    assert abs(out["z_x1e6"] - math.floor(z * 1e6 + 0.5)) <= 1
+
+
+def test_mood_scale_single_value_is_null(spark):
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        mood_scale_test,
+    )
+
+    rows = [Row(g="A", v=7)] * 3 + [Row(g="B", v=7)] * 2
+    out = mood_scale_test(
+        spark.createDataFrame(rows), "g", "A", "B", "v"
+    ).collect()[0]
+    assert out["z_x1e6"] is None
+
+
+def test_kendall_w_friedman_identity_and_ties(spark):
+    """No ties: Q = m(k-1)W must hold exactly between the two operators;
+    perfect agreement across blocks gives W = 1; a tied fixture matches
+    the Siegel-Castellan tie-corrected twin."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        friedman,
+        kendall_w,
+    )
+
+    # perfect agreement, no ties -> W = 1
+    rows = [
+        Row(b=f"b{i}", j=f"t{jj}", v=jj * 10 + i) for i in range(4)
+        for jj in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows)
+    w = kendall_w(df, "b", "j", "v").collect()[0]
+    assert w["n_blocks"] == 4 and w["k_treatments"] == 3
+    assert w["w_x1e6"] == 1_000_000
+    q = friedman(df, "b", "j", "v").collect()[0]
+    m, k = 4, 3
+    assert abs(q["q_x1e6"] - m * (k - 1) * w["w_x1e6"]) <= m * (k - 1)
+
+    # tied fixture vs the textbook tie-corrected W
+    vals = {
+        ("b1", "t1"): 5, ("b1", "t2"): 5, ("b1", "t3"): 9,
+        ("b2", "t1"): 1, ("b2", "t2"): 7, ("b2", "t3"): 7,
+        ("b3", "t1"): 3, ("b3", "t2"): 8, ("b3", "t3"): 4,
+    }
+    df2 = spark.createDataFrame(
+        [Row(b=b, j=j, v=v) for (b, j), v in vals.items()]
+    )
+    out = kendall_w(df2, "b", "j", "v").collect()[0]
+    blocks = ["b1", "b2", "b3"]
+    treats = ["t1", "t2", "t3"]
+    rsum = dict.fromkeys(treats, 0.0)
+    tt = 0.0
+    for b in blocks:
+        r = _avg_ranks([vals[(b, j)] for j in treats])
+        from collections import Counter as _C
+
+        cnt = _C(vals[(b, j)] for j in treats)
+        tt += sum(t**3 - t for t in cnt.values())
+        for j in treats:
+            rsum[j] += r[vals[(b, j)]]
+    m, k = 3, 3
+    s = sum((rsum[j] - m * (k + 1) / 2.0) ** 2 for j in treats)
+    w_ref = 12 * s / (m * m * (k**3 - k) - m * tt)
+    assert abs(out["w_x1e6"] - math.floor(w_ref * 1e6 + 0.5)) <= 1

@@ -1774,3 +1774,47 @@ def test_g_test_matches_python_twin(spark):
     )
     assert out["n"] == n and out["dof"] == (3 - 1) * (2 - 1)
     assert abs(out["g_x1e6"] - math.floor(g * 1e6 + 0.5)) <= 25
+
+
+def test_jarque_bera_matches_numpy_twin(spark):
+    """Skewness / excess kurtosis / JB recomputed with numpy population
+    moments must match the exact-integer-moment pipeline on the
+    lattice."""
+    import math
+
+    import numpy as np
+
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        jarque_bera,
+    )
+
+    vals = [3, 7, 7, 1, 9, 2, 2, 2, 8, 5, 5, 4, 1, 1, 6, 50]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = jarque_bera(df, "g", "v").collect()[0]
+    x = np.array(vals, dtype=float)
+    n = len(x)
+    m2 = ((x - x.mean()) ** 2).mean()
+    m3 = ((x - x.mean()) ** 3).mean()
+    m4 = ((x - x.mean()) ** 4).mean()
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2 - 3.0
+    jb = n * (g1 * g1 / 6 + g2 * g2 / 24)
+    assert out["n"] == n
+    assert abs(out["skew_x1e9"] - math.floor(g1 * 1e9 + 0.5)) <= 2
+    assert abs(out["exkurt_x1e9"] - math.floor(g2 * 1e9 + 0.5)) <= 2
+    assert abs(out["jb_x1e6"] - math.floor(jb * 1e6 + 0.5)) <= 2
+
+
+def test_jarque_bera_constant_group_is_null(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        jarque_bera,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("a", 5), ("b", 1), ("b", 9)],
+        "g string, v long",
+    )
+    out = {r["g"]: r for r in jarque_bera(df, "g", "v").collect()}
+    assert out["a"]["skew_x1e9"] is None and out["a"]["jb_x1e6"] is None
+    # two distinct values: m3 = 0 by symmetry of n=2 -> skew exactly 0
+    assert out["b"]["skew_x1e9"] == 0
