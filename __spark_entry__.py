@@ -9266,6 +9266,176 @@ def q336_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_suppkey")
 
 
+def q337_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing
+    (ops.temporal.holt_linear; Holt 1957/IJF 2004) of daily event value
+    per event type, with the 7-day-ahead forecast — the trend-aware
+    member of the forecaster bench (q243 seasonal-naive, q291 Croston,
+    q318 scorecard). Vector state [level, trend] rides the identical
+    left fold on both engines (Spark aggregate(slice, arr[0], ...) ==
+    DuckDB list_reduce's no-init convention); alpha=0.5/beta=0.25 exact
+    binary."""
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        holt_linear,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return holt_linear(daily, "event_type", "day", "cents")
+
+
+def q338_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation
+    (ops.sampling.neyman_allocation; Neyman, JRSS 1934) of a 10k-doc
+    annotation budget across the (lang, source) strata by n_chars
+    spread — the design step before q57's stratified draw when strata
+    variances differ. Stratum weight N_h*S_h collapses to sqrt(K_h) of
+    the exact integer K_h = n*S2 - S1^2, quantized per-term to the 1e-3
+    lattice; allocation is one exact integer division per stratum."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        neyman_allocation,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return neyman_allocation(
+        docs, ["lang", "source"], "n_chars", budget=10_000
+    )
+
+
+def q339_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (ops.evaluation.fleiss_kappa_binary; Psych. Bull.
+    1971) across the SAME three document-quality screens as q298's
+    Cochran Q (Gopher pass, Flesch >= 50, entropy >= 3.0 nats treated
+    as three binary raters): Q asks whether the screens pass the same
+    FRACTION; kappa asks how much they agree PER DOCUMENT beyond
+    chance. Exact-integer cross-multiplied form, one division."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        fleiss_kappa_binary,
+    )
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        char_entropy,
+        flesch_reading_ease,
+        gopher_quality_flags,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = gopher_quality_flags(docs, min_words=30, min_stopword_hits=1).select(
+        "doc_id", F.col("passes_gopher").alias("__a")
+    )
+    b = flesch_reading_ease(docs, "text").select(
+        "doc_id", (F.col("flesch_x1000") >= 50_000).alias("__b")
+    )
+    c = char_entropy(docs).select(
+        "doc_id", (F.col("char_entropy") >= 3.0).alias("__c")
+    )
+    votes = (
+        a.join(b, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .select(
+            (
+                F.coalesce(F.col("__a"), F.lit(False)).cast("int")
+                + F.coalesce(F.col("__b"), F.lit(False)).cast("int")
+                + F.coalesce(F.col("__c"), F.lit(False)).cast("int")
+            ).alias("r")
+        )
+    )
+    return fleiss_kappa_binary(votes, "r", 3)
+
+
+def q340_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 5% winsorized mean of the event value
+    (ops.stats.winsorized_mean; Tukey-McLaughlin 1963) — q238's
+    trimmed-mean sibling that clamps the tails to the exact rank-(k+1)
+    and rank-(n-k) order statistics instead of dropping them. Same
+    two-phase exact ranking; one floor-published division."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        winsorized_mean,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return winsorized_mean(
+        ev.filter(F.col("value").isNotNull()),
+        ["event_type"],
+        "value",
+        "event_id",
+        winsor_pct=5,
+    )
+
+
+# Benford expected first-digit log10(1 + 1/d) on the 1e9 lattice —
+# computed once in Python and injected as the SAME literals into the
+# Spark plan and the DuckDB oracle (the shared-literal rule).
+_BENFORD_P9 = [round(_math.log10(1.0 + 1.0 / d) * 1e9) for d in range(1, 10)]
+
+
+def q341_benford_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of order-total first digits against
+    Benford's law (Benford 1938; the statistic q118's per-digit audit
+    table feeds): per-digit term ((O*1e9 - N*p9)^2 * 1e6) div
+    (N*p9*1e9) — an exact integer on the declared lattice (truncation
+    < 1e-6 per digit, 9 digits), summed exactly, so the statistic is
+    BIGINT end-to-end. Digits densify against the 9-row literal table
+    (a missing digit still contributes its expected mass). One
+    map-side-combined groupBy + 9-row arithmetic."""
+    orders = read_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(
+            F.abs(F.col("o_totalprice")).cast("string"), r"[^1-9]", ""
+        ),
+        1,
+        1,
+    )
+    counts = (
+        orders.select(digit.alias("__d"))
+        .filter(F.col("__d") != "")
+        .groupBy(F.col("__d").cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+    )
+    bench9 = spark.createDataFrame(
+        [(d, int(_BENFORD_P9[d - 1])) for d in range(1, 10)],
+        "d bigint, p9 bigint",
+    )
+    total = counts.agg(F.sum("__o").cast("bigint").alias("__n"))
+    dec = "decimal(38,0)"
+    per = (
+        bench9.join(counts, "d", "left")
+        .select("d", F.coalesce(F.col("__o"), F.lit(0)).alias("__o"), "p9")
+        .crossJoin(F.broadcast(total))
+    )
+    dev = (
+        F.col("__o").cast(dec) * F.lit(1_000_000_000).cast(dec)
+        - F.col("__n").cast(dec) * F.col("p9")
+    ).cast(dec)
+    term = F.expr(
+        "CAST((CAST(__o AS DECIMAL(38,0)) * 1000000000 - "
+        "CAST(__n AS DECIMAL(38,0)) * p9) * "
+        "(CAST(__o AS DECIMAL(38,0)) * 1000000000 - "
+        "CAST(__n AS DECIMAL(38,0)) * p9) * 1000000 AS DECIMAL(38,0)) div "
+        "CAST(CAST(__n AS DECIMAL(38,0)) * p9 * 1000000000 AS DECIMAL(38,0))"
+    )
+    _ = dev  # documented identity of the term's numerator
+    agg = per.agg(
+        F.max("__n").cast("bigint").alias("n_values"),
+        F.sum(term).cast("decimal(38,0)").alias("__chi2"),
+    )
+    return agg.select(
+        "n_values",
+        F.lit(8).cast("bigint").alias("dof"),
+        F.col("__chi2").cast("bigint").alias("chi2_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9382,6 +9552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q334_kendall_w": q334_kendall_w,
         "q335_degree_assortativity": q335_degree_assortativity,
         "q336_bullwhip_ratio": q336_bullwhip_ratio,
+        "q337_holt_linear": q337_holt_linear,
+        "q338_neyman_allocation": q338_neyman_allocation,
+        "q339_fleiss_kappa": q339_fleiss_kappa,
+        "q340_winsorized_mean": q340_winsorized_mean,
+        "q341_benford_gof": q341_benford_gof,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -12084,6 +12259,89 @@ def oracle_sql() -> dict[str, str]:
                        / 24.0)
                        * 1000000.0 + 0.5) AS BIGINT) END AS jb_x1e6
             FROM m
+        """,
+        "q338_neyman_allocation": """
+            WITH base AS (
+              SELECT lang, source, CAST(n_chars AS BIGINT) AS v
+              FROM documents WHERE n_chars IS NOT NULL
+            ), pg AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     SUM(CAST(v AS HUGEINT)) AS s1,
+                     SUM(CAST(v AS HUGEINT) * v) AS s2
+              FROM base GROUP BY 1, 2
+            ), w AS (
+              SELECT lang, source, n_rows,
+                     CAST(floor(sqrt(CAST(CAST(n_rows AS HUGEINT) * s2
+                                          - s1 * s1 AS DOUBLE))
+                                * 1000.0 + 0.5) AS BIGINT) AS weight_x1e3
+              FROM pg
+            ), t AS (SELECT CAST(SUM(weight_x1e3) AS BIGINT) AS tt FROM w)
+            SELECT lang, source, n_rows, weight_x1e3,
+                   CASE WHEN tt <= 0 THEN NULL
+                        ELSE CAST(CAST(10000 AS BIGINT) * weight_x1e3 // tt
+                                  AS BIGINT) END AS alloc_n
+            FROM w CROSS JOIN t
+        """,
+        "q340_winsorized_mean": """
+            WITH v AS (SELECT event_type, event_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+                       FROM events WHERE value IS NOT NULL),
+            r AS (SELECT event_type, vq,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY vq, event_id) AS BIGINT) AS rk,
+                         CAST(COUNT(*) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS n
+                  FROM v),
+            c AS (SELECT event_type,
+                         MAX(CASE WHEN rk = n * 5 // 100 + 1 THEN vq END)
+                           AS lo,
+                         MAX(CASE WHEN rk = n - n * 5 // 100 THEN vq END)
+                           AS hi
+                  FROM r GROUP BY 1),
+            m AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                         CAST(MAX(n * 5 // 100) AS BIGINT) AS k,
+                         SUM(CAST(vq AS HUGEINT)) AS mid
+                  FROM r
+                  WHERE rk > n * 5 // 100 AND rk <= n - n * 5 // 100
+                  GROUP BY 1)
+            SELECT m.event_type, n, CAST(2 * k AS BIGINT) AS n_clamped,
+                   CAST(floor(CAST(1000000.0 AS DOUBLE)
+                        * CAST(mid + CAST(k AS HUGEINT) * lo
+                               + CAST(k AS HUGEINT) * hi AS DOUBLE)
+                        / CAST(n AS DOUBLE)
+                        / CAST(100.0 AS DOUBLE)) AS BIGINT) AS mean_x1e6
+            FROM m JOIN c USING (event_type)
+        """,
+        "q337_holt_linear": """
+            WITH d AS (
+              SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+                AND ts IS NOT NULL
+              GROUP BY 1, 2
+            ), l AS (
+              SELECT k, CAST(COUNT(*) AS BIGINT) AS n_periods,
+                     list([y, 0.0] ORDER BY day) AS arr
+              FROM d GROUP BY 1
+            ), st AS (
+              SELECT k, n_periods,
+                     list_reduce(arr, (acc, e) -> [
+                       0.5*e[1] + 0.5*(acc[1]+acc[2]),
+                       0.25*((0.5*e[1] + 0.5*(acc[1]+acc[2])) - acc[1])
+                         + 0.75*acc[2]
+                     ]) AS s
+              FROM l
+            )
+            SELECT k AS event_type, n_periods,
+                   CAST(floor(s[1] * 1000000.0 + 0.5) AS BIGINT)
+                     AS level_x1e6,
+                   CAST(floor(s[2] * 1000000.0 + 0.5) AS BIGINT)
+                     AS trend_x1e6,
+                   CAST(floor((s[1] + 7.0 * s[2]) * 1000000.0 + 0.5)
+                        AS BIGINT) AS forecast_h_x1e6
+            FROM st
         """,
         "q336_bullwhip_ratio": """
             WITH placed AS (
@@ -17706,4 +17964,114 @@ def oracle_sql() -> dict[str, str]:
     # full corpus, so the oracle is q27's SQL verbatim — a hash mismatch
     # means batching-invariance (or the replay discipline) broke.
     out["q331_streaming_minhash_index"] = out["q27_minhash_lsh"]
+
+    # q339 composes the SAME three screen subqueries as q298's Cochran Q
+    # (q150 gopher, q278's inline flesch CTE, q151 entropy) so the
+    # multi-rater kappa and the k-screen homogeneity test can never
+    # drift apart. With n = 3 binary raters the cross-multiplied form
+    # collapses to kappa = (U - 2V) / (2*(9N^2 - V)) with
+    # U = 3N*(2B - 6A + 6N), V = A^2 + (3N - A)^2 over the exact integer
+    # moments A = sum r_i, B = sum r_i^2 — mirrored verbatim from
+    # ops/evaluation.fleiss_kappa_binary's IEEE tree.
+    out["q339_fleiss_kappa"] = f"""
+        WITH g AS ({out["q150_gopher_quality"]}),
+        fl AS (
+          SELECT doc_id,
+                 CASE WHEN CAST(len(regexp_extract_all(lower(text),
+                            '[a-z]+')) AS BIGINT) > 0
+                      THEN (CAST(floor((CAST(206.835 AS DOUBLE)
+                        - CAST(1.015 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)
+                             / CAST(GREATEST(1,
+                                 len(regexp_extract_all(text, '[.!?]+')))
+                                 AS DOUBLE))
+                        - CAST(84.6 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[aeiouy]+')) AS DOUBLE)
+                             / CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)))
+                        * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+                        >= 50000)
+                      ELSE false END AS b
+          FROM documents),
+        en AS (SELECT doc_id, (char_entropy >= 3.0) AS c
+               FROM ({out["q151_char_entropy"]})),
+        j AS (SELECT CAST(g.passes_gopher AS INTEGER) AS a,
+                     CAST(COALESCE(fl.b, false) AS INTEGER) AS b,
+                     CAST(COALESCE(en.c, false) AS INTEGER) AS c
+              FROM g
+              LEFT JOIN fl USING (doc_id)
+              LEFT JOIN en USING (doc_id)),
+        r AS (SELECT a + b + c AS ri FROM j),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                 CAST(COALESCE(SUM(ri), 0) AS HUGEINT) AS a,
+                 CAST(COALESCE(SUM(ri * ri), 0) AS HUGEINT) AS b
+          FROM r),
+        terms AS (
+          SELECT n_subjects,
+                 3 * CAST(n_subjects AS HUGEINT)
+                   * (2 * b - 6 * a + 6 * CAST(n_subjects AS HUGEINT))
+                   AS u1,
+                 a * a + (3 * CAST(n_subjects AS HUGEINT) - a)
+                         * (3 * CAST(n_subjects AS HUGEINT) - a) AS vv,
+                 9 * CAST(n_subjects AS HUGEINT)
+                   * CAST(n_subjects AS HUGEINT) AS d
+          FROM agg)
+        SELECT n_subjects,
+               CAST(3 AS BIGINT) AS n_raters,
+               CAST(floor(CAST(u1 AS DOUBLE)
+                          / (CAST(2.0 AS DOUBLE) * CAST(d AS DOUBLE))
+                          * CAST(1000000000.0 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pbar_x1e9,
+               CAST(floor(CAST(vv AS DOUBLE) / CAST(d AS DOUBLE)
+                          * CAST(1000000000.0 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pe_x1e9,
+               CASE WHEN n_subjects < 1 OR 2 * (d - vv) <= 0 THEN NULL
+                    ELSE CAST(floor(
+                      CAST(u1 - 2 * vv AS DOUBLE)
+                      / CAST(2 * (d - vv) AS DOUBLE)
+                      * CAST(1000000.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS kappa_x1e6
+        FROM terms
+    """
+
+    # q341: first significant digit of |o_totalprice| via the same
+    # strip-non-[1-9] trick (leading significant digit is the FIRST
+    # [1-9] character under BOTH engines' double rendering, scientific
+    # or plain); Benford expected masses are the SAME _BENFORD_P9
+    # Python literals injected into both plans; per-digit chi-square
+    # term is the exact integer ((O*1e9 - N*p9)^2 * 1e6) div
+    # (N*p9*1e9), floored per term (q292 pattern) then summed exactly.
+    _benford_values = ", ".join(
+        f"({d}, {int(p)})" for d, p in enumerate(_BENFORD_P9, start=1)
+    )
+    out["q341_benford_gof"] = f"""
+        WITH bench9(d, p9) AS (VALUES {_benford_values}),
+        digits AS (
+          SELECT CAST(substr(regexp_replace(
+                   CAST(abs(o_totalprice) AS VARCHAR), '[^1-9]', '', 'g'),
+                   1, 1) AS VARCHAR) AS ds
+          FROM orders),
+        counts AS (
+          SELECT CAST(ds AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM digits WHERE ds <> '' GROUP BY 1),
+        tot AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n
+                FROM counts),
+        per AS (
+          SELECT bench9.d,
+                 CAST(COALESCE(counts.o, 0) AS HUGEINT) AS o,
+                 CAST(bench9.p9 AS HUGEINT) AS p9,
+                 CAST(tot.n AS HUGEINT) AS n
+          FROM bench9 LEFT JOIN counts USING (d) CROSS JOIN tot)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_values,
+               CAST(8 AS BIGINT) AS dof,
+               CAST(SUM(
+                 ((o * 1000000000 - n * p9) * (o * 1000000000 - n * p9)
+                  * 1000000) // (n * p9 * 1000000000)
+               ) AS BIGINT) AS chi2_x1e6
+        FROM per
+    """
     return out

@@ -313,6 +313,11 @@ HEADLINE = [
     "q334_kendall_w",
     "q335_degree_assortativity",
     "q336_bullwhip_ratio",
+    "q337_holt_linear",
+    "q338_neyman_allocation",
+    "q339_fleiss_kappa",
+    "q340_winsorized_mean",
+    "q341_benford_gof",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

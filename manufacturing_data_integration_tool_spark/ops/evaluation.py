@@ -52,6 +52,7 @@ __all__ = [
     "target_encode_loo",
     "simpson_screen",
     "bh_step_up",
+    "fleiss_kappa_binary",
 ]
 
 
@@ -607,4 +608,104 @@ def bh_step_up(
             )
             .alias("rejected"),
         )
+    )
+
+
+def fleiss_kappa_binary(
+    votes: DataFrame,
+    votes_col: str,
+    n_raters: int,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fleiss' kappa (Psych. Bull. 1971) for ``n_raters`` binary raters —
+    the MULTI-rater chance-corrected agreement behind q257's pairwise
+    Cohen kappa and q298's Cochran Q homogeneity: given per-subject pass
+    counts ``r_i`` (0..n), how much do the raters agree beyond chance?
+
+    Exact-integer derivation (n = n_raters, N subjects, A = sum r_i,
+    B = sum r_i^2): per-subject agreement sums collapse to
+    ``P_bar = (B - (n-1)*A*? ...`` — for the binary two-category case
+
+        ``sum_j n_ij^2 = r^2 + (n-r)^2 = 2r^2 - 2nr + n^2``
+        ``P_bar = (2B - 2nA + n(n-1)N + ... )``  — concretely, with
+        ``U = nN*(2B - 2nA + nnN - nN)/(n-1)``-free form below:
+
+        ``P_bar = (2B - 2nA + n^2*N - nN) / (n(n-1)N)``
+        ``P_e   = (A^2 + (nN - A)^2) / (nN)^2``
+        ``kappa = (P_bar - P_e) / (1 - P_e)``
+
+    Putting both over the common denominator ``D = (nN)^2`` with
+    ``U = nN * (2B - 2nA + n^2*N - nN) / (n-1)`` — and since n is a
+    COMPILE-TIME literal, (n-1) divides out exactly in the published
+    cross-multiplied form
+
+        ``kappa = ((n-1)*U' - (n-1)*V) / ((n-1)*(D - V))``  with
+        ``U' = nN*(2B - 2nA + n^2*N - nN)``:
+        ``kappa = (U' - (n-1)*V) / ((n-1)*(D - V))``
+
+    — numerator and denominator exact decimal(38,0) integers, ONE
+    division, floor-published (NULL when P_e = 1: every subject
+    unanimous the same way, kappa undefined).
+
+    Scale posture: one global aggregate over the votes table.
+
+    Output: one row — ``n_subjects, n_raters, pbar_x1e9, pe_x1e9,
+    kappa_x1e6``.
+    """
+    n = int(n_raters)
+    if n < 2:
+        raise ValueError(f"n_raters must be >= 2, got {n}")
+    r = F.col(votes_col).cast("bigint")
+    dec = "decimal(38,0)"
+    base = votes.filter(r.isNotNull()).select(r.alias("__r"))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.coalesce(F.sum(F.col("__r").cast(dec)), F.lit(0).cast(dec))
+        .cast(dec)
+        .alias("__a"),
+        F.coalesce(
+            F.sum(F.col("__r").cast(dec) * F.col("__r")), F.lit(0).cast(dec)
+        )
+        .cast(dec)
+        .alias("__b"),
+    )
+    nn = F.lit(n).cast(dec)
+    nd = F.col("n_subjects").cast(dec)
+    a, b = F.col("__a"), F.col("__b")
+    nt = (nn * nd).cast(dec)  # n*N total votes
+    u1 = (
+        nt
+        * (
+            F.lit(2).cast(dec) * b
+            - F.lit(2 * n).cast(dec) * a
+            + F.lit(n * n).cast(dec) * nd
+            - nt
+        )
+    ).cast(dec)
+    vv = (a * a + (nt - a) * (nt - a)).cast(dec)
+    d = (nt * nt).cast(dec)
+    num = (u1 - F.lit(n - 1).cast(dec) * vv).cast(dec)
+    den = (F.lit(n - 1).cast(dec) * (d - vv)).cast(dec)
+    pub9 = lambda e: F.floor(  # noqa: E731
+        e * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+    pbar = u1.cast("double") / (F.lit(float(n - 1)) * d.cast("double"))
+    pe = vv.cast("double") / d.cast("double")
+    return agg.select(
+        "n_subjects",
+        F.lit(n).cast("bigint").alias("n_raters"),
+        pub9(pbar).alias("pbar_x1e9"),
+        pub9(pe).alias("pe_x1e9"),
+        F.when(
+            (F.col("n_subjects") < 1) | (den <= F.lit(0).cast(dec)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("kappa_x1e6"),
     )

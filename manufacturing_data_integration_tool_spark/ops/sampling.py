@@ -26,6 +26,7 @@ from typing import Mapping, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
+    "neyman_allocation",
     "hash_fraction_threshold",
     "hash_sample",
     "stratified_sample",
@@ -964,4 +965,70 @@ def ipf_raking(
         F.col("__c").alias(col_col),
         F.col("__n").alias("n"),
         F.col("__w").cast("bigint").alias("weight_x1e9"),
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    value_col: Column | str,
+    *,
+    budget: int = 10_000,
+    std_scale: int = 1_000,
+) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman, JRSS 1934):
+    split a sampling ``budget`` across strata proportionally to
+    ``N_h * S_h`` — variance-optimal for estimating the population mean,
+    the design step that should precede q57's proportional stratified
+    draw whenever strata have very different spreads (a uniform-rate
+    sample wastes budget on low-variance strata).
+
+    Exactness: for a full-population stratum the weight COLLAPSES —
+    ``N_h * S_h = N_h * sqrt(K_h)/N_h = sqrt(K_h)`` with
+    ``K_h = n_h*S2_h - S1_h^2`` an exact decimal(38,0) integer — so each
+    stratum weight is one IEEE sqrt of an exact integer, quantized to
+    the declared 1e-3 lattice (``t_h = floor(sqrt(K_h)*std_scale +
+    0.5)``, per-term floors, the q292 pattern), the total is an exact
+    integer sum, and the allocation ``n_h = budget * t_h div T`` is an
+    exact integer division — floor allocation, so ``sum n_h <= budget``
+    (documented; the <= 9-unit remainder is the price of engine-portable
+    integer math).
+
+    Scale posture: ONE map-side-combined groupBy to the strata grid,
+    then grid-sized arithmetic with a broadcast 1-row total.
+
+    Output: per stratum — ``strata_cols..., n_rows, weight_x1e3,
+    alloc_n`` (alloc NULL when every stratum is constant: T = 0).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    g = list(strata_cols)
+    dec = "decimal(38,0)"
+    base = df.filter(v.isNotNull()).select(*g, v.alias("__v"))
+    pg = base.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("__v").cast(dec)).cast(dec).alias("__s1"),
+        F.sum(F.col("__v").cast(dec) * F.col("__v")).cast(dec).alias("__s2"),
+    )
+    k = (
+        F.col("n_rows").cast(dec) * F.col("__s2")
+        - F.col("__s1") * F.col("__s1")
+    ).cast(dec)
+    t = F.floor(
+        F.sqrt(k.cast("double")) * F.lit(float(std_scale)) + F.lit(0.5)
+    ).cast("bigint")
+    weighted = pg.select(*g, "n_rows", t.alias("weight_x1e3"))
+    tot = weighted.agg(
+        F.sum("weight_x1e3").cast("bigint").alias("__t")
+    )
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        *g,
+        "n_rows",
+        "weight_x1e3",
+        F.when(F.col("__t") <= 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(f"CAST({int(budget)} AS BIGINT) * weight_x1e3 div __t")
+        )
+        .alias("alloc_n"),
     )

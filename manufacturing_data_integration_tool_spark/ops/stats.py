@@ -68,6 +68,7 @@ __all__ = [
     "ks_pairwise",
     "gini_coefficient",
     "trimmed_mean",
+    "winsorized_mean",
     "eb_shrunk_rates",
     "loglog_slope",
     "kruskal_wallis",
@@ -3085,4 +3086,108 @@ def jarque_bera(
         pub(skew, 1_000_000_000).alias("skew_x1e9"),
         pub(exk, 1_000_000_000).alias("exkurt_x1e9"),
         pub(jb, scale).alias("jb_x1e6"),
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    winsor_pct: int = 5,
+    scale: int = 100,
+    sub_bucket_width: int = 1_000,
+) -> DataFrame:
+    """Per-group symmetric winsorized mean (Tukey & McLaughlin, Sankhya
+    1963) — :func:`trimmed_mean`'s sibling that CLAMPS the tails to the
+    cut order statistics instead of dropping them (keeps n constant, so
+    downstream SE formulas stay honest; the robust-location estimate of
+    choice when the tail rows are real but untrusted).
+
+    Same exact machinery as trimmed_mean: per-group order statistics via
+    the two-phase running count (sub-bucketed, never a one-task sort
+    window), integer cut index ``k = n * winsor_pct div 100``, clamp
+    values = the EXACT rank-(k+1) and rank-(n-k) order statistics
+    (fetched as two rows of the ranked relation, broadcast back), and
+
+        ``wsum = sum_{k < rank <= n-k} v  +  k*v_(k+1)  +  k*v_(n-k)``
+
+    is an exact integer; the mean is ONE IEEE division, floor-published
+    x1e6 on the original value scale.
+
+    Output: ``(group_cols..., n, n_clamped, mean_x1e6)``.
+    """
+    vq = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        vq.alias("__vq"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).filter(F.col("__vq").isNotNull())
+    from .sampling import two_phase_running_sum
+
+    ranked = two_phase_running_sum(
+        base,
+        list(group_cols),
+        [F.col("__vq"), F.col("__tb")],
+        F.lit(1),
+        F.expr(f"__vq div {int(sub_bucket_width)}"),
+        out_col="__rank",
+    )
+    tot = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    j = ranked.join(F.broadcast(tot), list(group_cols))
+    k = F.expr(f"__n * {int(winsor_pct)} div 100")
+    jk = j.withColumn("__k", k)
+    cuts = (
+        jk.filter(
+            (F.col("__rank") == F.col("__k") + 1)
+            | (F.col("__rank") == F.col("__n") - F.col("__k"))
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.max(
+                F.when(F.col("__rank") == F.col("__k") + 1, F.col("__vq"))
+            ).alias("__lo"),
+            F.max(
+                F.when(F.col("__rank") == F.col("__n") - F.col("__k"), F.col("__vq"))
+            ).alias("__hi"),
+        )
+    )
+    mid = (
+        jk.filter(
+            (F.col("__rank") > F.col("__k"))
+            & (F.col("__rank") <= F.col("__n") - F.col("__k"))
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.max("__n").cast("bigint").alias("n"),
+            F.max("__k").cast("bigint").alias("__kk"),
+            F.sum(F.col("__vq").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("__mid"),
+        )
+    )
+    out = mid.join(F.broadcast(cuts), list(group_cols))
+    dec = "decimal(38,0)"
+    wsum = (
+        F.col("__mid")
+        + F.col("__kk").cast(dec) * F.col("__lo")
+        + F.col("__kk").cast(dec) * F.col("__hi")
+    ).cast(dec)
+    return out.select(
+        *group_cols,
+        "n",
+        (F.lit(2) * F.col("__kk")).cast("bigint").alias("n_clamped"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * wsum.cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(scale))
+        )
+        .cast("bigint")
+        .alias("mean_x1e6"),
     )

@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak", "interval_concurrency", "twap", "window_funnel"]
+__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak", "interval_concurrency", "twap", "window_funnel", "holt_linear"]
 
 
 def asof_join(
@@ -465,3 +465,86 @@ def window_funnel(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def holt_linear(
+    daily: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: Column | str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957,
+    reprinted IJF 2004) per key — the trend-aware upgrade of the
+    EWMA-family forecasters (q243's seasonal-naive, q291's Croston):
+    two COUPLED recursions
+
+        ``l_t = alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1})``
+        ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}``
+
+    with the standard init ``l_1 = y_1, b_1 = 0``.
+
+    Engine-exactness (the q188 EWMA lesson, extended to VECTOR state):
+    the state rides as a 2-element ``array<double>`` ``[l, b]``, each
+    series element enters as ``[y, 0.0]``, and BOTH engines run the
+    identical left fold — Spark ``F.aggregate(slice(arr, 2, n-1),
+    arr[0], merge)`` == DuckDB ``list_reduce(full list)`` (whose no-init
+    convention takes element 1 as the initial accumulator — exactly the
+    Holt init). ``alpha``/``beta`` default to exact binary fractions
+    (0.5, 0.25) so every step is an exact IEEE op sequence; prototype
+    verified bit-equal across engines. The repeated ``l_t``
+    subexpression inside the merge lambda is written out identically on
+    both sides.
+
+    Scale posture: series collapse to per-key ordered day lists (one
+    groupBy; series length is bounded by the calendar, not corpus
+    size) — the standard fold-oracle shape, same as q169/q188.
+
+    Output: per key — ``<key_col>, n_periods, level_x1e6, trend_x1e6,
+    forecast_h_x1e6`` (forecast = l + horizon*b; NULL stats never arise
+    for n >= 1; keys with no rows simply don't appear).
+    """
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    a, b1 = float(alpha), float(beta)
+    rows = daily.filter(
+        y.isNotNull() & F.col(key_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias("__o"),
+        y.alias("__y"),
+    )
+    per_k = rows.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__o", "__y"))),
+            lambda s: F.array(s["__y"], F.lit(0.0)),
+        ).alias("__arr"),
+    )
+    merge = (
+        f"(acc, e) -> array("
+        f"{a}D * e[0] + {1.0 - a}D * (acc[0] + acc[1]), "
+        f"{b1}D * (({a}D * e[0] + {1.0 - a}D * (acc[0] + acc[1])) - acc[0]) "
+        f"+ {1.0 - b1}D * acc[1])"
+    )
+    st = F.expr(
+        f"aggregate(slice(__arr, 2, size(__arr) - 1), __arr[0], {merge})"
+    )
+    staged = per_k.select("__k", "n_periods", st.alias("__st"))
+    lev = F.col("__st")[0]
+    tr = F.col("__st")[1]
+    pub = lambda e: F.floor(  # noqa: E731
+        e * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("bigint")
+    return staged.select(
+        F.col("__k").alias(key_col),
+        "n_periods",
+        pub(lev).alias("level_x1e6"),
+        pub(tr).alias("trend_x1e6"),
+        pub(lev + F.lit(float(horizon)) * tr).alias("forecast_h_x1e6"),
+    )

@@ -634,3 +634,46 @@ def test_fs_weights_field_separation(spark, sf_dir):
         u_ratio = (r["n_match"] + 2) * (r["a_nonmatch"] + 1)
         expect = math.floor(round(math.log(m_ratio / u_ratio), 9) * 1e9 + 0.5)
         assert r["weight_x1e9"] == expect
+
+
+def test_fleiss_kappa_matches_textbook_float_form(spark):
+    import math
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        fleiss_kappa_binary,
+    )
+
+    rng = random.Random(20260816)
+    n = 3
+    rs = [rng.randint(0, n) for _ in range(200)]
+    df = spark.createDataFrame([(r,) for r in rs], "r int")
+    out = fleiss_kappa_binary(df, "r", n).collect()[0]
+    N = len(rs)
+    # textbook float form: P_i = (sum_j n_ij^2 - n) / (n(n-1))
+    p_bar = sum(
+        (r * r + (n - r) * (n - r) - n) / (n * (n - 1)) for r in rs
+    ) / N
+    p1 = sum(rs) / (n * N)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert out["n_subjects"] == N and out["n_raters"] == n
+    # exact cross-multiplied integers vs float recompute: 1 ulp slack
+    assert abs(out["pbar_x1e9"] - math.floor(p_bar * 1e9 + 0.5)) <= 1
+    assert abs(out["pe_x1e9"] - math.floor(p_e * 1e9 + 0.5)) <= 1
+    assert abs(out["kappa_x1e6"] - math.floor(kappa * 1e6 + 0.5)) <= 1
+
+
+def test_fleiss_kappa_degenerate_cases(spark):
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        fleiss_kappa_binary,
+    )
+
+    # unanimous same-way on every subject: P_e = 1 -> kappa undefined
+    uni = spark.createDataFrame([(3,)] * 8, "r int")
+    r = fleiss_kappa_binary(uni, "r", 3).collect()[0]
+    assert r["pe_x1e9"] == 1_000_000_000 and r["kappa_x1e6"] is None
+    # perfect agreement split across both categories: kappa = 1
+    split = spark.createDataFrame([(3,)] * 4 + [(0,)] * 4, "r int")
+    r2 = fleiss_kappa_binary(split, "r", 3).collect()[0]
+    assert r2["kappa_x1e6"] == 1_000_000

@@ -1070,3 +1070,43 @@ def test_degree_assortativity_matches_numpy_pearson(spark):
         [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
     )
     assert degree_assortativity(cyc).collect()[0]["r_x1e9"] is None
+
+
+def test_neyman_allocation_by_hand(spark):
+    import math
+
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        neyman_allocation,
+    )
+
+    # stratum a: high spread; stratum b: same size, low spread; c: constant
+    vals = {"a": [0, 100, 0, 100], "b": [50, 52, 50, 52], "c": [7, 7, 7]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in neyman_allocation(
+        df, ["g"], "v", budget=1000
+    ).collect()}
+    w = {}
+    for g, vs in vals.items():
+        n, s1, s2 = len(vs), sum(vs), sum(x * x for x in vs)
+        w[g] = math.floor(math.sqrt(n * s2 - s1 * s1) * 1000 + 0.5)
+        assert out[g]["n_rows"] == n
+        assert out[g]["weight_x1e3"] == w[g]
+    t = sum(w.values())
+    for g in vals:
+        assert out[g]["alloc_n"] == 1000 * w[g] // t
+    # constant stratum gets zero budget; allocation never exceeds it
+    assert out["c"]["alloc_n"] == 0
+    assert sum(r["alloc_n"] for r in out.values()) <= 1000
+
+
+def test_neyman_allocation_all_constant_is_null(spark):
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        neyman_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 9)], "g string, v long"
+    )
+    rows = neyman_allocation(df, ["g"], "v", budget=100).collect()
+    assert all(r["alloc_n"] is None for r in rows)  # T = 0 -> undefined

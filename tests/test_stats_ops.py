@@ -1818,3 +1818,70 @@ def test_jarque_bera_constant_group_is_null(spark):
     assert out["a"]["skew_x1e9"] is None and out["a"]["jb_x1e6"] is None
     # two distinct values: m3 = 0 by symmetry of n=2 -> skew exactly 0
     assert out["b"]["skew_x1e9"] == 0
+
+
+def test_winsorized_mean_by_hand(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        winsorized_mean,
+    )
+
+    # 20 values 1..19 plus a 1000 outlier; 5% winsor: k = 1, so rank 1
+    # clamps to the rank-2 value (2) and rank 20 clamps to rank 19 (19).
+    rows = [
+        Row(g="a", eid=i, v=float(x))
+        for i, x in enumerate(list(range(1, 20)) + [1000])
+    ]
+    r = winsorized_mean(
+        spark.createDataFrame(rows), ["g"], "v", "eid", winsor_pct=5
+    ).collect()[0]
+    assert r["n"] == 20 and r["n_clamped"] == 2
+    wvals = [2] + list(range(2, 20)) + [19]
+    assert r["mean_x1e6"] == math.floor(1e6 * sum(wvals) / len(wvals))
+
+
+def test_winsorized_mean_no_clamp_matches_plain_mean(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        winsorized_mean,
+    )
+
+    # n = 5 at 5% -> k = 0: no row clamps, result is the plain mean.
+    rows = [Row(g="a", eid=i, v=float(x)) for i, x in enumerate([3, 1, 4, 1, 5])]
+    r = winsorized_mean(
+        spark.createDataFrame(rows), ["g"], "v", "eid", winsor_pct=5
+    ).collect()[0]
+    assert r["n"] == 5 and r["n_clamped"] == 0
+    assert r["mean_x1e6"] == math.floor(1e6 * (14 / 5))
+
+
+def test_holt_linear_matches_python_fold(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        holt_linear,
+    )
+
+    series = [10.0, 12.0, 9.0, 15.0, 14.0, 20.0, 18.0, 25.0]
+    rows = [Row(k="a", d=i, y=y) for i, y in enumerate(series)]
+    out = holt_linear(
+        spark.createDataFrame(rows), "k", "d", "y", alpha=0.5, beta=0.25
+    ).collect()[0]
+    l, b = series[0], 0.0
+    for y in series[1:]:
+        l_new = 0.5 * y + 0.5 * (l + b)
+        b = 0.25 * (l_new - l) + 0.75 * b
+        l = l_new
+    assert out["n_periods"] == len(series)
+    assert out["level_x1e6"] == math.floor(l * 1e6 + 0.5)
+    assert out["trend_x1e6"] == math.floor(b * 1e6 + 0.5)
+    assert out["forecast_h_x1e6"] == math.floor((l + 7.0 * b) * 1e6 + 0.5)
+
+
+def test_holt_linear_constant_series_flat_forecast(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        holt_linear,
+    )
+
+    rows = [Row(k="c", d=i, y=7.0) for i in range(10)]
+    out = holt_linear(spark.createDataFrame(rows), "k", "d", "y").collect()[0]
+    # constant input: level stays at the value, trend stays exactly 0
+    assert out["level_x1e6"] == 7_000_000
+    assert out["trend_x1e6"] == 0
+    assert out["forecast_h_x1e6"] == 7_000_000
