@@ -9436,6 +9436,81 @@ def q341_benford_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q342_logrank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm log-rank test (ops.temporal.log_rank_test; Mantel 1966)
+    of time-to-first-'error' between the even/odd user-id hash arms —
+    the inferential member of the survival family (q247 life table,
+    q268 KM, q299 Nelson-Aalen): same per-user collapse as q247, arm =
+    user_id % 2 (the q285 SRM arm split), hypergeometric E/V terms
+    floored per distinct failure day onto the 1e9 lattice, chi2 one
+    mirrored IEEE tree over the three published integers."""
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        log_rank_test,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_ns").alias("__first"),
+        F.max("ts_ns").alias("__last"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts_ns"))
+        ).alias("__fail"),
+    )
+    day_ns = 86_400_000_000_000
+    t_end = F.when(
+        F.col("__fail").isNotNull(),
+        F.expr(f"(__fail - __first) div {day_ns}"),
+    ).otherwise(F.expr(f"(__last - __first) div {day_ns}"))
+    subjects = per_user.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        t_end.cast("bigint").alias("t_end"),
+        F.col("__fail").isNotNull().alias("ev"),
+    )
+    return log_rank_test(subjects, "arm", "t_end", "ev")
+
+
+def q343_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage linear trend in proportions
+    (ops.stats.cochran_armitage; Cochran 1954 / Armitage 1955): does
+    the finished-status rate trend across the ORDERED order-priority
+    scale (score = the priority's leading digit, 1-URGENT .. 5-LOW)?
+    The 2xk companion to q312's Jonckheere — fully exact: the statistic
+    is one exact decimal(38,0) integer division, zero IEEE."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        cochran_armitage,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return cochran_armitage(
+        orders,
+        F.substring("o_orderpriority", 1, 1).cast("bigint"),
+        F.col("o_orderstatus") == "F",
+    )
+
+
+def q344_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test + MH common odds
+    ratio (ops.evaluation.cmh_test; Mantel-Haenszel 1959) on EXACTLY
+    q295's Simpson-screen cells (urgent-priority exposure, finished
+    outcome, order-year strata): q295 asks whether the association
+    SIGN reverses across strata; this publishes the pooled inferential
+    answer after controlling for them. Per-stratum hypergeometric
+    E/V/R/S terms floored onto the 1e9 lattice, chi2 and OR each one
+    mirrored IEEE tree over the published integers."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        cmh_test,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return cmh_test(
+        orders,
+        F.col("o_orderpriority").startswith("1"),
+        F.col("o_orderstatus") == "F",
+        F.year("o_orderdate").cast("bigint"),
+        strata_name="order_year",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9557,6 +9632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q339_fleiss_kappa": q339_fleiss_kappa,
         "q340_winsorized_mean": q340_winsorized_mean,
         "q341_benford_gof": q341_benford_gof,
+        "q342_logrank_arms": q342_logrank_arms,
+        "q343_cochran_armitage": q343_cochran_armitage,
+        "q344_cmh_test": q344_cmh_test,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -18073,5 +18151,174 @@ def oracle_sql() -> dict[str, str]:
                   * 1000000) // (n * p9 * 1000000000)
                ) AS BIGINT) AS chi2_x1e6
         FROM per
+    """
+
+    # q342 mirrors q247's per-user survival collapse with the q285-style
+    # even/odd arm split; hypergeometric E/V contributions are floored
+    # per distinct failure day onto the 1e9 lattice in HUGEINT (all
+    # operands nonnegative, so // == Spark's decimal div), and the chi2
+    # is the IDENTICAL IEEE tree over the three published BIGINTs on
+    # both engines.
+    out["q342_logrank_arms"] = """
+        WITH pu AS (
+          SELECT user_id, MIN(epoch_ns(ts)) AS first_t,
+                 MAX(epoch_ns(ts)) AS last_t,
+                 MIN(CASE WHEN event_type = 'error'
+                     THEN epoch_ns(ts) END) AS fail_t
+          FROM events GROUP BY 1),
+        u AS (
+          SELECT CAST(user_id % 2 AS INTEGER) AS g,
+                 CAST(CASE WHEN fail_t IS NOT NULL
+                      THEN (fail_t - first_t) // 86400000000000
+                      ELSE (last_t - first_t) // 86400000000000 END
+                      AS BIGINT) AS t_end,
+                 (fail_t IS NOT NULL) AS ev
+          FROM pu),
+        d AS (
+          SELECT t_end,
+                 CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS end1,
+                 CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS end0,
+                 CAST(SUM(CASE WHEN ev AND g = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d1,
+                 CAST(SUM(CASE WHEN ev AND g = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d0
+          FROM u GROUP BY 1),
+        r AS (
+          SELECT t_end, d1, d0,
+                 CAST(SUM(end1) OVER (ORDER BY t_end DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n1,
+                 CAST(SUM(end0) OVER (ORDER BY t_end DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n0
+          FROM d),
+        terms AS (
+          SELECT d1, d0,
+                 (CAST(d1 + d0 AS HUGEINT) * CAST(n1 AS HUGEINT)
+                  * 1000000000) // CAST(n1 + n0 AS HUGEINT) AS e_term,
+                 CASE WHEN n1 + n0 > 1 THEN
+                   (CAST(d1 + d0 AS HUGEINT)
+                    * (CAST(n1 + n0 AS HUGEINT)
+                       - CAST(d1 + d0 AS HUGEINT))
+                    * CAST(n1 AS HUGEINT) * CAST(n0 AS HUGEINT)
+                    * 1000000000)
+                   // (CAST(n1 + n0 AS HUGEINT) * CAST(n1 + n0 AS HUGEINT)
+                       * (CAST(n1 + n0 AS HUGEINT) - 1))
+                 ELSE CAST(0 AS HUGEINT) END AS v_term
+          FROM r WHERE d1 + d0 > 0),
+        sz AS (
+          SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_subjects_g1,
+                 CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_subjects_g0
+          FROM u),
+        agg AS (
+          SELECT CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o1,
+                 CAST(COALESCE(SUM(e_term), 0) AS BIGINT) AS e1_x1e9,
+                 CAST(COALESCE(SUM(v_term), 0) AS BIGINT) AS var_x1e9
+          FROM terms)
+        SELECT n_subjects_g1, n_subjects_g0, o1, e1_x1e9, var_x1e9,
+               CASE WHEN var_x1e9 <= 0 THEN NULL
+                    ELSE CAST(floor(
+                      (CAST(o1 AS DOUBLE)
+                       - CAST(e1_x1e9 AS DOUBLE) / 1000000000.0)
+                      * (CAST(o1 AS DOUBLE)
+                         - CAST(e1_x1e9 AS DOUBLE) / 1000000000.0)
+                      / (CAST(var_x1e9 AS DOUBLE) / 1000000000.0)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS chi2_x1e6
+        FROM sz CROSS JOIN agg
+    """
+
+    # q343: fully exact Cochran-Armitage — the statistic is one HUGEINT
+    # integer division, zero IEEE on either engine.
+    out["q343_cochran_armitage"] = """
+        WITH base AS (
+          SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+                 (o_orderstatus = 'F') AS y
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL
+            AND o_orderstatus IS NOT NULL),
+        agg AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+                 CAST(SUM(s) AS HUGEINT) AS sn,
+                 CAST(SUM(s * s) AS HUGEINT) AS s2n,
+                 CAST(SUM(CASE WHEN y THEN s ELSE 0 END) AS HUGEINT) AS sx
+          FROM base),
+        t AS (
+          SELECT n, x,
+                 n * sx - x * sn AS a,
+                 n * s2n - sn * sn AS b,
+                 x * (n - x) AS xq
+          FROM agg)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(x AS BIGINT) AS successes,
+               CAST(a AS BIGINT) AS trend_num,
+               CASE WHEN xq <= 0 OR b <= 0 THEN NULL
+                    ELSE CAST((a * a * n * 1000000) // (xq * b)
+                              AS BIGINT) END AS chi2_x1e6
+        FROM t
+    """
+
+    # q344 builds EXACTLY q295's cells (urgent exposure, finished
+    # outcome, order-year strata); per-stratum E/V/R/S floors on the
+    # 1e9 lattice (all operands nonnegative, // == Spark decimal div),
+    # chi2/OR from the published BIGINTs via identical IEEE trees.
+    out["q344_cmh_test"] = """
+        WITH cells AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS stratum,
+                 CAST(SUM(CASE WHEN o_orderpriority LIKE '1%'
+                          AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                      AS HUGEINT) AS a,
+                 CAST(SUM(CASE WHEN o_orderpriority LIKE '1%'
+                          AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                      AS HUGEINT) AS b,
+                 CAST(SUM(CASE WHEN o_orderpriority NOT LIKE '1%'
+                          AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                      AS HUGEINT) AS c,
+                 CAST(SUM(CASE WHEN o_orderpriority NOT LIKE '1%'
+                          AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                      AS HUGEINT) AS d
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+            AND o_orderstatus IS NOT NULL
+          GROUP BY 1),
+        terms AS (
+          SELECT a,
+                 ((a + b) * (a + c) * 1000000000) // (a + b + c + d)
+                   AS e_term,
+                 CASE WHEN a + b + c + d > 1 THEN
+                   ((a + b) * (c + d) * (a + c) * (b + d) * 1000000000)
+                   // ((a + b + c + d) * (a + b + c + d)
+                       * (a + b + c + d - 1))
+                 ELSE CAST(0 AS HUGEINT) END AS v_term,
+                 (a * d * 1000000000) // (a + b + c + d) AS r_term,
+                 (b * c * 1000000000) // (a + b + c + d) AS s_term
+          FROM cells),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                 CAST(COALESCE(SUM(a), 0) AS BIGINT) AS sum_a,
+                 CAST(COALESCE(SUM(e_term), 0) AS BIGINT) AS e_x1e9,
+                 CAST(COALESCE(SUM(v_term), 0) AS BIGINT) AS var_x1e9,
+                 CAST(COALESCE(SUM(r_term), 0) AS BIGINT) AS r9,
+                 CAST(COALESCE(SUM(s_term), 0) AS BIGINT) AS s9
+          FROM terms)
+        SELECT n_strata, sum_a, e_x1e9, var_x1e9,
+               CASE WHEN var_x1e9 <= 0 THEN NULL
+                    ELSE CAST(floor(
+                      (CAST(sum_a AS DOUBLE)
+                       - CAST(e_x1e9 AS DOUBLE) / 1000000000.0)
+                      * (CAST(sum_a AS DOUBLE)
+                         - CAST(e_x1e9 AS DOUBLE) / 1000000000.0)
+                      / (CAST(var_x1e9 AS DOUBLE) / 1000000000.0)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS cmh_chi2_x1e6,
+               CASE WHEN s9 <= 0 THEN NULL
+                    ELSE CAST(floor(CAST(r9 AS DOUBLE)
+                              / CAST(s9 AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) END
+                 AS mh_or_x1e6
+        FROM agg
     """
     return out

@@ -318,6 +318,9 @@ HEADLINE = [
     "q339_fleiss_kappa",
     "q340_winsorized_mean",
     "q341_benford_gof",
+    "q342_logrank_arms",
+    "q343_cochran_armitage",
+    "q344_cmh_test",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -53,6 +53,7 @@ __all__ = [
     "simpson_screen",
     "bh_step_up",
     "fleiss_kappa_binary",
+    "cmh_test",
 ]
 
 
@@ -708,4 +709,134 @@ def fleiss_kappa_binary(
             ).cast("bigint")
         )
         .alias("kappa_x1e6"),
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    exposure: Column,
+    outcome: Column,
+    strata: Column,
+    *,
+    strata_name: str = "stratum",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test + MH common odds
+    ratio (Mantel & Haenszel JNCI 1959; Cochran 1954) — the inferential
+    companion to :func:`simpson_screen` on the SAME cells: after
+    controlling for the stratum, is there a common exposure-outcome
+    association, and what is its pooled odds ratio?
+
+    Exact-arithmetic derivation: per stratum with 2x2 counts a,b,c,d
+    (a = exposed & outcome) and n = a+b+c+d,
+
+        ``E-term  = (a+b)(a+c) / n``
+        ``V-term  = (a+b)(c+d)(a+c)(b+d) / (n^2 (n-1))``
+        ``R-term  = a*d / n``,  ``S-term = b*c / n``  (MH odds ratio)
+
+    each floored per stratum onto the 1e9 lattice in decimal(38,0) (the
+    q292/q342 per-term discipline; truncation < 1e-9 per stratum), sums
+    exact integers. chi2 = (sum a - sum E)^2 / sum V and OR = R/S are
+    each ONE mirrored IEEE tree over the published integers. Magnitude
+    contract: n^4/16 * 1e9 per V-term numerator -> stratum size below
+    ~2e7 rows for decimal(38,0); loud ANSI overflow beyond.
+
+    Scale posture: ONE map-side-combined groupBy(stratum) builds the
+    cells; everything after runs on the strata-count table.
+
+    Output: ONE row — ``n_strata, sum_a, e_x1e9, var_x1e9,
+    cmh_chi2_x1e6`` (NULL when sum V = 0) ``, mh_or_x1e6`` (NULL when
+    S = 0).
+    """
+    dec = "decimal(38,0)"
+    cells = (
+        df.select(
+            strata.alias(strata_name),
+            exposure.cast("boolean").alias("__e"),
+            outcome.cast("boolean").alias("__o"),
+        )
+        .filter(
+            F.col(strata_name).isNotNull()
+            & F.col("__e").isNotNull()
+            & F.col("__o").isNotNull()
+        )
+        .groupBy(strata_name)
+        .agg(
+            F.sum(F.when(F.col("__e") & F.col("__o"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__a"),
+            F.sum(F.when(F.col("__e") & ~F.col("__o"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__b"),
+            F.sum(F.when(~F.col("__e") & F.col("__o"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__c"),
+            F.sum(F.when(~F.col("__e") & ~F.col("__o"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__d"),
+        )
+    )
+    n_expr = "(CAST(__a AS decimal(38,0)) + __b + __c + __d)"
+    e_term = F.expr(
+        f"CAST((CAST(__a AS {dec}) + __b) * (CAST(__a AS {dec}) + __c)"
+        f" * CAST({int(scale)} AS {dec}) AS {dec}) div {n_expr}"
+    )
+    v_term = F.when(
+        (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")) > 1,
+        F.expr(
+            f"CAST((CAST(__a AS {dec}) + __b) * (CAST(__c AS {dec}) + __d)"
+            f" * (CAST(__a AS {dec}) + __c) * (CAST(__b AS {dec}) + __d)"
+            f" * CAST({int(scale)} AS {dec}) AS {dec})"
+            f" div CAST({n_expr} * {n_expr} * ({n_expr} - 1) AS {dec})"
+        ),
+    ).otherwise(F.lit(0).cast(dec))
+    r_term = F.expr(
+        f"CAST(CAST(__a AS {dec}) * __d * CAST({int(scale)} AS {dec})"
+        f" AS {dec}) div {n_expr}"
+    )
+    s_term = F.expr(
+        f"CAST(CAST(__b AS {dec}) * __c * CAST({int(scale)} AS {dec})"
+        f" AS {dec}) div {n_expr}"
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.coalesce(F.sum("__a"), F.lit(0)).cast("bigint").alias("sum_a"),
+        F.coalesce(F.sum(e_term), F.lit(0).cast(dec))
+        .cast("bigint")
+        .alias("e_x1e9"),
+        F.coalesce(F.sum(v_term), F.lit(0).cast(dec))
+        .cast("bigint")
+        .alias("var_x1e9"),
+        F.coalesce(F.sum(r_term), F.lit(0).cast(dec))
+        .cast("bigint")
+        .alias("__r9"),
+        F.coalesce(F.sum(s_term), F.lit(0).cast(dec))
+        .cast("bigint")
+        .alias("__s9"),
+    )
+    num = (
+        F.col("sum_a").cast("double")
+        - F.col("e_x1e9").cast("double") / F.lit(1.0e9)
+    )
+    chi2 = num * num / (F.col("var_x1e9").cast("double") / F.lit(1.0e9))
+    return agg.select(
+        "n_strata",
+        "sum_a",
+        "e_x1e9",
+        "var_x1e9",
+        F.when(F.col("var_x1e9") <= 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(chi2 * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("cmh_chi2_x1e6"),
+        F.when(F.col("__s9") <= 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.col("__r9").cast("double")
+                / F.col("__s9").cast("double")
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("mh_or_x1e6"),
     )

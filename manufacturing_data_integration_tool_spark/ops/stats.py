@@ -69,6 +69,7 @@ __all__ = [
     "gini_coefficient",
     "trimmed_mean",
     "winsorized_mean",
+    "cochran_armitage",
     "eb_shrunk_rates",
     "loglog_slope",
     "kruskal_wallis",
@@ -3190,4 +3191,90 @@ def winsorized_mean(
         )
         .cast("bigint")
         .alias("mean_x1e6"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: Column | str,
+    outcome_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cochran-Armitage test for linear trend in proportions (Cochran
+    Biometrics 1954; Armitage Biometrics 1955): does a binary outcome
+    rate move monotonically with an ORDERED integer exposure score? The
+    2xk companion to q312's Jonckheere-Terpstra (which orders a
+    CONTINUOUS response) and the inferential upgrade of a per-category
+    rate table.
+
+    Fully exact arithmetic — no IEEE anywhere: with per-category
+    integer counts ``n_i`` (rows at score s_i) and ``x_i`` (successes),
+    ``N = sum n_i``, ``X = sum x_i``,
+
+        ``A   = N*sum(s_i x_i) - X*sum(s_i n_i)``        (trend numerator)
+        ``B   = N*sum(s_i^2 n_i) - (sum(s_i n_i))^2``    (score spread)
+        ``Z^2 = A^2 * N / (X*(N-X) * B)``
+
+    every quantity is an exact decimal(38,0) integer and the statistic
+    publishes as ONE exact integer division on the x1e6 lattice.
+    Magnitude contract: A^2*N <= s_max^2*N^5 must stay below 1e38
+    (s_max = 5, N <= ~3e6 for the default scores; loud ANSI overflow
+    beyond — the jarque_bera pattern).
+
+    Scale posture: ONE map-side-combined global aggregate over the fact
+    table (scores enter as expressions, categories never materialize).
+
+    Output: ONE row — ``n, successes, trend_num`` (A, sign = direction
+    of the trend) ``, chi2_x1e6`` (NULL when X = 0, X = N, or B = 0:
+    degenerate outcome or single category).
+    """
+    s = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast("bigint")
+    y = (
+        F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    ).cast("boolean")
+    dec = "decimal(38,0)"
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast(dec).alias("__x"),
+        F.sum(F.col("__s").cast(dec)).cast(dec).alias("__sn"),
+        F.sum(F.col("__s").cast(dec) * F.col("__s")).cast(dec).alias("__s2n"),
+        F.sum(F.when(F.col("__y"), F.col("__s")).otherwise(0).cast(dec))
+        .cast(dec)
+        .alias("__sx"),
+    )
+    a = (F.col("__n") * F.col("__sx") - F.col("__x") * F.col("__sn")).cast(
+        dec
+    )
+    b = (
+        F.col("__n") * F.col("__s2n") - F.col("__sn") * F.col("__sn")
+    ).cast(dec)
+    staged = agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__x").cast("bigint").alias("successes"),
+        a.alias("__a"),
+        b.alias("__b"),
+        (F.col("__x") * (F.col("__n") - F.col("__x"))).cast(dec).alias("__xq"),
+    )
+    return staged.select(
+        "n",
+        "successes",
+        F.col("__a").cast("bigint").alias("trend_num"),
+        F.when(
+            (F.col("__xq") <= 0) | (F.col("__b") <= 0),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.expr(
+                f"CAST(CAST(__a * __a AS {dec}) * CAST(n AS {dec})"
+                f" * CAST({int(scale)} AS {dec}) AS {dec})"
+                f" div CAST(__xq * __b AS {dec})"
+            )
+        )
+        .alias("chi2_x1e6"),
     )

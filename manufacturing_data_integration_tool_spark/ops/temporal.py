@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak", "interval_concurrency", "twap", "window_funnel", "holt_linear"]
+__all__ = ["asof_join", "range_join", "time_rollup", "rolling_time_agg", "group_trend", "longest_daily_streak", "interval_concurrency", "twap", "window_funnel", "holt_linear", "log_rank_test"]
 
 
 def asof_join(
@@ -547,4 +547,150 @@ def holt_linear(
         pub(lev).alias("level_x1e6"),
         pub(tr).alias("trend_x1e6"),
         pub(lev + F.lit(float(horizon)) * tr).alias("forecast_h_x1e6"),
+    )
+
+
+def log_rank_test(
+    subjects: DataFrame,
+    group_col: Column | str,
+    t_col: str,
+    event_col: str,
+    *,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Two-arm log-rank test (Mantel 1966; Peto & Peto JRSS-A 1972) on a
+    per-subject survival table — the inferential member of the survival
+    family (q247 life table, q268 Kaplan-Meier, q299 Nelson-Aalen):
+    does arm 1's time-to-failure distribution differ from arm 0's?
+
+    Input: one row per subject — ``group_col`` (0/1 int), ``t_col``
+    (integer end time, e.g. days of follow-up) and ``event_col``
+    (true = failure observed at t, false = right-censored at t).
+
+    Exact-arithmetic derivation: at each distinct failure time t the
+    hypergeometric contribution of arm 1 is
+
+        ``E-term  = d * n1 / n``
+        ``V-term  = d * (n - d) * n1 * n0 / (n^2 * (n - 1))``
+
+    with d total failures at t and n/n1/n0 the at-risk counts (suffix
+    sums over the calendar-bounded day axis, the q247 pattern — the
+    unpartitioned windows run over day-count rows, never subjects).
+    Each term is floored onto the declared 1e9 lattice in decimal(38,0)
+    (per-term floors, the q292 discipline; truncation < 1e-9 per
+    distinct failure time), the sums are exact integers, and the
+    statistic chi2 = (O1 - E1)^2 / V is ONE mirrored IEEE tree over the
+    three published integers — both engines compute it from identical
+    BIGINT inputs, so the hash cannot drift.
+
+    Magnitude contract: per-term numerators reach d*(n-d)*n1*n0*1e9 <=
+    N^4/16 * 1e9, so N (subjects) must stay below ~2e7 for
+    decimal(38,0); beyond that ANSI overflow fails LOUDLY (the
+    jarque_bera contract pattern).
+
+    Output: ONE row — ``n_subjects_g1, n_subjects_g0, o1, e1_x1e9,
+    var_x1e9, chi2_x1e6`` (chi2 NULL when V = 0: no comparable risk
+    sets, e.g. one arm empty or a single failure time exhausting n).
+    """
+    g = (F.col(group_col) if isinstance(group_col, str) else group_col).cast(
+        "int"
+    )
+    base = subjects.select(
+        g.alias("__g"),
+        F.col(t_col).cast("bigint").alias("__t"),
+        F.col(event_col).cast("boolean").alias("__ev"),
+    ).filter(
+        F.col("__g").isin(0, 1)
+        & F.col("__t").isNotNull()
+        & F.col("__ev").isNotNull()
+    )
+    days = base.groupBy("__t").agg(
+        F.sum(F.when(F.col("__g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__end1"),
+        F.sum(F.when(F.col("__g") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__end0"),
+        F.sum(
+            F.when(F.col("__ev") & (F.col("__g") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__d1"),
+        F.sum(
+            F.when(F.col("__ev") & (F.col("__g") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__d0"),
+    )
+    # at-risk suffix sums: the day axis is calendar-bounded, so this
+    # unpartitioned window runs over tens-to-hundreds of rows, not data
+    w = Window.orderBy(F.desc("__t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = days.select(
+        "__t",
+        "__d1",
+        "__d0",
+        F.sum("__end1").over(w).cast("bigint").alias("__n1"),
+        F.sum("__end0").over(w).cast("bigint").alias("__n0"),
+    )
+    dec = "decimal(38,0)"
+    ev_times = risk.filter((F.col("__d1") + F.col("__d0")) > 0)
+    d = (F.col("__d1") + F.col("__d0")).cast(dec)
+    n1, n0 = F.col("__n1").cast(dec), F.col("__n0").cast(dec)
+    n = (n1 + n0).cast(dec)
+    sc = F.lit(int(scale)).cast(dec)
+    e_term = F.expr(
+        f"CAST((CAST(__d1 + __d0 AS {dec}) * CAST(__n1 AS {dec})"
+        f" * CAST({int(scale)} AS {dec})) AS {dec})"
+        f" div CAST(__n1 + __n0 AS {dec})"
+    )
+    v_term = F.when(
+        (F.col("__n1") + F.col("__n0")) > 1,
+        F.expr(
+            f"CAST((CAST(__d1 + __d0 AS {dec})"
+            f" * (CAST(__n1 + __n0 AS {dec}) - CAST(__d1 + __d0 AS {dec}))"
+            f" * CAST(__n1 AS {dec}) * CAST(__n0 AS {dec})"
+            f" * CAST({int(scale)} AS {dec})) AS {dec})"
+            f" div CAST(CAST(__n1 + __n0 AS {dec}) * CAST(__n1 + __n0 AS {dec})"
+            f" * (CAST(__n1 + __n0 AS {dec}) - 1) AS {dec})"
+        ),
+    ).otherwise(F.lit(0).cast(dec))
+    _ = (d, n1, n0, n, sc)  # documented identities of the SQL-expr terms
+    sizes = base.groupBy().agg(
+        F.sum(F.when(F.col("__g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_subjects_g1"),
+        F.sum(F.when(F.col("__g") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_subjects_g0"),
+    )
+    agg = ev_times.agg(
+        F.coalesce(F.sum("__d1"), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum(e_term), F.lit(0).cast(dec))
+        .cast("bigint")
+        .alias("e1_x1e9"),
+        F.coalesce(F.sum(v_term), F.lit(0).cast(dec))
+        .cast("bigint")
+        .alias("var_x1e9"),
+    )
+    out = sizes.crossJoin(F.broadcast(agg))
+    num = (
+        F.col("o1").cast("double")
+        - F.col("e1_x1e9").cast("double") / F.lit(1.0e9)
+    )
+    chi2 = (
+        num * num / (F.col("var_x1e9").cast("double") / F.lit(1.0e9))
+    )
+    return out.select(
+        "n_subjects_g1",
+        "n_subjects_g0",
+        "o1",
+        "e1_x1e9",
+        "var_x1e9",
+        F.when(F.col("var_x1e9") <= 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(chi2 * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("chi2_x1e6"),
     )

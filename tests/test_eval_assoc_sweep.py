@@ -677,3 +677,106 @@ def test_fleiss_kappa_degenerate_cases(spark):
     split = spark.createDataFrame([(3,)] * 4 + [(0,)] * 4, "r int")
     r2 = fleiss_kappa_binary(split, "r", 3).collect()[0]
     assert r2["kappa_x1e6"] == 1_000_000
+
+
+def test_cochran_armitage_matches_textbook(spark):
+    import math
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        cochran_armitage,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for s, p in [(1, 0.2), (2, 0.35), (3, 0.5), (4, 0.6), (5, 0.8)]:
+        rows += [(s, rng.random() < p) for _ in range(60)]
+    df = spark.createDataFrame(rows, "s bigint, y boolean")
+    out = cochran_armitage(df, "s", "y").collect()[0]
+    n = len(rows)
+    x = sum(1 for _, y in rows if y)
+    sn = sum(s for s, _ in rows)
+    s2n = sum(s * s for s, _ in rows)
+    sx = sum(s for s, y in rows if y)
+    a = n * sx - x * sn
+    b = n * s2n - sn * sn
+    assert out["n"] == n and out["successes"] == x
+    assert out["trend_num"] == a
+    assert out["chi2_x1e6"] == a * a * n * 10**6 // (x * (n - x) * b)
+    # sanity vs the float z^2 form
+    z2 = (a / n) ** 2 / ((x / n) * (1 - x / n) * b / n)
+    assert abs(out["chi2_x1e6"] / 1e6 - z2) < 1e-4
+    # strong synthetic trend must be loudly significant
+    assert out["chi2_x1e6"] > 30_000_000
+
+
+def test_cochran_armitage_degenerate_null(spark):
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        cochran_armitage,
+    )
+
+    # all-success outcome and single-category score both NULL out
+    allY = spark.createDataFrame([(1, True), (2, True)], "s bigint, y boolean")
+    assert cochran_armitage(allY, "s", "y").collect()[0]["chi2_x1e6"] is None
+    oneS = spark.createDataFrame(
+        [(3, True), (3, False), (3, True)], "s bigint, y boolean"
+    )
+    assert cochran_armitage(oneS, "s", "y").collect()[0]["chi2_x1e6"] is None
+
+
+def test_cmh_matches_bruteforce(spark):
+    import math
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        cmh_test,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for k in range(4):
+        base = 0.25 + 0.1 * k
+        for _ in range(150):
+            e = rng.random() < 0.4
+            o = rng.random() < (base + (0.25 if e else 0.0))
+            rows.append((k, e, o))
+    df = spark.createDataFrame(rows, "k bigint, e boolean, o boolean")
+    out = cmh_test(
+        df, F.col("e"), F.col("o"), F.col("k"), strata_name="k"
+    ).collect()[0]
+    sum_a = e9 = v9 = r9 = s9 = 0
+    for k in range(4):
+        a = sum(1 for kk, e, o in rows if kk == k and e and o)
+        b = sum(1 for kk, e, o in rows if kk == k and e and not o)
+        c = sum(1 for kk, e, o in rows if kk == k and not e and o)
+        d = sum(1 for kk, e, o in rows if kk == k and not e and not o)
+        n = a + b + c + d
+        sum_a += a
+        e9 += (a + b) * (a + c) * 10**9 // n
+        v9 += (a + b) * (c + d) * (a + c) * (b + d) * 10**9 // (n * n * (n - 1))
+        r9 += a * d * 10**9 // n
+        s9 += b * c * 10**9 // n
+    assert out["n_strata"] == 4 and out["sum_a"] == sum_a
+    assert out["e_x1e9"] == e9 and out["var_x1e9"] == v9
+    chi2 = (sum_a - e9 / 1e9) ** 2 / (v9 / 1e9)
+    assert out["cmh_chi2_x1e6"] == math.floor(chi2 * 1e6 + 0.5)
+    assert out["mh_or_x1e6"] == math.floor(r9 / s9 * 1e6 + 0.5)
+    # planted uplift: pooled OR must exceed 1, chi2 loudly significant
+    assert out["mh_or_x1e6"] > 1_000_000
+    assert out["cmh_chi2_x1e6"] > 10_000_000
+
+
+def test_cmh_single_stratum_equals_unstratified(spark):
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        cmh_test,
+    )
+
+    rows = [(0, e, o) for e in (True, False) for o in (True, False)
+            for _ in range(5)]
+    df = spark.createDataFrame(rows, "k bigint, e boolean, o boolean")
+    r = cmh_test(
+        df, F.col("e"), F.col("o"), F.col("k"), strata_name="k"
+    ).collect()[0]
+    # balanced 2x2: a=b=c=d=5 -> OR exactly 1, chi2 exactly 0
+    assert r["mh_or_x1e6"] == 1_000_000
+    assert r["cmh_chi2_x1e6"] == 0

@@ -1885,3 +1885,57 @@ def test_holt_linear_constant_series_flat_forecast(spark):
     assert out["level_x1e6"] == 7_000_000
     assert out["trend_x1e6"] == 0
     assert out["forecast_h_x1e6"] == 7_000_000
+
+
+def test_log_rank_matches_bruteforce(spark):
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        log_rank_test,
+    )
+
+    rng = random.Random(20260816)
+    subj = [
+        (rng.randint(0, 1), rng.randint(0, 12), rng.random() < 0.6)
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(subj, "g int, t bigint, ev boolean")
+    out = log_rank_test(df, "g", "t", "ev").collect()[0]
+    # brute-force hypergeometric O/E/V over distinct failure times
+    times = sorted({t for _, t, e in subj if e})
+    o1 = e1 = v = 0.0
+    e1_int = v_int = 0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in subj if g == 1 and tt >= t)
+        n0 = sum(1 for g, tt, _ in subj if g == 0 and tt >= t)
+        d1 = sum(1 for g, tt, e in subj if g == 1 and tt == t and e)
+        d0 = sum(1 for g, tt, e in subj if g == 0 and tt == t and e)
+        d, n = d1 + d0, n1 + n0
+        o1 += d1
+        e1 += d * n1 / n
+        e1_int += d * n1 * 10**9 // n
+        if n > 1:
+            v += d * (n - d) * n1 * n0 / (n * n * (n - 1))
+            v_int += d * (n - d) * n1 * n0 * 10**9 // (n * n * (n - 1))
+    assert out["o1"] == int(o1)
+    assert out["e1_x1e9"] == e1_int
+    assert out["var_x1e9"] == v_int
+    chi2 = (out["o1"] - out["e1_x1e9"] / 1e9) ** 2 / (out["var_x1e9"] / 1e9)
+    assert out["chi2_x1e6"] == math.floor(chi2 * 1e6 + 0.5)
+    # lattice vs float recompute stays within the per-term truncation
+    assert abs(e1_int / 1e9 - e1) < 1e-6 * len(times)
+    assert abs(v_int / 1e9 - v) < 1e-6 * len(times)
+
+
+def test_log_rank_single_arm_is_null(spark):
+    from manufacturing_data_integration_tool_spark.ops.temporal import (
+        log_rank_test,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 3, True), (1, 5, True), (1, 7, False)],
+        "g int, t bigint, ev boolean",
+    )
+    r = log_rank_test(df, "g", "t", "ev").collect()[0]
+    # one empty arm: every V-term is 0 -> statistic undefined
+    assert r["n_subjects_g0"] == 0 and r["chi2_x1e6"] is None
