@@ -9511,6 +9511,63 @@ def q344_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q345_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha reliability (ops.evaluation.cronbach_alpha;
+    Psychometrika 1951) of the SAME three document-quality screens as
+    q298/q339 treated as a 3-item scale: Cochran Q asks if the screens
+    pass at the same rate, Fleiss how much they agree per doc — alpha
+    asks whether they measure ONE underlying quality construct. Exact
+    integer variance numerators (shared n^2 cancels), one mirrored
+    IEEE tree."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        cronbach_alpha,
+    )
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        char_entropy,
+        flesch_reading_ease,
+        gopher_quality_flags,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = gopher_quality_flags(docs, min_words=30, min_stopword_hits=1).select(
+        "doc_id", F.col("passes_gopher").cast("int").alias("__a")
+    )
+    b = flesch_reading_ease(docs, "text").select(
+        "doc_id", (F.col("flesch_x1000") >= 50_000).cast("int").alias("__b")
+    )
+    c = char_entropy(docs).select(
+        "doc_id", (F.col("char_entropy") >= 3.0).cast("int").alias("__c")
+    )
+    items = (
+        a.join(b, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("__a"), F.lit(0)).alias("gopher"),
+            F.coalesce(F.col("__b"), F.lit(0)).alias("flesch"),
+            F.coalesce(F.col("__c"), F.lit(0)).alias("entropy"),
+        )
+    )
+    return cronbach_alpha(items, ["gopher", "flesch", "entropy"])
+
+
+def q346_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise quadratic-kernel MMD^2 between label groups of the
+    embedding corpus (ops.similarity.mmd2_quadratic; Gretton JMLR
+    2012): distribution-level embedding drift from SECOND MOMENTS
+    only — the kernel choice that collapses MMD to ||M_A - M_B||_F^2
+    over per-group moment matrices, so the statistic is one linear
+    moment pass + a tiny grid join, never an all-pairs kernel sum
+    (the q252 norm profile's distributional upgrade)."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        mmd2_quadratic,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return mmd2_quadratic(emb, "label", "embedding", dim=64).orderBy(
+        "g_a", "g_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9635,6 +9692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q342_logrank_arms": q342_logrank_arms,
         "q343_cochran_armitage": q343_cochran_armitage,
         "q344_cmh_test": q344_cmh_test,
+        "q345_cronbach_alpha": q345_cronbach_alpha,
+        "q346_embedding_mmd": q346_embedding_mmd,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -18320,5 +18379,104 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0 + 0.5) AS BIGINT) END
                  AS mh_or_x1e6
         FROM agg
+    """
+
+    # q345 composes the SAME three screen CTEs as q298/q339 (binary
+    # items, so Q_i = S_i); V/T are exact integers with the shared n^2
+    # factor cancelled, alpha is the identical IEEE tree on both sides.
+    out["q345_cronbach_alpha"] = f"""
+        WITH g AS ({out["q150_gopher_quality"]}),
+        fl AS (
+          SELECT doc_id,
+                 CASE WHEN CAST(len(regexp_extract_all(lower(text),
+                            '[a-z]+')) AS BIGINT) > 0
+                      THEN (CAST(floor((CAST(206.835 AS DOUBLE)
+                        - CAST(1.015 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)
+                             / CAST(GREATEST(1,
+                                 len(regexp_extract_all(text, '[.!?]+')))
+                                 AS DOUBLE))
+                        - CAST(84.6 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(lower(text),
+                                 '[aeiouy]+')) AS DOUBLE)
+                             / CAST(len(regexp_extract_all(lower(text),
+                                 '[a-z]+')) AS DOUBLE)))
+                        * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+                        >= 50000)
+                      ELSE false END AS b
+          FROM documents),
+        en AS (SELECT doc_id, (char_entropy >= 3.0) AS c
+               FROM ({out["q151_char_entropy"]})),
+        j AS (SELECT CAST(g.passes_gopher AS INTEGER) AS a,
+                     CAST(COALESCE(fl.b, false) AS INTEGER) AS b,
+                     CAST(COALESCE(en.c, false) AS INTEGER) AS c
+              FROM g
+              LEFT JOIN fl USING (doc_id)
+              LEFT JOIN en USING (doc_id)),
+        agg AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(a) AS HUGEINT) AS sa,
+                 CAST(SUM(b) AS HUGEINT) AS sb,
+                 CAST(SUM(c) AS HUGEINT) AS sc,
+                 CAST(SUM(a + b + c) AS HUGEINT) AS t,
+                 CAST(SUM((a + b + c) * (a + b + c)) AS HUGEINT) AS b2
+          FROM j),
+        vt AS (
+          SELECT n,
+                 (n * sa - sa * sa) + (n * sb - sb * sb)
+                   + (n * sc - sc * sc) AS v,
+                 n * b2 - t * t AS t2
+          FROM agg)
+        SELECT CAST(n AS BIGINT) AS n_subjects,
+               CAST(3 AS BIGINT) AS n_items,
+               CAST(v AS BIGINT) AS items_var_num,
+               CAST(t2 AS BIGINT) AS total_var_num,
+               CASE WHEN t2 <= 0 THEN NULL
+                    ELSE CAST(floor(
+                      CAST(3.0 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                      * (CAST(1.0 AS DOUBLE)
+                         - CAST(v AS DOUBLE) / CAST(t2 AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS alpha_x1e6
+        FROM vt
+    """
+
+    # q346: MMD^2 with the quadratic kernel from per-label second-moment
+    # grids — vectors quantize onto the 1e-6 lattice (exact HUGEINT
+    # cell sums == Spark's decimal(38,0)), each of the 64^2 cells
+    # contributes the identical IEEE tree floored onto the x1e12
+    # original-unit lattice, sums exact.
+    out["q346_embedding_mmd"] = """
+        WITH base AS (
+          SELECT label AS g,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS vq
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
+            AND label IS NOT NULL),
+        idx AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 65) t(i)),
+        cells AS (
+          SELECT g, ii.i AS i, jj.i AS j,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(vq[ii.i] AS HUGEINT) * vq[jj.i])
+                      AS HUGEINT) AS s
+          FROM base CROSS JOIN idx ii CROSS JOIN idx jj
+          GROUP BY 1, 2, 3),
+        pairs AS (
+          SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+                 CAST(floor(
+                   (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                    - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                   * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                      - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                   / 1000000000000.0 + 0.5) AS BIGINT) AS term
+          FROM cells a JOIN cells b
+            ON a.i = b.i AND a.j = b.j AND a.g < b.g)
+        SELECT g_a, g_b,
+               CAST(MAX(n_a) AS BIGINT) AS n_a,
+               CAST(MAX(n_b) AS BIGINT) AS n_b,
+               CAST(SUM(term) AS BIGINT) AS mmd2_x1e12
+        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
     """
     return out

@@ -321,6 +321,8 @@ HEADLINE = [
     "q342_logrank_arms",
     "q343_cochran_armitage",
     "q344_cmh_test",
+    "q345_cronbach_alpha",
+    "q346_embedding_mmd",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -54,6 +54,7 @@ __all__ = [
     "bh_step_up",
     "fleiss_kappa_binary",
     "cmh_test",
+    "cronbach_alpha",
 ]
 
 
@@ -839,4 +840,90 @@ def cmh_test(
             ).cast("bigint")
         )
         .alias("mh_or_x1e6"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability (Cronbach,
+    Psychometrika 1951) over k integer-valued item columns — the
+    agreement family's reliability member (q257 Cohen, q298 Cochran Q,
+    q339 Fleiss): do the k quality screens measure ONE underlying
+    construct?
+
+    Exact-arithmetic derivation (population variances; n subjects,
+    S_i = sum item_i, Q_i = sum item_i^2, A = sum total, B = sum
+    total^2):
+
+        ``V = sum_i (n*Q_i - S_i^2)``      (n^2 x summed item variances)
+        ``T = n*B - A^2``                  (n^2 x total-score variance)
+        ``alpha = k/(k-1) * (1 - V/T)``
+
+    V and T are exact decimal(38,0) integers (the shared n^2 factor
+    cancels), and alpha is ONE mirrored IEEE tree over the two
+    published BIGINTs — floor-published x1e6, NULL when T <= 0 (no
+    total-score variance: reliability undefined).
+
+    Scale posture: ONE map-side-combined global aggregate; 2k+3 sums.
+
+    Output: ONE row — ``n_subjects, n_items, items_var_num,
+    total_var_num, alpha_x1e6``.
+    """
+    items = list(item_cols)
+    k = len(items)
+    if k < 2:
+        raise ValueError(f"need >= 2 items, got {k}")
+    dec = "decimal(38,0)"
+    cols = [F.col(c).cast("bigint").alias(f"__i{ix}") for ix, c in enumerate(items)]
+    base = df.select(*cols)
+    for ix in range(k):
+        base = base.filter(F.col(f"__i{ix}").isNotNull())
+    tot = sum(F.col(f"__i{ix}").cast(dec) for ix in range(k))
+    aggs = [F.count(F.lit(1)).cast(dec).alias("__n")]
+    for ix in range(k):
+        c = F.col(f"__i{ix}").cast(dec)
+        aggs.append(F.sum(c).cast(dec).alias(f"__s{ix}"))
+        aggs.append(F.sum(c * c).cast(dec).alias(f"__q{ix}"))
+    aggs.append(F.sum(tot).cast(dec).alias("__a"))
+    aggs.append(F.sum(tot * tot).cast(dec).alias("__b"))
+    agg = base.agg(*aggs)
+    v = sum(
+        (
+            F.col("__n") * F.col(f"__q{ix}")
+            - F.col(f"__s{ix}") * F.col(f"__s{ix}")
+        ).cast(dec)
+        for ix in range(k)
+    )
+    t = (F.col("__n") * F.col("__b") - F.col("__a") * F.col("__a")).cast(dec)
+    staged = agg.select(
+        F.col("__n").cast("bigint").alias("n_subjects"),
+        F.lit(k).cast("bigint").alias("n_items"),
+        v.cast("bigint").alias("items_var_num"),
+        t.cast("bigint").alias("total_var_num"),
+    )
+    alpha = (
+        F.lit(float(k))
+        / F.lit(float(k - 1))
+        * (
+            F.lit(1.0)
+            - F.col("items_var_num").cast("double")
+            / F.col("total_var_num").cast("double")
+        )
+    )
+    return staged.select(
+        "n_subjects",
+        "n_items",
+        "items_var_num",
+        "total_var_num",
+        F.when(
+            F.col("total_var_num") <= 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(
+            F.floor(alpha * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("alpha_x1e6"),
     )

@@ -780,3 +780,53 @@ def test_cmh_single_stratum_equals_unstratified(spark):
     # balanced 2x2: a=b=c=d=5 -> OR exactly 1, chi2 exactly 0
     assert r["mh_or_x1e6"] == 1_000_000
     assert r["cmh_chi2_x1e6"] == 0
+
+
+def test_cronbach_alpha_matches_textbook(spark):
+    import math
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        cronbach_alpha,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for _ in range(150):
+        latent = rng.random()
+        rows.append(tuple(
+            int(latent + 0.3 * rng.random() > 0.55) for _ in range(3)
+        ))
+    df = spark.createDataFrame(rows, "i0 int, i1 int, i2 int")
+    out = cronbach_alpha(df, ["i0", "i1", "i2"]).collect()[0]
+    n = len(rows)
+    v = t = 0
+    tot = [sum(r) for r in rows]
+    for ix in range(3):
+        s = sum(r[ix] for r in rows)
+        q = sum(r[ix] * r[ix] for r in rows)
+        v += n * q - s * s
+    a_sum = sum(tot)
+    b_sum = sum(x * x for x in tot)
+    t = n * b_sum - a_sum * a_sum
+    assert out["items_var_num"] == v and out["total_var_num"] == t
+    alpha = 3.0 / 2.0 * (1.0 - v / t)
+    assert out["alpha_x1e6"] == math.floor(alpha * 1e6 + 0.5)
+    # latent-driven items must show strong positive reliability
+    assert out["alpha_x1e6"] > 400_000
+
+
+def test_cronbach_alpha_identical_items_is_one(spark):
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        cronbach_alpha,
+    )
+
+    rows = [(x, x, x, x) for x in (0, 1, 1, 0, 1, 0, 0, 1, 1, 1)]
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int")
+    r = cronbach_alpha(df, ["a", "b", "c", "d"]).collect()[0]
+    assert r["alpha_x1e6"] == 1_000_000  # perfectly parallel items
+    # constant total score -> reliability undefined
+    const = spark.createDataFrame([(1, 0), (0, 1), (1, 0)], "a int, b int")
+    assert cronbach_alpha(const, ["a", "b"]).collect()[0][
+        "alpha_x1e6"
+    ] is None

@@ -236,3 +236,69 @@ def test_skyline_2d_matches_bruteforce_random_points(spark):
         ).collect()
     }
     assert got_g == want_g
+
+
+def test_mmd2_quadratic_matches_numpy_moments(spark):
+    import math
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        mmd2_quadratic,
+    )
+
+    rng = random.Random(99)
+    dim = 6
+    rows = []
+    for g, shift in [(0, 0.0), (1, 0.15)]:
+        for _ in range(80):
+            rows.append(
+                (g, [rng.uniform(-0.4, 0.4) + shift for _ in range(dim)])
+            )
+    df = spark.createDataFrame(rows, "g int, v array<double>")
+    out = mmd2_quadratic(df, "g", "v", dim=dim).collect()
+    assert len(out) == 1
+    r = out[0]
+    # exact recompute on the same quantized lattice with per-cell floors
+    cells = {}
+    for g, v in rows:
+        vq = [math.floor(x * 1e6 + 0.5) for x in v]
+        for i in range(dim):
+            for j in range(dim):
+                key = (g, i, j)
+                s, n = cells.get(key, (0, 0))
+                cells[key] = (s + vq[i] * vq[j], n + 1)
+    total = 0
+    for i in range(dim):
+        for j in range(dim):
+            sa, na = cells[(0, i, j)]
+            sb, nb = cells[(1, i, j)]
+            dm = sa / na - sb / nb
+            total += math.floor(dm * dm / 1e12 + 0.5)
+    assert r["n_a"] == 80 and r["n_b"] == 80
+    assert r["mmd2_x1e12"] == total
+    # the planted mean shift must register
+    assert r["mmd2_x1e12"] > 0
+
+
+def test_mmd2_same_distribution_smaller_than_shifted(spark):
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        mmd2_quadratic,
+    )
+
+    rng = random.Random(3)
+    dim = 4
+    rows = []
+    for g, shift in [(0, 0.0), (1, 0.0), (2, 0.3)]:
+        for _ in range(120):
+            rows.append(
+                (g, [rng.uniform(-0.3, 0.3) + shift for _ in range(dim)])
+            )
+    df = spark.createDataFrame(rows, "g int, v array<double>")
+    out = {(r["g_a"], r["g_b"]): r["mmd2_x1e12"]
+           for r in mmd2_quadratic(df, "g", "v", dim=dim).collect()}
+    assert len(out) == 3
+    # iid pair (0,1) must score far below the shifted pairs
+    assert out[(0, 1)] * 10 < out[(0, 2)]
+    assert out[(0, 1)] * 10 < out[(1, 2)]
