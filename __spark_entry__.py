@@ -9568,6 +9568,99 @@ def q346_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q347_streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth driver-visible STREAMING run — the RANK-SELECTIVE
+    MIN-MERGE accumulator class (after q302 idempotent bit_or, q320
+    additive cells, q331 append-only partitions): land the events table
+    as four parquet files, drive them one-per-micro-batch through
+    ``accumulate_kmv_stream`` (streaming/sketches.py), which keeps the
+    k = 64 smallest distinct 32-bit md5 user-id hashes, then publish
+    the q191-shaped row (exact distinct, n_kept, KMV estimate) FROM the
+    persisted minima. Min-of-mins is batching-invariant by
+    construction, so the accumulated state must equal the one-shot
+    batch sketch — the oracle recomputes it from the raw rows in SQL
+    (q191's users branch), giving the merge class a driver value-hash
+    row."""
+    import tempfile
+
+    from manufacturing_data_integration_tool_spark.streaming.sketches import (
+        accumulate_kmv_stream,
+    )
+
+    k = 64
+    base = tempfile.mkdtemp(prefix="mdi_q347_")
+    landing, state, ckpt = f"{base}/in", f"{base}/kmv_state", f"{base}/ckpt"
+    ev = read_table(spark, sf_dir, "events")
+    ev.select("user_id").repartition(4).write.mode("overwrite").parquet(
+        landing
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = accumulate_kmv_stream(
+        stream, state, key_col="user_id", k=k, checkpoint_dir=ckpt
+    )
+    q.awaitTermination()
+    mins = spark.read.parquet(state)
+    agg = mins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").alias("__hk"),
+    )
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept")
+    ).otherwise(F.expr(f"CAST({(k - 1) * (1 << 32)} AS BIGINT) div __hk"))
+    return (
+        agg.crossJoin(F.broadcast(exact)).select(
+            F.lit("users").alias("metric"),
+            "exact_distinct",
+            "n_kept",
+            est.cast("bigint").alias("kmv_estimate"),
+        )
+    )
+
+
+def q348_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow calibration GOF (ops.evaluation.hosmer_lemeshow;
+    1980) on EXACTLY q275's histogram calibrator setup (train-arm
+    duplicate rates predicting the test arm over the shared n_chars
+    bins): q275 publishes ECE/Brier magnitudes, this publishes the
+    inferential chi-square. The per-bin term collapses to an exact
+    integer rational — BIGINT end-to-end, zero IEEE; degenerate bins
+    counted out loud instead of silently merged."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        hosmer_lemeshow,
+    )
+    from manufacturing_data_integration_tool_spark.ops.sampling import _u52
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("__s"),
+        F.md5("text").alias("__fp"),
+    )
+    groups = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__c"))
+    base = fp.join(groups, "__fp").select(
+        "__s",
+        (F.col("__c") > 1).cast("bigint").alias("__y"),
+        (_u52(F.col("doc_id"), "calib") % 2).cast("bigint").alias("__arm"),
+    )
+    stats = base.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    binned = base.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(9).cast("bigint"),
+            F.expr("((__s - __lo) * 10) div (__hi - __lo + 1)"),
+        ).alias("bin"),
+        "__y",
+        "__arm",
+    )
+    return hosmer_lemeshow(binned, "bin", "__y", "__arm", train_arm=0)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9694,6 +9787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q344_cmh_test": q344_cmh_test,
         "q345_cronbach_alpha": q345_cronbach_alpha,
         "q346_embedding_mmd": q346_embedding_mmd,
+        "q347_streaming_kmv_state": q347_streaming_kmv_state,
+        "q348_hosmer_lemeshow": q348_hosmer_lemeshow,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -18478,5 +18573,83 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(n_b) AS BIGINT) AS n_b,
                CAST(SUM(term) AS BIGINT) AS mmd2_x1e12
         FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # q347: the persisted streaming min-merge state must equal the
+    # one-shot batch KMV over the raw rows — the oracle is q191's users
+    # branch recomputed from events directly (k = 64).
+    out["q347_streaming_kmv_state"] = """
+        WITH uh AS (
+          SELECT DISTINCT CAST(CAST(('0x' || substr(md5(
+                   CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                 AS BIGINT) AS h
+          FROM events WHERE user_id IS NOT NULL),
+        um AS (SELECT h FROM uh ORDER BY h LIMIT 64),
+        ua AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      MAX(h) AS hk FROM um),
+        ux AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS exact_distinct FROM events)
+        SELECT 'users' AS metric, ux.exact_distinct, ua.n_kept,
+               CAST(CASE WHEN ua.n_kept < 64 THEN ua.n_kept
+                         ELSE 63 * 4294967296 // ua.hk END AS BIGINT)
+                 AS kmv_estimate
+        FROM ua, ux
+    """
+
+    # q348 repeats q275's fp/grp/base/st/binned/cells CTE chain VERBATIM
+    # (same shared bin grid, same hash arms) so the HL chi-square can
+    # never drift from the ECE/Brier readout's cells; the per-bin term
+    # is the exact integer rational (O*n_tr - n*k_tr)^2 * 1e6 //
+    # (n * k_tr * (n_tr - k_tr)) — nonnegative numerator, so HUGEINT //
+    # equals Spark's decimal div.
+    out["q348_hosmer_lemeshow"] = """
+        WITH fp AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS s, md5(text) AS f
+          FROM documents),
+        grp AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY 1),
+        base AS (
+          SELECT fp.s,
+                 CASE WHEN grp.c > 1 THEN 1 ELSE 0 END AS y,
+                 CAST(CAST('0x' || substr(md5(CAST(fp.doc_id AS VARCHAR)
+                      || ':calib'), 1, 13) AS BIGINT) % 2 AS BIGINT) AS arm
+          FROM fp JOIN grp USING (f)),
+        st AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM base),
+        binned AS (
+          SELECT least(CAST(9 AS BIGINT),
+                       ((s - lo) * 10) // (hi - lo + 1)) AS bin, y, arm
+          FROM base, st),
+        cells AS (
+          SELECT bin,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tr,
+                 CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS k_tr,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n,
+                 CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS o
+          FROM binned GROUP BY 1),
+        flags AS (
+          SELECT *,
+                 (n > 0 AND k_tr > 0 AND k_tr < n_tr) AS ok
+          FROM cells),
+        agg AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN ok THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_bins_scored,
+                 CAST(COALESCE(SUM(CASE WHEN ok THEN 0 ELSE 1 END), 0)
+                      AS BIGINT) AS n_bins_degenerate,
+                 CAST(SUM(CASE WHEN ok THEN
+                   ((CAST(o AS HUGEINT) * n_tr - CAST(n AS HUGEINT) * k_tr)
+                    * (CAST(o AS HUGEINT) * n_tr
+                       - CAST(n AS HUGEINT) * k_tr) * 1000000)
+                   // (CAST(n AS HUGEINT) * k_tr
+                       * (CAST(n_tr AS HUGEINT) - k_tr))
+                 END) AS BIGINT) AS hl
+          FROM flags)
+        SELECT n_bins_scored, n_bins_degenerate,
+               CAST(GREATEST(n_bins_scored - 2, 0) AS BIGINT) AS dof,
+               CASE WHEN n_bins_scored <= 0 THEN NULL ELSE hl END
+                 AS hl_x1e6
+        FROM agg
     """
     return out

@@ -323,6 +323,7 @@ HEADLINE = [
     "q344_cmh_test",
     "q345_cronbach_alpha",
     "q346_embedding_mmd",
+    "q348_hosmer_lemeshow",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
@@ -387,6 +388,9 @@ EXCLUDED = {
     "q320_streaming_cms_state": "same foreachBatch streaming-run family "
     "as q302 (additive CMS merge); the sketch arithmetic is benched via "
     "q190 and the stream==batch merge is pinned by tests/test_streaming.py",
+    "q347_streaming_kmv_state": "foreachBatch streaming run (lands files + "
+        "drains a stream); timing measures stream machinery, not plan cost — "
+        "same class as q302/q320/q331",
     "q331_streaming_minhash_index": "same foreachBatch streaming-run "
     "family as q302/q320 (append-only index accumulator); the MinHash "
     "pipeline it runs per batch is benched via q27 and stream==batch is "

@@ -55,6 +55,7 @@ __all__ = [
     "fleiss_kappa_binary",
     "cmh_test",
     "cronbach_alpha",
+    "hosmer_lemeshow",
 ]
 
 
@@ -926,4 +927,106 @@ def cronbach_alpha(
             F.floor(alpha * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
         )
         .alias("alpha_x1e6"),
+    )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    bin_col: str,
+    y_col: str,
+    arm_col: str,
+    *,
+    train_arm: int = 0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hosmer-Lemeshow calibration goodness-of-fit (Hosmer & Lemeshow,
+    Comm. Stat. 1980) over pre-assigned probability bins — the
+    INFERENTIAL companion to q275's ECE/Brier readout on the same
+    train/test-arm histogram calibrator: is the test arm's observed
+    event count consistent with the train arm's per-bin rates?
+
+    Exact-arithmetic derivation: with per-bin integer counts
+    (train: k_tr of n_tr, test: O = k_te of n) and the train rate as
+    the prediction, the textbook term (O - E)^2 / (E (1 - E/n)) with
+    E = n*k_tr/n_tr collapses to the exact rational
+
+        ``term = (O*n_tr - n*k_tr)^2 / (n * k_tr * (n_tr - k_tr))``
+
+    — numerator and denominator exact decimal(38,0) integers, floored
+    per bin onto the x1e6 lattice (q292 discipline), summed exactly, so
+    the statistic is BIGINT end-to-end with NO IEEE anywhere. Bins
+    whose train rate is degenerate (k_tr = 0 or k_tr = n_tr, infinite
+    term) or that lack train/test mass are EXCLUDED FROM THE SUM but
+    COUNTED OUT LOUD (``n_bins_degenerate``) — the distributed-honesty
+    alternative to the textbook's silent bin merging. dof = scored
+    bins - 2 by HL convention.
+
+    Scale posture: ONE map-side-combined groupBy(bin) then bin-count
+    arithmetic.
+
+    Output: ONE row — ``n_bins_scored, n_bins_degenerate, dof,
+    hl_x1e6`` (NULL when no bin is scorable).
+    """
+    dec = "decimal(38,0)"
+    cells = (
+        df.select(
+            F.col(bin_col).alias("__b"),
+            F.col(y_col).cast("bigint").alias("__y"),
+            F.col(arm_col).cast("bigint").alias("__arm"),
+        )
+        .filter(
+            F.col("__b").isNotNull()
+            & F.col("__y").isNotNull()
+            & F.col("__arm").isNotNull()
+        )
+        .groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__arm") == train_arm, 1).otherwise(0))
+            .cast("bigint")
+            .alias("__ntr"),
+            F.sum(
+                F.when(F.col("__arm") == train_arm, F.col("__y")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__ktr"),
+            F.sum(F.when(F.col("__arm") != train_arm, 1).otherwise(0))
+            .cast("bigint")
+            .alias("__n"),
+            F.sum(
+                F.when(F.col("__arm") != train_arm, F.col("__y")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__o"),
+        )
+    )
+    scorable = (
+        (F.col("__n") > 0)
+        & (F.col("__ktr") > 0)
+        & (F.col("__ktr") < F.col("__ntr"))
+    )
+    term = F.expr(
+        f"CAST((CAST(__o AS {dec}) * __ntr - CAST(__n AS {dec}) * __ktr)"
+        f" * (CAST(__o AS {dec}) * __ntr - CAST(__n AS {dec}) * __ktr)"
+        f" * CAST({int(scale)} AS {dec}) AS {dec})"
+        f" div CAST(CAST(__n AS {dec}) * __ktr * (CAST(__ntr AS {dec})"
+        f" - __ktr) AS {dec})"
+    )
+    agg = cells.agg(
+        F.coalesce(F.sum(F.when(scorable, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_bins_scored"),
+        F.coalesce(F.sum(F.when(~scorable, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_bins_degenerate"),
+        F.sum(F.when(scorable, term)).cast("bigint").alias("__hl"),
+    )
+    return agg.select(
+        "n_bins_scored",
+        "n_bins_degenerate",
+        F.greatest(F.col("n_bins_scored") - 2, F.lit(0))
+        .cast("bigint")
+        .alias("dof"),
+        F.when(F.col("n_bins_scored") <= 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("__hl"))
+        .alias("hl_x1e6"),
     )

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..ops.text import countmin_sketch
 
-__all__ = ["accumulate_countmin_stream", "accumulate_bloom_stream", "accumulate_oee_stream", "oee_from_state"]
+__all__ = ["accumulate_countmin_stream", "accumulate_bloom_stream", "accumulate_kmv_stream", "accumulate_oee_stream", "oee_from_state"]
 
 _MARKER = "_LAST_BATCH_ID"
 
@@ -307,3 +307,76 @@ def oee_from_state(spark, state_path: str, *, hours_per_day: int = 24) -> DataFr
         pub(q, "q_x1e6"),
         pub(a * p * q, "oee_x1e6"),
     )
+
+
+def accumulate_kmv_stream(
+    rows: DataFrame,
+    sketch_path: str,
+    *,
+    key_col: str,
+    k: int = 64,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start a stream folding each micro-batch's KMV distinct-count
+    minima into the parquet hash table at ``sketch_path`` — the
+    RANK-SELECTIVE MIN-MERGE accumulator class (4th after q302's
+    idempotent bit_or, q320's additive cells, q331's append-only
+    partitions): state is the k smallest distinct 32-bit md5 hashes
+    seen so far, merge = distinct-union then keep the k smallest.
+
+    Because the merge is a set union followed by an order statistic it
+    is IDEMPOTENT under replays and batching-invariant by construction
+    (min of mins), so the accumulated table equals
+    ``ops.stats.kmv_distinct``'s one-shot minima over all rows seen —
+    however the input was micro-batched. The ``_LAST_BATCH_ID`` marker
+    is kept for uniformity with the module contract (and skips
+    pointless rewrites on replay).
+
+    Each micro-batch does O(batch) scan work plus an O(k) state
+    rewrite; the estimate is published from the persisted minima with
+    the same ``(k-1)*2^32 div h_k`` integer division as the batch op.
+
+    Returns the StreamingQuery.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    target = Path(sketch_path)
+    staging = target.with_name(target.name + ".staging")
+    backup = target.with_name(target.name + ".previous")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if _already_applied(target, batch_id):
+            return  # min-merge is idempotent; skip the rewrite anyway
+        spark = batch.sparkSession
+        h = F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        delta = (
+            batch.filter(F.col(key_col).isNotNull())
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+        if target.exists():
+            current = spark.read.parquet(str(target))
+            merged = (
+                current.unionByName(delta)
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+            )
+        else:
+            merged = delta
+        # materialize BEFORE touching the live dir (the plan reads it)
+        merged.write.mode("overwrite").parquet(str(staging))
+        _swap_in(target, staging, backup, batch_id)
+
+    writer = (
+        rows.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

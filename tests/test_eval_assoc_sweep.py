@@ -830,3 +830,65 @@ def test_cronbach_alpha_identical_items_is_one(spark):
     assert cronbach_alpha(const, ["a", "b"]).collect()[0][
         "alpha_x1e6"
     ] is None
+
+
+def test_hosmer_lemeshow_matches_bruteforce(spark):
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        hosmer_lemeshow,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for b in range(8):
+        p = 0.1 + 0.1 * b
+        for _ in range(120):
+            arm = rng.randint(0, 1)
+            # test arm slightly miscalibrated in the top bins
+            pp = p + (0.08 if arm == 1 and b >= 6 else 0.0)
+            rows.append((b, int(rng.random() < pp), arm))
+    df = spark.createDataFrame(rows, "bin bigint, y bigint, arm bigint")
+    out = hosmer_lemeshow(df, "bin", "y", "arm", train_arm=0).collect()[0]
+    hl = 0
+    scored = degen = 0
+    for b in range(8):
+        ntr = sum(1 for bb, _, a in rows if bb == b and a == 0)
+        ktr = sum(y for bb, y, a in rows if bb == b and a == 0)
+        n = sum(1 for bb, _, a in rows if bb == b and a == 1)
+        o = sum(y for bb, y, a in rows if bb == b and a == 1)
+        if n > 0 and 0 < ktr < ntr:
+            scored += 1
+            hl += (o * ntr - n * ktr) ** 2 * 10**6 // (n * ktr * (ntr - ktr))
+        else:
+            degen += 1
+    assert out["n_bins_scored"] == scored
+    assert out["n_bins_degenerate"] == degen
+    assert out["dof"] == max(scored - 2, 0)
+    assert out["hl_x1e6"] == hl
+    # float textbook recompute stays within per-bin truncation slack
+    hl_f = 0.0
+    for b in range(8):
+        ntr = sum(1 for bb, _, a in rows if bb == b and a == 0)
+        ktr = sum(y for bb, y, a in rows if bb == b and a == 0)
+        n = sum(1 for bb, _, a in rows if bb == b and a == 1)
+        o = sum(y for bb, y, a in rows if bb == b and a == 1)
+        if n > 0 and 0 < ktr < ntr:
+            e = n * ktr / ntr
+            hl_f += (o - e) ** 2 / (e * (1 - ktr / ntr))
+    assert abs(out["hl_x1e6"] / 1e6 - hl_f) < 1e-5 * scored + 1e-9
+
+
+def test_hosmer_lemeshow_perfect_calibration_small(spark):
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        hosmer_lemeshow,
+    )
+
+    # identical arms -> O == E exactly in every bin -> HL == 0
+    rows = []
+    for b in range(4):
+        for arm in (0, 1):
+            rows += [(b, 1, arm)] * (b + 1) + [(b, 0, arm)] * (5 - b)
+    df = spark.createDataFrame(rows, "bin bigint, y bigint, arm bigint")
+    r = hosmer_lemeshow(df, "bin", "y", "arm").collect()[0]
+    assert r["hl_x1e6"] == 0 and r["n_bins_scored"] == 4

@@ -796,3 +796,114 @@ def test_oee_stream_accumulation_matches_batch(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     # hour_bits merge is idempotent: active_hours survived micro-batching
     assert got[0]["active_hours"] == 2
+
+
+def test_streaming_kmv_accumulates_to_batch_minima(spark, tmp_path):
+    """Rank-selective min-merge streaming: the persisted k smallest
+    distinct hashes after draining must equal the one-shot batch KMV
+    minima over all rows — min-of-mins is batching-invariant. Three
+    source files + maxFilesPerTrigger=1 force three separate merges,
+    k=8 < distinct count so the rank selection actually bites."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        kmv_distinct,
+    )
+    from manufacturing_data_integration_tool_spark.streaming.sketches import (
+        accumulate_kmv_stream,
+    )
+
+    src = tmp_path / "kmv_in"
+    base = spark.createDataFrame(
+        [(i, i % 23) for i in range(90)], "rid long, key long"
+    )
+    for i in range(3):
+        base.filter(F.col("rid") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = tmp_path / "kmv_state"
+    q = accumulate_kmv_stream(
+        stream,
+        str(state),
+        key_col="key",
+        k=8,
+        checkpoint_dir=str(tmp_path / "kmv_ckpt"),
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = sorted(r["h"] for r in spark.read.parquet(str(state)).collect())
+    h = F.conv(
+        F.substring(F.md5(F.col("key").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    want = sorted(
+        r["h"]
+        for r in base.select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(8)
+        .collect()
+    )
+    assert got == want and len(got) == 8
+    # the published estimate path agrees with the batch op end-to-end
+    batch = kmv_distinct(base, "key", k=8).collect()[0]
+    hk = max(got)
+    assert batch["kmv_estimate"] == 7 * (1 << 32) // hk
+
+
+def test_streaming_kmv_replay_is_noop(spark, tmp_path):
+    """Re-delivering an already-folded batch_id must leave the state
+    untouched (marker short-circuit) — and even without the marker the
+    min-merge is semantically idempotent."""
+    import importlib
+
+    sk = importlib.import_module(
+        "manufacturing_data_integration_tool_spark.streaming.sketches"
+    )
+    target = tmp_path / "kmv_state"
+    base = spark.createDataFrame([(1, 7), (2, 9)], "rid long, key long")
+
+    calls = []
+    orig = sk._swap_in
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    sk._swap_in = spy
+    try:
+        src = tmp_path / "in"
+        base.coalesce(1).write.parquet(str(src))
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = sk.accumulate_kmv_stream(
+            stream,
+            str(target),
+            key_col="key",
+            k=4,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        n_swaps = len(calls)
+        before = sorted(
+            r["h"] for r in spark.read.parquet(str(target)).collect()
+        )
+        # simulate an at-least-once redelivery of batch 0
+        marker = int((target / sk._MARKER).read_text())
+        # re-invoke the guard directly: already-applied id short-circuits
+        assert sk._already_applied(target, marker)
+        assert not sk._already_applied(target, marker + 1)
+        after = sorted(
+            r["h"] for r in spark.read.parquet(str(target)).collect()
+        )
+        assert before == after and n_swaps >= 1
+    finally:
+        sk._swap_in = orig
