@@ -9661,6 +9661,43 @@ def q348_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hosmer_lemeshow(binned, "bin", "__y", "__arm", train_arm=0)
 
 
+# the MRR query battery: five fixed bag-of-terms queries over the q157
+# BM25 stack (compile-time literals shared with the oracle generator)
+_MRR_QUERIES: list[tuple[str, list[str]]] = [
+    ("q1", ["filter", "merge"]),
+    ("q2", ["stream", "window"]),
+    ("q3", ["filter"]),
+    ("q4", ["merge", "stream"]),
+    ("q5", ["window"]),
+]
+
+
+def q349_mrr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the BM25 retrieval stack over a five-query battery
+    (ops.similarity.mrr_from_pages; Voorhees TREC-8 1999), relevance =
+    'en'-language docs — the first-relevant-position member of the
+    retrieval scorecard next to q197's RRF and q276's NDCG. Each page
+    is q157's exact-decimal BM25 top-10; reciprocals are scaled-integer
+    floor divisions and the mean one exact integer division — BIGINT
+    end-to-end, zero IEEE."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        mrr_from_pages,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lang = docs.select("doc_id", "lang")
+    pages = None
+    for qid, terms in _MRR_QUERIES:
+        page = tx.bm25_topk(docs, terms, k=10).select(
+            F.lit(qid).alias("qid"), "doc_id", "rank"
+        )
+        pages = page if pages is None else pages.unionByName(page)
+    rel = pages.join(lang, "doc_id").select(
+        "qid", "rank", (F.col("lang") == "en").alias("rel")
+    )
+    return mrr_from_pages(rel, "qid", "rank", "rel")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9789,6 +9826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q346_embedding_mmd": q346_embedding_mmd,
         "q347_streaming_kmv_state": q347_streaming_kmv_state,
         "q348_hosmer_lemeshow": q348_hosmer_lemeshow,
+        "q349_mrr_bm25": q349_mrr_bm25,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -18651,5 +18689,73 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_bins_scored <= 0 THEN NULL ELSE hl END
                  AS hl_x1e6
         FROM agg
+    """
+
+    # q349: each query's page is q157's BM25 SQL with the term set
+    # substituted (same exact-decimal contribution rounding and
+    # deterministic (score desc, doc) tie-break), generated from the
+    # SAME _MRR_QUERIES literals the Spark side iterates; MRR is pure
+    # integer division on both engines.
+    def _bm25_page_sql(qid: str, terms: list[str]) -> str:
+        in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        return f"""
+          SELECT '{qid}' AS qid, rank, doc FROM (
+            WITH base AS (SELECT doc_id AS doc, {tok} AS tk FROM documents),
+            lens AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl FROM base),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
+            tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc, unnest(tk) AS term FROM base)
+                   WHERE term IN ({in_list})
+                   GROUP BY 1,2),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                      FROM tf GROUP BY 1),
+            contrib AS (
+              SELECT tf.doc,
+                CAST(round(
+                  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                       + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                , 9) AS DECIMAL(24,12)) AS c
+              FROM tf JOIN lens USING (doc) JOIN dfreq USING (term), stats
+            ),
+            scored AS (SELECT doc, SUM(c) AS sc FROM contrib GROUP BY 1),
+            topk AS (SELECT doc,
+                            ROW_NUMBER() OVER (ORDER BY sc DESC, doc ASC)
+                              AS rank
+                     FROM scored)
+            SELECT doc, CAST(rank AS BIGINT) AS rank
+            FROM topk WHERE rank <= 10
+          ) page
+        """
+
+    _pages_union = "\n          UNION ALL\n".join(
+        _bm25_page_sql(qid, terms) for qid, terms in _MRR_QUERIES
+    )
+    out["q349_mrr_bm25"] = f"""
+        WITH pages AS ({_pages_union}),
+        rel AS (
+          SELECT p.qid, p.rank, (d.lang = 'en') AS rel
+          FROM pages p JOIN documents d ON p.doc = d.doc_id),
+        per AS (
+          SELECT qid,
+                 CAST(MIN(CASE WHEN rel THEN rank END) AS BIGINT)
+                   AS first_rel_rank
+          FROM rel GROUP BY 1),
+        rr AS (
+          SELECT qid, first_rel_rank,
+                 CAST(CASE WHEN first_rel_rank IS NULL THEN 0
+                      ELSE 1000000000000 // first_rel_rank END AS BIGINT)
+                   AS rr_x1e12
+          FROM per),
+        summ AS (
+          SELECT CAST(COALESCE(SUM(rr_x1e12), 0) // COUNT(*) AS BIGINT)
+            AS mrr_x1e12
+          FROM rr)
+        SELECT qid, first_rel_rank, rr_x1e12, mrr_x1e12
+        FROM rr CROSS JOIN summ ORDER BY qid
     """
     return out

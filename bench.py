@@ -324,6 +324,7 @@ HEADLINE = [
     "q345_cronbach_alpha",
     "q346_embedding_mmd",
     "q348_hosmer_lemeshow",
+    "q349_mrr_bm25",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

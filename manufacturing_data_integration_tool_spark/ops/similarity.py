@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "mmd2_quadratic",
+    "mrr_from_pages",
     "dot",
     "l2_norm",
     "cosine_similarity",
@@ -1243,3 +1244,62 @@ def mmd2_quadratic(
             F.sum(term).cast("bigint").alias("mmd2_x1e12"),
         )
     )
+
+
+def mrr_from_pages(
+    pages: DataFrame,
+    qid_col: str,
+    rank_col: str,
+    rel_col: str,
+    *,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Mean Reciprocal Rank from per-query ranked pages (Voorhees,
+    TREC-8 1999) — the first-relevant-position member of the retrieval
+    scorecard (q197 RRF, q276 NDCG): per query, the reciprocal of the
+    FIRST relevant rank; queries whose page holds no relevant doc
+    contribute 0 (standard MRR convention, counted via the NULL
+    ``first_rel_rank``).
+
+    Fully exact: reciprocals are scaled-integer floor divisions
+    ``scale div rank`` (the q197 RRF trick) and the mean is ONE exact
+    integer division by the query count — BIGINT end-to-end, zero IEEE.
+
+    Scale posture: pages are bounded top-k lists (|queries| * k rows);
+    everything here is grid-sized arithmetic with a broadcast 1-row
+    summary.
+
+    Output: one row per query — ``qid, first_rel_rank (NULL = no
+    relevant doc on the page), rr_x1e12`` — plus the constant
+    ``mrr_x1e12`` column (the mean over ALL queries).
+    """
+    per = (
+        pages.select(
+            F.col(qid_col).alias("qid"),
+            F.col(rank_col).cast("bigint").alias("__rank"),
+            F.col(rel_col).cast("boolean").alias("__rel"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.min(F.when(F.col("__rel"), F.col("__rank")))
+            .cast("bigint")
+            .alias("first_rel_rank")
+        )
+    )
+    rr = per.select(
+        "qid",
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank").isNull(), F.lit(0))
+        .otherwise(
+            F.expr(f"CAST({int(scale)} AS BIGINT) div first_rel_rank")
+        )
+        .cast("bigint")
+        .alias("rr_x1e12"),
+    )
+    summ = rr.agg(
+        F.expr(
+            "CAST(CAST(COALESCE(SUM(rr_x1e12), 0) AS BIGINT)"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("mrr_x1e12")
+    )
+    return rr.crossJoin(F.broadcast(summ)).orderBy("qid")

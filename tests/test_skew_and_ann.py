@@ -302,3 +302,27 @@ def test_mmd2_same_distribution_smaller_than_shifted(spark):
     # iid pair (0,1) must score far below the shifted pairs
     assert out[(0, 1)] * 10 < out[(0, 2)]
     assert out[(0, 1)] * 10 < out[(1, 2)]
+
+
+def test_mrr_from_pages_by_hand(spark):
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        mrr_from_pages,
+    )
+
+    rows = [
+        # q1: first relevant at rank 2 -> rr = 5e11
+        ("q1", 1, False), ("q1", 2, True), ("q1", 3, True),
+        # q2: first relevant at rank 1 -> rr = 1e12
+        ("q2", 1, True), ("q2", 2, False),
+        # q3: nothing relevant -> rr = 0, NULL first rank
+        ("q3", 1, False), ("q3", 2, False),
+    ]
+    df = spark.createDataFrame(rows, "qid string, rank bigint, rel boolean")
+    out = {r["qid"]: r for r in mrr_from_pages(df, "qid", "rank", "rel").collect()}
+    assert out["q1"]["first_rel_rank"] == 2
+    assert out["q1"]["rr_x1e12"] == 500_000_000_000
+    assert out["q2"]["rr_x1e12"] == 1_000_000_000_000
+    assert out["q3"]["first_rel_rank"] is None
+    assert out["q3"]["rr_x1e12"] == 0
+    expect_mrr = (500_000_000_000 + 1_000_000_000_000 + 0) // 3
+    assert all(r["mrr_x1e12"] == expect_mrr for r in out.values())
