@@ -9698,6 +9698,62 @@ def q349_mrr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mrr_from_pages(rel, "qid", "rank", "rel")
 
 
+def q350_somers_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D (both directions) + Stuart's tau-c
+    (ops.ranktests.ordinal_association_binned; Somers, Am. Sociol. Rev.
+    1962; Stuart, Biometrika 1953) between line-item quantity (1..50)
+    and discount points (0..10) — the ASYMMETRIC / rectangular-table
+    companions to q316's tau-b on the same bounded grid, sharing its
+    exact prefix-sum concordance core (never a pairwise cell join).
+    D_{Y|X} reads as the excess of concordance among pairs untied on the
+    predictor; tau-c corrects tau's attainable range on the 50x11
+    non-square table."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        ordinal_association_binned,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    y = F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return ordinal_association_binned(
+        li, F.col("l_quantity").cast("bigint"), y
+    )
+
+
+def q351_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum z (ops.ranktests.
+    mann_whitney_u; Mann & Whitney 1947) between returned (R) and
+    accepted (A) line-item quantity — the unpaired LOCATION screen on
+    the exact axes of q314's whole-body CvM and q231's KS, completing
+    the drift triptych (location / body / largest-gap). Doubled
+    midranks keep the rank sum integral under ties; z is one mirrored
+    IEEE tree over exact DECIMAL(38,0) scalars."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        mann_whitney_u,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_returnflag", "R", "A", "l_quantity")
+
+
+def q352_kuiper_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kuiper V = D+ + D- (ops.ranktests.kuiper_two_sample;
+    Kuiper 1960) between en and zh document lengths (n_chars) — the
+    equal-tail-weight refinement of KS on the exact axes of q315's
+    Anderson-Darling: KS sees only the single largest signed ECDF gap,
+    Kuiper adds the opposite-direction gap, catching crossing
+    distributions (variance change, matched medians) that a one-sided
+    max misses. Maxima over the exact integer X(v) = m*cum_a - n*cum_b;
+    each published value ONE division."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        kuiper_two_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return kuiper_two_sample(docs, "lang", "en", "zh", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9827,6 +9883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q347_streaming_kmv_state": q347_streaming_kmv_state,
         "q348_hosmer_lemeshow": q348_hosmer_lemeshow,
         "q349_mrr_bm25": q349_mrr_bm25,
+        "q350_somers_tau_c": q350_somers_tau_c,
+        "q351_mann_whitney": q351_mann_whitney,
+        "q352_kuiper_lang_drift": q352_kuiper_lang_drift,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -18757,5 +18816,184 @@ def oracle_sql() -> dict[str, str]:
           FROM rr)
         SELECT qid, first_rel_rank, rr_x1e12, mrr_x1e12
         FROM rr CROSS JOIN summ ORDER BY qid
+    """
+    out["q350_somers_tau_c"] = """
+        WITH base AS (
+          SELECT CAST(l_quantity AS BIGINT) AS x,
+                 CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ), cells AS MATERIALIZED (
+          SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2
+        ), grid AS (
+          SELECT xs.x, ys.y, COALESCE(cl.c, 0) AS c
+          FROM (SELECT DISTINCT x FROM cells) xs
+          CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+          LEFT JOIN cells cl ON cl.x = xs.x AND cl.y = ys.y
+        ), g2 AS (
+          SELECT x, y, c,
+                 SUM(c) OVER (PARTITION BY x ORDER BY y
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cy
+          FROM grid
+        ), g3 AS MATERIALIZED (
+          SELECT x, y, c, cy,
+                 SUM(cy) OVER wx AS p,
+                 SUM(c) OVER wx AS cxy
+          FROM g2 WINDOW wx AS (PARTITION BY y ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        ), rmarg0 AS (
+          SELECT x, CAST(SUM(c) AS BIGINT) AS rt FROM cells GROUP BY 1
+        ), rmarg AS MATERIALIZED (
+          SELECT x, rt, SUM(rt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW) AS rcum
+          FROM rmarg0
+        ), cmarg0 AS (
+          SELECT y, CAST(SUM(c) AS BIGINT) AS ct FROM cells GROUP BY 1
+        ), cmarg AS MATERIALIZED (
+          SELECT y, ct, SUM(ct) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW) AS ccum
+          FROM cmarg0
+        ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM cells),
+        agg AS (
+          SELECT MAX(nt) AS n,
+                 COALESCE(SUM(CAST(c AS HUGEINT)
+                              * (nt - rcum - ccum + p)), 0) AS cc,
+                 COALESCE(SUM(CAST(c AS HUGEINT)
+                              * ((ccum - ct) - (p - cxy))), 0) AS dd
+          FROM g3 JOIN rmarg USING (x) JOIN cmarg USING (y)
+          CROSS JOIN tot
+        ), tx AS (
+          SELECT SUM(CAST(rt AS HUGEINT) * (rt - 1)) AS t1,
+                 CAST(COUNT(*) AS BIGINT) AS r FROM rmarg0
+        ), ty AS (
+          SELECT SUM(CAST(ct AS HUGEINT) * (ct - 1)) AS t2,
+                 CAST(COUNT(*) AS BIGINT) AS c FROM cmarg0
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               r AS x_levels,
+               c AS y_levels,
+               CASE WHEN CAST(CAST(n AS HUGEINT)*(n-1) - t1 AS DOUBLE)
+                         <= 0.0 THEN NULL
+                    ELSE CAST(floor(
+                      2.0 * CAST(cc - dd AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT)*(n-1) - t1 AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS somers_dyx_x1e6,
+               CASE WHEN CAST(CAST(n AS HUGEINT)*(n-1) - t2 AS DOUBLE)
+                         <= 0.0 THEN NULL
+                    ELSE CAST(floor(
+                      2.0 * CAST(cc - dd AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT)*(n-1) - t2 AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS somers_dxy_x1e6,
+               CASE WHEN LEAST(r, c) < 2 OR n < 2 THEN NULL
+                    ELSE CAST(floor(
+                      2.0 * CAST(LEAST(r, c) AS DOUBLE)
+                      * CAST(cc - dd AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * (CAST(LEAST(r, c) AS DOUBLE) - 1.0))
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS tau_c_x1e6
+        FROM agg CROSS JOIN tx CROSS JOIN ty
+    """
+    out["q351_mann_whitney"] = """
+        WITH base AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS s,
+                 CAST(l_quantity AS BIGINT) AS v
+          FROM lineitem
+          WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+        ), vals AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                 CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ta
+          FROM base GROUP BY 1
+        ), run AS (
+          SELECT v, t, ta, SUM(t) OVER w AS h
+          FROM vals WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(SUM(ta) AS BIGINT) AS n,
+                 CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
+          FROM vals
+        ), s AS (
+          -- global aggregate: exactly one row even on empty input,
+          -- mirroring the Spark side's .agg()
+          SELECT MAX(n) AS n_a, MAX(m) AS n_b,
+                 COALESCE(SUM(CAST(ta AS HUGEINT)
+                              * (2*CAST(h AS HUGEINT) - t + 1)), 0) AS w2,
+                 COALESCE(SUM(CAST(t AS HUGEINT)*t*t - t), 0) AS tie
+          FROM run CROSS JOIN tot
+        ), fin AS (
+          SELECT n_a, n_b,
+                 w2 - CAST(n_a AS HUGEINT)*(n_a + 1) AS u2,
+                 w2 - CAST(n_a AS HUGEINT)*(n_a + 1)
+                   - CAST(n_a AS HUGEINT)*n_b AS num,
+                 CAST(n_a AS HUGEINT)*n_b
+                   * ((CAST(n_a + n_b AS HUGEINT) + 1)
+                      * (n_a + n_b) * (CAST(n_a + n_b AS HUGEINT) - 1)
+                      - tie) AS k
+          FROM s
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(u2 AS BIGINT) AS u2_stat,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 OR k <= 0 THEN NULL
+                    ELSE CAST(floor(
+                      CAST(num AS DOUBLE)
+                      * sqrt(3.0 * CAST(n_a + n_b AS DOUBLE)
+                             * (CAST(n_a + n_b AS DOUBLE) - 1.0))
+                      / sqrt(CAST(k AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS z_x1e6
+        FROM fin
+    """
+    out["q352_kuiper_lang_drift"] = """
+        WITH base AS (
+          SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s,
+                 CAST(n_chars AS BIGINT) AS v
+          FROM documents
+          WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+        ), vals AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                 CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ta
+          FROM base GROUP BY 1
+        ), run AS (
+          SELECT v, t, ta, SUM(t) OVER w AS h, SUM(ta) OVER w AS ca
+          FROM vals WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(SUM(ta) AS BIGINT) AS n,
+                 CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
+          FROM vals
+        ), s AS (
+          SELECT MAX(n) AS n_a, MAX(m) AS n_b,
+                 GREATEST(COALESCE(MAX(
+                   CAST(m AS HUGEINT)*ca - CAST(n AS HUGEINT)*(h - ca)),
+                   0), 0) AS dp,
+                 GREATEST(COALESCE(-MIN(
+                   CAST(m AS HUGEINT)*ca - CAST(n AS HUGEINT)*(h - ca)),
+                   0), 0) AS dm
+          FROM run CROSS JOIN tot
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    ELSE CAST(floor(CAST(dp AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS d_plus_x1e6,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    ELSE CAST(floor(CAST(dm AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS d_minus_x1e6,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    ELSE CAST(floor(CAST(dp + dm AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS v_x1e6
+        FROM s
     """
     return out

@@ -325,6 +325,9 @@ HEADLINE = [
     "q346_embedding_mmd",
     "q348_hosmer_lemeshow",
     "q349_mrr_bm25",
+    "q350_somers_tau_c",
+    "q351_mann_whitney",
+    "q352_kuiper_lang_drift",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -60,6 +60,9 @@ __all__ = [
     "cvm_two_sample",
     "ad_two_sample",
     "kendall_tau_b_binned",
+    "ordinal_association_binned",
+    "mann_whitney_u",
+    "kuiper_two_sample",
 ]
 
 
@@ -805,6 +808,114 @@ def kendall_tau_b_binned(
     Output: one row — ``n, n_conc, n_disc, tau_b_x1e6, gamma_x1e6``
     (tau NULL when either axis is constant; gamma NULL when C + D = 0).
     """
+    out = _concordance_core(df, x_col, y_col)
+    n = F.col("n").cast(_DEC)
+    two_n0 = n * (n - F.lit(1))
+    dx = (two_n0 - F.col("__t1")).cast("double")
+    dy = (two_n0 - F.col("__t2")).cast("double")
+    cd = (F.col("__cc") - F.col("__dd")).cast("double")
+    tau = F.lit(2.0) * cd / (F.sqrt(dx) * F.sqrt(dy))
+    gamma = cd / (F.col("__cc") + F.col("__dd")).cast("double")
+    pub = lambda col: F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    return out.select(
+        "n",
+        F.col("__cc").cast("bigint").alias("n_conc"),
+        F.col("__dd").cast("bigint").alias("n_disc"),
+        F.when(
+            (dx <= F.lit(0.0)) | (dy <= F.lit(0.0)), F.lit(None).cast("bigint")
+        )
+        .otherwise(pub(tau))
+        .alias("tau_b_x1e6"),
+        F.when(
+            (F.col("__cc") + F.col("__dd")) <= F.lit(0).cast(_DEC),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(pub(gamma))
+        .alias("gamma_x1e6"),
+    )
+
+
+def ordinal_association_binned(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Asymmetric ordinal association over a BOUNDED categorical grid:
+    Somers' D in both directions (Somers, Am. Sociol. Rev. 1962) and
+    Stuart's tau-c (Stuart, Biometrika 1953) — the directional /
+    rectangular-table companions to :func:`kendall_tau_b_binned` (q316),
+    sharing its exact prefix-sum concordance core and grid contract.
+
+    With C/D the concordant/discordant pair counts, ``2*n0 = N(N-1)``,
+    ``t1 = sum_x t_x(t_x-1)``, ``t2 = sum_y t_y(t_y-1)`` (exact), and
+    ``m = min(r, c)`` the smaller level count:
+
+        ``somers_dyx = 2*(C - D) / (2n0 - t1)``  (Y response: X-ties out)
+        ``somers_dxy = 2*(C - D) / (2n0 - t2)``  (X response: Y-ties out)
+        ``tau_c      = 2*m*(C - D) / (N^2 * (m - 1))``
+
+    each ONE IEEE tree over exact integers, floor-published at 1e6.
+
+    Output: one row — ``n, x_levels, y_levels, somers_dyx_x1e6,
+    somers_dxy_x1e6, tau_c_x1e6`` (each D NULL when its conditioning
+    axis is constant; tau_c NULL when min(r, c) < 2 or N < 2).
+    """
+    out = _concordance_core(df, x_col, y_col)
+    n = F.col("n").cast(_DEC)
+    two_n0 = n * (n - F.lit(1))
+    dx = (two_n0 - F.col("__t1")).cast("double")
+    dy = (two_n0 - F.col("__t2")).cast("double")
+    cd = (F.col("__cc") - F.col("__dd")).cast("double")
+    m = F.least(F.col("__r"), F.col("__c")).cast("bigint")
+    dyx = F.lit(2.0) * cd / dx
+    dxy = F.lit(2.0) * cd / dy
+    tau_c = (
+        F.lit(2.0)
+        * m.cast("double")
+        * cd
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * (m.cast("double") - F.lit(1.0))
+        )
+    )
+    pub = lambda col: F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    return out.select(
+        "n",
+        F.col("__r").cast("bigint").alias("x_levels"),
+        F.col("__c").cast("bigint").alias("y_levels"),
+        F.when(dx <= F.lit(0.0), F.lit(None).cast("bigint"))
+        .otherwise(pub(dyx))
+        .alias("somers_dyx_x1e6"),
+        F.when(dy <= F.lit(0.0), F.lit(None).cast("bigint"))
+        .otherwise(pub(dxy))
+        .alias("somers_dxy_x1e6"),
+        F.when(
+            (m < F.lit(2)) | (F.col("n") < F.lit(2)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(pub(tau_c))
+        .alias("tau_c_x1e6"),
+    )
+
+
+def _concordance_core(
+    df: DataFrame, x_col: Column | str, y_col: Column | str
+) -> DataFrame:
+    """Shared exact concordance core for the bounded-grid ordinal
+    statistics (:func:`kendall_tau_b_binned`,
+    :func:`ordinal_association_binned`): one row with ``n`` (BIGINT row
+    count), ``__cc``/``__dd`` (DECIMAL(38,0) concordant/discordant pair
+    counts via 2-D inclusive prefix sums and inclusion-exclusion —
+    never a pairwise cell join), ``__t1``/``__t2`` (doubled tie terms
+    ``sum t(t-1)`` per axis), and ``__r``/``__c`` (distinct level counts
+    per axis, BIGINT)."""
     from pyspark.sql import Window
 
     x = _as_bigint(x_col)
@@ -870,40 +981,16 @@ def kendall_tau_b_binned(
     tx = rmarg.agg(
         F.sum(F.col("__rt").cast(_DEC) * (F.col("__rt") - 1))
         .cast(_DEC)
-        .alias("__t1")
+        .alias("__t1"),
+        F.count(F.lit(1)).cast("bigint").alias("__r"),
     )
     ty = cmarg.agg(
         F.sum(F.col("__ct").cast(_DEC) * (F.col("__ct") - 1))
         .cast(_DEC)
-        .alias("__t2")
+        .alias("__t2"),
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
     )
-    out = agg.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
-    n = F.col("n").cast(_DEC)
-    two_n0 = n * (n - F.lit(1))
-    dx = (two_n0 - F.col("__t1")).cast("double")
-    dy = (two_n0 - F.col("__t2")).cast("double")
-    cd = (F.col("__cc") - F.col("__dd")).cast("double")
-    tau = F.lit(2.0) * cd / (F.sqrt(dx) * F.sqrt(dy))
-    gamma = cd / (F.col("__cc") + F.col("__dd")).cast("double")
-    pub = lambda col: F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast(  # noqa: E731
-        "bigint"
-    )
-    return out.select(
-        "n",
-        F.col("__cc").cast("bigint").alias("n_conc"),
-        F.col("__dd").cast("bigint").alias("n_disc"),
-        F.when(
-            (dx <= F.lit(0.0)) | (dy <= F.lit(0.0)), F.lit(None).cast("bigint")
-        )
-        .otherwise(pub(tau))
-        .alias("tau_b_x1e6"),
-        F.when(
-            (F.col("__cc") + F.col("__dd")) <= F.lit(0).cast(_DEC),
-            F.lit(None).cast("bigint"),
-        )
-        .otherwise(pub(gamma))
-        .alias("gamma_x1e6"),
-    )
+    return agg.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
 
 
 def mood_scale_test(
@@ -1088,4 +1175,157 @@ def kendall_w(
             F.floor(w * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
         )
         .alias("w_x1e6"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test (Mann & Whitney, Ann.
+    Math. Stat. 1947; Wilcoxon 1945) with the normal approximation and
+    the standard tie correction — the unpaired two-sample location
+    screen completing the family around :func:`wilcoxon_signed_rank`
+    (paired) and :func:`mood_median` (k-group median); its point
+    estimate U/(n*m) is the common-language effect size behind q309's
+    Cliff's delta (delta = 2*U/(n*m) - 1).
+
+    Tie handling stays integral in DOUBLED rank units: with inclusive
+    pooled cumulative H and multiplicity t at value v, the doubled
+    midrank is ``2*rbar = 2H - t + 1``, so
+
+        ``2W  = sum_v ta * (2H - t + 1)``     (doubled a-rank-sum)
+        ``2U  = 2W - n*(n+1)``
+        ``num = 2U - n*m``                     (doubled centered U)
+        ``K   = n*m*((N+1)*N*(N-1) - sum_v (t^3 - t))``
+        ``z   = num * sqrt(3*N*(N-1)) / sqrt(K)``
+
+    — every pre-sqrt quantity an exact DECIMAL(38,0) integer (== DuckDB
+    HUGEINT), z ONE mirrored IEEE tree. Magnitude contract:
+    ``K <= N^5 < 1e38`` holds to N ~ 4e7 pooled rows; beyond that the
+    ANSI decimal cast fails loudly — coarsen upstream.
+
+    Scale posture: rows collapse to the pooled distinct-value table
+    map-side; cumulatives ride two_phase_running_sum; no all-pairs work.
+
+    Output: one row — ``n_a, n_b, u2_stat, z_x1e6`` (z NULL when either
+    sample is empty or K <= 0, i.e. a single pooled distinct value).
+    """
+    per_v = _two_sample_x(df, group_col, value_col, label_a, label_b, sub_bucket)
+    two_r = (
+        F.lit(2).cast(_DEC) * F.col("__h") - F.col("__t") + F.lit(1)
+    ).cast(_DEC)
+    t3 = (
+        F.col("__t").cast(_DEC) * F.col("__t") * F.col("__t")
+        - F.col("__t")
+    ).cast(_DEC)
+    agg = per_v.agg(
+        F.max("__n").alias("n_a"),
+        F.max("__m").alias("n_b"),
+        F.coalesce(
+            F.sum(F.col("__ta").cast(_DEC) * two_r), F.lit(0).cast(_DEC)
+        ).alias("__w2"),
+        F.coalesce(F.sum(t3), F.lit(0).cast(_DEC)).alias("__tie"),
+    )
+    n = F.col("n_a").cast(_DEC)
+    m = F.col("n_b").cast(_DEC)
+    nn = n + m
+    u2 = F.col("__w2") - n * (n + F.lit(1))
+    num = (u2 - n * m).cast(_DEC)
+    k = (n * m * ((nn + 1) * nn * (nn - 1) - F.col("__tie"))).cast(_DEC)
+    z = (
+        num.cast("double")
+        * F.sqrt(F.lit(3.0) * nn.cast("double") * (nn.cast("double") - 1.0))
+        / F.sqrt(k.cast("double"))
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        u2.cast("bigint").alias("u2_stat"),
+        F.when(
+            F.col("n_a").isNull()
+            | F.col("n_b").isNull()
+            | (F.col("n_a") < 1)
+            | (F.col("n_b") < 1)
+            | (k <= F.lit(0).cast(_DEC)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(z * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("z_x1e6"),
+    )
+
+
+def kuiper_two_sample(
+    df: DataFrame,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kuiper statistic ``V = D+ + D-`` (Kuiper, Proc. KNAW
+    1960) — the cyclic-sensitive / equal-tail-weight refinement of q231's
+    Kolmogorov-Smirnov D: KS sees only the single largest signed ECDF
+    gap, Kuiper adds the largest gap in the OTHER direction, making it
+    sensitive to distributions that cross (e.g. a variance change with
+    matched medians) and invariant to cyclic shifts of the value axis.
+
+    With the shared exact integer ``X(v) = m*cum_a(v) - n*cum_b(v)``
+    from :func:`_two_sample_x`:
+
+        ``D+ = max(0, max_v X) / (n*m)``
+        ``D- = max(0, -min_v X) / (n*m)``
+        ``V  = D+ + D-``
+
+    — maxima over exact integers (order-free), each published value ONE
+    division, floor-published at 1e6.
+
+    Output: one row — ``n_a, n_b, d_plus_x1e6, d_minus_x1e6, v_x1e6``
+    (NULL when either sample is empty).
+    """
+    per_v = _two_sample_x(df, group_col, value_col, label_a, label_b, sub_bucket)
+    agg = per_v.agg(
+        F.max("__n").alias("n_a"),
+        F.max("__m").alias("n_b"),
+        F.coalesce(
+            F.greatest(F.max("__x"), F.lit(0).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        ).alias("__dp"),
+        F.coalesce(
+            F.greatest(-F.min("__x"), F.lit(0).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        ).alias("__dm"),
+    )
+    nm = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    bad = (
+        F.col("n_a").isNull()
+        | F.col("n_b").isNull()
+        | (F.col("n_a") < 1)
+        | (F.col("n_b") < 1)
+    )
+    pub = lambda c: F.floor(  # noqa: E731
+        c.cast("double") / nm * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("bigint")
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(pub(F.col("__dp")))
+        .alias("d_plus_x1e6"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(pub(F.col("__dm")))
+        .alias("d_minus_x1e6"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(pub(F.col("__dp") + F.col("__dm")))
+        .alias("v_x1e6"),
     )

@@ -579,3 +579,139 @@ def test_kendall_w_friedman_identity_and_ties(spark):
     s = sum((rsum[j] - m * (k + 1) / 2.0) ** 2 for j in treats)
     w_ref = 12 * s / (m * m * (k**3 - k) - m * tt)
     assert abs(out["w_x1e6"] - math.floor(w_ref * 1e6 + 0.5)) <= 1
+
+
+def test_ordinal_association_matches_pairwise_brute(spark):
+    """Somers' D (both directions) and Stuart's tau-c on a rectangular
+    tied grid must match the O(n^2) sign-pair twin."""
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        ordinal_association_binned,
+    )
+
+    rng = random.Random(7)
+    xy = [(rng.randint(1, 5), rng.randint(1, 4)) for _ in range(60)]
+    out = ordinal_association_binned(
+        spark.createDataFrame([Row(x=x, y=y) for x, y in xy]), "x", "y"
+    ).collect()[0]
+    c = d = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(xy, 2):
+        s = (x1 - x2) * (y1 - y2)
+        if s > 0:
+            c += 1
+        elif s < 0:
+            d += 1
+    n = len(xy)
+    tx = Counter(x for x, _ in xy)
+    ty = Counter(y for _, y in xy)
+    n0 = n * (n - 1) / 2.0
+    n1 = sum(t * (t - 1) / 2.0 for t in tx.values())
+    n2 = sum(t * (t - 1) / 2.0 for t in ty.values())
+    m = min(len(tx), len(ty))
+    assert out["n"] == n
+    assert out["x_levels"] == len(tx) and out["y_levels"] == len(ty)
+    for got, exp in [
+        (out["somers_dyx_x1e6"], (c - d) / (n0 - n1)),
+        (out["somers_dxy_x1e6"], (c - d) / (n0 - n2)),
+        (out["tau_c_x1e6"], 2.0 * m * (c - d) / (n * n * (m - 1))),
+    ]:
+        assert abs(got - math.floor(exp * 1e6 + 0.5)) <= 1
+
+
+def test_ordinal_association_constant_axis_nulls(spark):
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        ordinal_association_binned,
+    )
+
+    rows = [Row(x=1, y=i) for i in range(5)]
+    out = ordinal_association_binned(
+        spark.createDataFrame(rows), "x", "y"
+    ).collect()[0]
+    # x constant: pairs untied on x do not exist -> D_{Y|X} undefined;
+    # D_{X|Y} is defined (0); tau-c undefined (min level count 1).
+    assert out["somers_dyx_x1e6"] is None
+    assert out["somers_dxy_x1e6"] == 0
+    assert out["tau_c_x1e6"] is None
+
+
+def test_mann_whitney_matches_brute_force(spark):
+    """U (via 2U), and the tie-corrected z, against the O(n*m)
+    pair-count twin."""
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        mann_whitney_u,
+    )
+
+    rng = random.Random(11)
+    a = [rng.randint(1, 12) for _ in range(25)]
+    b = [rng.randint(3, 15) for _ in range(31)]
+    rows = [Row(g="a", v=v) for v in a] + [Row(g="b", v=v) for v in b]
+    out = mann_whitney_u(
+        spark.createDataFrame(rows), "g", "a", "b", "v"
+    ).collect()[0]
+    u = sum(
+        (1.0 if x > y else 0.5 if x == y else 0.0) for x in a for y in b
+    )
+    na, nb = len(a), len(b)
+    nn = na + nb
+    tie = sum(t**3 - t for t in Counter(a + b).values())
+    var = na * nb / 12.0 * ((nn + 1) - tie / (nn * (nn - 1)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["u2_stat"] == int(round(2 * u))
+    assert abs(out["z_x1e6"] - math.floor(z * 1e6 + 0.5)) <= 1
+
+
+def test_mann_whitney_empty_and_degenerate(spark):
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        mann_whitney_u,
+    )
+
+    empty = spark.createDataFrame([], "g string, v long")
+    row = mann_whitney_u(empty, "g", "a", "b", "v").collect()[0]
+    assert row["z_x1e6"] is None
+    # single pooled distinct value: K = 0 -> z NULL, U = n*m/2 exactly
+    rows = [Row(g="a", v=4)] * 3 + [Row(g="b", v=4)] * 5
+    row = mann_whitney_u(
+        spark.createDataFrame(rows), "g", "a", "b", "v"
+    ).collect()[0]
+    assert row["z_x1e6"] is None and row["u2_stat"] == 3 * 5
+
+
+def test_kuiper_matches_brute_ecdf(spark):
+    import bisect
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        kuiper_two_sample,
+    )
+
+    rng = random.Random(13)
+    a = [rng.randint(1, 12) for _ in range(25)]
+    b = [rng.randint(3, 15) for _ in range(31)]
+    rows = [Row(g="a", v=v) for v in a] + [Row(g="b", v=v) for v in b]
+    out = kuiper_two_sample(
+        spark.createDataFrame(rows), "g", "a", "b", "v"
+    ).collect()[0]
+    sa, sb = sorted(a), sorted(b)
+    na, nb = len(a), len(b)
+    gaps = [
+        bisect.bisect_right(sa, v) / na - bisect.bisect_right(sb, v) / nb
+        for v in sorted(set(a + b))
+    ]
+    dp, dm = max([0.0] + gaps), max([0.0] + [-g for g in gaps])
+    assert abs(out["d_plus_x1e6"] - math.floor(dp * 1e6 + 0.5)) <= 1
+    assert abs(out["d_minus_x1e6"] - math.floor(dm * 1e6 + 0.5)) <= 1
+    assert abs(out["v_x1e6"] - math.floor((dp + dm) * 1e6 + 0.5)) <= 2
+
+
+def test_kuiper_empty_is_null_row(spark):
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        kuiper_two_sample,
+    )
+
+    empty = spark.createDataFrame([], "g string, v long")
+    row = kuiper_two_sample(empty, "g", "a", "b", "v").collect()[0]
+    assert row["v_x1e6"] is None
