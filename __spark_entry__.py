@@ -9754,6 +9754,43 @@ def q352_kuiper_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kuiper_two_sample(docs, "lang", "en", "zh", "n_chars")
 
 
+def q353_tv_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation + Bhattacharyya/Hellinger distance
+    (ops.distances.pmf_distances; Bhattacharyya 1943) between en and zh
+    document-length PROFILES (n_chars binned to 100-char buckets) — the
+    metric view of the drift the q315/q352 ECDF tests only score: TV is
+    the largest probability mass any length bucket can disagree by,
+    Hellinger the geodesic the mix planner can threshold. TV numerator
+    exact DECIMAL(38,0); Bhattacharyya terms fixed on the 1e6 lattice
+    before an integer sum (sqrt is IEEE-correctly-rounded on both
+    engines)."""
+    from manufacturing_data_integration_tool_spark.ops.distances import (
+        pmf_distances,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pmf_distances(
+        docs, "lang", "en", "zh", F.floor(F.col("n_chars") / 100)
+    )
+
+
+def q354_wasserstein_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) + Cramér/energy distance
+    (ops.distances.ecdf_distances_binned; Vallender 1974; Székely &
+    Rizzo 2004) between returned (R) and accepted (A) line-item quantity
+    on the bounded 1..50 grid — W1 answers 'how many units of quantity
+    does it take to morph one distribution into the other', the
+    actionable companion to q351's does-it-differ z. Both are single
+    exact ECDF integrals: |X| and X^2 summed against grid gaps, each
+    published value ONE division."""
+    from manufacturing_data_integration_tool_spark.ops.distances import (
+        ecdf_distances_binned,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return ecdf_distances_binned(li, "l_returnflag", "R", "A", "l_quantity")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9886,6 +9923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q350_somers_tau_c": q350_somers_tau_c,
         "q351_mann_whitney": q351_mann_whitney,
         "q352_kuiper_lang_drift": q352_kuiper_lang_drift,
+        "q353_tv_hellinger": q353_tv_hellinger,
+        "q354_wasserstein_energy": q354_wasserstein_energy,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -18994,6 +19033,104 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(floor(CAST(dp + dm AS DOUBLE)
                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
                       * 1000000.0 + 0.5) AS BIGINT) END AS v_x1e6
+        FROM s
+    """
+    out["q353_tv_hellinger"] = """
+        WITH base AS (
+          SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s,
+                 CAST(floor(n_chars / 100) AS BIGINT) AS v
+          FROM documents
+          WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+        ), vals AS (
+          SELECT v,
+                 CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM base GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS n,
+                 CAST(SUM(cb) AS BIGINT) AS m
+          FROM vals
+        ), s AS (
+          SELECT MAX(n) AS n_a, MAX(m) AS n_b,
+                 COALESCE(SUM(ABS(CAST(m AS HUGEINT)*ca
+                                  - CAST(n AS HUGEINT)*cb)), 0) AS tvs,
+                 COALESCE(SUM(CAST(floor(
+                   sqrt(CAST(CAST(ca AS HUGEINT)*cb AS DOUBLE))
+                   * 1000000.0 + 0.5) AS HUGEINT)), 0) AS bcs
+          FROM vals CROSS JOIN tot
+        ), fin AS (
+          SELECT n_a, n_b,
+                 CAST(tvs AS DOUBLE)
+                   / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                   AS tv,
+                 CAST(bcs AS DOUBLE)
+                   / (1000000.0 * sqrt(CAST(n_a AS DOUBLE)
+                                       * CAST(n_b AS DOUBLE))) AS bc
+          FROM s
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    ELSE CAST(floor(tv * 1000000.0 + 0.5) AS BIGINT)
+                    END AS tv_x1e6,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    ELSE CAST(floor(bc * 1000000.0 + 0.5) AS BIGINT)
+                    END AS bc_x1e6,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    ELSE CAST(floor(sqrt(GREATEST(1.0 - bc, 0.0))
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS hellinger_x1e6
+        FROM fin
+    """
+    out["q354_wasserstein_energy"] = """
+        WITH base AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS s,
+                 CAST(l_quantity AS BIGINT) AS v
+          FROM lineitem
+          WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+        ), vals AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                 CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ta
+          FROM base GROUP BY 1
+        ), run AS (
+          SELECT v, t, ta, SUM(t) OVER w AS h, SUM(ta) OVER w AS ca,
+                 CAST(COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0)
+                      AS BIGINT) AS gap
+          FROM vals WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(SUM(ta) AS BIGINT) AS n,
+                 CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
+          FROM vals
+        ), s AS (
+          SELECT MAX(n) AS n_a, MAX(m) AS n_b,
+                 COALESCE(SUM(ABS(CAST(m AS HUGEINT)*ca
+                                  - CAST(n AS HUGEINT)*(h - ca))
+                              * gap), 0) AS sw,
+                 COALESCE(SUM((CAST(m AS HUGEINT)*ca
+                               - CAST(n AS HUGEINT)*(h - ca))
+                              * (CAST(m AS HUGEINT)*ca
+                                 - CAST(n AS HUGEINT)*(h - ca))
+                              * gap), 0) AS se
+          FROM run CROSS JOIN tot
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    ELSE CAST(floor(CAST(sw AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS w1_x1e6,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    ELSE CAST(floor(2.0 * CAST(se AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
+                         * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS energy_x1e6
         FROM s
     """
     return out

@@ -328,6 +328,8 @@ HEADLINE = [
     "q350_somers_tau_c",
     "q351_mann_whitney",
     "q352_kuiper_lang_drift",
+    "q353_tv_hellinger",
+    "q354_wasserstein_energy",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
