@@ -9791,6 +9791,82 @@ def q354_wasserstein_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ecdf_distances_binned(li, "l_returnflag", "R", "A", "l_quantity")
 
 
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared daily order-revenue series on the integer cent lattice
+    (the q281/q322 collapse): one map-side groupBy, BOUNDED output
+    (one row per calendar day)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        orders.select(F.to_date("o_orderdate").alias("d"), cents.alias("__c"))
+        .groupBy("d")
+        .agg(F.sum("__c").cast("bigint").alias("r"))
+    )
+
+
+def q355_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test Q(7)
+    (ops.timeseries.ljung_box; Ljung & Box, Biometrika 1978) on the
+    daily order-revenue series — are the first 7 autocorrelations
+    JOINTLY zero, the one-number gate on q281's per-lag ACF before any
+    forecasting model is trusted. Fixed-mean autocovariances with all
+    means cleared exactly by n; each r_k^2/(n-k) fixed on the 1e15
+    lattice before an exact integer sum."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        ljung_box,
+    )
+
+    return ljung_box(_daily_revenue(spark, sf_dir), "d", "r")
+
+
+def q356_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier seasonal intensity at candidate periods 7/30/91
+    days (ops.timeseries.periodogram_intensity; Schuster 1898) of the
+    daily order-revenue series — WHICH cycle carries the variance that
+    q253's seasonality strength only totals. The trig weights are fixed
+    driver-side on a 1e9 lattice and inlined into both engines (cos/sin
+    are not IEEE-correctly-rounded, so in-engine trig is banned); the
+    spectral sums are exact DECIMAL(38,0) integers, the mean cleared by
+    multiplying through by n."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        periodogram_intensity,
+    )
+
+    return periodogram_intensity(
+        _daily_revenue(spark, sf_dir), "d", "r", periods=(7, 30, 91)
+    )
+
+
+def q357_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic (ops.timeseries.kpss_level;
+    Kwiatkowski-Phillips-Schmidt-Shin 1992) with Bartlett long-run
+    variance at 7 lags on the daily order-revenue series — the
+    stationarity NULL complement to q228's Mann-Kendall trend
+    alternative (MK asks 'is there drift', KPSS asks 'is level-
+    stationarity tenable'). Clearing every mean by n collapses the
+    whole statistic to ONE exact integer division 8*NUM/(n*D)."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        kpss_level,
+    )
+
+    return kpss_level(_daily_revenue(spark, sf_dir), "d", "r")
+
+
+def q358_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH(1) LM volatility-clustering screen
+    (ops.timeseries.arch_lm; Engle, Econometrica 1982) on the daily
+    order-revenue series: n*r^2 with r the lag-1 Pearson of squared
+    mean-residuals — do calm days follow calm days, the
+    heteroskedasticity companion to q322's DW (which sees only the
+    level). Squared residuals carried as exact integers on the declared
+    n^2*1e6 lattice; Pearson moments exact DECIMAL(38,0)."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        arch_lm,
+    )
+
+    return arch_lm(_daily_revenue(spark, sf_dir), "d", "r")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9925,6 +10001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q352_kuiper_lang_drift": q352_kuiper_lang_drift,
         "q353_tv_hellinger": q353_tv_hellinger,
         "q354_wasserstein_energy": q354_wasserstein_energy,
+        "q355_ljung_box": q355_ljung_box,
+        "q356_periodogram": q356_periodogram,
+        "q357_kpss": q357_kpss,
+        "q358_arch_lm": q358_arch_lm,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -10652,6 +10732,71 @@ def _hits_oracle_sql(iterations: int = 4, scale: int = 10**12) -> str:
         (SELECT 'authority' AS role, node, score FROM a{iterations}
          ORDER BY score DESC, node ASC LIMIT 20)
     """
+
+
+_DAILY_REVENUE_CTE = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS r
+          FROM orders GROUP BY 1
+        ), idx AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+                 r AS x
+          FROM daily
+        ),
+"""
+
+
+def _periodogram_sql(periods: tuple[int, ...] = (7, 30, 91)) -> str:
+    """DuckDB twin of ops.timeseries.periodogram_intensity on the daily
+    revenue series: the SAME driver-side 1e9 trig lattice (built by the
+    same trig_weights call as the Spark plan) inlined as VALUES — no
+    engine evaluates cos/sin on data."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        trig_weights,
+    )
+
+    vals = ", ".join(
+        f"({p}, {k}, {wc}, {ws})" for p, k, wc, ws in trig_weights(periods)
+    )
+    return (
+        _DAILY_REVENUE_CTE
+        + f"""
+        w AS (
+          SELECT * FROM (VALUES {vals}) AS t(period, phase, wc, ws)
+        ), tagged AS (
+          SELECT i.t, i.x, w.period, w.wc, w.ws
+          FROM idx i JOIN w ON w.phase = (i.t - 1) % w.period
+        ), per_p AS (
+          SELECT period, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 SUM(CAST(x AS HUGEINT)) AS s,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(x AS HUGEINT) * wc) AS c,
+                 SUM(CAST(x AS HUGEINT) * ws) AS sn,
+                 SUM(CAST(wc AS HUGEINT)) AS wcs,
+                 SUM(CAST(ws AS HUGEINT)) AS wss
+          FROM tagged GROUP BY 1
+        )
+        SELECT CAST(period AS BIGINT) AS period, n_days,
+               CASE WHEN n_days < 2
+                      OR CAST(n_days AS HUGEINT)*sxx - s*s <= 0 THEN NULL
+                    ELSE CAST(floor(
+                      (CAST(CAST(n_days AS HUGEINT)*c - s*wcs AS DOUBLE)
+                         * CAST(CAST(n_days AS HUGEINT)*c - s*wcs
+                                AS DOUBLE)
+                       + CAST(CAST(n_days AS HUGEINT)*sn - s*wss AS DOUBLE)
+                         * CAST(CAST(n_days AS HUGEINT)*sn - s*wss
+                                AS DOUBLE))
+                      / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                         * CAST(CAST(n_days AS HUGEINT)*sxx - s*s
+                                AS DOUBLE)
+                         * 1e18)
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS intensity_x1e6
+        FROM per_p
+    """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -19132,5 +19277,138 @@ def oracle_sql() -> dict[str, str]:
                          * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
                       * 1000000.0 + 0.5) AS BIGINT) END AS energy_x1e6
         FROM s
+    """
+    out["q355_ljung_box"] = _DAILY_REVENUE_CTE + """
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS s,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx
+          FROM idx
+        ), lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        pairs AS (
+          SELECT l.lag, a.x AS xl, b.x AS xr
+          FROM idx a CROSS JOIN lags l
+          JOIN idx b ON b.t = a.t + l.lag
+        ), per_lag AS (
+          SELECT lag,
+                 SUM(CAST(xl AS HUGEINT) * xr) AS xy,
+                 SUM(CAST(xl AS HUGEINT)) AS hk,
+                 SUM(CAST(xr AS HUGEINT)) AS tk
+          FROM pairs GROUP BY 1
+        ), pl AS (
+          SELECT lag, n,
+                 CAST(n AS HUGEINT)*n*xy - CAST(n AS HUGEINT)*s*(hk + tk)
+                   + (CAST(n AS HUGEINT) - lag)*s*s AS a_k,
+                 CAST(n AS HUGEINT)*sxx - s*s AS b
+          FROM per_lag CROSS JOIN tot
+        ), rk AS (
+          SELECT lag, n, b,
+                 CASE WHEN b > 0 THEN CAST(a_k AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE)) END AS r
+          FROM pl
+        ), fin AS (
+          SELECT MAX(n) AS n_days,
+                 MAX(CASE WHEN lag = 1 THEN
+                   CAST(floor(r * 1000000.0 + 0.5) AS BIGINT) END) AS r1,
+                 MAX(CASE WHEN lag = 7 THEN
+                   CAST(floor(r * 1000000.0 + 0.5) AS BIGINT) END) AS r7,
+                 COALESCE(SUM(CASE WHEN b > 0 THEN
+                   CAST(floor(r * r / CAST(n - lag AS DOUBLE)
+                        * 1000000000000000.0 + 0.5) AS HUGEINT)
+                   ELSE 0 END), 0) AS qs,
+                 MIN(b) AS minb,
+                 CAST(MIN(n - lag) AS BIGINT) AS minnk
+          FROM rk
+        )
+        SELECT COALESCE(CAST(n_days AS BIGINT), 0) AS n_days,
+               CASE WHEN n_days IS NULL OR minnk <= 0 OR minb <= 0
+                    THEN NULL ELSE r1 END AS r1_x1e6,
+               CASE WHEN n_days IS NULL OR minnk <= 0 OR minb <= 0
+                    THEN NULL ELSE r7 END AS r7_x1e6,
+               CASE WHEN n_days IS NULL OR minnk <= 0 OR minb <= 0
+                    THEN NULL
+                    ELSE CAST(floor(CAST(n_days AS DOUBLE)
+                      * (CAST(n_days AS DOUBLE) + 2.0)
+                      * (CAST(qs AS DOUBLE) / 1000000000000000.0)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS q_lb_x1e6
+        FROM fin
+    """
+    out["q356_periodogram"] = _periodogram_sql()
+    out["q357_kpss"] = _DAILY_REVENUE_CTE + """
+        run AS (
+          SELECT t, x, SUM(x) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) AS cum
+          FROM idx
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS s
+          FROM idx
+        ), num AS (
+          SELECT MAX(n) AS n_days, MAX(s) AS s,
+                 COALESCE(SUM((CAST(n AS HUGEINT)*cum
+                               - CAST(t AS HUGEINT)*s)
+                              * (CAST(n AS HUGEINT)*cum
+                                 - CAST(t AS HUGEINT)*s)), 0) AS num
+          FROM run CROSS JOIN tot
+        ), lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+        pairs AS (
+          SELECT l.lag, a.x AS xl, b.x AS xr
+          FROM idx a CROSS JOIN lags l
+          JOIN idx b ON b.t = a.t + l.lag
+        ), den AS (
+          SELECT COALESCE(SUM(
+            CAST(CASE WHEN lag = 0 THEN 8 ELSE 2*(8 - lag) END AS HUGEINT)
+            * ((CAST(n AS HUGEINT)*xl - s)
+               * (CAST(n AS HUGEINT)*xr - s))), 0) AS d
+          FROM pairs CROSS JOIN tot
+        )
+        SELECT COALESCE(CAST(n_days AS BIGINT), 0) AS n_days,
+               CASE WHEN n_days IS NULL OR n_days <= 7 OR d <= 0
+                    THEN NULL
+                    ELSE CAST(floor(8.0 * CAST(num AS DOUBLE)
+                      / (CAST(n_days AS DOUBLE) * CAST(d AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS eta_x1e6
+        FROM num CROSS JOIN den
+    """
+    out["q358_arch_lm"] = _DAILY_REVENUE_CTE + """
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS s
+          FROM idx
+        ), sq AS (
+          SELECT t,
+                 ((CAST(n AS HUGEINT)*x - s) * (CAST(n AS HUGEINT)*x - s))
+                   // (CAST(n AS HUGEINT) * n * 1000000) AS v
+          FROM idx CROSS JOIN tot
+        ), pairs AS (
+          SELECT a.v AS v, b.v AS w
+          FROM sq a JOIN sq b ON b.t = a.t + 1
+        ), s2 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 COALESCE(SUM(v), 0) AS sv, COALESCE(SUM(w), 0) AS sw,
+                 COALESCE(SUM(v * w), 0) AS svw,
+                 COALESCE(SUM(v * v), 0) AS svv,
+                 COALESCE(SUM(w * w), 0) AS sww
+          FROM pairs
+        ), fin AS (
+          SELECT n_pairs,
+                 CAST(n_pairs AS HUGEINT)*svw - sv*sw AS numr,
+                 CAST(n_pairs AS HUGEINT)*svv - sv*sv AS vx,
+                 CAST(n_pairs AS HUGEINT)*sww - sw*sw AS vy
+          FROM s2
+        )
+        SELECT n_pairs,
+               CASE WHEN n_pairs < 2 OR vx <= 0 OR vy <= 0 THEN NULL
+                    ELSE CAST(floor(CAST(numr AS DOUBLE)
+                      / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS r_x1e6,
+               CASE WHEN n_pairs < 2 OR vx <= 0 OR vy <= 0 THEN NULL
+                    ELSE CAST(floor(CAST(n_pairs AS DOUBLE)
+                      * (CAST(numr AS DOUBLE)
+                         / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
+                      * (CAST(numr AS DOUBLE)
+                         / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS lm_x1e6
+        FROM fin
     """
     return out

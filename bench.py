@@ -330,6 +330,10 @@ HEADLINE = [
     "q352_kuiper_lang_drift",
     "q353_tv_hellinger",
     "q354_wasserstein_energy",
+    "q355_ljung_box",
+    "q356_periodogram",
+    "q357_kpss",
+    "q358_arch_lm",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

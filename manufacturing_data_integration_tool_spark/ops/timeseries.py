@@ -1,0 +1,462 @@
+"""Classical time-series diagnostics over a collapsed daily series.
+
+The repo already screens daily series pointwise (DW q322, ACF q281,
+CUSUM q171, changepoint q217, seasonal residuals q213/q253, Mann-Kendall
+q228/q323).  This module adds the model-diagnostic layer a forecasting
+pipeline runs BEFORE trusting a model family:
+
+- :func:`ljung_box` — portmanteau whiteness test Q(h) (Ljung & Box,
+  Biometrika 1978): are the first h autocorrelations jointly zero.
+- :func:`periodogram_intensity` — discrete-Fourier power at candidate
+  seasonal periods (Schuster, Terr. Magn. 1898), with the trig weights
+  fixed DRIVER-SIDE on a 1e9 lattice so both engines sum identical
+  integers (cos/sin are not IEEE-correctly-rounded, so in-engine trig
+  is banned by the determinism contract).
+- :func:`kpss_level` — KPSS level-stationarity statistic (Kwiatkowski,
+  Phillips, Schmidt & Shin, J. Econometrics 1992) with Bartlett
+  long-run variance at 7 lags, collapsed to ONE exact integer division.
+- :func:`arch_lm` — Engle's ARCH(1) LM heteroskedasticity screen
+  (Engle, Econometrica 1982) as n*r^2 of the lag-1 Pearson of squared
+  residuals.
+
+Series model: callers collapse raw rows to a (day, integer-lattice
+value) daily table map-side (the q281/q322 discipline); these functions
+assign the dense time index t = row_number() over the day axis.  The
+daily table is BOUNDED (a few thousand rows for years of data), so
+plain global windows over it are metadata-scale by contract — the same
+posture as the tau-b marginal windows, NOT a window over raw data.
+
+Determinism contract: all moments are exact DECIMAL(38,0) integers with
+means cleared by multiplying through by n (never a float mean); where a
+statistic sums per-lag float terms (Ljung-Box's r_k^2/(n-k)), each term
+is fixed on a declared 1e15 lattice before an exact integer sum.  Each
+published value is ONE final IEEE tree, floor-published at 1e6.
+
+Magnitude contract (documented, ANSI-loud beyond): with daily totals up
+to ~1e13 cents and ~4e3 days, the largest intermediate (KPSS's
+``sum (n*C_t - t*S)^2``) stays under 1e38; coarsen the value lattice
+upstream for longer/larger series.
+
+Reference parity note: the reference tool (kshres31/
+Manufacturing-Data-Integration-Tool) has no temporal layer; these
+extend its per-row screens with the forecasting-governance tests, same
+role as ops.ranktests for segments.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DEC = "decimal(38,0)"
+_LB_GRID = 10**15
+_TRIG_GRID = 10**9
+
+
+def _indexed_daily(df: DataFrame, day_col: str, value_col: str) -> DataFrame:
+    """Dense 1-based time index over the (bounded) daily table."""
+    w = Window.orderBy(F.asc(day_col))
+    return df.select(
+        F.row_number().over(w).alias("__t"),
+        F.col(value_col).cast("bigint").alias("__x"),
+    )
+
+
+def ljung_box(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Ljung-Box portmanteau Q(h) over the classical fixed-mean sample
+    ACF: ``Q = n(n+2) * sum_{k=1..h} r_k^2 / (n-k)``, chi^2(h) under
+    whiteness.
+
+    Exactness: with S = sum x, B = n*sum x^2 - S^2 and per-lag raw
+    cross-moments over the t-aligned pairs (XY_k = sum x_t x_{t+k},
+    H_k/T_k the head/tail sums), the fixed-mean autocovariance
+    numerator clears all means exactly:
+
+        ``A_k = n^2*XY_k - n*S*(H_k + T_k) + (n-k)*S^2``
+        ``r_k = A_k / (n*B)``   (one double division of exact integers)
+
+    Each ``r_k^2/(n-k)`` is fixed on the 1e15 lattice, summed as exact
+    integers, and Q is ONE final tree.  Per-lag detail is published
+    alongside (r1/r7) for triage.
+
+    Output: one row — ``n_days, r1_x1e6, r7_x1e6, q_lb_x1e6`` (NULL
+    stats when n <= max_lag or the series is constant, B <= 0).
+    """
+    idx = _indexed_daily(daily, day_col, value_col)
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum(F.col("__x").cast(_DEC)), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__s"),
+        F.coalesce(
+            F.sum((F.col("__x").cast(_DEC) * F.col("__x")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        )
+        .cast(_DEC)
+        .alias("__sxx"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    ).alias("lag")
+    left = idx.select(
+        F.col("__t"), F.col("__x").alias("__xl"), lags
+    ).withColumn("__t2", F.col("__t") + F.col("lag"))
+    right = idx.select(
+        F.col("__t").alias("__t2"), F.col("__x").alias("__xr")
+    )
+    pairs = left.join(right, "__t2")
+    per_lag = pairs.groupBy("lag").agg(
+        F.sum((F.col("__xl").cast(_DEC) * F.col("__xr")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__xy"),
+        F.sum(F.col("__xl").cast(_DEC)).cast(_DEC).alias("__hk"),
+        F.sum(F.col("__xr").cast(_DEC)).cast(_DEC).alias("__tk"),
+    )
+    pl = per_lag.crossJoin(F.broadcast(tot))
+    n = F.col("__n").cast(_DEC)
+    a_k = (
+        n * n * F.col("__xy")
+        - n * F.col("__s") * (F.col("__hk") + F.col("__tk"))
+        + (n - F.col("lag")) * F.col("__s") * F.col("__s")
+    ).cast(_DEC)
+    b = (n * F.col("__sxx") - F.col("__s") * F.col("__s")).cast(_DEC)
+    # Per-row guard: these run INSIDE the aggregate, before the final
+    # NULL guard can short-circuit, and ANSI mode raises on /0 — a
+    # constant series (b = 0) must yield NULLs, not an error.
+    b_ok = b > F.lit(0).cast(_DEC)
+    r_k = F.when(
+        b_ok, a_k.cast("double") / (n.cast("double") * b.cast("double"))
+    )
+    q_term = F.when(
+        b_ok,
+        F.floor(
+            r_k * r_k / (F.col("__n") - F.col("lag")).cast("double")
+            * F.lit(float(_LB_GRID))
+            + F.lit(0.5)
+        ).cast(_DEC),
+    ).otherwise(F.lit(0).cast(_DEC))
+    r_pub = F.floor(r_k * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+    fin = pl.agg(
+        F.max("__n").cast("bigint").alias("n_days"),
+        F.max(F.when(F.col("lag") == 1, r_pub)).alias("__r1"),
+        F.max(F.when(F.col("lag") == F.lit(max_lag), r_pub)).alias("__r7"),
+        F.coalesce(F.sum(q_term), F.lit(0).cast(_DEC)).alias("__qs"),
+        F.min(b).alias("__b"),
+        F.min(F.col("__n") - F.col("lag")).cast("bigint").alias("__minnk"),
+    )
+    q = (
+        F.col("n_days").cast("double")
+        * (F.col("n_days").cast("double") + F.lit(2.0))
+        * (F.col("__qs").cast("double") / F.lit(float(_LB_GRID)))
+    )
+    bad = (
+        F.col("n_days").isNull()
+        | (F.col("__minnk") <= 0)
+        | (F.col("__b") <= F.lit(0).cast(_DEC))
+    )
+    return fin.select(
+        F.coalesce(F.col("n_days"), F.lit(0)).cast("bigint").alias(
+            "n_days"
+        ),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(F.col("__r1"))
+        .alias("r1_x1e6"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(F.col("__r7"))
+        .alias(f"r{max_lag}_x1e6"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(q * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("q_lb_x1e6"),
+    )
+
+
+def trig_weights(periods: tuple[int, ...]) -> list[tuple[int, int, int, int]]:
+    """Driver-side trig lattice: for each period p and phase
+    k = 0..p-1, ``(p, k, floor(cos(2*pi*k/p)*1e9 + 0.5),
+    floor(sin(2*pi*k/p)*1e9 + 0.5))``.  Computed ONCE in Python and
+    inlined as literals into BOTH the Spark plan and the SQL oracle, so
+    no engine evaluates transcendental functions on data (cos/sin are
+    not IEEE-correctly-rounded; the lattice is the shared truth)."""
+    rows = []
+    for p in periods:
+        for k in range(p):
+            ang = 2.0 * math.pi * k / p
+            rows.append(
+                (
+                    p,
+                    k,
+                    math.floor(math.cos(ang) * _TRIG_GRID + 0.5),
+                    math.floor(math.sin(ang) * _TRIG_GRID + 0.5),
+                )
+            )
+    return rows
+
+
+def periodogram_intensity(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    periods: tuple[int, ...] = (7, 30, 91),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Normalized discrete-Fourier intensity at candidate seasonal
+    periods: for period p with lattice weights wc/ws at phase t mod p,
+
+        ``C = sum_t x_t * wc(t mod p)``   (exact integers)
+        ``Sn = sum_t x_t * ws(t mod p)``
+        ``I(p) = [(n*C - S*Wc)^2 + (n*Sn - S*Ws)^2]
+                 / (n^2 * (n*sum x^2 - S^2) * 1e18)``
+
+    — the mean is cleared exactly by multiplying through by n (Wc/Ws
+    are the weight totals), the two squared terms are IEEE doubles of
+    exact DECIMAL(38,0) integers, and the 1e18 clears the squared trig
+    lattice.  I(p) is the fraction of series variance at that seasonal
+    line (≈ 2/n for white noise; → 1 for a pure sinusoid at p).
+
+    Output: one row per period — ``(period, n_days, intensity_x1e6)``
+    (NULL when the series is constant or shorter than 2 points).
+    """
+    spark = daily.sparkSession
+    idx = _indexed_daily(daily, day_col, value_col)
+    w = spark.createDataFrame(
+        trig_weights(tuple(periods)),
+        "period bigint, phase bigint, wc bigint, ws bigint",
+    )
+    per = F.explode(
+        F.array(*[F.lit(int(p)) for p in periods])
+    ).alias("period")
+    tagged = idx.select(
+        "__t", "__x", per
+    ).withColumn("phase", (F.col("__t") - 1) % F.col("period"))
+    joined = tagged.join(F.broadcast(w), ["period", "phase"])
+    per_p = joined.groupBy("period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("__x").cast(_DEC)).cast(_DEC).alias("__s"),
+        F.sum((F.col("__x").cast(_DEC) * F.col("__x")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__sxx"),
+        F.sum((F.col("__x").cast(_DEC) * F.col("wc")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__c"),
+        F.sum((F.col("__x").cast(_DEC) * F.col("ws")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__sn"),
+        F.sum(F.col("wc").cast(_DEC)).cast(_DEC).alias("__wc"),
+        F.sum(F.col("ws").cast(_DEC)).cast(_DEC).alias("__ws"),
+    )
+    n = F.col("n_days").cast(_DEC)
+    cd = (n * F.col("__c") - F.col("__s") * F.col("__wc")).cast("double")
+    sd = (n * F.col("__sn") - F.col("__s") * F.col("__ws")).cast("double")
+    b = (n * F.col("__sxx") - F.col("__s") * F.col("__s")).cast(_DEC)
+    nn = F.col("n_days").cast("double")
+    intensity = (cd * cd + sd * sd) / (
+        nn * nn * F.col("__b").cast("double") * F.lit(1e18)
+    )
+    per_p = per_p.withColumn("__b", b)
+    return per_p.select(
+        F.col("period").cast("bigint").alias("period"),
+        "n_days",
+        F.when(
+            (F.col("n_days") < 2) | (F.col("__b") <= F.lit(0).cast(_DEC)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(intensity * F.lit(float(scale)) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .alias("intensity_x1e6"),
+    )
+
+
+def kpss_level(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    bartlett_lags: int = 7,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """KPSS level-stationarity statistic with Bartlett long-run
+    variance at L lags.  Clearing every mean by n collapses the whole
+    statistic to ONE exact integer division:
+
+        ``NUM = sum_t (n*C_t - t*S)^2``      (C_t = inclusive cumsum)
+        ``G_k = sum_t (n*x_t - S)(n*x_{t+k} - S)``
+        ``eta = (L+1) * NUM / (n * [(L+1)*G_0 + 2*sum_k (L+1-k)*G_k])``
+
+    (the Bartlett weights (1 - k/(L+1)) are cleared by (L+1)).  Under
+    level stationarity eta concentrates near E[eta] ~ 0.17 (5% critical
+    value 0.463, KPSS Table 1); a unit root drags it up with n.
+
+    Output: one row — ``n_days, eta_x1e6`` (NULL when n <= L or the
+    long-run variance denominator is <= 0).
+    """
+    idx = _indexed_daily(daily, day_col, value_col)
+    w = Window.orderBy(F.asc("__t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = idx.withColumn("__cum", F.sum("__x").over(w))
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum(F.col("__x").cast(_DEC)), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__s"),
+    )
+    rt = run.crossJoin(F.broadcast(tot))
+    dev = (
+        F.col("__n").cast(_DEC) * F.col("__cum")
+        - F.col("__t").cast(_DEC) * F.col("__s")
+    ).cast(_DEC)
+    num = rt.agg(
+        F.max("__n").cast("bigint").alias("n_days"),
+        F.max("__s").alias("__s"),
+        F.coalesce(F.sum((dev * dev).cast(_DEC)), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__num"),
+    )
+    el = F.explode(
+        F.array(*[F.lit(k) for k in range(0, bartlett_lags + 1)])
+    ).alias("lag")
+    left = idx.select("__t", F.col("__x").alias("__xl"), el).withColumn(
+        "__t2", F.col("__t") + F.col("lag")
+    )
+    right = idx.select(F.col("__t").alias("__t2"), F.col("__x").alias("__xr"))
+    pairs = left.join(right, "__t2").crossJoin(F.broadcast(tot))
+    g_term = (
+        (F.col("__n").cast(_DEC) * F.col("__xl") - F.col("__s"))
+        * (F.col("__n").cast(_DEC) * F.col("__xr") - F.col("__s"))
+    ).cast(_DEC)
+    lp1 = bartlett_lags + 1
+    wgt = F.when(F.col("lag") == 0, F.lit(lp1)).otherwise(
+        F.lit(2) * (F.lit(lp1) - F.col("lag"))
+    )
+    den = pairs.agg(
+        F.coalesce(
+            F.sum((wgt.cast(_DEC) * g_term).cast(_DEC)), F.lit(0).cast(_DEC)
+        )
+        .cast(_DEC)
+        .alias("__d")
+    )
+    fin = num.crossJoin(F.broadcast(den))
+    eta = (
+        F.lit(float(lp1))
+        * F.col("__num").cast("double")
+        / (F.col("n_days").cast("double") * F.col("__d").cast("double"))
+    )
+    return fin.select(
+        F.coalesce(F.col("n_days"), F.lit(0)).cast("bigint").alias(
+            "n_days"
+        ),
+        F.when(
+            F.col("n_days").isNull()
+            | (F.col("n_days") <= F.lit(bartlett_lags))
+            | (F.col("__d") <= F.lit(0).cast(_DEC)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(eta * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("eta_x1e6"),
+    )
+
+
+def arch_lm(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    var_lattice: int = 1_000_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Engle's ARCH(1) LM screen: volatility clustering as
+    ``LM = n_pairs * r^2`` with r the lag-1 Pearson of SQUARED
+    mean-residuals (lagged-pairs estimator, the q281 convention).
+
+    Exactness: the squared residual is carried as the exact integer
+    ``v_t = (n*x_t - S)^2 div (n^2 * var_lattice)`` — the mean cleared
+    by n, the declared lattice keeping fourth-moment products inside
+    DECIMAL(38,0) (identical truncation on both engines; pick
+    var_lattice so v_t lands near 1e8: squared-deviation scale divided
+    by the lattice).  The Pearson moments over (v_t, v_{t+1}) are exact
+    integers; r is ONE IEEE tree.
+
+    Output: one row — ``n_pairs, r_x1e6, lm_x1e6`` (NULL when fewer
+    than 2 pairs or a zero-variance side).
+    """
+    idx = _indexed_daily(daily, day_col, value_col)
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum(F.col("__x").cast(_DEC)), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__s"),
+    )
+    rt = idx.crossJoin(F.broadcast(tot))
+    v = F.expr(
+        "CAST((CAST(__n AS DECIMAL(38,0)) * __x - __s) "
+        "* (CAST(__n AS DECIMAL(38,0)) * __x - __s) AS DECIMAL(38,0)) "
+        f"div (CAST(__n AS DECIMAL(38,0)) * __n * {int(var_lattice)})"
+    )
+    # Spark's `div` yields LONG — lift back to DECIMAL(38,0) before any
+    # product, or the second moments overflow int64 under ANSI.
+    sq = rt.select("__t", v.cast(_DEC).alias("__v"))
+    nxt = sq.select((F.col("__t") - 1).alias("__t"), F.col("__v").alias("__w"))
+    pairs = sq.join(nxt, "__t")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("__v")), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__sv"),
+        F.coalesce(F.sum(F.col("__w")), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__sw"),
+        F.coalesce(
+            F.sum((F.col("__v") * F.col("__w")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        ).alias("__svw"),
+        F.coalesce(
+            F.sum((F.col("__v") * F.col("__v")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        ).alias("__svv"),
+        F.coalesce(
+            F.sum((F.col("__w") * F.col("__w")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        ).alias("__sww"),
+    )
+    np_ = F.col("n_pairs").cast(_DEC)
+    numr = (np_ * F.col("__svw") - F.col("__sv") * F.col("__sw")).cast(
+        "double"
+    )
+    vx = (np_ * F.col("__svv") - F.col("__sv") * F.col("__sv")).cast(_DEC)
+    vy = (np_ * F.col("__sww") - F.col("__sw") * F.col("__sw")).cast(_DEC)
+    r = numr / F.sqrt(vx.cast("double") * vy.cast("double"))
+    lm = F.col("n_pairs").cast("double") * r * r
+    bad = (
+        (F.col("n_pairs") < 2)
+        | (vx <= F.lit(0).cast(_DEC))
+        | (vy <= F.lit(0).cast(_DEC))
+    )
+    return s.select(
+        "n_pairs",
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(r * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("r_x1e6"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(lm * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("lm_x1e6"),
+    )

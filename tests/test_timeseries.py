@@ -1,0 +1,136 @@
+"""Unit tests for ops.timeseries (Ljung-Box, periodogram, KPSS, ARCH
+LM): pure-Python brute-force twins on a synthetic weekly-seasonal
+series; driver-scale parity against DuckDB lives in
+tools/parity_check.py (q355-q358)."""
+
+import datetime as dt
+import math
+import random
+
+from pyspark.sql import Row
+
+from manufacturing_data_integration_tool_spark.ops.timeseries import (
+    arch_lm,
+    kpss_level,
+    ljung_box,
+    periodogram_intensity,
+    trig_weights,
+)
+
+
+def _weekly_series(n=120, seed=5):
+    rng = random.Random(seed)
+    xs = [rng.randint(100, 200) + (30 if t % 7 == 0 else 0) for t in range(n)]
+    rows = [
+        Row(d=dt.date(2020, 1, 1) + dt.timedelta(days=t), x=xs[t])
+        for t in range(n)
+    ]
+    return xs, rows
+
+
+def test_ljung_box_matches_brute_force(spark):
+    xs, rows = _weekly_series()
+    n = len(xs)
+    out = ljung_box(spark.createDataFrame(rows), "d", "x").collect()[0]
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+
+    def r(k):
+        return sum(
+            (xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k)
+        ) / den
+
+    q = n * (n + 2) * sum(r(k) ** 2 / (n - k) for k in range(1, 8))
+    assert out["n_days"] == n
+    assert abs(out["r1_x1e6"] - math.floor(r(1) * 1e6 + 0.5)) <= 1
+    assert abs(out["r7_x1e6"] - math.floor(r(7) * 1e6 + 0.5)) <= 1
+    # Q sums 7 lattice-rounded terms scaled by n(n+2) ~ 1.4e4
+    assert abs(out["q_lb_x1e6"] - math.floor(q * 1e6 + 0.5)) <= 10
+
+
+def test_periodogram_matches_brute_and_finds_weekly_line(spark):
+    xs, rows = _weekly_series()
+    n = len(xs)
+    got = {
+        r["period"]: r["intensity_x1e6"]
+        for r in periodogram_intensity(
+            spark.createDataFrame(rows), "d", "x", periods=(7, 30)
+        ).collect()
+    }
+    wts = {(p, k): (wc, ws) for p, k, wc, ws in trig_weights((7, 30))}
+    s = sum(xs)
+    b = n * sum(x * x for x in xs) - s * s
+    for p in (7, 30):
+        c = sum(xs[t] * wts[(p, t % p)][0] for t in range(n))
+        sn = sum(xs[t] * wts[(p, t % p)][1] for t in range(n))
+        wc = sum(wts[(p, t % p)][0] for t in range(n))
+        ws = sum(wts[(p, t % p)][1] for t in range(n))
+        i_p = ((n * c - s * wc) ** 2 + (n * sn - s * ws) ** 2) / (
+            n * n * b * 1e18
+        )
+        assert abs(got[p] - math.floor(i_p * 1e6 + 0.5)) <= 1
+    assert got[7] > got[30]  # the planted weekly bump dominates
+
+
+def test_kpss_matches_brute_force(spark):
+    xs, rows = _weekly_series()
+    n = len(xs)
+    out = kpss_level(spark.createDataFrame(rows), "d", "x").collect()[0]
+    s = sum(xs)
+    num = sum(
+        (n * sum(xs[: t + 1]) - (t + 1) * s) ** 2 for t in range(n)
+    )
+
+    def g(k):
+        return sum((n * xs[t] - s) * (n * xs[t + k] - s) for t in range(n - k))
+
+    lp1 = 8
+    d = lp1 * g(0) + 2 * sum((lp1 - k) * g(k) for k in range(1, 8))
+    eta = lp1 * num / (n * d)
+    assert out["n_days"] == n
+    assert abs(out["eta_x1e6"] - math.floor(eta * 1e6 + 0.5)) <= 1
+
+
+def test_arch_lm_matches_brute_force(spark):
+    xs, rows = _weekly_series()
+    n = len(xs)
+    out = arch_lm(
+        spark.createDataFrame(rows), "d", "x", var_lattice=1
+    ).collect()[0]
+    s = sum(xs)
+    vs = [((n * x - s) ** 2) // (n * n) for x in xs]
+    pv, nv = vs[:-1], vs[1:]
+    np_ = len(pv)
+    sv, sw = sum(pv), sum(nv)
+    svw = sum(a * b for a, b in zip(pv, nv))
+    svv, sww = sum(a * a for a in pv), sum(b * b for b in nv)
+    numr = np_ * svw - sv * sw
+    vx, vy = np_ * svv - sv * sv, np_ * sww - sw * sw
+    r = numr / math.sqrt(vx * vy)
+    assert out["n_pairs"] == np_
+    assert abs(out["r_x1e6"] - math.floor(r * 1e6 + 0.5)) <= 1
+    assert abs(out["lm_x1e6"] - math.floor(np_ * r * r * 1e6 + 0.5)) <= 2
+
+
+def test_timeseries_degenerate_inputs(spark):
+    const = spark.createDataFrame(
+        [
+            Row(d=dt.date(2020, 1, 1) + dt.timedelta(days=t), x=5)
+            for t in range(20)
+        ]
+    )
+    assert ljung_box(const, "d", "x").collect()[0]["q_lb_x1e6"] is None
+    assert kpss_level(const, "d", "x").collect()[0]["eta_x1e6"] is None
+    assert (
+        arch_lm(const, "d", "x", var_lattice=1).collect()[0]["lm_x1e6"]
+        is None
+    )
+    assert all(
+        r["intensity_x1e6"] is None
+        for r in periodogram_intensity(
+            const, "d", "x", periods=(7,)
+        ).collect()
+    )
+    empty = spark.createDataFrame([], "d date, x long")
+    assert ljung_box(empty, "d", "x").collect()[0]["n_days"] == 0
+    assert kpss_level(empty, "d", "x").collect()[0]["eta_x1e6"] is None
