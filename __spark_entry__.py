@@ -9867,6 +9867,97 @@ def q358_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arch_lm(_daily_revenue(spark, sf_dir), "d", "r")
 
 
+def q359_ols_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-regressor OLS (ops.stats.ols2_closed_form):
+    extended price (cents) on quantity and discount points — the
+    distributed-regression primitive behind q296's elasticity and
+    q248's DiD: nine exact DECIMAL(38,0) power sums reduce map-side
+    across any number of executors, the driver does six float ops
+    (Cramer on the centered normal equations). Publishes slopes,
+    intercept, and R^2."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        ols2_closed_form,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return ols2_closed_form(
+        li,
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+        F.col("l_quantity"),
+        F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)),
+    )
+
+
+def q360_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Atkinson(0.5) inequality indices
+    (ops.stats.theil_atkinson; Theil 1967; Atkinson 1970) over
+    per-customer revenue — the decomposable / welfare-grounded
+    companions to q232's Gini on the same concentration question (Theil
+    splits into within/between group terms; Atkinson states how much
+    total revenue an egalitarian book could give up). Per-row ln/sqrt
+    fixed on declared lattices before exact integer sums (the q328
+    Bartlett ln discipline)."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        theil_atkinson,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("rev")
+    )
+    return theil_atkinson(per_cust, "rev")
+
+
+def q361_grubbs_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' extreme-outlier statistic (ops.stats.grubbs_extreme;
+    Grubbs 1950) over per-customer revenue: how many sample sigmas out
+    is the single worst account, plus the EXACT count beyond 3 sigmas
+    via the integer predicate (n-1)*d^2 > 9*n*(n*Sxx - S^2) — the
+    single-point complement to q111's per-key MAD screen, with zero
+    float boundary cases in the membership test."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        grubbs_extreme,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("rev")
+    )
+    return grubbs_extreme(per_cust, "rev")
+
+
+def q362_map_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 + recall@10 of the BM25 stack over the q349 five-query
+    battery (ops.similarity.map_recall_from_pages; Buckley & Voorhees,
+    SIGIR 2000), relevance = 'en'-language docs — the order-sensitive
+    and coverage members completing the retrieval scorecard (q349 MRR,
+    q276 NDCG, q197 RRF). Every precision is a scaled-integer floor
+    division; BIGINT end-to-end, zero IEEE."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        map_recall_from_pages,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lang = docs.select("doc_id", "lang")
+    pages = None
+    for qid, terms in _MRR_QUERIES:
+        page = tx.bm25_topk(docs, terms, k=10).select(
+            F.lit(qid).alias("qid"), "doc_id", "rank"
+        )
+        pages = page if pages is None else pages.unionByName(page)
+    rel = pages.join(lang, "doc_id").select(
+        "qid", "rank", (F.col("lang") == "en").alias("rel")
+    )
+    total = docs.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_total")
+    )
+    return map_recall_from_pages(rel, "qid", "rank", "rel", total, k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10005,6 +10096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q356_periodogram": q356_periodogram,
         "q357_kpss": q357_kpss,
         "q358_arch_lm": q358_arch_lm,
+        "q359_ols_pricing": q359_ols_pricing,
+        "q360_inequality_indices": q360_inequality_indices,
+        "q361_grubbs_extreme": q361_grubbs_extreme,
+        "q362_map_recall": q362_map_recall,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -19410,5 +19505,168 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
                       * 1000000.0 + 0.5) AS BIGINT) END AS lm_x1e6
         FROM fin
+    """
+    out["q359_ols_pricing"] = """
+        WITH base AS (
+          SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+                 CAST(l_quantity AS BIGINT) AS x1,
+                 CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x2
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            AND l_discount IS NOT NULL
+        ), sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x1 AS HUGEINT)), 0) AS sx1,
+                 COALESCE(SUM(CAST(x2 AS HUGEINT)), 0) AS sx2,
+                 COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+                 COALESCE(SUM(CAST(x1 AS HUGEINT) * x1), 0) AS s11r,
+                 COALESCE(SUM(CAST(x2 AS HUGEINT) * x2), 0) AS s22r,
+                 COALESCE(SUM(CAST(x1 AS HUGEINT) * x2), 0) AS s12r,
+                 COALESCE(SUM(CAST(x1 AS HUGEINT) * y), 0) AS s1yr,
+                 COALESCE(SUM(CAST(x2 AS HUGEINT) * y), 0) AS s2yr,
+                 COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS syyr
+          FROM base
+        ), cen AS (
+          SELECT n, sx1, sx2, sy,
+                 CAST(CAST(n AS HUGEINT)*s11r - sx1*sx1 AS DOUBLE) AS s11,
+                 CAST(CAST(n AS HUGEINT)*s22r - sx2*sx2 AS DOUBLE) AS s22,
+                 CAST(CAST(n AS HUGEINT)*s12r - sx1*sx2 AS DOUBLE) AS s12,
+                 CAST(CAST(n AS HUGEINT)*s1yr - sx1*sy AS DOUBLE) AS s1y,
+                 CAST(CAST(n AS HUGEINT)*s2yr - sx2*sy AS DOUBLE) AS s2y,
+                 CAST(CAST(n AS HUGEINT)*syyr - sy*sy AS DOUBLE) AS syy
+          FROM sums
+        ), coef AS (
+          SELECT n, sx1, sx2, sy, s1y, s2y, syy,
+                 s11*s22 - s12*s12 AS det,
+                 (s1y*s22 - s2y*s12) / (s11*s22 - s12*s12) AS b1,
+                 (s2y*s11 - s1y*s12) / (s11*s22 - s12*s12) AS b2
+          FROM cen
+        )
+        SELECT n,
+               CASE WHEN n < 3 OR det <= 0.0 OR syy <= 0.0 THEN NULL
+                    ELSE CAST(floor(b1 * 1000000.0 + 0.5) AS BIGINT)
+                    END AS b1_x1e6,
+               CASE WHEN n < 3 OR det <= 0.0 OR syy <= 0.0 THEN NULL
+                    ELSE CAST(floor(b2 * 1000000.0 + 0.5) AS BIGINT)
+                    END AS b2_x1e6,
+               CASE WHEN n < 3 OR det <= 0.0 OR syy <= 0.0 THEN NULL
+                    ELSE CAST(floor(
+                      (CAST(sy AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE)
+                       - b2 * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS intercept_x1e6,
+               CASE WHEN n < 3 OR det <= 0.0 OR syy <= 0.0 THEN NULL
+                    ELSE CAST(floor((b1 * s1y + b2 * s2y) / syy
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS r2_x1e6
+        FROM coef
+    """
+    _PER_CUST_REV = """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rev
+          FROM orders GROUP BY 1
+        ),
+    """
+    out["q360_inequality_indices"] = _PER_CUST_REV + """
+        base AS (
+          SELECT rev AS x FROM per_cust WHERE rev IS NOT NULL AND rev > 0
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS s,
+                 COALESCE(SUM(CAST(x AS HUGEINT)
+                   * CAST(floor(round(ln(CAST(x AS DOUBLE)), 9)
+                          * 1000000000.0 + 0.5) AS HUGEINT)), 0) AS sxln,
+                 COALESCE(SUM(CAST(floor(sqrt(CAST(x AS DOUBLE))
+                          * 1000000.0 + 0.5) AS HUGEINT)), 0) AS ssq
+          FROM base
+        )
+        SELECT n, CAST(s AS BIGINT) AS total,
+               CASE WHEN n < 1 THEN NULL
+                    ELSE CAST(floor(
+                      (CAST(sxln AS DOUBLE)
+                       / (1000000000.0 * CAST(s AS DOUBLE))
+                       - round(ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+                               9))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS theil_x1e6,
+               CASE WHEN n < 1 THEN NULL
+                    ELSE CAST(floor(
+                      (1.0 - (CAST(ssq AS DOUBLE) * CAST(ssq AS DOUBLE))
+                       / (1000000000000.0 * CAST(n AS DOUBLE)
+                          * CAST(s AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS atkinson_x1e6
+        FROM agg
+    """
+    out["q361_grubbs_extreme"] = _PER_CUST_REV + """
+        base AS (
+          SELECT rev AS x FROM per_cust WHERE rev IS NOT NULL
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS s,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx
+          FROM base
+        ), agg AS (
+          SELECT MAX(n) AS n,
+                 MAX(ABS(CAST(n AS HUGEINT)*x - s)) AS maxd,
+                 MAX(CAST(n AS HUGEINT)*sxx - s*s) AS m2,
+                 CAST(SUM(CASE WHEN CAST(n - 1 AS HUGEINT)
+                       * (CAST(n AS HUGEINT)*x - s)
+                       * (CAST(n AS HUGEINT)*x - s)
+                       > 9 * CAST(n AS HUGEINT)
+                         * (CAST(n AS HUGEINT)*sxx - s*s)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_3s
+          FROM base CROSS JOIN tot
+        )
+        SELECT COALESCE(CAST(n AS BIGINT), 0) AS n,
+               CASE WHEN n IS NULL OR n < 3 OR m2 <= 0 THEN NULL
+                    ELSE CAST(floor(CAST(maxd AS DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         * sqrt(CAST(m2 AS DOUBLE)
+                                / (CAST(n AS DOUBLE)
+                                   * (CAST(n AS DOUBLE) - 1.0))))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS g_x1e6,
+               CASE WHEN n IS NULL OR n < 3 OR m2 <= 0 THEN NULL
+                    ELSE n_beyond_3s END AS n_beyond_3s
+        FROM agg
+    """
+    out["q362_map_recall"] = f"""
+        WITH pages AS ({_pages_union}),
+        rel AS (
+          SELECT p.qid, p.rank, (d.lang = 'en') AS rel
+          FROM pages p JOIN documents d ON p.doc = d.doc_id),
+        tot AS (
+          SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_rel_total
+          FROM documents),
+        tagged AS (
+          SELECT qid, rank, rel,
+                 SUM(CASE WHEN rel THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY qid ORDER BY rank
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS hits
+          FROM rel),
+        per AS (
+          SELECT qid, CAST(MAX(hits) AS BIGINT) AS n_hits,
+                 CAST(COALESCE(SUM(CASE WHEN rel
+                      THEN 1000000000000 * hits // rank
+                      ELSE 0 END), 0) AS BIGINT) AS apsum
+          FROM tagged GROUP BY 1),
+        per2 AS (
+          SELECT qid, n_hits,
+                 CAST(apsum // 10 AS BIGINT) AS ap_x1e12,
+                 CASE WHEN n_rel_total <= 0 THEN NULL
+                      ELSE CAST(1000000000000 * n_hits // n_rel_total
+                                AS BIGINT) END AS recall_x1e12
+          FROM per CROSS JOIN tot),
+        summ AS (
+          SELECT CAST(COALESCE(SUM(ap_x1e12), 0) // COUNT(*) AS BIGINT)
+                   AS map_x1e12,
+                 CAST(COALESCE(SUM(recall_x1e12), 0) // COUNT(*)
+                      AS BIGINT) AS mean_recall_x1e12
+          FROM per2)
+        SELECT qid, n_hits, ap_x1e12, recall_x1e12, map_x1e12,
+               mean_recall_x1e12
+        FROM per2 CROSS JOIN summ ORDER BY qid
     """
     return out

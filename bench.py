@@ -334,6 +334,10 @@ HEADLINE = [
     "q356_periodogram",
     "q357_kpss",
     "q358_arch_lm",
+    "q359_ols_pricing",
+    "q360_inequality_indices",
+    "q361_grubbs_extreme",
+    "q362_map_recall",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

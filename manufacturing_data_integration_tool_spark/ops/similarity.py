@@ -1303,3 +1303,87 @@ def mrr_from_pages(
         ).alias("mrr_x1e12")
     )
     return rr.crossJoin(F.broadcast(summ)).orderBy("qid")
+
+
+def map_recall_from_pages(
+    pages: DataFrame,
+    qid_col: str,
+    rank_col: str,
+    rel_col: str,
+    total_rel: DataFrame,
+    *,
+    k: int = 10,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """MAP@k and recall@k from per-query ranked pages (mean average
+    precision; Buckley & Voorhees, SIGIR 2000) — the order-sensitive and
+    coverage members of the retrieval scorecard, completing q349's MRR
+    (first hit), q276's NDCG (graded gain), q197's RRF (fusion).
+
+    Per query: ``AP@k = (1/k) * sum over relevant ranks r of P(r)``
+    with ``P(r) = hits@r / r``, and ``recall@k = hits@k / R`` with R
+    the corpus-wide relevant count (a 1-row broadcast, column
+    ``n_rel_total``).  Fully exact: every precision is the scaled
+    integer floor division ``scale*hits@r div r`` (the q349 idiom),
+    AP divides the integer sum by k, the means divide by the query
+    count — BIGINT end-to-end, zero IEEE.
+
+    Scale posture: pages are bounded top-k lists; the cumulative-hits
+    window partitions by query over <= k rows — grid-sized.
+
+    Output: one row per query — ``qid, n_hits, ap_x1e12,
+    recall_x1e12`` — plus the constant ``map_x1e12`` and
+    ``mean_recall_x1e12`` columns (means over ALL queries).
+    """
+    from pyspark.sql import Window
+
+    tagged = pages.select(
+        F.col(qid_col).alias("qid"),
+        F.col(rank_col).cast("bigint").alias("__rank"),
+        F.col(rel_col).cast("boolean").alias("__rel"),
+    ).withColumn(
+        "__hits",
+        F.sum(F.when(F.col("__rel"), 1).otherwise(0)).over(
+            Window.partitionBy("qid")
+            .orderBy(F.asc("__rank"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    term = F.when(
+        F.col("__rel"),
+        F.expr(f"CAST({int(scale)} AS BIGINT) * __hits div __rank"),
+    ).otherwise(F.lit(0))
+    per = tagged.groupBy("qid").agg(
+        F.max("__hits").cast("bigint").alias("n_hits"),
+        F.sum(term).cast("bigint").alias("__apsum"),
+    )
+    per = per.select(
+        "qid",
+        "n_hits",
+        F.expr(f"CAST(__apsum div {int(k)} AS BIGINT)").alias("ap_x1e12"),
+    )
+    per = per.crossJoin(F.broadcast(total_rel)).select(
+        "qid",
+        "n_hits",
+        "ap_x1e12",
+        F.when(
+            F.col("n_rel_total") <= 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(
+            F.expr(
+                f"CAST({int(scale)} AS BIGINT) * n_hits div n_rel_total"
+            ).cast("bigint")
+        )
+        .alias("recall_x1e12"),
+    )
+    summ = per.agg(
+        F.expr(
+            "CAST(CAST(COALESCE(SUM(ap_x1e12), 0) AS BIGINT)"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("map_x1e12"),
+        F.expr(
+            "CAST(CAST(COALESCE(SUM(recall_x1e12), 0) AS BIGINT)"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("mean_recall_x1e12"),
+    )
+    return per.crossJoin(F.broadcast(summ)).orderBy("qid")

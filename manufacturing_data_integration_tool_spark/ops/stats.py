@@ -3278,3 +3278,281 @@ def cochran_armitage(
         )
         .alias("chi2_x1e6"),
     )
+
+
+def ols2_closed_form(
+    df: DataFrame,
+    y_col: Column | str,
+    x1_col: Column | str,
+    x2_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-regressor OLS with intercept in closed form (normal
+    equations via Cramer's rule on the centered system; Legendre 1805 /
+    Gauss): coefficients, intercept, and R^2 from ONE map-side-combined
+    scan of exact raw power sums — the distributed-regression primitive
+    (a 1000-executor cluster reduces nine decimals, the driver does six
+    float operations).
+
+    With exact centered cross-moments (x n to clear means):
+
+        ``S11 = n*Sx1x1 - Sx1^2``  (and S22, S12, S1y, S2y, Syy alike)
+        ``b1  = (S1y*S22 - S2y*S12) / (S11*S22 - S12^2)``
+        ``b2  = (S2y*S11 - S1y*S12) / (S11*S22 - S12^2)``
+        ``b0  = (Sy - b1*Sx1 - b2*Sx2) / n``
+        ``R^2 = (b1*S1y + b2*S2y) / Syy``
+
+    The centered sums are exact DECIMAL(38,0) integers; the four
+    published statistics are each ONE IEEE tree over their doubles (the
+    determinant is evaluated in float from exact factors — both engines
+    round identically).  Collinear regressors (det <= 0 after float
+    rounding) and constant y publish NULLs.
+
+    Magnitude contract: centered sums grow as n^2 * spread^2 — with
+    cent-lattice y up to 1e9 and n up to ~3e8 rows the DECIMAL(38,0)
+    bound holds; beyond, ANSI fails loudly (pre-scale the lattice).
+
+    Input contract: y/x1/x2 already on integer lattices (cents, counts,
+    discount points) — callers bin first, as everywhere in this repo.
+
+    Output: one row — ``n, b1_x1e6, b2_x1e6, intercept_x1e6, r2_x1e6``.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("bigint")
+    x1 = (F.col(x1_col) if isinstance(x1_col, str) else x1_col).cast("bigint")
+    x2 = (F.col(x2_col) if isinstance(x2_col, str) else x2_col).cast("bigint")
+    base = df.select(
+        y.alias("__y"), x1.alias("__x1"), x2.alias("__x2")
+    ).filter(
+        F.col("__y").isNotNull()
+        & F.col("__x1").isNotNull()
+        & F.col("__x2").isNotNull()
+    )
+    z = F.lit(0).cast("decimal(38,0)")
+    sums = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(dec(F.col("__x1"))), z).cast("decimal(38,0)").alias("__sx1"),
+        F.coalesce(F.sum(dec(F.col("__x2"))), z).cast("decimal(38,0)").alias("__sx2"),
+        F.coalesce(F.sum(dec(F.col("__y"))), z).cast("decimal(38,0)").alias("__sy"),
+        F.coalesce(F.sum(dec(F.col("__x1")) * F.col("__x1")), z)
+        .cast("decimal(38,0)")
+        .alias("__s11r"),
+        F.coalesce(F.sum(dec(F.col("__x2")) * F.col("__x2")), z)
+        .cast("decimal(38,0)")
+        .alias("__s22r"),
+        F.coalesce(F.sum(dec(F.col("__x1")) * F.col("__x2")), z)
+        .cast("decimal(38,0)")
+        .alias("__s12r"),
+        F.coalesce(F.sum(dec(F.col("__x1")) * F.col("__y")), z)
+        .cast("decimal(38,0)")
+        .alias("__s1yr"),
+        F.coalesce(F.sum(dec(F.col("__x2")) * F.col("__y")), z)
+        .cast("decimal(38,0)")
+        .alias("__s2yr"),
+        F.coalesce(F.sum(dec(F.col("__y")) * F.col("__y")), z)
+        .cast("decimal(38,0)")
+        .alias("__syyr"),
+    )
+    nn = dec(F.col("n"))
+    s11 = (nn * F.col("__s11r") - F.col("__sx1") * F.col("__sx1")).cast(
+        "double"
+    )
+    s22 = (nn * F.col("__s22r") - F.col("__sx2") * F.col("__sx2")).cast(
+        "double"
+    )
+    s12 = (nn * F.col("__s12r") - F.col("__sx1") * F.col("__sx2")).cast(
+        "double"
+    )
+    s1y = (nn * F.col("__s1yr") - F.col("__sx1") * F.col("__sy")).cast(
+        "double"
+    )
+    s2y = (nn * F.col("__s2yr") - F.col("__sx2") * F.col("__sy")).cast(
+        "double"
+    )
+    syy = (nn * F.col("__syyr") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    det = s11 * s22 - s12 * s12
+    b1 = (s1y * s22 - s2y * s12) / det
+    b2 = (s2y * s11 - s1y * s12) / det
+    b0 = (
+        F.col("__sy").cast("double")
+        - b1 * F.col("__sx1").cast("double")
+        - b2 * F.col("__sx2").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = (b1 * s1y + b2 * s2y) / syy
+    bad = (
+        (F.col("n") < 3)
+        | (det <= F.lit(0.0))
+        | (syy <= F.lit(0.0))
+    )
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return sums.select(
+        "n",
+        pub(b1).alias("b1_x1e6"),
+        pub(b2).alias("b2_x1e6"),
+        pub(b0).alias("intercept_x1e6"),
+        pub(r2).alias("r2_x1e6"),
+    )
+
+
+def theil_atkinson(
+    df: DataFrame,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Theil T index (Theil, "Economics and Information Theory" 1967)
+    and Atkinson index at epsilon = 0.5 (Atkinson, J. Econ. Theory
+    1970) over a positive integer-lattice value column — the
+    decomposable / welfare-grounded companions to q232's Gini on the
+    same revenue-concentration question.
+
+        ``T   = (1/S) * [sum x*ln(x)] - ln(S/n)``      (since n*mu = S)
+        ``A   = 1 - (sum sqrt(x) / n)^2 / (S/n)
+              = 1 - (sum sqrt(x))^2 / (n*S)``
+
+    Per-row transcendentals are fixed on declared lattices BEFORE the
+    sums (the repo's ln discipline, q328 Bartlett): ``ln x`` rounds to
+    9 decimals then scales to a 1e9-lattice BIGINT; ``sqrt x`` (IEEE
+    correctly rounded) floors onto a 1e6 lattice.  Both sums are exact
+    DECIMAL(38,0); each published index is ONE final tree (its single
+    trailing ln also 9-digit-rounded, mirrored verbatim).
+
+    Output: one row — ``n, total, theil_x1e6, atkinson_x1e6`` (NULL
+    when n = 0; rows with x <= 0 are excluded by contract — both
+    indices need positive values).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    base = df.select(v.alias("__x")).filter(
+        F.col("__x").isNotNull() & (F.col("__x") > 0)
+    )
+    ln_i9 = F.floor(
+        F.round(F.log(F.col("__x").cast("double")), 9) * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    sq_i6 = F.floor(
+        F.sqrt(F.col("__x").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    z = F.lit(0).cast("decimal(38,0)")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(F.col("__x").cast("decimal(38,0)")), z)
+        .cast("decimal(38,0)")
+        .alias("__s"),
+        F.coalesce(F.sum((F.col("__x").cast("decimal(38,0)") * ln_i9)), z)
+        .cast("decimal(38,0)")
+        .alias("__sxln"),
+        F.coalesce(F.sum(sq_i6), z).cast("decimal(38,0)").alias("__ssq"),
+    )
+    s = F.col("__s").cast("double")
+    n = F.col("n").cast("double")
+    ln_mu = F.round(F.log(s / n), 9)
+    theil = F.col("__sxln").cast("double") / (F.lit(1e9) * s) - ln_mu
+    atk = F.lit(1.0) - (
+        F.col("__ssq").cast("double") * F.col("__ssq").cast("double")
+    ) / (F.lit(1e12) * n * s)
+    bad = F.col("n") < 1
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return agg.select(
+        "n",
+        F.col("__s").cast("bigint").alias("total"),
+        pub(theil).alias("theil_x1e6"),
+        pub(atk).alias("atkinson_x1e6"),
+    )
+
+
+def grubbs_extreme(
+    df: DataFrame,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Grubbs' extreme-outlier statistic (Grubbs, Ann. Math. Stat.
+    1950): ``G = max|x - mean| / s`` with the sample standard
+    deviation, plus the exact count of points beyond 3 sample sigmas —
+    the single-most-suspicious-point companion to q111's per-key MAD
+    screen (MAD asks 'how many are odd', Grubbs asks 'how bad is the
+    worst one').
+
+    Exactness: the scaled deviation ``d_i = n*x_i - S`` is an exact
+    integer, so ``G = max|d| / (n * s)`` with
+    ``s = sqrt((n*Sxx - S^2) / (n*(n-1)))`` is ONE IEEE tree over exact
+    scalars, and the 3-sigma membership is the EXACT integer predicate
+    ``(n-1) * d_i^2 > 9 * n * (n*Sxx - S^2)`` — no float boundary
+    cases.  Magnitude contract (the jarque_bera class): the predicate
+    needs ``n^3 * spread^2 < 1e38`` — n up to ~4e6 at a 1e9-cent
+    spread, ~2e8 after coarsening to 1e6 units; ANSI fails loudly
+    beyond, never silently.
+
+    Output: one row — ``n, g_x1e6, n_beyond_3s`` (NULL G when n < 3 or
+    the variance is 0).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    base = df.select(v.alias("__x")).filter(F.col("__x").isNotNull())
+    z = F.lit(0).cast("decimal(38,0)")
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(F.col("__x").cast("decimal(38,0)")), z)
+        .cast("decimal(38,0)")
+        .alias("__s"),
+        F.coalesce(
+            F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")), z
+        )
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+    )
+    joined = base.crossJoin(F.broadcast(tot))
+    d = (
+        F.col("n").cast("decimal(38,0)") * F.col("__x") - F.col("__s")
+    ).cast("decimal(38,0)")
+    m2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("__sxx")
+        - F.col("__s") * F.col("__s")
+    ).cast("decimal(38,0)")
+    agg = joined.agg(
+        F.max("n").alias("n"),
+        F.max(F.abs(d)).alias("__maxd"),
+        F.max(m2).alias("__m2"),
+        F.sum(
+            F.when(
+                (F.col("n") - 1).cast("decimal(38,0)") * d * d
+                > F.lit(9).cast("decimal(38,0)")
+                * F.col("n").cast("decimal(38,0)")
+                * m2,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_beyond_3s"),
+    )
+    n = F.col("n").cast("double")
+    s = F.sqrt(
+        F.col("__m2").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    g = F.col("__maxd").cast("double") / (n * s)
+    bad = (
+        F.col("n").isNull()
+        | (F.col("n") < 3)
+        | (F.col("__m2") <= F.lit(0).cast("decimal(38,0)"))
+    )
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(g * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("g_x1e6"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(F.col("n_beyond_3s"))
+        .alias("n_beyond_3s"),
+    )
