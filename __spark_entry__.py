@@ -9958,6 +9958,77 @@ def q362_map_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_recall_from_pages(rel, "qid", "rank", "rel", total, k=10)
 
 
+def q363_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz variance-ratio index
+    (ops.similarity.cluster_validity; Calinski & Harabasz 1974) of
+    q91's deterministic sign-LSH cell partition (seed 42, 3 planes, 8
+    cells) — the standing audit that the SemDeDup partition separates
+    scatter at all, companion to q273's label purity. Components snap
+    to the 1e6 integer lattice (the q88/q273 idiom) so all scatter
+    moments are exact; within/total terms are exact integer divisions
+    and B = SS_total - W exactly."""
+    from manufacturing_data_integration_tool_spark.ops.similarity import (
+        _hyperplane_tagged,
+        _plane_df,
+        cluster_validity,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plane_df = _plane_df(spark, 64, 1, 3, 42)
+    tagged = _hyperplane_tagged(emb, "vec_id", "embedding", plane_df)
+    assigned = emb.join(
+        tagged.select(
+            F.col("__id").alias("vec_id"), F.col("__bucket").alias("cell")
+        ),
+        "vec_id",
+    )
+    return cluster_validity(assigned, "cell", "embedding")
+
+
+def q364_fosd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order stochastic dominance verdict
+    (ops.distances.fosd_check; Hadar & Russell, AER 1969) between en
+    and de document lengths: does one language's length distribution
+    sit entirely to the right of the other's, or do the CDFs cross —
+    the ORDER statement the q231/q352/q354 distance family never makes.
+    Pure integer counting over the pooled distinct-value table (the
+    exact X(v) = m*cum_a - n*cum_b core); zero float ops."""
+    from manufacturing_data_integration_tool_spark.ops.distances import (
+        fosd_check,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return fosd_check(docs, "lang", "en", "de", "n_chars")
+
+
+def q365_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade randomized-block test (ops.ranktests.quade; Quade, JASA
+    1979) of daily event-type value totals, blocking by day — q311
+    Friedman's block-weighted refinement: high-range days carry
+    proportionally more rank weight, recovering the power Friedman
+    discards when day-to-day scale varies. Doubled within-block
+    midranks x doubled across-block range midranks keep every score an
+    exact integer; T = (b-1)*Bsum/(b*A16 - Bsum) is ONE division."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        quade,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cell = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("dv")
+        )
+    )
+    return quade(cell, "day", "event_type", "dv")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10100,6 +10171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q360_inequality_indices": q360_inequality_indices,
         "q361_grubbs_extreme": q361_grubbs_extreme,
         "q362_map_recall": q362_map_recall,
+        "q363_cluster_validity": q363_cluster_validity,
+        "q364_fosd_check": q364_fosd_check,
+        "q365_quade": q365_quade,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -19668,5 +19742,146 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid, n_hits, ap_x1e12, recall_x1e12, map_x1e12,
                mean_recall_x1e12
         FROM per2 CROSS JOIN summ ORDER BY qid
+    """
+    out["q363_cluster_validity"] = f"""
+        WITH sc AS (
+          SELECT vec_id, ({bucket91}) AS cell, embedding FROM embeddings),
+        e AS (
+          SELECT cell, CAST(i - 1 AS BIGINT) AS dim,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0
+                      + 0.5) AS HUGEINT) AS q
+          FROM sc, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        per AS (
+          SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS nc,
+                 SUM(q) AS s1, SUM(q * q) AS s2
+          FROM e GROUP BY 1, 2),
+        wt AS (
+          SELECT COALESCE(SUM((CAST(nc AS HUGEINT)*s2 - s1*s1)
+                              // CAST(nc AS HUGEINT)), 0) AS w
+          FROM per),
+        g AS (
+          SELECT dim, SUM(s1) AS t, SUM(s2) AS s2t,
+                 CAST(SUM(nc) AS BIGINT) AS n
+          FROM per GROUP BY 1),
+        st AS (
+          SELECT COALESCE(SUM((CAST(n AS HUGEINT)*s2t - t*t)
+                              // CAST(n AS HUGEINT)), 0) AS sst
+          FROM g),
+        meta AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
+          FROM sc)
+        SELECT n_vecs, n_cells,
+               CAST(w AS BIGINT) AS ss_within,
+               CAST(sst - w AS BIGINT) AS ss_between,
+               CASE WHEN n_cells < 2 OR n_vecs <= n_cells OR w <= 0
+                    THEN NULL
+                    ELSE CAST(floor(
+                      (CAST(sst - w AS DOUBLE)
+                       / (CAST(n_cells AS DOUBLE) - 1.0))
+                      / (CAST(w AS DOUBLE)
+                         / (CAST(n_vecs AS DOUBLE)
+                            - CAST(n_cells AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS ch_x1e6
+        FROM meta CROSS JOIN wt CROSS JOIN st
+    """
+    out["q364_fosd_check"] = """
+        WITH base AS (
+          SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s,
+                 CAST(n_chars AS BIGINT) AS v
+          FROM documents
+          WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        ), vals AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                 CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ta
+          FROM base GROUP BY 1
+        ), run AS (
+          SELECT v, t, ta, SUM(t) OVER w AS h, SUM(ta) OVER w AS ca
+          FROM vals WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(SUM(ta) AS BIGINT) AS n,
+                 CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
+          FROM vals
+        ), s AS (
+          SELECT MAX(n) AS n_a, MAX(m) AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_values,
+                 CAST(COALESCE(SUM(CASE WHEN CAST(m AS HUGEINT)*ca
+                        - CAST(n AS HUGEINT)*(h - ca) > 0
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_viol_a,
+                 CAST(COALESCE(SUM(CASE WHEN CAST(m AS HUGEINT)*ca
+                        - CAST(n AS HUGEINT)*(h - ca) < 0
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_viol_b
+          FROM run CROSS JOIN tot
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               n_values, n_viol_a, n_viol_b,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    WHEN n_viol_a = 0 AND n_viol_b > 0 THEN 1
+                    ELSE 0 END AS a_dominates,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    WHEN n_viol_b = 0 AND n_viol_a > 0 THEN 1
+                    ELSE 0 END AS b_dominates
+        FROM s
+    """
+    out["q365_quade"] = """
+        WITH cell AS (
+          SELECT CAST(ts AS DATE) AS b, event_type AS j,
+                 CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100
+                      + 0.5) AS BIGINT)) AS BIGINT) AS v
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            AND value IS NOT NULL
+          GROUP BY 1, 2
+        ), kg AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS k FROM cell),
+        perb AS (
+          SELECT b, COUNT(*) AS c, MAX(v) AS vmax, MIN(v) AS vmin
+          FROM cell GROUP BY 1
+        ), complete AS MATERIALIZED (
+          SELECT b, CAST(vmax - vmin AS BIGINT) AS rng
+          FROM perb CROSS JOIN kg WHERE c = k
+        ), rws AS MATERIALIZED (
+          SELECT cell.* FROM cell JOIN complete USING (b)
+        ), ranked AS MATERIALIZED (
+          SELECT a.b, a.j,
+                 CAST(2*SUM(CASE WHEN x.v < a.v THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN x.v = a.v THEN 1 ELSE 0 END)
+                    + 1 AS BIGINT) AS dmid
+          FROM rws a JOIN rws x ON a.b = x.b
+          GROUP BY 1, 2
+        ), qb AS MATERIALIZED (
+          SELECT a.b,
+                 CAST(2*SUM(CASE WHEN x.rng < a.rng THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN x.rng = a.rng THEN 1 ELSE 0 END)
+                    + 1 AS BIGINT) AS dmidq
+          FROM complete a JOIN complete x ON TRUE
+          GROUP BY 1
+        ), tagged AS MATERIALIZED (
+          SELECT r.b, r.j,
+                 CAST(q.dmidq AS HUGEINT)
+                   * (CAST(r.dmid AS HUGEINT) - (k + 1)) AS s4
+          FROM ranked r JOIN qb q ON r.b = q.b CROSS JOIN kg
+        ), perj AS (
+          SELECT j, SUM(s4) AS b4j FROM tagged GROUP BY 1
+        ), a16 AS (
+          SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_blocks,
+                 COALESCE(SUM(s4 * s4), 0) AS a16
+          FROM tagged
+        ), bs AS (SELECT COALESCE(SUM(b4j * b4j), 0) AS bsum FROM perj)
+        SELECT COALESCE(n_blocks, 0) AS n_blocks,
+               CAST(k AS BIGINT) AS k_treatments,
+               CASE WHEN n_blocks IS NULL OR n_blocks < 2
+                      OR CAST(n_blocks AS HUGEINT)*a16 - bsum <= 0
+                    THEN NULL
+                    ELSE CAST(floor(
+                      (CAST(n_blocks AS DOUBLE) - 1.0)
+                      * CAST(bsum AS DOUBLE)
+                      / CAST(CAST(n_blocks AS HUGEINT)*a16 - bsum
+                             AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS t_x1e6
+        FROM a16 CROSS JOIN bs CROSS JOIN kg
     """
     return out

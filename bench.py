@@ -338,6 +338,9 @@ HEADLINE = [
     "q360_inequality_indices",
     "q361_grubbs_extreme",
     "q362_map_recall",
+    "q363_cluster_validity",
+    "q364_fosd_check",
+    "q365_quade",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

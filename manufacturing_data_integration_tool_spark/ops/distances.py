@@ -257,3 +257,97 @@ def ecdf_distances_binned(
         .otherwise(pub(en))
         .alias("energy_x1e6"),
     )
+
+
+def fosd_check(
+    df: DataFrame,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    value_col: Column | str,
+) -> DataFrame:
+    """First-order stochastic dominance check (Hadar & Russell, AER
+    1969) between the two groups' value distributions — the ORDER
+    verdict the distance family (q231 KS, q352 Kuiper, q354 W1) doesn't
+    state: does one segment's distribution sit entirely to the right of
+    the other's, or do the CDFs cross?
+
+    A dominates B (A stochastically larger) iff ``F_a(v) <= F_b(v)``
+    for every v — iff the exact integer ``X(v) = m*cum_a - n*cum_b``
+    never exceeds 0.  Everything here is integer counting over the
+    pooled distinct-value table: zero float operations, zero lattices.
+
+    Output: one row — ``n_a, n_b, n_values, n_viol_a (values where
+    F_a > F_b), n_viol_b (values where F_b > F_a), a_dominates,
+    b_dominates`` (dominance flags are strict: the other direction must
+    have at least one violation, so identical samples publish 0/0;
+    flags NULL when either group is empty).
+    """
+    g = F.col(group_col)
+    v = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("bigint")
+    base = df.filter(v.isNotNull() & g.isin([label_a, label_b])).select(
+        F.when(g == F.lit(label_a), F.lit(0)).otherwise(F.lit(1)).alias("__s"),
+        v.alias("__v"),
+    )
+    vals = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"),
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ta"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("__v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = vals.withColumn("__h", F.sum("__t").over(w)).withColumn(
+        "__cza", F.sum("__ta").over(w)
+    )
+    tot = vals.agg(
+        F.sum("__ta").cast("bigint").alias("__n"),
+        (F.sum("__t") - F.sum("__ta")).cast("bigint").alias("__m"),
+    )
+    full = run.crossJoin(F.broadcast(tot))
+    x = (
+        F.col("__m").cast(_DEC) * F.col("__cza")
+        - F.col("__n").cast(_DEC) * (F.col("__h") - F.col("__cza"))
+    ).cast(_DEC)
+    agg = full.agg(
+        F.max("__n").alias("n_a"),
+        F.max("__m").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.coalesce(
+            F.sum(F.when(x > F.lit(0).cast(_DEC), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_viol_a"),
+        F.coalesce(
+            F.sum(F.when(x < F.lit(0).cast(_DEC), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_viol_b"),
+    )
+    bad = (
+        F.col("n_a").isNull()
+        | F.col("n_b").isNull()
+        | (F.col("n_a") < 1)
+        | (F.col("n_b") < 1)
+    )
+    flag = lambda cond: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.when(cond, 1).otherwise(0).cast("bigint"))
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "n_values",
+        "n_viol_a",
+        "n_viol_b",
+        flag(
+            (F.col("n_viol_a") == 0) & (F.col("n_viol_b") > 0)
+        ).alias("a_dominates"),
+        flag(
+            (F.col("n_viol_b") == 0) & (F.col("n_viol_a") > 0)
+        ).alias("b_dominates"),
+    )

@@ -1329,3 +1329,154 @@ def kuiper_two_sample(
         .otherwise(pub(F.col("__dp") + F.col("__dm")))
         .alias("v_x1e6"),
     )
+
+
+def quade(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Quade test (Quade, JASA 1979) for k treatments in b randomized
+    blocks — Friedman's (q311) block-weighted refinement: blocks with a
+    LARGER sample range carry proportionally more rank weight, which
+    recovers power Friedman gives away when block-to-block scale varies
+    (exactly the daily-traffic situation the event tables have).
+
+    With within-block doubled midranks ``2r_ij``, block ranges
+    ``R_i = max_j v_ij - min_j v_ij`` (exact integers on the summed
+    cell values), across-block doubled range midranks ``2Q_i``, and
+
+        ``s4_ij = (2Q_i) * (2r_ij - (k+1)) = 4 * Q_i*(r_ij - (k+1)/2)``
+
+    every s4 is an exact integer even under ties, and Quade's
+    ``T = (b-1)*B / (A-B)`` with ``A = sum s^2``,
+    ``B = (1/b) * sum_j (sum_i s_ij)^2`` collapses (the 16s cancel) to
+
+        ``T = (b-1) * Bsum / (b*A16 - Bsum)``
+
+    with ``A16 = sum s4^2`` and ``Bsum = sum_j (sum_i s4_ij)^2`` both
+    exact DECIMAL(38,0) — ONE final division, F(k-1, (b-1)(k-1)) under
+    the null.  Complete blocks only (the friedman contract).
+
+    Scale posture: the within-block self-join fans out k-fold on the
+    (block, treatment) cell table (k is an analysis constant); range
+    midranks ride :func:`~.sampling.two_phase_running_sum` over the
+    distinct-range table — no all-pairs work on blocks.
+
+    Output: one row — ``n_blocks, k_treatments, t_x1e6`` (NULL when
+    b < 2 or the denominator b*A16 - Bsum <= 0, e.g. every block
+    internally constant).
+    """
+    v = _as_bigint(value_col)
+    base0 = df.filter(
+        v.isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__j"),
+        v.alias("__v0"),
+    )
+    cell = base0.groupBy("__b", "__j").agg(
+        F.sum("__v0").cast("bigint").alias("__v")
+    )
+    kg = cell.agg(
+        F.countDistinct("__j").cast("bigint").alias("__k")
+    )
+    per_b = cell.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.max("__v").cast("bigint").alias("__vmax"),
+        F.min("__v").cast("bigint").alias("__vmin"),
+    )
+    complete = (
+        per_b.crossJoin(F.broadcast(kg))
+        .filter(F.col("__c") == F.col("__k"))
+        .select("__b", (F.col("__vmax") - F.col("__vmin")).alias("__rng"))
+    )
+    rws = cell.join(complete.select("__b"), "__b")
+    ranked = (
+        rws.alias("a")
+        .join(rws.alias("x"), F.col("a.__b") == F.col("x.__b"))
+        .groupBy(F.col("a.__b").alias("__b"), F.col("a.__j").alias("__j"))
+        .agg(
+            (
+                F.lit(2)
+                * F.sum(
+                    F.when(F.col("x.__v") < F.col("a.__v"), 1).otherwise(0)
+                )
+                + F.sum(
+                    F.when(F.col("x.__v") == F.col("a.__v"), 1).otherwise(0)
+                )
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("__dmid")
+        )
+    )
+    rgv = complete.groupBy("__rng").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t")
+    )
+    run = two_phase_running_sum(
+        rgv,
+        [],
+        [F.asc("__rng")],
+        F.col("__t"),
+        F.expr("__rng div 65536"),
+        out_col="__ci",
+    )
+    dmidq = (
+        F.lit(2) * (F.col("__ci") - F.col("__t")) + F.col("__t") + F.lit(1)
+    ).cast("bigint")
+    qb = complete.join(
+        run.select("__rng", dmidq.alias("__dmidq")), "__rng"
+    ).select("__b", "__dmidq")
+    s4 = (
+        F.col("__dmidq").cast(_DEC)
+        * (F.col("__dmid").cast(_DEC) - (F.col("__k") + F.lit(1)))
+    ).cast(_DEC)
+    tagged = (
+        ranked.join(qb, "__b")
+        .crossJoin(F.broadcast(kg))
+        .select("__b", "__j", s4.alias("__s4"))
+    )
+    perj = tagged.groupBy("__j").agg(
+        F.sum("__s4").cast(_DEC).alias("__b4j")
+    )
+    a16 = tagged.agg(
+        F.countDistinct("__b").cast("bigint").alias("n_blocks"),
+        F.coalesce(F.sum((F.col("__s4") * F.col("__s4")).cast(_DEC)),
+                   F.lit(0).cast(_DEC)).alias("__a16"),
+    )
+    bsum = perj.agg(
+        F.coalesce(
+            F.sum((F.col("__b4j") * F.col("__b4j")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        ).alias("__bsum")
+    )
+    out = a16.crossJoin(F.broadcast(bsum)).crossJoin(F.broadcast(kg))
+    b = F.col("n_blocks").cast(_DEC)
+    den = (b * F.col("__a16") - F.col("__bsum")).cast(_DEC)
+    t = (
+        (b - F.lit(1)).cast("double")
+        * F.col("__bsum").cast("double")
+        / den.cast("double")
+    )
+    return out.select(
+        F.coalesce(F.col("n_blocks"), F.lit(0))
+        .cast("bigint")
+        .alias("n_blocks"),
+        F.col("__k").cast("bigint").alias("k_treatments"),
+        F.when(
+            F.col("n_blocks").isNull()
+            | (F.col("n_blocks") < 2)
+            | (den <= F.lit(0).cast(_DEC)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(t * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("t_x1e6"),
+    )

@@ -1387,3 +1387,107 @@ def map_recall_from_pages(
         ).alias("mean_recall_x1e12"),
     )
     return per.crossJoin(F.broadcast(summ)).orderBy("qid")
+
+
+def cluster_validity(
+    assigned: DataFrame,
+    cell_col: str,
+    vec_col: str = "embedding",
+    *,
+    lattice: int = 1_000_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Calinski-Harabasz cluster-validity index (Calinski & Harabasz,
+    Comm. Stat. 1974) over an existing cell/cluster assignment — the
+    variance-ratio audit for the deterministic sign-LSH partitions the
+    dedup/ANN stack runs on (q91 SemDeDup cells, q29/q33 buckets): is
+    the between-cell scatter actually large relative to within-cell, or
+    is the partition no better than noise?
+
+        ``CH = (B / (k-1)) / (W / (N-k))``
+
+    with W/B the within/between sums of squares.  Determinism: each
+    vector component snaps to the declared integer lattice
+    (``floor(x*1e6 + 0.5)``, the q88/q273 idiom) so all scatter
+    moments are exact DECIMAL(38,0); per-(cell, dim) within terms and
+    per-dim total terms are exact integer divisions
+    ``(n*S2 - S1^2) div n`` (truncation < 1 lattice unit, identical on
+    both engines), and ``B = SS_total - W`` exactly.  CH is ONE final
+    IEEE tree.
+
+    Scale posture: one posexplode + one (cell, dim) groupBy with
+    map-side combine — the shuffle carries |cells| x dim rows, never
+    the corpus; everything after is grid-sized.
+
+    Output: one row — ``n_vecs, n_cells, ss_within, ss_between
+    (lattice^2 units), ch_x1e6`` (NULL CH when k < 2, N <= k, or
+    W <= 0).
+    """
+    dec = "decimal(38,0)"
+    e = assigned.select(
+        F.col(cell_col).alias("__cell"),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__x"),
+    )
+    q = F.floor(
+        F.col("__x").cast("double") * F.lit(float(lattice)) + F.lit(0.5)
+    ).cast(dec)
+    per = (
+        e.select("__cell", "__dim", q.alias("__q"))
+        .groupBy("__cell", "__dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nc"),
+            F.sum("__q").cast(dec).alias("__s1"),
+            F.sum((F.col("__q") * F.col("__q")).cast(dec))
+            .cast(dec)
+            .alias("__s2"),
+        )
+    )
+    w_cd = F.expr(
+        "(CAST(__nc AS DECIMAL(38,0)) * __s2 - __s1 * __s1)"
+        " div CAST(__nc AS DECIMAL(38,0))"
+    ).cast(dec)
+    within = per.agg(
+        F.coalesce(F.sum(w_cd), F.lit(0).cast(dec)).alias("__w")
+    )
+    g = per.groupBy("__dim").agg(
+        F.sum("__s1").cast(dec).alias("__t"),
+        F.sum("__s2").cast(dec).alias("__s2t"),
+        F.sum("__nc").cast("bigint").alias("__n"),
+    )
+    tot_d = F.expr(
+        "(CAST(__n AS DECIMAL(38,0)) * __s2t - __t * __t)"
+        " div CAST(__n AS DECIMAL(38,0))"
+    ).cast(dec)
+    sst = g.agg(
+        F.coalesce(F.sum(tot_d), F.lit(0).cast(dec)).alias("__sst")
+    )
+    meta = assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.countDistinct(F.col(cell_col)).cast("bigint").alias("n_cells"),
+    )
+    out = (
+        meta.crossJoin(F.broadcast(within)).crossJoin(F.broadcast(sst))
+    )
+    b_ss = (F.col("__sst") - F.col("__w")).cast(dec)
+    ch = (
+        b_ss.cast("double") / (F.col("n_cells").cast("double") - F.lit(1.0))
+    ) / (
+        F.col("__w").cast("double")
+        / (F.col("n_vecs").cast("double") - F.col("n_cells").cast("double"))
+    )
+    bad = (
+        (F.col("n_cells") < 2)
+        | (F.col("n_vecs") <= F.col("n_cells"))
+        | (F.col("__w") <= F.lit(0).cast(dec))
+    )
+    return out.select(
+        "n_vecs",
+        "n_cells",
+        F.col("__w").cast("bigint").alias("ss_within"),
+        b_ss.cast("bigint").alias("ss_between"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(ch * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("ch_x1e6"),
+    )
