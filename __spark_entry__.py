@@ -10029,6 +10029,65 @@ def q365_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quade(cell, "day", "event_type", "dv")
 
 
+def q366_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelations at lags 1..3 via closed-form
+    Durbin-Levinson (ops.timeseries.pacf3; Durbin 1960) of the daily
+    order-revenue series — the AR-order diagnostic q281's raw ACF
+    cannot give (geometric ACF everywhere vs a PACF cutoff). The
+    fixed-mean ACF ratios are exact-integer A_k/(n*B) as in q355; each
+    phi is one mirrored IEEE tree."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        pacf3,
+    )
+
+    return pacf3(_daily_revenue(spark, sf_dir), "d", "r")
+
+
+def q367_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration screen
+    (ops.timeseries.engle_granger; Engle & Granger, Econometrica 1987)
+    between daily order revenue and daily order count: static OLS in
+    closed form from exact moments, then a no-intercept Dickey-Fuller
+    t on the 1e6-lattice-quantized residuals — is the revenue-per-order
+    spread mean-reverting or a spurious-regression random walk. The
+    OLS (a, b) are bit-identical IEEE trees on both engines, so the
+    quantized residuals and all DF moments are exact integers."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        engle_granger,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("d"), cents.alias("__c"))
+        .groupBy("d")
+        .agg(
+            F.sum("__c").cast("bigint").alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+        )
+    )
+    return engle_granger(daily, "d", "y", "x")
+
+
+def q368_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis
+    (ops.timeseries.hurst_rs; Hurst 1951; Mandelbrot & Wallis 1969) of
+    the daily order-revenue series over window sizes 16/32/64 — is the
+    revenue process persistent (H > 0.5), mean-reverting (H < 0.5), or
+    a random walk. Per-chunk cumulative deviations are exact integers
+    (chunk means cleared by w); each chunk's R/S fixes on the 1e6
+    lattice before an exact per-size integer mean; the log-log slope
+    runs on 1e9-lattice ln values so even the 3-point OLS sums are
+    exact."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        hurst_rs,
+    )
+
+    return hurst_rs(
+        _daily_revenue(spark, sf_dir), "d", "r", window_sizes=(16, 32, 64)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10174,6 +10233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q363_cluster_validity": q363_cluster_validity,
         "q364_fosd_check": q364_fosd_check,
         "q365_quade": q365_quade,
+        "q366_pacf": q366_pacf,
+        "q367_cointegration": q367_cointegration,
+        "q368_hurst": q368_hurst,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -19883,5 +19945,217 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE)
                       * 1000000.0 + 0.5) AS BIGINT) END AS t_x1e6
         FROM a16 CROSS JOIN bs CROSS JOIN kg
+    """
+    out["q366_pacf"] = _DAILY_REVENUE_CTE + """
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS s,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx
+          FROM idx
+        ), lags AS (SELECT unnest(generate_series(1, 3)) AS lag),
+        pairs AS (
+          SELECT l.lag, a.x AS xl, b.x AS xr
+          FROM idx a CROSS JOIN lags l
+          JOIN idx b ON b.t = a.t + l.lag
+        ), per_lag AS (
+          SELECT lag,
+                 SUM(CAST(xl AS HUGEINT) * xr) AS xy,
+                 SUM(CAST(xl AS HUGEINT)) AS hk,
+                 SUM(CAST(xr AS HUGEINT)) AS tk
+          FROM pairs GROUP BY 1
+        ), pl AS (
+          SELECT lag, n,
+                 CAST(n AS HUGEINT)*n*xy - CAST(n AS HUGEINT)*s*(hk + tk)
+                   + (CAST(n AS HUGEINT) - lag)*s*s AS a_k,
+                 CAST(n AS HUGEINT)*sxx - s*s AS b
+          FROM per_lag CROSS JOIN tot
+        ), rk AS (
+          SELECT lag, n, b,
+                 CASE WHEN b > 0 THEN CAST(a_k AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE)) END AS r
+          FROM pl
+        ), fin AS (
+          SELECT MAX(n) AS n_days,
+                 MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+                 MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+                 MAX(CASE WHEN lag = 3 THEN r END) AS r3,
+                 MIN(b) AS minb
+          FROM rk
+        ), ph AS (
+          -- DuckDB double division by zero yields NULL (no error); the
+          -- d1 = 0 case is NULLed explicitly below to mirror Spark.
+          SELECT n_days, minb, r1, r2, r3,
+                 1.0 - r1*r1 AS d1,
+                 (r2 - r1*r1) / (1.0 - r1*r1) AS phi22,
+                 r1 * (1.0 - r2) / (1.0 - r1*r1) AS phi21
+          FROM fin
+        )
+        SELECT COALESCE(CAST(n_days AS BIGINT), 0) AS n_days,
+               CASE WHEN n_days IS NULL OR n_days <= 3 OR minb <= 0
+                    THEN NULL
+                    ELSE CAST(floor(r1 * 1000000.0 + 0.5) AS BIGINT)
+                    END AS pacf1_x1e6,
+               CASE WHEN n_days IS NULL OR n_days <= 3 OR minb <= 0
+                      OR d1 = 0.0 THEN NULL
+                    ELSE CAST(floor(phi22 * 1000000.0 + 0.5) AS BIGINT)
+                    END AS pacf2_x1e6,
+               CASE WHEN n_days IS NULL OR n_days <= 3 OR minb <= 0
+                      OR d1 = 0.0
+                      OR (1.0 - phi21*r1 - phi22*r2) = 0.0 THEN NULL
+                    ELSE CAST(floor(
+                      (r3 - phi21*r2 - phi22*r1)
+                      / (1.0 - phi21*r1 - phi22*r2)
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS pacf3_x1e6
+        FROM ph
+    """
+    out["q367_cointegration"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), idx AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+                 y, x
+          FROM daily
+        ), sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+                 COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxxr,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS sxyr
+          FROM idx
+        ), cen AS (
+          SELECT n, sx, sy,
+                 CAST(CAST(n AS HUGEINT)*sxxr - sx*sx AS DOUBLE) AS sxx,
+                 CAST(CAST(n AS HUGEINT)*sxyr - sx*sy AS DOUBLE) AS sxy
+          FROM sums
+        ), coef1 AS (
+          SELECT n, sx, sy, sxx,
+                 CASE WHEN sxx > 0.0 THEN sxy / sxx END AS bb
+          FROM cen
+        ), coefs AS (
+          SELECT n, bb,
+                 (CAST(sy AS DOUBLE) - bb * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS aa,
+                 (sxx > 0.0) AS xok
+          FROM coef1
+        ), r AS (
+          SELECT t,
+                 CASE WHEN xok THEN
+                   CAST(floor((CAST(y AS DOUBLE)
+                        - (aa + bb * CAST(x AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS HUGEINT) END AS rr
+          FROM idx CROSS JOIN coefs
+        ), pairs AS (
+          SELECT a.rr AS rp, b.rr - a.rr AS dr
+          FROM r a JOIN r b ON b.t = a.t + 1
+        ), dfm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+                 COALESCE(SUM(rp * dr), 0) AS srd,
+                 COALESCE(SUM(rp * rp), 0) AS srr,
+                 COALESCE(SUM(dr * dr), 0) AS sdd
+          FROM pairs
+        ), fin AS (
+          SELECT tn, srd, srr, sdd, n, bb, xok,
+                 CASE WHEN CAST(srr AS DOUBLE) > 0.0
+                      THEN CAST(srd AS DOUBLE) / CAST(srr AS DOUBLE)
+                      END AS rho
+          FROM dfm CROSS JOIN coefs
+        ), fin2 AS (
+          SELECT *,
+                 CAST(sdd AS DOUBLE)
+                   - rho * rho * CAST(srr AS DOUBLE) AS sse,
+                 (n < 4 OR NOT xok OR srr <= 0 OR tn < 2) AS bad
+          FROM fin
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CASE WHEN bad THEN NULL
+                    ELSE CAST(floor(bb * 1000000.0 + 0.5) AS BIGINT)
+                    END AS b_x1e6,
+               CASE WHEN bad OR sse <= 0.0 THEN NULL
+                    ELSE CAST(floor(rho * 1000000.0 + 0.5) AS BIGINT)
+                    END AS rho_x1e6,
+               CASE WHEN bad OR sse <= 0.0 THEN NULL
+                    ELSE CAST(floor(
+                      rho * sqrt(CAST(srr AS DOUBLE))
+                      / sqrt(sse / (CAST(tn AS DOUBLE) - 1.0))
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS t_df_x1e6
+        FROM fin2
+    """
+    out["q368_hurst"] = _DAILY_REVENUE_CTE + """
+        sizes AS (SELECT unnest([16, 32, 64]) AS w),
+        tagged AS (
+          SELECT t, x, w, (t - 1) // w AS chunk
+          FROM idx CROSS JOIN sizes
+        ), run AS (
+          SELECT w, chunk, t, x,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY w, chunk
+                                         ORDER BY t) AS BIGINT) AS j,
+                 SUM(x) OVER (PARTITION BY w, chunk ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM tagged
+        ), totals AS (
+          SELECT w, chunk, CAST(COUNT(*) AS BIGINT) AS len,
+                 SUM(CAST(x AS HUGEINT)) AS sc,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxxc
+          FROM run GROUP BY 1, 2
+        ), dev AS (
+          SELECT r.w, r.chunk, t2.len, t2.sc, t2.sxxc,
+                 CAST(t2.len AS HUGEINT) * r.cum
+                   - CAST(r.j AS HUGEINT) * t2.sc AS d
+          FROM run r JOIN totals t2
+            ON r.w = t2.w AND r.chunk = t2.chunk
+        ), chunks AS (
+          SELECT w, chunk, MAX(len) AS len, MAX(sc) AS sc,
+                 MAX(sxxc) AS sxxc, MAX(d) AS dmax, MIN(d) AS dmin
+          FROM dev GROUP BY 1, 2
+        ), good AS (
+          SELECT *, CAST(len AS HUGEINT)*sxxc - sc*sc AS varn
+          FROM chunks
+          WHERE len = w AND CAST(len AS HUGEINT)*sxxc - sc*sc > 0
+        ), perw AS (
+          SELECT w, COUNT(*) AS nc,
+                 CAST(COALESCE(SUM(CAST(floor(
+                        CAST(dmax - dmin AS DOUBLE)
+                        / sqrt(CAST(varn AS DOUBLE))
+                        * 1000000.0 + 0.5) AS HUGEINT)), 0)
+                      // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS rsavg
+          FROM good GROUP BY 1
+        ), pts AS (
+          SELECT w, rsavg,
+                 CAST(floor(round(ln(CAST(w AS DOUBLE)), 9)
+                      * 1000000000.0 + 0.5) AS HUGEINT) AS lw,
+                 CAST(floor(round(ln(CAST(rsavg AS DOUBLE) / 1000000.0),
+                                  9)
+                      * 1000000000.0 + 0.5) AS HUGEINT) AS lr
+          FROM perw WHERE rsavg > 0
+        ), fit AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 COALESCE(SUM(lw), 0) AS slw,
+                 COALESCE(SUM(lr), 0) AS slr,
+                 COALESCE(SUM(lw * lr), 0) AS slwr,
+                 COALESCE(SUM(lw * lw), 0) AS slww,
+                 MAX(CASE WHEN w = 16 THEN rsavg END) AS rs16,
+                 MAX(CASE WHEN w = 32 THEN rsavg END) AS rs32,
+                 MAX(CASE WHEN w = 64 THEN rsavg END) AS rs64
+          FROM pts
+        ), nrow AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx
+        )
+        SELECT n_days,
+               CASE WHEN k < 2 THEN NULL
+                    ELSE CAST(floor(
+                      CAST(CAST(k AS HUGEINT)*slwr - slw*slr AS DOUBLE)
+                      / CAST(CAST(k AS HUGEINT)*slww - slw*slw AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS h_x1e6,
+               CAST(rs16 AS BIGINT) AS rs16_x1e6,
+               CAST(rs32 AS BIGINT) AS rs32_x1e6,
+               CAST(rs64 AS BIGINT) AS rs64_x1e6
+        FROM nrow CROSS JOIN fit
     """
     return out

@@ -341,6 +341,9 @@ HEADLINE = [
     "q363_cluster_validity",
     "q364_fosd_check",
     "q365_quade",
+    "q366_pacf",
+    "q367_cointegration",
+    "q368_hurst",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -460,3 +460,407 @@ def arch_lm(
         )
         .alias("lm_x1e6"),
     )
+
+
+def pacf3(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Partial autocorrelations at lags 1..3 via the Durbin-Levinson
+    recursion (Durbin, Rev. Int. Stat. Inst. 1960) unrolled in closed
+    form — the AR-order diagnostic q281's raw ACF can't give (an AR(1)
+    has geometric ACF at ALL lags but PACF that cuts off after lag 1):
+
+        ``phi11 = r1``
+        ``phi22 = (r2 - r1^2) / (1 - r1^2)``
+        ``phi21 = r1 * (1 - r2) / (1 - r1^2)``
+        ``phi33 = (r3 - phi21*r2 - phi22*r1)
+                  / (1 - phi21*r1 - phi22*r2)``
+
+    with the fixed-mean sample ACF ``r_k = A_k / (n*B)`` exactly as in
+    :func:`ljung_box` (all means cleared by n; A_k, B exact
+    DECIMAL(38,0)).  Each published phi is ONE mirrored IEEE tree over
+    the three exact ratios.
+
+    Output: one row — ``n_days, pacf1_x1e6, pacf2_x1e6, pacf3_x1e6``
+    (NULL when n <= 3, the series is constant, or a recursion
+    denominator is 0).
+    """
+    idx = _indexed_daily(daily, day_col, value_col)
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum(F.col("__x").cast(_DEC)), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__s"),
+        F.coalesce(
+            F.sum((F.col("__x").cast(_DEC) * F.col("__x")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        )
+        .cast(_DEC)
+        .alias("__sxx"),
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("lag")
+    left = idx.select(
+        F.col("__t"), F.col("__x").alias("__xl"), lags
+    ).withColumn("__t2", F.col("__t") + F.col("lag"))
+    right = idx.select(F.col("__t").alias("__t2"), F.col("__x").alias("__xr"))
+    pairs = left.join(right, "__t2")
+    per_lag = pairs.groupBy("lag").agg(
+        F.sum((F.col("__xl").cast(_DEC) * F.col("__xr")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__xy"),
+        F.sum(F.col("__xl").cast(_DEC)).cast(_DEC).alias("__hk"),
+        F.sum(F.col("__xr").cast(_DEC)).cast(_DEC).alias("__tk"),
+    )
+    pl = per_lag.crossJoin(F.broadcast(tot))
+    n = F.col("__n").cast(_DEC)
+    a_k = (
+        n * n * F.col("__xy")
+        - n * F.col("__s") * (F.col("__hk") + F.col("__tk"))
+        + (n - F.col("lag")) * F.col("__s") * F.col("__s")
+    ).cast(_DEC)
+    b = (n * F.col("__sxx") - F.col("__s") * F.col("__s")).cast(_DEC)
+    b_ok = b > F.lit(0).cast(_DEC)
+    r_k = F.when(
+        b_ok, a_k.cast("double") / (n.cast("double") * b.cast("double"))
+    )
+    fin = pl.agg(
+        F.max("__n").cast("bigint").alias("n_days"),
+        F.max(F.when(F.col("lag") == 1, r_k)).alias("__r1"),
+        F.max(F.when(F.col("lag") == 2, r_k)).alias("__r2"),
+        F.max(F.when(F.col("lag") == 3, r_k)).alias("__r3"),
+        F.min(b).alias("__b"),
+    )
+    r1, r2, r3 = F.col("__r1"), F.col("__r2"), F.col("__r3")
+    d1 = F.lit(1.0) - r1 * r1
+    phi22 = (r2 - r1 * r1) / d1
+    phi21 = r1 * (F.lit(1.0) - r2) / d1
+    d3 = F.lit(1.0) - phi21 * r1 - phi22 * r2
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / d3
+    bad = (
+        F.col("n_days").isNull()
+        | (F.col("n_days") <= 3)
+        | (F.col("__b") <= F.lit(0).cast(_DEC))
+    )
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return fin.select(
+        F.coalesce(F.col("n_days"), F.lit(0)).cast("bigint").alias(
+            "n_days"
+        ),
+        pub(r1).alias("pacf1_x1e6"),
+        F.when(bad | (d1 == F.lit(0.0)), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(phi22 * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("pacf2_x1e6"),
+        F.when(
+            bad | (d1 == F.lit(0.0)) | (d3 == F.lit(0.0)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(phi33 * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("pacf3_x1e6"),
+    )
+
+
+def engle_granger(
+    joined: DataFrame,
+    day_col: str,
+    y_col: str,
+    x_col: str,
+    *,
+    resid_lattice: int = 1_000_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Engle-Granger two-step cointegration screen (Engle & Granger,
+    Econometrica 1987) between two integer-lattice daily series: (1)
+    the static OLS ``y = a + b*x`` in closed form from exact moments,
+    (2) a no-intercept Dickey-Fuller regression on the quantized
+    residuals — is the spread between the two series mean-reverting
+    (t_DF well below ~-3.4) or a random walk (spurious regression)?
+
+    Determinism: a and b are each ONE IEEE tree over exact
+    DECIMAL(38,0) centered moments (both engines produce bit-identical
+    doubles), so the per-row residual ``y - (a + b*x)`` is a
+    deterministic double; it snaps to the declared ``resid_lattice``
+    BEFORE any sum, and the three DF moments (sum r_{t-1}*dr,
+    sum r_{t-1}^2, sum dr^2) are exact integer sums.  With
+    ``rho = Srd / Srr`` and ``SSE = Sdd - rho^2 * Srr``:
+
+        ``t_DF = rho * sqrt(Srr) / sqrt(SSE / (T - 1))``
+
+    Output: one row — ``n_days, b_x1e6, rho_x1e6, t_df_x1e6`` (NULL
+    when n < 4, x is constant, or a degenerate SSE).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc(day_col))
+    idx = joined.select(
+        F.row_number().over(w).alias("__t"),
+        F.col(y_col).cast("bigint").alias("__y"),
+        F.col(x_col).cast("bigint").alias("__x"),
+    )
+    z = F.lit(0).cast(_DEC)
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    sums = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum(dec(F.col("__x"))), z).cast(_DEC).alias("__sx"),
+        F.coalesce(F.sum(dec(F.col("__y"))), z).cast(_DEC).alias("__sy"),
+        F.coalesce(F.sum(dec(F.col("__x")) * F.col("__x")), z)
+        .cast(_DEC)
+        .alias("__sxxr"),
+        F.coalesce(F.sum(dec(F.col("__x")) * F.col("__y")), z)
+        .cast(_DEC)
+        .alias("__sxyr"),
+    )
+    nn = F.col("__n").cast(_DEC)
+    sxx = (nn * F.col("__sxxr") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    sxy = (nn * F.col("__sxyr") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    bb = F.when(sxx > F.lit(0.0), sxy / sxx)
+    aa = (
+        F.col("__sy").cast("double") - bb * F.col("__sx").cast("double")
+    ) / F.col("__n").cast("double")
+    coefs = sums.select(
+        F.col("__n").alias("__n"),
+        bb.alias("__bb"),
+        aa.alias("__aa"),
+        (sxx > F.lit(0.0)).alias("__xok"),
+    )
+    rt = idx.crossJoin(F.broadcast(coefs))
+    resid = F.when(
+        F.col("__xok"),
+        F.floor(
+            (
+                F.col("__y").cast("double")
+                - (
+                    F.col("__aa")
+                    + F.col("__bb") * F.col("__x").cast("double")
+                )
+            )
+            * F.lit(float(resid_lattice))
+            + F.lit(0.5)
+        ).cast(_DEC),
+    )
+    r = rt.select("__t", resid.alias("__r"))
+    nxt = r.select(
+        (F.col("__t") - 1).alias("__t"), F.col("__r").alias("__rn")
+    )
+    pairs = r.join(nxt, "__t").select(
+        F.col("__r").alias("__rp"), (F.col("__rn") - F.col("__r")).alias("__dr")
+    )
+    df_m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tn"),
+        F.coalesce(F.sum((F.col("__rp") * F.col("__dr")).cast(_DEC)), z)
+        .cast(_DEC)
+        .alias("__srd"),
+        F.coalesce(F.sum((F.col("__rp") * F.col("__rp")).cast(_DEC)), z)
+        .cast(_DEC)
+        .alias("__srr"),
+        F.coalesce(F.sum((F.col("__dr") * F.col("__dr")).cast(_DEC)), z)
+        .cast(_DEC)
+        .alias("__sdd"),
+    )
+    out = df_m.crossJoin(F.broadcast(coefs))
+    srr = F.col("__srr").cast("double")
+    # guarded per-row: the division sits inside OR-condition operands
+    # that ANSI evaluates before any CASE short-circuit
+    rho = F.when(srr > F.lit(0.0), F.col("__srd").cast("double") / srr)
+    sse = F.col("__sdd").cast("double") - rho * rho * srr
+    t_df = (
+        rho
+        * F.sqrt(srr)
+        / F.sqrt(sse / (F.col("__tn").cast("double") - F.lit(1.0)))
+    )
+    bad = (
+        (F.col("__n") < 4)
+        | ~F.col("__xok")
+        | (F.col("__srr") <= z)
+        | (F.col("__tn") < 2)
+    )
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return out.select(
+        F.col("__n").cast("bigint").alias("n_days"),
+        pub(F.col("__bb")).alias("b_x1e6"),
+        F.when(bad | (sse <= F.lit(0.0)), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(rho * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("rho_x1e6"),
+        F.when(bad | (sse <= F.lit(0.0)), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(t_df * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("t_df_x1e6"),
+    )
+
+
+def hurst_rs(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    window_sizes: tuple[int, ...] = (16, 32, 64),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst, Trans. ASCE
+    1951; Mandelbrot & Wallis 1969): chunk the series into windows of
+    size w, compute each chunk's rescaled range R/S (range of cumulative
+    deviations over the chunk std), average per w, and fit
+    ``log(R/S) ~ H * log(w)`` by OLS over the window sizes — H ~ 0.5
+    is a random walk, H > 0.5 long-range persistence, H < 0.5 mean
+    reversion.
+
+    Determinism: within a chunk of length w, cumulative deviations are
+    the exact integers ``w*C_j - j*S_c`` (chunk means cleared by w);
+    ``R = (max - min)`` of those and ``w^2 * Var = w*(w*Sxx_c - S_c^2)``
+    are exact, so each chunk's ``(R/S)`` is ONE IEEE tree, fixed on a
+    1e6 lattice before the per-w integer mean (exact div).  The final
+    H is the 2-3 point OLS slope over (ln w, ln avg-R/S) with every ln
+    9-digit-rounded (the repo ln discipline).  Incomplete tail chunks
+    are dropped; chunks with zero variance are skipped.
+
+    Scale posture: chunk assignment is arithmetic on the dense index;
+    per-chunk cumulatives ride a chunk-partitioned window (chunks are
+    w rows — bounded by the largest window size).
+
+    Output: one row — ``n_days, h_x1e6`` plus per-size diagnostics
+    ``rs16_x1e6, rs32_x1e6, rs64_x1e6`` (NULL when fewer than 2 window
+    sizes yield a usable average).
+    """
+    from pyspark.sql import Window
+
+    idx = _indexed_daily(daily, day_col, value_col)
+    sizes = F.explode(
+        F.array(*[F.lit(int(wv)) for wv in window_sizes])
+    ).alias("w")
+    tagged = idx.select("__t", "__x", sizes).withColumn(
+        "__chunk", F.expr("(__t - 1) div w")
+    )
+    cw = Window.partitionBy("w", "__chunk").orderBy(F.asc("__t"))
+    run = tagged.withColumn(
+        "__j", F.row_number().over(cw)
+    ).withColumn(
+        "__cum",
+        F.sum("__x").over(
+            cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # chunk totals first (the cumulative-deviation expression needs the
+    # chunk sum per ROW, so totals join back onto the running frame)
+    totals = run.groupBy("w", "__chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__len"),
+        F.sum(F.col("__x").cast(_DEC)).cast(_DEC).alias("__sc"),
+        F.sum((F.col("__x").cast(_DEC) * F.col("__x")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__sxxc"),
+    )
+    dev = run.join(totals, ["w", "__chunk"]).select(
+        "w",
+        "__chunk",
+        "__len",
+        "__sc",
+        "__sxxc",
+        (
+            F.col("__len").cast(_DEC) * F.col("__cum")
+            - F.col("__j").cast(_DEC) * F.col("__sc")
+        )
+        .cast(_DEC)
+        .alias("__d"),
+    )
+    chunks = dev.groupBy("w", "__chunk").agg(
+        F.max("__len").alias("__len"),
+        F.max("__sc").alias("__sc"),
+        F.max("__sxxc").alias("__sxxc"),
+        F.max("__d").alias("__dmax"),
+        F.min("__d").alias("__dmin"),
+    )
+    # complete chunks with positive variance only
+    lenc = F.col("__len").cast(_DEC)
+    varn = (lenc * F.col("__sxxc") - F.col("__sc") * F.col("__sc")).cast(
+        _DEC
+    )
+    good = chunks.filter(
+        (F.col("__len") == F.col("w")) & (varn > F.lit(0).cast(_DEC))
+    )
+    # R = (dmax - dmin) / w  (deviations carry a factor w);
+    # S = sqrt(varn / w^2) = sqrt(varn) / w  ->  R/S = (dmax-dmin)/sqrt(varn)
+    rs = (
+        (F.col("__dmax") - F.col("__dmin")).cast("double")
+        / F.sqrt(varn.cast("double"))
+    )
+    rs_i = F.floor(rs * F.lit(1e6) + F.lit(0.5)).cast(_DEC)
+    per_w = good.select("w", rs_i.alias("__rsi")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nc"),
+        F.expr(
+            "CAST(COALESCE(SUM(__rsi), 0) AS DECIMAL(38,0))"
+            " div CAST(COUNT(*) AS DECIMAL(38,0))"
+        )
+        .cast("bigint")
+        .alias("__rsavg"),
+    )
+    # 2-3 point OLS of ln(rsavg/1e6) on ln(w), each ln snapped to the
+    # 1e9 round-9 lattice as a BIGINT so the tiny cross-point sums are
+    # exact integers (a 3-double float sum is order-dependent)
+    lw = F.floor(
+        F.round(F.log(F.col("w").cast("double")), 9) * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast(_DEC)
+    lr = F.floor(
+        F.round(F.log(F.col("__rsavg").cast("double") / F.lit(1e6)), 9)
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast(_DEC)
+    pts = per_w.filter(F.col("__rsavg") > 0).select(
+        "w", "__rsavg", lw.alias("__lw"), lr.alias("__lr")
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+        F.sum("__lw").cast(_DEC).alias("__slw"),
+        F.sum("__lr").cast(_DEC).alias("__slr"),
+        F.sum((F.col("__lw") * F.col("__lr")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__slwr"),
+        F.sum((F.col("__lw") * F.col("__lw")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__slww"),
+        *[
+            F.max(
+                F.when(F.col("w") == int(wv), F.col("__rsavg"))
+            ).alias(f"__rs{wv}")
+            for wv in window_sizes
+        ],
+    )
+    k = F.col("__k").cast(_DEC)
+    h = (k * F.col("__slwr") - F.col("__slw") * F.col("__slr")).cast(
+        "double"
+    ) / (
+        k * F.col("__slww") - F.col("__slw") * F.col("__slw")
+    ).cast("double")
+    nrow = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    out = nrow.crossJoin(F.broadcast(fit))
+    bad = (F.col("__k") < 2)
+    cols = [
+        "n_days",
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(h * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("h_x1e6"),
+    ]
+    for wv in window_sizes:
+        cols.append(
+            F.col(f"__rs{wv}").cast("bigint").alias(f"rs{wv}_x1e6")
+        )
+    return out.select(*cols)

@@ -134,3 +134,163 @@ def test_timeseries_degenerate_inputs(spark):
     empty = spark.createDataFrame([], "d date, x long")
     assert ljung_box(empty, "d", "x").collect()[0]["n_days"] == 0
     assert kpss_level(empty, "d", "x").collect()[0]["eta_x1e6"] is None
+
+
+def test_pacf3_matches_durbin_levinson_twin(spark):
+    rng = random.Random(5)
+    n = 200
+    xs = [100]
+    for _ in range(1, n):
+        xs.append(int(0.6 * xs[-1] + rng.randint(20, 60)))
+    rows = [
+        Row(d=dt.date(2020, 1, 1) + dt.timedelta(days=t), x=xs[t])
+        for t in range(n)
+    ]
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        pacf3,
+    )
+
+    out = pacf3(spark.createDataFrame(rows), "d", "x").collect()[0]
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+
+    def r(k):
+        return sum(
+            (xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k)
+        ) / den
+
+    r1, r2, r3 = r(1), r(2), r(3)
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - r2) / (1 - r1 * r1)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    assert abs(out["pacf1_x1e6"] - math.floor(r1 * 1e6 + 0.5)) <= 1
+    assert abs(out["pacf2_x1e6"] - math.floor(p22 * 1e6 + 0.5)) <= 1
+    assert abs(out["pacf3_x1e6"] - math.floor(p33 * 1e6 + 0.5)) <= 1
+    # AR(1)-ish: pacf1 large, pacf2/3 near zero
+    assert out["pacf1_x1e6"] > 300_000
+    assert abs(out["pacf2_x1e6"]) < 150_000
+
+
+def test_engle_granger_matches_brute_and_flags_cointegration(spark):
+    rng = random.Random(5)
+    n = 200
+    xs = [100]
+    for _ in range(1, n):
+        xs.append(int(0.6 * xs[-1] + rng.randint(20, 60)))
+    ys = [3 * x + rng.randint(-5, 5) for x in xs]
+    rows = [
+        Row(
+            d=dt.date(2020, 1, 1) + dt.timedelta(days=t),
+            y=ys[t],
+            x=xs[t],
+        )
+        for t in range(n)
+    ]
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        engle_granger,
+    )
+
+    out = engle_granger(
+        spark.createDataFrame(rows), "d", "y", "x"
+    ).collect()[0]
+    sx, sy = sum(xs), sum(ys)
+    sxx = n * sum(x * x for x in xs) - sx * sx
+    sxy = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+    b = sxy / sxx
+    a = (sy - b * sx) / n
+    res = [
+        math.floor((y - (a + b * x)) * 1e6 + 0.5) for x, y in zip(xs, ys)
+    ]
+    rp = res[:-1]
+    dr = [res[t + 1] - res[t] for t in range(n - 1)]
+    srd = sum(p * d for p, d in zip(rp, dr))
+    srr = sum(p * p for p in rp)
+    sdd = sum(d * d for d in dr)
+    rho = srd / srr
+    sse = sdd - rho * rho * srr
+    tdf = rho * math.sqrt(srr) / math.sqrt(sse / (len(rp) - 1))
+    assert out["n_days"] == n
+    assert abs(out["b_x1e6"] - math.floor(b * 1e6 + 0.5)) <= 1
+    assert abs(out["rho_x1e6"] - math.floor(rho * 1e6 + 0.5)) <= 1
+    assert abs(out["t_df_x1e6"] - math.floor(tdf * 1e6 + 0.5)) <= 1
+    # white-noise spread: strongly mean-reverting
+    assert out["t_df_x1e6"] < -5_000_000
+    # constant x -> NULL
+    crows = [
+        Row(d=dt.date(2020, 1, 1) + dt.timedelta(days=t), y=t % 9, x=7)
+        for t in range(20)
+    ]
+    out = engle_granger(
+        spark.createDataFrame(crows), "d", "y", "x"
+    ).collect()[0]
+    assert out["t_df_x1e6"] is None
+
+
+def test_hurst_rs_matches_brute_force(spark):
+    rng = random.Random(5)
+    n = 200
+    xs = [100]
+    for _ in range(1, n):
+        xs.append(int(0.6 * xs[-1] + rng.randint(20, 60)))
+    rows = [
+        Row(d=dt.date(2020, 1, 1) + dt.timedelta(days=t), x=xs[t])
+        for t in range(n)
+    ]
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        hurst_rs,
+    )
+
+    out = hurst_rs(
+        spark.createDataFrame(rows), "d", "x", window_sizes=(16, 32, 64)
+    ).collect()[0]
+    per_w = {}
+    for w in (16, 32, 64):
+        rss = []
+        for c in range(n // w):
+            chunk = xs[c * w : (c + 1) * w]
+            s = sum(chunk)
+            varn = w * sum(v * v for v in chunk) - s * s
+            if varn <= 0:
+                continue
+            cum, devs = 0, []
+            for j, v in enumerate(chunk, 1):
+                cum += v
+                devs.append(w * cum - j * s)
+            rss.append(
+                math.floor(
+                    (max(devs) - min(devs)) / math.sqrt(varn) * 1e6 + 0.5
+                )
+            )
+        if rss:
+            per_w[w] = sum(rss) // len(rss)
+    pts = [
+        (
+            math.floor(round(math.log(w), 9) * 1e9 + 0.5),
+            math.floor(round(math.log(per_w[w] / 1e6), 9) * 1e9 + 0.5),
+        )
+        for w in per_w
+        if per_w[w] > 0
+    ]
+    k = len(pts)
+    slw = sum(p[0] for p in pts)
+    slr = sum(p[1] for p in pts)
+    slwr = sum(p[0] * p[1] for p in pts)
+    slww = sum(p[0] * p[0] for p in pts)
+    h = (k * slwr - slw * slr) / (k * slww - slw * slw)
+    assert out["rs16_x1e6"] == per_w[16]
+    assert out["rs32_x1e6"] == per_w[32]
+    assert out["rs64_x1e6"] == per_w[64]
+    assert abs(out["h_x1e6"] - math.floor(h * 1e6 + 0.5)) <= 1
+    # constant series -> no usable chunks -> NULL
+    const = spark.createDataFrame(
+        [
+            Row(d=dt.date(2020, 1, 1) + dt.timedelta(days=t), x=5)
+            for t in range(40)
+        ]
+    )
+    assert (
+        hurst_rs(const, "d", "x", window_sizes=(16, 32)).collect()[0][
+            "h_x1e6"
+        ]
+        is None
+    )
