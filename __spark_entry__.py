@@ -10088,6 +10088,78 @@ def q368_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q369_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain + Gini-reduction feature ranking
+    (ops.evaluation.info_gain_ranking; Quinlan 1986; Breiman 1984) of
+    three categorical line-item features against the returned flag —
+    which columns are worth stratifying on before any model: line
+    status, ship month, and discount points ranked by how much target
+    entropy each removes. Exact counts; entropy terms on the 1e9
+    round-9-ln lattice (the q274 MI discipline); Gini terms exact
+    integer divisions."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        info_gain_ranking,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return info_gain_ranking(
+        li,
+        F.col("l_returnflag") == "R",
+        {
+            "linestatus": F.col("l_linestatus"),
+            "ship_month": F.month(F.to_date("l_shipdate")),
+            "discount_pts": F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)),
+        },
+    )
+
+
+def q370_boxcox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-Cox profile log-likelihood over lambda in {-1,-0.5,0,0.5,1}
+    (ops.stats.boxcox_grid; Box & Cox, JRSS-B 1964) for order totals in
+    cents — which power transform makes the heavy-tailed revenue column
+    most Gaussian-friendly, the selection step upstream of q324/q325/
+    q328's normality-assuming screens. No pow(): every grid power is an
+    exact or correctly-rounded tree; y and ln x snap to declared
+    lattices before exact integer sums."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        boxcox_grid,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return boxcox_grid(orders.select(cents.alias("cents")), "cents")
+
+
+def q371_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized order-3 permutation entropy
+    (ops.timeseries.permutation_entropy3; Bandt & Pompe, PRL 2002) of
+    the daily order-revenue series — ordinal-pattern complexity, robust
+    to monotone transforms, complementing the moment-based q355/q357
+    screens. Pattern ids from exact integer (value, time) rank
+    comparisons; entropy over <= 6 per-pattern round-9-ln lattice
+    terms, normalized by a driver-side ln(6) literal."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        permutation_entropy3,
+    )
+
+    return permutation_entropy3(_daily_revenue(spark, sf_dir), "d", "r")
+
+
+def q372_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test
+    (ops.timeseries.turning_points_test; Kendall & Stuart vol. 3) of
+    the daily order-revenue series: the exact count of strict interior
+    extrema against E[T] = 2(n-2)/3, Var = (16n-29)/90 — the
+    pure-counting whiteness screen orthogonal to q355's
+    correlation-based Ljung-Box. Zero float ops until the final z
+    tree."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        turning_points_test,
+    )
+
+    return turning_points_test(_daily_revenue(spark, sf_dir), "d", "r")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10236,6 +10308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q366_pacf": q366_pacf,
         "q367_cointegration": q367_cointegration,
         "q368_hurst": q368_hurst,
+        "q369_info_gain": q369_info_gain,
+        "q370_boxcox": q370_boxcox,
+        "q371_permutation_entropy": q371_permutation_entropy,
+        "q372_turning_points": q372_turning_points,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -20157,5 +20233,180 @@ def oracle_sql() -> dict[str, str]:
                CAST(rs32 AS BIGINT) AS rs32_x1e6,
                CAST(rs64 AS BIGINT) AS rs64_x1e6
         FROM nrow CROSS JOIN fit
+    """
+    out["q369_info_gain"] = """
+        WITH base AS (
+          SELECT f.feature, f.val, (l_returnflag = 'R') AS y
+          FROM lineitem, LATERAL (VALUES
+            ('linestatus', CAST(l_linestatus AS VARCHAR)),
+            ('ship_month',
+             CAST(month(CAST(l_shipdate AS DATE)) AS VARCHAR)),
+            ('discount_pts',
+             CAST(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+                  AS VARCHAR))
+          ) AS f(feature, val)
+          WHERE f.val IS NOT NULL AND l_returnflag IS NOT NULL
+        ), cells AS (
+          SELECT feature, val, CAST(COUNT(*) AS BIGINT) AS nv,
+                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pv
+          FROM base GROUP BY 1, 2
+        ), tot AS (
+          SELECT feature, CAST(SUM(nv) AS BIGINT) AS n,
+                 CAST(SUM(pv) AS BIGINT) AS p,
+                 CAST(COUNT(*) AS BIGINT) AS n_levels
+          FROM cells GROUP BY 1
+        ), terms AS (
+          SELECT c.feature,
+                 CAST(floor(
+                   (CAST(nv AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ((CASE WHEN pv > 0 AND pv < nv THEN
+                        -(CAST(pv AS DOUBLE) / CAST(nv AS DOUBLE))
+                        * round(ln(CAST(pv AS DOUBLE)
+                                   / CAST(nv AS DOUBLE)), 9)
+                      ELSE 0.0 END)
+                    + (CASE WHEN nv - pv > 0 AND nv - pv < nv THEN
+                        -(CAST(nv - pv AS DOUBLE) / CAST(nv AS DOUBLE))
+                        * round(ln(CAST(nv - pv AS DOUBLE)
+                                   / CAST(nv AS DOUBLE)), 9)
+                      ELSE 0.0 END))
+                   * 1000000000.0 + 0.5) AS HUGEINT) AS ent_i,
+                 (CAST(nv AS HUGEINT)*nv - CAST(pv AS HUGEINT)*pv
+                  - CAST(nv - pv AS HUGEINT)*(nv - pv))
+                   * 1000000000 // CAST(nv AS HUGEINT) AS gini_i
+          FROM cells c JOIN tot USING (feature)
+        ), per_f AS (
+          SELECT t2.feature, MAX(n) AS n, MAX(p) AS p,
+                 MAX(n_levels) AS n_levels,
+                 COALESCE(SUM(ent_i), 0) AS hcond,
+                 COALESCE(SUM(gini_i), 0) AS gcond
+          FROM terms t2 JOIN tot USING (feature)
+          GROUP BY 1
+        )
+        SELECT feature, CAST(n_levels AS BIGINT) AS n_levels,
+               CASE WHEN n < 1 THEN NULL
+                    ELSE CAST(floor((
+                      (CASE WHEN p > 0 AND p < n THEN
+                         -(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                         * round(ln(CAST(p AS DOUBLE)
+                                    / CAST(n AS DOUBLE)), 9)
+                       ELSE 0.0 END
+                       + CASE WHEN n - p > 0 AND n - p < n THEN
+                         -(CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+                         * round(ln(CAST(n - p AS DOUBLE)
+                                    / CAST(n AS DOUBLE)), 9)
+                       ELSE 0.0 END)
+                      - CAST(hcond AS DOUBLE) / 1000000000.0)
+                      * 1000000000.0 + 0.5) AS BIGINT)
+                    END AS info_gain_x1e9,
+               CASE WHEN n < 1 THEN NULL
+                    ELSE CAST(floor((
+                      (1.0
+                       - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)))
+                      - CAST(gcond AS DOUBLE)
+                        / (1000000000.0 * CAST(n AS DOUBLE)))
+                      * 1000000000.0 + 0.5) AS BIGINT)
+                    END AS gini_gain_x1e9
+        FROM per_f
+    """
+    out["q370_boxcox"] = """
+        WITH base AS (
+          SELECT x FROM (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+            FROM orders
+          ) WHERE x IS NOT NULL AND x > 0
+        ), rows_ AS (
+          SELECT l.lam_x100,
+                 CAST(floor(CASE l.lam_x100
+                   WHEN -100 THEN 1.0 - 1.0 / CAST(x AS DOUBLE)
+                   WHEN -50 THEN 2.0 * (1.0
+                                        - 1.0 / sqrt(CAST(x AS DOUBLE)))
+                   WHEN 0 THEN round(ln(CAST(x AS DOUBLE)), 9)
+                   WHEN 50 THEN 2.0 * (sqrt(CAST(x AS DOUBLE)) - 1.0)
+                   ELSE CAST(x AS DOUBLE) - 1.0 END
+                   * 1000000.0 + 0.5) AS HUGEINT) AS yq,
+                 CAST(floor(round(ln(CAST(x AS DOUBLE)), 9)
+                      * 1000000000.0 + 0.5) AS HUGEINT) AS lnx
+          FROM base CROSS JOIN (VALUES (-100), (-50), (0), (50), (100))
+            AS l(lam_x100)
+        ), per AS (
+          SELECT lam_x100, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(yq) AS sy, SUM(yq * yq) AS syy, SUM(lnx) AS sln
+          FROM rows_ GROUP BY 1
+        )
+        SELECT CAST(lam_x100 AS BIGINT) AS lam_x100, n,
+               CASE WHEN n < 2
+                      OR CAST(n AS HUGEINT)*syy - sy*sy <= 0 THEN NULL
+                    ELSE CAST(floor((
+                      -(CAST(n AS DOUBLE) / 2.0)
+                      * round(ln(
+                          CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * 1e12)), 9)
+                      + (CAST(lam_x100 AS DOUBLE) / 100.0 - 1.0)
+                        * (CAST(sln AS DOUBLE) / 1000000000.0))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS ll_x1e6
+        FROM per
+    """
+    out["q371_permutation_entropy"] = _DAILY_REVENUE_CTE + """
+        b1 AS (SELECT t - 1 AS t, x AS b FROM idx),
+        c1 AS (SELECT t - 2 AS t, x AS c FROM idx),
+        tri AS (
+          SELECT idx.x AS a, b1.b, c1.c
+          FROM idx JOIN b1 USING (t) JOIN c1 USING (t)
+        ), pats AS (
+          SELECT (CASE WHEN b < a THEN 1 ELSE 0 END
+                  + CASE WHEN c < a THEN 1 ELSE 0 END) * 9
+               + (CASE WHEN a <= b THEN 1 ELSE 0 END
+                  + CASE WHEN c < b THEN 1 ELSE 0 END) * 3
+               + (CASE WHEN a <= c THEN 1 ELSE 0 END
+                  + CASE WHEN b <= c THEN 1 ELSE 0 END) AS pat
+          FROM tri
+        ), counts AS (
+          SELECT pat, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pats GROUP BY 1
+        ), tot AS (
+          SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS m FROM counts
+        ), agg AS (
+          SELECT MAX(m) AS n_windows,
+                 COALESCE(SUM(CAST(floor(
+                   -(CAST(c AS DOUBLE) / CAST(m AS DOUBLE))
+                   * round(ln(CAST(c AS DOUBLE) / CAST(m AS DOUBLE)), 9)
+                   * 1000000000.0 + 0.5) AS HUGEINT)), 0) AS h
+          FROM counts CROSS JOIN tot
+        )
+        SELECT COALESCE(CAST(n_windows AS BIGINT), 0) AS n_windows,
+               CASE WHEN n_windows IS NULL OR n_windows < 1 THEN NULL
+                    ELSE CAST(floor(
+                      CAST(h AS DOUBLE) / 1000000000.0
+                      / 1.791759469228055
+                      * 1000000.0 + 0.5) AS BIGINT) END AS pe_x1e6
+        FROM agg
+    """
+    out["q372_turning_points"] = _DAILY_REVENUE_CTE + """
+        b1 AS (SELECT t - 1 AS t, x AS b FROM idx),
+        c1 AS (SELECT t - 2 AS t, x AS c FROM idx),
+        tri AS (
+          SELECT idx.x AS a, b1.b, c1.c
+          FROM idx JOIN b1 USING (t) JOIN c1 USING (t)
+        ), tc AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN (b > a AND b > c)
+                        OR (b < a AND b < c)
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_turns
+          FROM tri
+        ), nrow AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx
+        )
+        SELECT n_days, n_turns,
+               CASE WHEN n_days < 3 THEN NULL
+                    ELSE CAST(floor(
+                      (CAST(n_turns AS DOUBLE)
+                       - 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0)
+                      / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0)
+                             / 90.0)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS z_x1e6
+        FROM nrow CROSS JOIN tc
     """
     return out

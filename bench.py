@@ -344,6 +344,10 @@ HEADLINE = [
     "q366_pacf",
     "q367_cointegration",
     "q368_hurst",
+    "q369_info_gain",
+    "q370_boxcox",
+    "q371_permutation_entropy",
+    "q372_turning_points",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -1030,3 +1030,120 @@ def hosmer_lemeshow(
         .otherwise(F.col("__hl"))
         .alias("hl_x1e6"),
     )
+
+
+def info_gain_ranking(
+    df: DataFrame,
+    target: Column,
+    features: "dict[str, Column]",
+    *,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Filter-style feature ranking against a binary target: information
+    gain (entropy reduction; Quinlan, Mach. Learn. 1986) and Gini-impurity
+    reduction (Breiman et al., CART 1984) per categorical feature — which
+    columns are worth splitting/stratifying on before any model is fit.
+
+        ``IG(f)  = H(Y) - sum_v (n_v/N) * H(Y | f=v)``
+        ``GG(f)  = G(Y) - sum_v (n_v/N) * G(Y | f=v)``
+
+    Determinism: all counts are exact; Gini terms are exact integer
+    divisions ``(n_v^2 - pos_v^2 - neg_v^2) * 1e9 div n_v`` summed as
+    integers (G(Y) itself is one rational); entropy terms fix each
+    ``(n_v/N) * H(Y|v)`` on the 1e9 round-9-ln lattice before the
+    integer sum (the q274 mutual-information discipline).  Zero-count
+    branches contribute 0 by the 0*ln(0) = 0 convention, guarded
+    per-row.
+
+    Scale posture: features stack into one (feature, value, y) frame —
+    one explode, one groupBy over |features| x |levels| cells; no
+    windows, no joins beyond the broadcast per-feature totals.
+
+    Output: one row per feature — ``feature, n_levels,
+    info_gain_x1e9, gini_gain_x1e9`` (NULL when the feature's rows are
+    empty).
+    """
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        fcol.cast("string").alias("val"),
+                    )
+                    for name, fcol in features.items()
+                ]
+            )
+        ).alias("__fv"),
+        target.cast("boolean").alias("__y"),
+    ).select(
+        F.col("__fv.feature").alias("feature"),
+        F.col("__fv.val").alias("__val"),
+        "__y",
+    ).filter(F.col("__val").isNotNull() & F.col("__y").isNotNull())
+    cells = stacked.groupBy("feature", "__val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nv"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__pv"),
+    )
+    tot = cells.groupBy("feature").agg(
+        F.sum("__nv").cast("bigint").alias("__n"),
+        F.sum("__pv").cast("bigint").alias("__p"),
+        F.count(F.lit(1)).cast("bigint").alias("n_levels"),
+    )
+    j = cells.join(tot, "feature")
+    nv = F.col("__nv").cast("double")
+    n = F.col("__n").cast("double")
+    pv = F.col("__pv").cast("double")
+    qv = (F.col("__nv") - F.col("__pv")).cast("double")
+    # H(Y|v) with 0*ln0 = 0, each branch's p*ln(p) on the round-9 lattice
+    hterm = lambda num: F.when(  # noqa: E731
+        (num > F.lit(0.0)) & (num < nv),
+        -(num / nv) * F.round(F.log(num / nv), 9),
+    ).otherwise(F.lit(0.0))
+    ent_i = F.floor(
+        (nv / n) * (hterm(pv) + hterm(qv)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    gini_i = F.expr(
+        "(CAST(__nv AS DECIMAL(38,0)) * __nv"
+        " - CAST(__pv AS DECIMAL(38,0)) * __pv"
+        " - CAST(__nv - __pv AS DECIMAL(38,0)) * (__nv - __pv))"
+        " * 1000000000 div CAST(__nv AS DECIMAL(38,0))"
+    ).cast("decimal(38,0)")
+    per_f = j.groupBy("feature").agg(
+        F.max("__n").alias("__n"),
+        F.max("__p").alias("__p"),
+        F.max("n_levels").cast("bigint").alias("n_levels"),
+        F.coalesce(F.sum(ent_i), F.lit(0).cast("decimal(38,0)")).alias(
+            "__hcond"
+        ),
+        F.coalesce(F.sum(gini_i), F.lit(0).cast("decimal(38,0)")).alias(
+            "__gcond"
+        ),
+    )
+    nn = F.col("__n").cast("double")
+    pp = F.col("__p").cast("double")
+    qq = (F.col("__n") - F.col("__p")).cast("double")
+    hy_term = lambda num: F.when(  # noqa: E731
+        (num > F.lit(0.0)) & (num < nn),
+        -(num / nn) * F.round(F.log(num / nn), 9),
+    ).otherwise(F.lit(0.0))
+    h_y = hy_term(pp) + hy_term(qq)
+    ig = h_y - F.col("__hcond").cast("double") / F.lit(1e9)
+    g_y = (
+        F.lit(1.0)
+        - (pp / nn) * (pp / nn)
+        - (qq / nn) * (qq / nn)
+    )
+    gg = g_y - F.col("__gcond").cast("double") / (F.lit(1e9) * nn)
+    bad = F.col("__n") < 1
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return per_f.select(
+        "feature",
+        "n_levels",
+        pub(ig).alias("info_gain_x1e9"),
+        pub(gg).alias("gini_gain_x1e9"),
+    )

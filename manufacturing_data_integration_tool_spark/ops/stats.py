@@ -3556,3 +3556,97 @@ def grubbs_extreme(
         .otherwise(F.col("n_beyond_3s"))
         .alias("n_beyond_3s"),
     )
+
+
+def boxcox_grid(
+    df: DataFrame,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Box-Cox profile log-likelihood over the standard lambda grid
+    {-1, -0.5, 0, 0.5, 1} (Box & Cox, JRSS-B 1964): which power
+    transform makes a positive heavy-tailed column most
+    Gaussian-friendly — the transform-selection step upstream of every
+    normality-assuming screen (q324/q325/q328).
+
+        ``LL(lam) = -(n/2) * ln(var(y_lam)) + (lam - 1) * sum ln x``
+
+    with ``y_lam = (x^lam - 1)/lam`` (``ln x`` at lam = 0).  Engine
+    determinism: every power on the grid is an exact or
+    IEEE-correctly-rounded tree (x-1, 2*(sqrt(x)-1), round-9 ln,
+    2*(1 - 1/sqrt(x)), 1 - 1/x) — pow() is never called; each y snaps
+    to a 1e6 lattice and each ln x to the 1e9 round-9 lattice BEFORE
+    the exact integer sums; the final LL is ONE tree with its trailing
+    ln also 9-digit-rounded.
+
+    Output: one row per lambda — ``lam_x100, n, ll_x1e6`` (NULL when
+    n < 2 or the transformed variance is 0).  Rows with x <= 0 are
+    excluded by the Box-Cox contract.
+    """
+    dec = "decimal(38,0)"
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    base = df.select(v.alias("__x")).filter(
+        F.col("__x").isNotNull() & (F.col("__x") > 0)
+    )
+    xd = F.col("__x").cast("double")
+    y_by_lam = [
+        (-100, F.lit(1.0) - F.lit(1.0) / xd),
+        (-50, F.lit(2.0) * (F.lit(1.0) - F.lit(1.0) / F.sqrt(xd))),
+        (0, F.round(F.log(xd), 9)),
+        (50, F.lit(2.0) * (F.sqrt(xd) - F.lit(1.0))),
+        (100, xd - F.lit(1.0)),
+    ]
+    rows = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lam).alias("lam_x100"),
+                        F.floor(y * F.lit(1e6) + F.lit(0.5))
+                        .cast(dec)
+                        .alias("yq"),
+                    )
+                    for lam, y in y_by_lam
+                ]
+            )
+        ).alias("__s"),
+        F.floor(F.round(F.log(xd), 9) * F.lit(1e9) + F.lit(0.5))
+        .cast(dec)
+        .alias("__lnx"),
+    ).select(
+        F.col("__s.lam_x100").alias("lam_x100"),
+        F.col("__s.yq").alias("__yq"),
+        "__lnx",
+    )
+    per = rows.groupBy("lam_x100").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__yq").cast(dec).alias("__sy"),
+        F.sum((F.col("__yq") * F.col("__yq")).cast(dec))
+        .cast(dec)
+        .alias("__syy"),
+        F.sum("__lnx").cast(dec).alias("__sln"),
+    )
+    nn = F.col("n").cast(dec)
+    varnum = (nn * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(dec)
+    # var = varnum / (n^2 * 1e12)  (MLE variance on the 1e6 y-lattice)
+    var = varnum.cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double") * F.lit(1e12)
+    )
+    ll = -(F.col("n").cast("double") / F.lit(2.0)) * F.round(
+        F.log(var), 9
+    ) + (F.col("lam_x100").cast("double") / F.lit(100.0) - F.lit(1.0)) * (
+        F.col("__sln").cast("double") / F.lit(1e9)
+    )
+    bad = (F.col("n") < 2) | (varnum <= F.lit(0).cast(dec))
+    return per.select(
+        F.col("lam_x100").cast("bigint").alias("lam_x100"),
+        "n",
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(ll * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("ll_x1e6"),
+    )

@@ -864,3 +864,138 @@ def hurst_rs(
             F.col(f"__rs{wv}").cast("bigint").alias(f"rs{wv}_x1e6")
         )
     return out.select(*cols)
+
+
+def permutation_entropy3(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Normalized permutation entropy of order 3 (Bandt & Pompe, PRL
+    2002): the complexity of the daily series as the entropy of its
+    length-3 ordinal patterns — near 1 for noise, low for regular /
+    strongly trending dynamics; robust to monotone transforms, unlike
+    every moment-based screen in this module.
+
+    Ties resolve by time order (the Bandt-Pompe convention): element
+    ranks come from exact integer comparisons on (value, index) keys,
+    so each window maps to one of 6 pattern ids with zero float ops.
+    Pattern probabilities enter the entropy via per-pattern round-9-ln
+    lattice terms (exact integer sum over <= 6 terms), normalized by
+    the ln(6) literal fixed driver-side.
+
+    Output: one row — ``n_windows, pe_x1e6`` (NULL when fewer than 1
+    window).
+    """
+    ln6 = 1.791759469228055  # math.log(6.0), shared literal
+    idx = _indexed_daily(daily, day_col, value_col)
+    b1 = idx.select(
+        (F.col("__t") - 1).alias("__t"), F.col("__x").alias("__b")
+    )
+    c1 = idx.select(
+        (F.col("__t") - 2).alias("__t"), F.col("__x").alias("__c")
+    )
+    tri = (
+        idx.join(b1, "__t")
+        .join(c1, "__t")
+        .select(F.col("__x").alias("__a"), "__b", "__c")
+    )
+    a, b, c = F.col("__a"), F.col("__b"), F.col("__c")
+    ra = (b < a).cast("int") + (c < a).cast("int")
+    rb = (a <= b).cast("int") + (c < b).cast("int")
+    rc = (a <= c).cast("int") + (b <= c).cast("int")
+    pat = (ra * 9 + rb * 3 + rc).alias("__pat")
+    counts = tri.select(pat).groupBy("__pat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("__m")
+    )
+    full = counts.crossJoin(F.broadcast(tot))
+    p = F.col("__c").cast("double") / F.col("__m").cast("double")
+    term = F.floor(
+        -p * F.round(F.log(p), 9) * F.lit(1e9) + F.lit(0.5)
+    ).cast(_DEC)
+    agg = full.agg(
+        F.max("__m").cast("bigint").alias("n_windows"),
+        F.coalesce(F.sum(term), F.lit(0).cast(_DEC)).alias("__h"),
+    )
+    pe = (
+        F.col("__h").cast("double") / F.lit(1e9) / F.lit(ln6)
+    )
+    return agg.select(
+        F.coalesce(F.col("n_windows"), F.lit(0))
+        .cast("bigint")
+        .alias("n_windows"),
+        F.when(
+            F.col("n_windows").isNull() | (F.col("n_windows") < 1),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(pe * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("pe_x1e6"),
+    )
+
+
+def turning_points_test(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Turning-points randomness test (Kendall & Stuart, "The Advanced
+    Theory of Statistics" vol. 3): the count T of STRICT interior local
+    extrema against its i.i.d.-null moments
+
+        ``E[T] = 2(n-2)/3,   Var[T] = (16n - 29)/90``
+
+    — a pure-counting whiteness screen complementing q355's
+    correlation-based Ljung-Box (a deterministic zig-zag passes LB at
+    lag 7 but fails here, and vice versa for long smooth trends).
+    Strict inequalities only (the classical test assumes a continuous
+    law; tied neighbors simply contribute no turn — documented choice,
+    identical in both engines).  T is an exact integer; z is ONE tree.
+
+    Output: one row — ``n_days, n_turns, z_x1e6`` (NULL when n < 3).
+    """
+    idx = _indexed_daily(daily, day_col, value_col)
+    b1 = idx.select(
+        (F.col("__t") - 1).alias("__t"), F.col("__x").alias("__b")
+    )
+    c1 = idx.select(
+        (F.col("__t") - 2).alias("__t"), F.col("__x").alias("__c")
+    )
+    tri = (
+        idx.join(b1, "__t")
+        .join(c1, "__t")
+        .select(F.col("__x").alias("__a"), "__b", "__c")
+    )
+    turn = (
+        ((F.col("__b") > F.col("__a")) & (F.col("__b") > F.col("__c")))
+        | ((F.col("__b") < F.col("__a")) & (F.col("__b") < F.col("__c")))
+    )
+    t_cnt = tri.agg(
+        F.coalesce(F.sum(F.when(turn, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_turns")
+    )
+    nrow = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    out = nrow.crossJoin(F.broadcast(t_cnt))
+    n = F.col("n_days").cast("double")
+    z = (
+        F.col("n_turns").cast("double")
+        - F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
+    ) / F.sqrt((F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0))
+    return out.select(
+        "n_days",
+        "n_turns",
+        F.when(F.col("n_days") < 3, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(z * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("z_x1e6"),
+    )
