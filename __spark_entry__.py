@@ -10160,6 +10160,116 @@ def q372_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turning_points_test(_daily_revenue(spark, sf_dir), "d", "r")
 
 
+def q373_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation (ops.stats.partial_correlation;
+    Yule 1897) of quantity vs extended price CONTROLLING for discount
+    points — does the volume-revenue relationship survive once the
+    pricing lever is partialled out (q277/q316 answer only the marginal
+    question). Three exact-moment Pearsons from ONE map-side pass; the
+    partial is one mirrored IEEE tree."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        partial_correlation,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return partial_correlation(
+        li,
+        F.col("l_quantity"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+        F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)),
+    )
+
+
+def q374_gumbel_pwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel EV-I fit to monthly revenue maxima by probability-weighted
+    moments (ops.timeseries.gumbel_pwm; Greenwood et al. 1979; Hosking
+    1986), with the 12-month return level — extreme-value capacity
+    planning: what peak day should next year's worst month be
+    provisioned for. Block maxima and the rank-weighted moment are
+    exact integers over the bounded monthly table; ln 2, Euler gamma
+    and the T-quantile are driver-side literals."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        gumbel_pwm,
+    )
+
+    return gumbel_pwm(
+        _daily_revenue(spark, sf_dir), "d", "r", return_period=12
+    )
+
+
+def q375_lins_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation (ops.stats.lins_ccc; Lin,
+    Biometrics 1989) between daily revenue and its week-ago value — the
+    AGREEMENT score of the seasonal-naive forecast (Pearson forgives a
+    recalibration; CCC charges for both scatter and bias, the honest
+    complement to q318's error scorecard). Multiplying through by n^2
+    makes CCC one exact integer division."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        lins_ccc,
+    )
+
+    daily = _daily_revenue(spark, sf_dir)
+    lag7 = daily.select(
+        F.date_add(F.col("d"), 7).alias("d"), F.col("r").alias("r_lag")
+    )
+    joined = daily.join(lag7, "d")
+    return lins_ccc(joined, "r_lag", "r")
+
+
+def q376_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's J optimal threshold (ops.evaluation.youden_threshold;
+    Youden 1950) for the q196 quality screen — WHERE to cut the n_chars
+    score so that it best separates exact-duplicate documents from
+    unique ones (q196's AUC says the score separates; this publishes
+    the operating point). J numerators are exact integers, so the
+    argmax threshold has zero float boundary cases; ties break to the
+    smallest threshold."""
+    from manufacturing_data_integration_tool_spark.ops.evaluation import (
+        youden_threshold,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.col("n_chars").cast("bigint").alias("score"),
+        F.md5("text").alias("__fp"),
+    )
+    groups = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__c"))
+    labeled = fp.join(groups, "__fp").select(
+        "score", (F.col("__c") > 1).alias("is_dup")
+    )
+    return youden_threshold(labeled, "score", "is_dup")
+
+
+def q377_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet round-trip with partition pruning:
+    write orders partitioned BY ORDER MONTH (the 100 TB layout pattern
+    — a month predicate then touches 3/12ths of the files, not a
+    full scan), read back filtered to Q1 months, aggregate. The oracle
+    recomputes the same aggregate from the original parquet, so the
+    value hash proves the partitioned layout is LOSSLESS; the pruning
+    itself is plan-pinned in tests/test_plan_quality.py
+    (PartitionFilters, not a post-scan filter)."""
+    import tempfile
+
+    orders = read_table(spark, sf_dir, "orders")
+    out_dir = tempfile.mkdtemp(prefix="mdi_q377_") + "/orders_part"
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    orders.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        cents.alias("cents"),
+        F.month(F.to_date("o_orderdate")).alias("o_month"),
+    ).write.partitionBy("o_month").parquet(out_dir)
+    back = spark.read.parquet(out_dir).filter(
+        F.col("o_month").isin(1, 2, 3)
+    )
+    return back.groupBy(F.col("o_month").cast("bigint").alias("o_month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10312,6 +10422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q370_boxcox": q370_boxcox,
         "q371_permutation_entropy": q371_permutation_entropy,
         "q372_turning_points": q372_turning_points,
+        "q373_partial_corr": q373_partial_corr,
+        "q374_gumbel_pwm": q374_gumbel_pwm,
+        "q375_lins_ccc": q375_lins_ccc,
+        "q376_youden": q376_youden,
+        "q377_partitioned_scan": q377_partitioned_scan,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -20408,5 +20523,206 @@ def oracle_sql() -> dict[str, str]:
                              / 90.0)
                       * 1000000.0 + 0.5) AS BIGINT) END AS z_x1e6
         FROM nrow CROSS JOIN tc
+    """
+    out["q373_partial_corr"] = """
+        WITH base AS (
+          SELECT CAST(l_quantity AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+                 CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS z
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL
+        ), s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+                 COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+                 COALESCE(SUM(CAST(z AS HUGEINT)), 0) AS sz,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx,
+                 COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS syy,
+                 COALESCE(SUM(CAST(z AS HUGEINT) * z), 0) AS szz,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS sxy,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * z), 0) AS sxz,
+                 COALESCE(SUM(CAST(y AS HUGEINT) * z), 0) AS syz
+          FROM base
+        ), cen AS (
+          SELECT n,
+                 CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE) AS vx,
+                 CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE) AS vy,
+                 CAST(CAST(n AS HUGEINT)*szz - sz*sz AS DOUBLE) AS vz,
+                 CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE) AS cxy,
+                 CAST(CAST(n AS HUGEINT)*sxz - sx*sz AS DOUBLE) AS cxz,
+                 CAST(CAST(n AS HUGEINT)*syz - sy*sz AS DOUBLE) AS cyz
+          FROM s
+        ), rr AS (
+          SELECT n, (vx > 0.0 AND vy > 0.0 AND vz > 0.0) AS ok,
+                 CASE WHEN vx > 0.0 AND vy > 0.0 AND vz > 0.0
+                      THEN cxy / sqrt(vx * vy) END AS r_xy,
+                 CASE WHEN vx > 0.0 AND vy > 0.0 AND vz > 0.0
+                      THEN cxz / sqrt(vx * vz) END AS r_xz,
+                 CASE WHEN vx > 0.0 AND vy > 0.0 AND vz > 0.0
+                      THEN cyz / sqrt(vy * vz) END AS r_yz
+          FROM cen
+        ), fin AS (
+          SELECT *,
+                 (1.0 - r_xz*r_xz) * (1.0 - r_yz*r_yz) AS den,
+                 (n < 3 OR NOT ok) AS bad
+          FROM rr
+        )
+        SELECT n,
+               CASE WHEN bad THEN NULL
+                    ELSE CAST(floor(r_xy * 1000000.0 + 0.5) AS BIGINT)
+                    END AS r_xy_x1e6,
+               CASE WHEN bad THEN NULL
+                    ELSE CAST(floor(r_xz * 1000000.0 + 0.5) AS BIGINT)
+                    END AS r_xz_x1e6,
+               CASE WHEN bad THEN NULL
+                    ELSE CAST(floor(r_yz * 1000000.0 + 0.5) AS BIGINT)
+                    END AS r_yz_x1e6,
+               CASE WHEN bad OR den <= 0.0 THEN NULL
+                    ELSE CAST(floor((r_xy - r_xz*r_yz) / sqrt(den)
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS partial_x1e6
+        FROM fin
+    """
+    out["q374_gumbel_pwm"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS r
+          FROM orders GROUP BY 1
+        ), blocks AS (
+          SELECT date_trunc('month', d) AS blk,
+                 CAST(MAX(r) AS BIGINT) AS mx
+          FROM daily GROUP BY 1
+        ), ranked AS (
+          SELECT mx, CAST(ROW_NUMBER() OVER (ORDER BY mx, blk) - 1
+                          AS BIGINT) AS i
+          FROM blocks
+        ), s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 COALESCE(SUM(CAST(mx AS HUGEINT)), 0) AS s,
+                 COALESCE(SUM(CAST(i AS HUGEINT) * mx), 0) AS s1
+          FROM ranked
+        ), fin AS (
+          SELECT n_blocks, s, s1,
+                 CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS b0,
+                 CAST(s1 AS DOUBLE)
+                   / (CAST(n_blocks AS DOUBLE)
+                      * (CAST(n_blocks AS DOUBLE) - 1.0)) AS b1
+          FROM s
+        ), fin2 AS (
+          SELECT n_blocks, s,
+                 (2.0 * b1 - b0) / 0.6931471805599453 AS beta,
+                 b0 - 0.5772156649015329
+                      * ((2.0 * b1 - b0) / 0.6931471805599453) AS mu
+          FROM fin
+        )
+        SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+               CAST(s // GREATEST(CAST(n_blocks AS HUGEINT), 1)
+                    AS BIGINT) AS block_max_avg,
+               CASE WHEN n_blocks < 2 THEN NULL
+                    ELSE CAST(floor(beta * 1000000.0 + 0.5) AS BIGINT)
+                    END AS beta_x1e6,
+               CASE WHEN n_blocks < 2 THEN NULL
+                    ELSE CAST(floor(mu * 1000000.0 + 0.5) AS BIGINT)
+                    END AS mu_x1e6,
+               CASE WHEN n_blocks < 2 THEN NULL
+                    ELSE CAST(floor((mu + beta * 2.441716398881459)
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS rl_x1e6
+        FROM fin2
+    """
+    out["q375_lins_ccc"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS r
+          FROM orders GROUP BY 1
+        ), joined AS (
+          SELECT b.r AS x, a.r AS y
+          FROM daily a JOIN daily b ON a.d = b.d + 7
+        ), s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+                 COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx,
+                 COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS syy,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS sxy
+          FROM joined
+        ), fin AS (
+          SELECT n,
+                 2 * (CAST(n AS HUGEINT)*sxy - sx*sy) AS num,
+                 (CAST(n AS HUGEINT)*sxx - sx*sx)
+                   + (CAST(n AS HUGEINT)*syy - sy*sy)
+                   + (sx - sy) * (sx - sy) AS den
+          FROM s
+        )
+        SELECT n,
+               CASE WHEN n < 2 OR den <= 0 THEN NULL
+                    ELSE CAST(floor(CAST(num AS DOUBLE)
+                      / CAST(den AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS ccc_x1e6
+        FROM fin
+    """
+    out["q376_youden"] = """
+        WITH fp AS (
+          SELECT CAST(n_chars AS BIGINT) AS score, md5(text) AS f
+          FROM documents
+        ), grp AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY 1),
+        labeled AS (
+          SELECT fp.score AS s, (grp.c > 1) AS y
+          FROM fp JOIN grp USING (f)
+          WHERE fp.score IS NOT NULL
+        ), vals AS (
+          SELECT s,
+                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tp1,
+                 CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fp1
+          FROM labeled GROUP BY 1
+        ), run AS (
+          SELECT s, SUM(tp1) OVER w AS tp, SUM(fp1) OVER w AS fp
+          FROM vals WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(SUM(tp1) AS BIGINT) AS p,
+                 CAST(SUM(fp1) AS BIGINT) AS n2
+          FROM vals
+        ), scored AS (
+          SELECT s,
+                 CAST(n2 AS HUGEINT)*tp - CAST(p AS HUGEINT)*fp AS jnum,
+                 p, n2
+          FROM run CROSS JOIN tot
+        ), sel AS (
+          SELECT jnum, s, p, n2 FROM scored
+          ORDER BY jnum DESC, s ASC LIMIT 1
+        ), meta AS (
+          SELECT COALESCE(MAX(p), 0) AS n_pos,
+                 COALESCE(MAX(n2), 0) AS n_neg
+          FROM scored
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CASE WHEN n_pos < 1 OR n_neg < 1 THEN NULL
+                    ELSE (SELECT CAST(s AS BIGINT) FROM sel)
+                    END AS best_threshold,
+               CASE WHEN n_pos < 1 OR n_neg < 1 THEN NULL
+                    ELSE (SELECT CAST(floor(CAST(jnum AS DOUBLE)
+                      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) FROM sel)
+                    END AS j_x1e6
+        FROM meta
+    """
+    out["q377_partitioned_scan"] = """
+        SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS o_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE month(CAST(o_orderdate AS DATE)) IN (1, 2, 3)
+        GROUP BY 1
     """
     return out

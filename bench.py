@@ -348,6 +348,11 @@ HEADLINE = [
     "q370_boxcox",
     "q371_permutation_entropy",
     "q372_turning_points",
+    "q373_partial_corr",
+    "q374_gumbel_pwm",
+    "q375_lins_ccc",
+    "q376_youden",
+    "q377_partitioned_scan",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -1147,3 +1147,100 @@ def info_gain_ranking(
         pub(ig).alias("info_gain_x1e9"),
         pub(gg).alias("gini_gain_x1e9"),
     )
+
+
+def youden_threshold(
+    df: DataFrame,
+    score_col: Column | str,
+    label_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Youden's J optimal operating point (Youden, Cancer 1950) for a
+    binary screen: the score threshold maximizing ``J = TPR - FPR`` —
+    the decision-layer companion to q196's threshold-free AUC (AUC says
+    whether the score separates; J says WHERE to cut it).
+
+    With predict-positive = (score >= t) evaluated at every distinct
+    score t: ``J(t) * P * N = N * TP(t) - P * FP(t)`` is an EXACT
+    integer, so the argmax is exact integer comparison — ties break to
+    the smallest threshold via a max over (J_num, -t) structs, no float
+    boundary cases.  TP/FP cumulatives ride
+    :func:`~.sampling.two_phase_running_sum` over the distinct-score
+    table (descending via negated scores).
+
+    Output: one row — ``n_pos, n_neg, best_threshold, j_x1e6`` (NULL
+    when either class is empty).
+    """
+    s = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast("bigint")
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    vals = base.groupBy("__s").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__tp1"),
+        F.sum(F.when(~F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__fp1"),
+    ).withColumn("__neg", -F.col("__s"))
+    run = two_phase_running_sum(
+        vals,
+        [],
+        [F.asc("__neg")],
+        F.col("__tp1"),
+        F.expr("__neg div 65536"),
+        out_col="__tp",
+    )
+    run = two_phase_running_sum(
+        run,
+        [],
+        [F.asc("__neg")],
+        F.col("__fp1"),
+        F.expr("__neg div 65536"),
+        out_col="__fp",
+    )
+    tot = vals.agg(
+        F.sum("__tp1").cast("bigint").alias("__p"),
+        F.sum("__fp1").cast("bigint").alias("__n"),
+    )
+    full = run.crossJoin(F.broadcast(tot))
+    jnum = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__tp")
+        - F.col("__p").cast("decimal(38,0)") * F.col("__fp")
+    ).cast("decimal(38,0)")
+    best = full.agg(
+        F.max("__p").alias("n_pos"),
+        F.max("__n").alias("n_neg"),
+        F.max(
+            F.struct(
+                jnum.alias("j"), F.col("__neg").alias("negt")
+            )
+        ).alias("__best"),
+    )
+    j = F.col("__best.j").cast("double") / (
+        F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    )
+    bad = (
+        F.col("n_pos").isNull()
+        | F.col("n_neg").isNull()
+        | (F.col("n_pos") < 1)
+        | (F.col("n_neg") < 1)
+    )
+    return best.select(
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise((-F.col("__best.negt")).cast("bigint"))
+        .alias("best_threshold"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(j * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("j_x1e6"),
+    )

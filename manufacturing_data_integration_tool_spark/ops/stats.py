@@ -3650,3 +3650,165 @@ def boxcox_grid(
         )
         .alias("ll_x1e6"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    z_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """First-order partial correlation ``r_xy.z`` (Yule, Proc. R. Soc.
+    1897): the x-y association with the confounder z partialled out,
+
+        ``r_xy.z = (r_xy - r_xz*r_yz)
+                   / sqrt((1 - r_xz^2) * (1 - r_yz^2))``
+
+    — the screen that separates a real relationship from one the
+    confounder manufactures (q277's Spearman and q316's tau answer the
+    marginal question only).
+
+    All three Pearson terms come from one map-side pass of exact
+    DECIMAL(38,0) power sums (means cleared by n); each r and the
+    partial are ONE mirrored IEEE tree.
+
+    Output: one row — ``n, r_xy_x1e6, r_xz_x1e6, r_yz_x1e6,
+    partial_x1e6`` (NULL when n < 3, any variance is 0, or either
+    conditioning correlation is +-1).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cols = {}
+    for name, c in (("x", x_col), ("y", y_col), ("z", z_col)):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+        cols[name] = cc
+    base = df.select(
+        cols["x"].alias("__x"), cols["y"].alias("__y"), cols["z"].alias("__z")
+    ).filter(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & F.col("__z").isNotNull()
+    )
+    z0 = F.lit(0).cast("decimal(38,0)")
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.coalesce(F.sum(dec(F.col(f"__{a}"))), z0)
+            .cast("decimal(38,0)")
+            .alias(f"__s{a}")
+            for a in "xyz"
+        ],
+        *[
+            F.coalesce(
+                F.sum(dec(F.col(f"__{a}")) * F.col(f"__{b}")), z0
+            )
+            .cast("decimal(38,0)")
+            .alias(f"__s{a}{b}")
+            for a, b in ("xx", "yy", "zz", "xy", "xz", "yz")
+        ],
+    )
+    nn = dec(F.col("n"))
+
+    def cen(ab: str, a: str, b: str):
+        return (
+            nn * F.col(f"__s{ab}") - F.col(f"__s{a}") * F.col(f"__s{b}")
+        ).cast("double")
+
+    vx, vy, vz = cen("xx", "x", "x"), cen("yy", "y", "y"), cen("zz", "z", "z")
+    cxy, cxz, cyz = cen("xy", "x", "y"), cen("xz", "x", "z"), cen("yz", "y", "z")
+    ok = (vx > F.lit(0.0)) & (vy > F.lit(0.0)) & (vz > F.lit(0.0))
+    r_xy = F.when(ok, cxy / F.sqrt(vx * vy))
+    r_xz = F.when(ok, cxz / F.sqrt(vx * vz))
+    r_yz = F.when(ok, cyz / F.sqrt(vy * vz))
+    den = (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    partial = (r_xy - r_xz * r_yz) / F.sqrt(den)
+    bad = (F.col("n") < 3) | ~ok
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return s.select(
+        "n",
+        pub(r_xy).alias("r_xy_x1e6"),
+        pub(r_xz).alias("r_xz_x1e6"),
+        pub(r_yz).alias("r_yz_x1e6"),
+        F.when(
+            bad | (den <= F.lit(0.0)), F.lit(None).cast("bigint")
+        )
+        .otherwise(
+            F.floor(partial * F.lit(float(scale)) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .alias("partial_x1e6"),
+    )
+
+
+def lins_ccc(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin, Biometrics
+    1989): AGREEMENT between two paired measurements — penalizing both
+    scatter and systematic bias, where Pearson forgives any linear
+    recalibration.  The natural forecast-vs-actual agreement score.
+
+    Multiplying numerator and denominator by n^2 clears every mean
+    exactly:
+
+        ``CCC = 2*(n*Sxy - Sx*Sy)
+                / [(n*Sxx - Sx^2) + (n*Syy - Sy^2) + (Sx - Sy)^2]``
+
+    — every term an exact DECIMAL(38,0) integer, CCC is ONE division.
+
+    Output: one row — ``n, ccc_x1e6`` (NULL when n < 2 or the
+    denominator is 0, i.e. both columns constant and equal).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("bigint")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("bigint")
+    base = df.select(x.alias("__x"), y.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    z0 = F.lit(0).cast("decimal(38,0)")
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(dec(F.col("__x"))), z0)
+        .cast("decimal(38,0)")
+        .alias("__sx"),
+        F.coalesce(F.sum(dec(F.col("__y"))), z0)
+        .cast("decimal(38,0)")
+        .alias("__sy"),
+        F.coalesce(F.sum(dec(F.col("__x")) * F.col("__x")), z0)
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+        F.coalesce(F.sum(dec(F.col("__y")) * F.col("__y")), z0)
+        .cast("decimal(38,0)")
+        .alias("__syy"),
+        F.coalesce(F.sum(dec(F.col("__x")) * F.col("__y")), z0)
+        .cast("decimal(38,0)")
+        .alias("__sxy"),
+    )
+    nn = dec(F.col("n"))
+    num = (
+        F.lit(2).cast("decimal(38,0)")
+        * (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    ).cast("decimal(38,0)")
+    den = (
+        (nn * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        + (nn * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+        + (F.col("__sx") - F.col("__sy")) * (F.col("__sx") - F.col("__sy"))
+    ).cast("decimal(38,0)")
+    ccc = num.cast("double") / den.cast("double")
+    bad = (F.col("n") < 2) | (den <= F.lit(0).cast("decimal(38,0)"))
+    return s.select(
+        "n",
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(ccc * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("ccc_x1e6"),
+    )

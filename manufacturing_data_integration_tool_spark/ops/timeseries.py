@@ -999,3 +999,88 @@ def turning_points_test(
         )
         .alias("z_x1e6"),
     )
+
+
+_EULER_GAMMA = 0.5772156649015329
+_LN2 = 0.6931471805599453
+
+
+def gumbel_pwm(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    return_period: int = 12,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Gumbel (EV-I) fit to MONTHLY block maxima by probability-weighted
+    moments (Greenwood et al., Water Resour. Res. 1979; Hosking 1986) —
+    extreme-value capacity planning for the daily series: what peak
+    should the next year's worst month be provisioned for.
+
+        ``b0 = (1/m) * sum x_(i)``
+        ``b1 = (1/(m(m-1))) * sum (i-1) * x_(i)``      (x sorted asc)
+        ``beta = (2*b1 - b0) / ln 2``
+        ``mu   = b0 - gamma * beta``                    (Euler gamma)
+        ``x_T  = mu - beta * ln(-ln(1 - 1/T))``         (return level)
+
+    Exactness: block maxima are exact integers; the rank weights come
+    from a row_number over the BOUNDED monthly-maxima table (ties break
+    on the month key — deterministic), so ``sum (i-1)*x_(i)`` is an
+    exact DECIMAL(38,0); ln 2 / gamma / the T-quantile constant are
+    driver-side literals, and each published value is ONE IEEE tree.
+
+    Output: one row — ``n_blocks, block_max_avg (exact int div), beta
+    _x1e6, mu_x1e6, rl_x1e6`` (NULL when m < 2 or beta <= 0 is fine —
+    published as-is; only m < 2 nulls).
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+
+    gq = -_math.log(-_math.log(1.0 - 1.0 / float(return_period)))
+    blocks = (
+        daily.select(
+            F.date_trunc("month", F.col(day_col)).alias("__blk"),
+            F.col(value_col).cast("bigint").alias("__x"),
+        )
+        .groupBy("__blk")
+        .agg(F.max("__x").cast("bigint").alias("__mx"))
+    )
+    w = Window.orderBy(F.asc("__mx"), F.asc("__blk"))
+    ranked = blocks.select(
+        F.col("__mx"), (F.row_number().over(w) - F.lit(1)).alias("__i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.coalesce(F.sum(F.col("__mx").cast(_DEC)), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__s"),
+        F.coalesce(
+            F.sum((F.col("__i").cast(_DEC) * F.col("__mx")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        )
+        .cast(_DEC)
+        .alias("__s1"),
+    )
+    m = F.col("n_blocks").cast("double")
+    b0 = F.col("__s").cast("double") / m
+    b1 = F.col("__s1").cast("double") / (m * (m - F.lit(1.0)))
+    beta = (F.lit(2.0) * b1 - b0) / F.lit(_LN2)
+    mu = b0 - F.lit(_EULER_GAMMA) * beta
+    rl = mu + beta * F.lit(gq)
+    bad = F.col("n_blocks") < 2
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return s.select(
+        F.coalesce(F.col("n_blocks"), F.lit(0))
+        .cast("bigint")
+        .alias("n_blocks"),
+        F.expr("CAST(__s div GREATEST(n_blocks, 1) AS BIGINT)").alias(
+            "block_max_avg"
+        ),
+        pub(beta).alias("beta_x1e6"),
+        pub(mu).alias("mu_x1e6"),
+        pub(rl).alias("rl_x1e6"),
+    )

@@ -973,3 +973,16 @@ def test_ks_pairwise_grid_join_is_bounded_broadcast(spark):
 def test_fixed_width_scan_has_no_python(spark):
     plan = plan_of(entry.q226_fixed_width_scan(spark, "/root/testdata/sf0.001"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """q377's month filter must reach the parquet scan as a
+    PartitionFilter (directory pruning), not a post-scan Filter —
+    at 100 TB that is the difference between touching 3/12ths of the
+    files and a full scan."""
+    plan = plan_of(entry.q377_partitioned_scan(spark, "/root/testdata/sf0.001"))
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_month" in m.group(1), plan[:2000]
