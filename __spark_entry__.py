@@ -10270,6 +10270,90 @@ def q377_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q378_cochran_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's C variance-outlier test (ops.stats.cochran_c; Cochran
+    1941) over per-source document-length variances — which ONE source
+    carries an outlying share of length variance, the single-suspect
+    pointer behind q328's omnibus Bartlett. Per-group variances fixed
+    on a 1e-6 lattice so the argmax is exact; ties resolve to the
+    lexicographically smallest source."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        cochran_c,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cochran_c(docs, "source", "n_chars")
+
+
+def q379_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity LM test
+    (ops.timeseries.breusch_pagan; Breusch & Pagan, Econometrica 1979)
+    on the daily revenue ~ order-count regression: do high-volume days
+    also have noisier revenue — the variance-structure companion to
+    q367's level cointegration on the same two series. Residuals and
+    their squares live on declared integer lattices; the auxiliary R^2
+    comes from exact DECIMAL(38,0) moments."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        breusch_pagan,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("d"), cents.alias("__c"))
+        .groupBy("d")
+        .agg(
+            F.sum("__c").cast("bigint").alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+        )
+    )
+    return breusch_pagan(daily, "d", "y", "x")
+
+
+def q380_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break F test (ops.timeseries.chow_test; Chow,
+    Econometrica 1960) of daily revenue ~ order count at the series
+    midpoint — did the revenue-per-order relationship CHANGE between
+    the two halves of the history, the regression-level complement to
+    q217's mean-level changepoint. Segment SSEs from exact centered
+    moments; the midpoint split is on the dense time index, identical
+    in both engines."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        chow_test,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("d"), cents.alias("__c"))
+        .groupBy("d")
+        .agg(
+            F.sum("__c").cast("bigint").alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+        )
+    )
+    return chow_test(daily, "d", "y", "x")
+
+
+def q381_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman 95% limits of agreement (ops.stats.bland_altman;
+    Bland & Altman, Lancet 1986) between daily revenue and its week-ago
+    value — the interval statement behind q375's single-number CCC: by
+    how much can the seasonal-naive forecast and the actual disagree.
+    Differences exact integers; limits one IEEE tree each with the 1.96
+    quantile as a literal."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        bland_altman,
+    )
+
+    daily = _daily_revenue(spark, sf_dir)
+    lag7 = daily.select(
+        F.date_add(F.col("d"), 7).alias("d"), F.col("r").alias("r_lag")
+    )
+    joined = daily.join(lag7, "d")
+    return bland_altman(joined, "r_lag", "r")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10427,6 +10511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q375_lins_ccc": q375_lins_ccc,
         "q376_youden": q376_youden,
         "q377_partitioned_scan": q377_partitioned_scan,
+        "q378_cochran_c": q378_cochran_c,
+        "q379_breusch_pagan": q379_breusch_pagan,
+        "q380_chow_test": q380_chow_test,
+        "q381_bland_altman": q381_bland_altman,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -20724,5 +20812,231 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE month(CAST(o_orderdate AS DATE)) IN (1, 2, 3)
         GROUP BY 1
+    """
+    out["q378_cochran_c"] = """
+        WITH pg AS (
+          SELECT CAST(source AS VARCHAR) AS g,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(n_chars AS HUGEINT)) AS s,
+                 SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+          FROM documents
+          WHERE n_chars IS NOT NULL AND source IS NOT NULL
+          GROUP BY 1 HAVING COUNT(*) >= 2
+        ), staged AS (
+          SELECT g,
+                 CAST(floor(
+                   CAST(CAST(n AS HUGEINT)*sxx - s*s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                   * 1000000.0 + 0.5) AS HUGEINT) AS s2i
+          FROM pg
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 COALESCE(SUM(s2i), 0) AS tot
+          FROM staged
+        ), mx AS (SELECT MAX(s2i) AS mxv FROM staged),
+        top AS (
+          SELECT MIN(g) AS top_group, MAX(mxv) AS mxv
+          FROM staged CROSS JOIN mx WHERE s2i = mxv
+        )
+        SELECT n_groups,
+               CASE WHEN n_groups < 2 OR tot <= 0 THEN NULL
+                    ELSE top_group END AS top_group,
+               CASE WHEN n_groups < 2 OR tot <= 0 THEN NULL
+                    ELSE CAST(floor(CAST(mxv AS DOUBLE)
+                      / CAST(tot AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                    END AS c_x1e6
+        FROM agg CROSS JOIN top
+    """
+    _DAILY_YX_CTE = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), idx AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+                 y, x
+          FROM daily
+        ),
+    """
+    out["q379_breusch_pagan"] = _DAILY_YX_CTE + """
+        sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+                 COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxxr,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS sxyr
+          FROM idx
+        ), cen AS (
+          SELECT n, sx, sy,
+                 CAST(CAST(n AS HUGEINT)*sxxr - sx*sx AS DOUBLE) AS sxx,
+                 CAST(CAST(n AS HUGEINT)*sxyr - sx*sy AS DOUBLE) AS sxy
+          FROM sums
+        ), coef1 AS (
+          SELECT n, sx, sy, sxx,
+                 CASE WHEN sxx > 0.0 THEN sxy / sxx END AS bb
+          FROM cen
+        ), coefs AS (
+          SELECT n, bb,
+                 (CAST(sy AS DOUBLE) - bb * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS aa,
+                 (sxx > 0.0) AS xok
+          FROM coef1
+        ), r AS (
+          SELECT x,
+                 CASE WHEN xok THEN
+                   CAST(floor((CAST(y AS DOUBLE)
+                        - (aa + bb * CAST(x AS DOUBLE)))
+                        * 1.0 + 0.5) AS HUGEINT) END AS rr
+          FROM idx CROSS JOIN coefs
+        ), uu AS (
+          SELECT x, (rr * rr) // 1000000000 AS u FROM r
+        ), m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS px,
+                 COALESCE(SUM(u), 0) AS pu,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS pxx,
+                 COALESCE(SUM(u * u), 0) AS puu,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * u), 0) AS pxu
+          FROM uu
+        ), fin AS (
+          SELECT n_days,
+                 CAST(n_days AS HUGEINT)*pxx - px*px AS vx,
+                 CAST(n_days AS HUGEINT)*puu - pu*pu AS vu,
+                 CAST(n_days AS HUGEINT)*pxu - px*pu AS cxu
+          FROM m
+        ), fin2 AS (
+          SELECT n_days, vx, vu,
+                 CASE WHEN vx > 0 AND vu > 0 THEN
+                   (CAST(cxu AS DOUBLE) * CAST(cxu AS DOUBLE))
+                   / (CAST(vx AS DOUBLE) * CAST(vu AS DOUBLE)) END AS r2
+          FROM fin
+        )
+        SELECT n_days,
+               CASE WHEN n_days < 4 OR NOT (vx > 0 AND vu > 0) THEN NULL
+                    ELSE CAST(floor(r2 * 1000000.0 + 0.5) AS BIGINT)
+                    END AS r2_aux_x1e6,
+               CASE WHEN n_days < 4 OR NOT (vx > 0 AND vu > 0) THEN NULL
+                    ELSE CAST(floor(CAST(n_days AS DOUBLE) * r2
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    END AS lm_x1e6
+        FROM fin2
+    """
+    out["q380_chow_test"] = _DAILY_YX_CTE + """
+        nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS nall FROM idx),
+        tagged AS (
+          SELECT CASE WHEN t <= nall // 2 THEN 1 ELSE 2 END AS seg, x, y
+          FROM idx CROSS JOIN nrow
+        ), per AS (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM tagged GROUP BY 1
+        ), seg1 AS (
+          SELECT n AS a_n, sx AS a_sx, sy AS a_sy, sxx AS a_sxx,
+                 syy AS a_syy, sxy AS a_sxy
+          FROM per WHERE seg = 1
+        ), seg2 AS (
+          SELECT n AS b_n, sx AS b_sx, sy AS b_sy, sxx AS b_sxx,
+                 syy AS b_syy, sxy AS b_sxy
+          FROM per WHERE seg = 2
+        ), pooled AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+                 COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx,
+                 COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS syy,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS sxy
+          FROM tagged
+        ), j AS (
+          SELECT * FROM pooled CROSS JOIN seg1 CROSS JOIN seg2
+        ), sse AS (
+          SELECT n, a_n, b_n,
+                 CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE) AS vx_p,
+                 CAST(CAST(a_n AS HUGEINT)*a_sxx - a_sx*a_sx AS DOUBLE)
+                   AS vx_1,
+                 CAST(CAST(b_n AS HUGEINT)*b_sxx - b_sx*b_sx AS DOUBLE)
+                   AS vx_2,
+                 CASE WHEN CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE)
+                        > 0.0 THEN
+                   (CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE)
+                    - CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+                      * CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) END AS sse_p,
+                 CASE WHEN CAST(CAST(a_n AS HUGEINT)*a_sxx - a_sx*a_sx
+                             AS DOUBLE) > 0.0 THEN
+                   (CAST(CAST(a_n AS HUGEINT)*a_syy - a_sy*a_sy AS DOUBLE)
+                    - CAST(CAST(a_n AS HUGEINT)*a_sxy - a_sx*a_sy
+                           AS DOUBLE)
+                      * CAST(CAST(a_n AS HUGEINT)*a_sxy - a_sx*a_sy
+                             AS DOUBLE)
+                      / CAST(CAST(a_n AS HUGEINT)*a_sxx - a_sx*a_sx
+                             AS DOUBLE))
+                   / CAST(a_n AS DOUBLE) END AS sse_1,
+                 CASE WHEN CAST(CAST(b_n AS HUGEINT)*b_sxx - b_sx*b_sx
+                             AS DOUBLE) > 0.0 THEN
+                   (CAST(CAST(b_n AS HUGEINT)*b_syy - b_sy*b_sy AS DOUBLE)
+                    - CAST(CAST(b_n AS HUGEINT)*b_sxy - b_sx*b_sy
+                           AS DOUBLE)
+                      * CAST(CAST(b_n AS HUGEINT)*b_sxy - b_sx*b_sy
+                             AS DOUBLE)
+                      / CAST(CAST(b_n AS HUGEINT)*b_sxx - b_sx*b_sx
+                             AS DOUBLE))
+                   / CAST(b_n AS DOUBLE) END AS sse_2
+          FROM j
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(a_n AS BIGINT) AS n_first,
+               CASE WHEN a_n < 3 OR b_n < 3 OR vx_p <= 0.0
+                      OR vx_1 <= 0.0 OR vx_2 <= 0.0
+                      OR sse_1 + sse_2 <= 0.0 OR n <= 4 THEN NULL
+                    ELSE CAST(floor(
+                      ((sse_p - sse_1 - sse_2) / 2.0)
+                      / ((sse_1 + sse_2) / (CAST(n AS DOUBLE) - 4.0))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS f_x1e6
+        FROM sse
+    """
+    out["q381_bland_altman"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS r
+          FROM orders GROUP BY 1
+        ), joined AS (
+          SELECT a.r - b.r AS dd
+          FROM daily a JOIN daily b ON a.d = b.d + 7
+        ), s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 COALESCE(SUM(CAST(dd AS HUGEINT)), 0) AS sd_,
+                 COALESCE(SUM(CAST(dd AS HUGEINT) * dd), 0) AS sdd
+          FROM joined
+        ), fin AS (
+          SELECT n,
+                 CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
+                 CAST(n AS HUGEINT)*sdd - sd_*sd_ AS varnum
+          FROM s
+        )
+        SELECT n,
+               CASE WHEN n < 1 THEN NULL
+                    ELSE CAST(floor(bias * 1000000.0 + 0.5) AS BIGINT)
+                    END AS bias_x1e6,
+               CASE WHEN n < 2 OR varnum < 0 THEN NULL
+                    ELSE CAST(floor((bias - 1.96
+                      * sqrt(CAST(varnum AS DOUBLE)
+                             / (CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1.0))))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS loa_lo_x1e6,
+               CASE WHEN n < 2 OR varnum < 0 THEN NULL
+                    ELSE CAST(floor((bias + 1.96
+                      * sqrt(CAST(varnum AS DOUBLE)
+                             / (CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1.0))))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS loa_hi_x1e6
+        FROM fin
     """
     return out

@@ -353,6 +353,10 @@ HEADLINE = [
     "q375_lins_ccc",
     "q376_youden",
     "q377_partitioned_scan",
+    "q378_cochran_c",
+    "q379_breusch_pagan",
+    "q380_chow_test",
+    "q381_bland_altman",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -3812,3 +3812,142 @@ def lins_ccc(
         )
         .alias("ccc_x1e6"),
     )
+
+
+def cochran_c(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cochran's C variance-outlier test (Cochran, Ann. Eugenics 1941):
+    ``C = s2_max / sum_g s2_g`` — does ONE group carry an outlying
+    share of the variance, the single-suspect companion to q328's
+    omnibus Bartlett (Bartlett says 'variances differ somewhere',
+    Cochran's C points at the largest).
+
+    Per-group sample variances come from exact integers
+    ``vn_g = n_g*Sxx_g - S_g^2`` with ``s2_g = vn_g / (n_g*(n_g-1))``;
+    the max resolves deterministically on (s2 lattice value, group asc)
+    and C is ONE IEEE tree.  Groups with n < 2 are excluded.
+
+    Output: one row — ``n_groups, top_group, c_x1e6`` (NULL when fewer
+    than 2 usable groups or all variances are 0).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "bigint"
+    )
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("__g"), v.alias("__v")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(dec(F.col("__v"))).cast("decimal(38,0)").alias("__s"),
+        F.sum(dec(F.col("__v")) * F.col("__v"))
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+    ).filter(F.col("__n") >= 2)
+    s2 = (
+        (dec(F.col("__n")) * F.col("__sxx") - F.col("__s") * F.col("__s"))
+        .cast("double")
+        / (
+            F.col("__n").cast("double")
+            * (F.col("__n").cast("double") - F.lit(1.0))
+        )
+    )
+    # fix every group's s2 on a 1e-6 lattice so max/argmax ties are exact
+    s2_i = F.floor(s2 * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    staged = pg.select("__g", s2_i.alias("__s2i"))
+    agg = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.sum("__s2i"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__tot"
+        ),
+    )
+    # deterministic argmax: join back on the max lattice value, min group
+    mx = staged.agg(
+        F.max("__s2i").alias("__mxv")
+    )
+    top = (
+        staged.crossJoin(F.broadcast(mx))
+        .filter(F.col("__s2i") == F.col("__mxv"))
+        .agg(F.min("__g").alias("top_group"), F.max("__mxv").alias("__mxv"))
+    )
+    out = agg.crossJoin(F.broadcast(top))
+    c = F.col("__mxv").cast("double") / F.col("__tot").cast("double")
+    bad = (F.col("n_groups") < 2) | (
+        F.col("__tot") <= F.lit(0).cast("decimal(38,0)")
+    )
+    return out.select(
+        "n_groups",
+        F.when(bad, F.lit(None).cast("string"))
+        .otherwise(F.col("top_group"))
+        .alias("top_group"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("c_x1e6"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bland-Altman 95% limits of agreement (Bland & Altman, Lancet
+    1986) for paired measurements: the bias ``mean(y - x)`` and
+    ``bias +- 1.96 * sd(y - x)`` — the interval statement behind
+    q375's single-number CCC (CCC says HOW WELL two measures agree;
+    the limits say BY HOW MUCH they can disagree).
+
+    Differences are exact integers; mean and sample sd come from exact
+    DECIMAL(38,0) moments (means cleared by n); each published value is
+    ONE IEEE tree with the 1.96 quantile as a literal.
+
+    Output: one row — ``n, bias_x1e6, loa_lo_x1e6, loa_hi_x1e6`` (NULL
+    limits when n < 2 or zero variance; bias NULL only when n = 0).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("bigint")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("bigint")
+    base = df.select((y - x).alias("__d")).filter(F.col("__d").isNotNull())
+    z = F.lit(0).cast("decimal(38,0)")
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(dec(F.col("__d"))), z)
+        .cast("decimal(38,0)")
+        .alias("__s"),
+        F.coalesce(F.sum(dec(F.col("__d")) * F.col("__d")), z)
+        .cast("decimal(38,0)")
+        .alias("__sdd"),
+    )
+    nn = F.col("n").cast("double")
+    bias = F.col("__s").cast("double") / nn
+    varnum = (
+        dec(F.col("n")) * F.col("__sdd") - F.col("__s") * F.col("__s")
+    ).cast("decimal(38,0)")
+    sd = F.sqrt(
+        varnum.cast("double") / (nn * (nn - F.lit(1.0)))
+    )
+    lo = bias - F.lit(1.96) * sd
+    hi = bias + F.lit(1.96) * sd
+    bad = (F.col("n") < 2) | (varnum < F.lit(0).cast("decimal(38,0)"))
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return s.select(
+        "n",
+        F.when(F.col("n") < 1, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(bias * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("bias_x1e6"),
+        pub(lo).alias("loa_lo_x1e6"),
+        pub(hi).alias("loa_hi_x1e6"),
+    )

@@ -1084,3 +1084,236 @@ def gumbel_pwm(
         pub(mu).alias("mu_x1e6"),
         pub(rl).alias("rl_x1e6"),
     )
+
+
+def breusch_pagan(
+    joined: DataFrame,
+    day_col: str,
+    y_col: str,
+    x_col: str,
+    *,
+    resid_lattice: int = 1,
+    u_lattice: int = 1_000_000_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity LM test (Breusch & Pagan,
+    Econometrica 1979; Koenker's studentized form): after the static
+    OLS ``y = a + b*x``, regress the SQUARED residuals on x —
+    ``LM = n * R^2`` of that auxiliary regression, chi^2(1) under
+    homoskedasticity.  The variance-structure companion to q367's
+    level cointegration on the same two series.
+
+    Determinism: (a, b) are bit-identical IEEE trees over exact
+    moments (the q367 posture); residuals snap to ``resid_lattice``
+    (default 1 — y is already on an integer lattice, sub-unit residual
+    precision buys nothing); the squared residual is the exact integer
+    ``r*r div u_lattice`` (pick u_lattice so u lands near 1e9 — its
+    FOURTH moment must clear DECIMAL(38,0); identical truncation both
+    engines); the auxiliary R^2 comes from exact DECIMAL(38,0) moments
+    of (x, u).
+
+    Output: one row — ``n_days, r2_aux_x1e6, lm_x1e6`` (NULL when
+    n < 4, x constant, or the squared-residual column is constant).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc(day_col))
+    idx = joined.select(
+        F.row_number().over(w).alias("__t"),
+        F.col(y_col).cast("bigint").alias("__y"),
+        F.col(x_col).cast("bigint").alias("__x"),
+    )
+    z = F.lit(0).cast(_DEC)
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    sums = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum(dec(F.col("__x"))), z).cast(_DEC).alias("__sx"),
+        F.coalesce(F.sum(dec(F.col("__y"))), z).cast(_DEC).alias("__sy"),
+        F.coalesce(F.sum(dec(F.col("__x")) * F.col("__x")), z)
+        .cast(_DEC)
+        .alias("__sxxr"),
+        F.coalesce(F.sum(dec(F.col("__x")) * F.col("__y")), z)
+        .cast(_DEC)
+        .alias("__sxyr"),
+    )
+    nn = F.col("__n").cast(_DEC)
+    sxx = (nn * F.col("__sxxr") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    sxy = (nn * F.col("__sxyr") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    bb = F.when(sxx > F.lit(0.0), sxy / sxx)
+    aa = (
+        F.col("__sy").cast("double") - bb * F.col("__sx").cast("double")
+    ) / F.col("__n").cast("double")
+    coefs = sums.select(
+        F.col("__n").alias("__n"),
+        bb.alias("__bb"),
+        aa.alias("__aa"),
+        (sxx > F.lit(0.0)).alias("__xok"),
+    )
+    rt = idx.crossJoin(F.broadcast(coefs))
+    resid = F.when(
+        F.col("__xok"),
+        F.floor(
+            (
+                F.col("__y").cast("double")
+                - (F.col("__aa") + F.col("__bb") * F.col("__x").cast("double"))
+            )
+            * F.lit(float(resid_lattice))
+            + F.lit(0.5)
+        ).cast(_DEC),
+    )
+    u = F.expr(
+        f"CAST(__r * __r AS DECIMAL(38,0)) div {int(u_lattice)}"
+    ).cast(_DEC)
+    pairs = rt.select("__x", resid.alias("__r")).select(
+        "__x", u.alias("__u")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.coalesce(F.sum(dec(F.col("__x"))), z).cast(_DEC).alias("__px"),
+        F.coalesce(F.sum(F.col("__u")), z).cast(_DEC).alias("__pu"),
+        F.coalesce(F.sum(dec(F.col("__x")) * F.col("__x")), z)
+        .cast(_DEC)
+        .alias("__pxx"),
+        F.coalesce(F.sum((F.col("__u") * F.col("__u")).cast(_DEC)), z)
+        .cast(_DEC)
+        .alias("__puu"),
+        F.coalesce(F.sum((dec(F.col("__x")) * F.col("__u")).cast(_DEC)), z)
+        .cast(_DEC)
+        .alias("__pxu"),
+    )
+    nd = F.col("n_days").cast(_DEC)
+    vx = (nd * F.col("__pxx") - F.col("__px") * F.col("__px")).cast(_DEC)
+    vu = (nd * F.col("__puu") - F.col("__pu") * F.col("__pu")).cast(_DEC)
+    cxu = (nd * F.col("__pxu") - F.col("__px") * F.col("__pu")).cast(_DEC)
+    ok2 = (vx > z) & (vu > z)
+    r2 = F.when(
+        ok2,
+        (cxu.cast("double") * cxu.cast("double"))
+        / (vx.cast("double") * vu.cast("double")),
+    )
+    lm = F.col("n_days").cast("double") * r2
+    bad = (F.col("n_days") < 4) | ~ok2
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return m.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        pub(r2).alias("r2_aux_x1e6"),
+        pub(lm).alias("lm_x1e6"),
+    )
+
+
+def chow_test(
+    joined: DataFrame,
+    day_col: str,
+    y_col: str,
+    x_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Chow structural-break F test (Chow, Econometrica 1960) of the
+    simple regression ``y = a + b*x`` at the series midpoint: did the
+    relationship's coefficients CHANGE between the first and second
+    half — the regression-level complement to q217's mean-level
+    changepoint.
+
+        ``F = ((SSE_pooled - SSE_1 - SSE_2) / k)
+             / ((SSE_1 + SSE_2) / (n - 2k))``,   k = 2
+
+    Each SSE comes from exact centered DECIMAL(38,0) moments of its
+    segment: ``SSE = (Syy_c - Sxy_c^2/Sxx_c) / n_seg`` — one IEEE tree
+    per segment, mirrored verbatim.  The midpoint split is on the dense
+    time index (first ``n div 2`` rows), identical in both engines.
+
+    Output: one row — ``n_days, n_first, f_x1e6`` (NULL when either
+    segment has < 3 points, any segment x is constant, or the pooled
+    residual is 0).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc(day_col))
+    idx = joined.select(
+        F.row_number().over(w).alias("__t"),
+        F.col(y_col).cast("bigint").alias("__y"),
+        F.col(x_col).cast("bigint").alias("__x"),
+    )
+    nrow = idx.agg(F.count(F.lit(1)).cast("bigint").alias("__nall"))
+    tagged = idx.crossJoin(F.broadcast(nrow)).select(
+        F.when(F.col("__t") <= F.expr("__nall div 2"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("__seg"),
+        "__x",
+        "__y",
+    )
+    z = F.lit(0).cast(_DEC)
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+
+    def moments(grouped):
+        return grouped.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum(dec(F.col("__x"))), z).cast(_DEC).alias("sx"),
+            F.coalesce(F.sum(dec(F.col("__y"))), z).cast(_DEC).alias("sy"),
+            F.coalesce(F.sum(dec(F.col("__x")) * F.col("__x")), z)
+            .cast(_DEC)
+            .alias("sxx"),
+            F.coalesce(F.sum(dec(F.col("__y")) * F.col("__y")), z)
+            .cast(_DEC)
+            .alias("syy"),
+            F.coalesce(F.sum(dec(F.col("__x")) * F.col("__y")), z)
+            .cast(_DEC)
+            .alias("sxy"),
+        )
+
+    def sse_cols(prefix=""):
+        nn = F.col(f"{prefix}n").cast(_DEC)
+        vx = (nn * F.col(f"{prefix}sxx") - F.col(f"{prefix}sx") * F.col(f"{prefix}sx")).cast("double")
+        vy = (nn * F.col(f"{prefix}syy") - F.col(f"{prefix}sy") * F.col(f"{prefix}sy")).cast("double")
+        cxy = (nn * F.col(f"{prefix}sxy") - F.col(f"{prefix}sx") * F.col(f"{prefix}sy")).cast("double")
+        sse = F.when(
+            vx > F.lit(0.0),
+            (vy - cxy * cxy / vx) / F.col(f"{prefix}n").cast("double"),
+        )
+        return sse, vx
+
+    per_seg = moments(tagged.groupBy("__seg"))
+    seg1 = per_seg.filter(F.col("__seg") == 1).select(
+        *[F.col(c).alias(f"a_{c}") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    )
+    seg2 = per_seg.filter(F.col("__seg") == 2).select(
+        *[F.col(c).alias(f"b_{c}") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    )
+    pooled = moments(tagged.groupBy())
+    out = (
+        pooled.crossJoin(F.broadcast(seg1))
+        .crossJoin(F.broadcast(seg2))
+    )
+    sse_p, vx_p = sse_cols("")
+    sse_1, vx_1 = sse_cols("a_")
+    sse_2, vx_2 = sse_cols("b_")
+    k = F.lit(2.0)
+    denom = (sse_1 + sse_2) / (
+        F.col("n").cast("double") - F.lit(4.0)
+    )
+    f_stat = ((sse_p - sse_1 - sse_2) / k) / denom
+    bad = (
+        (F.col("a_n") < 3)
+        | (F.col("b_n") < 3)
+        | (vx_p <= F.lit(0.0))
+        | (vx_1 <= F.lit(0.0))
+        | (vx_2 <= F.lit(0.0))
+        | (sse_1 + sse_2 <= F.lit(0.0))
+        | (F.col("n") <= 4)
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("a_n").cast("bigint").alias("n_first"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(f_stat * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+        )
+        .alias("f_x1e6"),
+    )
