@@ -10354,6 +10354,68 @@ def q381_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bland_altman(joined, "r_lag", "r")
 
 
+def q382_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-shard balance audit for the 256-way document layout
+    (shard = portable md5 u52 % 256, the repo's split/fold hash): at
+    100 TB every writer, bucket join and fold split inherits this
+    distribution, so a hot shard here is a straggler everywhere.
+    Publishes the doc and byte skew (max shard / ideal mean) and the
+    exact-integer uniformity chi-square ``(k*sum o^2 - N^2) / N``
+    (which correctly charges for empty shards). All counting; two
+    divisions total."""
+    from manufacturing_data_integration_tool_spark.ops.sampling import _u52
+
+    k = 256
+    docs = read_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            (_u52(F.col("doc_id").cast("string"), "shard") % k).alias(
+                "__sh"
+            ),
+            F.col("n_chars").cast("bigint").alias("__b"),
+        )
+        .groupBy("__sh")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__b").cast("bigint").alias("__bytes"),
+        )
+    )
+    dec = "decimal(38,0)"
+    agg = per.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards_hit"),
+        F.coalesce(F.max("__n"), F.lit(0)).cast("bigint").alias("max_docs"),
+        F.coalesce(F.max("__bytes"), F.lit(0))
+        .cast("bigint")
+        .alias("max_bytes"),
+        F.coalesce(
+            F.sum((F.col("__n").cast(dec) * F.col("__n")).cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("__sq"),
+    )
+    n = F.col("n_docs").cast(dec)
+    chi2 = (F.lit(k).cast(dec) * F.col("__sq") - n * n).cast(
+        "double"
+    ) / F.col("n_docs").cast("double")
+    skew = (
+        F.col("max_docs").cast("double")
+        * F.lit(float(k))
+        / F.col("n_docs").cast("double")
+    )
+    bad = F.col("n_docs") < 1
+    pub = lambda c: F.when(  # noqa: E731
+        bad, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint"))
+    return agg.select(
+        "n_docs",
+        "n_shards_hit",
+        "max_docs",
+        "max_bytes",
+        pub(skew).alias("skew_x1e6"),
+        pub(chi2).alias("chi2_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10515,6 +10577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q379_breusch_pagan": q379_breusch_pagan,
         "q380_chow_test": q380_chow_test,
         "q381_bland_altman": q381_bland_altman,
+        "q382_shard_skew": q382_shard_skew,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -21038,5 +21101,37 @@ def oracle_sql() -> dict[str, str]:
                                 * (CAST(n AS DOUBLE) - 1.0))))
                       * 1000000.0 + 0.5) AS BIGINT) END AS loa_hi_x1e6
         FROM fin
+    """
+    from manufacturing_data_integration_tool_spark.ops.sampling import (
+        u52_sql as _u52_sql,
+    )
+
+    _shard_expr = _u52_sql("CAST(doc_id AS VARCHAR)", "shard") + " % 256"
+    out["q382_shard_skew"] = f"""
+        WITH per AS (
+          SELECT ({_shard_expr}) AS sh,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(n_chars) AS BIGINT) AS bytes
+          FROM documents GROUP BY 1
+        ), agg AS (
+          SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_shards_hit,
+                 CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_docs,
+                 CAST(COALESCE(MAX(bytes), 0) AS BIGINT) AS max_bytes,
+                 COALESCE(SUM(CAST(n AS HUGEINT) * n), 0) AS sq
+          FROM per
+        )
+        SELECT n_docs, n_shards_hit, max_docs, max_bytes,
+               CASE WHEN n_docs < 1 THEN NULL
+                    ELSE CAST(floor(CAST(max_docs AS DOUBLE) * 256.0
+                      / CAST(n_docs AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS skew_x1e6,
+               CASE WHEN n_docs < 1 THEN NULL
+                    ELSE CAST(floor(
+                      CAST(256 * sq - CAST(n_docs AS HUGEINT) * n_docs
+                           AS DOUBLE)
+                      / CAST(n_docs AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS chi2_x1e6
+        FROM agg
     """
     return out

@@ -357,6 +357,7 @@ HEADLINE = [
     "q379_breusch_pagan",
     "q380_chow_test",
     "q381_bland_altman",
+    "q382_shard_skew",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
