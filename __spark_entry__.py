@@ -10465,7 +10465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q168 negatives, q150/q151 Gopher+entropy, q158/q159 C4+
         # encoding screens) and the q57-q77 straggler block. Everything
         # below the fold is driver-green in CORRECTNESS_r01..r08 or
-        # queued for the next rotation; all registered queries stay
+        # queued for the next rotation (including the r9-continuation
+        # wave q350-q382, registered at the tail: the window stays
+        # reserved for the OLDER never-checked pool); all registered
+        # queries stay
         # parity-checked at three scales by tools/parity_check.py.
         "q303_bh_fdr_cells": q303_bh_fdr_cells,
         "q304_kruskal_wallis": q304_kruskal_wallis,
