@@ -10416,6 +10416,23 @@ def q382_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q383_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley dispersion test (ops.ranktests.ansari_bradley;
+    Ansari & Bradley 1960) between returned (R) and accepted (A)
+    line-item quantity — the DISPERSION verdict on the exact axes where
+    q351's Mann-Whitney tests location and q314's CvM the whole body,
+    completing the two-sample triptych. Tie blocks contribute exact
+    closed-form doubled score sums (correct even when a block straddles
+    the ranking center); per-value divisions land on the 1e6 lattice
+    before exact integer sums; z is one mirrored IEEE tree."""
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        ansari_bradley,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return ansari_bradley(li, "l_returnflag", "R", "A", "l_quantity")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10581,6 +10598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q380_chow_test": q380_chow_test,
         "q381_bland_altman": q381_bland_altman,
         "q382_shard_skew": q382_shard_skew,
+        "q383_ansari_bradley": q383_ansari_bradley,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -21136,5 +21154,77 @@ def oracle_sql() -> dict[str, str]:
                       / CAST(n_docs AS DOUBLE)
                       * 1000000.0 + 0.5) AS BIGINT) END AS chi2_x1e6
         FROM agg
+    """
+    out["q383_ansari_bradley"] = """
+        WITH base AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS s,
+                 CAST(l_quantity AS BIGINT) AS v
+          FROM lineitem
+          WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+        ), vals AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+                 CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ta
+          FROM base GROUP BY 1
+        ), run AS (
+          SELECT v, t, ta, SUM(t) OVER w AS h
+          FROM vals WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(SUM(ta) AS BIGINT) AS n,
+                 CAST(SUM(t) - SUM(ta) AS BIGINT) AS m
+          FROM vals
+        ), per AS (
+          SELECT t, ta, n, m,
+                 CAST(h AS HUGEINT) AS h,
+                 CAST(h AS HUGEINT) - t + 1 AS l,
+                 (CAST(n AS HUGEINT) + m + 1) // 2 AS k,
+                 CAST(n AS HUGEINT) + m AS nn
+          FROM run CROSS JOIN tot
+        ), scored AS (
+          SELECT t, ta, n, m,
+                 (CASE WHEN l <= LEAST(h, k)
+                       THEN (l + LEAST(h, k))
+                            * (LEAST(h, k) - l + 1)
+                       ELSE 0 END
+                  + CASE WHEN GREATEST(l, k + 1) <= h
+                         THEN 2*(nn + 1)*(h - GREATEST(l, k + 1) + 1)
+                              - (GREATEST(l, k + 1) + h)
+                                * (h - GREATEST(l, k + 1) + 1)
+                         ELSE 0 END) AS s2
+          FROM per
+        ), agg AS (
+          SELECT MAX(n) AS n_a, MAX(m) AS n_b,
+                 COALESCE(SUM((CAST(ta AS HUGEINT) * s2)
+                              // CAST(t AS HUGEINT)), 0) AS a2g,
+                 COALESCE(SUM(s2), 0) AS st2,
+                 COALESCE(SUM((CAST(s2 AS HUGEINT) * s2)
+                              // CAST(t AS HUGEINT)), 0) AS sq4g
+          FROM scored
+        ), fin AS (
+          SELECT n_a, n_b, a2g, st2, sq4g,
+                 CAST(a2g AS DOUBLE)
+                   - CAST(n_a AS DOUBLE) * CAST(st2 AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   AS num,
+                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                   * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                      * CAST(sq4g AS DOUBLE)
+                      - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE))
+                   / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                      * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                         - 1.0)) AS varr
+          FROM agg
+        )
+        SELECT COALESCE(CAST(n_a AS BIGINT), 0) AS n_a,
+               COALESCE(CAST(n_b AS BIGINT), 0) AS n_b,
+               CAST(a2g AS BIGINT) AS ab2_stat,
+               CASE WHEN n_a IS NULL OR n_b IS NULL
+                      OR n_a < 1 OR n_b < 1 THEN NULL
+                    WHEN varr <= 0.0 THEN NULL
+                    ELSE CAST(floor(num / sqrt(varr)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS z_x1e6
+        FROM fin
     """
     return out

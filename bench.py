@@ -358,6 +358,7 @@ HEADLINE = [
     "q380_chow_test",
     "q381_bland_altman",
     "q382_shard_skew",
+    "q383_ansari_bradley",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

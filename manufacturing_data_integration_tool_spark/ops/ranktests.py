@@ -1480,3 +1480,142 @@ def quade(
         )
         .alias("t_x1e6"),
     )
+
+
+_AB_GRID = 1_000_000
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    value_col: Column | str,
+    *,
+    sub_bucket: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Ansari-Bradley two-sample dispersion test (Ansari & Bradley,
+    Ann. Math. Stat. 1960) with exact tie handling: scores
+    ``s(R) = min(R, N+1-R)`` grow toward the CENTER of the pooled
+    ranking, so a more dispersed sample collects a smaller score sum —
+    the center-out companion to q333's Mood scale test (whose scores
+    grow quadratically outward; AB is the classical linear-score
+    alternative, less tail-dominated).
+
+    Tie blocks are handled exactly: a block occupying ranks
+    ``l = H-t+1 .. H`` contributes the closed-form doubled integer
+
+        ``S2 = (a+b)(b-a+1)  [ranks below the fold k = (N+1) div 2]
+             + 2(N+1)(d-c+1) - (c+d)(d-c+1)  [ranks above]``
+
+    (each piece an arithmetic series — exact even when the block
+    STRADDLES the center, where the midrank-of-score shortcut is
+    wrong).  Per-value divisions by t are plain integer floor divisions
+    — identical truncation on both engines (< 1 doubled-score unit per
+    distinct value, negligible against Var ~ N^3/48), and the division
+    results stay within int64 (Spark's ``div`` returns LONG):
+
+        ``A2  = sum_v (ta * S2) div t``      (~ 2*A)
+        ``St2 = sum_v S2``                    (= 2 * sum s)
+        ``SQ4 = sum_v (S2^2) div t``          (~ 4*sum s^2)
+        ``z = (A2 - n*St2/N)
+              / sqrt(n*m*(N*SQ4 - St2^2) / (N^2 (N-1)))``
+
+    — ONE mirrored IEEE tree over exact scalars.  Magnitude contract:
+    ``S2^2 div t <= t*N^2`` must fit int64 — pooled N up to ~2e6 at
+    full tie density; ANSI fails loudly beyond (coarsen upstream).
+
+    Output: one row — ``n_a, n_b, ab2_stat (~ 2A, floor-div lattice),
+    z_x1e6`` (NULL when either sample is empty or the score variance
+    is <= 0).
+    """
+    per_v = _two_sample_x(df, group_col, value_col, label_a, label_b, sub_bucket)
+    nn = (F.col("__n") + F.col("__m")).cast(_DEC)
+    h = F.col("__h").cast(_DEC)
+    t = F.col("__t").cast(_DEC)
+    l = h - t + F.lit(1)
+    k = F.expr(
+        "CAST((CAST(__n AS DECIMAL(38,0)) + __m + 1) AS DECIMAL(38,0))"
+        " div 2"
+    ).cast(_DEC)
+    b_top = F.least(h, k)
+    c_lo = F.greatest(l, k + F.lit(1))
+    t1 = F.when(
+        l <= b_top,
+        ((l + b_top) * (b_top - l + F.lit(1))).cast(_DEC),
+    ).otherwise(F.lit(0).cast(_DEC))
+    t2 = F.when(
+        c_lo <= h,
+        (
+            F.lit(2).cast(_DEC) * (nn + F.lit(1)) * (h - c_lo + F.lit(1))
+            - (c_lo + h) * (h - c_lo + F.lit(1))
+        ).cast(_DEC),
+    ).otherwise(F.lit(0).cast(_DEC))
+    s2 = (t1 + t2).cast(_DEC)
+    a_term = F.expr("CAST(__ta AS DECIMAL(38,0))") * s2
+    agg = per_v.select(
+        "__t",
+        "__ta",
+        "__n",
+        "__m",
+        s2.alias("__s2"),
+        (a_term.cast(_DEC)).alias("__an"),
+    ).agg(
+        F.max("__n").alias("n_a"),
+        F.max("__m").alias("n_b"),
+        F.coalesce(
+            F.sum(
+                F.expr("__an div CAST(__t AS DECIMAL(38,0))").cast(_DEC)
+            ),
+            F.lit(0).cast(_DEC),
+        )
+        .cast(_DEC)
+        .alias("__a2g"),
+        F.coalesce(F.sum("__s2"), F.lit(0).cast(_DEC))
+        .cast(_DEC)
+        .alias("__st2"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "(CAST(__s2 AS DECIMAL(38,0)) * __s2)"
+                    " div CAST(__t AS DECIMAL(38,0))"
+                ).cast(_DEC)
+            ),
+            F.lit(0).cast(_DEC),
+        )
+        .cast(_DEC)
+        .alias("__sq4g"),
+    )
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    nd = n + m
+    a2 = F.col("__a2g").cast("double")
+    st2 = F.col("__st2").cast("double")
+    sq4 = F.col("__sq4g").cast("double")
+    num = a2 - n * st2 / nd
+    varr = (
+        n * m * (nd * sq4 - st2 * st2) / (nd * nd * (nd - F.lit(1.0)))
+    )
+    bad0 = (
+        F.col("n_a").isNull()
+        | F.col("n_b").isNull()
+        | (F.col("n_a") < 1)
+        | (F.col("n_b") < 1)
+    )
+    return agg.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.col("__a2g").cast("bigint").alias("ab2_stat"),
+        F.when(bad0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.when(
+                varr <= F.lit(0.0), F.lit(None).cast("bigint")
+            ).otherwise(
+                F.floor(
+                    num / F.sqrt(varr) * F.lit(float(scale)) + F.lit(0.5)
+                ).cast("bigint")
+            )
+        )
+        .alias("z_x1e6"),
+    )

@@ -715,3 +715,70 @@ def test_kuiper_empty_is_null_row(spark):
     empty = spark.createDataFrame([], "g string, v long")
     row = kuiper_two_sample(empty, "g", "a", "b", "v").collect()[0]
     assert row["v_x1e6"] is None
+
+
+def test_ansari_bradley_matches_tieblock_twin(spark):
+    """Randomized tied samples incl. center-straddling blocks: the
+    doubled-score lattice statistic and z must match the per-block
+    closed-form twin."""
+    import random
+
+    from manufacturing_data_integration_tool_spark.ops.ranktests import (
+        ansari_bradley,
+    )
+
+    rng = random.Random(21)
+
+    def brute(a, b):
+        pooled = sorted(a + b)
+        n_p = len(pooled)
+        cnt = Counter(pooled)
+        a2g = sq4g = st2 = 0
+        pos = 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            lo, hi = pos + 1, pos + t
+            s2 = 2 * sum(min(r, n_p + 1 - r) for r in range(lo, hi + 1))
+            ta = sum(1 for x in a if x == v)
+            a2g += (ta * s2) // t
+            sq4g += (s2 * s2) // t
+            st2 += s2
+            pos = hi
+        n, m = len(a), len(b)
+        num = a2g - n * st2 / n_p
+        var = n * m * (n_p * sq4g - st2 * st2) / (
+            n_p * n_p * (n_p - 1)
+        )
+        return a2g, num / math.sqrt(var)
+
+    for trial in range(3):
+        a = [rng.randint(1, 12) for _ in range(20 + trial * 7)]
+        b = [rng.randint(4, 9) for _ in range(25 + trial * 3)]
+        rows = [Row(g="a", v=v) for v in a] + [Row(g="b", v=v) for v in b]
+        out = ansari_bradley(
+            spark.createDataFrame(rows), "g", "a", "b", "v"
+        ).collect()[0]
+        a2g, z = brute(a, b)
+        assert out["ab2_stat"] == a2g
+        assert abs(out["z_x1e6"] - math.floor(z * 1e6 + 0.5)) <= 1
+    # clearly more dispersed sample a: strongly negative z
+    a = [rng.choice([1, 2, 19, 20]) for _ in range(30)]
+    b = [rng.choice([9, 10, 11]) for _ in range(30)]
+    rows = [Row(g="a", v=v) for v in a] + [Row(g="b", v=v) for v in b]
+    out = ansari_bradley(
+        spark.createDataFrame(rows), "g", "a", "b", "v"
+    ).collect()[0]
+    assert out["z_x1e6"] < -3_000_000
+    # degenerate: empty input / single pooled value -> NULL z
+    empty = spark.createDataFrame([], "g string, v long")
+    assert (
+        ansari_bradley(empty, "g", "a", "b", "v").collect()[0]["z_x1e6"]
+        is None
+    )
+    const = spark.createDataFrame(
+        [Row(g="a", v=5)] * 3 + [Row(g="b", v=5)] * 4
+    )
+    assert (
+        ansari_bradley(const, "g", "a", "b", "v").collect()[0]["z_x1e6"]
+        is None
+    )
