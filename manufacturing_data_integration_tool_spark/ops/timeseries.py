@@ -112,7 +112,10 @@ def ljung_box(
     right = idx.select(
         F.col("__t").alias("__t2"), F.col("__x").alias("__xr")
     )
-    pairs = left.join(right, "__t2")
+    # the lag side is the BOUNDED daily table — pin the broadcast so the
+    # join never falls back to a shuffle when the upstream size estimate
+    # grows with the raw input (the q207-class benign flip, pre-empted)
+    pairs = left.join(F.broadcast(right), "__t2")
     per_lag = pairs.groupBy("lag").agg(
         F.sum((F.col("__xl").cast(_DEC) * F.col("__xr")).cast(_DEC))
         .cast(_DEC)
@@ -333,7 +336,10 @@ def kpss_level(
         "__t2", F.col("__t") + F.col("lag")
     )
     right = idx.select(F.col("__t").alias("__t2"), F.col("__x").alias("__xr"))
-    pairs = left.join(right, "__t2").crossJoin(F.broadcast(tot))
+    # the lag side is the BOUNDED daily table — pin the broadcast so the
+    # join never falls back to a shuffle when the upstream size estimate
+    # grows with the raw input (the q207-class benign flip, pre-empted)
+    pairs = left.join(F.broadcast(right), "__t2").crossJoin(F.broadcast(tot))
     g_term = (
         (F.col("__n").cast(_DEC) * F.col("__xl") - F.col("__s"))
         * (F.col("__n").cast(_DEC) * F.col("__xr") - F.col("__s"))
@@ -412,7 +418,7 @@ def arch_lm(
     # product, or the second moments overflow int64 under ANSI.
     sq = rt.select("__t", v.cast(_DEC).alias("__v"))
     nxt = sq.select((F.col("__t") - 1).alias("__t"), F.col("__v").alias("__w"))
-    pairs = sq.join(nxt, "__t")
+    pairs = sq.join(F.broadcast(nxt), "__t")
     s = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.coalesce(F.sum(F.col("__v")), F.lit(0).cast(_DEC))
@@ -507,7 +513,10 @@ def pacf3(
         F.col("__t"), F.col("__x").alias("__xl"), lags
     ).withColumn("__t2", F.col("__t") + F.col("lag"))
     right = idx.select(F.col("__t").alias("__t2"), F.col("__x").alias("__xr"))
-    pairs = left.join(right, "__t2")
+    # the lag side is the BOUNDED daily table — pin the broadcast so the
+    # join never falls back to a shuffle when the upstream size estimate
+    # grows with the raw input (the q207-class benign flip, pre-empted)
+    pairs = left.join(F.broadcast(right), "__t2")
     per_lag = pairs.groupBy("lag").agg(
         F.sum((F.col("__xl").cast(_DEC) * F.col("__xr")).cast(_DEC))
         .cast(_DEC)
@@ -655,7 +664,7 @@ def engle_granger(
     nxt = r.select(
         (F.col("__t") - 1).alias("__t"), F.col("__r").alias("__rn")
     )
-    pairs = r.join(nxt, "__t").select(
+    pairs = r.join(F.broadcast(nxt), "__t").select(
         F.col("__r").alias("__rp"), (F.col("__rn") - F.col("__r")).alias("__dr")
     )
     df_m = pairs.agg(
@@ -766,7 +775,7 @@ def hurst_rs(
         .cast(_DEC)
         .alias("__sxxc"),
     )
-    dev = run.join(totals, ["w", "__chunk"]).select(
+    dev = run.join(F.broadcast(totals), ["w", "__chunk"]).select(
         "w",
         "__chunk",
         "__len",
@@ -898,8 +907,8 @@ def permutation_entropy3(
         (F.col("__t") - 2).alias("__t"), F.col("__x").alias("__c")
     )
     tri = (
-        idx.join(b1, "__t")
-        .join(c1, "__t")
+        idx.join(F.broadcast(b1), "__t")
+        .join(F.broadcast(c1), "__t")
         .select(F.col("__x").alias("__a"), "__b", "__c")
     )
     a, b, c = F.col("__a"), F.col("__b"), F.col("__c")
@@ -970,8 +979,8 @@ def turning_points_test(
         (F.col("__t") - 2).alias("__t"), F.col("__x").alias("__c")
     )
     tri = (
-        idx.join(b1, "__t")
-        .join(c1, "__t")
+        idx.join(F.broadcast(b1), "__t")
+        .join(F.broadcast(c1), "__t")
         .select(F.col("__x").alias("__a"), "__b", "__c")
     )
     turn = (
