@@ -10240,6 +10240,10 @@ def q376_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return youden_threshold(labeled, "score", "is_dup")
 
 
+# q377 session-scoped scratch dirs already scheduled for exit cleanup
+_Q377_CLEANUP: set[str] = set()
+
+
 def q377_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned parquet round-trip with partition pruning:
     write orders partitioned BY ORDER MONTH (the 100 TB layout pattern
@@ -10252,13 +10256,32 @@ def q377_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = read_table(spark, sf_dir, "orders")
-    out_dir = tempfile.mkdtemp(prefix="mdi_q377_") + "/orders_part"
+    # Deterministic per-(JVM, sf) path + overwrite, NOT a fresh
+    # mkdtemp per call: repeated bench/parity/sweep invocations reuse
+    # one directory instead of accumulating orphaned partitioned
+    # copies of orders on disk (r9 ADVICE fix). The Spark app id keeps
+    # concurrent sessions from clobbering each other.
+    import atexit
+    import shutil
+
+    tag = Path(sf_dir).name
+    base = (
+        f"{tempfile.gettempdir()}/mdi_q377_"
+        f"{spark.sparkContext.applicationId}_{tag}"
+    )
+    out_dir = f"{base}/orders_part"
+    if base not in _Q377_CLEANUP:
+        # interpreter-exit cleanup (the returned DataFrame is lazy, so
+        # an immediate rmtree would race the caller's collect; at exit
+        # every consumer is done)
+        _Q377_CLEANUP.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     orders.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         cents.alias("cents"),
         F.month(F.to_date("o_orderdate")).alias("o_month"),
-    ).write.partitionBy("o_month").parquet(out_dir)
+    ).write.mode("overwrite").partitionBy("o_month").parquet(out_dir)
     back = spark.read.parquet(out_dir).filter(
         F.col("o_month").isin(1, 2, 3)
     )
@@ -19915,11 +19938,14 @@ def oracle_sql() -> dict[str, str]:
           FROM rk
         )
         SELECT COALESCE(CAST(n_days AS BIGINT), 0) AS n_days,
-               CASE WHEN n_days IS NULL OR minnk <= 0 OR minb <= 0
+               CASE WHEN n_days IS NULL OR n_days <= 7
+                         OR minnk <= 0 OR minb <= 0
                     THEN NULL ELSE r1 END AS r1_x1e6,
-               CASE WHEN n_days IS NULL OR minnk <= 0 OR minb <= 0
+               CASE WHEN n_days IS NULL OR n_days <= 7
+                         OR minnk <= 0 OR minb <= 0
                     THEN NULL ELSE r7 END AS r7_x1e6,
-               CASE WHEN n_days IS NULL OR minnk <= 0 OR minb <= 0
+               CASE WHEN n_days IS NULL OR n_days <= 7
+                         OR minnk <= 0 OR minb <= 0
                     THEN NULL
                     ELSE CAST(floor(CAST(n_days AS DOUBLE)
                       * (CAST(n_days AS DOUBLE) + 2.0)
@@ -21109,13 +21135,13 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n < 1 THEN NULL
                     ELSE CAST(floor(bias * 1000000.0 + 0.5) AS BIGINT)
                     END AS bias_x1e6,
-               CASE WHEN n < 2 OR varnum < 0 THEN NULL
+               CASE WHEN n < 2 OR varnum <= 0 THEN NULL
                     ELSE CAST(floor((bias - 1.96
                       * sqrt(CAST(varnum AS DOUBLE)
                              / (CAST(n AS DOUBLE)
                                 * (CAST(n AS DOUBLE) - 1.0))))
                       * 1000000.0 + 0.5) AS BIGINT) END AS loa_lo_x1e6,
-               CASE WHEN n < 2 OR varnum < 0 THEN NULL
+               CASE WHEN n < 2 OR varnum <= 0 THEN NULL
                     ELSE CAST(floor((bias + 1.96
                       * sqrt(CAST(varnum AS DOUBLE)
                              / (CAST(n AS DOUBLE)

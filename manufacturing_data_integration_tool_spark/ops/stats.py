@@ -3937,7 +3937,10 @@ def bland_altman(
     )
     lo = bias - F.lit(1.96) * sd
     hi = bias + F.lit(1.96) * sd
-    bad = (F.col("n") < 2) | (varnum < F.lit(0).cast("decimal(38,0)"))
+    # <= 0, not < 0: zero variance (a constant difference column) must
+    # publish NULL limits per the documented contract, not degenerate
+    # loa_lo == loa_hi == bias (r9 ADVICE fix)
+    bad = (F.col("n") < 2) | (varnum <= F.lit(0).cast("decimal(38,0)"))
     pub = lambda c: F.when(  # noqa: E731
         bad, F.lit(None).cast("bigint")
     ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))

@@ -162,6 +162,12 @@ def ljung_box(
     )
     bad = (
         F.col("n_days").isNull()
+        # explicit n <= max_lag guard (not just "the short lags had no
+        # pairs"): for 1 < n <= max_lag the lags with zero pairs simply
+        # vanish from per_lag, so __minnk alone stays positive and Q
+        # would silently publish over fewer lags than requested — the
+        # documented contract is NULL stats whenever n <= max_lag
+        | (F.col("n_days") <= F.lit(int(max_lag)))
         | (F.col("__minnk") <= 0)
         | (F.col("__b") <= F.lit(0).cast(_DEC))
     )
@@ -224,8 +230,11 @@ def periodogram_intensity(
     — the mean is cleared exactly by multiplying through by n (Wc/Ws
     are the weight totals), the two squared terms are IEEE doubles of
     exact DECIMAL(38,0) integers, and the 1e18 clears the squared trig
-    lattice.  I(p) is the fraction of series variance at that seasonal
-    line (≈ 2/n for white noise; → 1 for a pure sinusoid at p).
+    lattice.  I(p) is the (single-sided, un-doubled) normalized line
+    intensity: ≈ 1/n for white noise, → 1/2 for a pure sinusoid at p
+    (the cos² projection averages half the variance; double the
+    statistic for the textbook "fraction of variance" form — the
+    oracle and tests pin THIS normalization, so the doc is the spec).
 
     Output: one row per period — ``(period, n_days, intensity_x1e6)``
     (NULL when the series is constant or shorter than 2 points).

@@ -136,6 +136,26 @@ def test_timeseries_degenerate_inputs(spark):
     assert kpss_level(empty, "d", "x").collect()[0]["eta_x1e6"] is None
 
 
+def test_ljung_box_nulls_when_n_at_most_max_lag(spark):
+    # documented contract: NULL stats whenever n <= max_lag — including
+    # 1 < n <= max_lag where some lags simply have no pairs (r9 ADVICE:
+    # previously Q was silently published over the surviving lags)
+    short = spark.createDataFrame(
+        [
+            Row(d=dt.date(2020, 1, 1) + dt.timedelta(days=t), x=100 + 7 * t)
+            for t in range(5)
+        ]
+    )
+    row = ljung_box(short, "d", "x", max_lag=7).collect()[0]
+    assert row["n_days"] == 5
+    assert row["r1_x1e6"] is None
+    assert row["r7_x1e6"] is None
+    assert row["q_lb_x1e6"] is None
+    # exactly max_lag days is still short; max_lag + 1 publishes
+    row = ljung_box(short, "d", "x", max_lag=4).collect()[0]
+    assert row["q_lb_x1e6"] is not None
+
+
 def test_pacf3_matches_durbin_levinson_twin(spark):
     rng = random.Random(5)
     n = 200

@@ -160,3 +160,16 @@ def test_bland_altman_matches_brute(spark):
     empty = spark.createDataFrame([], "x long, y long")
     row = bland_altman(empty, "x", "y").collect()[0]
     assert row["bias_x1e6"] is None and row["loa_hi_x1e6"] is None
+
+
+def test_bland_altman_constant_difference_nulls_limits(spark):
+    # zero variance (constant y - x) publishes NULL limits per the
+    # documented contract, with the bias still defined (r9 ADVICE fix:
+    # the old varnum < 0 guard never fired and published lo == hi ==
+    # bias instead)
+    rows = [Row(x=a, y=a + 10) for a in range(50)]
+    row = bland_altman(spark.createDataFrame(rows), "x", "y").collect()[0]
+    assert row["n"] == 50
+    assert row["bias_x1e6"] == 10_000_000
+    assert row["loa_lo_x1e6"] is None
+    assert row["loa_hi_x1e6"] is None
