@@ -10456,6 +10456,154 @@ def q383_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ansari_bradley(li, "l_returnflag", "R", "A", "l_quantity")
 
 
+def _scratch_dir(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """Deterministic per-(Spark app, query, sf) scratch directory for the
+    streaming queries' landing/state/checkpoint trees, registered for
+    interpreter-exit cleanup — repeated bench/parity/sweep invocations
+    reuse ONE tree per session instead of accumulating mkdtemp orphans
+    (the q377 r9 ADVICE pattern, applied to every disk-writing query)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = (
+        f"{tempfile.gettempdir()}/mdi_{name}_"
+        f"{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    if base not in _Q377_CLEANUP:
+        _Q377_CLEANUP.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # a re-invocation in the same session must start from a clean tree:
+    # streaming checkpoints remember drained offsets, so a stale
+    # checkpoint would make the second run a no-op over old state
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+def q384_streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth driver-visible STREAMING run — the ARBITRARY-STATEFUL
+    operator class (``applyInPandasWithState``), the first of the two
+    pytest-only streaming surfaces the r9 verdict ordered driver-visible:
+    land the events table as four parquet files, drive them
+    one-per-micro-batch through ``streaming.stateful.running_user_stats``
+    (per-user running count / sum / last-seen with Arrow-batched per-key
+    state), append every update-mode emission to a history table, and
+    publish each user's FINAL state. Extraction is replay-proof: n_events
+    is strictly monotone per user, so the final row is ``max(n_events)``
+    with ``max_by`` companions — duplicate emissions from an at-least-once
+    replay carry identical values and change no aggregate. Values are
+    pre-floored to exact integer cents (integer-valued doubles sum
+    exactly in any order), so the accumulated state must equal the batch
+    GROUP BY over the raw rows — which is exactly what the oracle
+    recomputes. State is O(1) per user (count, sum, last-seen), the
+    100 TB posture documented in streaming/stateful.py."""
+    from manufacturing_data_integration_tool_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    base = _scratch_dir(spark, "q384", sf_dir)
+    landing, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    ).cast("double")
+    ev.select(
+        "user_id", cents.alias("value"), F.col("ts_ns")
+    ).repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema("user_id bigint, value double, ts_ns bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    )
+    q = (
+        running_user_stats(stream, ts_col="ts")
+        .writeStream.foreachBatch(
+            lambda b, bid: b.write.mode("append").parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = spark.read.parquet(out)
+    return hist.groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.max_by("total_value", "n_events").cast("bigint").alias(
+            "total_cents"
+        ),
+        F.max("last_seen_us").cast("bigint").alias("last_seen_us"),
+    )
+
+
+def q385_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth driver-visible STREAMING run — the STREAM-STREAM JOIN state
+    class (the last pytest-only streaming surface from the r9 verdict):
+    split events into a click stream and a purchase stream (three landing
+    files each, one per micro-batch), correlate them with
+    ``streaming.joins.interval_join`` (purchase strictly after the click,
+    within one hour, same user) through Spark's watermarked dual-buffer
+    join state, and write the matches through the exactly-once file sink
+    (its ``_spark_metadata`` commit log makes replays invisible to the
+    read-back). The watermark is set far beyond the corpus span, so no
+    row is ever late: the emitted pair set must equal the BATCH interval
+    join over the raw rows — the oracle's plain self-join with the same
+    interval predicate. Timestamps travel as exact epoch-micros integers
+    into both engines, so the (open, closed] boundary comparisons are
+    bit-identical."""
+    from manufacturing_data_integration_tool_spark.streaming.joins import (
+        interval_join,
+    )
+
+    base = _scratch_dir(spark, "q385", sf_dir)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    ev = read_table(spark, sf_dir, "events")
+
+    def land(etype: str, id_alias: str, ts_alias: str) -> DataFrame:
+        path = f"{base}/in_{etype}"
+        ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias), "user_id", "ts_ns"
+        ).repartition(3).write.mode("overwrite").parquet(path)
+        return (
+            spark.readStream.schema(
+                f"{id_alias} bigint, user_id bigint, ts_ns bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .withColumn(ts_alias, F.timestamp_micros(F.expr("ts_ns div 1000")))
+            .drop("ts_ns")
+        )
+
+    clicks = land("click", "click_id", "click_ts")
+    purchases = land("purchase", "purchase_id", "purchase_ts")
+    joined = interval_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        upper="INTERVAL 1 HOUR",
+        watermark="3650 days",
+    ).select("user_id", "click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("click_id").cast("bigint").alias("click_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10495,21 +10643,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a correctness gate caps how many entries it checks, the hash-checkable
     # ones must never be the casualties.
     return {
-        # Driver first-50 window policy (round 9 rotation): the window
-        # holds EXACTLY 50 queries that have never had a green value row
-        # in any driver CORRECTNESS_r*.json — the entire r8 wave
-        # q303-q329 (the ops/ranktests.py module, IPF raking, ORC scan/
-        # round-trip/schema-drift, the q320 streaming Count-Min state,
-        # the stats additions), then the heaviest never-checked
-        # residents (q69 contamination, q113 vocab coverage, q169 EWMA,
-        # q168 negatives, q150/q151 Gopher+entropy, q158/q159 C4+
-        # encoding screens) and the q57-q77 straggler block. Everything
-        # below the fold is driver-green in CORRECTNESS_r01..r08 or
-        # queued for the next rotation (including the r9-continuation
-        # wave q350-q382, registered at the tail: the window stays
-        # reserved for the OLDER never-checked pool); all registered
-        # queries stay
-        # parity-checked at three scales by tools/parity_check.py.
+        # Driver first-50 window policy (round 10 rotation, per the r9
+        # verdict's ordered list): (a) the golden §2 pipeline family
+        # q04/q05/q06/q11/q13 gets a fresh driver pass (last driver rows
+        # r2-r5, and three heavy rounds have landed since — verdict
+        # item #4); (b) the two NEW driver-visible streaming surfaces
+        # q384 (applyInPandasWithState running stats) and q385
+        # (stream-stream interval join) — the last two pytest-only
+        # streaming classes, verdict item #3; (c) 43 of the 52
+        # never-driver-checked r9-wave queries q332-q383 (verdict
+        # item #1), heaviest first — the whole ops/timeseries.py and
+        # ops/distances.py modules, the rank-test additions, q347's
+        # streaming KMV min-merge, q349/q362 retrieval batteries, q377
+        # partitioned scan. The 9 lightest single-scalar wave stats
+        # (q332/q336/q338/q340/q361/q369/q371/q373/q378) are deferred
+        # to the r11 window to make room for (a)+(b); they stay
+        # parity-checked at three scales. Everything below the fold is
+        # driver-green in CORRECTNESS_r01..r09 or queued for r11.
+        "q04_validation_split": q04_validation_split,
+        "q05_error_report": q05_error_report,
+        "q06_duplicate_check": q06_duplicate_check,
+        "q11_summary_group_agg": q11_summary_group_agg,
+        "q13_preview_truncate": q13_preview_truncate,
+        "q384_streaming_running_stats": q384_streaming_running_stats,
+        "q385_streaming_interval_join": q385_streaming_interval_join,
+        "q333_mood_scale": q333_mood_scale,
+        "q334_kendall_w": q334_kendall_w,
+        "q335_degree_assortativity": q335_degree_assortativity,
+        "q337_holt_linear": q337_holt_linear,
+        "q339_fleiss_kappa": q339_fleiss_kappa,
+        "q341_benford_gof": q341_benford_gof,
+        "q342_logrank_arms": q342_logrank_arms,
+        "q343_cochran_armitage": q343_cochran_armitage,
+        "q344_cmh_test": q344_cmh_test,
+        "q345_cronbach_alpha": q345_cronbach_alpha,
+        "q346_embedding_mmd": q346_embedding_mmd,
+        "q347_streaming_kmv_state": q347_streaming_kmv_state,
+        "q348_hosmer_lemeshow": q348_hosmer_lemeshow,
+        "q349_mrr_bm25": q349_mrr_bm25,
+        "q350_somers_tau_c": q350_somers_tau_c,
+        "q351_mann_whitney": q351_mann_whitney,
+        "q352_kuiper_lang_drift": q352_kuiper_lang_drift,
+        "q353_tv_hellinger": q353_tv_hellinger,
+        "q354_wasserstein_energy": q354_wasserstein_energy,
+        "q355_ljung_box": q355_ljung_box,
+        "q356_periodogram": q356_periodogram,
+        "q357_kpss": q357_kpss,
+        "q358_arch_lm": q358_arch_lm,
+        "q359_ols_pricing": q359_ols_pricing,
+        "q360_inequality_indices": q360_inequality_indices,
+        "q362_map_recall": q362_map_recall,
+        "q363_cluster_validity": q363_cluster_validity,
+        "q364_fosd_check": q364_fosd_check,
+        "q365_quade": q365_quade,
+        "q366_pacf": q366_pacf,
+        "q367_cointegration": q367_cointegration,
+        "q368_hurst": q368_hurst,
+        "q370_boxcox": q370_boxcox,
+        "q372_turning_points": q372_turning_points,
+        "q374_gumbel_pwm": q374_gumbel_pwm,
+        "q375_lins_ccc": q375_lins_ccc,
+        "q376_youden": q376_youden,
+        "q377_partitioned_scan": q377_partitioned_scan,
+        "q379_breusch_pagan": q379_breusch_pagan,
+        "q380_chow_test": q380_chow_test,
+        "q381_bland_altman": q381_bland_altman,
+        "q382_shard_skew": q382_shard_skew,
+        "q383_ansari_bradley": q383_ansari_bradley,
+        # -- below the driver 50-entry gate window ------------------------
+        # driver-green in CORRECTNESS_r01..r09, plus the r11 backlog
+        # (the 9 deferred r9-wave scalars first, then older residents).
+        "q332_jarque_bera": q332_jarque_bera,
+        "q336_bullwhip_ratio": q336_bullwhip_ratio,
+        "q338_neyman_allocation": q338_neyman_allocation,
+        "q340_winsorized_mean": q340_winsorized_mean,
+        "q361_grubbs_extreme": q361_grubbs_extreme,
+        "q369_info_gain": q369_info_gain,
+        "q371_permutation_entropy": q371_permutation_entropy,
+        "q373_partial_corr": q373_partial_corr,
+        "q378_cochran_c": q378_cochran_c,
         "q303_bh_fdr_cells": q303_bh_fdr_cells,
         "q304_kruskal_wallis": q304_kruskal_wallis,
         "q305_zipf_fit": q305_zipf_fit,
@@ -10558,70 +10770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_quality_cutoff": q72_quality_cutoff,
         "q73_asof_tolerance": q73_asof_tolerance,
         "q75_event_transitions": q75_event_transitions,
-        # the two r9 additions take the last window slots: the PCA
-        # bounds audit (q156's value-oracled twin) and the streaming
-        # MinHash-LSH index run — both brand-new, highest-risk first
         "q330_pca_bounds_audit": q330_pca_bounds_audit,
         "q331_streaming_minhash_index": q331_streaming_minhash_index,
-        # -- below the driver 50-entry gate window ------------------------
-        # driver-green in CORRECTNESS_r01..r08, plus the next-rotation
-        # backlog (remaining never-checked queries, heaviest first next
-        # round).
         "q76_top_terms_per_lang": q76_top_terms_per_lang,
         "q77_chunk_documents": q77_chunk_documents,
-        # r9 wave (never driver-checked yet — queue for the r10 window)
-        "q332_jarque_bera": q332_jarque_bera,
-        "q333_mood_scale": q333_mood_scale,
-        "q334_kendall_w": q334_kendall_w,
-        "q335_degree_assortativity": q335_degree_assortativity,
-        "q336_bullwhip_ratio": q336_bullwhip_ratio,
-        "q337_holt_linear": q337_holt_linear,
-        "q338_neyman_allocation": q338_neyman_allocation,
-        "q339_fleiss_kappa": q339_fleiss_kappa,
-        "q340_winsorized_mean": q340_winsorized_mean,
-        "q341_benford_gof": q341_benford_gof,
-        "q342_logrank_arms": q342_logrank_arms,
-        "q343_cochran_armitage": q343_cochran_armitage,
-        "q344_cmh_test": q344_cmh_test,
-        "q345_cronbach_alpha": q345_cronbach_alpha,
-        "q346_embedding_mmd": q346_embedding_mmd,
-        "q347_streaming_kmv_state": q347_streaming_kmv_state,
-        "q348_hosmer_lemeshow": q348_hosmer_lemeshow,
-        "q349_mrr_bm25": q349_mrr_bm25,
-        "q350_somers_tau_c": q350_somers_tau_c,
-        "q351_mann_whitney": q351_mann_whitney,
-        "q352_kuiper_lang_drift": q352_kuiper_lang_drift,
-        "q353_tv_hellinger": q353_tv_hellinger,
-        "q354_wasserstein_energy": q354_wasserstein_energy,
-        "q355_ljung_box": q355_ljung_box,
-        "q356_periodogram": q356_periodogram,
-        "q357_kpss": q357_kpss,
-        "q358_arch_lm": q358_arch_lm,
-        "q359_ols_pricing": q359_ols_pricing,
-        "q360_inequality_indices": q360_inequality_indices,
-        "q361_grubbs_extreme": q361_grubbs_extreme,
-        "q362_map_recall": q362_map_recall,
-        "q363_cluster_validity": q363_cluster_validity,
-        "q364_fosd_check": q364_fosd_check,
-        "q365_quade": q365_quade,
-        "q366_pacf": q366_pacf,
-        "q367_cointegration": q367_cointegration,
-        "q368_hurst": q368_hurst,
-        "q369_info_gain": q369_info_gain,
-        "q370_boxcox": q370_boxcox,
-        "q371_permutation_entropy": q371_permutation_entropy,
-        "q372_turning_points": q372_turning_points,
-        "q373_partial_corr": q373_partial_corr,
-        "q374_gumbel_pwm": q374_gumbel_pwm,
-        "q375_lins_ccc": q375_lins_ccc,
-        "q376_youden": q376_youden,
-        "q377_partitioned_scan": q377_partitioned_scan,
-        "q378_cochran_c": q378_cochran_c,
-        "q379_breusch_pagan": q379_breusch_pagan,
-        "q380_chow_test": q380_chow_test,
-        "q381_bland_altman": q381_bland_altman,
-        "q382_shard_skew": q382_shard_skew,
-        "q383_ansari_bradley": q383_ansari_bradley,
         "q145_bpe_pair_counts": q145_bpe_pair_counts,
         "q101_variant_json": q101_variant_json,
         "q129_late_priority_matrix": q129_late_priority_matrix,
@@ -10775,16 +10927,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q02_range_filter": q02_range_filter,
         "q03_regex_filter": q03_regex_filter,
-        "q04_validation_split": q04_validation_split,
-        "q05_error_report": q05_error_report,
-        "q06_duplicate_check": q06_duplicate_check,
         "q07_unique_daily": q07_unique_daily,
         "q08_zscore_outliers": q08_zscore_outliers,
         "q09_referential_anti_join": q09_referential_anti_join,
         "q10_lookup_semi_join": q10_lookup_semi_join,
-        "q11_summary_group_agg": q11_summary_group_agg,
         "q12_top_k": q12_top_k,
-        "q13_preview_truncate": q13_preview_truncate,
         "q14_projection_cast": q14_projection_cast,
         "q15_json_extract": q15_json_extract,
         "q16_dedup_exact_content": q16_dedup_exact_content,
@@ -10896,9 +11043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_decay_attribution": q180_decay_attribution,
         "q181_percentile_trend": q181_percentile_trend,
         "q182_quality_vs_dup": q182_quality_vs_dup,
-        # Rows-only entries (engine-private sketches / BLAS) stay LAST by
-        # policy; each is audited by a value-oracled bounds query
-        # (q262/q263/q264, and q330 for PCA once registered).
         "q156_pca_embeddings": q156_pca_embeddings,
         "q100_approx_quantiles": q100_approx_quantiles,
         "q108_sketch_rollup": q108_sketch_rollup,
@@ -21252,5 +21396,33 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(floor(num / sqrt(varr)
                       * 1000000.0 + 0.5) AS BIGINT) END AS z_x1e6
         FROM fin
+    """
+
+    # q384: the applyInPandasWithState accumulator's final per-user
+    # state must equal the one-shot batch GROUP BY over the raw rows —
+    # counts, exact integer-cent sums (integer-valued doubles are
+    # order-independent), and the max epoch-micros last-seen.
+    out["q384_streaming_running_stats"] = """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(MAX(epoch_ns(ts) // 1000) AS BIGINT) AS last_seen_us
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    """
+
+    # q385: the watermarked stream-stream interval join's emitted pair
+    # set must equal the plain batch self-join with the same
+    # (open, closed] event-time predicate.
+    out["q385_streaming_interval_join"] = """
+        SELECT l.user_id AS user_id,
+               CAST(l.event_id AS BIGINT) AS click_id,
+               CAST(r.event_id AS BIGINT) AS purchase_id
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        WHERE l.event_type = 'click' AND r.event_type = 'purchase'
     """
     return out

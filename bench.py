@@ -430,6 +430,15 @@ EXCLUDED = {
     "family as q302/q320 (append-only index accumulator); the MinHash "
     "pipeline it runs per batch is benched via q27 and stream==batch is "
     "pinned by tests/test_streaming.py",
+    "q384_streaming_running_stats": "streaming run (lands files + drains "
+    "an applyInPandasWithState stream); timing measures micro-batch + "
+    "Python state-worker startup, not plan cost — same class as "
+    "q302/q320/q331/q347; the batch aggregate it must equal is benched "
+    "via q11/q45 and stream==batch is pinned by the oracle + pytest",
+    "q385_streaming_interval_join": "streaming run (lands files + drains "
+    "a stream-stream interval join); timing measures stream machinery — "
+    "the equivalent batch interval join is benched via q35/q73's as-of "
+    "family and stream==batch is pinned by the oracle + pytest",
 }
 
 

@@ -71,36 +71,50 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _stats_fn(
-    key: Tuple, pdf_iter: Iterator["pd.DataFrame"], state: GroupState
-) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
+def _make_stats_fn(idle_timeout_ms: int | None):
+    def _stats_fn(
+        key: Tuple, pdf_iter: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
-    if state.hasTimedOut:
-        # idle key: emit final snapshot and evict the state
-        (n, total, last_us) = state.get
-        state.remove()
+        if state.hasTimedOut:
+            # idle key: emit final snapshot and evict the state
+            (n, total, last_us) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_seen_us": [last_us]}
+            )
+            return
+
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["t_us"].max()))
+        state.update((n, total, last_us))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_seen_us": [last_us]}
         )
-        return
 
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdf_iter:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        last_us = max(last_us, int(pdf["t_us"].max()))
-    state.update((n, total, last_us))
-    state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_seen_us": [last_us]}
-    )
+    return _stats_fn
 
 
-def running_user_stats(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
-    """Running per-user count/sum with idle-key eviction
-    (``applyInPandasWithState``). Expects ``user_id``, ``value`` and an
-    event-time column; emits one updated row per user per micro-batch."""
+def running_user_stats(
+    events: DataFrame, *, ts_col: str = "ts", idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Running per-user count/sum (``applyInPandasWithState``). Expects
+    ``user_id``, ``value`` and an event-time column; emits one updated row
+    per user per micro-batch.
+
+    ``idle_timeout_ms`` arms ProcessingTimeTimeout state eviction (an idle
+    key emits a final snapshot and is removed) — the right setting for a
+    CONTINUOUS stream where dormant keys must not hold state forever. The
+    default is NoTimeout: a drain-and-stop run (``availableNow``) with
+    pending processing-time timers never terminates — Spark keeps firing
+    no-data batches waiting for the timers to come due (observed: 750+
+    empty micro-batches against a 4-file source), so timers are opt-in."""
     if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
         # timezone-free epoch micros for NTZ storage (unix_micros only
         # accepts TIMESTAMP; the naive wall-clock maps to epoch directly)
@@ -115,11 +129,15 @@ def running_user_stats(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
         t_us.alias("t_us"),
     )
     return src.groupBy("user_id").applyInPandasWithState(
-        _stats_fn,
+        _make_stats_fn(idle_timeout_ms),
         outputStructType=RUNNING_STATS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -46,6 +46,29 @@ def test_streaming_dedup_drops_redelivered_rows(spark, sf_dir, tmp_path):
     assert got["d"] == 200
 
 
+def test_running_user_stats_available_now_terminates(spark, sf_dir, tmp_path):
+    """With the default NoTimeout, an availableNow drain must TERMINATE on
+    its own (no stop() rescue): pending ProcessingTime timers used to keep
+    the query alive firing empty batches forever — the q384 hang."""
+    src_dir = tmp_path / "events_in"
+    ev = read_table(spark, sf_dir, "events").drop("ts_ns").limit(100)
+    ev.write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    q = (
+        running_user_stats(stream, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("stats_term")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_term"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(120)
+    assert finished, "availableNow drain did not terminate (timer leak)"
+    assert not q.isActive
+
+
 def test_running_user_stats_stateful(spark, sf_dir, tmp_path):
     src_dir = tmp_path / "events_in"
     ev = read_table(spark, sf_dir, "events").drop("ts_ns").limit(300)
