@@ -10456,6 +10456,58 @@ def q383_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ansari_bradley(li, "l_returnflag", "R", "A", "l_quantity")
 
 
+def q386_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode, end-to-end (r9 verdict item #5 — retire
+    the 'plumbing real, kernel stubbed' caveat for one format): for each
+    document, synthesize an actual 24-bit uncompressed BMP whose pixels
+    derive deterministically from the TEXT (pixel k of the 7 x H image,
+    H = 1 + doc_id % 6, takes c = codepoint of text[k mod len] and maps
+    to r=(3c+k)%256, g=(5c+2k)%256, b=(7c+3k)%256), then decode it with
+    ``ops.multimodal.decode_bmp`` — a genuine stdlib BMP parser that
+    walks bfOffBits, the 4-byte stride padding (width 7 -> 21-byte rows
+    padded to 24), BOTTOM-UP scanline order and BGR byte order. The
+    published aggregates include ``wsum_r`` = sum (k+1)*r over the
+    logical top-left pixel order, which is wrong under any scanline/
+    channel-order bug, so the oracle's direct recompute from the text
+    (no BMP involved) certifies the whole encode->parse round trip.
+    Both the synthesizer and the decoder are Arrow-batched mapInPandas
+    kernels — the production multimodal batch shape."""
+    from manufacturing_data_integration_tool_spark.ops.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1
+    ).select("doc_id", "text")
+
+    schema = "doc_id bigint, payload binary"
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc, text in zip(pdf["doc_id"], pdf["text"]):
+                doc = int(doc)
+                s = str(text)
+                n = len(s)
+                h = 1 + doc % 6
+                px = []
+                for k in range(7 * h):
+                    c = ord(s[k % n])
+                    px.append(
+                        ((3 * c + k) % 256, (5 * c + 2 * k) % 256,
+                         (7 * c + 3 * k) % 256)
+                    )
+                ids.append(doc)
+                payloads.append(encode_bmp(px, 7, h))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    bmps = docs.mapInPandas(synth, schema=schema)
+    return decode_bmp(bmps, payload_col="payload", id_col="doc_id")
+
+
 def _scratch_dir(spark: SparkSession, name: str, sf_dir: str) -> str:
     """Deterministic per-(Spark app, query, sf) scratch directory for the
     streaming queries' landing/state/checkpoint trees, registered for
@@ -10712,7 +10764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q383_ansari_bradley": q383_ansari_bradley,
         # -- below the driver 50-entry gate window ------------------------
         # driver-green in CORRECTNESS_r01..r09, plus the r11 backlog
-        # (the 9 deferred r9-wave scalars first, then older residents).
+        # (q386 and the 9 deferred r9-wave scalars first, then older
+        # residents).
+        "q386_bmp_decode": q386_bmp_decode,
         "q332_jarque_bera": q332_jarque_bera,
         "q336_bullwhip_ratio": q336_bullwhip_ratio,
         "q338_neyman_allocation": q338_neyman_allocation,
@@ -21411,6 +21465,34 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY user_id
+    """
+
+    # q386: the BMP round trip — the oracle recomputes the channel
+    # aggregates STRAIGHT from the text via the shared pixel formula
+    # (c = codepoint of text[k mod len]; r/g/b = (3c+k, 5c+2k, 7c+3k)
+    # mod 256), never touching a BMP byte, so a parser bug in stride /
+    # scanline order / BGR can only show up as a hash mismatch.
+    out["q386_bmp_decode"] = """
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS n,
+                 1 + (doc_id % 6) AS h
+          FROM documents WHERE length(text) >= 1
+        ), ks AS (SELECT unnest(generate_series(0, 41)) AS k),
+        px AS (
+          SELECT d.doc_id, d.h, ks.k,
+                 unicode(substr(d.text, CAST(ks.k % d.n AS INTEGER) + 1, 1))
+                   AS c
+          FROM d JOIN ks ON ks.k < 7 * d.h
+        )
+        SELECT doc_id,
+               CAST(7 AS BIGINT) AS width,
+               CAST(MAX(h) AS BIGINT) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM((3 * c + k) % 256) AS BIGINT) AS sum_r,
+               CAST(SUM((5 * c + 2 * k) % 256) AS BIGINT) AS sum_g,
+               CAST(SUM((7 * c + 3 * k) % 256) AS BIGINT) AS sum_b,
+               CAST(SUM((k + 1) * ((3 * c + k) % 256)) AS BIGINT) AS wsum_r
+        FROM px GROUP BY doc_id
     """
 
     # q385: the watermarked stream-stream interval join's emitted pair

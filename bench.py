@@ -359,6 +359,7 @@ HEADLINE = [
     "q381_bland_altman",
     "q382_shard_skew",
     "q383_ansari_bradley",
+    "q386_bmp_decode",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -9,9 +9,12 @@ Greenfield LLM-pipeline capability (SURVEY.md §7.0). The pattern at 100 TB:
 * decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so the
   Python boundary is crossed per-batch, not per-row, and the cluster
   parallelism is the partition count;
-* this container has no image/audio codecs, so the decode kernel is STUBBED
-  (deterministic fake, clearly marked) — the Spark-side plumbing (schema,
-  partitioning, UDF signature, batch shape) is real and tested.
+* this container has no image/audio codecs, so the generic decode kernel is
+  STUBBED (deterministic fake, clearly marked) — the Spark-side plumbing
+  (schema, partitioning, UDF signature, batch shape) is real and tested.
+  Exception: 24-bit uncompressed BMP needs no external library, so
+  ``encode_bmp``/``decode_bmp`` at the bottom of this module are a REAL
+  codec pair running through the same Arrow-batched kernel shape.
 """
 
 from __future__ import annotations
@@ -29,6 +32,9 @@ __all__ = [
     "extract_features",
     "resize_media",
     "sample_frames",
+    "encode_bmp",
+    "decode_bmp_bytes",
+    "decode_bmp",
 ]
 
 
@@ -284,6 +290,139 @@ def sample_frames(
                 {id_col: pd.Series(ids, dtype="int64"),
                  "frame_idx": pd.Series(idxs, dtype="int32"),
                  "frame": frames}
+            )
+
+    return flat.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec path: uncompressed 24-bit BMP (no external library needed)
+# ---------------------------------------------------------------------------
+#
+# The container ships no image/audio codecs, so decode_binary_column /
+# extract_features stub their kernels. BMP (BITMAPINFOHEADER, 24 bpp,
+# BI_RGB) needs only the stdlib: a 14-byte file header, a 40-byte info
+# header, then bottom-up scanlines of BGR triples padded to 4-byte
+# boundaries. encode_bmp/decode_bmp below are REAL codecs for that
+# format — the decode walks the actual header offsets, stride padding,
+# scanline direction (bottom-up for positive biHeight, top-down for
+# negative) and BGR channel order, so a parser bug changes the published
+# numbers. This retires the "plumbing real, kernel stubbed" caveat for
+# one honest format while the Arrow-batched mapInPandas shape stays
+# identical to the stubbed kernels above.
+
+
+def encode_bmp(pixels: list, width: int, height: int) -> bytes:
+    """Pack row-major top-left-origin RGB tuples into a real BMP file
+    (24-bit uncompressed, positive biHeight => bottom-up scanlines,
+    stride padded to 4 bytes). Pure stdlib; the inverse of decode_bmp."""
+    import struct
+
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    stride = (width * 3 + 3) // 4 * 4
+    img_size = stride * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    pad = b"\x00" * (stride - width * 3)
+    for row in range(height - 1, -1, -1):  # bottom-up storage order
+        line = bytearray()
+        for col in range(width):
+            r, g, b = pixels[row * width + col]
+            line += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # BGR on disk
+        rows.append(bytes(line) + pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp_bytes(data: bytes) -> dict:
+    """Parse one 24-bit uncompressed BMP: validate the magic/bpp/
+    compression fields, honor bfOffBits, stride padding and scanline
+    direction, and return header fields plus exact channel aggregates
+    over the LOGICAL top-left row-major pixel order:
+
+    ``sum_r/sum_g/sum_b`` (order-invariant) and ``wsum_r`` =
+    sum over pixels of ``(k + 1) * r_k`` with k the logical index —
+    the positional checksum that catches a decoder that forgot the
+    bottom-up storage order or the BGR byte order."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    if off + stride * height > len(data):
+        raise ValueError("truncated BMP payload")
+    sum_r = sum_g = sum_b = wsum_r = 0
+    for row in range(height):  # logical rows, top to bottom
+        phys = (height - 1 - row) if bottom_up else row
+        base = off + phys * stride
+        for col in range(width):
+            i = base + col * 3
+            b, g, r = data[i], data[i + 1], data[i + 2]
+            k = row * width + col
+            sum_r += r
+            sum_g += g
+            sum_b += b
+            wsum_r += (k + 1) * r
+    return {
+        "width": width,
+        "height": height,
+        "n_px": width * height,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "wsum_r": wsum_r,
+    }
+
+
+def decode_bmp(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL decode over a binary BMP column via Arrow-batched mapInPandas
+    — the production multimodal shape (per-batch Python boundary, scale
+    from the partition count) with an actual codec in the kernel. One
+    output row per input row: header fields + exact channel aggregates
+    (see decode_bmp_bytes)."""
+    flat = df.select(F.col(id_col), F.col(payload_col).alias("payload"))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("wsum_r", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc, payload in zip(pdf[id_col], pdf["payload"]):
+                rec = decode_bmp_bytes(bytes(payload))
+                rec[id_col] = int(doc)
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "width", "height", "n_px",
+                         "sum_r", "sum_g", "sum_b", "wsum_r"],
             )
 
     return flat.mapInPandas(kernel, schema=schema)
