@@ -499,22 +499,54 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
-    # Isolated heavy-tail pass (r7 verdict #7): after the crowded batch,
-    # re-time the checkpoint-heavy graph family plus the 5 slowest batch
-    # queries at n=3 each with nothing else in flight. Recorded alongside
-    # the crowded numbers so a round-over-round regression can be
-    # adjudicated (crowding vs real) from BENCH_DETAIL alone, without the
-    # manual isolated re-run ritual of rounds 5-8.
-    # The fixed members: the graph family (checkpoint-heavy, most
-    # crowding-sensitive) plus the recurring sub-second watch list the
-    # r8 verdict asked to adjudicate mechanically (q207's benign
-    # broadcast->SMJ size flip and the q175-q177 trio).
+    # Isolated heavy-tail pass (r7 verdict #7, RULE-BASED since r10 per
+    # the r9 verdict #2): after the crowded batch, re-time with nothing
+    # else in flight (n=3, min) every query that needs adjudication:
+    #   (a) fixed members — the checkpoint-heavy graph family plus the
+    #       recurring watch list (q207's benign broadcast->SMJ size flip
+    #       and the q175-q177 trio) the r8 verdict pinned;
+    #   (b) the 5 slowest in-batch queries;
+    #   (c) MECHANICAL REGRESSION RULE: every query whose in-batch time
+    #       exceeds 2x its previous run's best known time (the prior
+    #       BENCH_DETAIL entry, preferring its isolated number when one
+    #       exists) and is >= 0.3 s now — sub-0.3 s deltas are pure
+    #       fixed-overhead noise per the r9 host-contention adjudication.
+    # Everything is recorded alongside the crowded numbers so a
+    # round-over-round regression can be adjudicated (crowding vs real)
+    # from BENCH_DETAIL alone, with no manual isolated re-run ritual.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    prev_best: dict[str, float] = {}
+    if detail_path.exists():
+        try:
+            prev = json.loads(detail_path.read_text())
+            prev_iso = prev.get("isolated_tail", {})
+            prev_best = {
+                k: min(v, prev_iso.get(k, v))
+                for k, v in prev.get("queries", {}).items()
+            }
+        except (ValueError, OSError, AttributeError):
+            prev_best = {}
+    regressed = sorted(
+        n
+        for n, t in timings.items()
+        if n in prev_best and t >= 0.3 and t > 2.0 * prev_best[n]
+    )
     tail = set(
         q for q in ("q152_pagerank", "q179_kcore", "q283_hits_scores",
                     "q292_link_prediction", "q207_sorted_neighborhood",
                     "q175_inverted_postings", "q176_centroid_similarity",
                     "q177_fd_violations") if q in timings
     ) | {n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:5]}
+    tail |= set(regressed)
+    # bound the pass on a pathologically noisy host: keep the largest
+    # absolute regressions, and SAY what was dropped (no silent caps)
+    capped_out: list[str] = []
+    if len(tail) > 40:
+        keep = set(
+            sorted(tail, key=lambda n: -(timings[n] - prev_best.get(n, 0.0)))[:40]
+        )
+        capped_out = sorted(tail - keep)
+        tail = keep
     isolated: dict[str, float] = {}
     for name in sorted(tail):
         best = float("inf")
@@ -530,11 +562,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "isolated_tail": isolated,
+        "tail_rule": {
+            "threshold_x": 2.0,
+            "floor_sec": 0.3,
+            "regressed_vs_prev": regressed,
+            "prev_best_for_tail": {
+                n: prev_best[n] for n in sorted(tail) if n in prev_best
+            },
+            "capped_out": capped_out,
+        },
         "n": len(HEADLINE),
         "sf": sf_dir,
         "cpus": cpus,
     }
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
 
     slowest = dict(
