@@ -10508,6 +10508,97 @@ def q386_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_bmp(bmps, payload_col="payload", id_col="doc_id")
 
 
+def q387_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end (the WAV twin of q386's BMP round
+    trip): per document, synthesize an actual 16-bit mono PCM RIFF/WAVE
+    file whose samples derive from the text (sample k of m =
+    64 + doc_id % 32 takes c = codepoint of text[k mod len] and maps to
+    s = ((37c + 11k) mod 65536) - 32768), then decode it with
+    ``ops.multimodal.decode_wav`` — the stdlib ``wave`` parser walking
+    the real RIFF chunk structure. Published aggregates include the
+    positional checksum ``wsum = sum (k+1)*s_k`` (wrong under any
+    byte-order or frame-offset parser bug); the oracle recomputes all
+    of them straight from the text, never touching a WAV byte."""
+    from manufacturing_data_integration_tool_spark.ops.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1
+    ).select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc, text in zip(pdf["doc_id"], pdf["text"]):
+                doc = int(doc)
+                s = str(text)
+                n = len(s)
+                m = 64 + doc % 32
+                samples = [
+                    ((37 * ord(s[k % n]) + 11 * k) % 65536) - 32768
+                    for k in range(m)
+                ]
+                ids.append(doc)
+                payloads.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return decode_wav(wavs, payload_col="payload", id_col="doc_id")
+
+
+def q388_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-causality screen (ops.timeseries.granger_lag1;
+    Granger, Econometrica 1969): does yesterday's ORDER COUNT improve
+    the one-step forecast of today's REVENUE beyond yesterday's revenue
+    — the forecast-relevance companion to q367's level cointegration on
+    the same two daily series. F(1, m-3) collapses to the first-order
+    partial correlation r(y_t, x_{t-1} | y_{t-1}); all moments are
+    exact DECIMAL(38,0) over the bounded daily table and the lag
+    alignment is a pinned-broadcast dense-index self-join."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        granger_lag1,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("d"), cents.alias("__c"))
+        .groupBy("d")
+        .agg(
+            F.sum("__c").cast("bigint").alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+        )
+    )
+    return granger_lag1(daily, "d", "y", "x")
+
+
+def q389_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test (ops.timeseries.pettitt_test;
+    Pettitt, JRSS-C 1979) on daily revenue — the distribution-robust
+    locator next to q217's mean-based CUSUM split: K = max_t |U_t| with
+    U_t the prefix sum of per-day total sign balances, computed from two
+    rank windows over the bounded daily table instead of the O(n^2)
+    double sum. Exact integers end-to-end; the published stat is the
+    monotone exponent 6K^2/(n^3+n^2) of Pettitt's approximate p, so
+    neither engine evaluates exp."""
+    from manufacturing_data_integration_tool_spark.ops.timeseries import (
+        pettitt_test,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("d"), cents.alias("__c"))
+        .groupBy("d")
+        .agg(F.sum("__c").cast("bigint").alias("r"))
+    )
+    return pettitt_test(daily, "d", "r")
+
+
 def _scratch_dir(spark: SparkSession, name: str, sf_dir: str) -> str:
     """Deterministic per-(Spark app, query, sf) scratch directory for the
     streaming queries' landing/state/checkpoint trees, registered for
@@ -10767,6 +10858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q386 and the 9 deferred r9-wave scalars first, then older
         # residents).
         "q386_bmp_decode": q386_bmp_decode,
+        "q387_wav_decode": q387_wav_decode,
+        "q388_granger_lag1": q388_granger_lag1,
+        "q389_pettitt": q389_pettitt,
         "q332_jarque_bera": q332_jarque_bera,
         "q336_bullwhip_ratio": q336_bullwhip_ratio,
         "q338_neyman_allocation": q338_neyman_allocation,
@@ -21493,6 +21587,150 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM((7 * c + 3 * k) % 256) AS BIGINT) AS sum_b,
                CAST(SUM((k + 1) * ((3 * c + k) % 256)) AS BIGINT) AS wsum_r
         FROM px GROUP BY doc_id
+    """
+
+    # q387: the WAV round trip — like q386, the oracle recomputes the
+    # sample aggregates straight from the text via the shared formula
+    # (s = ((37c + 11k) mod 65536) - 32768), so a RIFF-parser bug can
+    # only surface as a hash mismatch.
+    out["q387_wav_decode"] = """
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS n,
+                 64 + (doc_id % 32) AS m
+          FROM documents WHERE length(text) >= 1
+        ), ks AS (SELECT unnest(generate_series(0, 95)) AS k),
+        sm AS (
+          SELECT d.doc_id, ks.k,
+                 ((37 * unicode(substr(d.text,
+                       CAST(ks.k % d.n AS INTEGER) + 1, 1))
+                   + 11 * ks.k) % 65536) - 32768 AS s
+          FROM d JOIN ks ON ks.k < d.m
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(s) AS BIGINT) AS sum_s,
+               CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+               CAST(SUM((k + 1) * s) AS BIGINT) AS wsum
+        FROM sm GROUP BY doc_id
+    """
+
+    # q388: lag-1 Granger F via the partial correlation
+    # r(y_t, x_{t-1} | y_{t-1}) — exact HUGEINT moments over the lag
+    # pairs, every IEEE tree mirrored from ops.timeseries.granger_lag1.
+    out["q388_granger_lag1"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), idx AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+                 y, x
+          FROM daily
+        ), pairs AS (
+          SELECT a.y AS z, b.y AS la, b.x AS lb
+          FROM idx a JOIN idx b ON a.t = b.t + 1
+        ), s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 COALESCE(SUM(CAST(z AS HUGEINT)), 0) AS sz,
+                 COALESCE(SUM(CAST(la AS HUGEINT)), 0) AS sa,
+                 COALESCE(SUM(CAST(lb AS HUGEINT)), 0) AS sb,
+                 COALESCE(SUM(CAST(z AS HUGEINT) * z), 0) AS szz,
+                 COALESCE(SUM(CAST(la AS HUGEINT) * la), 0) AS saa,
+                 COALESCE(SUM(CAST(lb AS HUGEINT) * lb), 0) AS sbb,
+                 COALESCE(SUM(CAST(z AS HUGEINT) * la), 0) AS sza,
+                 COALESCE(SUM(CAST(z AS HUGEINT) * lb), 0) AS szb,
+                 COALESCE(SUM(CAST(la AS HUGEINT) * lb), 0) AS sab
+          FROM pairs
+        ), c AS (
+          SELECT m,
+                 CAST(m AS HUGEINT)*szz - sz*sz AS czz,
+                 CAST(m AS HUGEINT)*saa - sa*sa AS caa,
+                 CAST(m AS HUGEINT)*sbb - sb*sb AS cbb,
+                 CAST(m AS HUGEINT)*sza - sz*sa AS cza,
+                 CAST(m AS HUGEINT)*szb - sz*sb AS czb,
+                 CAST(m AS HUGEINT)*sab - sa*sb AS cab
+          FROM s
+        ), r AS (
+          SELECT m, czz, caa, cbb,
+                 CASE WHEN czz > 0 AND caa > 0 AND cbb > 0 THEN
+                   CAST(cza AS DOUBLE)
+                     / sqrt(CAST(czz AS DOUBLE) * CAST(caa AS DOUBLE)) END
+                   AS r_za,
+                 CASE WHEN czz > 0 AND caa > 0 AND cbb > 0 THEN
+                   CAST(czb AS DOUBLE)
+                     / sqrt(CAST(czz AS DOUBLE) * CAST(cbb AS DOUBLE)) END
+                   AS r_zb,
+                 CASE WHEN czz > 0 AND caa > 0 AND cbb > 0 THEN
+                   CAST(cab AS DOUBLE)
+                     / sqrt(CAST(caa AS DOUBLE) * CAST(cbb AS DOUBLE)) END
+                   AS r_ab
+          FROM c
+        ), p AS (
+          SELECT m, czz, caa, cbb, r_za, r_zb, r_ab,
+                 (1.0 - r_za * r_za) * (1.0 - r_ab * r_ab) AS den
+          FROM r
+        ), fin AS (
+          SELECT m, czz, caa, cbb, den,
+                 CASE WHEN den > 0.0 THEN
+                   (r_zb - r_za * r_ab) / sqrt(den) END AS rp
+          FROM p
+        )
+        SELECT CAST(m AS BIGINT) AS n_pairs,
+               CASE WHEN m < 4 OR czz <= 0 OR caa <= 0 OR cbb <= 0
+                         OR den IS NULL OR den <= 0.0 OR rp IS NULL
+                    THEN NULL
+                    ELSE CAST(floor(rp * 1000000.0 + 0.5) AS BIGINT)
+                    END AS r_partial_x1e6,
+               CASE WHEN m < 4 OR czz <= 0 OR caa <= 0 OR cbb <= 0
+                         OR den IS NULL OR den <= 0.0 OR rp IS NULL
+                         OR 1.0 - rp * rp <= 0.0
+                    THEN NULL
+                    ELSE CAST(floor(rp * rp * (CAST(m AS DOUBLE) - 3.0)
+                         / (1.0 - rp * rp) * 1000000.0 + 0.5) AS BIGINT)
+                    END AS f_x1e6
+        FROM fin
+    """
+
+    # q389: Pettitt via per-day sign balances from two rank windows +
+    # a time-order prefix sum — exact integers, mirrored verbatim.
+    out["q389_pettitt"] = _DAILY_REVENUE_CTE + """
+        ranked AS (
+          SELECT t,
+                 CAST(2 * (RANK() OVER (ORDER BY x) - 1)
+                      + COUNT(*) OVER (PARTITION BY x)
+                      - COUNT(*) OVER () AS BIGINT) AS s,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM idx
+        ), u AS (
+          SELECT * FROM (
+            SELECT t, n,
+                   CAST(SUM(s) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS BIGINT) AS uu
+            FROM ranked
+          ) WHERE t < n
+        ), fin AS (
+          SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+                 CAST(MAX(abs(uu)) AS BIGINT) AS k_stat,
+                 CAST(FIRST(t ORDER BY abs(uu) DESC, t ASC) AS BIGINT)
+                   AS t_star
+          FROM u
+        )
+        SELECT COALESCE(n_days, 0) AS n_days,
+               CASE WHEN n_days IS NULL OR n_days < 2 THEN NULL
+                    ELSE t_star END AS t_star,
+               CASE WHEN n_days IS NULL OR n_days < 2 THEN NULL
+                    ELSE k_stat END AS k_stat,
+               CASE WHEN n_days IS NULL OR n_days < 2 THEN NULL
+                    ELSE CAST(floor(6.0 * CAST(k_stat AS DOUBLE)
+                         * CAST(k_stat AS DOUBLE)
+                         / (CAST(n_days AS DOUBLE) * n_days * n_days
+                            + CAST(n_days AS DOUBLE) * n_days)
+                         * 1000000.0 + 0.5) AS BIGINT)
+                    END AS stat_x1e6
+        FROM fin
     """
 
     # q385: the watermarked stream-stream interval join's emitted pair

@@ -360,6 +360,9 @@ HEADLINE = [
     "q382_shard_skew",
     "q383_ansari_bradley",
     "q386_bmp_decode",
+    "q387_wav_decode",
+    "q388_granger_lag1",
+    "q389_pettitt",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -12,9 +12,10 @@ Greenfield LLM-pipeline capability (SURVEY.md §7.0). The pattern at 100 TB:
 * this container has no image/audio codecs, so the generic decode kernel is
   STUBBED (deterministic fake, clearly marked) — the Spark-side plumbing
   (schema, partitioning, UDF signature, batch shape) is real and tested.
-  Exception: 24-bit uncompressed BMP needs no external library, so
-  ``encode_bmp``/``decode_bmp`` at the bottom of this module are a REAL
-  codec pair running through the same Arrow-batched kernel shape.
+  Exceptions: 24-bit uncompressed BMP and 16-bit PCM WAV need no external
+  library, so ``encode_bmp``/``decode_bmp`` and ``encode_wav``/
+  ``decode_wav`` at the bottom of this module are REAL codec pairs
+  running through the same Arrow-batched kernel shape.
 """
 
 from __future__ import annotations
@@ -35,6 +36,9 @@ __all__ = [
     "encode_bmp",
     "decode_bmp_bytes",
     "decode_bmp",
+    "encode_wav",
+    "decode_wav_bytes",
+    "decode_wav",
 ]
 
 
@@ -423,6 +427,109 @@ def decode_bmp(
                 out,
                 columns=[id_col, "width", "height", "n_px",
                          "sum_r", "sum_g", "sum_b", "wsum_r"],
+            )
+
+    return flat.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec path #2: 16-bit PCM WAV via the stdlib `wave` module
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: list, *, sample_rate: int = 8000) -> bytes:
+    """Pack signed 16-bit mono PCM samples into a real RIFF/WAVE file
+    using the stdlib ``wave`` writer — the audio twin of encode_bmp."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    try:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    finally:
+        w.close()
+    return buf.getvalue()
+
+
+def decode_wav_bytes(data: bytes) -> dict:
+    """Parse one RIFF/WAVE payload with the stdlib ``wave`` reader (a
+    REAL format parser: RIFF chunk walk, fmt validation, frame count
+    from the data chunk) and return exact integer aggregates over the
+    signed 16-bit mono samples: ``sum_s``, ``sum_abs`` and the
+    positional checksum ``wsum = sum (k+1)*s_k`` that catches byte-order
+    or frame-offset parser bugs."""
+    import io
+    import struct
+    import wave
+
+    try:
+        r = wave.open(io.BytesIO(data), "rb")
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a WAV payload: {exc}") from exc
+    try:
+        if r.getnchannels() != 1 or r.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV variant (channels={r.getnchannels()}, "
+                f"sampwidth={r.getsampwidth()})"
+            )
+        n = r.getnframes()
+        rate = r.getframerate()
+        samples = struct.unpack(f"<{n}h", r.readframes(n))
+    finally:
+        r.close()
+    sum_s = sum_abs = wsum = 0
+    for k, s in enumerate(samples):
+        sum_s += s
+        sum_abs += s if s >= 0 else -s
+        wsum += (k + 1) * s
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "sum_s": sum_s,
+        "sum_abs": sum_abs,
+        "wsum": wsum,
+    }
+
+
+def decode_wav(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL audio decode over a binary WAV column via Arrow-batched
+    mapInPandas — same production batch shape as decode_bmp, stdlib
+    parser in the kernel. One output row per input row."""
+    flat = df.select(F.col(id_col), F.col(payload_col).alias("payload"))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sum_s", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("wsum", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc, payload in zip(pdf[id_col], pdf["payload"]):
+                rec = decode_wav_bytes(bytes(payload))
+                rec[id_col] = int(doc)
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "sample_rate", "n_samples",
+                         "sum_s", "sum_abs", "wsum"],
             )
 
     return flat.mapInPandas(kernel, schema=schema)

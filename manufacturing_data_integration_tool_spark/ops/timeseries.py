@@ -1335,3 +1335,176 @@ def chow_test(
         )
         .alias("f_x1e6"),
     )
+
+
+def granger_lag1(
+    joined: DataFrame,
+    day_col: str,
+    y_col: str,
+    x_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lag-1 Granger-causality screen (Granger, Econometrica 1969): does
+    yesterday's x help predict today's y beyond yesterday's y?  With one
+    lag the unrestricted regression ``y_t ~ y_{t-1} + x_{t-1}`` adds a
+    single regressor, so the F(1, m-3) statistic collapses to the
+    first-order partial correlation r = r(y_t, x_{t-1} | y_{t-1}):
+
+        ``F = r^2 * (m - 3) / (1 - r^2)``   (m = n_days - 1 pairs)
+
+    — the exact-moment machinery of ops.stats.partial_correlation applied
+    to the lag-aligned daily table (the q373 pattern on the q367 axes:
+    Engle-Granger asks whether the LEVELS share a trend, this asks
+    whether one series' HISTORY improves the other's one-step forecast).
+
+    All three Pearson terms come from exact DECIMAL(38,0) power sums over
+    the lag pairs (means cleared by m); r and F are ONE mirrored IEEE
+    tree.  The lag alignment is a broadcast self-join on the bounded
+    daily table's dense index (same contract as ljung_box/arch_lm).
+
+    Output: one row — ``n_pairs, r_partial_x1e6, f_x1e6`` (NULL stats
+    when m < 4, any variance is zero, or a conditioning correlation is
+    +-1).
+    """
+    w = Window.orderBy(F.asc(day_col))
+    idx = joined.select(
+        F.row_number().over(w).alias("__t"),
+        F.col(y_col).cast("bigint").alias("__y"),
+        F.col(x_col).cast("bigint").alias("__x"),
+    )
+    lagged = idx.select(
+        (F.col("__t") + 1).alias("__t"),
+        F.col("__y").alias("__a"),
+        F.col("__x").alias("__b"),
+    )
+    pairs = idx.join(F.broadcast(lagged), "__t").select(
+        F.col("__y").alias("__z"), "__a", "__b"
+    )
+    z = F.lit(0).cast(_DEC)
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        *[
+            F.coalesce(F.sum(expr), z).cast(_DEC).alias(name)
+            for name, expr in (
+                ("__sz", dec(F.col("__z"))),
+                ("__sa", dec(F.col("__a"))),
+                ("__sb", dec(F.col("__b"))),
+                ("__szz", (dec(F.col("__z")) * F.col("__z")).cast(_DEC)),
+                ("__saa", (dec(F.col("__a")) * F.col("__a")).cast(_DEC)),
+                ("__sbb", (dec(F.col("__b")) * F.col("__b")).cast(_DEC)),
+                ("__sza", (dec(F.col("__z")) * F.col("__a")).cast(_DEC)),
+                ("__szb", (dec(F.col("__z")) * F.col("__b")).cast(_DEC)),
+                ("__sab", (dec(F.col("__a")) * F.col("__b")).cast(_DEC)),
+            )
+        ],
+    )
+    m = F.col("m").cast(_DEC)
+    czz = (m * F.col("__szz") - F.col("__sz") * F.col("__sz")).cast(_DEC)
+    caa = (m * F.col("__saa") - F.col("__sa") * F.col("__sa")).cast(_DEC)
+    cbb = (m * F.col("__sbb") - F.col("__sb") * F.col("__sb")).cast(_DEC)
+    cza = (m * F.col("__sza") - F.col("__sz") * F.col("__sa")).cast(_DEC)
+    czb = (m * F.col("__szb") - F.col("__sz") * F.col("__sb")).cast(_DEC)
+    cab = (m * F.col("__sab") - F.col("__sa") * F.col("__sb")).cast(_DEC)
+    d = lambda c: c.cast("double")  # noqa: E731
+    ok_var = (czz > z) & (caa > z) & (cbb > z)
+    r_za = F.when(ok_var, d(cza) / F.sqrt(d(czz) * d(caa)))
+    r_zb = F.when(ok_var, d(czb) / F.sqrt(d(czz) * d(cbb)))
+    r_ab = F.when(ok_var, d(cab) / F.sqrt(d(caa) * d(cbb)))
+    den = (F.lit(1.0) - r_za * r_za) * (F.lit(1.0) - r_ab * r_ab)
+    r_p = F.when(ok_var & (den > F.lit(0.0)), (r_zb - r_za * r_ab) / F.sqrt(den))
+    one_minus = F.lit(1.0) - r_p * r_p
+    f_stat = F.when(
+        one_minus > F.lit(0.0),
+        r_p * r_p * (F.col("m").cast("double") - F.lit(3.0)) / one_minus,
+    )
+    bad = (F.col("m") < 4) | ~ok_var | den.isNull() | (den <= F.lit(0.0))
+    pub = lambda c: F.when(  # noqa: E731
+        bad | c.isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+    return s.select(
+        F.col("m").cast("bigint").alias("n_pairs"),
+        pub(r_p).alias("r_partial_x1e6"),
+        pub(f_stat).alias("f_x1e6"),
+    )
+
+
+def pettitt_test(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pettitt rank-based changepoint test (Pettitt, JRSS-C 1979): the
+    nonparametric single-changepoint locator —
+
+        ``U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j)``,
+        ``K = max_t |U_t|``  over t = 1..n-1
+
+    — the distribution-robust sibling of q217's CUSUM split (which uses
+    means and is outlier-draggable).  Instead of the O(n^2) double sum,
+    each row's TOTAL sign balance ``S_i = #(x_j < x_i) - #(x_j > x_i) =
+    2*(rank_i - 1) + e_i - n`` (rank = 1 + strictly-smaller count, e_i =
+    that value's multiplicity) comes from two rank windows over the
+    BOUNDED daily table, and ``U_t`` is the running prefix sum of S_i in
+    time order — exact integers throughout, ties handled by sign(0) = 0
+    exactly.  The published ``stat_x1e6`` is the exponent argument
+    ``6*K^2 / (n^3 + n^2)`` of Pettitt's approximate p-value
+    ``p ~ 2*exp(-6K^2/(n^3+n^2))`` — monotone in p, so thresholding on
+    it IS the test without either engine evaluating exp.
+
+    Output: one row — ``n_days, t_star, k_stat, stat_x1e6`` where
+    ``t_star`` is the SMALLEST prefix index attaining K (deterministic
+    tie-break).  NULL stats when n < 2.
+    """
+    wt = Window.orderBy(F.asc(day_col))
+    idx = daily.select(
+        F.row_number().over(wt).alias("__t"),
+        F.col(value_col).cast("bigint").alias("__x"),
+    )
+    wx = Window.orderBy(F.asc("__x"))
+    n_w = Window.partitionBy(F.lit(1))
+    ranked = idx.select(
+        "__t",
+        (
+            F.lit(2) * (F.rank().over(wx) - F.lit(1))
+            + F.count(F.lit(1)).over(Window.partitionBy("__x"))
+            - F.count(F.lit(1)).over(n_w)
+        )
+        .cast("bigint")
+        .alias("__s"),
+        F.count(F.lit(1)).over(n_w).cast("bigint").alias("__n"),
+    )
+    run = Window.orderBy(F.asc("__t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = ranked.select(
+        "__t",
+        "__n",
+        F.sum("__s").over(run).cast("bigint").alias("__u"),
+    ).filter(F.col("__t") < F.col("__n"))
+    fin = u.agg(
+        F.max("__n").cast("bigint").alias("n_days"),
+        F.max(F.abs(F.col("__u"))).cast("bigint").alias("k_stat"),
+        F.min_by("__t", F.struct(F.abs(F.col("__u")).cast("bigint") * F.lit(-1), F.col("__t")))
+        .cast("bigint")
+        .alias("t_star"),
+    )
+    nn = F.col("n_days").cast("double")
+    stat = (
+        F.lit(6.0)
+        * F.col("k_stat").cast("double")
+        * F.col("k_stat").cast("double")
+        / (nn * nn * nn + nn * nn)
+    )
+    bad = F.col("n_days").isNull() | (F.col("n_days") < 2)
+    return fin.select(
+        F.coalesce(F.col("n_days"), F.lit(0)).cast("bigint").alias("n_days"),
+        F.when(bad, F.lit(None).cast("bigint")).otherwise(F.col("t_star")).alias("t_star"),
+        F.when(bad, F.lit(None).cast("bigint")).otherwise(F.col("k_stat")).alias("k_stat"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(stat * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"))
+        .alias("stat_x1e6"),
+    )
