@@ -986,3 +986,45 @@ def test_partitioned_scan_prunes_partitions(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_month" in m.group(1), plan[:2000]
+
+
+def test_granger_lag_join_is_pinned_broadcast(spark):
+    """q388's lag alignment is a dense-index self-join on the BOUNDED
+    daily table — the broadcast is pinned (q358/q367 sweep lesson: the
+    upstream size estimate grows with raw input even though the daily
+    table is bounded by calendar), so SortMergeJoin must never appear."""
+    plan = plan_of(entry.q388_granger_lag1(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pettitt_no_cartesian_no_python(spark):
+    """q389 replaces Pettitt's O(n^2) double sum with rank windows over
+    the bounded daily table: no cross/cartesian join, no Python eval."""
+    plan = plan_of(entry.q389_pettitt(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bmp_and_wav_decode_single_scan_arrow_no_shuffle(spark):
+    """q386/q387 run synth + REAL codec decode as back-to-back Arrow
+    kernels riding one documents scan — zero exchanges, zero
+    row-at-a-time Python: the 100 TB multimodal posture (parallelism =
+    partition count, Python boundary crossed per batch)."""
+    import re
+
+    for fn in (entry.q386_bmp_decode, entry.q387_wav_decode):
+        plan = plan_of(fn(spark, "/root/testdata/sf0.001"))
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
+        # the ONLY exchange is read_table's deliberate round-robin
+        # fan-out of the small scan (parallelism seeding) — never a
+        # hash shuffle: the decode is embarrassingly parallel
+        exchanges = re.findall(
+            r"^\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\w+)",
+            plan, re.M,
+        )
+        assert all(kind.startswith("RoundRobin") for kind in exchanges), plan[:1500]
+        assert "hashpartitioning" not in plan
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
