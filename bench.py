@@ -363,6 +363,9 @@ HEADLINE = [
     "q387_wav_decode",
     "q388_granger_lag1",
     "q389_pettitt",
+    "q390_avi_frames",
+    "q391_stuart_maxwell",
+    "q392_diebold_mariano",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -1244,3 +1244,75 @@ def youden_threshold(
         )
         .alias("j_x1e6"),
     )
+
+
+def stuart_maxwell(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+    cats: tuple[str, str, str],
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test (Stuart, Biometrika 1955;
+    Maxwell, Br J Psychiatry 1970) for a 3x3 paired confusion matrix:
+    does the PREDICTED category distribution match the TRUE one — the
+    k = 3 generalization of McNemar (q278) that catches a classifier
+    systematically over-calling one class even when per-pair swaps
+    balance. Rows where either side is outside ``cats`` are excluded
+    (both engines identically).
+
+    With marginal differences d_i = n_{i.} - n_{.i} for the first two
+    categories and the H0 covariance built from exact cell counts
+    (S_11 = n_{1.} + n_{.1} - 2 n_11, S_22 analogous,
+    S_12 = -(n_12 + n_21)), the statistic is the closed 2x2 quadratic
+    form
+
+        ``chi2 = (d1^2 S22 - 2 d1 d2 S12 + d2^2 S11) / det(S)``
+
+    — numerator and determinant are exact BIGINT, the publish is ONE
+    IEEE division (chi^2 with 2 df under H0). NULL when det <= 0 (a
+    degenerate margin) or no rows survive the category filter.
+
+    Output: one row — ``n_obs, d1, d2, chi2_x1e6``.
+    """
+    c1, c2, c3 = cats
+    t = F.col(true_col)
+    p = F.col(pred_col)
+    base = df.filter(t.isin(*cats) & p.isin(*cats))
+    cell = lambda a, b: F.sum(  # noqa: E731
+        F.when((t == a) & (p == b), 1).otherwise(0)
+    ).cast("bigint")
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        cell(c1, c1).alias("__n11"),
+        cell(c1, c2).alias("__n12"),
+        cell(c2, c1).alias("__n21"),
+        cell(c2, c2).alias("__n22"),
+        F.sum(F.when(t == c1, 1).otherwise(0)).cast("bigint").alias("__r1"),
+        F.sum(F.when(t == c2, 1).otherwise(0)).cast("bigint").alias("__r2"),
+        F.sum(F.when(p == c1, 1).otherwise(0)).cast("bigint").alias("__c1"),
+        F.sum(F.when(p == c2, 1).otherwise(0)).cast("bigint").alias("__c2"),
+    )
+    d1 = F.col("__r1") - F.col("__c1")
+    d2 = F.col("__r2") - F.col("__c2")
+    s11 = F.col("__r1") + F.col("__c1") - 2 * F.col("__n11")
+    s22 = F.col("__r2") + F.col("__c2") - 2 * F.col("__n22")
+    s12 = -(F.col("__n12") + F.col("__n21"))
+    det = s11 * s22 - s12 * s12
+    num = d1 * d1 * s22 - 2 * d1 * d2 * s12 + d2 * d2 * s11
+    bad = (F.col("n_obs") < 1) | (det <= 0)
+    return s.select(
+        "n_obs",
+        F.when(bad, F.lit(None).cast("bigint")).otherwise(d1).alias("d1"),
+        F.when(bad, F.lit(None).cast("bigint")).otherwise(d2).alias("d2"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                num.cast("double") / det.cast("double")
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("chi2_x1e6"),
+    )

@@ -12,10 +12,11 @@ Greenfield LLM-pipeline capability (SURVEY.md §7.0). The pattern at 100 TB:
 * this container has no image/audio codecs, so the generic decode kernel is
   STUBBED (deterministic fake, clearly marked) — the Spark-side plumbing
   (schema, partitioning, UDF signature, batch shape) is real and tested.
-  Exceptions: 24-bit uncompressed BMP and 16-bit PCM WAV need no external
-  library, so ``encode_bmp``/``decode_bmp`` and ``encode_wav``/
-  ``decode_wav`` at the bottom of this module are REAL codec pairs
-  running through the same Arrow-batched kernel shape.
+  Exceptions: 24-bit uncompressed BMP, 16-bit PCM WAV, and the RIFF/AVI
+  container need no external library, so ``encode_bmp``/``decode_bmp``,
+  ``encode_wav``/``decode_wav`` and ``encode_avi``/``decode_avi`` at the
+  bottom of this module are REAL codec pairs (image, audio, video
+  container) running through the same Arrow-batched kernel shape.
 """
 
 from __future__ import annotations
@@ -39,6 +40,9 @@ __all__ = [
     "encode_wav",
     "decode_wav_bytes",
     "decode_wav",
+    "encode_avi",
+    "decode_avi_bytes",
+    "decode_avi",
 ]
 
 
@@ -530,6 +534,166 @@ def decode_wav(
                 out,
                 columns=[id_col, "sample_rate", "n_samples",
                          "sum_s", "sum_abs", "wsum"],
+            )
+
+    return flat.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec path #3: AVI container (RIFF chunk walk) — video frames
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(frames: list, width: int, height: int, *, fps: int = 10) -> bytes:
+    """Pack raw 8-bit gray frames (``width*height`` bytes each) into a
+    real minimal RIFF/AVI container: LIST hdrl (avih + LIST strl with a
+    'vids'/'DIB ' stream header and a BITMAPINFOHEADER strf) followed by
+    LIST movi with one '00db' chunk per frame, every chunk padded to the
+    RIFF word boundary. Pure stdlib; the inverse of decode_avi_bytes."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(listtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", listtype + payload)
+
+    n = len(frames)
+    frame_bytes = width * height
+    for f in frames:
+        if len(f) != frame_bytes:
+            raise ValueError(f"frame must be {frame_bytes} bytes, got {len(f)}")
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags (AVIF_HASINDEX off, interleaved off; 0x10=HASINDEX is
+        # conventional but optional — our parser does not require idx1)
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,  # dwScale / dwRate
+        0, n, frame_bytes, 0, 0,
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, frame_bytes,
+        2835, 2835, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", bytes(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + __import__("struct").pack("<I", len(body)) + body
+
+
+def decode_avi_bytes(data: bytes) -> dict:
+    """Walk one RIFF/AVI container for real: validate the RIFF/'AVI '
+    magic, iterate top-level chunks honoring declared sizes and the
+    word-padding rule, read (width, height, dwTotalFrames) out of the
+    'avih' header inside LIST hdrl, collect every '00db'/'00dc' frame
+    inside LIST movi, and cross-check the frame count against the
+    header. Returns exact aggregates: ``sum_all`` over every frame byte
+    and the per-frame positional checksum ``wsum_frame`` =
+    sum (f+1) * framesum_f — wrong under any chunk-walk bug that skips,
+    splits or reorders frames."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    declared = struct.unpack_from("<I", data, 4)[0]
+    if declared + 8 > len(data):
+        raise ValueError("truncated AVI payload")
+
+    width = height = total = None
+    frames: list = []
+
+    def walk(pos: int, end: int, inside: bytes | None) -> None:
+        nonlocal width, height, total
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            payload_start = pos + 8
+            payload_end = payload_start + size
+            if payload_end > end:
+                raise ValueError("chunk overruns its parent")
+            if fourcc == b"LIST":
+                listtype = data[payload_start : payload_start + 4]
+                walk(payload_start + 4, payload_end, listtype)
+            elif fourcc == b"avih":
+                (total,) = struct.unpack_from("<I", data, payload_start + 16)
+                width, height = struct.unpack_from(
+                    "<II", data, payload_start + 32
+                )
+            elif fourcc in (b"00db", b"00dc") and inside == b"movi":
+                frames.append(data[payload_start:payload_end])
+            pos = payload_end + (size % 2)  # RIFF word padding
+
+    walk(12, 8 + declared, None)
+    if width is None or total is None:
+        raise ValueError("missing avih header")
+    if len(frames) != total:
+        raise ValueError(
+            f"header declares {total} frames, movi carries {len(frames)}"
+        )
+    sum_all = wsum_frame = 0
+    for f_idx, frame in enumerate(frames):
+        fs = sum(frame)
+        sum_all += fs
+        wsum_frame += (f_idx + 1) * fs
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": len(frames),
+        "sum_all": sum_all,
+        "wsum_frame": wsum_frame,
+    }
+
+
+def decode_avi(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL video-container decode over a binary AVI column via
+    Arrow-batched mapInPandas — the frame-extraction shape of
+    sample_frames with an actual RIFF walker in the kernel."""
+    flat = df.select(F.col(id_col), F.col(payload_col).alias("payload"))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("sum_all", T.LongType()),
+            T.StructField("wsum_frame", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc, payload in zip(pdf[id_col], pdf["payload"]):
+                rec = decode_avi_bytes(bytes(payload))
+                rec[id_col] = int(doc)
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "width", "height", "n_frames",
+                         "sum_all", "wsum_frame"],
             )
 
     return flat.mapInPandas(kernel, schema=schema)

@@ -1028,3 +1028,22 @@ def test_bmp_and_wav_decode_single_scan_arrow_no_shuffle(spark):
         assert all(kind.startswith("RoundRobin") for kind in exchanges), plan[:1500]
         assert "hashpartitioning" not in plan
         assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_avi_decode_single_scan_arrow_no_shuffle(spark):
+    """q390 (video container) keeps the q386/q387 posture: one scan,
+    Arrow kernels, round-robin fan-out only."""
+    import re
+
+    plan = plan_of(entry.q390_avi_frames(spark, "/root/testdata/sf0.001"))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_diebold_mariano_lag_joins_are_pinned_broadcast(spark):
+    plan = plan_of(entry.q392_diebold_mariano(spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # lag-1 and lag-7 sides

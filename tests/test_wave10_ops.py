@@ -1,8 +1,11 @@
 """Independent brute-force twins for the round-10 additions: the WAV
 codec (ops.multimodal.encode_wav/decode_wav), lag-1 Granger causality
-(ops.timeseries.granger_lag1) and the Pettitt changepoint test
-(ops.timeseries.pettitt_test). Driver-scale parity against DuckDB lives
-in tools/parity_check.py (q387-q389)."""
+(ops.timeseries.granger_lag1), the Pettitt changepoint test
+(ops.timeseries.pettitt_test), the AVI container codec
+(ops.multimodal.encode_avi/decode_avi), Stuart-Maxwell marginal
+homogeneity (ops.evaluation.stuart_maxwell) and the Diebold-Mariano
+equal-accuracy test (ops.timeseries.diebold_mariano). Driver-scale
+parity against DuckDB lives in tools/parity_check.py (q387-q392)."""
 
 import datetime as dt
 import math
@@ -190,3 +193,164 @@ def test_pettitt_degenerate(spark):
     empty = spark.createDataFrame([], "d date, x long")
     row = pettitt_test(empty, "d", "x").collect()[0]
     assert row["n_days"] == 0 and row["k_stat"] is None
+
+
+# ----------------------------------------------------------------- AVI --
+
+
+from manufacturing_data_integration_tool_spark.ops.multimodal import (  # noqa: E402
+    decode_avi,
+    decode_avi_bytes,
+    encode_avi,
+)
+from manufacturing_data_integration_tool_spark.ops.evaluation import (  # noqa: E402
+    stuart_maxwell,
+)
+from manufacturing_data_integration_tool_spark.ops.timeseries import (  # noqa: E402
+    diebold_mariano,
+)
+
+
+def _frames(n, w, h, seed=5):
+    rng = random.Random(seed)
+    return [bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(n)]
+
+
+def test_avi_roundtrip_matches_brute_force():
+    for n, w, h in [(1, 5, 3), (4, 5, 3), (3, 4, 4), (2, 1, 1)]:
+        fr = _frames(n, w, h, seed=n + w)
+        got = decode_avi_bytes(encode_avi(fr, w, h))
+        assert (got["width"], got["height"], got["n_frames"]) == (w, h, n)
+        assert got["sum_all"] == sum(sum(f) for f in fr)
+        assert got["wsum_frame"] == sum(
+            (i + 1) * sum(f) for i, f in enumerate(fr)
+        )
+
+
+def test_avi_odd_frame_chunks_are_padded_and_walked():
+    # 15-byte frames -> odd chunk sizes -> the RIFF pad byte matters:
+    # a walker that forgets padding misparses the NEXT chunk header
+    fr = _frames(4, 5, 3, seed=9)
+    data = encode_avi(fr, 5, 3)
+    # pad bytes present: each 00db chunk occupies 8 + 15 + 1 bytes
+    assert data.count(b"00db") == 4
+    got = decode_avi_bytes(data)
+    assert got["n_frames"] == 4
+
+
+def test_avi_rejects_garbage_and_frame_count_mismatch():
+    with pytest.raises(ValueError):
+        decode_avi_bytes(b"RIFF\x10\x00\x00\x00WAVExxxxxxxx")
+    good = bytearray(encode_avi(_frames(2, 5, 3), 5, 3))
+    # corrupt dwTotalFrames inside avih (offset: find 'avih' + 8 + 16)
+    at = bytes(good).index(b"avih") + 8 + 16
+    struct.pack_into("<I", good, at, 9)
+    with pytest.raises(ValueError):
+        decode_avi_bytes(bytes(good))
+
+
+def test_decode_avi_distributed_matches_local(spark):
+    rows, expect = [], {}
+    for i in range(3):
+        fr = _frames(2 + i, 5, 3, seed=i)
+        payload = encode_avi(fr, 5, 3)
+        rows.append(Row(doc_id=i, payload=bytearray(payload)))
+        expect[i] = decode_avi_bytes(payload)
+    out = decode_avi(
+        spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        e = expect[r["doc_id"]]
+        for fld in ("width", "height", "n_frames", "sum_all", "wsum_frame"):
+            assert r[fld] == e[fld]
+
+
+# -------------------------------------------------------- Stuart-Maxwell --
+
+
+def test_stuart_maxwell_matches_brute_force(spark):
+    rng = random.Random(31)
+    cats = ("a", "b", "c")
+    # biased classifier: over-calls 'a'
+    rows = []
+    for _ in range(400):
+        t = rng.choice(cats)
+        p = "a" if rng.random() < 0.25 else rng.choice(cats)
+        rows.append(Row(t=t, p=p))
+    out = stuart_maxwell(
+        spark.createDataFrame(rows), "t", "p", cats
+    ).collect()[0]
+    # brute force
+    n = {(a, b): 0 for a in cats for b in cats}
+    for r in rows:
+        n[(r["t"], r["p"])] += 1
+    row = {a: sum(n[(a, b)] for b in cats) for a in cats}
+    col = {b: sum(n[(a, b)] for a in cats) for b in cats}
+    d1, d2 = row["a"] - col["a"], row["b"] - col["b"]
+    s11 = row["a"] + col["a"] - 2 * n[("a", "a")]
+    s22 = row["b"] + col["b"] - 2 * n[("b", "b")]
+    s12 = -(n[("a", "b")] + n[("b", "a")])
+    chi2 = (d1 * d1 * s22 - 2 * d1 * d2 * s12 + d2 * d2 * s11) / (
+        s11 * s22 - s12 * s12
+    )
+    assert out["n_obs"] == 400
+    assert out["d1"] == d1 and out["d2"] == d2
+    assert out["chi2_x1e6"] == math.floor(chi2 * 1e6 + 0.5)
+    assert out["chi2_x1e6"] > 5_991_465  # chi2_{2,0.95}: the bias is detected
+
+
+def test_stuart_maxwell_degenerate(spark):
+    # perfect agreement: off-diagonals empty -> det = 0 -> NULL
+    rows = [Row(t=c, p=c) for c in ("a", "b", "c") for _ in range(5)]
+    out = stuart_maxwell(
+        spark.createDataFrame(rows), "t", "p", ("a", "b", "c")
+    ).collect()[0]
+    assert out["n_obs"] == 15 and out["chi2_x1e6"] is None
+    # rows outside the trio are excluded
+    rows.append(Row(t="x", p="a"))
+    out = stuart_maxwell(
+        spark.createDataFrame(rows), "t", "p", ("a", "b", "c")
+    ).collect()[0]
+    assert out["n_obs"] == 15
+
+
+# ------------------------------------------------------- Diebold-Mariano --
+
+
+def test_diebold_mariano_matches_brute_force(spark):
+    rng = random.Random(41)
+    # strongly weekly-seasonal series: seasonal-naive should win
+    xs = [
+        100_000 + 40_000 * ((t % 7) in (0, 6)) + rng.randint(-3000, 3000)
+        for t in range(150)
+    ]
+    d0 = dt.date(2023, 1, 2)
+    rows = [
+        Row(d=d0 + dt.timedelta(days=t), x=xs[t]) for t in range(len(xs))
+    ]
+    out = diebold_mariano(
+        spark.createDataFrame(rows), "d", "x", season=7, err_lattice=100
+    ).collect()[0]
+    ds = []
+    for t in range(7, len(xs)):
+        e1 = math.floor((xs[t] - xs[t - 7]) / 100.0)
+        e2 = math.floor((xs[t] - xs[t - 1]) / 100.0)
+        ds.append(e1 * e1 - e2 * e2)
+    n = len(ds)
+    sd = sum(ds)
+    varnum = n * sum(d * d for d in ds) - sd * sd
+    dm = sd * math.sqrt((n - 1) / varnum)
+    assert out["n_pairs"] == n
+    assert out["sum_d"] == sd
+    assert abs(out["dm_x1e6"] - math.floor(dm * 1e6 + 0.5)) <= 1
+    # seasonal-naive wins decisively on a seasonal series
+    assert out["dm_x1e6"] < -1_960_000
+
+
+def test_diebold_mariano_degenerate(spark):
+    # constant series: both forecasters are exact -> zero variance -> NULL
+    d0 = dt.date(2023, 1, 2)
+    rows = [Row(d=d0 + dt.timedelta(days=t), x=500) for t in range(30)]
+    out = diebold_mariano(spark.createDataFrame(rows), "d", "x").collect()[0]
+    assert out["n_pairs"] == 23 and out["dm_x1e6"] is None
