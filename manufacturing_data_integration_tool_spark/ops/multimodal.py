@@ -602,8 +602,9 @@ def decode_avi_bytes(data: bytes) -> dict:
     magic, iterate top-level chunks honoring declared sizes and the
     word-padding rule, read (width, height, dwTotalFrames) out of the
     'avih' header inside LIST hdrl, collect every '00db'/'00dc' frame
-    inside LIST movi, and cross-check the frame count against the
-    header. Returns exact aggregates: ``sum_all`` over every frame byte
+    inside LIST movi (including frames wrapped in standard 'rec '
+    grouping lists nested under movi), and cross-check the frame count
+    against the header. Returns exact aggregates: ``sum_all`` over every frame byte
     and the per-frame positional checksum ``wsum_frame`` =
     sum (f+1) * framesum_f — wrong under any chunk-walk bug that skips,
     splits or reorders frames."""
@@ -629,6 +630,11 @@ def decode_avi_bytes(data: bytes) -> dict:
                 raise ValueError("chunk overruns its parent")
             if fourcc == b"LIST":
                 listtype = data[payload_start : payload_start + 4]
+                # standard 'rec ' grouping lists nested under movi are
+                # transparent: their '00db'/'00dc' children are movi
+                # frames (common muxers emit them; r10 ADVICE)
+                if listtype == b"rec " and inside == b"movi":
+                    listtype = b"movi"
                 walk(payload_start + 4, payload_end, listtype)
             elif fourcc == b"avih":
                 (total,) = struct.unpack_from("<I", data, payload_start + 16)

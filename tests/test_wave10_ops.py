@@ -238,6 +238,44 @@ def test_avi_odd_frame_chunks_are_padded_and_walked():
     assert got["n_frames"] == 4
 
 
+def test_avi_rec_grouping_lists_are_transparent():
+    # common muxers wrap interleaved frames in LIST 'rec ' groups under
+    # movi; the walker must treat their 00db/00dc children as movi
+    # frames (r10 ADVICE) — rebuild an encode_avi payload with every
+    # frame chunk wrapped in its own rec list and expect identical
+    # aggregates
+    fr = _frames(3, 4, 4, seed=13)
+    base = decode_avi_bytes(encode_avi(fr, 4, 4))
+
+    def chunk(fourcc, payload):
+        return (
+            fourcc
+            + struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) % 2 else b"")
+        )
+
+    def lst(listtype, payload):
+        return chunk(b"LIST", listtype + payload)
+
+    plain = encode_avi(fr, 4, 4)
+    movi_at = plain.index(b"LIST" + struct.pack(
+        "<I", struct.unpack_from(
+            "<I", plain, plain.index(b"movi") - 4)[0]) + b"movi")
+    head = plain[12:movi_at]  # hdrl (skip RIFF header)
+    movi = lst(b"movi", b"".join(
+        lst(b"rec ", chunk(b"00db", bytes(f))) for f in fr))
+    body = b"AVI " + head + movi
+    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = decode_avi_bytes(wrapped)
+    assert got == base
+    # a rec list NOT under movi must still not contribute frames
+    stray = lst(b"rec ", chunk(b"00db", bytes(fr[0])))
+    body2 = b"AVI " + head + stray + movi
+    wrapped2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    assert decode_avi_bytes(wrapped2) == base
+
+
 def test_avi_rejects_garbage_and_frame_count_mismatch():
     with pytest.raises(ValueError):
         decode_avi_bytes(b"RIFF\x10\x00\x00\x00WAVExxxxxxxx")
