@@ -366,6 +366,7 @@ HEADLINE = [
     "q390_avi_frames",
     "q391_stuart_maxwell",
     "q392_diebold_mariano",
+    "q393_png_decode",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
@@ -446,6 +447,11 @@ EXCLUDED = {
     "a stream-stream interval join); timing measures stream machinery — "
     "the equivalent batch interval join is benched via q35/q73's as-of "
     "family and stream==batch is pinned by the oracle + pytest",
+    "q394_streaming_dedup": "streaming run (lands a doubled copy of events "
+    "+ drains a dropDuplicatesWithinWatermark stream); timing measures "
+    "stream machinery — the batch dedup it must equal is benched via "
+    "q16's exact-dedup family and the dedup state semantics are pinned "
+    "by the oracle + tests/test_streaming.py",
 }
 
 
@@ -555,6 +561,15 @@ def main() -> None:
         tail = keep
     isolated: dict[str, float] = {}
     for name in sorted(tail):
+        # one throwaway invocation before the timed runs: the r10
+        # driver bench showed isolated > in-batch for q341/q348 —
+        # the first isolated run was absorbing session warm-up
+        # (GC debt, code-cache churn from the 342-query batch), which
+        # an adjudication pass must not bill to the query (r10 verdict
+        # item 2). The warm-up is the query itself so scratch-reusing
+        # queries (q377-style _SUCCESS guards) measure their steady
+        # state, same as their in-batch posture.
+        qs[name](spark, sf_dir).count()
         best = float("inf")
         for _ in range(3):
             t0 = time.time()

@@ -37,6 +37,9 @@ __all__ = [
     "encode_bmp",
     "decode_bmp_bytes",
     "decode_bmp",
+    "encode_png",
+    "decode_png_bytes",
+    "decode_png",
     "encode_wav",
     "decode_wav_bytes",
     "decode_wav",
@@ -425,6 +428,223 @@ def decode_bmp(
             out = []
             for doc, payload in zip(pdf[id_col], pdf["payload"]):
                 rec = decode_bmp_bytes(bytes(payload))
+                rec[id_col] = int(doc)
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "width", "height", "n_px",
+                         "sum_r", "sum_g", "sum_b", "wsum_r"],
+            )
+
+    return flat.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec path #4: PNG (zlib inflate + per-scanline filters 0-4)
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9, filter type 4): pick whichever
+    of left/up/up-left is closest to a + b - c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: list, width: int, height: int) -> bytes:
+    """Pack row-major top-left-origin RGB tuples into a real PNG file
+    (8-bit truecolor, non-interlaced) using only stdlib ``struct`` +
+    ``zlib``: big-endian chunk framing with CRC-32 trailers, IHDR, one
+    zlib-deflated IDAT, IEND. Each scanline is filtered with type
+    ``row % 5`` — cycling None/Sub/Up/Average/Paeth — so any decoder
+    of this output must implement ALL FIVE filter reconstructions, not
+    just the trivial one. Pure stdlib; the inverse of decode_png."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(3 * width)  # conceptual all-zero row above row 0
+    for row in range(height):
+        cur = bytearray()
+        for col in range(width):
+            r, g, b = pixels[row * width + col]
+            cur += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+        ft = row % 5
+        raw.append(ft)
+        for i in range(3 * width):
+            left = cur[i - 3] if i >= 3 else 0
+            up = prev[i]
+            upleft = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = cur[i]
+            elif ft == 1:
+                v = (cur[i] - left) % 256
+            elif ft == 2:
+                v = (cur[i] - up) % 256
+            elif ft == 3:
+                v = (cur[i] - (left + up) // 2) % 256
+            else:
+                v = (cur[i] - _paeth(left, up, upleft)) % 256
+            raw.append(v)
+        prev = bytes(cur)
+    sig = b"\x89PNG\r\n\x1a\n"
+    return (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_bytes(data: bytes) -> dict:
+    """Parse one PNG for real, stdlib only: validate the 8-byte
+    signature, walk the big-endian chunk stream VERIFYING every chunk's
+    CRC-32, require 8-bit truecolor (color type 2) with compression 0 /
+    filter method 0 and REJECT interlaced images (Adam7 needs a
+    different scanline geometry), concatenate + zlib-inflate the IDAT
+    stream, then reconstruct every scanline through the full filter
+    set — None, Sub, Up, Average (floor of left+up over 2) and the
+    Paeth predictor. Returns header fields plus the same exact channel
+    aggregates as ``decode_bmp_bytes`` (``sum_r/sum_g/sum_b`` and the
+    positional checksum ``wsum_r`` = sum (k+1)*r_k over logical
+    top-left row-major order) — wrong under any filter-reconstruction,
+    chunk-walk or byte-order bug."""
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(data) < 8 or data[:8] != sig:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        payload_end = pos + 8 + length
+        if payload_end + 4 > len(data):
+            raise ValueError("chunk overruns the payload")
+        payload = data[pos + 8 : payload_end]
+        (crc,) = struct.unpack_from(">I", data, payload_end)
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {typ!r} chunk")
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+            if depth != 8 or ctype != 2:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, color={ctype})"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+        elif typ == b"IDAT":
+            if width is None:
+                raise ValueError("IDAT before IHDR")
+            idat += payload
+        elif typ == b"IEND":
+            saw_iend = True
+            break
+        pos = payload_end + 4
+    if width is None or not saw_iend:
+        raise ValueError("missing IHDR or IEND")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * width
+    if len(raw) != height * (1 + stride):
+        raise ValueError("inflated scanline stream has the wrong length")
+    sum_r = sum_g = sum_b = wsum_r = 0
+    prev = bytes(stride)
+    off = 0
+    for row in range(height):
+        ft = raw[off]
+        off += 1
+        line = raw[off : off + stride]
+        off += stride
+        cur = bytearray(stride)
+        for i in range(stride):
+            left = cur[i - 3] if i >= 3 else 0
+            up = prev[i]
+            upleft = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = (line[i] + left) % 256
+            elif ft == 2:
+                v = (line[i] + up) % 256
+            elif ft == 3:
+                v = (line[i] + (left + up) // 2) % 256
+            elif ft == 4:
+                v = (line[i] + _paeth(left, up, upleft)) % 256
+            else:
+                raise ValueError(f"unknown filter type {ft}")
+            cur[i] = v
+        for col in range(width):
+            r, g, b = cur[col * 3], cur[col * 3 + 1], cur[col * 3 + 2]
+            k = row * width + col
+            sum_r += r
+            sum_g += g
+            sum_b += b
+            wsum_r += (k + 1) * r
+        prev = bytes(cur)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_px": int(width * height),
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "wsum_r": wsum_r,
+    }
+
+
+def decode_png(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL PNG decode over a binary column via Arrow-batched
+    mapInPandas — same production multimodal shape as decode_bmp, with
+    the zlib-inflate + filter-reconstruction codec in the kernel."""
+    flat = df.select(F.col(id_col), F.col(payload_col).alias("payload"))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("wsum_r", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc, payload in zip(pdf[id_col], pdf["payload"]):
+                rec = decode_png_bytes(bytes(payload))
                 rec[id_col] = int(doc)
                 out.append(rec)
             yield pd.DataFrame(
