@@ -367,6 +367,7 @@ HEADLINE = [
     "q391_stuart_maxwell",
     "q392_diebold_mariano",
     "q393_png_decode",
+    "q395_bucketed_join",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

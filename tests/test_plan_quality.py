@@ -988,6 +988,30 @@ def test_partitioned_scan_prunes_partitions(spark):
     assert m and "o_month" in m.group(1), plan[:2000]
 
 
+def test_bucketed_join_no_exchange_on_join_key(spark):
+    """q395's orders-lineitem join reads two tables bucketed 8-ways on
+    the order key: BOTH sides arrive pre-hashed into the same bucket
+    scheme, so the join must run with ZERO Exchange on the join key —
+    the amortized-shuffle layout contract this query exists to certify.
+    Broadcast is disabled for the probe so AQE can't hide a missing
+    bucket-read behind a small-scale broadcast."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(
+            entry.q395_bucketed_join(spark, "/root/testdata/sf0.001")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    # the only hash exchange allowed is the final groupBy on
+    # o_orderpriority — never one feeding the join on the order key
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "orderkey" not in m.group(1), plan[:2500]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_granger_lag_join_is_pinned_broadcast(spark):
     """q388's lag alignment is a dense-index self-join on the BOUNDED
     daily table — the broadcast is pinned (q358/q367 sweep lesson: the
@@ -1028,6 +1052,20 @@ def test_bmp_and_wav_decode_single_scan_arrow_no_shuffle(spark):
         assert all(kind.startswith("RoundRobin") for kind in exchanges), plan[:1500]
         assert "hashpartitioning" not in plan
         assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_png_decode_single_scan_arrow_no_shuffle(spark):
+    """q393 (compressed image, zlib + filter reconstruction) keeps the
+    q386/q387 posture: one documents scan, back-to-back Arrow kernels,
+    round-robin fan-out only — deflate/inflate cost scales with the
+    partition count, no shuffle, no per-row Python."""
+    import re
+
+    plan = plan_of(entry.q393_png_decode(spark, "/root/testdata/sf0.001"))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
 
 
 def test_avi_decode_single_scan_arrow_no_shuffle(spark):
