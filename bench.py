@@ -571,6 +571,10 @@ def main() -> None:
         # queries (q377-style _SUCCESS guards) measure their steady
         # state, same as their in-batch posture.
         qs[name](spark, sf_dir).count()
+        # drain the batch's accumulated GC debt before timing: without
+        # this the first heavy tail query (q283-class, checkpointed
+        # loop tables) pays a major collection the batch incurred
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
