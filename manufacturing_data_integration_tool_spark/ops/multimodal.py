@@ -566,7 +566,12 @@ def decode_png_bytes(data: bytes) -> dict:
         pos = payload_end + 4
     if width is None or not saw_iend:
         raise ValueError("missing IHDR or IEND")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # keep the codec's single ValueError contract — a corrupt
+        # deflate stream must not leak zlib.error to the kernel
+        raise ValueError(f"corrupt IDAT deflate stream: {exc}") from exc
     stride = 3 * width
     if len(raw) != height * (1 + stride):
         raise ValueError("inflated scanline stream has the wrong length")

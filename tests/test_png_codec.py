@@ -190,6 +190,24 @@ def test_rejects_garbage_crc_interlace_and_truncation():
     )
     with pytest.raises(ValueError, match="unsupported"):
         decode_png_bytes(gray)
+    # corrupt deflate stream must surface as ValueError (the codec's
+    # single error contract), not leak zlib.error to the Spark kernel
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr_ok = struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0)
+    bad_deflate = (
+        good[:8]
+        + chunk(b"IHDR", ihdr_ok)
+        + chunk(b"IDAT", b"\x00not deflate data")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png_bytes(bad_deflate)
 
 
 def test_decode_png_distributed_matches_local(spark):
