@@ -453,6 +453,11 @@ EXCLUDED = {
     "stream machinery — the batch dedup it must equal is benched via "
     "q16's exact-dedup family and the dedup state semantics are pinned "
     "by the oracle + tests/test_streaming.py",
+    "q396_streaming_session_window": "streaming run (time-range-split "
+    "landing + sentinel flush batch through the merging-session-window "
+    "state store); timing measures stream machinery — the batch "
+    "session_window it must equal is benched via q25/q51's "
+    "sessionization family and stream==batch is pinned by the oracle",
 }
 
 

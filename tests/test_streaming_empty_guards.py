@@ -44,3 +44,11 @@ def test_q394_streaming_dedup_empty_stream(spark, empty_sf_dir):
     assert [f.name for f in out.schema.fields] == [
         "event_id", "user_id", "event_type", "cents", "ts_us",
     ]
+
+
+def test_q396_session_window_empty_stream(spark, empty_sf_dir):
+    out = entry.q396_streaming_session_window(spark, empty_sf_dir)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "session_start_us", "session_end_us", "n_events",
+    ]
