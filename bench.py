@@ -578,8 +578,15 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         # drain the batch's accumulated GC debt before timing: without
         # this the first heavy tail query (q283-class, checkpointed
-        # loop tables) pays a major collection the batch incurred
-        spark.sparkContext._jvm.System.gc()
+        # loop tables) pays a major collection the batch incurred.
+        # LOCAL-MODE-ONLY lever (driver == executor here): on a real
+        # cluster this collects only the driver JVM, and under Spark
+        # Connect the py4j _jvm handle doesn't exist at all — hence
+        # the guard (r11 ADVICE)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except AttributeError:
+            pass
         best = float("inf")
         for _ in range(3):
             t0 = time.time()

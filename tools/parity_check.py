@@ -75,7 +75,7 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("-q", "--queries", nargs="*", default=None)
+    ap.add_argument("-q", "--queries", nargs="*", action="extend", default=None)
     ap.add_argument(
         "--json",
         default=None,
