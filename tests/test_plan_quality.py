@@ -1012,6 +1012,43 @@ def test_bucketed_join_no_exchange_on_join_key(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_q397_bucketed_q3_zero_shuffle_end_to_end(spark):
+    """q397 (the bucketed-layout twin of q43 / TPC-H Q3, r11 verdict
+    item #7) must run with ZERO shuffle Exchange under the DEFAULT
+    config: the orders-lineitem join reads co-located buckets, the
+    filtered customer dim is broadcast, and the groupBy keys
+    (l_orderkey, o_orderdate) contain the bucket key so the aggregation
+    inherits its distribution from the at-rest layout — the whole plan
+    down to TakeOrderedAndProject is exchange-free. A second pin with
+    broadcast DISABLED forces the big-big SortMergeJoin shape and
+    asserts no single-key exchange on the order key ever feeds it (the
+    custkey exchange that appears under forced-SMJ is the non-bucketed
+    dimension join, broadcast in the real plan)."""
+    import re
+
+    plan = plan_of(
+        entry.q397_bucketed_shipping_priority(spark, "/root/testdata/sf0.001")
+    )
+    assert "Exchange hashpartitioning" not in plan, plan[:2500]
+    assert "TakeOrderedAndProject" in plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(
+            entry.q397_bucketed_shipping_priority(
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip() for k in m.group(1).split(",")[:-1]]  # drop numPartitions
+        solo_orderkey = len(keys) == 1 and "orderkey" in keys[0]
+        assert not solo_orderkey, plan[:2500]
+
+
 def test_granger_lag_join_is_pinned_broadcast(spark):
     """q388's lag alignment is a dense-index self-join on the BOUNDED
     daily table — the broadcast is pinned (q358/q367 sweep lesson: the
