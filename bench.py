@@ -369,6 +369,7 @@ HEADLINE = [
     "q393_png_decode",
     "q395_bucketed_join",
     "q397_bucketed_shipping_priority",
+    "q398_bloom_semijoin_reduction",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

@@ -988,6 +988,70 @@ def bloom_probe(
     )
 
 
+def bloom_prefilter(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    *,
+    m_words: int = 256,
+    k: int = 4,
+    salt: int = 0,
+) -> DataFrame:
+    """Drop ``df`` rows whose ``col`` is a guaranteed NON-member of a
+    :func:`bloom_build` filter — as a SCALAR predicate evaluated at the
+    scan, before any shuffle. This is the join-reduction shape
+    :func:`bloom_probe` (a per-key membership TABLE) cannot give: probe's
+    explode + groupBy shuffles the probe keys, and its flags must then be
+    joined back — two extra exchanges on the huge side. Here the filter's
+    (word_idx, bits) rows fold into ONE row holding a ``map<bigint,
+    bigint>`` (~m_words entries, KBs), ride a 1-row broadcast join onto
+    every probe row (the documented bounded BroadcastNestedLoopJoin
+    class), and each row evaluates its k md5 lanes against the map
+    inline: all-bits-set or the row is discarded right there.
+
+    No false negatives (the exact join downstream sees every true match);
+    false positives at the filter's design rate just fail the exact join.
+    At 100 TB this is semi-join reduction: only probable matches pay the
+    shuffle — Spark's runtime BloomFilterAggregate does this invisibly
+    for some plans; this operator is the explicit, persistable,
+    engine-portable version (md5 lanes + integer words, full SQL oracle).
+
+    ``m_words``/``k``/``salt`` must match the build call. Null keys are
+    dropped (a null never equi-joins anyway).
+    """
+    from .dedup import _md5_lane
+
+    m_bits = m_words * 32
+    packed = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "bits"))
+        ).alias("__bf")
+    )
+    key = F.col(col).cast("string")
+    pred = F.lit(True)
+    for lane in range(k):
+        pos = F.pmod(_md5_lane(key, salt, lane), F.lit(m_bits))
+        word = (pos / 32).cast("bigint")
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("bigint"),
+            F.pmod(pos, F.lit(32)).cast("int"),
+        )
+        hit = (
+            F.coalesce(
+                F.element_at(F.col("__bf"), word), F.lit(0).cast("bigint")
+            ).bitwiseAND(mask)
+            == mask
+        )
+        pred = pred & hit
+    return (
+        df.filter(F.col(col).isNotNull())
+        .join(F.broadcast(packed))
+        .filter(pred)
+        .drop("__bf")
+    )
+
+
 def chisq_independence(
     df: DataFrame,
     col_a: str,

@@ -169,6 +169,47 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     assert sat >= 10  # 50 keys x 4 lanes over 32 bits: most probes collide
 
 
+def test_bloom_prefilter_is_lossless_scalar_reduction(spark):
+    """bloom_prefilter (r12): the scalar pre-shuffle variant must (a)
+    keep EVERY true member (no false negatives — prefilter∘exact-join
+    equals the plain join), (b) agree with bloom_probe's per-key verdict
+    row for row, and (c) never shuffle the probe side before the bloom
+    predicate (the 1-row map broadcast is the only join below it)."""
+    from manufacturing_data_integration_tool_spark.ops.stats import (
+        bloom_build,
+        bloom_prefilter,
+        bloom_probe,
+    )
+
+    members = spark.range(0, 300).selectExpr("id * 3 AS k")
+    probe = spark.range(0, 2000).selectExpr("id AS k", "id % 7 AS v")
+    bloom = bloom_build(members, "k", m_words=64, k=4)
+    pre = bloom_prefilter(probe, "k", bloom, m_words=64, k=4)
+    # (a) lossless: exact join after the prefilter == plain semi join
+    want = sorted(
+        map(tuple, probe.join(members.distinct(), "k", "left_semi").collect())
+    )
+    got = sorted(
+        map(tuple, pre.join(members.distinct(), "k", "left_semi").collect())
+    )
+    assert got == want
+    # (b) row-for-row agreement with bloom_probe's verdict
+    verdict = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(probe, "k", bloom, m_words=64, k=4).collect()
+    }
+    kept = {r["k"] for r in pre.select("k").collect()}
+    assert kept == {k for k, m in verdict.items() if m}
+    # (c) no probe-side shuffle below the bloom predicate: the only
+    # hash exchange in the prefilter plan is the filter BUILD's
+    # word_idx groupBy, never one on the probe key
+    import re
+
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "word_idx" in m.group(1), plan[:2000]
+
+
 def test_chisq_matches_hand_computed_2x2(spark):
     from manufacturing_data_integration_tool_spark.ops.stats import (
         chisq_independence,

@@ -23,6 +23,14 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def raw_plan_of(df) -> str:
+    """Tree-ordered physical plan with inline node arguments (e.g.
+    ``Exchange hashpartitioning(k#1L, 8)``) — formatted explain splits
+    arguments away from node names, so substring/tree-order assertions
+    about exchange KEYS need this string instead."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_range_filter_pushed_to_scan(spark):
     plan = plan_of(entry.q02_range_filter(spark, "/root/testdata/sf0.001"))
     assert "PushedFilters: [" in plan
@@ -998,7 +1006,7 @@ def test_bucketed_join_no_exchange_on_join_key(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = plan_of(
+        plan = raw_plan_of(
             entry.q395_bucketed_join(spark, "/root/testdata/sf0.001")
         )
     finally:
@@ -1026,7 +1034,7 @@ def test_q397_bucketed_q3_zero_shuffle_end_to_end(spark):
     dimension join, broadcast in the real plan)."""
     import re
 
-    plan = plan_of(
+    plan = raw_plan_of(
         entry.q397_bucketed_shipping_priority(spark, "/root/testdata/sf0.001")
     )
     assert "Exchange hashpartitioning" not in plan, plan[:2500]
@@ -1035,7 +1043,7 @@ def test_q397_bucketed_q3_zero_shuffle_end_to_end(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = plan_of(
+        plan = raw_plan_of(
             entry.q397_bucketed_shipping_priority(
                 spark, "/root/testdata/sf0.001"
             )
@@ -1047,6 +1055,40 @@ def test_q397_bucketed_q3_zero_shuffle_end_to_end(spark):
         keys = [k.strip() for k in m.group(1).split(",")[:-1]]  # drop numPartitions
         solo_orderkey = len(keys) == 1 and "orderkey" in keys[0]
         assert not solo_orderkey, plan[:2500]
+
+
+def test_q398_bloom_prefilter_drops_rows_before_probe_shuffle(spark):
+    """q398 (Bloom semi-join reduction, r12): the md5-lane bloom
+    predicate must evaluate BELOW the probe-side exchange, so
+    guaranteed-non-member lineitem rows never pay the join shuffle.
+    Forced big-big SMJ exposes the probe exchange; the bloom check (its
+    conv(substring(md5 fingerprint) must appear deeper in the tree than
+    the Exchange on l_orderkey, and the only nested-loop join is the
+    documented 1-row filter-map broadcast."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = raw_plan_of(
+            entry.q398_bloom_semijoin_reduction(
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    ex = plan.find("Exchange hashpartitioning(l_orderkey")
+    bloom = plan.find("conv(substring(md5")
+    assert ex != -1 and bloom != -1, plan[:2500]
+    assert ex < bloom, "bloom predicate must sit below the probe exchange"
+    assert "CartesianProduct" not in plan
+    # default config: the exact join broadcasts the selective order side,
+    # so NO hash exchange on either join key appears anywhere
+    import re
+
+    plan = raw_plan_of(
+        entry.q398_bloom_semijoin_reduction(spark, "/root/testdata/sf0.001")
+    )
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "orderkey" not in m.group(1), plan[:2500]
 
 
 def test_granger_lag_join_is_pinned_broadcast(spark):
