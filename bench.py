@@ -460,6 +460,12 @@ EXCLUDED = {
     "state store); timing measures stream machinery — the batch "
     "session_window it must equal is benched via q25/q51's "
     "sessionization family and stream==batch is pinned by the oracle",
+    "q399_streaming_outer_interval_join": "streaming run (time-range-"
+    "split dual landing + sentinel flush through the LEFT OUTER "
+    "stream-stream join state's expiry-driven emission); timing "
+    "measures stream machinery — the batch left interval join it must "
+    "equal is benched via q35/q73's as-of family and stream==batch is "
+    "pinned by the oracle",
 }
 
 
