@@ -71,12 +71,19 @@ def interval_join(
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
         right = right.withWatermark(right_ts, watermark)
+    # dataset aliases make the key equality and the duplicate-key drop
+    # SELF-JOIN SAFE: when both sides derive from the same parent frame,
+    # bare left[c] == right[c] shares attribute ids — the equality can
+    # collapse to trivially-true and the drop can remove the LEFT key
+    # (observed as null keys on outer-join unmatched rows). Qualified
+    # references resolve per side regardless of shared lineage.
+    left, right = left.alias("__ij_l"), right.alias("__ij_r")
     cond = (
         (F.col(right_ts) > F.col(left_ts) + F.expr(lower))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(upper))
     )
     for c in on:
-        cond = cond & (left[c] == right[c])
+        cond = cond & (F.col(f"__ij_l.{c}") == F.col(f"__ij_r.{c}"))
     if extra_condition is not None:
         cond = cond & extra_condition
     out = left.join(right, cond, how)
@@ -84,5 +91,5 @@ def interval_join(
     # the left one and drop the right duplicate so downstream code sees
     # each key once (matches batch-join-with-name-list ergonomics)
     for c in on:
-        out = out.drop(right[c])
+        out = out.drop(F.col(f"__ij_r.{c}"))
     return out

@@ -194,6 +194,102 @@ def test_stream_stream_time_bounded_join(spark, tmp_path):
     assert {u for (u, _, _) in got} == {0, 2, 4, 6}  # only in-bound purchases
 
 
+def test_stream_stream_left_outer_join_flushes_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join (q399's state class): the
+    null-padded row for a click that never finds a purchase is emitted
+    only when the watermark passes click_ts + upper — state-expiry-
+    driven emission, not input-driven. A far-future sentinel file lands
+    as a second micro-batch to advance the watermark past every real
+    click's window; the emitted set must equal the batch left join."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for u in range(8):
+        rows.append((f"c{u}", u, "click", t0 + dt.timedelta(minutes=10 * u)))
+        delta = dt.timedelta(minutes=30) if u % 2 == 0 else dt.timedelta(hours=3)
+        rows.append(
+            (f"p{u}", u, "purchase", t0 + dt.timedelta(minutes=10 * u) + delta)
+        )
+    base = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    sent = spark.createDataFrame(
+        [
+            ("cz", -1, "click", t0 + dt.timedelta(days=30)),
+            ("pz", -1, "purchase", t0 + dt.timedelta(days=30)),
+        ],
+        ["event_id", "user_id", "event_type", "ts"],
+    )
+    src = tmp_path / "ssL_in"
+    src.mkdir()
+    now = _time.time()
+    for i, (tag, df) in enumerate([("a", base), ("z", sent)]):
+        stage = tmp_path / f"ssL_stage_{tag}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = src / f"{tag}.parquet"
+        part.rename(dst)
+        os.utime(dst, (now + 30 * i, now + 30 * i))
+    from manufacturing_data_integration_tool_spark.streaming.joins import interval_join
+
+    # clicks and purchases must be INDEPENDENT sources (as in q399's dual
+    # landing): deriving both sides from one frame is a self-join whose
+    # shared lineage mis-resolves the duplicate-key drop inside the op
+    def pipeline(clicks_src, purchases_src):
+        clicks = clicks_src.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts")
+        )
+        purchases = purchases_src.filter(
+            F.col("event_type") == "purchase"
+        ).select("user_id", F.col("ts").alias("p_ts"))
+        return interval_join(
+            clicks,
+            purchases,
+            ["user_id"],
+            left_ts="click_ts",
+            right_ts="p_ts",
+            upper="INTERVAL 1 HOUR",
+            watermark="1 second",
+            how="leftOuter",
+        ).select("user_id", "click_ts", "p_ts")
+
+    def stream_src():
+        return (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    q = (
+        pipeline(stream_src(), stream_src())
+        .writeStream.format("memory")
+        .queryName("ssL_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssL_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        (r["user_id"], r["click_ts"], r["p_ts"])
+        for r in spark.sql("SELECT * FROM ssL_join WHERE user_id >= 0").collect()
+    }
+    want = {
+        (r["user_id"], r["click_ts"], r["p_ts"])
+        for r in pipeline(
+            spark.read.parquet(str(src)), spark.read.parquet(str(src))
+        ).collect()
+        if r["user_id"] >= 0
+    }
+    assert got == want
+    # matched pairs for even users, expiry-flushed null rows for odd
+    assert {u for (u, _, p) in got if p is not None} == {0, 2, 4, 6}
+    assert {u for (u, _, p) in got if p is None} == {1, 3, 5, 7}
+
+
 def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
     """The streaming corpus-ingest pipeline (normalize -> quality gate ->
     mix -> watermarked content dedup -> parquet) must produce exactly the
