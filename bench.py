@@ -370,6 +370,7 @@ HEADLINE = [
     "q395_bucketed_join",
     "q397_bucketed_shipping_priority",
     "q398_bloom_semijoin_reduction",
+    "q400_dynamic_partition_pruning",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
@@ -466,6 +467,12 @@ EXCLUDED = {
     "measures stream machinery — the batch left interval join it must "
     "equal is benched via q35/q73's as-of family and stream==batch is "
     "pinned by the oracle",
+    "q401_streaming_chained_stateful": "streaming run (re-delivered + "
+    "time-ranged landing through TWO chained state stores: watermarked "
+    "dedup feeding a windowed aggregation); timing measures stream "
+    "machinery — the batch dedup and window-agg it must equal are "
+    "benched via q16's dedup family and q23's windowed counts, and "
+    "stream==batch is pinned by the oracle",
 }
 
 

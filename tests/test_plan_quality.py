@@ -1091,6 +1091,22 @@ def test_q398_bloom_prefilter_drops_rows_before_probe_shuffle(spark):
         assert "orderkey" not in m.group(1), plan[:2500]
 
 
+def test_q400_dynamic_partition_pruning_fires(spark):
+    """q400 (r12): the ship-month partitioned fact scan must carry a
+    RUNTIME partition filter derived from the filtered dim join — the
+    dynamicpruning subquery in the physical plan. Without DPP the scan
+    reads every month directory and the join does the discarding; with
+    it the scan skips non-qualifying partitions entirely (the
+    star-schema lever at 100 TB). Also: no row-at-a-time Python, no
+    cartesian."""
+    plan = raw_plan_of(
+        entry.q400_dynamic_partition_pruning(spark, "/root/testdata/sf0.001")
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2500]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_granger_lag_join_is_pinned_broadcast(spark):
     """q388's lag alignment is a dense-index self-join on the BOUNDED
     daily table — the broadcast is pinned (q358/q367 sweep lesson: the
