@@ -1180,3 +1180,29 @@ def test_diebold_mariano_lag_joins_are_pinned_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # lag-1 and lag-7 sides
+
+
+def test_q403_aqe_skew_join_splits_hot_partition(spark):
+    """q403 (r12): under the query's AQE confs the runtime re-plan must
+    actually FLAG and SPLIT the hot partition — the final adaptive plan
+    shows SortMergeJoin(skew=true) with a skewed AQEShuffleRead (the
+    no-rewrite answer to skew at 100 TB). Executed (not just explained):
+    skew handling only appears in the final plan after stage stats
+    exist. Confs are restored afterward regardless."""
+    prev = {k: spark.conf.get(k, None) for k in entry._Q403_CONFS}
+    try:
+        for k, v in entry._Q403_CONFS.items():
+            spark.conf.set(k, v)
+        df = entry._q403_skew_plan(spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = raw_plan_of(df)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan[:2500]
+    assert "skewed" in plan  # AQEShuffleRead split of the hot partition
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
