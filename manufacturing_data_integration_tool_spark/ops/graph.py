@@ -743,3 +743,76 @@ def degree_assortativity(
         )
         .alias("r_x1e9"),
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an undirected pair graph, made fully deterministic so a
+    SQL-unrolled twin reproduces it bit-for-bit.
+
+    Connected components answers "which docs are transitively linked";
+    LPA answers the finer question "which docs sit in the same DENSE
+    region" — on a near-dup graph that separates template families that
+    a long weak chain would otherwise merge into one component. The
+    classic algorithm is nondeterministic (random visit order, random
+    tie-breaks); this variant pins every choice: all nodes update
+    SIMULTANEOUSLY each round from their neighbors' previous-round
+    labels (no visit order exists), the new label is the neighbor-mode
+    with ties broken by SMALLEST label, isolated nodes keep their own
+    id, and the round count is FIXED (no convergence probe, no driver
+    round-trips — one lazy DAG like ``pagerank``).
+
+    Scale posture: each round is one hash-shuffle join of the edge list
+    against the (node, label) table plus a per-node window on the
+    neighbor-label counts — everything partitions by node id, no
+    unpartitioned window, no driver state. ``localCheckpoint`` per
+    round bounds plan depth like the other iterative ops. O(rounds ×
+    |E|) shuffled rows, the same budget as ``pagerank``.
+
+    Output: ``(<id_col>, community)`` for EVERY node in ``nodes``.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base = nodes.select(F.col(id_col).alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    labels = base.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.desc("n"), F.asc("label")
+    )
+    for _ in range(rounds):
+        neigh = sym.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        best = (
+            neigh.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("community")
+    )

@@ -1110,3 +1110,27 @@ def test_neyman_allocation_all_constant_is_null(spark):
     )
     rows = neyman_allocation(df, ["g"], "v", budget=100).collect()
     assert all(r["alloc_n"] is None for r in rows)  # T = 0 -> undefined
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """Two triangles joined by one bridge edge: connected components
+    merges them into one cluster; 3-round deterministic LPA keeps them
+    apart (neighbor-mode, ties to smallest label), and isolated nodes
+    keep their own id. Hand-computed fixed point: {1,2,3}->1,
+    {4,5,6}->3, 7->7."""
+    from manufacturing_data_integration_tool_spark.ops.graph import (
+        label_propagation,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(
+            nodes, edges, "doc_id", src="doc_a", dst="doc_b", rounds=3
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3, 7: 7}
