@@ -371,6 +371,9 @@ HEADLINE = [
     "q397_bucketed_shipping_priority",
     "q398_bloom_semijoin_reduction",
     "q400_dynamic_partition_pruning",
+    "q402_parquet_layout_audit",
+    "q403_aqe_skew_join",
+    "q404_label_propagation",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
@@ -473,6 +476,12 @@ EXCLUDED = {
     "machinery — the batch dedup and window-agg it must equal are "
     "benched via q16's dedup family and q23's windowed counts, and "
     "stream==batch is pinned by the oracle",
+    "q405_streaming_cdc_merge": "streaming run (three ordered change "
+    "batches MERGEd into a parquet snapshot via foreachBatch + atomic "
+    "swap); timing measures micro-batch/rewrite machinery — the "
+    "merge_upsert join it applies per batch is benched via q144's "
+    "batch MERGE family, and snapshot==set-algebra is pinned by the "
+    "oracle",
 }
 
 
