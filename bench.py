@@ -374,6 +374,7 @@ HEADLINE = [
     "q402_parquet_layout_audit",
     "q403_aqe_skew_join",
     "q404_label_propagation",
+    "q406_bucket_pruning",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE

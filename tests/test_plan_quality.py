@@ -1206,3 +1206,24 @@ def test_q403_aqe_skew_join_splits_hot_partition(spark):
     assert "skewed" in plan  # AQEShuffleRead split of the hot partition
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q406_bucket_pruning_reads_subset_of_buckets(spark):
+    """q406 (r12): the IN-list filter on the bucket key must prune
+    bucket FILES at the scan — SelectedBucketsCount strictly below the
+    8 written — on both bucketed sides, and the join between them must
+    stay Exchange-free on the join key (the q397 co-location, intact
+    under pruning)."""
+    import re as _re
+
+    df = entry.q406_bucket_pruning(spark, "/root/testdata/sf0.001")
+    plan = raw_plan_of(df)
+    counts = [
+        int(m.group(1))
+        for m in _re.finditer(r"SelectedBucketsCount: (\d+) out of 8", plan)
+    ]
+    assert len(counts) == 2, plan[:2500]  # both bucketed scans pruned
+    assert all(c < 8 for c in counts), counts
+    join_zone = plan.split("SortMergeJoin")[-1]
+    assert "Exchange hashpartitioning(o_orderkey" not in join_zone
+    assert "Exchange hashpartitioning(l_orderkey" not in join_zone
