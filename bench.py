@@ -375,6 +375,7 @@ HEADLINE = [
     "q403_aqe_skew_join",
     "q404_label_propagation",
     "q406_bucket_pruning",
+    "q407_python_datasource",
 ]
 
 # No-silent-caps ledger (r7): every registered query is either in HEADLINE
