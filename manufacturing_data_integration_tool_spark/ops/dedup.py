@@ -191,13 +191,25 @@ def ngram_jaccard_pairs(
         base.select("doc", F.explode_outer("sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
         .select("doc", F.xxhash64("shingle").alias("sh_h"))
+        # r12 opt: the inverted index is referenced up to FOUR times below
+        # (sizes, document frequencies, both self-join sides) and each
+        # reference otherwise re-runs tokenize + shingle + explode over the
+        # full text column (q26's plan showed 8 parquet scans). Materialize
+        # it once — it is (long, long) metadata rows, never text, so the
+        # checkpoint is the guide-§8 "lightweight proxy" the rest of the
+        # operator should work from.
+        .localCheckpoint(eager=False)
     )
     # |shingle set| per doc from the (pre-filter) inverted index, not from a
     # second pass over `base`: shingles are already distinct, so the row
     # count per doc IS the set size, and deriving it here scans the wide
     # text column once less (a narrow shuffle on doc replaces a full
     # re-tokenize — the right trade when the text column dominates scan IO).
-    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Checkpointed too (tiny: one row per doc): it feeds the n_docs cap
+    # aggregate plus both endpoint-size joins.
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh")).localCheckpoint(
+        eager=False
+    )
     if max_shingle_df is not None:
         # boundary discipline: a float must be a relative fraction in
         # (0, 1] (1.0 = cap at n_docs, i.e. keep everything); an int must
@@ -292,10 +304,18 @@ def containment_pairs(
     """
     from .text import winnowing_fingerprints
 
-    fps = winnowing_fingerprints(df, text_col, id_col, k=k, window=window).select(
-        F.col(id_col).alias("doc"), F.xxhash64("fp").alias("fp_h")
+    # r12 opt: same multi-reference materialization as ngram_jaccard_pairs —
+    # fps feeds sizes, document frequencies and both self-join sides; each
+    # reference otherwise re-runs the winnowing char-gram explode over the
+    # full text column. (long, long) metadata rows only.
+    fps = (
+        winnowing_fingerprints(df, text_col, id_col, k=k, window=window)
+        .select(F.col(id_col).alias("doc"), F.xxhash64("fp").alias("fp_h"))
+        .localCheckpoint(eager=False)
     )
-    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp")).localCheckpoint(
+        eager=False
+    )
     if max_fp_df is not None:
         if isinstance(max_fp_df, float):
             if not 0.0 < max_fp_df <= 1.0:
@@ -492,12 +512,17 @@ def minhash_candidates(
     r = num_hashes // bands
     if r * bands != num_hashes:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    # r12 opt: signatures feed the band tags AND both distance-join sides,
+    # band tags feed both candidate-join sides — materialize each once
+    # instead of re-running the shingle explode + 48-hash aggregation per
+    # reference (the before-plan showed 4 full signature pipelines).
+    # Both tables are (doc, longs) metadata, never text.
     sigs = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes, hash_family=hash_family
-    )
+    ).localCheckpoint(eager=False)
     tagged = minhash_band_tags(
         sigs, num_hashes=num_hashes, bands=bands, hash_family=hash_family
-    )
+    ).localCheckpoint(eager=False)
     a = tagged.alias("a")
     b = tagged.alias("b")
     cand = (
@@ -575,9 +600,14 @@ def duplicate_span_coverage(
         ),
     )
     span_hashes = F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
-    win = base.select(
-        "doc", F.posexplode(span_hashes).alias("__p0", "__h")
-    ).select("doc", (F.col("__p0") + 1).alias("pos"), "__h")
+    # r12 opt: the positional span index feeds both the corpus-wide count
+    # and the join back — materialize once so the md5-per-window explode
+    # (the expensive part) runs a single time.
+    win = (
+        base.select("doc", F.posexplode(span_hashes).alias("__p0", "__h"))
+        .select("doc", (F.col("__p0") + 1).alias("pos"), "__h")
+        .localCheckpoint(eager=False)
+    )
     hot = (
         win.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -881,8 +911,15 @@ def semantic_dedup(
             vectors, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, seed=seed
         )
         assigned = index.assigned  # id, vec, __cell
-    a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"))
-    b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"))
+    # r12 opt: both self-join sides only need (cell, id) — materialize that
+    # narrow projection once instead of re-running the cell assignment
+    # (KMeans transform / hyperplane dot products over the full vector
+    # column) per join side.
+    cells_tbl = assigned.select(
+        F.col("__cell"), F.col(id_col).alias("__sid")
+    ).localCheckpoint(eager=False)
+    a = cells_tbl.select("__cell", F.col("__sid").alias("id_a"))
+    b = cells_tbl.select("__cell", F.col("__sid").alias("id_b"))
     cand = a.join(b, "__cell").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     # score through embedding_near_dups so there is exactly ONE cosine
     # expression tree in the codebase — its float-op order is what the
@@ -1104,6 +1141,10 @@ def source_overlap_matrix(
         .filter(F.col("seg").isNotNull() & (F.length("seg") > 0))
         .select("grp", F.xxhash64("seg").alias("seg_h"))
         .distinct()
+        # r12 opt: feeds sizes and both self-join sides — materialize the
+        # (group, hash) index once instead of re-running the segment
+        # explode per reference.
+        .localCheckpoint(eager=False)
     )
     sizes = inv.groupBy("grp").agg(F.count(F.lit(1)).alias("n_segs"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -1178,6 +1219,10 @@ def prefix_filtered_jaccard(
         base.select("doc", F.explode_outer("sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
         .select("doc", F.xxhash64("shingle").alias("sh_h"))
+        # r12 opt: inv feeds the document-frequency aggregate AND the
+        # canonical-order join — materialize the (doc, hash) index once
+        # instead of re-running the shingle explode per reference.
+        .localCheckpoint(eager=False)
     )
     dfreq = inv.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     # canonical per-doc array, rarest shingle first: array_sort on

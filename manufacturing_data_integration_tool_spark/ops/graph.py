@@ -257,36 +257,43 @@ def pagerank(
     Output: ``(node, rank)`` with rank as DOUBLE summing to ~1.0.
     """
     # lazy-checkpoint the iteration-invariant tables: e feeds one join
-    # per iteration, nodes/outdeg one each — without the checkpoints
-    # every iteration re-runs the scan + distinct chains (measured
-    # ~16 s -> ~7 s at sf0.1). The n_nodes count materializes e+nodes;
-    # outdeg materializes on its first iteration use.
+    # per iteration, nodes (with outdeg folded in) one — without the
+    # checkpoints every iteration re-runs the scan + distinct chains
+    # (measured ~16 s -> ~7 s at sf0.1). The n_nodes count materializes
+    # e+nodes.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # r12 opt: fold outdeg INTO the node table once, outside the loop —
+    # the per-iteration ranks⋈outdeg left join (one shuffle pair per
+    # iteration) disappears because every rebuilt `ranks` carries its
+    # outdeg along. Same integer arithmetic, one fewer join per iteration.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            e.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("outdeg")
+            ),
+            "node",
+            "left",
+        )
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint(eager=False)
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     # damping as an exact rational: damp_num / damp_den
     damp_num = int(round(damping * 1_000_000))
     damp_den = 1_000_000
     ranks = nodes.withColumn("r", F.lit(int(scale // n_nodes)).cast("long"))
     for it in range(iterations):
-        with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
         # per-edge integer share; dangling nodes (no out-edges) and integer
         # remainders contribute to the uniformly-redistributed residue
-        shared = with_deg.select(
+        shared = ranks.select(
             "node",
             "r",
             "outdeg",
@@ -314,6 +321,7 @@ def pagerank(
             .crossJoin(F.broadcast(residue))
             .select(
                 "node",
+                "outdeg",
                 (
                     F.expr(f"(coalesce(in_mass, 0L) * {damp_num}L) div {damp_den}L")
                     + F.col("__residue")
@@ -360,6 +368,10 @@ def triangle_counts(
     Output: ``(node, degree, n_triangles)`` for every node in the pair
     table (zero-triangle nodes included).
     """
+    # r12 opt: edges is referenced four times below (degree union x2,
+    # orientation join, closing-edge join) and `pairs` is usually an
+    # expensive candidate pipeline — materialize the normalized edge list
+    # once instead of recomputing the upstream per reference.
     edges = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -367,6 +379,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("a").alias("node"))
@@ -386,7 +399,7 @@ def triangle_counts(
         )
         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
         .alias("e")
-    ).select("e.u", "e.v")
+    ).select("e.u", "e.v").localCheckpoint(eager=False)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedges at u: two out-neighbors v < w (by id — dedups the wedge pair)
     wedges = o1.join(
@@ -428,7 +441,7 @@ def kcore(
     though it is iterative (rows-only correctness check; semantics pinned
     by the pure-Python twin in tests).
 
-    Per round: one degree groupBy + two semi-joins on the surviving-node
+    Per round: one degree groupBy + two anti-joins on the peeled-off node
     set — all equi-joins on node ids; the edge set only shrinks. The
     convergence probe is the same 1-row count/xor checksum the CC loop
     uses; ``localCheckpoint`` truncates lineage per round.
@@ -448,10 +461,18 @@ def kcore(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        # r12 opt: drop edges touching the REMOVED nodes (deg < k) via
+        # anti-joins instead of semi-joining against the survivors. Every
+        # node incident to an edge appears in deg, so {removed} is the
+        # exact complement of {kept} and the surviving edge set is
+        # identical — but the join's small side is now the per-round
+        # peel-off (typically a sliver of the graph, trivially broadcast)
+        # rather than the whole surviving node set, so the big edge side
+        # needs no shuffle on rounds where AQE broadcasts the peel-off.
+        removed = deg.filter(F.col("deg") < k).select(F.col("src").alias("node"))
         edges = (
-            edges.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            edges.join(removed.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(removed.withColumnRenamed("node", "dst"), "dst", "left_anti")
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
@@ -598,9 +619,15 @@ def link_prediction_scores(
     [2, hot_item_cap]) so Jaccard's union never double-counts a shared
     excluded item.
     """
-    pairs_src = inv.select(
-        F.col(item_col).alias("__i"), F.col(node_col).alias("__n")
-    ).distinct()
+    # r12 opt: materialize the deduped incidence list once — it feeds the
+    # item-degree aggregate AND the capped join below, and `inv` is often
+    # an expensive upstream pipeline that would otherwise re-run per
+    # reference. (item, node) metadata rows only.
+    pairs_src = (
+        inv.select(F.col(item_col).alias("__i"), F.col(node_col).alias("__n"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ideg = pairs_src.groupBy("__i").agg(
         F.count(F.lit(1)).cast("bigint").alias("__ideg")
     )
@@ -609,12 +636,14 @@ def link_prediction_scores(
     # divide-by-zero whenever the optimizer evaluates the term before
     # the pair join filters the row out (plan-dependent, so it MUST be
     # excluded here, not relied on downstream)
+    # referenced three times below (node degrees + both self-join sides):
+    # materialize the capped incidence once.
     cool = pairs_src.join(
         ideg.filter(
             (F.col("__ideg") >= 2) & (F.col("__ideg") <= hot_item_cap)
         ),
         "__i",
-    )
+    ).localCheckpoint(eager=False)
     # node degrees count SCORING-ELIGIBLE items only (post-cap, post
     # deg>=2) so the Jaccard union |N(a)| + |N(b)| - |N(a) ∩ N(b)| is
     # computed over ONE consistent universe — degrees over the raw list

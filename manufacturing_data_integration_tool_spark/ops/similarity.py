@@ -441,7 +441,13 @@ def hyperplane_candidates(
     is an equi-join on (table, bucket).
     """
     plane_df = _plane_df(vectors.sparkSession, dim, n_tables, n_planes, seed)
-    tagged = _hyperplane_tagged(vectors, id_col, vec_col, plane_df)
+    # r12 opt: both self-join sides reference the tag table — materialize
+    # it once instead of re-running the n_tables x n_planes dot-product
+    # pass over the full vector column per side. (id, table, bucket)
+    # metadata rows only.
+    tagged = _hyperplane_tagged(vectors, id_col, vec_col, plane_df).localCheckpoint(
+        eager=False
+    )
     a = tagged.alias("a")
     b = tagged.alias("b")
     return (

@@ -2212,7 +2212,18 @@ def _kw_rank_sums(
     base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("__g"), v.alias("__v")
     )
-    vals = base.groupBy("__v").agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    # r12 opt: aggregate ONCE to (group, value) counts and derive the
+    # per-value tallies from that — `base` used to be scanned twice (per-
+    # value counts + per-(group, value) counts), re-running the source
+    # pipeline each time. gv is bounded by |groups| x |distinct values|
+    # (analysis-sized, not data-sized), so the checkpoint is tiny and every
+    # downstream table (vals, ranks, ties, per-group sums) derives from it.
+    gv = (
+        base.groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__ngv"))
+        .localCheckpoint(eager=False)
+    )
+    vals = gv.groupBy("__v").agg(F.sum("__ngv").cast("bigint").alias("__t"))
     sub = sub_bucket if sub_bucket is not None else F.expr("__v div 65536")
     run = two_phase_running_sum(
         vals, [], [F.asc("__v")], F.col("__t"), sub, out_col="__below_incl"
@@ -2223,9 +2234,6 @@ def _kw_rank_sums(
         + F.lit(1)
     ).cast("decimal(38,0)")
     ranked = run.select("__v", "__t", dmid.alias("__dmid"))
-    gv = base.groupBy("__g", "__v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__ngv")
-    )
     per_group = (
         gv.join(ranked.select("__v", "__dmid"), "__v")
         .groupBy("__g")
@@ -2355,6 +2363,9 @@ def dunn_pairwise(
     Output: ``(group_a, group_b, n_a, n_b, abs_z_x1e6)`` for a < b.
     """
     per_group, ties = _kw_rank_sums(df, group_col, value_col, sub_bucket)
+    # r12 opt: per_group (k rows) feeds the total, the a-side and the
+    # b-side — materialize once instead of three rank-sum pipelines.
+    per_group = per_group.localCheckpoint(eager=False)
     tot = per_group.agg(
         F.sum("__nj").cast("bigint").alias("__nt")
     ).crossJoin(F.broadcast(ties))

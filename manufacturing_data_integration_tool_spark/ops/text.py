@@ -50,6 +50,7 @@ __all__ = [
     "frequent_terms",
     "bpe_encode",
     "bm25_topk",
+    "bm25_topk_multi",
     "c4_line_filter",
     "encoding_screen",
     "unigram_drift",
@@ -1306,11 +1307,15 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     )
+    # dl rides the exploded rows and folds back out as max() per group
+    # (constant within a (doc, term) group), so the per-doc tf table never
+    # needs a join back against the full-corpus lengths table — that join
+    # shuffled every doc's length for a tf table of only matching docs.
     tf = (
-        base.select("doc", F.explode("__tk").alias("term"))
+        base.select("doc", F.size("__tk").cast("long").alias("dl"), F.explode("__tk").alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("doc", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
@@ -1324,8 +1329,7 @@ def bm25_topk(
     )
     contrib = F.round(idf * norm, 9).cast("decimal(24,12)")
     scored = (
-        tf.join(lengths, "doc")
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc")
         .agg(
@@ -1337,6 +1341,106 @@ def bm25_topk(
     )
     w = Window.orderBy(F.desc("__score_exact"), F.asc("doc"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("doc").alias(id_col),
+        "rank",
+        "n_query_terms_hit",
+        F.round(F.col("__score_exact").cast("double"), 6).alias("bm25"),
+    )
+
+
+def bm25_topk_multi(
+    df: DataFrame,
+    queries: Sequence[tuple[str, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 top-k for a BATTERY of bag-of-terms queries in one corpus
+    pass. Per-qid output is identical to calling ``bm25_topk`` once per
+    query: every per-(doc, term) contribution is the same rounded decimal,
+    per-query sums are exact decimals (order-free), and the per-qid total
+    order (score desc, doc asc) is the same — only the plan is shared.
+
+    Sharing: tokenize / lengths / corpus stats / tf / df are computed ONCE
+    over the union of all query term sets instead of once per query (a
+    5-query battery previously re-tokenized the corpus 10x). Per-query
+    scoring attaches a tiny broadcast (qid, term) table to the shared tf.
+
+    100 TB posture: the grouped top-k is TWO-PHASE — a per-(qid, doc-hash
+    bucket) row_number bounds every sort partition, then the global per-qid
+    rank runs over <= n_buckets * k survivors — so no single task ever
+    sorts a whole query's matching corpus. Both window shuffles move only
+    (qid, doc, exact-score) metadata rows, never text.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    battery: list[tuple[str, list[str]]] = []
+    union_terms: set[str] = set()
+    for qid, qt in queries:
+        if not qt:
+            raise ValueError("query_terms must be non-empty")
+        tset = sorted({t.lower() for t in qt})
+        battery.append((qid, tset))
+        union_terms.update(tset)
+    all_terms = sorted(union_terms)
+
+    toks = tokenize(text_col)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__tk"))
+    lengths = base.select("doc", F.size("__tk").cast("long").alias("dl"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = (
+        base.select("doc", F.size("__tk").cast("long").alias("dl"), F.explode("__tk").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    # df(term) over the union term set equals the single-query df for every
+    # term of every battery member (df depends only on the corpus + term)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = df.sparkSession.createDataFrame(
+        [(qid, t) for qid, tset in battery for t in tset], "qid string, term string"
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    norm = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    contrib = F.round(idf * norm, 9).cast("decimal(24,12)")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc")
+        .agg(
+            F.sum(contrib).alias("__score_exact"),
+            F.count(F.lit(1)).alias("n_query_terms_hit"),
+        )
+    )
+    # two-phase grouped top-k: any global top-k member has < k better rows
+    # in its own bucket, so it survives phase 1; phase 2 ranks survivors in
+    # the identical total order, giving the exact single-query ranks 1..k.
+    order = [F.desc("__score_exact"), F.asc("doc")]
+    w_local = Window.partitionBy("qid", "__b").orderBy(*order)
+    w_global = Window.partitionBy("qid").orderBy(*order)
+    pages = (
+        scored.withColumn("__b", F.pmod(F.xxhash64("doc"), F.lit(64)))
+        .withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= F.lit(k))
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= F.lit(k))
+    )
+    return pages.select(
+        "qid",
         F.col("doc").alias(id_col),
         "rank",
         "n_query_terms_hit",
@@ -1608,9 +1712,18 @@ def token_pmi(
     Output: ``(token_a, token_b, df_a, df_b, df_ab, pmi)`` for pairs with
     ``df_ab >= min_pair_count``.
     """
-    dt = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("tok")
-    ).distinct()
+    # r12 opt: the distinct (doc, token) index feeds the vocab top-K AND
+    # the vocab-filtered join — materialize it once instead of re-running
+    # the tokenize + explode + distinct per reference. Same for the
+    # vocab-filtered table, which feeds both pair-join sides (bounded:
+    # |docs| x vocab_size rows).
+    dt = (
+        df.select(
+            F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("tok")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     vocab = (
         dt.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1618,7 +1731,7 @@ def token_pmi(
         .limit(vocab_size)
     )
     n_docs = df.select(F.col(id_col)).distinct().count()
-    vt = dt.join(F.broadcast(vocab), "tok")
+    vt = dt.join(F.broadcast(vocab), "tok").localCheckpoint(eager=False)
     a = vt.select("doc", F.col("tok").alias("token_a"), F.col("df").alias("df_a"))
     b = vt.select("doc", F.col("tok").alias("token_b"), F.col("df").alias("df_b"))
     pairs = (

@@ -1456,6 +1456,53 @@ def test_bm25_ranking_and_rank_column(spark):
     assert d[1] > d[2]
 
 
+def test_bm25_topk_multi_matches_per_query_calls(spark):
+    # r12 optimization: the shared-scan battery operator must be
+    # row-identical (scores, ranks, hit counts) to one bm25_topk per query.
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        bm25_topk,
+        bm25_topk_multi,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark merge merge merge filler filler"),
+            (2, "merge once in a long document " + "pad " * 40),
+            (3, "nothing relevant here at all"),
+            (4, "merge stream merge stream short"),
+            (5, "stream stream stream window window"),
+            (6, "window filter merge stream window"),
+        ],
+        "doc_id long, text string",
+    )
+    battery = [
+        ("q1", ["merge", "stream"]),
+        ("q2", ["window"]),
+        ("q3", ["filter", "merge", "stream", "window"]),
+    ]
+    multi = {
+        (r.qid, r.doc_id): (r.rank, r.n_query_terms_hit, r.bm25)
+        for r in bm25_topk_multi(df, battery, k=3).collect()
+    }
+    single = {}
+    for qid, terms in battery:
+        for r in bm25_topk(df, terms, k=3).collect():
+            single[(qid, r.doc_id)] = (r.rank, r.n_query_terms_hit, r.bm25)
+    assert multi == single
+
+
+def test_bm25_topk_multi_empty_battery_raises(spark):
+    import pytest as _pytest
+
+    from manufacturing_data_integration_tool_spark.ops.text import bm25_topk_multi
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk_multi(df, [])
+    with _pytest.raises(ValueError):
+        bm25_topk_multi(df, [("q1", [])])
+
+
 def test_bm25_empty_query_raises(spark):
     import pytest as _pytest
 

@@ -101,6 +101,14 @@ def main() -> None:
             pass
         best = float("inf")
         for _ in range(args.runs):
+            # release BEFORE every run, not just between queries: the
+            # checkpoint-heavy graph family otherwise accumulates persisted
+            # RDD blocks across its own repeated runs and the later runs
+            # read slower than the warm-up (observed q283: warm 9.1s,
+            # "best" 13.3s) — the bench's own between-query release makes
+            # each in-batch timing start from a clean storage pool, so the
+            # isolated harness must too.
+            _release()
             t0 = time.time()
             qs[name](spark, args.sf).count()
             best = min(best, time.time() - t0)
