@@ -62,10 +62,14 @@ def pair_lift(
     """
     b = F.col(basket_col).alias("__b")
     i = F.col(item_col).alias("__i")
+    # r12 opt: the deduped relation feeds the size aggregate AND the kept
+    # join — materialize it too, so the upstream pipeline (often a fact ⋈
+    # dim join) runs once, not twice.
     baskets = (
         df.where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .select(b, i)
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = baskets.groupBy("__b").agg(F.count(F.lit(1)).alias("__m"))
     # materialize the kept-basket relation ONCE: four consumers below

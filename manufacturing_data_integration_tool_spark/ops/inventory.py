@@ -154,10 +154,12 @@ def abc_xyz(
     Output: one row per (abc_class, xyz_class) —
     ``(abc_class, xyz_class, n_keys, class_revenue_cents)``.
     """
+    # r12 opt: rev feeds the two-phase ranking AND the grand total —
+    # materialize once so the caller's fact-table aggregate runs once.
     rev = revenue.select(
         F.col(key_col).alias("__k"),
         F.col(revenue_cents_col).cast("bigint").alias("__rev"),
-    )
+    ).localCheckpoint(eager=False)
     # constant stratum: the ranking is global. Catalyst folds the literal
     # partition key away, so the OFFSETS window (over the per-sub-bucket
     # subtotal table, ~|revenue range|/sub_bucket_width rows) runs
