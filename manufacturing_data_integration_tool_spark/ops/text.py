@@ -650,11 +650,18 @@ def fingerprint_contamination(
     Returns one row per contaminated left doc: ``(id, n_shared_fps,
     n_matched_docs)`` with ``n_shared_fps >= min_shared``.
     """
-    lf = winnowing_fingerprints(left, text_col, id_col, k=k, window=window).select(
-        F.col(id_col).alias("__lid"), "fp"
+    # r12 opt: with the df cap on, each side feeds the union df count AND
+    # its semi-join — materialize the (id, fp) indexes once instead of
+    # re-running the winnowing char-gram explode per reference.
+    lf = (
+        winnowing_fingerprints(left, text_col, id_col, k=k, window=window)
+        .select(F.col(id_col).alias("__lid"), "fp")
+        .localCheckpoint(eager=False)
     )
-    rf = winnowing_fingerprints(right, text_col, id_col, k=k, window=window).select(
-        F.col(id_col).alias("__rid"), "fp"
+    rf = (
+        winnowing_fingerprints(right, text_col, id_col, k=k, window=window)
+        .select(F.col(id_col).alias("__rid"), "fp")
+        .localCheckpoint(eager=False)
     )
     if max_fp_df is not None:
         df_counts = (
