@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ._materialize import materialize_once
+
 __all__ = ["pair_lift"]
 
 
@@ -69,7 +71,7 @@ def pair_lift(
         df.where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .select(b, i)
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     sizes = baskets.groupBy("__b").agg(F.count(F.lit(1)).alias("__m"))
     # materialize the kept-basket relation ONCE: four consumers below
@@ -77,7 +79,7 @@ def pair_lift(
     # upstream pipeline — at scale that is re-reading the fact table 4x
     kept = baskets.join(
         sizes.where(F.col("__m") <= F.lit(max_basket_items)).select("__b"), "__b"
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     total = kept.agg(F.countDistinct("__b").cast("bigint").alias("__n_baskets"))
     singles = kept.groupBy("__i").agg(F.count(F.lit(1)).cast("bigint").alias("__n_i"))
     left = kept.select("__b", F.col("__i").alias("item_a"))

@@ -28,6 +28,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ._materialize import materialize_once
+
 __all__ = [
     "content_hash",
     "blocking_audit",
@@ -198,7 +200,7 @@ def ngram_jaccard_pairs(
         # it once — it is (long, long) metadata rows, never text, so the
         # checkpoint is the guide-§8 "lightweight proxy" the rest of the
         # operator should work from.
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     # |shingle set| per doc from the (pre-filter) inverted index, not from a
     # second pass over `base`: shingles are already distinct, so the row
@@ -207,9 +209,7 @@ def ngram_jaccard_pairs(
     # re-tokenize — the right trade when the text column dominates scan IO).
     # Checkpointed too (tiny: one row per doc): it feeds the n_docs cap
     # aggregate plus both endpoint-size joins.
-    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh")).localCheckpoint(
-        eager=False
-    )
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh")).transform(materialize_once)
     if max_shingle_df is not None:
         # boundary discipline: a float must be a relative fraction in
         # (0, 1] (1.0 = cap at n_docs, i.e. keep everything); an int must
@@ -311,11 +311,9 @@ def containment_pairs(
     fps = (
         winnowing_fingerprints(df, text_col, id_col, k=k, window=window)
         .select(F.col(id_col).alias("doc"), F.xxhash64("fp").alias("fp_h"))
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
-    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp")).localCheckpoint(
-        eager=False
-    )
+    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp")).transform(materialize_once)
     if max_fp_df is not None:
         if isinstance(max_fp_df, float):
             if not 0.0 < max_fp_df <= 1.0:
@@ -519,10 +517,10 @@ def minhash_candidates(
     # Both tables are (doc, longs) metadata, never text.
     sigs = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes, hash_family=hash_family
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     tagged = minhash_band_tags(
         sigs, num_hashes=num_hashes, bands=bands, hash_family=hash_family
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     a = tagged.alias("a")
     b = tagged.alias("b")
     cand = (
@@ -606,7 +604,7 @@ def duplicate_span_coverage(
     win = (
         base.select("doc", F.posexplode(span_hashes).alias("__p0", "__h"))
         .select("doc", (F.col("__p0") + 1).alias("pos"), "__h")
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     hot = (
         win.groupBy("__h")
@@ -814,7 +812,7 @@ def simhash_near_dups(
     # reuse cannot collapse them). |fp| = one row per doc — tiny
     # relative to the token explode it snips off the plan. Lazy, same
     # pattern as the connected-components rounds (ops/graph.py).
-    fp = fp.localCheckpoint(eager=False)
+    fp = fp.transform(materialize_once)
     band_arr = F.array(
         *[F.substring("simhash", starts[b], widths[b]) for b in range(bands)]
     )
@@ -917,7 +915,7 @@ def semantic_dedup(
     # column) per join side.
     cells_tbl = assigned.select(
         F.col("__cell"), F.col(id_col).alias("__sid")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     a = cells_tbl.select("__cell", F.col("__sid").alias("id_a"))
     b = cells_tbl.select("__cell", F.col("__sid").alias("id_b"))
     cand = a.join(b, "__cell").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
@@ -1144,7 +1142,7 @@ def source_overlap_matrix(
         # r12 opt: feeds sizes and both self-join sides — materialize the
         # (group, hash) index once instead of re-running the segment
         # explode per reference.
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     sizes = inv.groupBy("grp").agg(F.count(F.lit(1)).alias("n_segs"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -1222,7 +1220,7 @@ def prefix_filtered_jaccard(
         # r12 opt: inv feeds the document-frequency aggregate AND the
         # canonical-order join — materialize the (doc, hash) index once
         # instead of re-running the shingle explode per reference.
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     dfreq = inv.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     # canonical per-doc array, rarest shingle first: array_sort on
@@ -1244,7 +1242,7 @@ def prefix_filtered_jaccard(
         # prefix index and both verification sides) — without a
         # checkpoint the whole shingle->df->sort pipeline would run 3x
         # (same rationale as the simhash band join). One row per doc.
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     # prefix length |A| - ceil(t|A|) + 1, with ceil(p*n/q) in exact ints
     ceil_tn = F.floor((F.lit(p) * F.col("n_sh") + F.lit(q) - 1) / F.lit(q))
@@ -1427,7 +1425,7 @@ def sorted_neighborhood_pairs(
         out_col="__rank",
     ).select("__id", "__k", "__rank")
     # both join sides consume the ranked relation — materialize it once
-    ranked = ranked.localCheckpoint(eager=False)
+    ranked = ranked.transform(materialize_once)
     probe = ranked.select(
         F.col("__id").alias("id_a"),
         F.col("__k").alias("key_a"),

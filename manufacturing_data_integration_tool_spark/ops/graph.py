@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ._materialize import checkpoint_round, materialize_once
+
 __all__ = ["connected_components", "dedup_clusters", "kcore", "pagerank",
     "hits_scores", "triangle_counts", "link_prediction_scores",
     "degree_assortativity"]
@@ -156,7 +158,7 @@ def connected_components(
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_round)
     )
     prev = _edge_checksum(edges)
     if prev[0] == 0:
@@ -167,7 +169,7 @@ def connected_components(
         return _driver_components(edges)
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        edges = _small_star(_large_star(edges)).transform(checkpoint_round)
         cur = _edge_checksum(edges)
         if cur == prev:
             converged = True
@@ -264,7 +266,7 @@ def pagerank(
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_round)
     )
     # r12 opt: fold outdeg INTO the node table once, outside the loop —
     # the per-iteration ranks⋈outdeg left join (one shuffle pair per
@@ -281,7 +283,7 @@ def pagerank(
             "node",
             "left",
         )
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_round)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -379,7 +381,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     deg = (
         edges.select(F.col("a").alias("node"))
@@ -399,7 +401,7 @@ def triangle_counts(
         )
         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
         .alias("e")
-    ).select("e.u", "e.v").localCheckpoint(eager=False)
+    ).select("e.u", "e.v").transform(materialize_once)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedges at u: two out-neighbors v < w (by id — dedups the wedge pair)
     wedges = o1.join(
@@ -474,7 +476,7 @@ def kcore(
             edges.join(removed.withColumnRenamed("node", "src"), "src", "left_anti")
             .join(removed.withColumnRenamed("node", "dst"), "dst", "left_anti")
             .select("src", "dst")
-            .localCheckpoint(eager=False)
+            .transform(checkpoint_round)
         )
         cur = _edge_checksum(edges)
         if cur == prev:
@@ -519,7 +521,9 @@ def hits_scores(
     fits BIGINT; DuckDB mirrors it with HUGEINT ``//``). L1 replaces
     the textbook L2 norm — same ranking fixed point, zero sqrt, exact
     on any engine. No driver action inside the loop; lineage truncated
-    with localCheckpoint every 2 rounds.
+    with localCheckpoint every 2 rounds. (The r12-verdict rollup-fused
+    L1 variant was tried in r13 and measured 1.30x slower — see the
+    negative-result note inside ``_l1_norm``.)
 
     Returns ``(hubs, authorities)`` DataFrames, each ``(node, score)``
     with score BIGINT in 1/scale units.
@@ -531,7 +535,7 @@ def hits_scores(
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_round)
     )
     hubs = e.select(F.col("src").alias("node")).distinct()
     n_hubs = hubs.count()
@@ -543,8 +547,20 @@ def hits_scores(
     def _l1_norm(df: DataFrame) -> DataFrame:
         # the raw-score table is referenced TWICE (the 1-row total and
         # the normalizing projection) — checkpoint so the half-iteration
-        # aggregation runs once, not once per reference
-        df = df.localCheckpoint(eager=False)
+        # aggregation runs once, not once per reference.
+        #
+        # r13 NEGATIVE RESULT (kept for the record): the r12-verdict
+        # "rollup-fused L1" (one rollup computing the per-node sums and
+        # the grand total together, saving the separate 1-row agg per
+        # half-step) was implemented and measured 1.30x SLOWER in a
+        # back-to-back worktree A/B (5.96 -> 7.73 s at sf0.1): rollup's
+        # Expand doubles the agg input at EDGE level and drags the
+        # DECIMAL(38,0) summation down from the node-sized table to 2x
+        # every edge row — the saved stage is tiny (a 1-row agg over a
+        # checkpointed node table), the added per-row decimal work is
+        # not, locally or at 100 TB. The bigint-sum-then-decimal-total
+        # split below is the right shape at every scale.
+        df = df.transform(checkpoint_round)
         tot = df.agg(F.sum(F.col("score").cast("decimal(38,0)")).alias("__t"))
         return df.crossJoin(F.broadcast(tot)).select(
             "node",
@@ -573,8 +589,8 @@ def hits_scores(
             .withColumnRenamed("src", "node")
         )
         if (it + 1) % 2 == 0:
-            h = h.localCheckpoint(eager=False)
-            a = a.localCheckpoint(eager=False)
+            h = h.transform(checkpoint_round)
+            a = a.transform(checkpoint_round)
     return h, a
 
 
@@ -626,7 +642,7 @@ def link_prediction_scores(
     pairs_src = (
         inv.select(F.col(item_col).alias("__i"), F.col(node_col).alias("__n"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     ideg = pairs_src.groupBy("__i").agg(
         F.count(F.lit(1)).cast("bigint").alias("__ideg")
@@ -643,7 +659,7 @@ def link_prediction_scores(
             (F.col("__ideg") >= 2) & (F.col("__ideg") <= hot_item_cap)
         ),
         "__i",
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     # node degrees count SCORING-ELIGIBLE items only (post-cap, post
     # deg>=2) so the Jaccard union |N(a)| + |N(b)| - |N(a) ∩ N(b)| is
     # computed over ONE consistent universe — degrees over the raw list
@@ -800,29 +816,28 @@ def label_propagation(
     round-trips — one lazy DAG like ``pagerank``).
 
     Scale posture: each round is one hash-shuffle join of the edge list
-    against the (node, label) table plus a per-node window on the
-    neighbor-label counts — everything partitions by node id, no
-    unpartitioned window, no driver state. ``localCheckpoint`` per
-    round bounds plan depth like the other iterative ops. O(rounds ×
-    |E|) shuffled rows, the same budget as ``pagerank``.
+    against the (node, label) table plus two map-side-combinable
+    aggregations — ``(node, label)`` counts, then the per-node argmax as
+    ``min(struct(-n, label))`` (the r12-verdict rewrite: a ``min`` of a
+    2-field struct partially aggregates on the map side and never sorts,
+    where the previous ``row_number`` window shuffled every (node,
+    label, n) row into a per-node sort). The tie-break is IDENTICAL by
+    construction: lexicographic min over (-n, label) == max count, then
+    smallest label. Everything partitions by node id, no window, no
+    driver state. ``localCheckpoint`` per round bounds plan depth like
+    the other iterative ops. O(rounds × |E|) shuffled rows, the same
+    budget as ``pagerank``.
 
     Output: ``(<id_col>, community)`` for EVERY node in ``nodes``.
     """
-    from pyspark.sql import Window
-
     sym = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_round)
     )
-    base = nodes.select(F.col(id_col).alias("node")).distinct().localCheckpoint(
-        eager=False
-    )
+    base = nodes.select(F.col(id_col).alias("node")).distinct().transform(checkpoint_round)
     labels = base.select("node", F.col("node").alias("label"))
-    w = Window.partitionBy("node").orderBy(
-        F.desc("n"), F.asc("label")
-    )
     for _ in range(rounds):
         neigh = sym.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
@@ -830,9 +845,16 @@ def label_propagation(
         best = (
             neigh.groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("negn"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("__top")
+            )
+            .select("node", F.col("__top.l").alias("new_label"))
         )
         labels = (
             labels.join(best, "node", "left")
@@ -840,7 +862,7 @@ def label_propagation(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(checkpoint_round)
         )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("community")

@@ -36,6 +36,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ._materialize import materialize_once
+
 from .sampling import two_phase_running_sum
 
 __all__ = [
@@ -159,7 +161,7 @@ def abc_xyz(
     rev = revenue.select(
         F.col(key_col).alias("__k"),
         F.col(revenue_cents_col).cast("bigint").alias("__rev"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     # constant stratum: the ranking is global. Catalyst folds the literal
     # partition key away, so the OFFSETS window (over the per-sub-bucket
     # subtotal table, ~|revenue range|/sub_bucket_width rows) runs

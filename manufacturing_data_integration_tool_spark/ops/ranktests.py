@@ -47,6 +47,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ._materialize import materialize_once
+
 from .sampling import two_phase_running_sum
 
 __all__ = [
@@ -1120,7 +1122,7 @@ def kendall_w(
     ranked, kg = _block_doubled_midranks(
         df, block_col, treatment_col, value_col
     )
-    ranked = ranked.localCheckpoint(eager=False)
+    ranked = ranked.transform(materialize_once)
     nrow = ranked.select("__b").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     )

@@ -25,6 +25,8 @@ from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ._materialize import checkpoint_round
+
 __all__ = [
     "neyman_allocation",
     "hash_fraction_threshold",
@@ -959,7 +961,7 @@ def ipf_raking(
         # back), so the lazy plan quadruples per iteration — checkpoint
         # the tiny cell table each round (the pagerank/HITS rule) to keep
         # analysis linear in `iterations`.
-        cur = cur.localCheckpoint(eager=False)
+        cur = cur.transform(checkpoint_round)
     return cur.select(
         F.col("__r").alias(row_col),
         F.col("__c").alias(col_col),

@@ -24,6 +24,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ._materialize import materialize_once
+
 __all__ = [
     "mmd2_quadratic",
     "mrr_from_pages",
@@ -445,9 +447,7 @@ def hyperplane_candidates(
     # it once instead of re-running the n_tables x n_planes dot-product
     # pass over the full vector column per side. (id, table, bucket)
     # metadata rows only.
-    tagged = _hyperplane_tagged(vectors, id_col, vec_col, plane_df).localCheckpoint(
-        eager=False
-    )
+    tagged = _hyperplane_tagged(vectors, id_col, vec_col, plane_df).transform(materialize_once)
     a = tagged.alias("a")
     b = tagged.alias("b")
     return (
@@ -926,7 +926,7 @@ def mmr_rerank(
             F.col(score_col).cast("double").alias("__rel"),
             F.col(vec_col).alias("__v"),
             l2_norm(F.col(vec_col)).alias("__n"),
-        ).localCheckpoint(eager=False)
+        ).transform(materialize_once)
         rows = pg.select("__id", "__rel").orderBy("__id").collect()
         ids = [r["__id"] for r in rows]
         rel = {r["__id"]: float(r["__rel"]) for r in rows}
@@ -1215,7 +1215,7 @@ def mmd2_quadratic(
         )
         # both sides of the pair join consume this |groups| x d^2 grid;
         # checkpoint so the N*d^2 moment pass runs ONCE, not twice
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     a = cells.select(
         F.col("__g").alias("g_a"),

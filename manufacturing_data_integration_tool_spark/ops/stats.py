@@ -37,6 +37,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._materialize import materialize_once
+
 __all__ = [
     "ewma_trailing",
     "oneway_anova_f",
@@ -2221,7 +2223,7 @@ def _kw_rank_sums(
     gv = (
         base.groupBy("__g", "__v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__ngv"))
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     vals = gv.groupBy("__v").agg(F.sum("__ngv").cast("bigint").alias("__t"))
     sub = sub_bucket if sub_bucket is not None else F.expr("__v div 65536")
@@ -2365,7 +2367,7 @@ def dunn_pairwise(
     per_group, ties = _kw_rank_sums(df, group_col, value_col, sub_bucket)
     # r12 opt: per_group (k rows) feeds the total, the a-side and the
     # b-side — materialize once instead of three rank-sum pipelines.
-    per_group = per_group.localCheckpoint(eager=False)
+    per_group = per_group.transform(materialize_once)
     tot = per_group.agg(
         F.sum("__nj").cast("bigint").alias("__nt")
     ).crossJoin(F.broadcast(ties))

@@ -12,6 +12,8 @@ from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ._materialize import checkpoint_round, materialize_once
+
 __all__ = [
     "tokenize",
     "token_count",
@@ -656,12 +658,12 @@ def fingerprint_contamination(
     lf = (
         winnowing_fingerprints(left, text_col, id_col, k=k, window=window)
         .select(F.col(id_col).alias("__lid"), "fp")
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     rf = (
         winnowing_fingerprints(right, text_col, id_col, k=k, window=window)
         .select(F.col(id_col).alias("__rid"), "fp")
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     if max_fp_df is not None:
         df_counts = (
@@ -876,7 +878,7 @@ def bpe_train(
         .select(F.split("w", "").alias("syms"), "wc")
     )
     # Spark's split('abc', '') yields ['a','b','c'] (no trailing empty)
-    vocab = spark_df.localCheckpoint(eager=False)
+    vocab = spark_df.transform(checkpoint_round)
     merges: list[tuple[str, str]] = []
     batch_size = max(1, int(batch_size))
     rounds = 0
@@ -985,7 +987,7 @@ def bpe_train(
         vocab = vocab.select(fold.alias("syms"), "wc")
         rounds += 1
         if rounds % 4 == 0:
-            vocab = vocab.localCheckpoint(eager=False)
+            vocab = vocab.transform(checkpoint_round)
     return merges
 
 
@@ -1023,7 +1025,47 @@ def gopher_quality_flags(
     over 100 TB and the flags feed a plain filter (pushed into the same
     stage). Output: measurements + one boolean per rule + ``passes_gopher``.
     """
-    toks = F.col("__toks")
+    bound = df.select(F.col(id_col), F.col(text_col), tokenize(text_col).alias("__toks"))
+    meas = _gopher_measure_exprs(
+        text_col, F.col("__toks"), stopwords=stopwords, round_to=round_to
+    )
+    out = bound.select(
+        F.col(id_col), *[v.alias(k) for k, v in meas.items()]
+    )
+    fl = _gopher_flag_exprs(
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_stopword_hits=min_stopword_hits,
+    )
+    flags = out.select("*", *[v.alias(k) for k, v in fl.items()])
+    return flags.select(
+        "*",
+        (
+            F.col("ok_words")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_alpha_ratio")
+            & F.col("ok_stopwords")
+        ).alias("passes_gopher"),
+    )
+
+
+def _gopher_measure_exprs(
+    text_col: str,
+    toks: Column,
+    *,
+    stopwords: Sequence[str],
+    round_to: int,
+) -> "dict[str, Column]":
+    """Module-private: the five per-document Gopher measurement
+    expressions (ROUNDED, exactly as published) keyed by output column
+    name — shared by :func:`gopher_quality_flags` and the one-scan
+    screen-battery fusion :func:`_screen_flags` so the two can never
+    drift (r13 optimization round)."""
     n_words = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     mean_len = F.try_divide(total_len.cast("double"), n_words.cast("double"))
@@ -1036,37 +1078,37 @@ def gopher_quality_flags(
     alpha_ratio = F.try_divide(n_alpha_words.cast("double"), n_words.cast("double"))
     stop_arr = F.array(*[F.lit(s) for s in stopwords])
     stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_len, round_to),
+        "symbol_word_ratio": F.round(symbol_ratio, round_to),
+        "alpha_word_ratio": F.round(alpha_ratio, round_to),
+        "stopword_hits": stop_hits.cast("long"),
+    }
 
-    bound = df.select(F.col(id_col), F.col(text_col), tokenize(text_col).alias("__toks"))
-    out = bound.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_len, round_to).alias("mean_word_len"),
-        F.round(symbol_ratio, round_to).alias("symbol_word_ratio"),
-        F.round(alpha_ratio, round_to).alias("alpha_word_ratio"),
-        stop_hits.cast("long").alias("stopword_hits"),
-    )
-    flags = out.select(
-        "*",
-        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias("ok_words"),
-        (
-            (F.col("mean_word_len") >= min_mean_word_len)
-            & (F.col("mean_word_len") <= max_mean_word_len)
-        ).alias("ok_mean_word_len"),
-        (F.col("symbol_word_ratio") <= max_symbol_word_ratio).alias("ok_symbol_ratio"),
-        (F.col("alpha_word_ratio") >= min_alpha_word_ratio).alias("ok_alpha_ratio"),
-        (F.col("stopword_hits") >= min_stopword_hits).alias("ok_stopwords"),
-    )
-    return flags.select(
-        "*",
-        (
-            F.col("ok_words")
-            & F.col("ok_mean_word_len")
-            & F.col("ok_symbol_ratio")
-            & F.col("ok_alpha_ratio")
-            & F.col("ok_stopwords")
-        ).alias("passes_gopher"),
-    )
+
+def _gopher_flag_exprs(
+    *,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_word_ratio: float,
+    min_alpha_word_ratio: float,
+    min_stopword_hits: int,
+) -> "dict[str, Column]":
+    """Module-private: the five Gopher rule flags as expressions over the
+    ROUNDED measurement columns by name (``n_words`` …) — shared by
+    :func:`gopher_quality_flags` and :func:`_screen_flags`."""
+    return {
+        "ok_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "ok_alpha_ratio": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "ok_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
 
 
 def char_entropy(
@@ -1090,6 +1132,20 @@ def char_entropy(
     engines cannot reach the 6-decimal output.
     """
     chars = F.col("__chars")
+    bound = df.select(
+        F.col(id_col), F.split(F.col(text_col), "").alias("__chars")
+    )
+    return bound.select(
+        F.col(id_col),
+        F.size(chars).cast("long").alias("n_chars"),
+        _char_entropy_expr(chars, round_to=round_to).alias("char_entropy"),
+    )
+
+
+def _char_entropy_expr(chars: Column, *, round_to: int) -> Column:
+    """Module-private: the rounded per-row character-entropy expression
+    over a pre-split char array column — shared by :func:`char_entropy`
+    and the one-scan screen-battery fusion :func:`_screen_flags`."""
     n = F.size(chars)
 
     def _term(k: Column) -> Column:
@@ -1106,14 +1162,7 @@ def char_entropy(
         )
         / F.lit(1e12)
     )
-    bound = df.select(
-        F.col(id_col), F.split(F.col(text_col), "").alias("__chars")
-    )
-    return bound.select(
-        F.col(id_col),
-        n.cast("long").alias("n_chars"),
-        F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), round_to).alias("char_entropy"),
-    )
+    return F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), round_to)
 
 
 def frequent_terms(
@@ -1384,6 +1433,11 @@ def bm25_topk_multi(
     """
     if not queries:
         raise ValueError("queries must be non-empty")
+    if len({qid for qid, _ in queries}) != len(queries):
+        # a repeated qid would silently merge two queries' term sets into
+        # one ranking, breaking the documented per-qid equivalence with
+        # bm25_topk (r12 ADVICE)
+        raise ValueError("duplicate qid in queries")
     battery: list[tuple[str, list[str]]] = []
     union_terms: set[str] = set()
     for qid, qt in queries:
@@ -1729,7 +1783,7 @@ def token_pmi(
             F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("tok")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     vocab = (
         dt.groupBy("tok")
@@ -1738,7 +1792,7 @@ def token_pmi(
         .limit(vocab_size)
     )
     n_docs = df.select(F.col(id_col)).distinct().count()
-    vt = dt.join(F.broadcast(vocab), "tok").localCheckpoint(eager=False)
+    vt = dt.join(F.broadcast(vocab), "tok").transform(materialize_once)
     a = vt.select("doc", F.col("tok").alias("token_a"), F.col("df").alias("df_a"))
     b = vt.select("doc", F.col("tok").alias("token_b"), F.col("df").alias("df_b"))
     pairs = (
@@ -1912,6 +1966,26 @@ def countmin_estimate(
     )
 
 
+def _flesch_count_exprs(text_col: str) -> "tuple[Column, Column, Column]":
+    """Module-private: the three exact Flesch regex counts (words,
+    sentences floored at 1, syllable groups) — shared by
+    :func:`flesch_reading_ease` and :func:`_screen_flags`.
+
+    r13 per-task-work optimization (guide §1.2 step 2): counts come from
+    ``regexp_count`` instead of ``size(regexp_extract_all(...))`` — the
+    same non-overlapping-match count under the same Java regex semantics
+    (bit-identical integers), without materializing an array of every
+    word/vowel-group per document just to take its length."""
+    lower = F.lower(F.col(text_col))
+    words = F.regexp_count(lower, F.lit("[a-z]+")).cast("bigint")
+    sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")).cast("bigint"),
+    )
+    syll = F.regexp_count(lower, F.lit("[aeiouy]+")).cast("bigint")
+    return words, sents, syll
+
+
 def flesch_reading_ease(
     df: DataFrame,
     text_col: str,
@@ -1940,19 +2014,7 @@ def flesch_reading_ease(
     Output: ``(id_cols..., n_words, n_sentences, n_syllables,
     flesch_x1000)``.
     """
-    lower = F.lower(F.col(text_col))
-    words = F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), 0)).cast(
-        "bigint"
-    )
-    sents = F.greatest(
-        F.lit(1).cast("bigint"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)).cast(
-            "bigint"
-        ),
-    )
-    syll = F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)).cast(
-        "bigint"
-    )
+    words, sents, syll = _flesch_count_exprs(text_col)
     base = df.select(
         *id_cols,
         words.alias("n_words"),
@@ -1968,6 +2030,101 @@ def flesch_reading_ease(
     return base.withColumn(
         "flesch_x1000", F.floor(score * F.lit(1000.0)).cast("bigint")
     )
+
+
+def _screen_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+    flesch_min_x1000: int = 50_000,
+    entropy_min: Optional[float] = None,
+) -> DataFrame:
+    """Module-private ONE-SCAN fusion of the document quality-screen
+    battery (r13 optimization round; same shared-scan pattern as
+    ``bm25_topk_multi``): the Gopher rule pass, the Flesch readability
+    cut, and optionally the char-entropy cut, computed in a single
+    projection over one corpus scan instead of 2-3 independent full-text
+    scans joined back on ``id_col``.
+
+    Output is BIT-IDENTICAL to the op-composed construction the
+    q257/q278/q298/q339 agreement family used (pinned by
+    tests/test_ops.py::test_screen_flags_matches_op_composition):
+
+    * ``__a`` = ``gopher_quality_flags(...).passes_gopher`` — built from
+      the same :func:`_gopher_measure_exprs` / :func:`_gopher_flag_exprs`
+      the operator itself uses;
+    * ``__b`` = the ``a.join(flesch, id, "left")`` + ``coalesce(__b,
+      False)`` semantics: ``flesch_x1000 >= flesch_min_x1000`` where the
+      doc has at least one Flesch word, ``False`` where
+      :func:`flesch_reading_ease` would have dropped the row (zero
+      ``[a-z]+`` words — the score is undefined there, so the comparison
+      is never evaluated);
+    * ``__c`` (when ``entropy_min`` is not None) =
+      ``char_entropy(...).char_entropy >= entropy_min`` via the shared
+      :func:`_char_entropy_expr` (emitted for every doc, as the op does).
+
+    100 TB posture: the family's previous shape paid 2-3 full corpus
+    text scans plus an id-keyed join per extra screen; this is one scan,
+    zero joins, zero shuffles before the callers' tiny aggregates.
+    """
+    cols = [
+        F.col(id_col),
+        F.col(text_col),
+        tokenize(text_col).alias("__toks"),
+    ]
+    if entropy_min is not None:
+        cols.append(F.split(F.col(text_col), "").alias("__chars"))
+    bound = df.select(*cols)
+    meas = _gopher_measure_exprs(
+        text_col, F.col("__toks"), stopwords=GOPHER_STOPWORDS, round_to=4
+    )
+    fw, fs, fy = _flesch_count_exprs(text_col)
+    sel = [
+        F.col(id_col),
+        *[v.alias(k) for k, v in meas.items()],
+        fw.alias("__fw"),
+        fs.alias("__fs"),
+        fy.alias("__fy"),
+    ]
+    if entropy_min is not None:
+        sel.append(
+            _char_entropy_expr(F.col("__chars"), round_to=6).alias("__ent")
+        )
+    m = bound.select(*sel)
+    fl = _gopher_flag_exprs(
+        min_words=min_words,
+        max_words=100_000,
+        min_mean_word_len=3.0,
+        max_mean_word_len=10.0,
+        max_symbol_word_ratio=0.1,
+        min_alpha_word_ratio=0.8,
+        min_stopword_hits=min_stopword_hits,
+    )
+    passes = (
+        fl["ok_words"]
+        & fl["ok_mean_word_len"]
+        & fl["ok_symbol_ratio"]
+        & fl["ok_alpha_ratio"]
+        & fl["ok_stopwords"]
+    )
+    wd = F.col("__fw").cast("double")
+    sd = F.col("__fs").cast("double")
+    yd = F.col("__fy").cast("double")
+    score = F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd)
+    fx1000 = F.floor(score * F.lit(1000.0)).cast("bigint")
+    out = [
+        F.col(id_col),
+        passes.alias("__a"),
+        F.when(F.col("__fw") > 0, fx1000 >= F.lit(flesch_min_x1000))
+        .otherwise(F.lit(False))
+        .alias("__b"),
+    ]
+    if entropy_min is not None:
+        out.append((F.col("__ent") >= F.lit(entropy_min)).alias("__c"))
+    return m.select(*out)
 
 
 def kneser_ney_bigrams(

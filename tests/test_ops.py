@@ -1950,3 +1950,138 @@ def test_heaps_fit_matches_python_twin(spark):
     expected = math.floor(num / den * 1e6 + 0.5)
     assert out["n_used"] == n and out["slope_x1e6"] == expected
     assert 0 < out["slope_x1e6"] < 1_000_000  # 0 < beta < 1
+
+
+def test_screen_flags_matches_op_composition(spark):
+    """r13 one-scan screen-battery fusion: _screen_flags must be
+    BIT-IDENTICAL to the op-composed join construction the
+    q257/q278/q298/q339 agreement family used — including the edge rows
+    (NULL text -> NULL gopher pass / False flesch; zero-letter text ->
+    flesch drops the row, the left join supplied False; empty text)."""
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        _screen_flags,
+        char_entropy,
+        flesch_reading_ease,
+        gopher_quality_flags,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and that have "
+            "with be to of and more words here to pass the word floor "
+            "plus extra filler tokens making this document long enough "
+            "for the gopher minimum word count rule to pass easily now"),
+        (2, "123 456. 789!"),          # zero [a-z] words: flesch drops it
+        (3, ""),                        # empty text
+        (4, None),                      # NULL text
+        (5, "### ... … ### short"),     # symbol-heavy
+        (6, "aaaa eeee iiii oooo uuuu yyyy. vowel soup sentence two!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    a = gopher_quality_flags(docs, min_words=30, min_stopword_hits=1).select(
+        "doc_id", F.col("passes_gopher").alias("__a")
+    )
+    b = flesch_reading_ease(docs, "text").select(
+        "doc_id", (F.col("flesch_x1000") >= 50_000).alias("__b")
+    )
+    c = char_entropy(docs).select(
+        "doc_id", (F.col("char_entropy") >= 3.0).alias("__c")
+    )
+    composed = {
+        r["doc_id"]: (r["__a"], r["__b"], r["__c"])
+        for r in a.join(b, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .select(
+            "doc_id",
+            "__a",
+            F.coalesce(F.col("__b"), F.lit(False)).alias("__b"),
+            "__c",
+        )
+        .collect()
+    }
+    fused = {
+        r["doc_id"]: (r["__a"], r["__b"], r["__c"])
+        for r in _screen_flags(
+            docs,
+            min_words=30,
+            min_stopword_hits=1,
+            flesch_min_x1000=50_000,
+            entropy_min=3.0,
+        ).collect()
+    }
+    assert fused == composed
+    # two-screen variant (q257/q278 shape) has no __c column
+    two = _screen_flags(
+        docs, min_words=30, min_stopword_hits=1, flesch_min_x1000=50_000
+    )
+    assert two.columns == ["doc_id", "__a", "__b"]
+    assert {
+        r["doc_id"]: (r["__a"], r["__b"]) for r in two.collect()
+    } == {k: v[:2] for k, v in composed.items()}
+
+
+def test_bm25_topk_multi_rejects_duplicate_qids(spark):
+    import pytest
+
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        bm25_topk_multi,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicate qid"):
+        bm25_topk_multi(df, [("q1", ["a"]), ("q1", ["b"])])
+
+
+def test_materialize_once_modes(spark):
+    """r13 fault-tolerance lever (r12 verdict item 3 / ADVICE): the
+    non-iterative multi-reference materializations route through
+    ops._materialize.materialize_once, whose strategy is a session conf —
+    localCheckpoint under a local master (default), lineage-preserving
+    MEMORY_AND_DISK persist when spark.mdi.materialize.mode=persist. Both
+    strategies must yield identical operator results."""
+    from manufacturing_data_integration_tool_spark.ops._materialize import (
+        MODE_CONF,
+        materialize_once,
+    )
+    from manufacturing_data_integration_tool_spark.ops.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+            (4, "one two three four five seven"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def run():
+        return sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.2
+            ).collect()
+        )
+
+    base = run()
+    assert base  # the fixture must produce at least one near-dup pair
+
+    # persist mode: same rows, and the handle is a lineage-preserving persist
+    spark.conf.set(MODE_CONF, "persist")
+    try:
+        assert run() == base
+        handle = materialize_once(docs)
+        assert handle.storageLevel.useDisk  # MEMORY_AND_DISK, not checkpoint
+        handle.unpersist()
+    finally:
+        spark.conf.unset(MODE_CONF)
+        spark.catalog.clearCache()
+
+    # default (auto, local master) stays the r12 checkpoint behavior
+    assert "local" in spark.conf.get("spark.master")
+    h2 = materialize_once(docs)
+    assert not h2.storageLevel.useDisk  # not persisted; checkpoint path

@@ -1189,9 +1189,10 @@ def test_q403_aqe_skew_join_splits_hot_partition(spark):
     no-rewrite answer to skew at 100 TB). Executed (not just explained):
     skew handling only appears in the final plan after stage stats
     exist. Confs are restored afterward regardless."""
-    prev = {k: spark.conf.get(k, None) for k in entry._Q403_CONFS}
+    confs = entry._q403_confs("/root/testdata/sf0.001")
+    prev = {k: spark.conf.get(k, None) for k in confs}
     try:
-        for k, v in entry._Q403_CONFS.items():
+        for k, v in confs.items():
             spark.conf.set(k, v)
         df = entry._q403_skew_plan(spark, "/root/testdata/sf0.001")
         df.collect()

@@ -1,16 +1,24 @@
-"""Optimization-round measurement harness (r12).
+"""Optimization-round measurement harness (r12; --baseline-ref added r13).
 
 For each named query: capture ``.explain("formatted")`` to
-``plans/r12/<query>_<tag>.txt`` and time it ISOLATED with the bench's own
-methodology (one warm-up invocation, then min of N timed ``count()`` runs,
-cache release between runs) plus a noop-sink timing (guide §1.4 — computes
-every column, so column-pruning tricks can't hide work). Prints one JSON
-line per query so runs can be diffed.
+``plans/<round>/<query>_<tag>.txt`` and time it ISOLATED with the bench's
+own methodology (one warm-up invocation, then min of N timed ``count()``
+runs, cache release between runs) plus a noop-sink timing (guide §1.4 —
+computes every column, so column-pruning tricks can't hide work). Prints
+one JSON line per query so runs can be diffed.
+
+``--baseline-ref <git-ref>`` is the standard A/B evidence mode (r12 verdict
+item 6): the ref is checked out into a throwaway worktree and the SAME
+query list is measured there and at HEAD back-to-back (same minutes, same
+host state), then per-query new/old ratios are printed. Host speed drifts
+20-50% within hours on this box, so isolated numbers from different
+sessions must never be compared directly — always ship a ratio against
+same-minute controls.
 
 Usage:
     python tools/opt_measure.py --tag before q283_hits_scores q152_pagerank
     python tools/opt_measure.py --tag after --runs 3 q283_hits_scores
-    python tools/opt_measure.py --tag probe --no-plan --all-over 1.0
+    python tools/opt_measure.py --baseline-ref 384d265 q283_hits_scores q28_control
 """
 
 from __future__ import annotations
@@ -28,6 +36,77 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
+def _run_ab(args) -> None:
+    """A/B a query list: baseline-ref worktree first, HEAD second, both in
+    fresh subprocesses (own Spark session each), minutes apart on the same
+    host state; print per-query new/old ratios. Evidence discipline from
+    OPTIMIZATION_r12.md §5 folded into the tool (r12 verdict item 6)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    ref = args.baseline_ref
+    names = args.queries
+    if not names:
+        raise SystemExit("--baseline-ref needs an explicit query list")
+    wt = Path(tempfile.mkdtemp(prefix="mdi_ab_")) / "base"
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", str(wt), ref],
+        cwd=REPO,
+        check=True,
+        capture_output=True,
+    )
+    try:
+        results = {}
+        for label, cwd in (("old", wt), ("new", REPO)):
+            out = wt.parent / f"{label}.json"
+            script = cwd / "tools" / "opt_measure.py"
+            if not script.exists():
+                raise SystemExit(
+                    f"{ref} predates tools/opt_measure.py; cannot A/B"
+                )
+            cmd = [
+                sys.executable,
+                str(script),
+                "--tag",
+                f"ab_{label}",
+                "--no-plan",
+                "--runs",
+                str(args.runs),
+                "--sf",
+                args.sf,
+                "--cpus",
+                args.cpus,
+                "--out",
+                str(out),
+                *names,
+            ]
+            subprocess.run(cmd, cwd=cwd, check=True)
+            results[label] = json.loads(out.read_text())
+        rows = {}
+        for n in names:
+            old = results["old"][n]["count_best"]
+            new = results["new"][n]["count_best"]
+            rows[n] = {
+                "old": old,
+                "new": new,
+                "ratio": round(new / old, 3) if old else None,
+            }
+            print(json.dumps({"query": n, **rows[n]}), flush=True)
+        if args.out:
+            Path(args.out).write_text(
+                json.dumps({"baseline_ref": ref, "ab": rows}, indent=1) + "\n"
+            )
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", str(wt)],
+            cwd=REPO,
+            check=False,
+            capture_output=True,
+        )
+        shutil.rmtree(wt.parent, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
@@ -38,7 +117,18 @@ def main() -> None:
     ap.add_argument("--no-plan", action="store_true")
     ap.add_argument("--noop", action="store_true", help="also time via noop sink")
     ap.add_argument("--out", default=None, help="JSON results file")
+    ap.add_argument("--plans-dir", default="plans/r13")
+    ap.add_argument(
+        "--baseline-ref",
+        default=None,
+        help="git ref to A/B against: measure the same queries in a "
+        "worktree at that ref, then at HEAD, back-to-back; print ratios",
+    )
     args = ap.parse_args()
+
+    if args.baseline_ref:
+        _run_ab(args)
+        return
 
     from pyspark.sql import SparkSession
 
@@ -78,7 +168,7 @@ def main() -> None:
         except Exception:
             pass
 
-    plans_dir = REPO / "plans" / "r12"
+    plans_dir = REPO / args.plans_dir
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     results: dict[str, dict] = {}
