@@ -348,7 +348,19 @@ def _hyperplane_tagged(
     df: DataFrame, id_col: str, vec_col: str, plane_df: DataFrame
 ) -> DataFrame:
     """(id, table, bucket) tags: one bounded fan-out against the broadcast
-    plane table, sign bits bit-packed by a map-side-combined groupBy."""
+    plane table, sign bits bit-packed by a map-side-combined groupBy.
+
+    r13 NEGATIVE RESULT (kept for the record): a zero-shuffle rewrite —
+    per-row bucket expressions over inlined plane LITERALS + one explode,
+    removing the crossJoin and the groupBy exchange — was implemented,
+    proven bit-identical, and measured 1.5-2.5x SLOWER in back-to-back
+    worktree A/B (q121 2.45x, q52 1.81x, q140 1.66x, q91 1.49x; control
+    q26 1.09x). The broadcast-join shape pipelines the plane arrays BY
+    REFERENCE into the interpreted HOF dot, while 32 literal-array
+    expressions per row re-evaluate inside one giant projection; and the
+    exchange this would remove carries only (id, table, bucket) tag
+    metadata — ~24 bytes x n_tables per vector, never the vectors — so
+    the scale upside was small. The groupBy bit-pack stays."""
     bit = F.when(dot(F.col(vec_col), F.col("__plane")) >= 0, F.col("__w")).otherwise(
         F.lit(0)
     )
