@@ -91,3 +91,14 @@ def checkpoint_round(df: DataFrame) -> DataFrame:
     if _mode(df) == "off":
         return df
     return df.localCheckpoint(eager=False)
+
+
+def checkpoint_round_eager(df: DataFrame) -> DataFrame:
+    """Eager sibling of :func:`checkpoint_round` for the iterative sites
+    that deliberately materialize mid-loop (pagerank's every-4-rounds
+    checkpoint — the r13 policy sweep measured eager-every-4 FASTER than
+    every lazy variant there). Same audit-only ``off`` escape so the
+    plan sweep sees full lineage."""
+    if _mode(df) == "off":
+        return df
+    return df.localCheckpoint(eager=True)

@@ -685,6 +685,28 @@ def fingerprint_contamination(
     )
 
 
+def _doc_quality_exprs(text_col: str, *, round_to: int = 4) -> "list[Column]":
+    """Module-private aliased per-document quality expressions — the exact
+    columns :func:`doc_quality` publishes, exposed so single-scan fused
+    callers (q48's training-corpus filter) can ride them on an existing
+    projection instead of joining ``doc_quality(docs)`` back by id."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return [
+        F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        F.round(F.try_divide(n_distinct.cast("double"), n_tokens.cast("double")), round_to).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.try_divide(total_len.cast("double"), n_tokens.cast("double")), round_to).alias(
+            "mean_token_len"
+        ),
+    ]
+
+
 def doc_quality(
     df: DataFrame,
     text_col: str = "text",
@@ -695,21 +717,8 @@ def doc_quality(
     """Per-document quality metrics: length, token counts, type-token
     ratio, mean token length. Everything derives from one pass over the
     text column — no shuffle at all (narrow transformation)."""
-    toks = tokenize(text_col)
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return df.select(
-        F.col(id_col),
-        F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
-        n_tokens.cast("long").alias("n_tokens"),
-        n_distinct.cast("long").alias("n_distinct_tokens"),
-        F.round(F.try_divide(n_distinct.cast("double"), n_tokens.cast("double")), round_to).alias(
-            "type_token_ratio"
-        ),
-        F.round(F.try_divide(total_len.cast("double"), n_tokens.cast("double")), round_to).alias(
-            "mean_token_len"
-        ),
+        F.col(id_col), *_doc_quality_exprs(text_col, round_to=round_to)
     )
 
 
@@ -754,6 +763,54 @@ DEFAULT_LANG_MARKERS: Mapping[str, Sequence[str]] = {
 }
 
 
+def _langid_hit_exprs(
+    text_col: str, markers: Mapping[str, Sequence[str]]
+) -> "list[tuple[str, Column]]":
+    """(lang, hit-count expression) per language, sorted by language name —
+    the shared building block of :func:`language_id` and the single-scan
+    fused callers (:func:`_langid_pred_expr`)."""
+    toks = tokenize(text_col)
+    out = []
+    for lang in sorted(markers):
+        marker_arr = F.array(*[F.lit(m) for m in markers[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        out.append((lang, hits.cast("long")))
+    return out
+
+
+def _langid_argmax(hit_by_lang: "list[tuple[str, Column]]", default_lang: str) -> Column:
+    """Argmax over per-language hit columns/expressions with the pinned
+    tie-break (earlier language name wins; zero hits -> default) — the
+    exact `when()`-chain :func:`language_id` publishes."""
+    best = F.greatest(*[c for _, c in hit_by_lang])
+    # reversed so earlier languages win ties (when() chains first-match)
+    chain = None
+    for lang, c in hit_by_lang:
+        cond = c == best
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return F.when(best > 0, chain).otherwise(F.lit(default_lang))
+
+
+def _langid_pred_expr(
+    text_col: str,
+    markers: Mapping[str, Sequence[str]] = DEFAULT_LANG_MARKERS,
+    *,
+    default_lang: str = "unknown",
+) -> Column:
+    """Module-private INLINE ``predicted_lang`` expression (r13 optimization
+    round): the exact argmax :func:`language_id` computes, as one narrow
+    per-row Column, so callers that only need the prediction can ride it on
+    an existing scan instead of joining ``language_id(docs)`` back onto
+    ``docs`` by id — that join is a full-corpus self-join (2 scans + a
+    doc_id shuffle or broadcast) carrying zero information at 100 TB.
+    Value-identical to ``language_id(df)[\"predicted_lang\"]`` per row
+    (pinned by tests/test_ops.py::test_langid_pred_expr_matches_op); the
+    hit expressions are repeated inside greatest()/when() instead of bound
+    once, which Spark's codegen subexpression elimination collapses."""
+    hits = _langid_hit_exprs(text_col, markers)
+    return _langid_argmax(hits, default_lang)
+
+
 def language_id(
     df: DataFrame,
     text_col: str = "text",
@@ -767,23 +824,12 @@ def language_id(
 
     Hit counting is ``size(array_intersect/filter)`` over the token array —
     a narrow per-row expression; the operator adds no shuffle."""
-    toks = tokenize(text_col)
-    langs = sorted(markers)
-    hit_cols = []
-    for lang in langs:
-        marker_arr = F.array(*[F.lit(m) for m in markers[lang]])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
-        hit_cols.append(hits.cast("long").alias(f"hits_{lang}"))
-    out = df.select(F.col(id_col), *hit_cols)
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred = F.lit(default_lang)
-    # reversed so earlier languages win ties (when() chains first-match)
-    chain = None
-    for lang in langs:
-        cond = F.col(f"hits_{lang}") == best
-        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
-    pred = F.when(best > 0, chain).otherwise(F.lit(default_lang))
-    return out.withColumn("predicted_lang", pred)
+    hit_exprs = _langid_hit_exprs(text_col, markers)
+    out = df.select(
+        F.col(id_col), *[c.alias(f"hits_{lang}") for lang, c in hit_exprs]
+    )
+    bound = [(lang, F.col(f"hits_{lang}")) for lang, _ in hit_exprs]
+    return out.withColumn("predicted_lang", _langid_argmax(bound, default_lang))
 
 
 def char_pair_counts(

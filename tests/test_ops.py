@@ -2085,3 +2085,113 @@ def test_materialize_once_modes(spark):
     assert "local" in spark.conf.get("spark.master")
     h2 = materialize_once(docs)
     assert not h2.storageLevel.useDisk  # not persisted; checkpoint path
+
+
+def test_langid_pred_expr_matches_op(spark):
+    """r13 one-scan langid fusion: the inline _langid_pred_expr column must
+    be row-identical to language_id()'s predicted_lang — including ties
+    (earlier language name wins), zero hits (default), NULL and empty
+    text — so q48/q255/q391 can ride it on the label scan instead of a
+    full-corpus doc_id self-join."""
+    from manufacturing_data_integration_tool_spark.ops.text import (
+        _langid_pred_expr,
+        language_id,
+    )
+
+    rows = [
+        (1, "the and of a to in plain english text"),
+        (2, "el la de y que en texto"),
+        (3, "the el la de and of y que en in"),  # cross-lang tie fodder
+        (4, "zzz qqq xxx"),                      # zero marker hits
+        (5, ""),
+        (6, None),
+        (7, "der die das und ist von"),
+        (8, "的 是 了 在 我 有"),
+        (9, "le la et les des un"),
+        (10, "the la"),                          # exact 1-1 tie: en < es
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    via_op = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id(docs).collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", _langid_pred_expr("text").alias("p")
+        ).collect()
+    }
+    assert via_expr == via_op
+
+
+def test_q48_fusion_matches_op_composition(spark):
+    """r13 q48 one-scan fusion: the fused construction (quality + langid
+    expressions riding one scan, dedup representative via min-over-hash
+    window) must produce exactly the rows of the old composed form
+    (doc_quality ⋈ language_id ⋈ semi exact_dedup_by_content) — including
+    duplicate texts (only the min-id copy survives), NULL/empty text, and
+    rows failing each filter leg."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from manufacturing_data_integration_tool_spark.ops import dedup as dd
+    from manufacturing_data_integration_tool_spark.ops import text as tx
+
+    passing = (
+        "the cat and the dog of a house to go in rooms where many other "
+        "distinct english words appear making thirty tokens easily one "
+        "two three four five six seven eight nine ten eleven twelve"
+    )
+    rows = [
+        (10, passing),          # duplicate pair: only id 10 survives
+        (11, passing),
+        (12, passing + " unique suffix twenty"),   # passes, unique
+        (13, "el la de y que en " * 8),            # es, filtered by lang
+        (14, "the the the the the " * 10),         # en but low ttr
+        (15, ""),
+        (16, None),
+        (17, "the and of a to in"),                # en but < 30 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    qual = tx.doc_quality(docs).select("doc_id", "n_tokens", "type_token_ratio")
+    lang = tx.language_id(docs).select("doc_id", "predicted_lang")
+    reps = dd.exact_dedup_by_content(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    old = (
+        qual.join(lang, "doc_id")
+        .join(reps, "doc_id", "left_semi")
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("n_tokens") >= 30)
+            & (F.col("type_token_ratio") >= 0.55)
+        )
+        .select("doc_id", "predicted_lang", "n_tokens", "type_token_ratio")
+    )
+
+    base = docs.select(
+        "doc_id",
+        *tx._doc_quality_exprs("text"),
+        tx._langid_pred_expr("text").alias("predicted_lang"),
+        dd.content_hash(F.col("text"), "md5").alias("__h"),
+    )
+    keep = F.min("doc_id").over(Window.partitionBy("__h"))
+    new = (
+        base.withColumn("__keep", keep)
+        .filter(
+            (F.col("doc_id") == F.col("__keep"))
+            & (F.col("predicted_lang") == "en")
+            & (F.col("n_tokens") >= 30)
+            & (F.col("type_token_ratio") >= 0.55)
+        )
+        .select("doc_id", "predicted_lang", "n_tokens", "type_token_ratio")
+    )
+
+    old_rows = sorted(map(tuple, old.collect()))
+    new_rows = sorted(map(tuple, new.collect()))
+    assert new_rows == old_rows
+    assert old.schema == new.schema
+    # the fixture must exercise the dedup leg (one of the dup pair kept)
+    kept_ids = {r[0] for r in new_rows}
+    assert 10 in kept_ids and 11 not in kept_ids and 12 in kept_ids

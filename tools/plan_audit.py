@@ -109,10 +109,22 @@ def _fingerprint(a: dict) -> tuple:
 KNOWN_DRIFT = {"q207_sorted_neighborhood", "q212_mutual_best_match"}
 
 
-def sweep(sfs: list[str], json_out: str | None = None) -> int:
+def sweep(
+    sfs: list[str],
+    json_out: str | None = None,
+    full_lineage: bool = False,
+) -> int:
     import __spark_entry__ as entrymod
 
     spark = _session()
+    if full_lineage:
+        # r12 verdict item 7: the default sweep fingerprints the
+        # POST-checkpoint plan — a regression ABOVE a materialization
+        # point is invisible (the subtree is an opaque RDD-scan leaf).
+        # The audit-only 'off' mode disables every materialize_once /
+        # checkpoint_round truncation so the fingerprint covers the full
+        # pre-checkpoint lineage. Never used outside audits.
+        spark.conf.set("spark.mdi.materialize.mode", "off")
     drift = []
     for name, fn in entrymod.queries().items():
         fps = {}
@@ -153,10 +165,16 @@ def main() -> None:
                     help="audit at each DIR and fail on plan-shape drift")
     ap.add_argument("--json", default=None,
                     help="(sweep mode) write the drift artifact to this path")
+    ap.add_argument("--full-lineage", action="store_true",
+                    help="(sweep mode) disable checkpoint truncation "
+                    "(spark.mdi.materialize.mode=off) so fingerprints cover "
+                    "pre-checkpoint subtrees")
     args = ap.parse_args()
 
     if args.sweep:
-        raise SystemExit(sweep(args.sweep, json_out=args.json))
+        raise SystemExit(
+            sweep(args.sweep, json_out=args.json, full_lineage=args.full_lineage)
+        )
 
     import __spark_entry__ as entrymod
 
